@@ -1,0 +1,65 @@
+package graft.checks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality gate: a ~100-LoC replacement for the reference's Great
+  * Expectations dependency (etl/utils/base_table.py:140-196 + the JSON
+  * suites under etl/great_expectations/expectations). The reference's three suites
+  * express exactly two check kinds: column-uniqueness (`order_id`,
+  * `order_date`) and a bounded max (`total_price_mean` strictly inside
+  * (0, 100000)); both are modeled as ADT cases evaluated with single-pass
+  * aggregations (no per-row collect — scales to arbitrary table sizes).
+  */
+sealed trait Check {
+  def description: String
+}
+
+/** expect_column_values_to_be_unique (per column set). */
+final case class Unique(columns: Seq[String]) extends Check {
+  override def description: String = s"unique(${columns.mkString(", ")})"
+}
+
+/** expect_column_max_to_be_between(column, lo, hi, strict_max). */
+final case class MaxInRange(
+    column: String, lo: Double, hi: Double, strict: Boolean = true)
+    extends Check {
+  override def description: String =
+    s"max($column) in ${if (strict) s"($lo, $hi)" else s"[$lo, $hi]"}"
+}
+
+/** expect_column_values_to_not_be_null. */
+final case class NotNull(columns: Seq[String]) extends Check {
+  override def description: String = s"not_null(${columns.mkString(", ")})"
+}
+
+final case class CheckViolation(check: Check, detail: String)
+
+object Checks {
+
+  /** Evaluate all checks; empty result = pass. Each check costs one
+    * aggregation job; uniqueness uses groupBy+count (map-side partial
+    * aggregation, no row materialization on the driver).
+    */
+  def evaluate(df: DataFrame, checks: Seq[Check]): Seq[CheckViolation] =
+    checks.flatMap {
+      case c @ Unique(cols) =>
+        val dup = df.groupBy(cols.map(col): _*).count()
+          .where(col("count") > 1).limit(1).count()
+        if (dup > 0) Some(CheckViolation(c, "duplicate key values present"))
+        else None
+      case c @ MaxInRange(column, lo, hi, strict) =>
+        val row = df.agg(max(col(column).cast("double"))).first()
+        if (row.isNullAt(0)) None // empty/all-null column: vacuously true
+        else {
+          val m = row.getDouble(0)
+          val ok = if (strict) m > lo && m < hi else m >= lo && m <= hi
+          if (ok) None else Some(CheckViolation(c, s"max = $m out of range"))
+        }
+      case c @ NotNull(cols) =>
+        val pred = cols.map(col(_).isNull).reduce(_ || _)
+        val bad = df.where(pred).limit(1).count()
+        if (bad > 0) Some(CheckViolation(c, "null values present"))
+        else None
+    }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.checks._
+
+class ChecksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Unique passes on unique keys and fails on duplicates") {
+    val ok = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val dup = Seq((1, "a"), (1, "b")).toDF("id", "v")
+    assert(Checks.evaluate(ok, Seq(Unique(Seq("id")))).isEmpty)
+    assert(Checks.evaluate(dup, Seq(Unique(Seq("id")))).nonEmpty)
+    // composite key: (1,a),(1,b) is unique as a pair
+    assert(Checks.evaluate(dup, Seq(Unique(Seq("id", "v")))).isEmpty)
+  }
+
+  test("MaxInRange honors strict vs inclusive bounds") {
+    val df = Seq(10.0, 99.0).toDF("m")
+    assert(Checks.evaluate(df, Seq(MaxInRange("m", 0, 100))).isEmpty)
+    assert(Checks.evaluate(df, Seq(MaxInRange("m", 0, 99))).nonEmpty)
+    assert(Checks
+      .evaluate(df, Seq(MaxInRange("m", 0, 99, strict = false))).isEmpty)
+  }
+
+  test("MaxInRange is vacuously true on empty input") {
+    val df = Seq.empty[Double].toDF("m")
+    assert(Checks.evaluate(df, Seq(MaxInRange("m", 0, 1))).isEmpty)
+  }
+
+  test("NotNull flags null values") {
+    val df = Seq((Some(1), "a"), (None, "b")).toDF("id", "v")
+    assert(Checks.evaluate(df, Seq(NotNull(Seq("v")))).isEmpty)
+    assert(Checks.evaluate(df, Seq(NotNull(Seq("id")))).nonEmpty)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.checks.Unique
+import graft.core._
+import graft.layers._
+import graft.sources.InMemorySource
+
+/** Framework lifecycle tests, mirroring the reference's bronze pytest
+  * pattern (etl/test/unit_tests/bronze/test_orders_bronze.py:35-100) plus
+  * the integration round-trip (test_int_fact_order_items.py:20-123).
+  */
+class TableEtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = FixedClock(Timestamp.valueOf("2026-01-01 00:00:00"))
+  private val t1 = FixedClock(Timestamp.valueOf("2026-01-02 00:00:00"))
+
+  private def ordersDf: DataFrame = Seq(
+    (100, 10, "2024-01-01 12:00:00", 100.0, "2024-01-01 11:00:00"),
+    (101, 11, "2024-01-02 12:00:00", 150.0, "2024-01-02 11:00:00"))
+    .toDF("order_id", "buyer_id", "order_ts", "total_price", "created_ts")
+
+  private def ctx(clock: Clock, base: String, write: Boolean = true) =
+    EtlContext(spark, InMemorySource(Map("orders" -> ordersDf)), base,
+      writeData = write, clock = clock)
+
+  private def ordersNode(c: EtlContext) = new BronzeNode(c, "orders",
+    "orders", Seq("order_id"),
+    Seq("order_id", "buyer_id", "order_ts", "total_price", "created_ts"),
+    checks = Seq(Unique(Seq("order_id"))))
+
+  test("bronze transform appends etl_inserted and preserves input rows") {
+    val node = ordersNode(ctx(t0, "/unused", write = false))
+    val out = node.transformUpstream(Seq.empty).data
+    assert(out.columns.toSeq ===
+      ordersDf.columns.toSeq :+ "etl_inserted")
+    assert(out.select(ordersDf.columns.map(col).toIndexedSeq: _*)
+      .collect().toSet === ordersDf.collect().toSet)
+    assert(out.select("etl_inserted").distinct().collect()
+      .map(_.getTimestamp(0)).toSeq === Seq(t0.at))
+  }
+
+  test("dry-run (writeData=false) serves read() from memory, writes nothing") {
+    val base = Files.createTempDirectory("graft_dry").toString
+    val node = ordersNode(ctx(t0, base, write = false))
+    node.run()
+    val ds = node.read()
+    assert(ds.data.count() === 2)
+    assert(!new java.io.File(s"$base/bronze/orders").exists())
+  }
+
+  test("write→read round-trip picks the latest etl_inserted partition") {
+    val base = Files.createTempDirectory("graft_rt").toString
+    ordersNode(ctx(t0, base)).run()
+    val second = ordersNode(ctx(t1, base))
+    second.run()
+    val ds = second.read()
+    assert(ds.data.select("etl_inserted").distinct().collect()
+      .map(_.getTimestamp(0)).toSeq === Seq(t1.at))
+    assert(ds.data.count() === 2)
+    // partition-pinned read reaches the older load
+    val pinned = second.read(Map("etl_inserted" -> t0.at.toString))
+    assert(pinned.data.count() === 2)
+  }
+
+  test("validation failure raises InvalidDataException and blocks the write") {
+    val base = Files.createTempDirectory("graft_dq").toString
+    val dup = ordersDf.union(ordersDf) // duplicate order_ids
+    val c = EtlContext(spark, InMemorySource(Map("orders" -> dup)), base,
+      clock = t0)
+    val node = ordersNode(c)
+    intercept[InvalidDataException] { node.run() }
+    assert(!new java.io.File(s"$base/bronze/orders").exists())
+  }
+
+  test("RunRegistry executes a shared upstream exactly once") {
+    val base = Files.createTempDirectory("graft_memo").toString
+    var runs = 0
+    val counting = new graft.sources.UpstreamSource {
+      override def load(s: org.apache.spark.sql.SparkSession, t: String)
+          : DataFrame = { runs += 1; ordersDf }
+    }
+    val c = EtlContext(spark, counting, base, clock = t0)
+    val bronze = ordersNode(c)
+    def consumer(n: String) = new DerivedNode(c, n, "silver",
+      Seq("order_id"), Seq(bronze),
+      Seq("order_id", "etl_inserted"), Seq.empty,
+      (_, up) => up.head.drop("etl_inserted"))
+    consumer("a").run()
+    consumer("b").run()
+    // the reference re-runs shared upstreams per consumer (SURVEY.md §3.4);
+    // the registry must not
+    assert(runs === 1)
+  }
+}
