@@ -4,7 +4,9 @@ import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  private def registered: Seq[Q] = ParityQueries.all ++ PipelineQueries.all
+  private def registered: Seq[Q] =
+    ParityQueries.all ++ CoreQueries.all ++ ExtQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The daily-order-report slice (SURVEY.md §7.2).

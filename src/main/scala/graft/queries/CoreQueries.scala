@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core operator coverage beyond ParityQueries: the Spark-surface
+  * categories the reference never exercises (SURVEY.md §2.6 — windows,
+  * sorts/limits, set operations, scalar string/date functions) plus the
+  * latest-partition and DQ idioms re-expressed as standalone queries.
+  * Determinism rules are the same as ParityQueries (decimal sums, total
+  * ORDER BY, identical aliases both sides).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** S3/A4: "latest load" = scalar max + equality filter (reference
+    * read() idiom, etl/layers/bronze/orders.py:148-161) — here as
+    * latest-day events. The scalar max round-trips through the driver
+    * exactly like the reference; the filter then prunes at the scan.
+    */
+  val q04LatestEvents = Q(
+    "q04_latest_events",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val latest = ev.agg(max(to_date($"ts"))).first().getDate(0)
+      ev.where(to_date($"ts") === lit(latest))
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value
+           |FROM events
+           |WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+           |ORDER BY event_id""".stripMargin))
+
+  /** Exact median (vs the reference's percentile_approx, A2): Spark
+    * `percentile` and DuckDB `quantile_cont` both interpolate
+    * lo + f·(hi−lo) on the sorted values — bit-comparable on shared
+    * doubles.
+    */
+  val q05EventTypeStats = Q(
+    "q05_event_type_stats",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type", $"value",
+          $"value".cast("decimal(18,6)").as("dv"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"dv").cast("decimal(38,6)").as("sum_value"),
+          (sum($"dv").cast("double") / count(lit(1))).as("mean_value"),
+          expr("percentile(value, 0.5)").as("median_value"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value,
+           |       QUANTILE_CONT(value, 0.5) AS median_value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Dedup-keep-latest via ranking window (the §7.4 exact-dedup shape):
+    * one row per user — their most recent event, ties broken by event_id.
+    * The shuffle is one hash partitioning by user_id; no global sort.
+    */
+  val q06LatestEventPerUser = Q(
+    "q06_latest_event_per_user",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".desc, $"event_id".desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"user_id", $"event_id", $"event_type")
+        .orderBy($"user_id")
+    },
+    Some("""SELECT user_id, event_id, event_type
+           |FROM events
+           |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+           |ORDER BY user_id""".stripMargin))
+
+  /** Top-k with deterministic tie-break: Spark plans a TakeOrderedAndProject
+    * (per-partition top-k + merge), never a global sort.
+    */
+  val q07TopOrders = Q(
+    "q07_top_orders",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          $"o_totalprice".cast("decimal(18,2)").as("total_price"))
+        .orderBy($"total_price".desc, $"o_orderkey")
+        .limit(100)
+    },
+    Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+           |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin))
+
+  /** Left-semi join (EXISTS): customers who placed at least one urgent
+    * order. Semi joins ship only the key column of the probe side.
+    */
+  val q08SemiJoin = Q(
+    "q08_customers_with_urgent_orders",
+    (s, dir) => {
+      import s.implicits._
+      val urgent = t(s, dir, "orders")
+        .where($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey")
+      t(s, dir, "customer")
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment
+           |FROM customer
+           |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Left-anti join (NOT EXISTS): customers who never placed a
+    * high-value order (every customer has *some* order in this data, so
+    * the plain variant would be vacuous).
+    */
+  val q09AntiJoin = Q(
+    "q09_customers_without_big_orders",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .where($"o_totalprice" > 300000).select($"o_custkey")
+      t(s, dir, "customer")
+        .join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name
+           |FROM customer
+           |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+           |ORDER BY c_custkey""".stripMargin))
+
+  /** Set operations (union/intersect/except — absent from the reference,
+    * SURVEY.md §2.6): compare the customer-key space with the
+    * event-user-key space.
+    */
+  val q10SetOps = Q(
+    "q10_key_set_ops",
+    (s, dir) => {
+      import s.implicits._
+      val ck = t(s, dir, "customer").select($"c_custkey".as("k"))
+      val ek = t(s, dir, "events").select($"user_id".as("k")).distinct()
+      val both = ck.intersect(ek).agg(count(lit(1)).as("n"))
+        .select(lit("both").as("tag"), $"n")
+      val onlyC = ck.except(ek).agg(count(lit(1)).as("n"))
+        .select(lit("customer_only").as("tag"), $"n")
+      val all = ck.union(ek).distinct().agg(count(lit(1)).as("n"))
+        .select(lit("union").as("tag"), $"n")
+      both.unionByName(onlyC).unionByName(all).orderBy($"tag")
+    },
+    Some("""WITH ck AS (SELECT c_custkey AS k FROM customer),
+           |     ek AS (SELECT DISTINCT user_id AS k FROM events)
+           |SELECT 'both' AS tag, COUNT(*) AS n FROM (SELECT * FROM ck INTERSECT SELECT * FROM ek)
+           |UNION ALL
+           |SELECT 'customer_only' AS tag, COUNT(*) AS n FROM (SELECT * FROM ck EXCEPT SELECT * FROM ek)
+           |UNION ALL
+           |SELECT 'union' AS tag, COUNT(*) AS n FROM (SELECT * FROM ck UNION SELECT * FROM ek)
+           |ORDER BY tag""".stripMargin))
+
+  /** ROLLUP grouping sets (absent from the reference): per-flag×status
+    * subtotals and grand total in one pass of partial aggregates.
+    */
+  val q11Rollup = Q(
+    "q11_pricing_rollup",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus",
+          $"l_quantity".cast("decimal(18,2)").as("qty"))
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sum($"qty").cast("decimal(38,2)").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first,
+          $"l_linestatus".asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           |       COUNT(*) AS n
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+
+  /** Date-part functions (absent from the reference): orders per
+    * year × month.
+    */
+  val q12DateParts = Q(
+    "q12_orders_by_month",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          $"o_totalprice".cast("decimal(18,2)").as("tp"))
+        .groupBy($"y", $"m")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"tp").cast("decimal(38,2)").as("revenue"))
+        .orderBy($"y", $"m")
+    },
+    Some("""SELECT CAST(YEAR(o_orderdate) AS INT) AS y,
+           |       CAST(MONTH(o_orderdate) AS INT) AS m,
+           |       COUNT(*) AS n_orders,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  /** String scalar functions (absent from the reference): upper/substr/
+    * length/replace — all codegen'd, no UDFs.
+    */
+  val q13StringFuncs = Q(
+    "q13_part_strings",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select($"p_partkey",
+          upper($"p_name").as("uname"),
+          substring($"p_type", 1, 5).as("type5"),
+          length($"p_name").as("name_len"),
+          regexp_replace($"p_brand", "Brand#", "B-").as("brand_code"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey, UPPER(p_name) AS uname,
+           |       SUBSTR(p_type, 1, 5) AS type5,
+           |       CAST(LENGTH(p_name) AS INT) AS name_len,
+           |       REPLACE(p_brand, 'Brand#', 'B-') AS brand_code
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  /** CASE / COALESCE / NULLIF conditional expressions. */
+  val q14Conditionals = Q(
+    "q14_order_status_buckets",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          when($"o_orderstatus" === "F", "final")
+            .when($"o_orderstatus" === "O", "open")
+            .otherwise("other").as("status_bucket"),
+          coalesce(nullif($"o_orderpriority", lit("5-LOW")),
+            lit("default")).as("priority_or_default"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |       CASE WHEN o_orderstatus = 'F' THEN 'final'
+           |            WHEN o_orderstatus = 'O' THEN 'open'
+           |            ELSE 'other' END AS status_bucket,
+           |       COALESCE(NULLIF(o_orderpriority, '5-LOW'), 'default') AS priority_or_default
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** Windowed aggregate (analytic, not ranking): each order next to its
+    * customer's total spend — one hash-partition shuffle, no join.
+    */
+  val q15WindowAgg = Q(
+    "q15_order_vs_customer_total",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          $"o_totalprice".cast("decimal(18,2)").as("tp"))
+        .withColumn("cust_total",
+          sum($"tp").over(w).cast("decimal(38,2)"))
+        .withColumn("cust_orders", count(lit(1)).over(w))
+        .drop("tp")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DECIMAL(38,2)) AS cust_total,
+           |       COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(q04LatestEvents, q05EventTypeStats,
+    q06LatestEventPerUser, q07TopOrders, q08SemiJoin, q09AntiJoin,
+    q10SetOps, q11Rollup, q12DateParts, q13StringFuncs, q14Conditionals,
+    q15WindowAgg)
+}

@@ -1,0 +1,445 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** LLM-training-data pipeline operators (BASELINE.json north star; SURVEY.md
+  * §7.4): deduplication (exact, n-gram Jaccard, MinHash-LSH, SimHash),
+  * similarity search over embeddings (brute-force + LSH-bucketed), text
+  * analysis (fingerprinting, token counts, quality, language-ID, top
+  * terms), and gap-based sessionization.
+  *
+  * Scale posture: every operator is keyed/partitioned — inverted-index
+  * joins instead of all-pairs, LSH buckets instead of cross joins, window
+  * functions instead of driver-side loops. Cross-engine determinism for
+  * the oracles: integer/decimal arithmetic, and cosine computed as a
+  * strict left fold in doubles (Spark `aggregate` ≡ DuckDB `list_reduce`,
+  * verified bit-identical; DuckDB's own list_cosine_similarity computes in
+  * float32 and does NOT match).
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private def stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Word-3-gram shingles, distinct per doc (shared by the dedup family).
+    * One row per (doc_id, gram) — the inverted-index representation that
+    * scales: candidate pairs come from gram-key joins, never all-pairs.
+    */
+  private def grams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("w"))
+      .where(size($"w") >= 3)
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+        .as("gram"))
+  }
+
+  /** Document fingerprinting + token counting: md5 content hash,
+    * whitespace token count, and the chars/4 BPE-style token estimate.
+    */
+  val extFingerprint = Q(
+    "ext_text_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          md5($"text").as("fingerprint"),
+          size(split($"text", " ")).cast("bigint").as("tokens_ws"),
+          ceil($"n_chars" / 4.0).as("tokens_bpe_est"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""SELECT doc_id, md5(text) AS fingerprint,
+            |       len(string_split(text, ' ')) AS tokens_ws,
+            |       CAST(CEIL(n_chars / 4.0) AS BIGINT) AS tokens_bpe_est
+            |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Exact dedup, keep-first: one representative doc per (lang, source)
+    * group — hash-partitioned ranking window, no global sort, no driver
+    * loop (the §7.4 exact-dedup shape on the dedup key).
+    */
+  val extDedupExact = Q(
+    "ext_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"lang", $"source", $"doc_id", $"n_chars")
+        .orderBy($"lang", $"source")
+    },
+    Some("""SELECT lang, source, doc_id, n_chars
+           |FROM documents
+           |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+           |ORDER BY lang, source""".stripMargin))
+
+  /** Near-dup detection by word-3-gram Jaccard ≥ 0.5: inverted-index
+    * self-join on gram (only docs sharing a shingle ever meet — the
+    * scalable alternative to an all-pairs cross join), then exact
+    * |A∩B| / (|A|+|B|−|A∩B|) from integer counts.
+    */
+  val extDedupNgramJaccard = Q(
+    "ext_dedup_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val g = grams(s, dir)
+      val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val inter = g.as("g1")
+        .join(g.as("g2"),
+          col("g1.gram") === col("g2.gram")
+            && col("g1.doc_id") < col("g2.doc_id"))
+        .groupBy(col("g1.doc_id").as("doc_a"), col("g2.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("inter").cast("double")
+            / (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |           range(len(s) - 2),
+           |           i -> s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]))) AS gram
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+           |  WHERE len(s) >= 3),
+           |sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+           |inter AS (
+           |  SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, COUNT(*) AS inter
+           |  FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+           |FROM inter
+           |JOIN sz sa ON doc_a = sa.doc_id
+           |JOIN sz sb ON doc_b = sb.doc_id
+           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** MinHash + LSH banding candidates: 16 murmur3 min-hashes per doc over
+    * its shingles, 4 bands × 4 rows; docs sharing any band bucket become a
+    * candidate pair, then candidates are verified with exact Jaccard.
+    * Murmur3 seeds are Spark-internal → no SQL oracle (driver records the
+    * rows-only check); MinhashSpec verifies recall on crafted near-dups.
+    */
+  val extDedupMinhashLsh = Q(
+    "ext_dedup_minhash_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val K = 16
+      val bands = 4
+      val rows = K / bands
+      val g = grams(s, dir)
+      val hashCols = (0 until K).map(i =>
+        min(hash(concat_ws("", lit(i), $"gram"))).as(s"h$i"))
+      val sig = g.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
+      val bandRows = sig.select(
+        $"doc_id",
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            hash((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
+              .as("bh"))): _*)).as("bb"))
+        .select($"doc_id", $"bb.band", $"bb.bh")
+      val cand = bandRows.as("x")
+        .join(bandRows.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      // verify candidates with exact Jaccard (cheap: only candidate pairs)
+      val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val inter = g.as("g1")
+        .join(cand, col("g1.doc_id") === col("doc_a"))
+        .join(g.as("g2"),
+          col("g2.doc_id") === col("doc_b") && col("g1.gram") === col("g2.gram"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      cand.join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          coalesce((col("inter").cast("double")
+            / (col("sa.sz") + col("sb.sz") - col("inter"))), lit(0.0))
+            .as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None)
+
+  /** SimHash near-dup candidates: 64-bit signature (sign of per-bit vote
+    * over xxhash64(token)), pairs within Hamming distance ≤ 12 found by
+    * joining on 16-bit signature blocks (a pair within distance d must
+    * agree exactly on ≥ one of 4 blocks when d < 4·... — standard
+    * block-permutation LSH for Hamming space). xxhash64 is Spark-internal
+    * → rows-only check + SimhashSpec.
+    */
+  val extDedupSimhash = Q(
+    "ext_dedup_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val tok = t(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .withColumn("h", xxhash64($"w"))
+      val bitCols = (0 until 64).map(i =>
+        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1))
+          .as(s"b$i"))
+      val sig = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+        .select($"doc_id",
+          (0 until 64).map(i =>
+            when(col(s"b$i") > 0, expr(s"shiftleft(1L, $i)")).otherwise(0L))
+            .reduce(_ bitwiseOR _).as("sim"))
+      val blocks = sig.select($"doc_id", $"sim",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("blk"),
+            expr(s"(sim >> ${b * 16}) & 65535").as("bv"))): _*)).as("bb"))
+        .select($"doc_id", $"sim", $"bb.blk", $"bb.bv")
+      blocks.as("x")
+        .join(blocks.as("y"),
+          col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          expr("bit_count(x.sim ^ y.sim)").as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 12)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None)
+
+  private val dotFold =
+    "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+  /** Brute-force exact cosine top-5 neighbors for the first 10 vectors:
+    * the correctness baseline for similarity search. Cosine is a strict
+    * left fold in doubles so the oracle (list_reduce) is bit-identical;
+    * ranking ties break on neighbor id.
+    */
+  val extKnnBrute = Q(
+    "ext_knn_cosine_brute",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        .withColumn("nrm",
+          expr(s"sqrt(${dotFold.format("e", "e")})"))
+      val q = emb.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+      q.join(emb.select($"vec_id".as("nid"), $"e", $"nrm"),
+          $"qid" =!= $"nid")
+        .withColumn("cos",
+          expr(dotFold.format("qe", "e")) / ($"qn" * $"nrm"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 5)
+        .select($"qid", $"rank", $"nid", $"cos")
+        .orderBy($"qid", $"rank")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, e,
+           |         sqrt(list_reduce(list_transform(range(len(e)), i -> e[i+1]*e[i+1]), (a,b) -> a+b)) AS nrm
+           |  FROM e),
+           |p AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |         list_reduce(list_transform(range(len(q.e)), i -> q.e[i+1]*c.e[i+1]), (a,b) -> a+b)
+           |           / (q.nrm * c.nrm) AS cos
+           |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+           |SELECT qid, rank, nid, cos FROM (
+           |  SELECT qid, nid, cos,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+           |  FROM p)
+           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+
+  /** LSH-bucketed approximate neighbors: bucket = 8-bit sign pattern of
+    * the first 8 dimensions (a fixed hyperplane family), candidates only
+    * within the query's bucket — the scale path: the join is keyed on the
+    * bucket, never all-pairs. Top-3 in-bucket by the same exact cosine.
+    */
+  val extKnnLsh = Q(
+    "ext_knn_cosine_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val bucketExpr =
+        "aggregate(sequence(0, 7), 0, (acc, i) -> acc + IF(e[i] > 0D, shiftleft(1, i), 0))"
+      val emb = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})"))
+        .withColumn("bucket", expr(bucketExpr))
+      val q = emb.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"e".as("qe"), $"nrm".as("qn"),
+          $"bucket")
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+      q.join(emb.select($"vec_id".as("nid"), $"e", $"nrm", $"bucket"),
+          Seq("bucket"))
+        .where($"qid" =!= $"nid")
+        .withColumn("cos",
+          expr(dotFold.format("qe", "e")) / ($"qn" * $"nrm"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 3)
+        .select($"qid", $"rank", $"nid", $"cos")
+        .orderBy($"qid", $"rank")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, e,
+           |         sqrt(list_reduce(list_transform(range(len(e)), i -> e[i+1]*e[i+1]), (a,b) -> a+b)) AS nrm,
+           |         (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END)
+           |         + (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END)
+           |         + (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END)
+           |         + (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END)
+           |         + (CASE WHEN e[5] > 0 THEN 16 ELSE 0 END)
+           |         + (CASE WHEN e[6] > 0 THEN 32 ELSE 0 END)
+           |         + (CASE WHEN e[7] > 0 THEN 64 ELSE 0 END)
+           |         + (CASE WHEN e[8] > 0 THEN 128 ELSE 0 END) AS bucket
+           |  FROM e),
+           |p AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |         list_reduce(list_transform(range(len(q.e)), i -> q.e[i+1]*c.e[i+1]), (a,b) -> a+b)
+           |           / (q.nrm * c.nrm) AS cos
+           |  FROM n q JOIN n c ON q.bucket = c.bucket
+           |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+           |SELECT qid, rank, nid, cos FROM (
+           |  SELECT qid, nid, cos,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+           |  FROM p)
+           |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
+
+  /** Text quality scoring: word count, distinct-word ratio, average word
+    * length, stopword ratio — all integer-derived, deterministic.
+    */
+  val extTextQuality = Q(
+    "ext_text_quality",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"), $"text", $"n_chars")
+        .select($"doc_id",
+          size($"w").as("n_words"),
+          (size(array_distinct($"w")).cast("double") / size($"w"))
+            .as("distinct_ratio"),
+          (length(regexp_replace($"text", " ", "")).cast("double")
+            / size($"w")).as("avg_word_len"),
+          (size(expr(
+            s"filter(w, x -> x IN ($stopSqlList))")).cast("double")
+            / size($"w")).as("stopword_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""SELECT doc_id,
+            |       CAST(len(s) AS INT) AS n_words,
+            |       CAST(len(list_distinct(s)) AS DOUBLE) / len(s) AS distinct_ratio,
+            |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(s) AS avg_word_len,
+            |       CAST(len(list_filter(s, x -> x IN ($stopSqlList))) AS DOUBLE) / len(s) AS stopword_ratio
+            |FROM (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents)
+            |ORDER BY doc_id""".stripMargin))
+
+  /** Language-ID heuristic: stopword-hit ratio against an English
+    * function-word list → 'en' / 'und' verdict per doc, plus corpus-level
+    * counts per verdict.
+    */
+  val extLangId = Q(
+    "ext_text_langid",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id",
+          (size(expr(s"filter(w, x -> x IN ($stopSqlList))"))
+            .cast("double") / size($"w")).as("score"))
+        .select($"doc_id", $"score",
+          when($"score" >= 0.02, "en").otherwise("und").as("lang_pred"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""SELECT doc_id, score,
+            |       CASE WHEN score >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred
+            |FROM (SELECT doc_id,
+            |             CAST(len(list_filter(s, x -> x IN ($stopSqlList))) AS DOUBLE) / len(s) AS score
+            |      FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+            |ORDER BY doc_id""".stripMargin))
+
+  /** Top-3 non-stopword terms per source: tokenize → explode → count →
+    * ranking window (map-side partial counts, one shuffle on
+    * (source, word), one on source).
+    */
+  val extTopTerms = Q(
+    "ext_top_terms_per_source",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy($"cnt".desc, $"word")
+      t(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("word"))
+        .where(!$"word".isin(stopwords: _*))
+        .groupBy($"source", $"word").agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 3)
+        .select($"source", $"rank", $"word", $"cnt")
+        .orderBy($"source", $"rank")
+    },
+    Some(s"""SELECT source, rank, word, cnt FROM (
+            |  SELECT source, word, cnt,
+            |         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, word) AS INT) AS rank
+            |  FROM (SELECT source, word, COUNT(*) AS cnt
+            |        FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+            |        WHERE word NOT IN ($stopSqlList)
+            |        GROUP BY 1, 2))
+            |WHERE rank <= 3 ORDER BY source, rank""".stripMargin))
+
+  /** Gap-based sessionization (30-min inactivity): the classic streaming
+    * session-window computed in batch — lag diff → session-start flags →
+    * running sum as session index → per-session aggregates. One
+    * hash-partition shuffle on user_id.
+    */
+  val extSessionize = Q(
+    "ext_sessionize_events",
+    (s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id")
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_id", $"ts", $"value")
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when($"prev_us".isNull
+            || unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx",
+          sum($"new_sess").over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      ev.groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"))
+        .orderBy($"user_id", $"session_idx")
+    },
+    Some("""WITH flagged AS (
+           |  SELECT user_id, event_id, ts,
+           |         CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+           |              THEN 1 ELSE 0 END AS new_sess
+           |  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           |               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+           |                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+           |        FROM events)),
+           |sess AS (
+           |  SELECT user_id, event_id, ts,
+           |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           |  FROM flagged)
+           |SELECT user_id, session_idx, COUNT(*) AS n_events,
+           |       MIN(ts) AS session_start, MAX(ts) AS session_end
+           |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin))
+
+  val all: Seq[Q] = Seq(extFingerprint, extDedupExact, extDedupNgramJaccard,
+    extDedupMinhashLsh, extDedupSimhash, extKnnBrute, extKnnLsh,
+    extTextQuality, extLangId, extTopTerms, extSessionize)
+}

@@ -38,13 +38,13 @@ object ParityQueries {
           $"o_totalprice".cast("decimal(18,2)").as("tp"))
         .groupBy($"order_date")
         .agg(
-          sum($"tp").as("total_price_sum"),
+          sum($"tp").cast("decimal(38,2)").as("total_price_sum"),
           (sum($"tp").cast("double") / count(lit(1))).as("total_price_mean"),
           count(lit(1)).as("n_orders"))
         .orderBy($"order_date")
     },
     Some("""SELECT CAST(o_orderdate AS DATE) AS order_date,
-           |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_price_sum,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price_sum,
            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS total_price_mean,
            |       COUNT(*) AS n_orders
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
@@ -73,8 +73,8 @@ object ParityQueries {
             .cast("decimal(30,6)").as("charge"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"qty").as("sum_qty"),
-          sum($"price").as("sum_base_price"),
+          sum($"qty").cast("decimal(38,2)").as("sum_qty"),
+          sum($"price").cast("decimal(38,2)").as("sum_base_price"),
           sum($"disc_price").as("sum_disc_price"),
           sum($"charge").as("sum_charge"),
           (sum($"qty").cast("double") / count(lit(1))).as("avg_qty"),
@@ -82,8 +82,8 @@ object ParityQueries {
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-           |       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-           |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
            |       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) AS sum_disc_price,
            |       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(30,6))) AS sum_charge,
            |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,

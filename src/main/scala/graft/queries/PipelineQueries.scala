@@ -47,12 +47,12 @@ object PipelineQueries {
       Interface.createDailyOrderReportView(metrics.data)
       Interface.dailyOrderReport(s)
         .select(col("Date").as("order_date"),
-          col("Revenue").as("revenue"),
+          col("Revenue").cast("decimal(38,2)").as("revenue"),
           col("`Mean Revenue`").as("mean_revenue"))
         .orderBy("order_date")
     },
     Some("""SELECT CAST(o_orderdate AS DATE) AS order_date,
-           |       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_revenue
            |FROM orders JOIN supplier ON o_custkey = s_suppkey
            |WHERE s_acctbal >= 0
@@ -116,14 +116,17 @@ object PipelineQueries {
     (s, dir) => {
       val rf = rainforest(s, dir)
       val ds = rf.ctx.registry.runOnce(rf.wideOrders)
-      ds.data.drop("etl_inserted").orderBy("order_id")
+      ds.data.drop("etl_inserted")
+        .withColumn("total_price_inr",
+          col("total_price_inr").cast("decimal(38,2)"))
+        .orderBy("order_id")
     },
     Some(s"""WITH fo AS (
             |  SELECT o_orderkey AS order_id, o_custkey AS buyer_id,
             |         o_orderdate AS order_ts,
             |         CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
             |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) * 0.0116 AS total_price_usd,
-            |         CAST(o_totalprice AS DECIMAL(18,2)) * 86 AS total_price_inr,
+            |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 86 AS DECIMAL(38,2)) AS total_price_inr,
             |         o_orderdate AS created_ts
             |  FROM orders),
             |ds AS (

@@ -25,7 +25,7 @@ import org.apache.spark.sql.expressions.Window
 final case class RainforestFromTpch(dir: String) extends UpstreamSource {
 
   private def t(spark: SparkSession, n: String): DataFrame =
-    spark.read.parquet(s"$dir/$n.parquet")
+    graft.Tables.load(spark, dir, n)
 
   private val ts0 = lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
 

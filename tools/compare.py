@@ -72,6 +72,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL  {name}: columns {scols} != {ocols}")
             n_fail += 1
             continue
+        def types_of(sql):
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+            return {r[0]: r[1] for r in rows}
+        stypes = types_of(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        otypes = types_of(oracle[name])
+        for c in stypes:
+            if c in otypes and stypes[c] != otypes[c]:
+                print(f"  TYPE  {name}.{c}: spark={stypes[c]} "
+                      f"oracle={otypes[c]}")
         if sorted(srows) != sorted(orows):
             sset, oset = set(srows), set(orows)
             print(f"FAIL  {name}: {len(srows)} vs {len(orows)} rows; "
