@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, plus batch feature extraction (BASELINE.json north star).
+  *
+  * The container has no image/audio codecs, so `decode` is a clearly
+  * marked DETERMINISTIC STUB — it derives fake dimensions/features from
+  * the bytes. Everything around it is real and tested: the schema
+  * (binary + metadata struct), the per-partition batch iteration (the
+  * Scala analog of a vectorized pandas UDF: one decoder init per
+  * partition, streamed rows), and the column-function fast path.
+  *
+  * At 100 TB the decode stage is the expensive part; the shape here —
+  * `mapPartitions` with partition-level init, no driver collection,
+  * columnar metadata kept alongside the blob — is what a real decoder
+  * would drop into.
+  */
+object Multimodal {
+
+  /** Attach a binary payload + metadata struct to the documents table
+    * (text→UTF-8 bytes stands in for an image/audio blob).
+    */
+  def withBinary(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        col("lang").as("lang"),
+        col("source").as("source")).as("meta"))
+
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      checksum: String)
+
+  /** STUB decoder — deterministic fake in place of a real codec. A real
+    * implementation would replace ONLY the body of `decodeOne`
+    * (e.g. javax.imageio / ffmpeg JNI), keeping the partition-batch
+    * shape: init once per partition, stream rows, emit typed features.
+    */
+  def decodeFeatures(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    val out = withPayload.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init would construct the real decoder here
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) => decodeOne(digest, id, bytes) }
+      }
+    out.toDF()
+  }
+
+  private def decodeOne(
+      digest: java.security.MessageDigest, id: Long,
+      bytes: Array[Byte]): MediaFeatures = {
+    digest.reset()
+    val md5hex = digest.digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+    // ??? real decode goes here; fake dimensions derive from byte length
+    MediaFeatures(id, bytes.length,
+      1 + bytes.length % 64, 1 + bytes.length % 48, md5hex)
+  }
+
+  /** Column-function variant of the same features (codegen'd, no
+    * deserialization to JVM objects) — preferred when the "decode" is
+    * expressible as expressions; the mapPartitions path above is the
+    * template for when it is not.
+    */
+  def featureColumns(withPayload: DataFrame): DataFrame =
+    withPayload.select(
+      col("doc_id"),
+      length(col("payload")).as("n_bytes"),
+      (lit(1) + length(col("payload")) % 64).as("width"),
+      (lit(1) + length(col("payload")) % 48).as("height"),
+      md5(col("payload")).as("checksum"))
+}

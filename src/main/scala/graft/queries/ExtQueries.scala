@@ -439,7 +439,68 @@ object ExtQueries {
            |       MIN(ts) AS session_start, MAX(ts) AS session_end
            |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin))
 
+  /** Multimodal binary-column features via the codegen'd column path
+    * (the mapPartitions decode template is MultimodalSpec-verified to
+    * produce identical output). The payload is the UTF-8 text standing in
+    * for an opaque media blob; width/height are the decode STUB's
+    * deterministic fakes.
+    */
+  val extMultimodal = Q(
+    "ext_multimodal_features",
+    (s, dir) => {
+      import s.implicits._
+      graft.ext.Multimodal.featureColumns(
+        graft.ext.Multimodal.withBinary(t(s, dir, "documents")))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+           |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           |       CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+           |       CAST(1 + octet_length(encode(text)) % 48 AS INT) AS height,
+           |       md5(text) AS checksum
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Structured Streaming: tumbling 5-minute windows × event_type driven
+    * to completion over the static events parquet (complete mode, memory
+    * sink). The oracle reproduces the windows with time_bucket — both
+    * engines align buckets to midnight so the 5-minute grids coincide.
+    */
+  val extStreamWindowCounts = Q(
+    "ext_stream_window_counts",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val name = "stream_counts_" + math.abs(dir.hashCode).toString
+      // the file-stream source requires a directory: expose the single
+      // events.parquet through a temp dir symlink
+      val streamDir = java.nio.file.Files
+        .createTempDirectory("graft_stream_src")
+      val link = streamDir.resolve("events.parquet")
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      graft.streaming.StreamOps.runToCompletion(
+        s, streamDir.toString, schema,
+        df => graft.streaming.StreamOps.windowedEventCounts(
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        name)
+        .select($"window.start".as("window_start"),
+          $"window.end".as("window_end"),
+          $"event_type", $"n_events", $"sum_value")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS window_start,
+           |       time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) + INTERVAL 5 MINUTE AS window_end,
+           |       event_type, COUNT(*) AS n_events,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+           |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(extFingerprint, extDedupExact, extDedupNgramJaccard,
     extDedupMinhashLsh, extDedupSimhash, extKnnBrute, extKnnLsh,
-    extTextQuality, extLangId, extTopTerms, extSessionize)
+    extTextQuality, extLangId, extTopTerms, extSessionize, extMultimodal,
+    extStreamWindowCounts)
 }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (the reference has none — SURVEY.md §1.1
+  * notes its clickstream is plain batch; these give the engine true
+  * streaming semantics over the same events schema).
+  */
+object StreamOps {
+
+  /** Tumbling-window counts per event type with a watermark for late
+    * data. `complete` output + memory sink lets a static parquet batch
+    * drive the query to a deterministic final state in tests/harness.
+    */
+  def windowedEventCounts(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .as("sum_value"))
+
+  final case class Event(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class SessionAgg(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long)
+  final case class SessionState(
+      start: Long, last: Long, n: Long, emitted: List[SessionAgg])
+
+  /** Stateful sessionization (30-min inactivity gap) with
+    * flatMapGroupsWithState — the streaming twin of
+    * ExtQueries.extSessionize; state is one (start, last, count) triple
+    * per user, emitted when a gap closes a session.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)
+      : Dataset[SessionAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(-1, -1, 0, Nil))
+          var out = List.empty[SessionAgg]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            if (st.start < 0) st = SessionState(t, t, 1, Nil)
+            else if (t - st.last > gapSeconds * 1000) {
+              out ::= SessionAgg(user, new Timestamp(st.start),
+                new Timestamp(st.last), st.n)
+              st = SessionState(t, t, 1, Nil)
+            } else st = st.copy(last = math.max(st.last, t), n = st.n + 1)
+          }
+          state.update(st)
+          out.reverseIterator
+      }
+  }
+
+  /** Drive a streaming aggregation over a static parquet directory to
+    * completion and return the final result table (test/harness helper).
+    */
+  def runToCompletion(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transform: DataFrame => DataFrame, queryName: String): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val q = transform(stream).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal
+import graft.queries.ExtQueries
+import graft.streaming.StreamOps
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "hello world text", "en", "src1", 16L),
+    (2L, "another document body here", "en", "src2", 26L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("binary payload carries bytes + typed metadata struct") {
+    val b = Multimodal.withBinary(docs)
+    assert(b.schema("payload").dataType.typeName === "binary")
+    val row = b.where($"doc_id" === 1).select($"meta.mime", $"meta.source")
+      .collect().head
+    assert(row.getString(0) === "application/octet-stream")
+    assert(row.getString(1) === "src1")
+  }
+
+  test("mapPartitions decode stub matches the column-function path") {
+    val b = Multimodal.withBinary(docs)
+    val viaPartitions = Multimodal.decodeFeatures(b)
+      .orderBy("doc_id").as[Multimodal.MediaFeatures].collect().toSeq
+    val viaColumns = Multimodal.featureColumns(b)
+      .orderBy("doc_id").as[Multimodal.MediaFeatures].collect().toSeq
+    assert(viaPartitions === viaColumns)
+  }
+}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful sessionize emits a session when the gap closes") {
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val events = Seq(
+      StreamOps.Event(1, 10, ts(0)), StreamOps.Event(1, 11, ts(10)),
+      StreamOps.Event(1, 12, ts(120)), // 110-min gap → closes session 1
+      StreamOps.Event(2, 20, ts(5)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+    events.toDS().write.mode("overwrite")
+      .parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(events.toDS().schema).parquet(s"$dir/in")
+      .as[StreamOps.Event]
+    val q = StreamOps.sessionize(stream).writeStream
+      .outputMode("append").format("memory").queryName("sessions").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // append mode only emits CLOSED sessions; user 1's first session is
+    // the only closed one in this batch
+    val closed = spark.table("sessions").as[StreamOps.SessionAgg]
+      .collect().toSeq
+    assert(closed === Seq(StreamOps.SessionAgg(1, ts(0), ts(10), 2)))
+  }
+}
+
+/** MinHash/SimHash recall on crafted near-duplicates (the testdata has no
+  * oracle for Spark-internal hashes; these pin the semantics instead).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+    "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  test("minhash LSH surfaces a crafted near-duplicate pair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_minhash")
+    Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      (1L, base + " phi", "en", "s", (base.length + 4).toLong), // near-dup
+      (2L, "totally different words entirely unrelated content body",
+        "en", "s", 54L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ExtQueries.extDedupMinhashLsh.run(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.exists { case (a, b, j) => a == 0 && b == 1 && j > 0.8 })
+    assert(!out.exists { case (a, b, _) => b == 2 || a == 2 })
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_simhash")
+    Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      (1L, base + " phi chi", "en", "s", (base.length + 8).toLong),
+      (2L, "totally different words entirely unrelated content body",
+        "en", "s", 54L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ExtQueries.extDedupSimhash.run(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((0L, 1L)))
+    assert(!out.exists { case (a, b) => b == 2 || a == 2 })
+  }
+}
