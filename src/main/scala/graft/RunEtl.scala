@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.FixedClock
+import graft.layers.{EtlContext, Interface, Rainforest}
+import graft.sources.RainforestFromTpch
+
+/** Full-pipeline entry point — parity with the reference's run_etl.py:9-28
+  * (run both gold metric pipelines, register the stakeholder views, query
+  * them through spark.sql, print). Thanks to the RunRegistry the shared
+  * lineage executes once, unlike the reference (SURVEY.md §3.4).
+  *
+  * Usage: runMain graft.RunEtl [sfDir] [lakeDir]
+  */
+object RunEtl {
+  def main(args: Array[String]): Unit = {
+    val sfDir =
+      if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val lake =
+      if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft_lake").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rf = new Rainforest(EtlContext(
+      spark, RainforestFromTpch(sfDir), lake, clock = FixedClock.default))
+
+    // reference order: category metrics first, then order metrics
+    // (run_etl.py:14-28); each read() then feeds its interface view
+    val category = rf.ctx.registry.runOnce(rf.dailyCategoryMetrics)
+    Interface.createDailyCategoryReportView(category.data)
+    Interface.dailyCategoryReport(spark).show()
+
+    val order = rf.ctx.registry.runOnce(rf.dailyOrderMetrics)
+    Interface.createDailyOrderReportView(order.data)
+    Interface.dailyOrderReport(spark).show()
+
+    spark.stop()
+  }
+}
