@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques as first-class utilities: skew-salted joins and
+  * bucketed co-located joins. Neither changes results — only the physical
+  * distribution of work — so both are property-tested against the plain
+  * join.
+  */
+object SkewJoin {
+
+  /** Salted inner equi-join for a skewed key: the big (skewed) side
+    * scatters each row into one of `salt` sub-keys; the small side is
+    * replicated `salt` times; the join key becomes (key, salt), so a hot
+    * key's rows spread over `salt` reducers instead of one straggler.
+    * (AQE's skew-join split handles sort-merge skew automatically; explicit
+    * salting remains necessary for skewed *aggregations* and pre-AQE
+    * engines, and makes the technique testable here.)
+    */
+  def saltedInnerJoin(
+      big: DataFrame, small: DataFrame, key: String, salt: Int)
+      : DataFrame = {
+    // any per-row varying value works as scatter input; the row id is
+    // deterministic for a fixed partition layout
+    val bigSalted = big.withColumn(
+      "__salt", pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val saltsDf = small.sparkSession.range(salt.toLong)
+      .select(col("id").cast("int").as("__salt"))
+    val smallReplicated = small.crossJoin(saltsDf)
+    bigSalted
+      .join(smallReplicated, Seq(key, "__salt"), "inner")
+      .drop("__salt")
+  }
+}
+
+object Bucketing {
+
+  /** Persist a table bucketed (and sorted) by the join key. Two tables
+    * bucketed the same way join with ZERO shuffle — at 100 TB this turns
+    * every fact⋈fact join on the bucket key from a full network shuffle
+    * into a local merge.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key. */
+  def bucketedJoin(
+      spark: SparkSession, left: String, right: String, key: String)
+      : DataFrame =
+    spark.table(left).join(spark.table(right), Seq(key))
+
+  /** True when the executed plan contains no shuffle exchange. */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange")
+}

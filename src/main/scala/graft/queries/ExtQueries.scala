@@ -315,6 +315,30 @@ object ExtQueries {
            |  FROM p)
            |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin))
 
+  /** Brute-force kNN again, but through the native Catalyst
+    * [[graft.functions.CosineSimilarity]] expression (codegen'd primitive
+    * loop instead of the higher-order-function chain) — bit-identical
+    * results, so it shares the brute-force oracle.
+    */
+  val extKnnNative = Q(
+    "ext_knn_cosine_native",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.CosineSimilarity.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      val q = emb.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"e".as("qe"))
+      val w = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
+      q.join(emb.select($"vec_id".as("nid"), $"e"), $"qid" =!= $"nid")
+        .withColumn("cos", expr("cosine_sim(qe, e)"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 5)
+        .select($"qid", $"rank", $"nid", $"cos")
+        .orderBy($"qid", $"rank")
+    },
+    extKnnBrute.oracle)
+
   /** Text quality scoring: word count, distinct-word ratio, average word
     * length, stopword ratio — all integer-derived, deterministic.
     */
@@ -500,7 +524,7 @@ object ExtQueries {
            |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin))
 
   val all: Seq[Q] = Seq(extFingerprint, extDedupExact, extDedupNgramJaccard,
-    extDedupMinhashLsh, extDedupSimhash, extKnnBrute, extKnnLsh,
-    extTextQuality, extLangId, extTopTerms, extSessionize, extMultimodal,
-    extStreamWindowCounts)
+    extDedupMinhashLsh, extDedupSimhash, extKnnBrute, extKnnNative,
+    extKnnLsh, extTextQuality, extLangId, extTopTerms, extSessionize,
+    extMultimodal, extStreamWindowCounts)
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Bucketing, SkewJoin}
+import graft.functions.CosineSimilarity
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expression matches the higher-order-function fold bitwise") {
+    CosineSimilarity.register(spark)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val a = emb.as("a")
+    val b = emb.as("b")
+    val pairs = a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .where(col("a.vec_id") < 5 && col("b.vec_id") < 20)
+      .select(col("a.e").as("ea"), col("b.e").as("eb"))
+    val both = pairs.select(
+      expr("cosine_sim(ea, eb)").as("native"),
+      (expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+        / (sqrt(expr("aggregate(zip_with(ea, ea, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+          * sqrt(expr("aggregate(zip_with(eb, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))))
+        .as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0))
+        === java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("cosine_sim is usable from spark.sql and handles nulls") {
+    CosineSimilarity.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1D, 0D), array(1D, 0D)) AS c," +
+        " cosine_sim(CAST(null AS ARRAY<DOUBLE>), array(1D)) AS n")
+      .collect().head
+    assert(r.getDouble(0) === 1.0)
+    assert(r.isNullAt(1))
+  }
+}
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on a skewed key distribution") {
+    // 10k rows of hot key 1 + a tail
+    val big = spark.range(10000).select(lit(1L).as("k"), $"id".as("v"))
+      .union(spark.range(100).select(($"id" % 7).as("k"), $"id".as("v")))
+    val small = Seq((0L, "z"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k"), "inner")
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val salted = SkewJoin.saltedInnerJoin(big, small, "k", 8)
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+    assert(salted.orderBy("k").collect().toSeq
+      === plain.orderBy("k").collect().toSeq)
+  }
+}
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("same-bucketed tables join without any shuffle exchange") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val lineitem = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+    Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 8)
+    val joined = Bucketing.bucketedJoin(
+      spark, "b_orders", "b_lineitem", "o_orderkey")
+    assert(joined.count() > 0)
+    // disable broadcast to force the join to prove bucket co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forced = Bucketing.bucketedJoin(
+        spark, "b_orders", "b_lineitem", "o_orderkey")
+      forced.count()
+      assert(Bucketing.isShuffleFree(forced),
+        forced.queryExecution.executedPlan.toString)
+    } finally spark.conf
+      .set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}
