@@ -276,8 +276,119 @@ object CoreQueries {
            |       COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** Exact distinct-count aggregation (expand-based COUNT DISTINCT). */
+  val q16DistinctCounts = Q(
+    "q16_distinct_counts",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |       COUNT(DISTINCT l_partkey) AS n_parts,
+           |       COUNT(DISTINCT l_suppkey) AS n_supps,
+           |       COUNT(DISTINCT l_orderkey) AS n_orders
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** JSON extraction from the events props payload (semi-structured
+    * column → typed value → aggregate).
+    */
+  val q17JsonExtract = Q(
+    "q17_json_props",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("int").as("k"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, COUNT(*) AS n,
+           |       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** Pivot (wide conditional aggregation): daily event counts, one column
+    * per event type — the oracle expresses the same with FILTER aggregates
+    * and identical column names.
+    */
+  val q18Pivot = Q(
+    "q18_event_pivot",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select(to_date($"ts").as("day"), $"event_type")
+        .groupBy($"day")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy($"day")
+    },
+    Some("""SELECT CAST(ts AS DATE) AS day,
+           |       COUNT(*) FILTER (event_type = 'click') AS click,
+           |       COUNT(*) FILTER (event_type = 'error') AS error,
+           |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+           |       COUNT(*) FILTER (event_type = 'view') AS view
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  /** CUBE grouping sets over flag × order-year. */
+  val q19Cube = Q(
+    "q19_flag_year_cube",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_returnflag", year($"l_shipdate").as("y"),
+          $"l_quantity".cast("decimal(18,2)").as("qty"))
+      li.cube($"l_returnflag", $"y")
+        .agg(sum($"qty").cast("decimal(38,2)").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"y".asc_nulls_first)
+    },
+    Some("""SELECT l_returnflag, CAST(YEAR(l_shipdate) AS INT) AS y,
+           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           |       COUNT(*) AS n
+           |FROM lineitem GROUP BY CUBE (1, 2)
+           |ORDER BY l_returnflag NULLS FIRST, y NULLS FIRST""".stripMargin))
+
+  /** Date arithmetic: per-order fulfillment lag in days (ship − order)
+    * summarized per order priority.
+    */
+  val q20DateArith = Q(
+    "q20_fulfillment_lag",
+    (s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select($"o_orderpriority",
+          datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+            .as("lag_days"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"lag_days").as("total_lag_days"),
+          max($"lag_days").as("max_lag_days"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+           |       SUM(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS total_lag_days,
+           |       MAX(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_lag_days
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(q04LatestEvents, q05EventTypeStats,
     q06LatestEventPerUser, q07TopOrders, q08SemiJoin, q09AntiJoin,
     q10SetOps, q11Rollup, q12DateParts, q13StringFuncs, q14Conditionals,
-    q15WindowAgg)
+    q15WindowAgg, q16DistinctCounts, q17JsonExtract, q18Pivot, q19Cube,
+    q20DateArith)
 }

@@ -523,7 +523,27 @@ object ExtQueries {
            |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
            |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin))
 
-  val all: Seq[Q] = Seq(extFingerprint, extDedupExact, extDedupNgramJaccard,
+  /** HyperLogLog++ approximate cardinality (vocabulary size per source)
+    * next to the exact count. HLL register-merge is commutative, so the
+    * estimate is deterministic across partitionings — but it is
+    * Spark-internal, so the check is rows-only (no DuckDB oracle; DuckDB's
+    * approx_count_distinct uses a different sketch).
+    */
+  val extApproxCardinality = Q(
+    "ext_approx_cardinality",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("word"))
+        .groupBy($"source")
+        .agg(approx_count_distinct($"word").as("vocab_approx"),
+          countDistinct($"word").as("vocab_exact"))
+        .orderBy($"source")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(extApproxCardinality, extFingerprint,
+    extDedupExact, extDedupNgramJaccard,
     extDedupMinhashLsh, extDedupSimhash, extKnnBrute, extKnnNative,
     extKnnLsh, extTextQuality, extLangId, extTopTerms, extSessionize,
     extMultimodal, extStreamWindowCounts)

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ext.SkewJoin
+
+/** Property tests (raw ScalaCheck API — the scalatest bridge artifact is
+  * not on the offline classpath). Few cases per property: each case runs
+  * Spark jobs.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(8)
+    .withMaxSize(40)
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("window dedup is idempotent and keeps the min value per key") {
+    check(Prop.forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 10), Gen.choose(0, 1000)))) { xs =>
+      val df = xs.toDF("k", "v")
+      val dedup1 = df.groupBy($"k").agg(min($"v").as("v"))
+      val once = dedup1.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val twice = dedup1.groupBy($"k").agg(min($"v").as("v"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val expected = xs.groupBy(_._1).map { case (k, vs) =>
+        (k, vs.map(_._2).min) }.toSet
+      once == expected && twice == expected
+    })
+  }
+
+  test("salted join equals plain join for any salt and key distribution") {
+    check(Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 5L), Gen.choose(0, 100))),
+      Gen.choose(1, 8)) { (xs, salt) =>
+      val big = xs.toDF("k", "v")
+      val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (5L, "d"))
+        .toDF("k", "name")
+      val plain = big.join(small, Seq("k"), "inner")
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val salted = SkewJoin.saltedInnerJoin(big, small, "k", salt)
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      plain == salted
+    })
+  }
+
+  test("decimal sums are identical across any repartitioning") {
+    check(Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(-100000, 100000)),
+      Gen.choose(1, 8)) { (cents, parts) =>
+      val df = cents.toDF("c")
+        .select(($"c".cast("decimal(18,2)") / 100).as("d"))
+      val whole = df.agg(sum($"d")).collect().head.getDecimal(0)
+      val split = df.repartition(parts).agg(sum($"d"))
+        .collect().head.getDecimal(0)
+      whole.compareTo(split) == 0
+    })
+  }
+}
