@@ -312,7 +312,7 @@ object CoreQueries {
         .orderBy($"event_type")
     },
     Some("""SELECT event_type, COUNT(*) AS n,
-           |       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
            |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
@@ -381,8 +381,8 @@ object CoreQueries {
         .orderBy($"o_orderpriority")
     },
     Some("""SELECT o_orderpriority, COUNT(*) AS n,
-           |       SUM(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS total_lag_days,
-           |       MAX(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_lag_days
+           |       CAST(SUM(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS BIGINT) AS total_lag_days,
+           |       CAST(MAX(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS INT) AS max_lag_days
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 

@@ -523,6 +523,38 @@ object ExtQueries {
            |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
            |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin))
 
+  /** As-of join (point-in-time): each event matched to the user's most
+    * recent order at event time — [[graft.ext.AsOfJoin]]'s union +
+    * carry-forward-window composition (one shuffle). Oracle: DuckDB's
+    * native ASOF LEFT JOIN. Orders are pre-deduped to one per
+    * (user, date) — required for well-defined tie semantics.
+    */
+  val extAsOfJoin = Q(
+    "ext_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .groupBy($"o_custkey".as("user_id"),
+          $"o_orderdate".as("order_ts"))
+        .agg(max($"o_orderkey").as("order_id"))
+      val events = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"ts")
+      graft.ext.AsOfJoin
+        .leftAsOf(events, orders, "user_id", "ts", "order_ts")
+        .orderBy($"event_id")
+    },
+    Some("""WITH o AS (
+           |  SELECT o_custkey AS user_id, o_orderdate AS order_ts,
+           |         MAX(o_orderkey) AS order_id
+           |  FROM orders GROUP BY 1, 2),
+           |e AS (SELECT event_id, user_id, event_type,
+           |             CAST(ts AS TIMESTAMP) AS ts FROM events)
+           |SELECT e.event_id, e.user_id, e.event_type, e.ts,
+           |       o.order_id, o.order_ts AS asof_order_ts
+           |FROM e ASOF LEFT JOIN o
+           |  ON e.user_id = o.user_id AND e.ts >= o.order_ts
+           |ORDER BY event_id""".stripMargin))
+
   /** HyperLogLog++ approximate cardinality (vocabulary size per source)
     * next to the exact count. HLL register-merge is commutative, so the
     * estimate is deterministic across partitionings — but it is
@@ -542,7 +574,7 @@ object ExtQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(extApproxCardinality, extFingerprint,
+  val all: Seq[Q] = Seq(extAsOfJoin, extApproxCardinality, extFingerprint,
     extDedupExact, extDedupNgramJaccard,
     extDedupMinhashLsh, extDedupSimhash, extKnnBrute, extKnnNative,
     extKnnLsh, extTextQuality, extLangId, extTopTerms, extSessionize,
