@@ -20,7 +20,8 @@ object RunEtl {
     val lake =
       if (args.length > 1) args(1)
       else java.nio.file.Files.createTempDirectory("graft_lake").toString
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-etl")

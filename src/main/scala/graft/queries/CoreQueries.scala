@@ -386,9 +386,58 @@ object CoreQueries {
            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  private val q21Text =
+    """SELECT c.c_custkey, c.c_name,
+      |       (SELECT COUNT(*) FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |       (SELECT CAST(MAX(o.o_totalprice) AS DECIMAL(18,2))
+      |        FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c ORDER BY c.c_custkey""".stripMargin
+
+  /** Full SQL surface (S7 beyond views): the same text runs on Spark and
+    * DuckDB — correlated scalar subqueries over registered table views.
+    */
+  val q21SqlCorrelated = Q(
+    "q21_sql_correlated_subquery",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(q21Text)
+    },
+    Some(q21Text))
+
+  /** Array construction + manipulation: per-customer sorted order lists,
+    * slicing, membership, length (collect_list → array functions; oracle
+    * via DuckDB list functions).
+    */
+  val q22ArrayOps = Q(
+    "q22_order_arrays",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sort_array(collect_list($"o_orderkey")).as("order_keys"))
+        .select($"o_custkey",
+          size($"order_keys").as("n"),
+          slice($"order_keys", 1, 3).as("first3"),
+          element_at($"order_keys", 1).as("first_key"),
+          array_contains($"order_keys", $"o_custkey" * 100)
+            .as("contains_custkey_x100"))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey,
+           |       CAST(len(ks) AS INT) AS n,
+           |       ks[1:3] AS first3,
+           |       ks[1] AS first_key,
+           |       list_contains(ks, o_custkey * 100) AS contains_custkey_x100
+           |FROM (SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS ks
+           |      FROM orders GROUP BY 1)
+           |ORDER BY o_custkey""".stripMargin))
+
   val all: Seq[Q] = Seq(q04LatestEvents, q05EventTypeStats,
     q06LatestEventPerUser, q07TopOrders, q08SemiJoin, q09AntiJoin,
     q10SetOps, q11Rollup, q12DateParts, q13StringFuncs, q14Conditionals,
     q15WindowAgg, q16DistinctCounts, q17JsonExtract, q18Pivot, q19Cube,
-    q20DateArith)
+    q20DateArith, q21SqlCorrelated, q22ArrayOps)
 }
