@@ -339,6 +339,57 @@ object ExtQueries {
     },
     extKnnBrute.oracle)
 
+  /** Embedding-cosine near-dup pairs (the fifth dedup family member):
+    * candidate pairs share an 8-bit sign-LSH bucket (keyed join, never
+    * all-pairs), then exact fold-cosine ≥ 0.35 confirms. The threshold is
+    * calibrated to this corpus (max in-bucket cosine ≈ 0.43; true dups
+    * would sit near 1.0 and always share the bucket).
+    */
+  val extDedupEmbedding = Q(
+    "ext_dedup_embedding_cosine",
+    (s, dir) => {
+      import s.implicits._
+      val bucketExpr =
+        "aggregate(sequence(0, 7), 0, (acc, i) -> acc + IF(e[i] > 0D, shiftleft(1, i), 0))"
+      val emb = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})"))
+        .withColumn("bucket", expr(bucketExpr))
+      val a = emb.select($"vec_id".as("id_a"), $"e".as("ea"),
+        $"nrm".as("na"), $"bucket")
+      val b = emb.select($"vec_id".as("id_b"), $"e".as("eb"),
+        $"nrm".as("nb"), $"bucket")
+      a.join(b, Seq("bucket"))
+        .where($"id_a" < $"id_b")
+        .withColumn("cos",
+          expr(dotFold.format("ea", "eb")) / ($"na" * $"nb"))
+        .where($"cos" >= 0.35)
+        .select($"id_a", $"id_b", $"cos")
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |n AS (
+           |  SELECT vec_id, e,
+           |         sqrt(list_reduce(list_transform(range(len(e)), i -> e[i+1]*e[i+1]), (a,b) -> a+b)) AS nrm,
+           |         (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END)
+           |         + (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END)
+           |         + (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END)
+           |         + (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END)
+           |         + (CASE WHEN e[5] > 0 THEN 16 ELSE 0 END)
+           |         + (CASE WHEN e[6] > 0 THEN 32 ELSE 0 END)
+           |         + (CASE WHEN e[7] > 0 THEN 64 ELSE 0 END)
+           |         + (CASE WHEN e[8] > 0 THEN 128 ELSE 0 END) AS bucket
+           |  FROM e)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |       list_reduce(list_transform(range(len(a.e)), i -> a.e[i+1]*b.e[i+1]), (x,y) -> x+y)
+           |         / (a.nrm * b.nrm) AS cos
+           |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE list_reduce(list_transform(range(len(a.e)), i -> a.e[i+1]*b.e[i+1]), (x,y) -> x+y)
+           |         / (a.nrm * b.nrm) >= 0.35
+           |ORDER BY id_a, id_b""".stripMargin))
+
   /** Text quality scoring: word count, distinct-word ratio, average word
     * length, stopword ratio — all integer-derived, deterministic.
     */
@@ -576,7 +627,7 @@ object ExtQueries {
 
   val all: Seq[Q] = Seq(extAsOfJoin, extApproxCardinality, extFingerprint,
     extDedupExact, extDedupNgramJaccard,
-    extDedupMinhashLsh, extDedupSimhash, extKnnBrute, extKnnNative,
-    extKnnLsh, extTextQuality, extLangId, extTopTerms, extSessionize,
-    extMultimodal, extStreamWindowCounts)
+    extDedupMinhashLsh, extDedupSimhash, extDedupEmbedding, extKnnBrute,
+    extKnnNative, extKnnLsh, extTextQuality, extLangId, extTopTerms,
+    extSessionize, extMultimodal, extStreamWindowCounts)
 }

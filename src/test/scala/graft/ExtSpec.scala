@@ -86,6 +86,20 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists { case (a, b, _) => b == 2 || a == 2 })
   }
 
+  test("embedding-cosine dedup finds a crafted duplicate vector pair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embdup")
+    val v = Array.tabulate(16)(i => (if (i % 2 == 0) 0.5f else -0.25f))
+    val other = Array.tabulate(16)(i => (if (i % 3 == 0) -0.8f else 0.6f))
+    Seq((0L, v.toSeq, 0), (1L, v.map(_ * 1.001f).toSeq, 0),
+      (2L, other.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = ExtQueries.extDedupEmbedding.run(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((0L, 1L)))
+    assert(!out.exists { case (a, b) => a == 2 || b == 2 })
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_simhash")
     Seq(
