@@ -435,9 +435,65 @@ object CoreQueries {
            |      FROM orders GROUP BY 1)
            |ORDER BY o_custkey""".stripMargin))
 
+  /** The analytic window-function suite (lag/lead/rank/percent_rank/
+    * ntile/cume_dist) in one pass — ordering is total (event_id unique)
+    * so every function is deterministic on both engines.
+    */
+  val q23WindowSuite = Q(
+    "q23_window_suite",
+    (s, dir) => {
+      import s.implicits._
+      val byId = Window.partitionBy($"event_type").orderBy($"event_id")
+      val byValue = Window.partitionBy($"event_type").orderBy($"value")
+      t(s, dir, "events")
+        .select($"event_id", $"event_type", $"value")
+        .withColumn("lag_v", lag($"value", 1).over(byId))
+        .withColumn("lead_v", lead($"value", 1).over(byId))
+        .withColumn("rnk", rank().over(byValue).cast("bigint"))
+        .withColumn("prnk", percent_rank().over(byValue))
+        .withColumn("nt", ntile(4).over(byId).cast("bigint"))
+        .withColumn("cd", cume_dist().over(byValue))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, event_type, value,
+           |       LAG(value, 1) OVER w_id AS lag_v,
+           |       LEAD(value, 1) OVER w_id AS lead_v,
+           |       RANK() OVER w_val AS rnk,
+           |       PERCENT_RANK() OVER w_val AS prnk,
+           |       NTILE(4) OVER w_id AS nt,
+           |       CUME_DIST() OVER w_val AS cd
+           |FROM events
+           |WINDOW w_id AS (PARTITION BY event_type ORDER BY event_id),
+           |       w_val AS (PARTITION BY event_type ORDER BY value)
+           |ORDER BY event_id""".stripMargin))
+
+  /** NULL semantics: NULLIF-derived nullable grouping key (both engines
+    * group NULLs together), COUNT(*) vs COUNT(col), and null-safe
+    * ordering.
+    */
+  val q24NullSemantics = Q(
+    "q24_null_semantics",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(nullif($"o_orderstatus", lit("O")).as("k"),
+          $"o_orderstatus")
+        .groupBy($"k")
+        .agg(count(lit(1)).as("n_rows"),
+          count($"k").as("n_nonnull"),
+          count(lit(1)).minus(count($"k")).as("n_null"))
+        .orderBy($"k".asc_nulls_first)
+    },
+    Some("""SELECT NULLIF(o_orderstatus, 'O') AS k,
+           |       COUNT(*) AS n_rows,
+           |       COUNT(NULLIF(o_orderstatus, 'O')) AS n_nonnull,
+           |       COUNT(*) - COUNT(NULLIF(o_orderstatus, 'O')) AS n_null
+           |FROM orders GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin))
+
   val all: Seq[Q] = Seq(q04LatestEvents, q05EventTypeStats,
     q06LatestEventPerUser, q07TopOrders, q08SemiJoin, q09AntiJoin,
     q10SetOps, q11Rollup, q12DateParts, q13StringFuncs, q14Conditionals,
     q15WindowAgg, q16DistinctCounts, q17JsonExtract, q18Pivot, q19Cube,
-    q20DateArith, q21SqlCorrelated, q22ArrayOps)
+    q20DateArith, q21SqlCorrelated, q22ArrayOps, q23WindowSuite,
+    q24NullSemantics)
 }
