@@ -61,8 +61,11 @@ final class RunRegistry {
     */
   def runOnce(node: TableEtl): EtlDataSet = synchronized {
     if (!executed.contains(node.name)) {
+      val t0 = System.nanoTime()
       node.run()
       executed += node.name
+      System.err.println(
+        f"[graft] ran ${node.name}%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
     }
     read.getOrElseUpdate(node.name, node.read())
   }
