@@ -79,6 +79,26 @@ class TableEtlSpec extends SparkSpec {
     assert(!new java.io.File(s"$base/bronze/orders").exists())
   }
 
+  test("runUpstream=false consumes existing storage without re-extracting") {
+    val base = Files.createTempDirectory("graft_ro").toString
+    ordersNode(ctx(t0, base)).run() // populate the lake
+    var loads = 0
+    val counting = new graft.sources.UpstreamSource {
+      override def load(s: org.apache.spark.sql.SparkSession, t: String)
+          : DataFrame = { loads += 1; ordersDf }
+    }
+    val roCtx = EtlContext(spark, counting, base,
+      runUpstream = false, clock = t1)
+    val bronze = ordersNode(roCtx)
+    val consumer = new DerivedNode(roCtx, "consumer", "silver",
+      Seq("order_id"), Seq(bronze), Seq("order_id", "etl_inserted"),
+      Seq.empty, (_, up) => up.head.drop("etl_inserted"))
+    consumer.run()
+    // upstream data came from the t0 write on disk, not the source
+    assert(loads === 0)
+    assert(consumer.read().data.count() === 2)
+  }
+
   test("RunRegistry executes a shared upstream exactly once") {
     val base = Files.createTempDirectory("graft_memo").toString
     var runs = 0
