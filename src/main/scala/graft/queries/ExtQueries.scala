@@ -339,6 +339,23 @@ object ExtQueries {
     },
     extKnnBrute.oracle)
 
+  /** IVF (k-means inverted-file) approximate nearest neighbor — the
+    * cluster-probing scale path next to the LSH-bucketed variant. K-means
+    * is Spark-internal (seeded but not SQL-reproducible) → rows-only
+    * check; IvfSpec measures recall against the brute-force baseline.
+    */
+  val extKnnIvf = Q(
+    "ext_knn_cosine_ivf",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val index = graft.ext.Ivf.build(emb, k = 16)
+      graft.ext.Ivf
+        .search(index, emb.where($"vec_id" < 10), topK = 5, nprobe = 4)
+        .orderBy($"qid", $"rank")
+    },
+    None)
+
   /** Embedding-cosine near-dup pairs (the fifth dedup family member):
     * candidate pairs share an 8-bit sign-LSH bucket (keyed join, never
     * all-pairs), then exact fold-cosine ≥ 0.35 confirms. The threshold is
@@ -628,6 +645,6 @@ object ExtQueries {
   val all: Seq[Q] = Seq(extAsOfJoin, extApproxCardinality, extFingerprint,
     extDedupExact, extDedupNgramJaccard,
     extDedupMinhashLsh, extDedupSimhash, extDedupEmbedding, extKnnBrute,
-    extKnnNative, extKnnLsh, extTextQuality, extLangId, extTopTerms,
-    extSessionize, extMultimodal, extStreamWindowCounts)
+    extKnnNative, extKnnLsh, extKnnIvf, extTextQuality, extLangId,
+    extTopTerms, extSessionize, extMultimodal, extStreamWindowCounts)
 }
