@@ -62,6 +62,17 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: drop duplicate event_ids among rows whose
+    * event times are within the watermark of each other — state stays
+    * bounded by the watermark horizon instead of growing with the stream
+    * (the streaming twin of the batch dedup family).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drive a streaming aggregation over a static parquet directory to
     * completion and return the final result table (test/harness helper).
     */

@@ -38,8 +38,56 @@ class MultimodalSpec extends SparkSpec {
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  // base well after epoch: an event time of exactly 0 equals the initial
+  // watermark and is discarded as late by watermark-stateful operators
+  private val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+
+  test("streaming dedup drops duplicate ids within the watermark") {
+    def ts(min: Long) = new Timestamp(base + min * 60000L)
+    val rows = Seq((1L, ts(0), "a"), (1L, ts(1), "a-dup"),
+      (2L, ts(2), "b"))
+      .toDF("event_id", "ts", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    rows.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(rows.schema).parquet(s"$dir/in")
+    val q = StreamOps.dedupStream(stream).writeStream
+      .outputMode("append").format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+  }
+
+  test("streaming dedup re-admits an id after its watermark state expires") {
+    def ts(min: Long) = new Timestamp(base + min * 60000L)
+    val schema = Seq((1L, ts(0), "x")).toDF("event_id", "ts", "payload")
+      .schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_late")
+    Seq((1L, ts(0), "first")).toDF("event_id", "ts", "payload")
+      .write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = StreamOps.dedupStream(stream, "10 minutes").writeStream
+      .outputMode("append").format("memory").queryName("dedup_late").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a DIFFERENT key advances the watermark to ts(50) —
+      // state for id 1 (expires at ts(10)) is evicted only after this
+      Seq((2L, ts(60), "advance")).toDF("event_id", "ts", "payload")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      // batch 3: id 1 again, well past its expired state → re-admitted
+      Seq((1L, ts(70), "again")).toDF("event_id", "ts", "payload")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val payloads = spark.table("dedup_late").select("payload")
+      .collect().map(_.getString(0)).sorted
+    assert(payloads.toSeq === Seq("advance", "again", "first"))
+  }
+
   test("stateful sessionize emits a session when the gap closes") {
-    def ts(min: Long) = new Timestamp(min * 60000L)
+    def ts(min: Long) = new Timestamp(base + min * 60000L)
     val events = Seq(
       StreamOps.Event(1, 10, ts(0)), StreamOps.Event(1, 11, ts(10)),
       StreamOps.Event(1, 12, ts(120)), // 110-min gap → closes session 1
