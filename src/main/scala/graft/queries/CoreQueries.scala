@@ -55,13 +55,16 @@ object CoreQueries {
           count(lit(1)).as("n"),
           sum($"dv").cast("decimal(38,6)").as("sum_value"),
           (sum($"dv").cast("double") / count(lit(1))).as("mean_value"),
-          expr("percentile(value, 0.5)").as("median_value"))
+          expr("percentile(value, 0.5)").as("median_value"),
+          expr("percentile(value, array(0.25, 0.5, 0.75))")
+            .as("quartiles"))
         .orderBy($"event_type")
     },
     Some("""SELECT event_type, COUNT(*) AS n,
            |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value,
            |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value,
-           |       QUANTILE_CONT(value, 0.5) AS median_value
+           |       QUANTILE_CONT(value, 0.5) AS median_value,
+           |       QUANTILE_CONT(value, [0.25, 0.5, 0.75]) AS quartiles
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Dedup-keep-latest via ranking window (the §7.4 exact-dedup shape):
