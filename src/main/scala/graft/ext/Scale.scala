@@ -34,6 +34,32 @@ object SkewJoin {
   }
 }
 
+/** Pure range join (no equi key) without the nested-loop cross product
+  * Spark would otherwise plan: discretize the range dimension into
+  * fixed-width bins, explode each right-side interval to the bins it
+  * covers, hash-join on the bin, and apply the exact predicate after.
+  * The shuffle is keyed by bin — the cross product never materializes.
+  * floor-division monotonicity guarantees no qualifying pair is missed;
+  * the exact filter removes bin-only false positives, so results equal
+  * the naive theta join bit-for-bit.
+  */
+object RangeJoin {
+  def binned(
+      left: DataFrame, leftVal: String,
+      right: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    val lb = left.withColumn(
+      "__bin", floor(col(leftVal) / binWidth).cast("long"))
+    val rb = right.withColumn(
+      "__bin", explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    lb.join(rb, Seq("__bin"))
+      .where(col(leftVal) >= col(loCol) && col(leftVal) <= col(hiCol))
+      .drop("__bin")
+  }
+}
+
 object Bucketing {
 
   /** Persist a table bucketed (and sorted) by the join key. Two tables

@@ -487,6 +487,72 @@ object ExtQueries {
             |        GROUP BY 1, 2))
             |WHERE rank <= 3 ORDER BY source, rank""".stripMargin))
 
+  /** Pure range join (no equi key) via bin-bucketing
+    * ([[graft.ext.RangeJoin]]): events matched to supplier "value bands"
+    * [s_acctbal/25 − 5, s_acctbal/25 + 5] by value containment, then
+    * aggregated per event. The oracle is the naive BETWEEN theta join —
+    * binning is internal and provably lossless.
+    */
+  val extRangeJoin = Q(
+    "ext_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"value")
+      val bands = t(s, dir, "supplier")
+        .select($"s_suppkey",
+          ($"s_acctbal" / 25 - 5).as("lo"),
+          ($"s_acctbal" / 25 + 5).as("hi"))
+      graft.ext.RangeJoin.binned(ev, "value", bands, "lo", "hi", 10.0)
+        .groupBy($"event_id")
+        .agg(count(lit(1)).as("n_bands"),
+          min($"s_suppkey").as("min_supp"),
+          max($"s_suppkey").as("max_supp"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, COUNT(*) AS n_bands,
+           |       MIN(s_suppkey) AS min_supp, MAX(s_suppkey) AS max_supp
+           |FROM events
+           |JOIN (SELECT s_suppkey, s_acctbal / 25 - 5 AS lo,
+           |             s_acctbal / 25 + 5 AS hi FROM supplier) b
+           |  ON value >= b.lo AND value <= b.hi
+           |GROUP BY 1 ORDER BY event_id""".stripMargin))
+
+  /** C4-style document quality filter: composite keep/drop verdict with
+    * the first failing rule as the reason — the decision layer on top of
+    * ext_text_quality's metrics.
+    */
+  val extTextFilter = Q(
+    "ext_text_filter",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"), $"text")
+        .select($"doc_id",
+          size($"w").as("n_words"),
+          (length(regexp_replace($"text", " ", "")).cast("double")
+            / size($"w")).as("awl"),
+          (size(expr(s"filter(w, x -> x IN ($stopSqlList))")).cast("double")
+            / size($"w")).as("swr"))
+        .select($"doc_id",
+          when($"n_words" < 10, "too_few_words")
+            .when($"awl" < 3.0 || $"awl" > 12.0, "bad_word_length")
+            .when($"swr" < 0.01, "no_function_words")
+            .otherwise("keep").as("verdict"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""SELECT doc_id,
+            |       CASE WHEN n_words < 10 THEN 'too_few_words'
+            |            WHEN awl < 3.0 OR awl > 12.0 THEN 'bad_word_length'
+            |            WHEN swr < 0.01 THEN 'no_function_words'
+            |            ELSE 'keep' END AS verdict
+            |FROM (SELECT doc_id,
+            |             CAST(len(s) AS INT) AS n_words,
+            |             CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(s) AS awl,
+            |             CAST(len(list_filter(s, x -> x IN ($stopSqlList))) AS DOUBLE) / len(s) AS swr
+            |      FROM (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents))
+            |ORDER BY doc_id""".stripMargin))
+
   /** Gap-based sessionization (30-min inactivity): the classic streaming
     * session-window computed in batch — lag diff → session-start flags →
     * running sum as session index → per-session aggregates. One
@@ -645,6 +711,7 @@ object ExtQueries {
   val all: Seq[Q] = Seq(extAsOfJoin, extApproxCardinality, extFingerprint,
     extDedupExact, extDedupNgramJaccard,
     extDedupMinhashLsh, extDedupSimhash, extDedupEmbedding, extKnnBrute,
-    extKnnNative, extKnnLsh, extKnnIvf, extTextQuality, extLangId,
-    extTopTerms, extSessionize, extMultimodal, extStreamWindowCounts)
+    extKnnNative, extKnnLsh, extKnnIvf, extRangeJoin, extTextQuality,
+    extTextFilter, extLangId, extTopTerms, extSessionize, extMultimodal,
+    extStreamWindowCounts)
 }
