@@ -91,6 +91,30 @@ class RainforestSpec extends SparkSpec {
     assert(row.getAs[Int]("user_id") === 1)
   }
 
+  test("daily_order_metrics aggregates active orders per day with DQ gate") {
+    val orders = Seq(
+      (100, 7, "2024-01-01 10:00:00", 100.0, "2024-01-01"),
+      (101, 7, "2024-01-01 15:00:00", 50.0, "2024-01-01"),
+      (102, 8, "2024-01-02 09:00:00", 40.0, "2024-01-02"), // inactive seller
+      (103, 9, "2024-01-03 09:00:00", 70.0, "2024-01-03")) // no seller match
+      .toDF("order_id", "buyer_id", "order_ts", "total_price", "created_ts")
+    val seller = Seq(
+      (7, 1, "2025-01-01", "2025-01-01", 1, "2025-01-01"),
+      (8, 2, "2025-01-01", "2025-01-01", 2, "2025-01-01"))
+      .toDF("seller_id", "user_id", "first_time_sold_timestamp",
+        "created_ts", "last_updated_by", "last_updated_ts")
+    val r = rf(Map("orders" -> orders, "appuser" -> appuserDf,
+      "seller" -> seller))
+    r.dailyOrderMetrics.run()
+    val rows = r.dailyOrderMetrics.read().data
+      .orderBy("order_date").collect()
+    // only buyer_id 7 survives: matched an ACTIVE seller via the buggy
+    // buyer_id==seller_id join; 8 is inactive, 9 unmatched (null filter)
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Double]("total_price_sum") === 150.0)
+    assert(rows.head.getAs[Double]("total_price_mean") === 75.0)
+  }
+
   test("daily_category_metrics explodes categories and groups by struct") {
     val r = rf(Map(
       "order_item" -> orderItemDf,
