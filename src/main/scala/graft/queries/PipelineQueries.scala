@@ -175,6 +175,62 @@ object PipelineQueries {
     },
     None)
 
-  val all: Seq[Q] = Seq(dailyOrderReport, dimBuyer, dimProduct, wideOrders,
-    dailyCategoryReport)
+  /** dim_seller through the framework (J2 + P2 on the supplier side,
+    * user ids offset by 500000 per the adapter).
+    */
+  val dimSeller = Q(
+    "pipeline_dim_seller",
+    (s, dir) => {
+      val rf = rainforest(s, dir)
+      val ds = rf.ctx.registry.runOnce(rf.dimSeller)
+      ds.data.drop("etl_inserted").orderBy("seller_id")
+    },
+    Some(s"""SELECT CAST(s_suppkey + 500000 AS INT) AS user_id,
+            |       s_name AS username,
+            |       s_name || '@rainforest.example' AS email,
+            |       s_acctbal >= 0 AS is_active,
+            |       $ts95 AS appuser_created_ts,
+            |       CAST(s_suppkey + 500000 AS INT) AS appuser_last_updated_by,
+            |       $ts95 AS appuser_last_updated_ts,
+            |       CAST(s_suppkey AS INT) AS seller_id,
+            |       $ts95 AS first_time_sold_timestamp,
+            |       $ts95 AS seller_created_ts,
+            |       CAST(s_suppkey + 500000 AS INT) AS seller_last_updated_by,
+            |       $ts95 AS seller_last_updated_ts
+            |FROM supplier ORDER BY seller_id""".stripMargin))
+
+  /** brg_product_category through the framework: the N:M bridge with
+    * category ids assigned by alphabetical rank of p_type (the adapter's
+    * deterministic window) — reproduced in the oracle with DENSE_RANK.
+    */
+  val brgProductCategory = Q(
+    "pipeline_brg_product_category",
+    (s, dir) => {
+      val rf = rainforest(s, dir)
+      val ds = rf.ctx.registry.runOnce(rf.brgProductCategory)
+      ds.data.drop("etl_inserted").orderBy("product_id")
+    },
+    Some(s"""SELECT p_partkey AS product_id,
+            |       CAST(DENSE_RANK() OVER (ORDER BY p_type) AS INT) AS category_id,
+            |       $ts95 AS created_ts,
+            |       p_partkey AS last_updated_by,
+            |       $ts95 AS last_updated_ts
+            |FROM part ORDER BY product_id""".stripMargin))
+
+  /** The wide_order_items OBT itself (J5/J6 + A3 array-of-struct
+    * categories). No SQL oracle: the categories column is an array of
+    * structs whose cross-engine encoding is not hash-stable — the
+    * category report downstream carries the oracle-checked semantics.
+    */
+  val wideOrderItems = Q(
+    "pipeline_wide_order_items",
+    (s, dir) => {
+      val rf = rainforest(s, dir)
+      val ds = rf.ctx.registry.runOnce(rf.wideOrderItems)
+      ds.data.drop("etl_inserted").orderBy("order_item_id")
+    },
+    None)
+
+  val all: Seq[Q] = Seq(dailyOrderReport, dimBuyer, dimSeller, dimProduct,
+    brgProductCategory, wideOrders, wideOrderItems, dailyCategoryReport)
 }
