@@ -215,9 +215,11 @@ final class Rainforest(val ctx: EtlContext) {
     * order_ts-derived date (etl/layers/gold/daily_order_metrics.py:
     * 95-106). DQ parity: daily_order_metrics.json — unique order_date and
     * total_price_mean strictly inside (0, 100000).
-    * Divergence: the mean is exact-decimal-sum ÷ count (double) instead of
-    * Spark's decimal `avg` — same mean semantics, but deterministic and
-    * reproducible bit-for-bit across engines (SURVEY.md §7.5).
+    * Divergence: the mean is exact-decimal-sum ÷ count(total_price)
+    * (double) instead of Spark's decimal `avg` — the non-null count
+    * denominator matches `mean()`'s NULL-excluding semantics exactly,
+    * and the decimal sum keeps it deterministic and reproducible
+    * bit-for-bit across engines (SURVEY.md §7.5).
     */
   val dailyOrderMetrics = new DerivedNode(ctx, "daily_order_metrics", "gold",
     Seq("order_date"), Seq(wideOrders),
@@ -233,13 +235,19 @@ final class Rainforest(val ctx: EtlContext) {
       .filter(col("is_active"))
       .groupBy("order_date")
       .agg(sum("total_price").as("total_price_sum"),
-        (sum("total_price").cast("double") / count(lit(1)))
+        (sum("total_price").cast("double") / count(col("total_price")))
           .as("total_price_mean")))
 
   /** A2 + G1: per-day × category mean/median of actual_price, exploding
     * the categories array; order_date derives from created_ts — the
     * reference's divergence from daily_order_metrics, replicated
     * (etl/layers/gold/daily_category_metrics.py:109-131).
+    * Divergence: exact `percentile` instead of the reference's
+    * `percentile_approx` median (SURVEY.md §7.5 accepted alternative) —
+    * same statistic, but deterministic and DuckDB-QUANTILE_CONT-matchable;
+    * the percentile input is cast to double so both engines interpolate
+    * lo + f·(hi−lo) on identical doubles. The mean denominator is the
+    * non-null count, matching `mean()` NULL semantics.
     */
   val dailyCategoryMetrics = new DerivedNode(ctx, "daily_category_metrics",
     "gold", Seq("order_date", "category"), Seq(wideOrderItems),
@@ -252,9 +260,9 @@ final class Rainforest(val ctx: EtlContext) {
       .select(col("order_id"), col("order_date"), col("product_id"),
         col("actual_price"), explode(col("categories")).as("category"))
       .groupBy("order_date", "category")
-      .agg((sum("actual_price").cast("double") / count(lit(1)))
+      .agg((sum("actual_price").cast("double") / count(col("actual_price")))
           .as("mean_actual_price"),
-        expr("percentile_approx(actual_price, 0.5)")
+        expr("percentile(cast(actual_price as double), 0.5)")
           .as("median_actual_price")))
 
   val bronze: Seq[BronzeNode] = Seq(appuser, seller, buyer, product, brand,

@@ -38,10 +38,11 @@ object CoreQueries {
            |WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
            |ORDER BY event_id""".stripMargin))
 
-  /** Exact median (vs the reference's percentile_approx, A2): Spark
-    * `percentile` and DuckDB `quantile_cont` both interpolate
+  /** Exact median + quartiles (vs the reference's percentile_approx, A2):
+    * Spark `percentile` and DuckDB `quantile_cont` both interpolate
     * lo + f·(hi−lo) on the sorted values — bit-comparable on shared
-    * doubles.
+    * doubles. Quartiles are emitted as scalar double columns (p25/p75),
+    * not an array: the driver's pandas compare cannot sort array cells.
     */
   val q05EventTypeStats = Q(
     "q05_event_type_stats",
@@ -53,18 +54,19 @@ object CoreQueries {
         .groupBy($"event_type")
         .agg(
           count(lit(1)).as("n"),
-          sum($"dv").cast("decimal(38,6)").as("sum_value"),
+          sum($"dv").cast("double").as("sum_value"),
           (sum($"dv").cast("double") / count(lit(1))).as("mean_value"),
           expr("percentile(value, 0.5)").as("median_value"),
-          expr("percentile(value, array(0.25, 0.5, 0.75))")
-            .as("quartiles"))
+          expr("percentile(value, 0.25)").as("p25"),
+          expr("percentile(value, 0.75)").as("p75"))
         .orderBy($"event_type")
     },
     Some("""SELECT event_type, COUNT(*) AS n,
-           |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
            |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_value,
            |       QUANTILE_CONT(value, 0.5) AS median_value,
-           |       QUANTILE_CONT(value, [0.25, 0.5, 0.75]) AS quartiles
+           |       QUANTILE_CONT(value, 0.25) AS p25,
+           |       QUANTILE_CONT(value, 0.75) AS p75
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
   /** Dedup-keep-latest via ranking window (the §7.4 exact-dedup shape):
@@ -97,11 +99,12 @@ object CoreQueries {
       import s.implicits._
       t(s, dir, "orders")
         .select($"o_orderkey",
-          $"o_totalprice".cast("decimal(18,2)").as("total_price"))
+          $"o_totalprice".cast("decimal(18,2)").cast("double")
+            .as("total_price"))
         .orderBy($"total_price".desc, $"o_orderkey")
         .limit(100)
     },
-    Some("""SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+    Some("""SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
            |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin))
 
   /** Left-semi join (EXISTS): customers who placed at least one urgent
@@ -182,13 +185,13 @@ object CoreQueries {
         .select($"l_returnflag", $"l_linestatus",
           $"l_quantity".cast("decimal(18,2)").as("qty"))
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(sum($"qty").cast("decimal(38,2)").as("sum_qty"),
+        .agg(sum($"qty").cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag".asc_nulls_first,
           $"l_linestatus".asc_nulls_first)
     },
     Some("""SELECT l_returnflag, l_linestatus,
-           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            |       COUNT(*) AS n
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
            |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
@@ -206,13 +209,13 @@ object CoreQueries {
           $"o_totalprice".cast("decimal(18,2)").as("tp"))
         .groupBy($"y", $"m")
         .agg(count(lit(1)).as("n_orders"),
-          sum($"tp").cast("decimal(38,2)").as("revenue"))
+          sum($"tp").cast("double").as("revenue"))
         .orderBy($"y", $"m")
     },
     Some("""SELECT CAST(YEAR(o_orderdate) AS INT) AS y,
            |       CAST(MONTH(o_orderdate) AS INT) AS m,
            |       COUNT(*) AS n_orders,
-           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
            |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   /** String scalar functions (absent from the reference): upper/substr/
@@ -269,13 +272,13 @@ object CoreQueries {
         .select($"o_orderkey", $"o_custkey",
           $"o_totalprice".cast("decimal(18,2)").as("tp"))
         .withColumn("cust_total",
-          sum($"tp").over(w).cast("decimal(38,2)"))
+          sum($"tp").over(w).cast("double"))
         .withColumn("cust_orders", count(lit(1)).over(w))
         .drop("tp")
         .orderBy($"o_orderkey")
     },
     Some("""SELECT o_orderkey, o_custkey,
-           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DECIMAL(38,2)) AS cust_total,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
            |       COUNT(*) OVER (PARTITION BY o_custkey) AS cust_orders
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
@@ -354,12 +357,12 @@ object CoreQueries {
         .select($"l_returnflag", year($"l_shipdate").as("y"),
           $"l_quantity".cast("decimal(18,2)").as("qty"))
       li.cube($"l_returnflag", $"y")
-        .agg(sum($"qty").cast("decimal(38,2)").as("sum_qty"),
+        .agg(sum($"qty").cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag".asc_nulls_first, $"y".asc_nulls_first)
     },
     Some("""SELECT l_returnflag, CAST(YEAR(l_shipdate) AS INT) AS y,
-           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            |       COUNT(*) AS n
            |FROM lineitem GROUP BY CUBE (1, 2)
            |ORDER BY l_returnflag NULLS FIRST, y NULLS FIRST""".stripMargin))
@@ -393,7 +396,7 @@ object CoreQueries {
     """SELECT c.c_custkey, c.c_name,
       |       (SELECT COUNT(*) FROM orders o
       |        WHERE o.o_custkey = c.c_custkey) AS n_orders,
-      |       (SELECT CAST(MAX(o.o_totalprice) AS DECIMAL(18,2))
+      |       (SELECT CAST(CAST(MAX(o.o_totalprice) AS DECIMAL(18,2)) AS DOUBLE)
       |        FROM orders o
       |        WHERE o.o_custkey = c.c_custkey) AS max_price
       |FROM customer c ORDER BY c.c_custkey""".stripMargin
@@ -412,7 +415,9 @@ object CoreQueries {
 
   /** Array construction + manipulation: per-customer sorted order lists,
     * slicing, membership, length (collect_list → array functions; oracle
-    * via DuckDB list functions).
+    * via DuckDB list functions). Array-typed columns are serialized with
+    * concat_ws/array_to_string in the compared output — the driver's
+    * pandas compare cannot sort raw array cells.
     */
   val q22ArrayOps = Q(
     "q22_order_arrays",
@@ -423,7 +428,7 @@ object CoreQueries {
         .agg(sort_array(collect_list($"o_orderkey")).as("order_keys"))
         .select($"o_custkey",
           size($"order_keys").as("n"),
-          slice($"order_keys", 1, 3).as("first3"),
+          concat_ws(",", slice($"order_keys", 1, 3)).as("first3"),
           element_at($"order_keys", 1).as("first_key"),
           array_contains($"order_keys", $"o_custkey" * 100)
             .as("contains_custkey_x100"))
@@ -431,7 +436,7 @@ object CoreQueries {
     },
     Some("""SELECT o_custkey,
            |       CAST(len(ks) AS INT) AS n,
-           |       ks[1:3] AS first3,
+           |       array_to_string(ks[1:3], ',') AS first3,
            |       ks[1] AS first_key,
            |       list_contains(ks, o_custkey * 100) AS contains_custkey_x100
            |FROM (SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS ks

@@ -648,13 +648,14 @@ object ExtQueries {
         name)
         .select($"window.start".as("window_start"),
           $"window.end".as("window_end"),
-          $"event_type", $"n_events", $"sum_value")
+          $"event_type", $"n_events",
+          $"sum_value".cast("double").as("sum_value"))
         .orderBy($"window_start", $"event_type")
     },
     Some("""SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) AS window_start,
            |       time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP)) + INTERVAL 5 MINUTE AS window_end,
            |       event_type, COUNT(*) AS n_events,
-           |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+           |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin))
 
   /** As-of join (point-in-time): each event matched to the user's most

@@ -17,6 +17,12 @@ import graft.Tables
   *     both engines then divide identical doubles by identical longs.
   *   - every query ends in a total ORDER BY so row order is defined on
   *     both sides regardless of how the driver hashes.
+  *   - final compared outputs carry NO decimal columns: the exact decimal
+  *     is cast to DOUBLE in the last select of BOTH engines (decimal→
+  *     nearest-double is the same correctly-rounded conversion in Spark
+  *     and DuckDB, and the driver's hash is double-stable but not
+  *     decimal-stable — CORRECTNESS_r01 showed every decimal output
+  *     hash-failing with matching rows).
   */
 object ParityQueries {
 
@@ -38,13 +44,13 @@ object ParityQueries {
           $"o_totalprice".cast("decimal(18,2)").as("tp"))
         .groupBy($"order_date")
         .agg(
-          sum($"tp").cast("decimal(38,2)").as("total_price_sum"),
+          sum($"tp").cast("double").as("total_price_sum"),
           (sum($"tp").cast("double") / count(lit(1))).as("total_price_mean"),
           count(lit(1)).as("n_orders"))
         .orderBy($"order_date")
     },
     Some("""SELECT CAST(o_orderdate AS DATE) AS order_date,
-           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price_sum,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price_sum,
            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS total_price_mean,
            |       COUNT(*) AS n_orders
            |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
@@ -73,19 +79,19 @@ object ParityQueries {
             .cast("decimal(30,6)").as("charge"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum($"qty").cast("decimal(38,2)").as("sum_qty"),
-          sum($"price").cast("decimal(38,2)").as("sum_base_price"),
-          sum($"disc_price").as("sum_disc_price"),
-          sum($"charge").as("sum_charge"),
+          sum($"qty").cast("double").as("sum_qty"),
+          sum($"price").cast("double").as("sum_base_price"),
+          sum($"disc_price").cast("double").as("sum_disc_price"),
+          sum($"charge").cast("double").as("sum_charge"),
           (sum($"qty").cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           |       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) AS sum_disc_price,
-           |       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(30,6))) AS sum_charge,
+           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
+           |       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
            |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            |       COUNT(*) AS count_order
            |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
@@ -106,12 +112,13 @@ object ParityQueries {
       o.join(c, o("o_custkey") === c("c_custkey"), "left")
         .select(
           o("o_orderkey"), o("o_custkey"), o("o_orderstatus"),
-          o("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+          o("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"),
           c("c_name"), c("c_mktsegment"), c("c_nationkey"))
         .orderBy($"o_orderkey")
     },
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus,
-           |       CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+           |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
            |       c_name, c_mktsegment, c_nationkey
            |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
            |ORDER BY o_orderkey""".stripMargin))

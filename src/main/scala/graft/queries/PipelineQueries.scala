@@ -47,13 +47,13 @@ object PipelineQueries {
       Interface.createDailyOrderReportView(metrics.data)
       Interface.dailyOrderReport(s)
         .select(col("Date").as("order_date"),
-          col("Revenue").cast("decimal(38,2)").as("revenue"),
+          col("Revenue").cast("double").as("revenue"),
           col("`Mean Revenue`").as("mean_revenue"))
         .orderBy("order_date")
     },
     Some("""SELECT CAST(o_orderdate AS DATE) AS order_date,
-           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue,
-           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_revenue
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS mean_revenue
            |FROM orders JOIN supplier ON o_custkey = s_suppkey
            |WHERE s_acctbal >= 0
            |GROUP BY 1 ORDER BY 1""".stripMargin))
@@ -92,12 +92,14 @@ object PipelineQueries {
     (s, dir) => {
       val rf = rainforest(s, dir)
       val ds = rf.ctx.registry.runOnce(rf.dimProduct)
-      ds.data.drop("etl_inserted").orderBy("product_id")
+      ds.data.drop("etl_inserted")
+        .withColumn("price", col("price").cast("double"))
+        .orderBy("product_id")
     },
     Some("""SELECT p_partkey AS product_id,
            |       p_name AS product_name,
            |       p_type AS description,
-           |       CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+           |       CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
            |       CAST(p_partkey % 50 + 1 AS INT) AS brand_id,
            |       CAST(p_partkey % 10 + 1 AS INT) AS manufacturer_id,
            |       'brand_' || CAST(p_partkey % 50 + 1 AS INT) AS brand_name,
@@ -117,16 +119,17 @@ object PipelineQueries {
       val rf = rainforest(s, dir)
       val ds = rf.ctx.registry.runOnce(rf.wideOrders)
       ds.data.drop("etl_inserted")
+        .withColumn("total_price", col("total_price").cast("double"))
         .withColumn("total_price_inr",
-          col("total_price_inr").cast("decimal(38,2)"))
+          col("total_price_inr").cast("double"))
         .orderBy("order_id")
     },
     Some(s"""WITH fo AS (
             |  SELECT o_orderkey AS order_id, o_custkey AS buyer_id,
             |         o_orderdate AS order_ts,
-            |         CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+            |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
             |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) * 0.0116 AS total_price_usd,
-            |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 86 AS DECIMAL(38,2)) AS total_price_inr,
+            |         CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 86 AS DECIMAL(38,2)) AS DOUBLE) AS total_price_inr,
             |         o_orderdate AS created_ts
             |  FROM orders),
             |ds AS (
@@ -154,10 +157,12 @@ object PipelineQueries {
             |ORDER BY order_id""".stripMargin))
 
   /** Category report through the framework: J5/J6 + A3 collect_list +
-    * G1 explode + A2 struct-keyed agg with percentile_approx median.
-    * The struct grouping key is unpacked for a stable comparable shape.
-    * No SQL oracle yet: median comes from percentile_approx (driver
-    * records the weaker rows-only check).
+    * G1 explode + A2 struct-keyed agg with exact-percentile median
+    * (SURVEY.md §7.5 divergence from the reference's percentile_approx,
+    * documented at the node). The struct grouping key is unpacked for a
+    * stable comparable shape; the oracle re-derives the whole lineage —
+    * order_item arithmetic, seller is_active filter, p_type category
+    * ranking — in plain DuckDB SQL with QUANTILE_CONT as the median.
     */
   val dailyCategoryReport = Q(
     "pipeline_daily_category_report",
@@ -173,7 +178,28 @@ object PipelineQueries {
           col("`Median Revenue`").as("median_revenue"))
         .orderBy("order_date", "category_id")
     },
-    None)
+    Some("""WITH cat AS (
+           |  SELECT p_type AS name,
+           |         CAST(ROW_NUMBER() OVER (ORDER BY p_type) AS INT) AS category_id
+           |  FROM (SELECT DISTINCT p_type FROM part)),
+           |oi AS (
+           |  SELECT l_partkey AS product_id, l_suppkey AS seller_id,
+           |         CAST(l_extendedprice AS DECIMAL(18,2))
+           |           - CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS actual_price,
+           |         CAST(l_shipdate AS DATE) AS order_date
+           |  FROM lineitem),
+           |pc AS (
+           |  SELECT p.p_partkey AS product_id, c.category_id, c.name AS category_name
+           |  FROM part p JOIN cat c ON p.p_type = c.name)
+           |SELECT oi.order_date, pc.category_id, pc.category_name,
+           |       CAST(SUM(oi.actual_price) AS DOUBLE) / COUNT(oi.actual_price) AS mean_revenue,
+           |       QUANTILE_CONT(CAST(oi.actual_price AS DOUBLE), 0.5) AS median_revenue
+           |FROM oi
+           |JOIN supplier ON oi.seller_id = s_suppkey
+           |JOIN pc ON oi.product_id = pc.product_id
+           |WHERE s_acctbal >= 0
+           |GROUP BY 1, 2, 3
+           |ORDER BY order_date, category_id""".stripMargin))
 
   /** dim_seller through the framework (J2 + P2 on the supplier side,
     * user ids offset by 500000 per the adapter).
@@ -218,18 +244,48 @@ object PipelineQueries {
             |FROM part ORDER BY product_id""".stripMargin))
 
   /** The wide_order_items OBT itself (J5/J6 + A3 array-of-struct
-    * categories). No SQL oracle: the categories column is an array of
-    * structs whose cross-engine encoding is not hash-stable — the
-    * category report downstream carries the oracle-checked semantics.
+    * categories — reference etl/layers/gold/wide_order_items_gold.py:128).
+    * The categories array-of-struct is serialized with to_json in the
+    * compared output (raw array cells crash the driver's pandas sort);
+    * the oracle rebuilds the identical JSON string — every product maps
+    * to exactly one category (1 per distinct p_type), so the array is a
+    * single-element literal on both sides. Decimals → DOUBLE as usual.
     */
   val wideOrderItems = Q(
     "pipeline_wide_order_items",
     (s, dir) => {
       val rf = rainforest(s, dir)
       val ds = rf.ctx.registry.runOnce(rf.wideOrderItems)
-      ds.data.drop("etl_inserted").orderBy("order_item_id")
+      ds.data.drop("etl_inserted")
+        .withColumn("base_price", col("base_price").cast("double"))
+        .withColumn("tax", col("tax").cast("double"))
+        .withColumn("actual_price", col("actual_price").cast("double"))
+        .withColumn("categories", to_json(col("categories")))
+        .orderBy("order_item_id")
     },
-    None)
+    Some("""WITH cat AS (
+           |  SELECT p_type AS name,
+           |         CAST(ROW_NUMBER() OVER (ORDER BY p_type) AS INT) AS category_id
+           |  FROM (SELECT DISTINCT p_type FROM part)),
+           |pc AS (
+           |  SELECT p.p_partkey AS product_id, c.category_id, c.name AS category_name
+           |  FROM part p JOIN cat c ON p.p_type = c.name)
+           |SELECT l_orderkey * 10 + l_linenumber AS order_item_id,
+           |       l_orderkey AS order_id,
+           |       l_partkey AS product_id,
+           |       l_suppkey AS seller_id,
+           |       CAST(l_quantity AS INT) AS quantity,
+           |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS base_price,
+           |       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           |            - CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS DOUBLE) AS actual_price,
+           |       CAST(l_shipdate AS TIMESTAMP) AS created_ts,
+           |       CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(18,4)) AS DOUBLE) AS tax,
+           |       '[{"category_id":' || pc.category_id || ',"category_name":"' || pc.category_name || '"}]' AS categories,
+           |       s_acctbal >= 0 AS is_active
+           |FROM lineitem
+           |JOIN pc ON l_partkey = pc.product_id
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |ORDER BY order_item_id""".stripMargin))
 
   val all: Seq[Q] = Seq(dailyOrderReport, dimBuyer, dimSeller, dimProduct,
     brgProductCategory, wideOrders, wideOrderItems, dailyCategoryReport)
