@@ -32,7 +32,7 @@ object ExtQueries {
     * One row per (doc_id, gram) — the inverted-index representation that
     * scales: candidate pairs come from gram-key joins, never all-pairs.
     */
-  private def grams(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def grams(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("w"))
@@ -40,6 +40,29 @@ object ExtQueries {
       .select($"doc_id", explode(array_distinct(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
         .as("gram"))
+  }
+
+  /** The gram-frequency cap that makes the inverted-index self-join safe
+    * at corpus scale (CCNet/Gopher practice): a gram appearing in k docs
+    * costs k² join rows, so one boilerplate shingle shared by 1 % of a
+    * 100 TB corpus is a quadratic hot key — and carries no dedup signal
+    * (it discriminates nothing). Grams with document frequency >
+    * `maxDocFreq` are dropped BEFORE the self-join; sizes and
+    * intersections are both computed over the capped gram sets, so the
+    * Jaccard semantics stay internally consistent. NgramCapSpec shows the
+    * ≥ 0.5-pair set on this corpus is unchanged by the cap (the dropped
+    * grams are non-discriminative boilerplate).
+    */
+  private[queries] val gramDocFreqCap = 5L
+
+  private[graft] def cappedGrams(s: SparkSession, dir: String,
+      maxDocFreq: Long = gramDocFreqCap): DataFrame = {
+    val g = grams(s, dir)
+    val rare = g.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gram_df"))
+      .where(col("gram_df") <= maxDocFreq)
+      .select(col("gram"))
+    g.join(rare, Seq("gram")).select(col("doc_id"), col("gram"))
   }
 
   /** Document fingerprinting + token counting: md5 content hash,
@@ -84,13 +107,15 @@ object ExtQueries {
   /** Near-dup detection by word-3-gram Jaccard ≥ 0.5: inverted-index
     * self-join on gram (only docs sharing a shingle ever meet — the
     * scalable alternative to an all-pairs cross join), then exact
-    * |A∩B| / (|A|+|B|−|A∩B|) from integer counts.
+    * |A∩B| / (|A|+|B|−|A∩B|) from integer counts. Grams above the
+    * document-frequency cap are dropped before the self-join (see
+    * [[cappedGrams]]) — the oracle applies the identical cap.
     */
   val extDedupNgramJaccard = Q(
     "ext_dedup_ngram_jaccard",
     (s, dir) => {
       import s.implicits._
-      val g = grams(s, dir)
+      val g = cappedGrams(s, dir)
       val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
       val inter = g.as("g1")
         .join(g.as("g2"),
@@ -107,12 +132,14 @@ object ExtQueries {
         .where(col("jaccard") >= 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    Some("""WITH g AS (
+    Some(s"""WITH g0 AS (
            |  SELECT doc_id, unnest(list_distinct(list_transform(
            |           range(len(s) - 2),
            |           i -> s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]))) AS gram
            |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
            |  WHERE len(s) >= 3),
+           |rare AS (SELECT gram FROM g0 GROUP BY 1 HAVING COUNT(*) <= $gramDocFreqCap),
+           |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN rare USING (gram)),
            |sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
            |inter AS (
            |  SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, COUNT(*) AS inter
@@ -131,6 +158,8 @@ object ExtQueries {
     * candidate pair, then candidates are verified with exact Jaccard.
     * Murmur3 seeds are Spark-internal → no SQL oracle (driver records the
     * rows-only check); MinhashSpec verifies recall on crafted near-dups.
+    * Signatures and candidate verification both run over the
+    * doc-frequency-capped gram sets (see [[cappedGrams]]).
     */
   val extDedupMinhashLsh = Q(
     "ext_dedup_minhash_lsh",
@@ -139,7 +168,7 @@ object ExtQueries {
       val K = 16
       val bands = 4
       val rows = K / bands
-      val g = grams(s, dir)
+      val g = cappedGrams(s, dir)
       val hashCols = (0 until K).map(i =>
         min(hash(concat_ws("", lit(i), $"gram"))).as(s"h$i"))
       val sig = g.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
@@ -175,11 +204,14 @@ object ExtQueries {
     None)
 
   /** SimHash near-dup candidates: 64-bit signature (sign of per-bit vote
-    * over xxhash64(token)), pairs within Hamming distance ≤ 12 found by
-    * joining on 16-bit signature blocks (a pair within distance d must
-    * agree exactly on ≥ one of 4 blocks when d < 4·... — standard
-    * block-permutation LSH for Hamming space). xxhash64 is Spark-internal
-    * → rows-only check + SimhashSpec.
+    * over xxhash64(token)), candidate pairs found by joining on 16-bit
+    * signature blocks (block LSH for Hamming space). Pigeonhole
+    * guarantees a shared block only for Hamming distance d ≤ 3; a pair
+    * with 4 ≤ d ≤ 12 is surfaced only when its differing bits cluster
+    * into ≤ 3 of the 4 blocks, so the `hamming ≤ 12` output has
+    * recall < 1 by design — acceptable candidate generation (true
+    * near-dups sit at d ≈ 0-3), pinned by the DedupSpec crafted pair.
+    * xxhash64 is Spark-internal → rows-only check + spec.
     */
   val extDedupSimhash = Q(
     "ext_dedup_simhash",
@@ -357,55 +389,62 @@ object ExtQueries {
     None)
 
   /** Embedding-cosine near-dup pairs (the fifth dedup family member):
-    * candidate pairs share an 8-bit sign-LSH bucket (keyed join, never
-    * all-pairs), then exact fold-cosine ≥ 0.35 confirms. The threshold is
-    * calibrated to this corpus (max in-bucket cosine ≈ 0.43; true dups
-    * would sit near 1.0 and always share the bucket).
+    * candidates from [[graft.ext.SignLsh]] multi-band random-hyperplane
+    * LSH — 16 bands × 16 bits (256 deterministic hyperplanes), so each
+    * band hashes into 65 536 buckets and in-band population stays bounded
+    * (vs the round-1 single 8-bit bucket whose in-bucket all-pairs grew as
+    * (N/256)²) — then exact fold-cosine ≥ 0.35 confirms. The threshold is
+    * calibrated to this corpus (max pairwise cosine ≈ 0.51; true dups
+    * would sit near 1.0, where banded collision probability is ≈ 96 %).
+    * The oracle replicates the exact LCG hyperplane family in SQL.
     */
   val extDedupEmbedding = Q(
     "ext_dedup_embedding_cosine",
     (s, dir) => {
       import s.implicits._
-      val bucketExpr =
-        "aggregate(sequence(0, 7), 0, (acc, i) -> acc + IF(e[i] > 0D, shiftleft(1, i), 0))"
       val emb = t(s, dir, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("e"))
         .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})"))
-        .withColumn("bucket", expr(bucketExpr))
-      val a = emb.select($"vec_id".as("id_a"), $"e".as("ea"),
-        $"nrm".as("na"), $"bucket")
-      val b = emb.select($"vec_id".as("id_b"), $"e".as("eb"),
-        $"nrm".as("nb"), $"bucket")
-      a.join(b, Seq("bucket"))
-        .where($"id_a" < $"id_b")
+      val cand = graft.ext.SignLsh.candidatePairs(
+        emb, "vec_id", "e", dim = 64, bands = 16, rowsPerBand = 16)
+      cand
+        .join(emb.select($"vec_id".as("id_a"), $"e".as("ea"),
+          $"nrm".as("na")), Seq("id_a"))
+        .join(emb.select($"vec_id".as("id_b"), $"e".as("eb"),
+          $"nrm".as("nb")), Seq("id_b"))
         .withColumn("cos",
           expr(dotFold.format("ea", "eb")) / ($"na" * $"nb"))
         .where($"cos" >= 0.35)
         .select($"id_a", $"id_b", $"cos")
         .orderBy($"id_a", $"id_b")
     },
-    Some("""WITH e AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-           |  FROM embeddings),
-           |n AS (
-           |  SELECT vec_id, e,
-           |         sqrt(list_reduce(list_transform(range(len(e)), i -> e[i+1]*e[i+1]), (a,b) -> a+b)) AS nrm,
-           |         (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END)
-           |         + (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END)
-           |         + (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END)
-           |         + (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END)
-           |         + (CASE WHEN e[5] > 0 THEN 16 ELSE 0 END)
-           |         + (CASE WHEN e[6] > 0 THEN 32 ELSE 0 END)
-           |         + (CASE WHEN e[7] > 0 THEN 64 ELSE 0 END)
-           |         + (CASE WHEN e[8] > 0 THEN 128 ELSE 0 END) AS bucket
-           |  FROM e)
-           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |       list_reduce(list_transform(range(len(a.e)), i -> a.e[i+1]*b.e[i+1]), (x,y) -> x+y)
-           |         / (a.nrm * b.nrm) AS cos
-           |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-           |WHERE list_reduce(list_transform(range(len(a.e)), i -> a.e[i+1]*b.e[i+1]), (x,y) -> x+y)
-           |         / (a.nrm * b.nrm) >= 0.35
-           |ORDER BY id_a, id_b""".stripMargin))
+    Some(s"""WITH e AS (
+            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            |  FROM embeddings),
+            |n AS (
+            |  SELECT vec_id, e,
+            |         sqrt(list_reduce(list_transform(range(len(e)), i -> e[i+1]*e[i+1]), (a,b) -> a+b)) AS nrm,
+            |         ${graft.ext.SignLsh.duckBitsExpr("e", 64, 256)} AS bits
+            |  FROM e),
+            |sig AS (
+            |  SELECT vec_id, e, nrm,
+            |         ${graft.ext.SignLsh.duckBandsExpr("bits", 16, 16)} AS bands
+            |  FROM n),
+            |bnd AS (
+            |  SELECT vec_id, ub.band AS band, bands[ub.band + 1] AS bh
+            |  FROM sig, (SELECT unnest(range(16)) AS band) ub),
+            |cand AS (
+            |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            |  FROM bnd x JOIN bnd y
+            |    ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id)
+            |SELECT id_a, id_b,
+            |       list_reduce(list_transform(range(len(a.e)), i -> a.e[i+1]*b.e[i+1]), (x,y) -> x+y)
+            |         / (a.nrm * b.nrm) AS cos
+            |FROM cand JOIN sig a ON cand.id_a = a.vec_id
+            |          JOIN sig b ON cand.id_b = b.vec_id
+            |WHERE list_reduce(list_transform(range(len(a.e)), i -> a.e[i+1]*b.e[i+1]), (x,y) -> x+y)
+            |         / (a.nrm * b.nrm) >= 0.35
+            |ORDER BY id_a, id_b""".stripMargin))
 
   /** Text quality scoring: word count, distinct-word ratio, average word
     * length, stopword ratio — all integer-derived, deterministic.
@@ -635,12 +674,22 @@ object ExtQueries {
         StructField("value", DoubleType), StructField("props", StringType)))
       val name = "stream_counts_" + math.abs(dir.hashCode).toString
       // the file-stream source requires a directory: expose the single
-      // events.parquet through a temp dir symlink
-      val streamDir = java.nio.file.Files
-        .createTempDirectory("graft_stream_src")
+      // events.parquet through a deterministic per-sfDir link dir (reused
+      // across invocations — no temp-dir leak per run); fall back to a
+      // copy on filesystems without symlink support
+      val streamDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir", "/tmp"), "graft_stream_src",
+        dir.replaceAll("[^A-Za-z0-9]", "_"))
+      java.nio.file.Files.createDirectories(streamDir)
       val link = streamDir.resolve("events.parquet")
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+      if (!java.nio.file.Files.exists(link)) {
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(target, link)
+        }
+      }
       graft.streaming.StreamOps.runToCompletion(
         s, streamDir.toString, schema,
         df => graft.streaming.StreamOps.windowedEventCounts(

@@ -136,8 +136,10 @@ class DedupSpec extends SparkSpec {
 
   test("embedding-cosine dedup finds a crafted duplicate vector pair") {
     val dir = java.nio.file.Files.createTempDirectory("graft_embdup")
-    val v = Array.tabulate(16)(i => (if (i % 2 == 0) 0.5f else -0.25f))
-    val other = Array.tabulate(16)(i => (if (i % 3 == 0) -0.8f else 0.6f))
+    // 64-dim, matching the real embeddings table (the LSH hyperplane
+    // family is generated for dim 64)
+    val v = Array.tabulate(64)(i => (if (i % 2 == 0) 0.5f else -0.25f))
+    val other = Array.tabulate(64)(i => (if (i % 3 == 0) -0.8f else 0.6f))
     Seq((0L, v.toSeq, 0), (1L, v.map(_ * 1.001f).toSeq, 0),
       (2L, other.toSeq, 1))
       .toDF("vec_id", "embedding", "label")
@@ -161,5 +163,96 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.contains((0L, 1L)))
     assert(!out.exists { case (a, b) => b == 2 || a == 2 })
+  }
+}
+
+/** The gram document-frequency cap (the 100 TB hot-key guard in the
+  * n-gram dedup family): dropped grams must be non-discriminative — the
+  * ≥ 0.5-Jaccard pair set on the corpus is unchanged by the cap.
+  */
+class NgramCapSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def jaccardPairs(g: DataFrame): Set[(Long, Long)] = {
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    g.as("g1")
+      .join(g.as("g2"),
+        col("g1.gram") === col("g2.gram")
+          && col("g1.doc_id") < col("g2.doc_id"))
+      .groupBy(col("g1.doc_id").as("doc_a"), col("g2.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .where(col("inter").cast("double")
+        / (col("sa.sz") + col("sb.sz") - col("inter")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("the df cap is active on the corpus yet changes no >=0.5 pair") {
+    val uncapped = ExtQueries.grams(spark, dir)
+    val capped = ExtQueries.cappedGrams(spark, dir)
+    val dropped = uncapped.count() - capped.count()
+    assert(dropped > 0, "cap should actually drop boilerplate grams here")
+    assert(jaccardPairs(capped) === jaccardPairs(uncapped))
+  }
+}
+
+/** Multi-band random-hyperplane LSH: recall on true near-dups, bounded
+  * band-bucket population on the real embeddings, and cross-run
+  * determinism of the hyperplane family.
+  */
+class SignLshSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.SignLsh
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every crafted near-duplicate pair is an LSH candidate") {
+    // 20 base vectors, each cloned with ~1e-3 relative noise → 20 true
+    // near-dup pairs at cosine ≈ 1; banded collision P ≈ 96 % per pair
+    // at cos 0.95 and these sit far above that
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20).flatMap { k =>
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val noisy = v.map(x => x * (1.0 + 0.001 * rnd.nextGaussian()))
+      Seq((k.toLong, v.toSeq), (k.toLong + 1000, noisy.toSeq))
+    }
+    val df = rows.toDF("vec_id", "e")
+    val cand = SignLsh
+      .candidatePairs(df, "vec_id", "e", dim = 64, bands = 16,
+        rowsPerBand = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { k =>
+      assert(cand.contains((k.toLong, k.toLong + 1000)),
+        s"near-dup pair $k missing from candidates")
+    }
+  }
+
+  test("band-bucket population stays bounded on the real embeddings") {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val n = emb.count()
+    val maxPop = SignLsh
+      .withBandHashes(emb, "e", dim = 64, bands = 16, rowsPerBand = 16)
+      .groupBy($"band", $"bh").agg(count(lit(1)).as("pop"))
+      .agg(max($"pop")).collect().head.getLong(0)
+    // 16-bit band keys: even this clustered synthetic corpus keeps every
+    // bucket under 10 % of N (the round-1 single 8-bit bucket held ~25 %+
+    // of N in one bucket); random data would sit near 1
+    assert(maxPop <= n / 10, s"max band-bucket pop $maxPop vs n=$n")
+  }
+
+  test("the hyperplane family is deterministic across invocations") {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    def sig() = SignLsh
+      .withBandHashes(emb, "e", dim = 64, bands = 16, rowsPerBand = 16)
+      .select($"vec_id", $"band", $"bh")
+      .orderBy($"vec_id", $"band")
+      .collect().toSeq
+    assert(sig() === sig())
   }
 }

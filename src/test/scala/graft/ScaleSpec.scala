@@ -40,6 +40,20 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(r.getDouble(0) === 1.0)
     assert(r.isNullAt(1))
   }
+
+  test("cosine_sim yields NULL on mismatched lengths, like the fold") {
+    CosineSimilarity.register(spark)
+    // interpreted path and codegen'd path both: the fold formulation
+    // (zip_with pads with null → null propagates) returns NULL for
+    // ragged arrays, and the native expression must match
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1D, 2D, 3D), array(1D, 2D)) AS ragged," +
+        " aggregate(zip_with(array(1D, 2D, 3D), array(1D, 2D)," +
+        "   (x, y) -> x * y), 0D, (acc, v) -> acc + v) AS fold")
+      .collect().head
+    assert(r.isNullAt(0))
+    assert(r.isNullAt(1))
+  }
 }
 
 class SkewJoinSpec extends SparkSpec {
