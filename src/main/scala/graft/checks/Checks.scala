@@ -50,7 +50,12 @@ object Checks {
         else None
       case c @ MaxInRange(column, lo, hi, strict) =>
         val row = df.agg(max(col(column).cast("double"))).first()
-        if (row.isNullAt(0)) None // empty/all-null column: vacuously true
+        // GE parity: expect_column_max_to_be_between FAILS when the
+        // column has no non-null values (max undefined ⇒ not "between")
+        // — an empty gold table slipping through the gate unnoticed is
+        // exactly what the bound exists to catch (ChecksSpec pins this)
+        if (row.isNullAt(0))
+          Some(CheckViolation(c, "no non-null values: max undefined"))
         else {
           val m = row.getDouble(0)
           val ok = if (strict) m > lo && m < hi else m >= lo && m <= hi

@@ -78,9 +78,18 @@ abstract class TableEtl(
     * overwrite keeps load history (only same-timestamp partitions are
     * replaced), so the latest-partition read prunes meaningfully and
     * re-runs stay idempotent.
+    *
+    * The REBALANCE hint sizes write partitions to the data: without it
+    * every node writes one file per transform partition (up to
+    * shuffle.partitions files for a 150-row dimension — the round-1
+    * write-amplification hotspot: 13 lineage nodes × 32 tiny files), and
+    * a skewed partition writes one huge file. With AQE, rebalance
+    * coalesces small outputs to a single file and splits oversized
+    * partitions at the advisory size — the same optimize-on-write shape
+    * production lakehouses use.
     */
   final def write(ds: EtlDataSet): Unit =
-    ds.data.write
+    ds.data.hint("rebalance").write
       .option("mergeSchema", "true")
       .option("partitionOverwriteMode", "dynamic")
       .format(ds.dataFormat)
@@ -118,7 +127,17 @@ abstract class TableEtl(
           s"read() before run() with writeData=false on $name"))
         df.selectExpr(outputColumns: _*)
       } else {
-        val full = spark.read.format(dataFormat).load(storagePath)
+        // mergeSchema on read gives parquet the reference's Delta-style
+        // schema-evolution contract (etl/utils/base_table.py:211-217
+        // writes with mergeSchema=true): a column added by a later load
+        // resolves against old partitions as NULL instead of failing the
+        // outputColumns projection. Documented degradation vs Delta: the
+        // union schema comes from a footer merge instead of a transaction
+        // log — at very large file counts a real deployment would carry
+        // the schema in table metadata (Delta/Iceberg); the contract
+        // itself is exercised by TableEtlSpec's evolution round-trip.
+        val full = spark.read.option("mergeSchema", "true")
+          .format(dataFormat).load(storagePath)
         val filtered =
           if (partitionValues.nonEmpty)
             full.where(partitionValues

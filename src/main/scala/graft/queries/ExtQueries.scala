@@ -657,6 +657,47 @@ object ExtQueries {
            |       md5(text) AS checksum
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  /** The raw events parquet schema as the file-stream source sees it
+    * (ts arrives as TIMESTAMP(NANOS) → long under nanosAsLong; each
+    * streaming query normalizes it to µs TimestampType like
+    * [[graft.Tables.load]]).
+    */
+  private def eventsStreamSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** The file-stream source requires a directory: expose the single
+    * events.parquet through a deterministic per-(sfDir, tag) link dir
+    * (reused across invocations — no temp-dir leak per run); fall back
+    * to a copy on filesystems without symlink support. `copies` > 1
+    * presents the same file multiple times — the duplicate feed for the
+    * streaming-dedup surface.
+    */
+  private def streamSourceDir(dir: String, tag: String, copies: Int = 1)
+      : String = {
+    val streamDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"), s"graft_stream_$tag",
+      dir.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(streamDir)
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+    (0 until copies).foreach { i =>
+      val link = streamDir.resolve(s"events_$i.parquet")
+      if (!java.nio.file.Files.exists(link)) {
+        try java.nio.file.Files.createSymbolicLink(link, target)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(target, link)
+        }
+      }
+    }
+    streamDir.toString
+  }
+
   /** Structured Streaming: tumbling 5-minute windows × event_type driven
     * to completion over the static events parquet (complete mode, memory
     * sink). The oracle reproduces the windows with time_bucket — both
@@ -666,32 +707,9 @@ object ExtQueries {
     "ext_stream_window_counts",
     (s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       val name = "stream_counts_" + math.abs(dir.hashCode).toString
-      // the file-stream source requires a directory: expose the single
-      // events.parquet through a deterministic per-sfDir link dir (reused
-      // across invocations — no temp-dir leak per run); fall back to a
-      // copy on filesystems without symlink support
-      val streamDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir", "/tmp"), "graft_stream_src",
-        dir.replaceAll("[^A-Za-z0-9]", "_"))
-      java.nio.file.Files.createDirectories(streamDir)
-      val link = streamDir.resolve("events.parquet")
-      val target = java.nio.file.Paths.get(s"$dir/events.parquet")
-      if (!java.nio.file.Files.exists(link)) {
-        try java.nio.file.Files.createSymbolicLink(link, target)
-        catch {
-          case _: UnsupportedOperationException | _: java.io.IOException =>
-            java.nio.file.Files.copy(target, link)
-        }
-      }
       graft.streaming.StreamOps.runToCompletion(
-        s, streamDir.toString, schema,
+        s, streamSourceDir(dir, "counts"), eventsStreamSchema,
         df => graft.streaming.StreamOps.windowedEventCounts(
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
         name)
@@ -706,6 +724,76 @@ object ExtQueries {
            |       event_type, COUNT(*) AS n_events,
            |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin))
+
+  /** Structured Streaming stateful sessionization
+    * ([[graft.streaming.StreamOps.sessionize]],
+    * flatMapGroupsWithState, append mode): 30-min-gap sessions emitted
+    * when a later event closes them. With the whole parquet arriving as
+    * one batch, the per-user event list is processed sorted by
+    * (ts, event_id) — exactly the batch ext_sessionize semantics — and
+    * each user's final session stays open in state, so the
+    * batch-equivalent oracle is the sessionize SQL minus each user's
+    * last session (QUALIFY session_idx < max).
+    */
+  val extStreamSessionize = Q(
+    "ext_stream_sessionize",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_sessions_" + math.abs(dir.hashCode).toString
+      graft.streaming.StreamOps.runToCompletion(
+        s, streamSourceDir(dir, "sessions"), eventsStreamSchema,
+        df => graft.streaming.StreamOps.sessionize(
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .select($"user_id", $"event_id", $"ts")
+            .as[graft.streaming.StreamOps.Event]).toDF(),
+        name, org.apache.spark.sql.streaming.OutputMode.Append)
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH flagged AS (
+           |  SELECT user_id, event_id, ts,
+           |         CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+           |              THEN 1 ELSE 0 END AS new_sess
+           |  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           |               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+           |                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+           |        FROM events)),
+           |sess AS (
+           |  SELECT user_id, event_id, ts,
+           |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           |  FROM flagged),
+           |agg AS (
+           |  SELECT user_id, session_idx, COUNT(*) AS n_events,
+           |         MIN(ts) AS session_start, MAX(ts) AS session_end
+           |  FROM sess GROUP BY 1, 2)
+           |SELECT user_id, session_start, session_end, n_events
+           |FROM agg
+           |QUALIFY session_idx < MAX(session_idx) OVER (PARTITION BY user_id)
+           |ORDER BY user_id, session_start""".stripMargin))
+
+  /** Structured Streaming exact dedup
+    * ([[graft.streaming.StreamOps.dedupStream]],
+    * dropDuplicatesWithinWatermark, append mode): the source presents the
+    * events file TWICE (two links in the stream dir), the stream drops
+    * the duplicate ids, and the batch-equivalent oracle is simply the
+    * events table — each id once.
+    */
+  val extStreamDedup = Q(
+    "ext_stream_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_dedup_" + math.abs(dir.hashCode).toString
+      graft.streaming.StreamOps.runToCompletion(
+        s, streamSourceDir(dir, "dedup", copies = 2), eventsStreamSchema,
+        df => graft.streaming.StreamOps.dedupStream(
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        name, org.apache.spark.sql.streaming.OutputMode.Append)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type, value
+           |FROM events ORDER BY event_id""".stripMargin))
 
   /** As-of join (point-in-time): each event matched to the user's most
     * recent order at event time — [[graft.ext.AsOfJoin]]'s union +
@@ -763,5 +851,5 @@ object ExtQueries {
     extDedupMinhashLsh, extDedupSimhash, extDedupEmbedding, extKnnBrute,
     extKnnNative, extKnnLsh, extKnnIvf, extRangeJoin, extTextQuality,
     extTextFilter, extLangId, extTopTerms, extSessionize, extMultimodal,
-    extStreamWindowCounts)
+    extStreamWindowCounts, extStreamSessionize, extStreamDedup)
 }

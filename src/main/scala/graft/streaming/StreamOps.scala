@@ -35,25 +35,30 @@ object StreamOps {
   /** Stateful sessionization (30-min inactivity gap) with
     * flatMapGroupsWithState — the streaming twin of
     * ExtQueries.extSessionize; state is one (start, last, count) triple
-    * per user, emitted when a gap closes a session.
+    * per user, emitted when a gap closes a session. All time arithmetic
+    * is in MICROseconds (Spark's TimestampType precision) via
+    * DateTimeUtils — `Timestamp.getTime` would truncate to millis and
+    * silently diverge from the batch/SQL epoch_us semantics.
     */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)
       : Dataset[SessionAgg] = {
     val spark = events.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAgg](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq
+            .sortBy(e => (DateTimeUtils.fromJavaTimestamp(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessionState(-1, -1, 0, Nil))
           var out = List.empty[SessionAgg]
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = DateTimeUtils.fromJavaTimestamp(e.ts)
             if (st.start < 0) st = SessionState(t, t, 1, Nil)
-            else if (t - st.last > gapSeconds * 1000) {
-              out ::= SessionAgg(user, new Timestamp(st.start),
-                new Timestamp(st.last), st.n)
+            else if (t - st.last > gapSeconds * 1000000L) {
+              out ::= SessionAgg(user, DateTimeUtils.toJavaTimestamp(st.start),
+                DateTimeUtils.toJavaTimestamp(st.last), st.n)
               st = SessionState(t, t, 1, Nil)
             } else st = st.copy(last = math.max(st.last, t), n = st.n + 1)
           }
@@ -73,15 +78,18 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Drive a streaming aggregation over a static parquet directory to
+  /** Drive a streaming query over a static parquet directory to
     * completion and return the final result table (test/harness helper).
+    * Complete mode suits unbounded aggregations; Append suits
+    * flatMapGroupsWithState/dedup surfaces.
     */
   def runToCompletion(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType,
-      transform: DataFrame => DataFrame, queryName: String): DataFrame = {
+      transform: DataFrame => DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Complete): DataFrame = {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     val q = transform(stream).writeStream
-      .outputMode(OutputMode.Complete)
+      .outputMode(mode)
       .format("memory")
       .queryName(queryName)
       .start()

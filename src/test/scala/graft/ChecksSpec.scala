@@ -22,9 +22,11 @@ class ChecksSpec extends SparkSpec {
       .evaluate(df, Seq(MaxInRange("m", 0, 99, strict = false))).isEmpty)
   }
 
-  test("MaxInRange is vacuously true on empty input") {
+  test("MaxInRange fails on empty input (GE parity: max undefined)") {
+    // expect_column_max_to_be_between fails when no non-null values
+    // exist — an empty gold table must not slip through the gate
     val df = Seq.empty[Double].toDF("m")
-    assert(Checks.evaluate(df, Seq(MaxInRange("m", 0, 1))).isEmpty)
+    assert(Checks.evaluate(df, Seq(MaxInRange("m", 0, 1))).nonEmpty)
   }
 
   test("NotNull flags null values") {

@@ -245,6 +245,24 @@ class SignLshSpec extends SparkSpec {
     assert(maxPop <= n / 10, s"max band-bucket pop $maxPop vs n=$n")
   }
 
+  test("native hyperplane_bands equals the HOF/SQL formulation exactly") {
+    // the DuckDB oracle replicates the HOF rendering, so the native
+    // expression must match it band-for-band
+    graft.functions.HyperplaneBands.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val rows = emb.select($"vec_id",
+        expr("hyperplane_bands(e, 16, 16)").as("native"),
+        expr(SignLsh.bandsExpr(
+          s"(${SignLsh.bitsExpr("e", 64, 256).replace('\n', ' ')})",
+          16, 16)).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"vec ${r.get(0)}")
+    }
+  }
+
   test("the hyperplane family is deterministic across invocations") {
     val emb = Tables.load(spark, dir, "embeddings")
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))

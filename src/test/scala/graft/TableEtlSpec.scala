@@ -99,6 +99,32 @@ class TableEtlSpec extends SparkSpec {
     assert(consumer.read().data.count() === 2)
   }
 
+  test("schema evolution: a column added upstream survives the round-trip") {
+    val base = Files.createTempDirectory("graft_evo").toString
+    // load 1: original five-column shape
+    ordersNode(ctx(t0, base)).run()
+    // load 2: upstream gained a column; the node's contract includes it
+    val evolved = ordersDf.withColumn("channel", lit("web"))
+    val c2 = EtlContext(spark, InMemorySource(Map("orders" -> evolved)),
+      base, clock = t1)
+    val node2 = new BronzeNode(c2, "orders", "orders", Seq("order_id"),
+      Seq("order_id", "buyer_id", "order_ts", "total_price", "created_ts",
+        "channel"),
+      checks = Seq(Unique(Seq("order_id"))))
+    node2.run()
+    // latest-partition read sees the evolved schema with values
+    val latest = node2.read().data
+    assert(latest.columns.contains("channel"))
+    assert(latest.select("channel").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("web"))
+    // the t0 partition predates the column: merged schema resolves it
+    // as NULL (the Delta mergeSchema contract on parquet's terms —
+    // see TableEtl.read)
+    val pinned = node2.read(Map("etl_inserted" -> t0.at.toString)).data
+    assert(pinned.count() === 2)
+    assert(pinned.where(col("channel").isNull).count() === 2)
+  }
+
   test("RunRegistry executes a shared upstream exactly once") {
     val base = Files.createTempDirectory("graft_memo").toString
     var runs = 0
