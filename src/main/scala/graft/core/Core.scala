@@ -50,28 +50,64 @@ final class InvalidDataException(message: String)
   * node exactly once per registry with identical semantics. At 100 TB a
   * duplicated bronze scan+write is hours of wasted cluster time, so this is a
   * scale fix, not a style fix.
+  *
+  * Execution is memoized as one Future per node, so INDEPENDENT lineage
+  * branches run concurrently when a consumer extracts several upstreams
+  * (see [[TableEtl.extractUpstream]]): the Spark scheduler interleaves
+  * their jobs instead of idling between ~30 small sequential write jobs —
+  * on a real cluster this is the difference between DAG-depth and
+  * DAG-node-count wall-clock. The executor is an unbounded daemon pool:
+  * lineage recursion means a node awaits its upstream's Future from
+  * inside its own, so a bounded pool could deadlock; concurrency is
+  * naturally capped by DAG width (≤ 13 here).
   */
 final class RunRegistry {
-  private val executed = scala.collection.mutable.Set[String]()
-  private val read = scala.collection.mutable.Map[String, EtlDataSet]()
+  import java.util.concurrent.{ConcurrentHashMap, Executors}
+  import scala.concurrent.{Await, ExecutionContext, Future}
+  import scala.concurrent.duration.Duration
+
+  private val ran = new ConcurrentHashMap[String, Future[Unit]]()
+  private val read = new ConcurrentHashMap[String, EtlDataSet]()
+  private implicit val ec: ExecutionContext =
+    RunRegistry.sharedExecutionContext
 
   /** Run the node if it has not yet run in this registry, then read it
     * (memoized). Mirrors the reference's extract_upstream loop
     * (etl/layers/silver/dim_buyer_silver.py:75-87) minus the re-execution.
+    * Concurrent callers of the same node share one execution and block
+    * until it completes; failures (including DQ violations) rethrow to
+    * every consumer.
     */
-  def runOnce(node: TableEtl): EtlDataSet = synchronized {
-    if (!executed.contains(node.name)) {
+  def runOnce(node: TableEtl): EtlDataSet = {
+    val f = ran.computeIfAbsent(node.name, _ => Future {
       val t0 = System.nanoTime()
       node.run()
-      executed += node.name
       System.err.println(
         f"[graft] ran ${node.name}%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
-    }
-    read.getOrElseUpdate(node.name, node.read())
+    })
+    Await.result(f, Duration.Inf)
+    read.computeIfAbsent(node.name, _ => node.read())
   }
 
   /** Read-only variant for `runUpstream = false` consumers. */
-  def readOnce(node: TableEtl): EtlDataSet = synchronized {
-    read.getOrElseUpdate(node.name, node.read())
-  }
+  def readOnce(node: TableEtl): EtlDataSet =
+    read.computeIfAbsent(node.name, _ => node.read())
+}
+
+object RunRegistry {
+  import java.util.concurrent.Executors
+
+  /** Unbounded daemon-thread pool shared by all registries and by
+    * [[TableEtl.extractUpstream]]'s fan-out (threads are reclaimed after
+    * 60 s idle; daemon so the JVM exits cleanly). Unbounded because
+    * lineage recursion blocks a thread per in-flight node — a bounded
+    * pool could deadlock on a deep DAG.
+    */
+  private[core] lazy val sharedExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-lineage")
+        t.setDaemon(true)
+        t
+      }))
 }

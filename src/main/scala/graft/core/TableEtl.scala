@@ -55,11 +55,23 @@ abstract class TableEtl(
 
   /** Extract = run-if-asked then read each upstream node, memoized
     * (reference loop: etl/layers/silver/dim_buyer_silver.py:75-87).
+    * Upstreams are kicked off CONCURRENTLY (each lineage branch is one
+    * [[RunRegistry]] Future), so sibling branches overlap on the cluster
+    * instead of executing depth-first one at a time; results are awaited
+    * in declaration order, keeping semantics identical.
     */
-  def extractUpstream(): Seq[EtlDataSet] =
-    upstreams.map { up =>
-      if (runUpstream) registry.runOnce(up) else registry.readOnce(up)
+  def extractUpstream(): Seq[EtlDataSet] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      RunRegistry.sharedExecutionContext
+    val fs = upstreams.map { up =>
+      Future {
+        if (runUpstream) registry.runOnce(up) else registry.readOnce(up)
+      }
     }
+    fs.map(Await.result(_, Duration.Inf))
+  }
 
   def transformUpstream(upstream: Seq[EtlDataSet]): EtlDataSet
 

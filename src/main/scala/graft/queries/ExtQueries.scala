@@ -153,13 +153,48 @@ object ExtQueries {
            |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin))
 
-  /** MinHash + LSH banding candidates: 16 murmur3 min-hashes per doc over
-    * its shingles, 4 bands × 4 rows; docs sharing any band bucket become a
-    * candidate pair, then candidates are verified with exact Jaccard.
-    * Murmur3 seeds are Spark-internal → no SQL oracle (driver records the
-    * rows-only check); MinhashSpec verifies recall on crafted near-dups.
-    * Signatures and candidate verification both run over the
-    * doc-frequency-capped gram sets (see [[cappedGrams]]).
+  /** The engine-portable MinHash family: one polynomial base hash per
+    * gram (fold of char codes mod p, p = 2³¹−1 prime), then K affine
+    * transforms h_i = (a_i·h + b_i) mod p — the classic universal-hash
+    * MinHash construction. Pure 64-bit integer arithmetic with every
+    * intermediate < 2⁶², so Spark and DuckDB compute identical values
+    * (murmur3, which round 1 used, is Spark-internal and made the query
+    * rows-only-checkable).
+    */
+  private val mhP = 2147483647L
+  private def mhA(i: Int): Long = {
+    val v = (1103515245L * (i + 1) + 12345L) % mhP
+    if (v == 0) 1L else v
+  }
+  private def mhB(i: Int): Long = (1103515245L * (i + 101) + 12345L) % mhP
+  /** Spark rendering of the base hash (fold of char codes, mod p). */
+  private def mhBaseSpark(col: String, mult: Int = 31, salt: Int = 7)
+      : String =
+    s"aggregate(transform(sequence(1, length($col)), p -> " +
+      s"cast(ascii(substring($col, p, 1)) as bigint)), ${salt}L, " +
+      s"(h, c) -> (h * $mult + c) % $mhP)"
+  /** DuckDB rendering — list_reduce has no init, so the init is the
+    * prepended first element.
+    */
+  private def mhBaseDuck(col: String, mult: Int = 31, salt: Int = 7)
+      : String =
+    s"list_reduce([CAST($salt AS BIGINT)] || list_transform(" +
+      s"range(1, length($col) + 1), p -> " +
+      s"CAST(ascii(substring($col, p, 1)) AS BIGINT)), " +
+      s"(h, c) -> (h * $mult + c) % $mhP)"
+  /** Band key from `rows` consecutive min-hashes: base-31 combine (values
+    * < 2³¹·31³ < 2⁴⁶ — no overflow, no collision-relevant loss).
+    */
+  private def mhBandKey(hs: Seq[String]): String =
+    hs.reduce((acc, h) => s"($acc * 31 + $h)")
+
+  /** MinHash + LSH banding candidates: 16 portable min-hashes per doc
+    * over its doc-frequency-capped shingles (see [[cappedGrams]]),
+    * 4 bands × 4 rows; docs sharing any band bucket become a candidate
+    * pair, then candidates are verified with exact Jaccard. The oracle
+    * replicates the full pipeline — the same universal-hash family is
+    * computed in DuckDB SQL. MinhashSpec additionally pins recall on
+    * crafted near-dups.
     */
   val extDedupMinhashLsh = Q(
     "ext_dedup_minhash_lsh",
@@ -169,15 +204,16 @@ object ExtQueries {
       val bands = 4
       val rows = K / bands
       val g = cappedGrams(s, dir)
+        .withColumn("bh0", expr(mhBaseSpark("gram")))
       val hashCols = (0 until K).map(i =>
-        min(hash(concat_ws("", lit(i), $"gram"))).as(s"h$i"))
+        min(expr(s"(${mhA(i)}L * bh0 + ${mhB(i)}L) % $mhP")).as(s"h$i"))
       val sig = g.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
       val bandRows = sig.select(
         $"doc_id",
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
-            hash((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
-              .as("bh"))): _*)).as("bb"))
+            expr(mhBandKey((b * rows until (b + 1) * rows)
+              .map(i => s"h$i"))).as("bh"))): _*)).as("bb"))
         .select($"doc_id", $"bb.band", $"bb.bh")
       val cand = bandRows.as("x")
         .join(bandRows.as("y"),
@@ -201,31 +237,82 @@ object ExtQueries {
             .as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    None)
+    Some {
+      val minCols = (0 until 16)
+        .map(i => s"MIN((${mhA(i)} * bh0 + ${mhB(i)}) % $mhP) AS h$i")
+        .mkString(",\n           |         ")
+      val bandSelects = (0 until 4).map { b =>
+        val key = mhBandKey((b * 4 until (b + 1) * 4).map(i => s"h$i"))
+        s"SELECT doc_id, $b AS band, $key AS bh FROM sig"
+      }.mkString("\n           |  UNION ALL ")
+      s"""WITH g0 AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           range(len(s) - 2),
+         |           i -> s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]))) AS gram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+         |  WHERE len(s) >= 3),
+         |rare AS (SELECT gram FROM g0 GROUP BY 1 HAVING COUNT(*) <= $gramDocFreqCap),
+         |g AS (SELECT g0.doc_id, g0.gram, ${mhBaseDuck("g0.gram")} AS bh0
+         |      FROM g0 JOIN rare USING (gram)),
+         |sig AS (
+         |  SELECT doc_id,
+         |         $minCols
+         |  FROM g GROUP BY 1),
+         |bandrows AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bandrows x JOIN bandrows y
+         |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+         |inter AS (
+         |  SELECT doc_a, doc_b, COUNT(*) AS inter
+         |  FROM g g1 JOIN cand ON g1.doc_id = doc_a
+         |  JOIN g g2 ON g2.doc_id = doc_b AND g1.gram = g2.gram
+         |  GROUP BY 1, 2)
+         |SELECT cand.doc_a AS doc_a, cand.doc_b AS doc_b,
+         |       COALESCE(CAST(inter.inter AS DOUBLE) / (sa.sz + sb.sz - inter.inter), 0.0) AS jaccard
+         |FROM cand
+         |LEFT JOIN inter ON cand.doc_a = inter.doc_a AND cand.doc_b = inter.doc_b
+         |JOIN sz sa ON cand.doc_a = sa.doc_id
+         |JOIN sz sb ON cand.doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
 
-  /** SimHash near-dup candidates: 64-bit signature (sign of per-bit vote
-    * over xxhash64(token)), candidate pairs found by joining on 16-bit
-    * signature blocks (block LSH for Hamming space). Pigeonhole
-    * guarantees a shared block only for Hamming distance d ≤ 3; a pair
-    * with 4 ≤ d ≤ 12 is surfaced only when its differing bits cluster
-    * into ≤ 3 of the 4 blocks, so the `hamming ≤ 12` output has
-    * recall < 1 by design — acceptable candidate generation (true
-    * near-dups sit at d ≈ 0-3), pinned by the DedupSpec crafted pair.
-    * xxhash64 is Spark-internal → rows-only check + spec.
+  /** SimHash near-dup candidates: 62-bit signature (sign of per-bit vote
+    * over two engine-portable 31-bit polynomial token hashes — round 1's
+    * xxhash64 was Spark-internal and made this rows-only-checkable),
+    * candidate pairs found by joining on 16-bit signature blocks (block
+    * LSH for Hamming space). Pigeonhole guarantees a shared block only
+    * for Hamming distance d ≤ 3; a pair with 4 ≤ d ≤ 12 is surfaced only
+    * when its differing bits cluster into ≤ 3 of the 4 blocks, so the
+    * `hamming ≤ 12` output has recall < 1 by design — acceptable
+    * candidate generation (true near-dups sit at d ≈ 0-3), pinned by the
+    * DedupSpec crafted pair. The oracle replicates the exact hash family
+    * and vote in SQL.
     */
   val extDedupSimhash = Q(
     "ext_dedup_simhash",
     (s, dir) => {
       import s.implicits._
-      val tok = t(s, dir, "documents")
+      val tok0 = t(s, dir, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("w"))
-        .withColumn("h", xxhash64($"w"))
-      val bitCols = (0 until 64).map(i =>
-        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1))
-          .as(s"b$i"))
+      // hash the DISTINCT vocabulary, then join back: the interpreted
+      // char-fold runs |vocab| times instead of |token occurrences| —
+      // at corpus scale the dictionary is orders of magnitude smaller
+      // than the token stream (the values are identical either way, so
+      // the oracle, which hashes per occurrence, is unaffected)
+      val vocab = tok0.select($"w").distinct()
+        .withColumn("b1", expr(mhBaseSpark("w", 31, 7)))
+        .withColumn("b2", expr(mhBaseSpark("w", 37, 11)))
+      val tok = tok0.join(vocab, Seq("w"))
+      val bitCols = (0 until 62).map { i =>
+        val src = if (i < 31) s"(b1 >> $i)" else s"(b2 >> ${i - 31})"
+        sum(when(expr(s"$src & 1") === 1, 1).otherwise(-1)).as(s"b$i")
+      }
       val sig = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
         .select($"doc_id",
-          (0 until 64).map(i =>
+          (0 until 62).map(i =>
             when(col(s"b$i") > 0, expr(s"shiftleft(1L, $i)")).otherwise(0L))
             .reduce(_ bitwiseOR _).as("sim"))
       val blocks = sig.select($"doc_id", $"sim",
@@ -238,12 +325,47 @@ object ExtQueries {
           col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          expr("bit_count(x.sim ^ y.sim)").as("hamming"))
+          expr("cast(bit_count(x.sim ^ y.sim) as int)").as("hamming"))
         .distinct()
         .where(col("hamming") <= 12)
         .orderBy(col("doc_a"), col("doc_b"))
     },
-    None)
+    Some {
+      val votes = (0 until 62).map { i =>
+        val src = if (i < 31) s"(b1 >> $i)" else s"(b2 >> ${i - 31})"
+        s"SUM(CASE WHEN ($src & 1) = 1 THEN 1 ELSE -1 END) AS b$i"
+      }.mkString(",\n           |         ")
+      val simBits = (0 until 62)
+        .map(i => s"CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END")
+        .mkString("\n           |         + ")
+      val blockSelects = (0 until 4)
+        .map(b => s"SELECT doc_id, sim, $b AS blk, (sim >> ${b * 16}) & 65535 AS bv FROM sig")
+        .mkString("\n           |  UNION ALL ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id,
+         |         ${mhBaseDuck("w", 31, 7)} AS b1,
+         |         ${mhBaseDuck("w", 37, 11)} AS b2
+         |  FROM tok),
+         |votes AS (
+         |  SELECT doc_id,
+         |         $votes
+         |  FROM th GROUP BY 1),
+         |sig AS (
+         |  SELECT doc_id,
+         |         $simBits AS sim
+         |  FROM votes),
+         |blocks AS (
+         |  $blockSelects)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+         |FROM blocks x JOIN blocks y
+         |  ON x.blk = y.blk AND x.bv = y.bv AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sim, y.sim)) <= 12
+         |ORDER BY doc_a, doc_b""".stripMargin
+    })
 
   private val dotFold =
     "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
