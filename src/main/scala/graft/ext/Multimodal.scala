@@ -78,4 +78,42 @@ object Multimodal {
       (lit(1) + length(col("payload")) % 64).as("width"),
       (lit(1) + length(col("payload")) % 48).as("height"),
       md5(col("payload")).as("checksum"))
+
+  /** STUB resize — a real implementation swaps the checksum/arith body
+    * for a scaling kernel; the Spark shape (pure column functions over
+    * the stub-decoded dimensions, no shuffle, no driver round-trip) is
+    * what matters at scale.
+    */
+  def resizeStub(withPayload: DataFrame, targetW: Int, targetH: Int)
+      : DataFrame =
+    withPayload.select(
+      col("doc_id"),
+      (lit(1) + length(col("payload")) % 64).as("src_width"),
+      (lit(1) + length(col("payload")) % 48).as("src_height"),
+      lit(targetW).as("width"),
+      lit(targetH).as("height"))
+      .withColumn("scale_x",
+        col("width").cast("double") / col("src_width"))
+      .withColumn("scale_y",
+        col("height").cast("double") / col("src_height"))
+
+  /** STUB frame sampler — the payload is treated as a fixed-size-frame
+    * "video" (frameBytes per frame) and every k-th frame is emitted with
+    * a checksum. A real decoder replaces the substring/md5 with codec
+    * calls; the generate-and-explode shape (one row per sampled frame,
+    * computed columnar, never collected) is the 100 TB-safe plumbing.
+    */
+  def sampleFrames(withPayload: DataFrame, frameBytes: Int = 64,
+      everyK: Int = 4): DataFrame =
+    withPayload
+      .where(length(col("payload")) > 0)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(
+             |  sequence(0, int(ceil(length(payload) / ${frameBytes}D)) - 1, $everyK),
+             |  i -> named_struct(
+             |    'frame_idx', i,
+             |    'checksum', md5(substring(payload, i * $frameBytes + 1, $frameBytes))))""".stripMargin))
+          .as("f"))
+      .select(col("doc_id"), col("f.frame_idx"), col("f.checksum"))
 }

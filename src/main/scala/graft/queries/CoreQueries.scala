@@ -498,10 +498,72 @@ object CoreQueries {
            |       COUNT(*) - COUNT(NULLIF(o_orderstatus, 'O')) AS n_null
            |FROM orders GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin))
 
+  /** S1 (JDBC scan) as a harness query, not just a spec: supplier is
+    * round-tripped through an embedded Derby database (the same
+    * spark.read.jdbc path the reference uses for Postgres,
+    * etl/utils/database.py:36-38) with a PARTITIONED read
+    * (partitionColumn/bounds/numPartitions) — the at-scale shape where a
+    * single-connection extract would serialize through one executor.
+    * The oracle reads the same rows straight from parquet.
+    */
+  val q25JdbcScan = Q(
+    "q25_jdbc_scan",
+    (s, dir) => {
+      import s.implicits._
+      val dbDir = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir", "/tmp"), "graft_derby",
+        dir.replaceAll("[^A-Za-z0-9]", "_"))
+      java.nio.file.Files.createDirectories(dbDir)
+      val url = s"jdbc:derby:$dbDir/db;create=true"
+      val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+      val props = new java.util.Properties()
+      props.setProperty("driver", driver)
+      val sup = t(s, dir, "supplier")
+        .select($"s_suppkey", $"s_name", $"s_acctbal")
+      sup.write.mode("overwrite").jdbc(url, "supplier", props)
+      val maxKey = sup.agg(max($"s_suppkey")).first().getLong(0)
+      val src = graft.sources.JdbcSource(url, user = "", password = "",
+        driver = driver,
+        partitionOptions = Map(
+          "partitionColumn" -> "S_SUPPKEY",
+          "lowerBound" -> "0",
+          "upperBound" -> (maxKey + 1).toString,
+          "numPartitions" -> "4"))
+      src.load(s, "supplier")
+        .select(col("S_SUPPKEY").as("s_suppkey"),
+          col("S_NAME").as("s_name"),
+          col("S_ACCTBAL").as("s_acctbal"))
+        .orderBy($"s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name, s_acctbal
+           |FROM supplier ORDER BY s_suppkey""".stripMargin))
+
+  /** Explicit GROUPING SETS through the SQL surface (distinct from
+    * ROLLUP/CUBE: an arbitrary, non-hierarchical set list) — per-flag
+    * totals, per-status totals, and the grand total in one pass.
+    */
+  val q26GroupingSets = Q(
+    "q26_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              |       COUNT(*) AS n
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           |       COUNT(*) AS n
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+
   val all: Seq[Q] = Seq(q04LatestEvents, q05EventTypeStats,
     q06LatestEventPerUser, q07TopOrders, q08SemiJoin, q09AntiJoin,
     q10SetOps, q11Rollup, q12DateParts, q13StringFuncs, q14Conditionals,
     q15WindowAgg, q16DistinctCounts, q17JsonExtract, q18Pivot, q19Cube,
     q20DateArith, q21SqlCorrelated, q22ArrayOps, q23WindowSuite,
-    q24NullSemantics)
+    q24NullSemantics, q25JdbcScan, q26GroupingSets)
 }

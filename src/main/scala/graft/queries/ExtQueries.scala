@@ -66,7 +66,10 @@ object ExtQueries {
   }
 
   /** Document fingerprinting + token counting: md5 content hash,
-    * whitespace token count, and the chars/4 BPE-style token estimate.
+    * whitespace token count, the chars/4 BPE-style estimate, and a real
+    * BPE-ish regex pre-tokenizer count (letter runs | digit runs |
+    * single non-alphanumeric — the GPT-2-style split shape; the simple
+    * alternation means Java regex and RE2 agree).
     */
   val extFingerprint = Q(
     "ext_text_fingerprint",
@@ -76,12 +79,16 @@ object ExtQueries {
         .select($"doc_id",
           md5($"text").as("fingerprint"),
           size(split($"text", " ")).cast("bigint").as("tokens_ws"),
-          ceil($"n_chars" / 4.0).as("tokens_bpe_est"))
+          ceil($"n_chars" / 4.0).as("tokens_bpe_est"),
+          size(expr(
+            """regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"""))
+            .cast("bigint").as("tokens_regex"))
         .orderBy($"doc_id")
     },
     Some(s"""SELECT doc_id, md5(text) AS fingerprint,
             |       len(string_split(text, ' ')) AS tokens_ws,
-            |       CAST(CEIL(n_chars / 4.0) AS BIGINT) AS tokens_bpe_est
+            |       CAST(CEIL(n_chars / 4.0) AS BIGINT) AS tokens_bpe_est,
+            |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS tokens_regex
             |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Exact dedup, keep-first: one representative doc per (lang, source)
@@ -820,6 +827,28 @@ object ExtQueries {
     streamDir.toString
   }
 
+  /** Multimodal frame sampling ([[graft.ext.Multimodal.sampleFrames]]):
+    * the binary payload as a fixed-64-byte-frame "video", every 4th
+    * frame emitted with its checksum — one row per sampled frame,
+    * generate-and-explode, never collected. The payload is the UTF-8
+    * text (pure ASCII corpus), so DuckDB's string substring produces the
+    * identical bytes for the oracle's md5.
+    */
+  val extMultimodalFrames = Q(
+    "ext_multimodal_frames",
+    (s, dir) => {
+      import s.implicits._
+      graft.ext.Multimodal.sampleFrames(
+        graft.ext.Multimodal.withBinary(t(s, dir, "documents")))
+        .orderBy($"doc_id", $"frame_idx")
+    },
+    Some("""SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           |       md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS checksum
+           |FROM (SELECT doc_id, text,
+           |             unnest(range(0, CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT), 4)) AS i
+           |      FROM documents WHERE octet_length(encode(text)) > 0)
+           |ORDER BY doc_id, frame_idx""".stripMargin))
+
   /** Structured Streaming: tumbling 5-minute windows × event_type driven
     * to completion over the static events parquet (complete mode, memory
     * sink). The oracle reproduces the windows with time_bucket — both
@@ -973,5 +1002,6 @@ object ExtQueries {
     extDedupMinhashLsh, extDedupSimhash, extDedupEmbedding, extKnnBrute,
     extKnnNative, extKnnLsh, extKnnIvf, extRangeJoin, extTextQuality,
     extTextFilter, extLangId, extTopTerms, extSessionize, extMultimodal,
-    extStreamWindowCounts, extStreamSessionize, extStreamDedup)
+    extMultimodalFrames, extStreamWindowCounts, extStreamSessionize,
+    extStreamDedup)
 }

@@ -33,6 +33,33 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("doc_id").as[Multimodal.MediaFeatures].collect().toSeq
     assert(viaPartitions === viaColumns)
   }
+
+  test("resize stub scales the stub-decoded dimensions") {
+    val r = Multimodal.resizeStub(Multimodal.withBinary(docs), 32, 24)
+      .where($"doc_id" === 1).collect().head
+    // doc 1 payload = "hello world text" = 16 bytes → src 17×17
+    assert(r.getAs[Int]("src_width") === 17)
+    assert(r.getAs[Int]("src_height") === 17)
+    assert(r.getAs[Int]("width") === 32)
+    assert(r.getAs[Double]("scale_x") === 32.0 / 17)
+    assert(r.getAs[Double]("scale_y") === 24.0 / 17)
+  }
+
+  test("frame sampler emits every k-th fixed-size frame with checksums") {
+    // 300-byte payload, 64-byte frames → 5 frames, every 2nd → idx 0,2,4
+    val d = Seq((9L, "x" * 300, "en", "s", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withBinary(d), frameBytes = 64, everyK = 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2, 4))
+    // all-'x' frames 0 and 2 are identical bytes → identical checksum;
+    // the final partial frame (44 bytes) differs
+    assert(frames(0).getAs[String]("checksum")
+      === frames(1).getAs[String]("checksum"))
+    assert(frames(2).getAs[String]("checksum")
+      !== frames(0).getAs[String]("checksum"))
+  }
 }
 
 class StreamingSpec extends SparkSpec {
