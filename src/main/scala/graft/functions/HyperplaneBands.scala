@@ -85,20 +85,24 @@ case class HyperplaneBands(child: Expression, bands: Int, rowsPerBand: Int)
 }
 
 object HyperplaneBands {
-  /** Register `hyperplane_bands(e, bands, rowsPerBand)` (the latter two
-    * must be integer literals) for use from expr()/spark.sql.
+  /** Build from SQL call-site expressions: `hyperplane_bands(e, bands,
+    * rowsPerBand)` — the latter two must be integer literals.
+    */
+  def fromExpressions(exprs: Seq[Expression]): HyperplaneBands = {
+    def lit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_bands: $what must be an int literal, got $other")
+    }
+    HyperplaneBands(exprs(0), lit(exprs(1), "bands"),
+      lit(exprs(2), "rowsPerBand"))
+  }
+
+  /** Register `hyperplane_bands(e, bands, rowsPerBand)` for use from
+    * expr()/spark.sql in an already-built session (the
+    * [[GraftExtensions]] route covers cluster-wide installation).
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_bands",
-      exprs => {
-        def lit(e: Expression, what: String): Int = e match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"hyperplane_bands: $what must be an int literal, got $other")
-        }
-        HyperplaneBands(exprs(0), lit(exprs(1), "bands"),
-          lit(exprs(2), "rowsPerBand"))
-      },
-      "scala_udf")
+      "hyperplane_bands", fromExpressions, "scala_udf")
 }

@@ -56,6 +56,31 @@ class CosineSimilaritySpec extends SparkSpec {
   }
 }
 
+class GraftExtensionsSpec extends SparkSpec {
+  test("SparkSessionExtensions route installs the native functions") {
+    val base = spark // make sure the shared context is up
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    // new session object on the SAME SparkContext, with extensions wired
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT cosine_sim(array(1D, 0D), array(1D, 0D)) AS c," +
+          " hyperplane_bands(array(1D, 0D), 2, 2) AS b")
+        .collect().head
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getSeq[Int](1).length === 2)
+    } finally {
+      // restore the suite-shared session (do NOT stop s2 — shared context)
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+}
+
 class SkewJoinSpec extends SparkSpec {
   import spark.implicits._
 

@@ -144,4 +144,25 @@ class TableEtlSpec extends SparkSpec {
     // the registry must not
     assert(runs === 1)
   }
+
+  test("RunRegistry stays exactly-once under concurrent consumers") {
+    val base = Files.createTempDirectory("graft_conc").toString
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counting = new graft.sources.UpstreamSource {
+      override def load(s: org.apache.spark.sql.SparkSession, t: String)
+          : DataFrame = { runs.incrementAndGet(); ordersDf }
+    }
+    val c = EtlContext(spark, counting, base, clock = t0)
+    val bronze = ordersNode(c)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // 8 consumers race for the same upstream: one Future executes,
+    // everyone else blocks on it and reads the memoized dataset
+    val fs = (1 to 8).map(_ => Future { c.registry.runOnce(bronze) })
+    val results = fs.map(Await.result(_, 2.minutes))
+    assert(runs.get() === 1)
+    assert(results.forall(_.data.count() === 2))
+  }
 }
