@@ -28,6 +28,44 @@ object ExtQueries {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
   private def stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The engine-portable hash family shared by fingerprinting, MinHash
+    * and SimHash: one polynomial base (rolling Rabin-Karp) hash per
+    * string (fold of char codes mod p, p = 2³¹−1 prime), then affine
+    * transforms h_i = (a_i·h + b_i) mod p — the classic universal-hash
+    * construction. Pure 64-bit integer arithmetic with every
+    * intermediate < 2⁶², so Spark and DuckDB compute identical values
+    * (murmur3/xxhash64, which round 1 used, are Spark-internal and made
+    * those queries rows-only-checkable).
+    * NOTE: defined BEFORE every val that bakes these into an oracle
+    * string — Scala object vals initialize in declaration order.
+    */
+  private val mhP = 2147483647L
+  private def mhA(i: Int): Long = {
+    val v = (1103515245L * (i + 1) + 12345L) % mhP
+    if (v == 0) 1L else v
+  }
+  private def mhB(i: Int): Long = (1103515245L * (i + 101) + 12345L) % mhP
+  /** Spark rendering of the base hash (fold of char codes, mod p). */
+  private def mhBaseSpark(col: String, mult: Int = 31, salt: Int = 7)
+      : String =
+    s"aggregate(transform(sequence(1, length($col)), p -> " +
+      s"cast(ascii(substring($col, p, 1)) as bigint)), ${salt}L, " +
+      s"(h, c) -> (h * $mult + c) % $mhP)"
+  /** DuckDB rendering — list_reduce has no init, so the init is the
+    * prepended first element.
+    */
+  private def mhBaseDuck(col: String, mult: Int = 31, salt: Int = 7)
+      : String =
+    s"list_reduce([CAST($salt AS BIGINT)] || list_transform(" +
+      s"range(1, length($col) + 1), p -> " +
+      s"CAST(ascii(substring($col, p, 1)) AS BIGINT)), " +
+      s"(h, c) -> (h * $mult + c) % $mhP)"
+  /** Band key from `rows` consecutive min-hashes: base-31 combine (values
+    * < 2³¹·31³ < 2⁴⁶ — no overflow, no collision-relevant loss).
+    */
+  private def mhBandKey(hs: Seq[String]): String =
+    hs.reduce((acc, h) => s"($acc * 31 + $h)")
+
   /** Word-3-gram shingles, distinct per doc (shared by the dedup family).
     * One row per (doc_id, gram) — the inverted-index representation that
     * scales: candidate pairs come from gram-key joins, never all-pairs.
@@ -65,7 +103,8 @@ object ExtQueries {
     g.join(rare, Seq("gram")).select(col("doc_id"), col("gram"))
   }
 
-  /** Document fingerprinting + token counting: md5 content hash,
+  /** Document fingerprinting + token counting: md5 content hash, a
+    * Rabin-Karp rolling polynomial hash (the [[mhBaseSpark]] family),
     * whitespace token count, the chars/4 BPE-style estimate, and a real
     * BPE-ish regex pre-tokenizer count (letter runs | digit runs |
     * single non-alphanumeric — the GPT-2-style split shape; the simple
@@ -82,13 +121,15 @@ object ExtQueries {
           ceil($"n_chars" / 4.0).as("tokens_bpe_est"),
           size(expr(
             """regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"""))
-            .cast("bigint").as("tokens_regex"))
+            .cast("bigint").as("tokens_regex"),
+          expr(mhBaseSpark("text")).as("rolling_hash"))
         .orderBy($"doc_id")
     },
     Some(s"""SELECT doc_id, md5(text) AS fingerprint,
             |       len(string_split(text, ' ')) AS tokens_ws,
             |       CAST(CEIL(n_chars / 4.0) AS BIGINT) AS tokens_bpe_est,
-            |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS tokens_regex
+            |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS tokens_regex,
+            |       ${mhBaseDuck("text")} AS rolling_hash
             |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** Exact dedup, keep-first: one representative doc per (lang, source)
@@ -159,41 +200,6 @@ object ExtQueries {
            |JOIN sz sb ON doc_b = sb.doc_id
            |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin))
-
-  /** The engine-portable MinHash family: one polynomial base hash per
-    * gram (fold of char codes mod p, p = 2³¹−1 prime), then K affine
-    * transforms h_i = (a_i·h + b_i) mod p — the classic universal-hash
-    * MinHash construction. Pure 64-bit integer arithmetic with every
-    * intermediate < 2⁶², so Spark and DuckDB compute identical values
-    * (murmur3, which round 1 used, is Spark-internal and made the query
-    * rows-only-checkable).
-    */
-  private val mhP = 2147483647L
-  private def mhA(i: Int): Long = {
-    val v = (1103515245L * (i + 1) + 12345L) % mhP
-    if (v == 0) 1L else v
-  }
-  private def mhB(i: Int): Long = (1103515245L * (i + 101) + 12345L) % mhP
-  /** Spark rendering of the base hash (fold of char codes, mod p). */
-  private def mhBaseSpark(col: String, mult: Int = 31, salt: Int = 7)
-      : String =
-    s"aggregate(transform(sequence(1, length($col)), p -> " +
-      s"cast(ascii(substring($col, p, 1)) as bigint)), ${salt}L, " +
-      s"(h, c) -> (h * $mult + c) % $mhP)"
-  /** DuckDB rendering — list_reduce has no init, so the init is the
-    * prepended first element.
-    */
-  private def mhBaseDuck(col: String, mult: Int = 31, salt: Int = 7)
-      : String =
-    s"list_reduce([CAST($salt AS BIGINT)] || list_transform(" +
-      s"range(1, length($col) + 1), p -> " +
-      s"CAST(ascii(substring($col, p, 1)) AS BIGINT)), " +
-      s"(h, c) -> (h * $mult + c) % $mhP)"
-  /** Band key from `rows` consecutive min-hashes: base-31 combine (values
-    * < 2³¹·31³ < 2⁴⁶ — no overflow, no collision-relevant loss).
-    */
-  private def mhBandKey(hs: Seq[String]): String =
-    hs.reduce((acc, h) => s"($acc * 31 + $h)")
 
   /** MinHash + LSH banding candidates: 16 portable min-hashes per doc
     * over its doc-frequency-capped shingles (see [[cappedGrams]]),
@@ -876,6 +882,74 @@ object ExtQueries {
            |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin))
 
+  /** Spark's NATIVE session-window operator (session_window, batch form —
+    * the same column works under streaming): 30-min-gap sessions per
+    * user. Semantics differ from the lag-based [[extSessionize]] at a gap
+    * of EXACTLY 30 min (session_window closes at gap ≥ window, the lag
+    * formulation at gap > window), so the oracle uses `>=`; window end
+    * is last-event-ts + gap by definition.
+    */
+  val extSessionWindow = Q(
+    "ext_session_window",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"w.start".as("session_start"),
+          $"w.end".as("session_end"), $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH flagged AS (
+           |  SELECT user_id, event_id, ts,
+           |         CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+           |              THEN 1 ELSE 0 END AS new_sess
+           |  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           |               LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+           |                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+           |        FROM events)),
+           |sess AS (
+           |  SELECT user_id, ts,
+           |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           |  FROM flagged)
+           |SELECT user_id, MIN(ts) AS session_start,
+           |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           |       COUNT(*) AS n_events
+           |FROM sess GROUP BY user_id, session_idx
+           |ORDER BY user_id, session_start""".stripMargin))
+
+  /** Structured Streaming SLIDING windows (10-min window, 5-min slide):
+    * every event lands in exactly two overlapping windows. The oracle
+    * replicates via two shifted 5-min buckets per event.
+    */
+  val extStreamSlidingCounts = Q(
+    "ext_stream_sliding_counts",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_sliding_" + math.abs(dir.hashCode).toString
+      graft.streaming.StreamOps.runToCompletion(
+        s, streamSourceDir(dir, "sliding"), eventsStreamSchema,
+        df => graft.streaming.StreamOps.windowedEventCounts(
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+          "10 minutes", "10 minutes", slide = Some("5 minutes")),
+        name)
+        .select($"window.start".as("window_start"),
+          $"window.end".as("window_end"),
+          $"event_type", $"n_events",
+          $"sum_value".cast("double").as("sum_value"))
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""SELECT ws AS window_start, ws + INTERVAL 10 MINUTE AS window_end,
+           |       event_type, COUNT(*) AS n_events,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           |FROM (SELECT time_bucket(INTERVAL 5 MINUTE, CAST(ts AS TIMESTAMP))
+           |               - k.k * INTERVAL 5 MINUTE AS ws,
+           |             event_type, value
+           |      FROM events, (SELECT unnest([0, 1]) AS k) k)
+           |GROUP BY 1, 2, 3
+           |ORDER BY window_start, event_type""".stripMargin))
+
   /** Structured Streaming stateful sessionization
     * ([[graft.streaming.StreamOps.sessionize]],
     * flatMapGroupsWithState, append mode): 30-min-gap sessions emitted
@@ -1001,7 +1075,7 @@ object ExtQueries {
     extDedupExact, extDedupNgramJaccard,
     extDedupMinhashLsh, extDedupSimhash, extDedupEmbedding, extKnnBrute,
     extKnnNative, extKnnLsh, extKnnIvf, extRangeJoin, extTextQuality,
-    extTextFilter, extLangId, extTopTerms, extSessionize, extMultimodal,
-    extMultimodalFrames, extStreamWindowCounts, extStreamSessionize,
-    extStreamDedup)
+    extTextFilter, extLangId, extTopTerms, extSessionize, extSessionWindow,
+    extMultimodal, extMultimodalFrames, extStreamWindowCounts,
+    extStreamSlidingCounts, extStreamSessionize, extStreamDedup)
 }

@@ -12,15 +12,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** Tumbling-window counts per event type with a watermark for late
-    * data. `complete` output + memory sink lets a static parquet batch
-    * drive the query to a deterministic final state in tests/harness.
+  /** Tumbling- or sliding-window counts per event type with a watermark
+    * for late data (`slide` < `window_` makes each event contribute to
+    * window_/slide overlapping windows). `complete` output + memory sink
+    * lets a static parquet batch drive the query to a deterministic
+    * final state in tests/harness.
     */
   def windowedEventCounts(events: DataFrame, window_ : String = "5 minutes",
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_), col("event_type"))
+      .groupBy(window(col("ts"), window_, slide.getOrElse(window_)),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
           .as("sum_value"))
