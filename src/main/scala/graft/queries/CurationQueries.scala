@@ -1,0 +1,423 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data curation operators beyond the round-1/2 extension set:
+  * deterministic weighted sampling (corpus mixing), repetition-based
+  * quality signals (Gopher-style), BM25 retrieval over corpus statistics,
+  * sub-document chunk-hash dedup (the exact-substring family), SCD-2
+  * change history, a bloom-filter pre-filtered anti-join, and a
+  * stream-stream interval join. Shares the engine-portable polynomial
+  * hash family with [[ExtQueries]] so every deterministic surface has a
+  * DuckDB oracle.
+  *
+  * Determinism rules (same as ExtQueries): double arithmetic is written
+  * as the SAME expression tree on both engines (IEEE ops are exactly
+  * specified, so +,-,*,/ on identical inputs are bit-identical);
+  * multi-term double SUMS are avoided in favor of fixed-order explicit
+  * addition (a grouped SUM's accumulation order is partition-dependent).
+  */
+object CurationQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Deterministic stratified sampling for training-mix construction:
+    * keep a per-source fraction of documents chosen by a hash of the doc
+    * id — reproducible across runs, engines and partitionings (unlike
+    * rand()-based Dataset.sample), and carrying the inverse-probability
+    * weight column downstream estimators need. The polynomial base hash
+    * is LINEAR in the key digits, so on structured key sets (ids in
+    * arithmetic progression) its low-order residues cluster; squaring
+    * (h² + h mod p) breaks the linearity and restores uniform residues —
+    * checked against per-source binomial bounds in CurationSpec.
+    * Per-source rates (200‰..800‰ by source index mod 4) stand in for a
+    * real mixing config. Scale posture: a pure column predicate — no
+    * shuffle, fully pushdown-friendly, works identically on 100 TB.
+    */
+  val extSampleStratified = Q(
+    "ext_sample_stratified",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("sk", concat(lit("smp:"), $"doc_id".cast("string")))
+        .withColumn("h", expr(ExtQueries.mhBaseSpark("sk")))
+        .withColumn("h2", ($"h" * $"h" + $"h") % ExtQueries.mhP)
+        .withColumn("rate_pm",
+          (expr("cast(substring(source, 4, 10) as int)") % 4 + 1) * lit(200))
+        .where($"h2" % 1000 < $"rate_pm")
+        .select($"doc_id", $"source",
+          ($"rate_pm".cast("double") / lit(1000.0d)).as("sample_rate"),
+          (lit(1000.0d) / $"rate_pm".cast("double")).as("weight"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, source,
+            |         'smp:' || CAST(doc_id AS VARCHAR) AS sk,
+            |         (CAST(substring(source, 4, 10) AS INT) % 4 + 1) * 200 AS rate_pm
+            |  FROM documents),
+            |h AS (
+            |  SELECT doc_id, source, rate_pm,
+            |         ${ExtQueries.mhBaseDuck("sk")} AS h
+            |  FROM d)
+            |SELECT doc_id, source,
+            |       CAST(rate_pm AS DOUBLE) / CAST(1000 AS DOUBLE) AS sample_rate,
+            |       CAST(1000 AS DOUBLE) / CAST(rate_pm AS DOUBLE) AS weight
+            |FROM h
+            |WHERE ((h * h + h) % ${ExtQueries.mhP}) % 1000 < rate_pm
+            |ORDER BY doc_id""".stripMargin))
+
+  /** Gopher-style repetition quality signals: distinct-word ratio, top
+    * single-word frequency fraction, top word-bigram fraction (the
+    * "fraction of characters in the most common n-gram" family of
+    * Rae et al. 2021 §A1.1, word-level). Two keyed aggregations per doc
+    * — no all-pairs, no driver loops; ratios are single double divisions
+    * (bit-identical cross-engine).
+    */
+  val extQualityRepetition = Q(
+    "ext_quality_repetition",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+      val wordStats = docs
+        .select($"doc_id", size($"w").as("n_words"), explode($"w").as("word"))
+        .groupBy($"doc_id", $"n_words", $"word")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id", $"n_words")
+        .agg(count(lit(1)).as("n_distinct"), max($"c").as("top_w"))
+      val bigramStats = docs
+        .where(size($"w") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"))
+          .as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id").agg(max($"c").as("top_bg"))
+      wordStats.join(bigramStats, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_words".cast("bigint").as("n_words"),
+          ($"n_distinct".cast("double") / $"n_words".cast("double"))
+            .as("distinct_ratio"),
+          ($"top_w".cast("double") / $"n_words".cast("double"))
+            .as("top_word_frac"),
+          (coalesce($"top_bg", lit(0L)).cast("double")
+            / ($"n_words" - 1).cast("double")).as("top_bigram_frac"))
+        .withColumn("is_repetitive", $"distinct_ratio" < 0.35)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+           |wc AS (
+           |  SELECT doc_id, n_words, word, COUNT(*) AS c
+           |  FROM (SELECT doc_id, len(s) AS n_words, unnest(s) AS word FROM d) t
+           |  GROUP BY 1, 2, 3),
+           |wstats AS (
+           |  SELECT doc_id, n_words, COUNT(*) AS n_distinct, MAX(c) AS top_w
+           |  FROM wc GROUP BY 1, 2),
+           |bg AS (
+           |  SELECT doc_id, unnest(list_transform(range(len(s) - 1),
+           |                 i -> s[i+1] || ' ' || s[i+2])) AS bg
+           |  FROM d WHERE len(s) >= 2),
+           |bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+           |bstats AS (SELECT doc_id, MAX(c) AS top_bg FROM bgc GROUP BY 1)
+           |SELECT w.doc_id, CAST(w.n_words AS BIGINT) AS n_words,
+           |       CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE) AS distinct_ratio,
+           |       CAST(w.top_w AS DOUBLE) / CAST(w.n_words AS DOUBLE) AS top_word_frac,
+           |       CAST(COALESCE(b.top_bg, 0) AS DOUBLE) / CAST(w.n_words - 1 AS DOUBLE) AS top_bigram_frac,
+           |       CAST(w.n_distinct AS DOUBLE) / CAST(w.n_words AS DOUBLE) < 0.35 AS is_repetitive
+           |FROM wstats w LEFT JOIN bstats b ON w.doc_id = b.doc_id
+           |ORDER BY w.doc_id""".stripMargin))
+
+  /** Portable natural log, bit-identical across engines: Spark's
+    * Math.log and DuckDB's libm log may differ in the last ulp (observed
+    * on 5/20 BM25 scores), which fails an exact cross-engine compare.
+    * This formulation uses ONLY operations IEEE 754 requires to be
+    * correctly rounded (+,−,×,÷,sqrt), so any two conforming engines
+    * produce the same bits: ln(x) = 128·artanh(y) with y = x^(1/64) via
+    * six nested sqrts (argument reduction), artanh by a 12-term Horner
+    * series (u = (y−1)/(y+1) ≤ 0.17 for x ≤ 4·10⁹ ⇒ truncation < 1e-19).
+    * Accuracy vs true ln is ~1e-13 relative (sqrt-chain rounding × 128)
+    * — immaterial for scoring; determinism is exact. The returned SQL
+    * fragment references columns `u` and `u2 = u·u` which callers
+    * must stage first (both engines accept the identical fragment).
+    */
+  private[queries] val portableLnOfU: String = {
+    val acc0 = "(CAST(1 AS DOUBLE)/CAST(23 AS DOUBLE))"
+    val horner = (10 to 0 by -1).foldLeft(acc0)((acc, k) =>
+      s"((CAST(1 AS DOUBLE)/CAST(${2 * k + 1} AS DOUBLE)) + u2 * $acc)")
+    s"CAST(128 AS DOUBLE) * u * $horner"
+  }
+  private[queries] val sixSqrt: String => String =
+    x => s"sqrt(sqrt(sqrt(sqrt(sqrt(sqrt($x))))))"
+
+  /** BM25 retrieval (k1=1.2, b=0.75) of a fixed 3-term query over the
+    * corpus: per-doc term frequencies joined with corpus document
+    * frequencies and average doc length, Robertson idf
+    * ln(1 + (N−df+0.5)/(df+0.5)) computed with [[portableLnOfU]] so both
+    * engines produce identical doubles. The three per-term weights are
+    * summed in a FIXED left-to-right order (a grouped double SUM would
+    * be partition-order-dependent). Scale posture: tf is one keyed agg
+    * over the token stream, df/avgdl are tiny broadcast aggregates,
+    * top-k is TakeOrderedAndProject — no global sort.
+    */
+  val extBm25Search = Q(
+    "ext_bm25_search",
+    (s, dir) => {
+      import s.implicits._
+      val terms = Seq("spark", "join", "window")
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+      val dl = docs.select($"doc_id", size($"w").cast("double").as("dl"))
+      val tf = docs
+        .select($"doc_id", explode($"w").as("word"))
+        .where($"word".isin(terms: _*))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).cast("double").as("tf"))
+      val dfreq = tf.groupBy($"word").agg(count(lit(1)).cast("double").as("df"))
+      val corpus = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        sum($"dl").as("sum_dl"))
+      val scored = tf
+        .join(broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+        .withColumn("xarg",
+          lit(1.0d) + ($"n_docs" - $"df" + lit(0.5d)) / ($"df" + lit(0.5d)))
+        .withColumn("y", expr(sixSqrt("xarg")))
+        .withColumn("u", ($"y" - lit(1.0d)) / ($"y" + lit(1.0d)))
+        .withColumn("u2", $"u" * $"u")
+        .withColumn("idf", expr(portableLnOfU))
+        .withColumn("tfw",
+          ($"tf" * lit(2.2d))
+            / ($"tf" + lit(1.2d)
+              * (lit(0.25d) + lit(0.75d) * ($"dl" / ($"sum_dl" / $"n_docs")))))
+        .withColumn("tscore", $"idf" * $"tfw")
+      val perTerm = scored.groupBy($"doc_id").agg(
+        sum(when($"word" === "spark", $"tscore")).as("s1"),
+        sum(when($"word" === "join", $"tscore")).as("s2"),
+        sum(when($"word" === "window", $"tscore")).as("s3"))
+      perTerm
+        .select($"doc_id",
+          (coalesce($"s1", lit(0.0d)) + coalesce($"s2", lit(0.0d))
+            + coalesce($"s3", lit(0.0d))).as("score"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+            |dl AS (SELECT doc_id, CAST(len(s) AS DOUBLE) AS dl FROM d),
+            |tf AS (
+            |  SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+            |  FROM (SELECT doc_id, unnest(s) AS word FROM d) t
+            |  WHERE word IN ('spark', 'join', 'window')
+            |  GROUP BY 1, 2),
+            |dfreq AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+            |corpus AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+            |staged AS (
+            |  SELECT tf.doc_id, tf.word, tf.tf, f.df, dl.dl, c.n_docs, c.sum_dl,
+            |         CAST(1 AS DOUBLE) + (c.n_docs - f.df + CAST(0.5 AS DOUBLE))
+            |           / (f.df + CAST(0.5 AS DOUBLE)) AS xarg
+            |  FROM tf JOIN dfreq f ON tf.word = f.word
+            |  JOIN dl ON tf.doc_id = dl.doc_id
+            |  CROSS JOIN corpus c),
+            |ustage AS (
+            |  SELECT *, (y - CAST(1 AS DOUBLE)) / (y + CAST(1 AS DOUBLE)) AS u
+            |  FROM (SELECT *, ${sixSqrt("xarg")} AS y FROM staged)),
+            |scored AS (
+            |  SELECT doc_id, word,
+            |         ($portableLnOfU)
+            |         * ((tf * CAST(2.2 AS DOUBLE))
+            |            / (tf + CAST(1.2 AS DOUBLE)
+            |               * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+            |                  * (dl / (sum_dl / n_docs))))) AS tscore
+            |  FROM (SELECT *, u * u AS u2 FROM ustage)),
+            |pt AS (
+            |  SELECT doc_id,
+            |         SUM(CASE WHEN word = 'spark' THEN tscore END) AS s1,
+            |         SUM(CASE WHEN word = 'join' THEN tscore END) AS s2,
+            |         SUM(CASE WHEN word = 'window' THEN tscore END) AS s3
+            |  FROM scored GROUP BY 1)
+            |SELECT doc_id,
+            |       COALESCE(s1, CAST(0 AS DOUBLE)) + COALESCE(s2, CAST(0 AS DOUBLE))
+            |         + COALESCE(s3, CAST(0 AS DOUBLE)) AS score
+            |FROM pt
+            |ORDER BY score DESC, doc_id
+            |LIMIT 20""".stripMargin))
+
+  /** Chunk doc-frequency cap (same rationale as
+    * [[ExtQueries.gramDocFreqCap]]): a chunk shared by k docs costs k²
+    * join rows and discriminates nothing once k is large.
+    */
+  private[queries] val chunkDocFreqCap = 5L
+
+  /** Sub-document dedup via CONTENT-DEFINED chunking — the scalable
+    * approximation of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": shared
+    * long substrings signal contamination even when full-doc similarity
+    * is low). Chunk boundaries are chosen by word CONTENT (portable hash
+    * of the word ≡ 0 mod 8 starts a new chunk — the rsync/LBFS trick),
+    * so two documents sharing a long word run produce IDENTICAL interior
+    * chunks regardless of where the run sits in each doc; fixed-stride
+    * chunking would only match runs at equal offsets mod stride.
+    * Expected chunk length 8 words; chunks under 4 words are dropped as
+    * non-discriminative, and the chunk-key self-join applies the same
+    * doc-frequency cap as the gram family ([[chunkDocFreqCap]]) — never
+    * all-pairs. One window + one keyed agg per doc; inverted-index join.
+    */
+  val extDedupChunk = Q(
+    "ext_dedup_chunk",
+    (s, dir) => {
+      import s.implicits._
+      val tok = t(s, dir, "documents")
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .toDF("doc_id", "pos", "word")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val seg = tok
+        .withColumn("bd",
+          when(expr(ExtQueries.mhBaseSpark("word")) % 8 === 0, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum($"bd").over(w))
+      val chunks = seg.groupBy($"doc_id", $"sid")
+        .agg(count(lit(1)).as("nw"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct($"pos", $"word"))),
+            x => x.getField("word"))).as("chunk"))
+        .where($"nw" >= 4)
+        .select($"doc_id", $"chunk").distinct()
+      val rare = chunks.groupBy($"chunk")
+        .agg(count(lit(1)).as("cdf"))
+        .where($"cdf" <= chunkDocFreqCap)
+        .select($"chunk")
+      val capped = chunks.join(rare, Seq("chunk"))
+      capped.as("a")
+        .join(capped.as("b"),
+          col("a.chunk") === col("b.chunk")
+            && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared_chunks"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+            |tok AS (
+            |  SELECT doc_id, unnest(range(1, len(s) + 1)) AS pos,
+            |         unnest(s) AS word
+            |  FROM d),
+            |seg AS (
+            |  SELECT doc_id, pos, word,
+            |         SUM(CASE WHEN ${ExtQueries.mhBaseDuck("word")} % 8 = 0
+            |                  THEN 1 ELSE 0 END)
+            |           OVER (PARTITION BY doc_id ORDER BY pos
+            |                 ROWS UNBOUNDED PRECEDING) AS sid
+            |  FROM tok),
+            |ch AS (
+            |  SELECT doc_id, sid, COUNT(*) AS nw,
+            |         string_agg(word, ' ' ORDER BY pos) AS chunk
+            |  FROM seg GROUP BY 1, 2),
+            |c0 AS (SELECT DISTINCT doc_id, chunk FROM ch WHERE nw >= 4),
+            |rare AS (SELECT chunk FROM c0 GROUP BY 1 HAVING COUNT(*) <= $chunkDocFreqCap),
+            |c AS (SELECT c0.doc_id, c0.chunk FROM c0 JOIN rare USING (chunk))
+            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_chunks
+            |FROM c a JOIN c b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+            |GROUP BY 1, 2
+            |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** SCD type-2 history built from a change stream: each user's event
+    * sequence becomes validity intervals [valid_from, valid_to) with an
+    * is_current flag on the open row — the standard
+    * dimension-change-tracking shape the reference's static dims lack.
+    * One ranking window per user; no self-join (the naive formulation),
+    * no driver loop.
+    */
+  val extScd2History = Q(
+    "ext_scd2_history",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type".as("state"), $"ts")
+        .withColumn("valid_to", lead($"ts", 1).over(w))
+        .select($"user_id", $"event_id", $"state",
+          $"ts".as("valid_from"), $"valid_to",
+          $"valid_to".isNull.as("is_current"))
+        .orderBy($"user_id", $"valid_from", $"event_id")
+    },
+    Some("""SELECT user_id, event_id, event_type AS state,
+           |       CAST(ts AS TIMESTAMP) AS valid_from,
+           |       LEAD(CAST(ts AS TIMESTAMP)) OVER
+           |         (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to,
+           |       LEAD(CAST(ts AS TIMESTAMP)) OVER
+           |         (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL AS is_current
+           |FROM events
+           |ORDER BY user_id, valid_from, event_id""".stripMargin))
+
+  /** Bloom-filter pre-filtered anti-join: drop a blocklist (here: the
+    * non-representative duplicates from the exact-dedup ranking) from
+    * the corpus WITHOUT shuffling the corpus. The bloom filter built
+    * over blocklist keys is broadcast; `mightContain == false` proves
+    * non-membership (no false negatives), so those rows pass with zero
+    * shuffle, and only the bloom-positive sliver takes the exact
+    * left_anti join that removes false positives. Result is exactly the
+    * anti-join — the oracle states it directly. At 100 TB this turns an
+    * all-corpus shuffle into a broadcast probe + a join on ~fpp·N rows.
+    */
+  val extBloomPrefilter = Q(
+    "ext_bloom_prefilter",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+      val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+      val blocklist = t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" > 1)
+        .select($"doc_id")
+      val bf = blocklist.stat.bloomFilter("doc_id", 100000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val typed = docs.as[(Long, String, String, Long)]
+      val definiteKeep = typed
+        .filter(r => !bfB.value.mightContainLong(r._1))
+        .toDF("doc_id", "lang", "source", "n_chars")
+      val maybeBlocked = typed
+        .filter(r => bfB.value.mightContainLong(r._1))
+        .toDF("doc_id", "lang", "source", "n_chars")
+        .join(blocklist, Seq("doc_id"), "left_anti")
+      definiteKeep.unionByName(maybeBlocked).orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars
+           |FROM documents
+           |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Structured Streaming stream-stream interval join
+    * ([[graft.streaming.StreamOps.clickAttribution]]): purchases joined
+    * to the same user's clicks within the preceding 30 minutes, both
+    * sides watermarked so join state expires. Batch-equivalent oracle is
+    * the corresponding range self-join.
+    */
+  val extStreamJoin = Q(
+    "ext_stream_join",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_join_" + math.abs(dir.hashCode).toString
+      graft.streaming.StreamOps.runToCompletion(
+        s, ExtQueries.streamSourceDir(dir, "join"),
+        ExtQueries.eventsStreamSchema,
+        df => graft.streaming.StreamOps.clickAttribution(
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        name, org.apache.spark.sql.streaming.OutputMode.Append)
+        .orderBy($"purchase_id", $"click_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+           |                  CAST(ts AS TIMESTAMP) AS ts FROM events)
+           |SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           |       c.event_id AS click_id, c.ts AS click_ts
+           |FROM e p JOIN e c
+           |  ON c.user_id = p.user_id
+           | AND p.event_type = 'purchase' AND c.event_type = 'click'
+           | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+           |ORDER BY purchase_id, click_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(extSampleStratified, extQualityRepetition,
+    extBm25Search, extDedupChunk, extScd2History, extBloomPrefilter,
+    extStreamJoin)
+}

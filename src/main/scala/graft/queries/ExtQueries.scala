@@ -39,14 +39,14 @@ object ExtQueries {
     * NOTE: defined BEFORE every val that bakes these into an oracle
     * string — Scala object vals initialize in declaration order.
     */
-  private val mhP = 2147483647L
+  private[queries] val mhP = 2147483647L
   private def mhA(i: Int): Long = {
     val v = (1103515245L * (i + 1) + 12345L) % mhP
     if (v == 0) 1L else v
   }
   private def mhB(i: Int): Long = (1103515245L * (i + 101) + 12345L) % mhP
   /** Spark rendering of the base hash (fold of char codes, mod p). */
-  private def mhBaseSpark(col: String, mult: Int = 31, salt: Int = 7)
+  private[queries] def mhBaseSpark(col: String, mult: Int = 31, salt: Int = 7)
       : String =
     s"aggregate(transform(sequence(1, length($col)), p -> " +
       s"cast(ascii(substring($col, p, 1)) as bigint)), ${salt}L, " +
@@ -54,7 +54,7 @@ object ExtQueries {
   /** DuckDB rendering — list_reduce has no init, so the init is the
     * prepended first element.
     */
-  private def mhBaseDuck(col: String, mult: Int = 31, salt: Int = 7)
+  private[queries] def mhBaseDuck(col: String, mult: Int = 31, salt: Int = 7)
       : String =
     s"list_reduce([CAST($salt AS BIGINT)] || list_transform(" +
       s"range(1, length($col) + 1), p -> " +
@@ -797,7 +797,7 @@ object ExtQueries {
     * streaming query normalizes it to µs TimestampType like
     * [[graft.Tables.load]]).
     */
-  private def eventsStreamSchema = {
+  private[queries] def eventsStreamSchema = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
@@ -813,7 +813,7 @@ object ExtQueries {
     * presents the same file multiple times — the duplicate feed for the
     * streaming-dedup surface.
     */
-  private def streamSourceDir(dir: String, tag: String, copies: Int = 1)
+  private[queries] def streamSourceDir(dir: String, tag: String, copies: Int = 1)
       : String = {
     val streamDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir", "/tmp"), s"graft_stream_$tag",

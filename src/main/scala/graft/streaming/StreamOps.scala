@@ -82,6 +82,33 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (click→purchase attribution): each
+    * purchase event joined to the SAME user's click events in the
+    * preceding `windowSeconds`. Both sides carry event-time watermarks
+    * and the join condition bounds click_ts to a finite interval around
+    * purchase_ts, so Spark can expire join state instead of buffering
+    * both streams forever — the state-bounding requirement for
+    * stream-stream joins at scale. Inner join, append mode.
+    */
+  def clickAttribution(events: DataFrame, watermark: String = "10 minutes",
+      windowSeconds: Long = 1800): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("c_user") === col("user_id")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts")
+          - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Drive a streaming query over a static parquet directory to
     * completion and return the final result table (test/harness helper).
     * Complete mode suits unbounded aggregations; Append suits

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.CurationQueries
+
+/** Specs for the training-data curation operators
+  * (graft.queries.CurationQueries). The oracle-backed invariants are
+  * checked against Spark-side recomputations here; the DuckDB
+  * cross-engine check is the harness's job.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stratified sample is deterministic and hits per-source rates") {
+    val a = CurationQueries.extSampleStratified.run(spark, dir)
+    val b = CurationQueries.extSampleStratified.run(spark, dir)
+    assert(a.collect().toSeq === b.collect().toSeq)
+    // per-source observed rate within a loose binomial tolerance of the
+    // configured rate (sources are small at sf0.001 — just bound it)
+    val total = Tables.load(spark, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val kept = a.groupBy($"source")
+      .agg(count(lit(1)).as("k"), first($"sample_rate").as("rate"))
+    val joined = kept.join(total, "source").collect()
+    joined.foreach { r =>
+      val k = r.getAs[Long]("k").toDouble
+      val n = r.getAs[Long]("n").toDouble
+      val rate = r.getAs[Double]("rate")
+      assert(math.abs(k / n - rate) <= 0.35,
+        s"source ${r.getAs[String]("source")}: kept ${k / n}, want ~$rate")
+    }
+    // weights are inverse rates
+    a.select($"sample_rate" * $"weight").collect()
+      .foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("repetition signals: ratios bounded and detect a crafted loop") {
+    import spark.implicits._
+    val base = CurationQueries.extQualityRepetition.run(spark, dir)
+    base.collect().foreach { r =>
+      val dr = r.getAs[Double]("distinct_ratio")
+      val tw = r.getAs[Double]("top_word_frac")
+      assert(dr > 0 && dr <= 1.0)
+      assert(tw > 0 && tw <= 1.0)
+    }
+    // a 50×-repeated bigram must be flagged repetitive via crafted table
+    val tmp = java.nio.file.Files.createTempDirectory("curation_rep")
+    Seq((1L, Array.fill(50)("ab cd").mkString(" "), "en", "src0", 249L),
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "), "en", "src1", 200L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(tmp.resolve("documents.parquet").toString)
+    val crafted = CurationQueries.extQualityRepetition
+      .run(spark, tmp.toString).collect()
+    val loopy = crafted.find(_.getAs[Long]("doc_id") == 1L).get
+    val varied = crafted.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(loopy.getAs[Boolean]("is_repetitive"))
+    assert(loopy.getAs[Double]("top_bigram_frac")
+      > varied.getAs[Double]("top_bigram_frac"))
+    assert(!varied.getAs[Boolean]("is_repetitive"))
+  }
+
+  test("bm25 ranks a doc containing all query terms above one with none") {
+    val scores = CurationQueries.extBm25Search.run(spark, dir).collect()
+    assert(scores.nonEmpty)
+    assert(scores.forall(_.getAs[Double]("score") > 0))
+    // descending, tie-broken by doc_id
+    val pairs = scores.map(r =>
+      (r.getAs[Double]("score"), r.getAs[Long]("doc_id"))).toSeq
+    assert(pairs === pairs.sortBy { case (sc, id) => (-sc, id) })
+    // every scored doc actually contains at least one query term
+    val ids = scores.map(_.getAs[Long]("doc_id")).toSet
+    val withTerm = Tables.load(spark, dir, "documents")
+      .where($"text".rlike("\\b(spark|join|window)\\b"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(withTerm))
+  }
+
+  test("chunk dedup finds a shared run at DIFFERENT offsets, not disjoint docs") {
+    // content-defined boundaries align on the words themselves, so the
+    // 60-word shared run is found even though it starts at offset 3 in
+    // doc 1 and offset 0 in doc 2 (fixed-stride chunking would miss it)
+    val shared = (1 to 60).map(i => s"s$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("curation_chunk")
+    Seq(
+      (1L, s"intro words here $shared tail one", "en", "src0", 0L),
+      (2L, s"$shared completely different ending words", "en", "src1", 0L),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "), "en", "src2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(tmp.resolve("documents.parquet").toString)
+    val pairs = CurationQueries.extDedupChunk.run(spark, tmp.toString)
+      .collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L
+      && r.getAs[Long]("doc_b") == 2L))
+    assert(!pairs.exists(r => r.getAs[Long]("doc_a") == 3L
+      || r.getAs[Long]("doc_b") == 3L))
+  }
+
+  test("scd2 history: one open row per user, intervals chain exactly") {
+    val h = CurationQueries.extScd2History.run(spark, dir)
+    val users = h.select($"user_id").distinct().count()
+    assert(h.where($"is_current").count() === users)
+    // each closed row's valid_to equals the user's next valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"valid_from", $"event_id")
+    val chained = h.withColumn("next_from", lead($"valid_from", 1).over(w))
+    assert(chained.where($"valid_to".isNotNull
+      && ($"valid_to" =!= $"next_from")).count() === 0)
+  }
+
+  test("bloom prefilter equals the exact anti-join it accelerates") {
+    val got = CurationQueries.extBloomPrefilter.run(spark, dir)
+      .collect().toSeq
+    val docs = Tables.load(spark, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang", $"source").orderBy($"doc_id")
+    val want = docs.withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id").collect().toSeq
+    assert(got === want)
+  }
+
+  test("stream-stream join matches the batch range join") {
+    val got = CurationQueries.extStreamJoin.run(spark, dir).collect().toSeq
+    val e = Tables.load(spark, dir, "events")
+    val p = e.where($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"ts".as("purchase_ts"))
+    val c = e.where($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"),
+        $"ts".as("click_ts"))
+    val want = p.join(c, $"cu" === $"user_id"
+        && $"click_ts" <= $"purchase_ts"
+        && $"click_ts" >= $"purchase_ts" - expr("INTERVAL 1800 SECONDS"))
+      .select($"user_id", $"purchase_id", $"purchase_ts",
+        $"click_id", $"click_ts")
+      .orderBy($"purchase_id", $"click_id").collect().toSeq
+    assert(got === want)
+  }
+}
