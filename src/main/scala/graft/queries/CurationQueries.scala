@@ -417,7 +417,91 @@ object CurationQueries {
            | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
            |ORDER BY purchase_id, click_id""".stripMargin))
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * 8-gram with the held-out eval set (docs 0-9 stand in for a
+    * benchmark). The standard contamination test (GPT-3 appendix C /
+    * PaLM-style n-gram overlap) at the standard shingle length class
+    * (8-13 words). The eval gram set is small BY CONSTRUCTION (eval
+    * benchmarks are tiny next to a training corpus), so it broadcasts
+    * and the training side never shuffles — the decontamination shape
+    * that works at 100 TB.
+    */
+  val extDecontaminate = Q(
+    "ext_decontaminate",
+    (s, dir) => {
+      import s.implicits._
+      def grams8(df: DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(w)-8), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))")))
+          .as("gram"))
+      val docs = t(s, dir, "documents")
+      val evalGrams = grams8(docs.where($"doc_id" < 10))
+        .select($"gram").distinct()
+      grams8(docs.where($"doc_id" >= 10))
+        .join(broadcast(evalGrams), Seq("gram"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_contaminated_grams"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH g AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |           range(len(s) - 6),
+           |           i -> s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
+           |                || ' ' || s[i+5] || ' ' || s[i+6] || ' ' || s[i+7] || ' ' || s[i+8]))) AS gram
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+           |  WHERE len(s) >= 8),
+           |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10)
+           |SELECT g.doc_id, COUNT(*) AS n_contaminated_grams
+           |FROM g JOIN ev USING (gram)
+           |WHERE g.doc_id >= 10
+           |GROUP BY 1
+           |ORDER BY doc_id""".stripMargin))
+
+  /** Vocabulary induction + out-of-vocabulary scoring: the top-20 corpus
+    * words by frequency (ties broken lexicographically — deterministic
+    * on both engines) form the vocabulary; each document is scored by
+    * its OOV token fraction — the cheap tokenizer-coverage signal a
+    * pipeline computes before committing to a vocab size. Vocab is
+    * top-k of a keyed word count (broadcastable by construction);
+    * per-doc scoring is one keyed agg over the token stream.
+    */
+  val extVocabOov = Q(
+    "ext_vocab_oov",
+    (s, dir) => {
+      import s.implicits._
+      val tok = t(s, dir, "documents")
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+      val vocab = tok.groupBy($"word").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"word")
+        .limit(20)
+        .select($"word")
+      tok.join(broadcast(vocab).withColumn("in_vocab", lit(1L)),
+          Seq("word"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"doc_id", $"n_tokens",
+          ($"n_oov".cast("double") / $"n_tokens".cast("double"))
+            .as("oov_frac"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           |  FROM documents),
+           |vocab AS (
+           |  SELECT word FROM (
+           |    SELECT word, COUNT(*) AS freq FROM tok GROUP BY 1)
+           |  ORDER BY freq DESC, word LIMIT 20)
+           |SELECT doc_id, COUNT(*) AS n_tokens,
+           |       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |         / CAST(COUNT(*) AS DOUBLE) AS oov_frac
+           |FROM tok LEFT JOIN vocab v ON tok.word = v.word
+           |GROUP BY 1
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(extSampleStratified, extQualityRepetition,
     extBm25Search, extDedupChunk, extScd2History, extBloomPrefilter,
-    extStreamJoin)
+    extStreamJoin, extDecontaminate, extVocabOov)
 }

@@ -125,6 +125,38 @@ class CurationSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("decontamination flags the doc sharing an 8-gram with the eval set") {
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("curation_decon")
+    Seq(
+      (5L, s"eval doc text $run end of it", "en", "src0", 0L),
+      (100L, s"training doc containing $run plus unrelated tail words", "en", "src1", 0L),
+      (200L, (1 to 30).map(i => s"q$i").mkString(" "), "en", "src2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(tmp.resolve("documents.parquet").toString)
+    val flagged = CurationQueries.extDecontaminate.run(spark, tmp.toString)
+      .collect()
+    assert(flagged.map(_.getAs[Long]("doc_id")).toSeq === Seq(100L))
+    assert(flagged.head.getAs[Long]("n_contaminated_grams") >= 3)
+  }
+
+  test("vocab OOV: fractions bounded, token counts exact, deterministic") {
+    val a = CurationQueries.extVocabOov.run(spark, dir)
+    val rows = a.collect()
+    rows.foreach { r =>
+      val f = r.getAs[Double]("oov_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    val counts = Tables.load(spark, dir, "documents")
+      .select($"doc_id", size(split($"text", " ")).cast("bigint").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(
+      r.getAs[Long]("n_tokens") === counts(r.getAs[Long]("doc_id"))))
+    assert(rows.toSeq === CurationQueries.extVocabOov.run(spark, dir)
+      .collect().toSeq)
+  }
+
   test("stream-stream join matches the batch range join") {
     val got = CurationQueries.extStreamJoin.run(spark, dir).collect().toSeq
     val e = Tables.load(spark, dir, "events")
