@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBands].getName,
         "hyperplane_bands"),
       (exprs: Seq[Expression]) => HyperplaneBands.fromExpressions(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (exprs: Seq[Expression]) => PolyHash.fromExpressions(exprs)))
   }
 }

@@ -45,7 +45,7 @@ object CurationQueries {
       import s.implicits._
       t(s, dir, "documents")
         .withColumn("sk", concat(lit("smp:"), $"doc_id".cast("string")))
-        .withColumn("h", expr(ExtQueries.mhBaseSpark("sk")))
+        .withColumn("h", expr(ExtQueries.mhBaseNative(s, "sk")))
         .withColumn("h2", ($"h" * $"h" + $"h") % ExtQueries.mhP)
         .withColumn("rate_pm",
           (expr("cast(substring(source, 4, 10) as int)") % 4 + 1) * lit(200))
@@ -274,7 +274,7 @@ object CurationQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val seg = tok
         .withColumn("bd",
-          when(expr(ExtQueries.mhBaseSpark("word")) % 8 === 0, 1L)
+          when(expr(ExtQueries.mhBaseNative(s, "word")) % 8 === 0, 1L)
             .otherwise(0L))
         .withColumn("sid", sum($"bd").over(w))
       val chunks = seg.groupBy($"doc_id", $"sid")

@@ -45,12 +45,32 @@ object ExtQueries {
     if (v == 0) 1L else v
   }
   private def mhB(i: Int): Long = (1103515245L * (i + 101) + 12345L) % mhP
-  /** Spark rendering of the base hash (fold of char codes, mod p). */
-  private[queries] def mhBaseSpark(col: String, mult: Int = 31, salt: Int = 7)
+  /** Spark rendering of the base hash (fold of char codes, mod p). The
+    * empty-string guard matters: Spark's `sequence(1, 0)` infers step −1
+    * and yields [1, 0] (two phantom positions), where DuckDB's
+    * `range(1, 1)` is empty — without the CASE the engines diverge on
+    * '' (observed: 6727 vs 7). [[graft.functions.PolyHash]] is the
+    * codegen'd equivalent (salt on empty by construction); this HOF
+    * rendering remains the registration-free reference formulation and
+    * the bit-equality witness in PolyHashSpec.
+    */
+  private[graft] def mhBaseSpark(col: String, mult: Int = 31, salt: Int = 7)
       : String =
-    s"aggregate(transform(sequence(1, length($col)), p -> " +
+    s"(CASE WHEN length($col) = 0 THEN ${salt}L ELSE " +
+      s"aggregate(transform(sequence(1, length($col)), p -> " +
       s"cast(ascii(substring($col, p, 1)) as bigint)), ${salt}L, " +
-      s"(h, c) -> (h * $mult + c) % $mhP)"
+      s"(h, c) -> (h * $mult + c) % $mhP) END)"
+
+  /** Codegen'd rendering of the same hash ([[graft.functions.PolyHash]]):
+    * registers the native function in the session and emits the call.
+    * Use on hot paths (per-gram / per-token hashing); bit-identical to
+    * [[mhBaseSpark]] and [[mhBaseDuck]].
+    */
+  private[queries] def mhBaseNative(s: SparkSession, col: String,
+      mult: Int = 31, salt: Int = 7): String = {
+    graft.functions.PolyHash.register(s)
+    s"poly_hash($col, $mult, $salt)"
+  }
   /** DuckDB rendering — list_reduce has no init, so the init is the
     * prepended first element.
     */
@@ -122,7 +142,7 @@ object ExtQueries {
           size(expr(
             """regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"""))
             .cast("bigint").as("tokens_regex"),
-          expr(mhBaseSpark("text")).as("rolling_hash"))
+          expr(mhBaseNative(s, "text")).as("rolling_hash"))
         .orderBy($"doc_id")
     },
     Some(s"""SELECT doc_id, md5(text) AS fingerprint,
@@ -217,7 +237,7 @@ object ExtQueries {
       val bands = 4
       val rows = K / bands
       val g = cappedGrams(s, dir)
-        .withColumn("bh0", expr(mhBaseSpark("gram")))
+        .withColumn("bh0", expr(mhBaseNative(s, "gram")))
       val hashCols = (0 until K).map(i =>
         min(expr(s"(${mhA(i)}L * bh0 + ${mhB(i)}L) % $mhP")).as(s"h$i"))
       val sig = g.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
@@ -316,8 +336,8 @@ object ExtQueries {
       // than the token stream (the values are identical either way, so
       // the oracle, which hashes per occurrence, is unaffected)
       val vocab = tok0.select($"w").distinct()
-        .withColumn("b1", expr(mhBaseSpark("w", 31, 7)))
-        .withColumn("b2", expr(mhBaseSpark("w", 37, 11)))
+        .withColumn("b1", expr(mhBaseNative(s, "w", 31, 7)))
+        .withColumn("b2", expr(mhBaseNative(s, "w", 37, 11)))
       val tok = tok0.join(vocab, Seq("w"))
       val bitCols = (0 until 62).map { i =>
         val src = if (i < 31) s"(b1 >> $i)" else s"(b2 >> ${i - 31})"
