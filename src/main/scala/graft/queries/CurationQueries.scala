@@ -352,18 +352,24 @@ object CurationQueries {
 
   /** Bloom-filter pre-filtered anti-join: drop a blocklist (here: the
     * non-representative duplicates from the exact-dedup ranking) from
-    * the corpus WITHOUT shuffling the corpus. The bloom filter built
-    * over blocklist keys is broadcast; `mightContain == false` proves
-    * non-membership (no false negatives), so those rows pass with zero
-    * shuffle, and only the bloom-positive sliver takes the exact
-    * left_anti join that removes false positives. Result is exactly the
-    * anti-join — the oracle states it directly. At 100 TB this turns an
-    * all-corpus shuffle into a broadcast probe + a join on ~fpp·N rows.
+    * the corpus WITHOUT shuffling the corpus. The serialized bloom
+    * filter built over blocklist keys rides into the plan as a binary
+    * literal probed by Catalyst's native codegen'd
+    * `BloomFilterMightContain` (exposed as `bloom_might_contain` via
+    * [[graft.functions.BloomMightContain]] — a pure column predicate, no
+    * typed-filter lambda, no per-row deserialization).
+    * `might_contain == false` proves non-membership (no false
+    * negatives), so those rows pass with zero shuffle; only the
+    * bloom-positive sliver takes the exact left_anti join that removes
+    * false positives. Result is exactly the anti-join — the oracle
+    * states it directly. At 100 TB this turns an all-corpus shuffle
+    * into a broadcast probe + a join on ~fpp·N rows.
     */
   val extBloomPrefilter = Q(
     "ext_bloom_prefilter",
     (s, dir) => {
       import s.implicits._
+      graft.functions.BloomMightContain.register(s)
       val docs = t(s, dir, "documents")
         .select($"doc_id", $"lang", $"source", $"n_chars")
       val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
@@ -371,15 +377,19 @@ object CurationQueries {
         .withColumn("rn", row_number().over(w))
         .where($"rn" > 1)
         .select($"doc_id")
-      val bf = blocklist.stat.bloomFilter("doc_id", 100000L, 0.01)
-      val bfB = s.sparkContext.broadcast(bf)
-      val typed = docs.as[(Long, String, String, Long)]
-      val definiteKeep = typed
-        .filter(r => !bfB.value.mightContainLong(r._1))
-        .toDF("doc_id", "lang", "source", "n_chars")
-      val maybeBlocked = typed
-        .filter(r => bfB.value.mightContainLong(r._1))
-        .toDF("doc_id", "lang", "source", "n_chars")
+      // size the sketch from the actual blocklist cardinality (one tiny
+      // driver count — it sizes the sketch, it does not iterate rows)
+      val nBlocked = math.max(blocklist.count(), 1000L)
+      val bf = blocklist.stat.bloomFilter("doc_id", nBlocked, 0.01)
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      // the sketch enters the plan as a FOLDABLE expression
+      // (unhex of a literal) — BloomFilterMightContain requires the
+      // bloom side to constant-fold so it deserializes once per task
+      val hex = os.toByteArray.map("%02X".format(_)).mkString
+      val probe = expr(s"bloom_might_contain(unhex('$hex'), doc_id)")
+      val definiteKeep = docs.where(!probe)
+      val maybeBlocked = docs.where(probe)
         .join(blocklist, Seq("doc_id"), "left_anti")
       definiteKeep.unionByName(maybeBlocked).orderBy($"doc_id")
     },
@@ -404,7 +414,8 @@ object CurationQueries {
         ExtQueries.eventsStreamSchema,
         df => graft.streaming.StreamOps.clickAttribution(
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
-        name, org.apache.spark.sql.streaming.OutputMode.Append)
+        name, org.apache.spark.sql.streaming.OutputMode.Append,
+        statePartitions = Some(8))
         .orderBy($"purchase_id", $"click_id")
     },
     Some("""WITH e AS (SELECT event_id, user_id, event_type,

@@ -889,7 +889,7 @@ object ExtQueries {
         s, streamSourceDir(dir, "counts"), eventsStreamSchema,
         df => graft.streaming.StreamOps.windowedEventCounts(
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
-        name)
+        name, statePartitions = Some(8))
         .select($"window.start".as("window_start"),
           $"window.end".as("window_end"),
           $"event_type", $"n_events",
@@ -953,7 +953,7 @@ object ExtQueries {
         df => graft.streaming.StreamOps.windowedEventCounts(
           df.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
           "10 minutes", "10 minutes", slide = Some("5 minutes")),
-        name)
+        name, statePartitions = Some(8))
         .select($"window.start".as("window_start"),
           $"window.end".as("window_end"),
           $"event_type", $"n_events",
@@ -991,7 +991,8 @@ object ExtQueries {
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
             .select($"user_id", $"event_id", $"ts")
             .as[graft.streaming.StreamOps.Event]).toDF(),
-        name, org.apache.spark.sql.streaming.OutputMode.Append)
+        name, org.apache.spark.sql.streaming.OutputMode.Append,
+        statePartitions = Some(8))
         .select($"user_id", $"session_start", $"session_end", $"n_events")
         .orderBy($"user_id", $"session_start")
     },
@@ -1033,7 +1034,8 @@ object ExtQueries {
         s, streamSourceDir(dir, "dedup", copies = 2), eventsStreamSchema,
         df => graft.streaming.StreamOps.dedupStream(
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
-        name, org.apache.spark.sql.streaming.OutputMode.Append)
+        name, org.apache.spark.sql.streaming.OutputMode.Append,
+        statePartitions = Some(8))
         .select($"event_id", $"user_id", $"event_type", $"value")
         .orderBy($"event_id")
     },

@@ -113,19 +113,34 @@ object StreamOps {
     * completion and return the final result table (test/harness helper).
     * Complete mode suits unbounded aggregations; Append suits
     * flatMapGroupsWithState/dedup surfaces.
+    *
+    * `statePartitions` sizes the STATEFUL shuffle for the bounded feed:
+    * a stateful operator commits one state store per shuffle partition
+    * per micro-batch (a stream-stream join commits four), so running a
+    * small test feed at the session's scale-sized partition count pays
+    * 32×(stores) file commits per batch for near-empty stores. The
+    * partition count is locked into the query at start; the session
+    * conf is restored afterwards (results are partition-independent —
+    * every streaming oracle re-verifies under this setting).
     */
   def runToCompletion(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType,
       transform: DataFrame => DataFrame, queryName: String,
-      mode: OutputMode = OutputMode.Complete): DataFrame = {
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
-    val q = transform(stream).writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+      mode: OutputMode = OutputMode.Complete,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      val q = transform(stream).writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
     spark.table(queryName)
   }
 }
