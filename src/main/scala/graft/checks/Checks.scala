@@ -33,6 +33,29 @@ final case class NotNull(columns: Seq[String]) extends Check {
   override def description: String = s"not_null(${columns.mkString(", ")})"
 }
 
+/** expect_column_values_to_not_be_null(mostly = 1 − maxRatio): tolerate
+  * a bounded null fraction — the practical form for optional fields fed
+  * by flaky upstreams.
+  */
+final case class NullRatioBelow(column: String, maxRatio: Double)
+    extends Check {
+  override def description: String = s"null_ratio($column) <= $maxRatio"
+}
+
+/** expect_table_row_count_to_be_between — the cheapest canary for a
+  * broken upstream extract (0 rows) or a runaway join (row explosion).
+  */
+final case class RowCountInRange(lo: Long, hi: Long) extends Check {
+  override def description: String = s"row_count in [$lo, $hi]"
+}
+
+/** expect_column_values_to_be_in_set (categorical domain pin). */
+final case class ValuesInSet(column: String, allowed: Seq[String])
+    extends Check {
+  override def description: String =
+    s"$column in {${allowed.mkString(", ")}}"
+}
+
 final case class CheckViolation(check: Check, detail: String)
 
 object Checks {
@@ -65,6 +88,29 @@ object Checks {
         val pred = cols.map(col(_).isNull).reduce(_ || _)
         val bad = df.where(pred).limit(1).count()
         if (bad > 0) Some(CheckViolation(c, "null values present"))
+        else None
+      case c @ NullRatioBelow(column, maxRatio) =>
+        val row = df.agg(count(lit(1)).as("n"),
+          count(col(column)).as("nn")).first()
+        val n = row.getLong(0)
+        // vacuously true on empty input: a null RATIO bound constrains
+        // composition, not presence — pair with RowCountInRange to catch
+        // empties (unlike MaxInRange, where an undefined max must fail)
+        if (n == 0) None
+        else {
+          val ratio = (n - row.getLong(1)).toDouble / n
+          if (ratio <= maxRatio) None
+          else Some(CheckViolation(c, f"null ratio = $ratio%.4f"))
+        }
+      case c @ RowCountInRange(lo, hi) =>
+        val n = df.count()
+        if (n >= lo && n <= hi) None
+        else Some(CheckViolation(c, s"row count = $n"))
+      case c @ ValuesInSet(column, allowed) =>
+        val bad = df.where(col(column).isNotNull
+          && !col(column).isin(allowed: _*)).limit(1).count()
+        if (bad > 0)
+          Some(CheckViolation(c, "values outside the allowed set"))
         else None
     }
 }

@@ -60,6 +60,32 @@ object RangeJoin {
   }
 }
 
+/** Data-layout technique: range-partitioned, sorted-within-partition
+  * parquet. Each output file then covers a NARROW key range, so parquet's
+  * per-row-group min/max statistics let a selective filter skip whole
+  * files/row groups — at 100 TB the difference between scanning the
+  * corpus and scanning the slice. Results are layout-independent (the
+  * same rows come back); LayoutSpec asserts the locality property
+  * directly: a narrow filter touches a bounded number of files under
+  * this layout but ~all files under hash layout.
+  */
+object RangeLayout {
+
+  def writeRangeLayout(df: DataFrame, path: String, sortCol: String,
+      partitions: Int): Unit =
+    df.repartitionByRange(partitions, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Distinct files actually supplying rows for the given filter —
+    * the observable form of file-level pruning/locality.
+    */
+  def filesTouched(spark: SparkSession, path: String, predicate: String)
+      : Long =
+    spark.read.parquet(path).where(predicate)
+      .select(input_file_name()).distinct().count()
+}
+
 object Bucketing {
 
   /** Persist a table bucketed (and sorted) by the join key. Two tables

@@ -34,4 +34,31 @@ class ChecksSpec extends SparkSpec {
     assert(Checks.evaluate(df, Seq(NotNull(Seq("v")))).isEmpty)
     assert(Checks.evaluate(df, Seq(NotNull(Seq("id")))).nonEmpty)
   }
+
+  test("NullRatioBelow bounds the null fraction; vacuous on empty") {
+    val df = Seq(Some(1), None, Some(3), Some(4)).toDF("id") // 25 % null
+    assert(Checks.evaluate(df, Seq(NullRatioBelow("id", 0.25))).isEmpty)
+    assert(Checks.evaluate(df, Seq(NullRatioBelow("id", 0.2))).nonEmpty)
+    // ratio constrains composition, not presence — empties are the
+    // RowCountInRange check's job (contrast: MaxInRange fails on empty)
+    val empty = Seq.empty[Option[Int]].toDF("id")
+    assert(Checks.evaluate(empty, Seq(NullRatioBelow("id", 0.0))).isEmpty)
+  }
+
+  test("RowCountInRange catches empty extracts and row explosions") {
+    val df = Seq(1, 2, 3).toDF("id")
+    assert(Checks.evaluate(df, Seq(RowCountInRange(1, 10))).isEmpty)
+    assert(Checks.evaluate(df, Seq(RowCountInRange(4, 10))).nonEmpty)
+    assert(Checks.evaluate(df, Seq(RowCountInRange(0, 2))).nonEmpty)
+    val empty = Seq.empty[Int].toDF("id")
+    assert(Checks.evaluate(empty, Seq(RowCountInRange(1, 10))).nonEmpty)
+  }
+
+  test("ValuesInSet pins a categorical domain, ignoring nulls") {
+    val df = Seq(Some("a"), Some("b"), None).toDF("v")
+    assert(Checks
+      .evaluate(df, Seq(ValuesInSet("v", Seq("a", "b")))).isEmpty)
+    assert(Checks
+      .evaluate(df, Seq(ValuesInSet("v", Seq("a")))).nonEmpty)
+  }
 }

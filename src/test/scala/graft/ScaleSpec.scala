@@ -124,3 +124,34 @@ class BucketingSpec extends SparkSpec {
       .set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 }
+
+class RangeLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("range layout localizes a narrow filter to few files") {
+    val li = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout")
+    val ranged = tmp.resolve("ranged").toString
+    val hashed = tmp.resolve("hashed").toString
+    graft.ext.RangeLayout.writeRangeLayout(li, ranged, "l_shipdate", 8)
+    li.repartition(8).write.mode("overwrite").parquet(hashed)
+    // identical data under both layouts
+    assert(spark.read.parquet(ranged).count() === li.count())
+    // a ~1/8th shipdate slice (data spans 1995-01..2001-11): under range
+    // layout its rows live in 1-2 adjacent files; under hash layout they
+    // spread over every file
+    val pred = "l_shipdate >= '1995-01-01' AND l_shipdate < '1995-11-01'"
+    val fRange = graft.ext.RangeLayout.filesTouched(spark, ranged, pred)
+    val fHash = graft.ext.RangeLayout.filesTouched(spark, hashed, pred)
+    assert(fRange <= 3, s"range layout touched $fRange files")
+    assert(fHash >= 7, s"hash layout touched only $fHash files")
+    // and the slice itself is identical (as a multiset — the synthetic
+    // lineitem has duplicate (orderkey, linenumber) pairs, so no short
+    // column list gives a total order)
+    val a = spark.read.parquet(ranged).where(pred)
+      .collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(hashed).where(pred)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+}
