@@ -113,6 +113,17 @@ object ExtQueries {
     */
   private[queries] val gramDocFreqCap = 5L
 
+  /** LSH bucket-population cap shared by the MinHash band join and the
+    * SimHash block join: a bucket with k members contributes k(k−1)/2
+    * candidate pairs, so one bucket a large corpus fraction hashes into
+    * is a quadratic hot key (the same failure mode as an uncapped
+    * boilerplate gram). Members of a dropped bucket still meet through
+    * their other bands/blocks — a hot bucket discriminates nothing —
+    * but candidate recall for pairs whose ONLY shared bucket is hot
+    * drops by design (documented per query).
+    */
+  private[queries] val lshBucketCap = 100L
+
   private[graft] def cappedGrams(s: SparkSession, dir: String,
       maxDocFreq: Long = gramDocFreqCap): DataFrame = {
     val g = grams(s, dir)
@@ -248,8 +259,18 @@ object ExtQueries {
             expr(mhBandKey((b * rows until (b + 1) * rows)
               .map(i => s"h$i"))).as("bh"))): _*)).as("bb"))
         .select($"doc_id", $"bb.band", $"bb.bh")
-      val cand = bandRows.as("x")
-        .join(bandRows.as("y"),
+      // band-bucket population cap (same rationale as the gram df cap):
+      // a bucket holding k docs contributes k² candidate pairs, and a
+      // bucket a large fraction of the corpus hashes into discriminates
+      // nothing — at 100 TB one such bucket is a quadratic straggler.
+      // The oracle applies the identical cap.
+      val okBuckets = bandRows.groupBy($"band", $"bh")
+        .agg(count(lit(1)).as("bpop"))
+        .where($"bpop" <= lshBucketCap)
+        .select($"band", $"bh")
+      val cappedRows = bandRows.join(okBuckets, Seq("band", "bh"))
+      val cand = cappedRows.as("x")
+        .join(cappedRows.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -293,9 +314,13 @@ object ExtQueries {
          |  FROM g GROUP BY 1),
          |bandrows AS (
          |  $bandSelects),
+         |okb AS (
+         |  SELECT band, bh FROM bandrows
+         |  GROUP BY 1, 2 HAVING COUNT(*) <= $lshBucketCap),
+         |cb AS (SELECT bandrows.* FROM bandrows JOIN okb USING (band, bh)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bandrows x JOIN bandrows y
+         |  FROM cb x JOIN cb y
          |    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
          |sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
          |inter AS (
@@ -321,8 +346,11 @@ object ExtQueries {
     * when its differing bits cluster into ≤ 3 of the 4 blocks, so the
     * `hamming ≤ 12` output has recall < 1 by design — acceptable
     * candidate generation (true near-dups sit at d ≈ 0-3), pinned by the
-    * DedupSpec crafted pair. The oracle replicates the exact hash family
-    * and vote in SQL.
+    * DedupSpec crafted pair. Block buckets above [[lshBucketCap]] are
+    * dropped before the self-join (they are the quadratic hot keys and
+    * discriminate nothing); pairs whose only shared block is hot are
+    * additionally missed. The oracle replicates the exact hash family,
+    * vote and cap in SQL.
     */
   val extDedupSimhash = Q(
     "ext_dedup_simhash",
@@ -353,8 +381,18 @@ object ExtQueries {
           struct(lit(b).as("blk"),
             expr(s"(sim >> ${b * 16}) & 65535").as("bv"))): _*)).as("bb"))
         .select($"doc_id", $"sim", $"bb.blk", $"bb.bv")
-      blocks.as("x")
-        .join(blocks.as("y"),
+      // block-bucket population cap ([[lshBucketCap]]): on this corpus a
+      // single block value can be shared by ~30 % of docs (measured: max
+      // population 140/500 at sf0.01) — an uncapped join on it is the
+      // quadratic hot key. True near-dups share all 4 blocks and still
+      // meet via their rarer ones; the oracle applies the identical cap.
+      val okBlocks = blocks.groupBy($"blk", $"bv")
+        .agg(count(lit(1)).as("bpop"))
+        .where($"bpop" <= lshBucketCap)
+        .select($"blk", $"bv")
+      val cappedBlocks = blocks.join(okBlocks, Seq("blk", "bv"))
+      cappedBlocks.as("x")
+        .join(cappedBlocks.as("y"),
           col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -391,10 +429,14 @@ object ExtQueries {
          |         $simBits AS sim
          |  FROM votes),
          |blocks AS (
-         |  $blockSelects)
+         |  $blockSelects),
+         |okb AS (
+         |  SELECT blk, bv FROM blocks
+         |  GROUP BY 1, 2 HAVING COUNT(*) <= $lshBucketCap),
+         |cb AS (SELECT blocks.* FROM blocks JOIN okb USING (blk, bv))
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |       CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
-         |FROM blocks x JOIN blocks y
+         |FROM cb x JOIN cb y
          |  ON x.blk = y.blk AND x.bv = y.bv AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.sim, y.sim)) <= 12
          |ORDER BY doc_a, doc_b""".stripMargin
