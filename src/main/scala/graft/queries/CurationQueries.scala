@@ -512,7 +512,148 @@ object CurationQueries {
            |GROUP BY 1
            |ORDER BY doc_id""".stripMargin))
 
+  /** Deterministic train/valid/test split assignment (90/5/5) by the
+    * squared portable hash of the doc id — the split survives
+    * re-partitioning, re-runs and engine changes, so no document ever
+    * migrates between splits across pipeline versions (the property that
+    * makes held-out sets trustworthy). Output is the per-(source, split)
+    * census — the table a mixing config is audited against.
+    */
+  val extSplitAssign = Q(
+    "ext_split_assign",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("sk", concat(lit("spl:"), $"doc_id".cast("string")))
+        .withColumn("h", expr(ExtQueries.mhBaseNative(s, "sk")))
+        .withColumn("h2", ($"h" * $"h" + $"h") % ExtQueries.mhP)
+        .withColumn("split",
+          when($"h2" % 100 < 90, "train")
+            .when($"h2" % 100 < 95, "valid")
+            .otherwise("test"))
+        .groupBy($"source", $"split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"source", $"split")
+    },
+    Some(s"""WITH h AS (
+            |  SELECT source,
+            |         ${ExtQueries.mhBaseDuck("('spl:' || CAST(doc_id AS VARCHAR))")} AS h
+            |  FROM documents)
+            |SELECT source,
+            |       CASE WHEN ((h * h + h) % ${ExtQueries.mhP}) % 100 < 90 THEN 'train'
+            |            WHEN ((h * h + h) % ${ExtQueries.mhP}) % 100 < 95 THEN 'valid'
+            |            ELSE 'test' END AS split,
+            |       COUNT(*) AS n_docs
+            |FROM h
+            |GROUP BY 1, 2
+            |ORDER BY source, split""".stripMargin))
+
+  /** The COMPOSITE curation pipeline — the stages above chained the way a
+    * production corpus build runs them, as one verified query:
+    * 1. quality gate (the ext_text_filter heuristics) — cheapest first,
+    *    shrinks everything downstream;
+    * 2. exact content dedup (md5 keep-first) among survivors;
+    * 3. benchmark decontamination — drop training docs sharing any
+    *    8-gram with the held-out eval docs (ids < 10), and the eval docs
+    *    themselves;
+    * 4. deterministic train/valid/test assignment.
+    * Output is the doc-level corpus manifest. Every stage is a keyed
+    * shuffle or broadcast probe — composition adds no new scale hazard.
+    */
+  val extCurationPipeline = Q(
+    "ext_curation_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val quality = docs
+        .select($"doc_id", $"text", $"lang", $"source",
+          split($"text", " ").as("w"))
+        .withColumn("n_words", size($"w"))
+        .withColumn("awl",
+          length(regexp_replace($"text", " ", "")).cast("double")
+            / $"n_words")
+        .withColumn("swr",
+          size(expr(s"filter(w, x -> x IN (${ExtQueries.stopSqlList}))"))
+            .cast("double") / $"n_words")
+        .where($"n_words" >= 10 && $"awl" >= 3.0 && $"awl" <= 12.0
+          && $"swr" >= 0.01)
+        .select($"doc_id", $"text", $"lang", $"source", $"w")
+      val wDedup = Window.partitionBy(md5($"text")).orderBy($"doc_id")
+      val deduped = quality
+        .withColumn("rn", row_number().over(wDedup))
+        .where($"rn" === 1)
+      def grams8(df: DataFrame) = df
+        .where(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(w)-8), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))")))
+          .as("gram"))
+      val evalGrams = grams8(
+        docs.select($"doc_id", split($"text", " ").as("w"))
+          .where($"doc_id" < 10))
+        .select($"gram").distinct()
+      val contaminated = grams8(deduped.where($"doc_id" >= 10))
+        .join(broadcast(evalGrams), Seq("gram"))
+        .select($"doc_id").distinct()
+      deduped
+        .where($"doc_id" >= 10)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("sk", concat(lit("spl:"), $"doc_id".cast("string")))
+        .withColumn("h", expr(ExtQueries.mhBaseNative(s, "sk")))
+        .withColumn("h2", ($"h" * $"h" + $"h") % ExtQueries.mhP)
+        .withColumn("split",
+          when($"h2" % 100 < 90, "train")
+            .when($"h2" % 100 < 95, "valid")
+            .otherwise("test"))
+        .select($"doc_id", $"lang", $"source", $"split")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH q AS (
+            |  SELECT doc_id, text, lang, source, s AS w
+            |  FROM (SELECT doc_id, text, lang, source,
+            |               string_split(text, ' ') AS s,
+            |               len(string_split(text, ' ')) AS n_words,
+            |               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            |                 / len(string_split(text, ' ')) AS awl,
+            |               CAST(len(list_filter(string_split(text, ' '),
+            |                        x -> x IN (${ExtQueries.stopSqlList}))) AS DOUBLE)
+            |                 / len(string_split(text, ' ')) AS swr
+            |        FROM documents)
+            |  WHERE n_words >= 10 AND awl >= 3.0 AND awl <= 12.0 AND swr >= 0.01),
+            |dd AS (
+            |  SELECT doc_id, lang, source, w FROM q
+            |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+            |ev AS (
+            |  SELECT DISTINCT unnest(list_distinct(list_transform(
+            |           range(len(s) - 6),
+            |           i -> s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
+            |                || ' ' || s[i+5] || ' ' || s[i+6] || ' ' || s[i+7] || ' ' || s[i+8]))) AS gram
+            |  FROM (SELECT string_split(text, ' ') AS s FROM documents
+            |        WHERE doc_id < 10)
+            |  WHERE len(s) >= 8),
+            |tg AS (
+            |  SELECT doc_id, unnest(list_distinct(list_transform(
+            |           range(len(w) - 6),
+            |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+            |                || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8]))) AS gram
+            |  FROM dd WHERE doc_id >= 10 AND len(w) >= 8),
+            |cont AS (SELECT DISTINCT tg.doc_id FROM tg JOIN ev USING (gram)),
+            |kept AS (
+            |  SELECT dd.doc_id, dd.lang, dd.source
+            |  FROM dd ANTI JOIN cont ON dd.doc_id = cont.doc_id
+            |  WHERE dd.doc_id >= 10),
+            |h AS (
+            |  SELECT doc_id, lang, source,
+            |         ${ExtQueries.mhBaseDuck("('spl:' || CAST(doc_id AS VARCHAR))")} AS h
+            |  FROM kept)
+            |SELECT doc_id, lang, source,
+            |       CASE WHEN ((h * h + h) % ${ExtQueries.mhP}) % 100 < 90 THEN 'train'
+            |            WHEN ((h * h + h) % ${ExtQueries.mhP}) % 100 < 95 THEN 'valid'
+            |            ELSE 'test' END AS split
+            |FROM h
+            |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(extSampleStratified, extQualityRepetition,
     extBm25Search, extDedupChunk, extScd2History, extBloomPrefilter,
-    extStreamJoin, extDecontaminate, extVocabOov)
+    extStreamJoin, extDecontaminate, extVocabOov, extSplitAssign,
+    extCurationPipeline)
 }

@@ -26,7 +26,7 @@ object ExtQueries {
     Tables.load(s, dir, n)
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
-  private def stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
+  private[queries] def stopSqlList = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** The engine-portable hash family shared by fingerprinting, MinHash
     * and SimHash: one polynomial base (rolling Rabin-Karp) hash per

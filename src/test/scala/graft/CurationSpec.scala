@@ -157,6 +157,29 @@ class CurationSpec extends SparkSpec {
       .collect().toSeq)
   }
 
+  test("curation pipeline: invariants of every stage hold on the output") {
+    val manifest = CurationQueries.extCurationPipeline.run(spark, dir)
+    val kept = manifest.collect()
+    assert(kept.nonEmpty)
+    // eval docs excluded
+    assert(kept.forall(_.getAs[Long]("doc_id") >= 10L))
+    // no two kept docs share content (exact-dedup stage)
+    val docs = Tables.load(spark, dir, "documents")
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    val hashes = docs.where($"doc_id".isin(keptIds.toSeq: _*))
+      .select(md5($"text")).collect().map(_.getString(0))
+    assert(hashes.length === hashes.distinct.length)
+    // decontamination: no kept doc shares an 8-gram with the eval set
+    val overlap = CurationQueries.extDecontaminate.run(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds.intersect(overlap).isEmpty)
+    // split census sums to the manifest and is ~90/5/5
+    val bySplit = kept.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.length).toMap
+    assert(bySplit.values.sum === kept.length)
+    assert(bySplit("train").toDouble / kept.length > 0.8)
+  }
+
   test("stream-stream join matches the batch range join") {
     val got = CurationQueries.extStreamJoin.run(spark, dir).collect().toSeq
     val e = Tables.load(spark, dir, "events")
