@@ -100,10 +100,21 @@ abstract class TableEtl(
     * partitions at the advisory size — the same optimize-on-write shape
     * production lakehouses use.
     */
+  /** Per-format reader/writer options: self-describing formats need
+    * none; csv needs its header written and read back (and schema
+    * inference on read — a production deployment would pin an explicit
+    * schema instead).
+    */
+  private def formatOptions(fmt: String): Map[String, String] = fmt match {
+    case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+    case _ => Map.empty
+  }
+
   final def write(ds: EtlDataSet): Unit =
     ds.data.hint("rebalance").write
       .option("mergeSchema", "true")
       .option("partitionOverwriteMode", "dynamic")
+      .options(formatOptions(ds.dataFormat))
       .format(ds.dataFormat)
       .mode("overwrite")
       .partitionBy(ds.partitionKeys: _*)
@@ -149,6 +160,7 @@ abstract class TableEtl(
         // the schema in table metadata (Delta/Iceberg); the contract
         // itself is exercised by TableEtlSpec's evolution round-trip.
         val full = spark.read.option("mergeSchema", "true")
+          .options(formatOptions(dataFormat))
           .format(dataFormat).load(storagePath)
         val filtered =
           if (partitionValues.nonEmpty)

@@ -160,6 +160,22 @@ class TableEtlSpec extends SparkSpec {
       .sorted === Array("100", "101"))
   }
 
+  test("format-parametric lake: orc and csv write/read round-trips") {
+    // the same node definition serves any Spark-supported format — the
+    // reference's Delta-specific writer generalized (SURVEY.md §7.5)
+    for (fmt <- Seq("orc", "csv")) {
+      val base = Files.createTempDirectory(s"graft_$fmt").toString
+      val c = EtlContext(spark, InMemorySource(Map("orders" -> ordersDf)),
+        base, dataFormat = fmt, clock = t0)
+      val node = ordersNode(c)
+      node.run()
+      val ds = node.read()
+      assert(ds.data.count() === 2, s"format $fmt")
+      assert(ds.data.select("order_id").collect().map(_.get(0).toString)
+        .sorted === Array("100", "101"), s"format $fmt")
+    }
+  }
+
   test("RunRegistry stays exactly-once under concurrent consumers") {
     val base = Files.createTempDirectory("graft_conc").toString
     val runs = new java.util.concurrent.atomic.AtomicInteger(0)
