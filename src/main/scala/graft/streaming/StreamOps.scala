@@ -109,6 +109,29 @@ object StreamOps {
         col("click_id"), col("click_ts"))
   }
 
+  /** Streaming front door to the medallion lake: foreachBatch lands each
+    * micro-batch as its own `etl_batch` partition via DYNAMIC partition
+    * overwrite — replaying a batch (restart, retry) rewrites its own
+    * partition instead of appending duplicates, giving idempotent
+    * ingestion without a transaction log (the parquet-terms version of a
+    * Delta MERGE-by-batch-id; StreamOpsSpec pins the replay property).
+    * Downstream TableEtl nodes read the result like any bronze table.
+    */
+  def startLakeSink(stream: DataFrame, targetPath: String,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("etl_batch", lit(id))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("etl_batch")
+          .parquet(targetPath)
+      }
+      .start()
+
   /** Drive a streaming query over a static parquet directory to
     * completion and return the final result table (test/harness helper).
     * Complete mode suits unbounded aggregations; Append suits
