@@ -652,8 +652,122 @@ object CurationQueries {
             |FROM h
             |ORDER BY doc_id""".stripMargin))
 
+  /** Source-level vocabulary overlap matrix: Jaccard similarity of the
+    * distinct-word sets of every source pair — the corpus-composition
+    * diagnostic that surfaces redundant / near-mirror sources before
+    * doc-level dedup spends compute on them. The word-keyed join emits
+    * one row per (word, source-pair); pair cardinality is bounded by
+    * |sources|² (dozens at any corpus size), never by |docs|² — safe by
+    * construction, unlike doc-level inverted indexes which need caps.
+    */
+  val extSourceOverlap = Q(
+    "ext_source_overlap",
+    (s, dir) => {
+      import s.implicits._
+      val vocab = t(s, dir, "documents")
+        .select($"source", explode(split($"text", " ")).as("word"))
+        .distinct()
+      val sizes = vocab.groupBy($"source").agg(count(lit(1)).as("sz"))
+      val inter = vocab.as("a")
+        .join(vocab.as("b"),
+          col("a.word") === col("b.word")
+            && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("source_a") === col("sa.source"))
+        .join(sizes.as("sb"), col("source_b") === col("sb.source"))
+        .select(col("source_a"), col("source_b"),
+          (col("inter").cast("double")
+            / (col("sa.sz") + col("sb.sz") - col("inter")).cast("double"))
+            .as("vocab_jaccard"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""WITH v AS (
+           |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word
+           |  FROM documents),
+           |sz AS (SELECT source, COUNT(*) AS sz FROM v GROUP BY 1),
+           |inter AS (
+           |  SELECT a.source AS source_a, b.source AS source_b,
+           |         COUNT(*) AS inter
+           |  FROM v a JOIN v b ON a.word = b.word AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT source_a, source_b,
+           |       CAST(inter AS DOUBLE)
+           |         / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS vocab_jaccard
+           |FROM inter
+           |JOIN sz sa ON source_a = sa.source
+           |JOIN sz sb ON source_b = sb.source
+           |ORDER BY source_a, source_b""".stripMargin))
+
+  /** Per-label embedding centroid + cohesion: the deterministic,
+    * oracle-checkable complement to the IVF/k-means index (whose fit is
+    * not SQL-reproducible). Each vector gets its cosine to its own
+    * label's centroid — the assignment-quality / cluster-cohesion signal
+    * an embedding pipeline monitors. The per-dimension component sum is
+    * a strict left fold in vec_id order on BOTH engines (bit-identical
+    * doubles: a grouped double SUM is partition-order-dependent, and a
+    * decimal-cast detour founders on the engines disagreeing about
+    * double→decimal rounding at 12 fractional digits — observed). The
+    * ordered fold collects one group's components per (label, dim) key —
+    * bounded by vectors-per-label; at corpus scale swap to the
+    * order-free decimal sum and accept a rows-only check, or tree-fold
+    * in fixed blocks. Centroids are |labels|×dim tiny and broadcast.
+    */
+  val extLabelCentroid = Q(
+    "ext_label_centroid",
+    (s, dir) => {
+      import s.implicits._
+      val comps = t(s, dir, "embeddings")
+        .select($"vec_id", $"label", posexplode($"embedding"))
+        .toDF("vec_id", "label", "pos", "v")
+        .withColumn("v", $"v".cast("double"))
+      val cent = comps.groupBy($"label", $"pos")
+        .agg((expr(
+          "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), x -> x.v), 0D, (a, x) -> a + x)")
+          / count(lit(1)).cast("double")).as("c"))
+        .groupBy($"label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+          .as("cent"))
+      val emb = t(s, dir, "embeddings")
+        .select($"vec_id", $"label",
+          $"embedding".cast("array<double>").as("e"))
+      emb.join(broadcast(cent), Seq("label"))
+        .withColumn("cos_to_centroid",
+          expr(ExtQueries.dotFold.format("e", "cent"))
+            / (expr(s"sqrt(${ExtQueries.dotFold.format("e", "e")})")
+              * expr(s"sqrt(${ExtQueries.dotFold.format("cent", "cent")})")))
+        .select($"vec_id", $"label".cast("int").as("label"),
+          $"cos_to_centroid")
+        .orderBy($"vec_id")
+    },
+    Some("""WITH comps AS (
+           |  SELECT vec_id, label,
+           |         unnest(range(len(embedding))) AS pos,
+           |         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+           |  FROM embeddings),
+           |cd AS (
+           |  SELECT label, pos,
+           |         list_reduce([CAST(0 AS DOUBLE)] || list(v ORDER BY vec_id),
+           |                     (a, b) -> a + b)
+           |           / CAST(COUNT(*) AS DOUBLE) AS c
+           |  FROM comps GROUP BY 1, 2),
+           |cent AS (
+           |  SELECT label, list(c ORDER BY pos) AS cent FROM cd GROUP BY 1),
+           |e AS (
+           |  SELECT vec_id, label,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings)
+           |SELECT e.vec_id, CAST(e.label AS INT) AS label,
+           |       list_reduce(list_transform(range(len(e.e)), i -> e.e[i+1]*c.cent[i+1]), (a,b) -> a+b)
+           |         / (sqrt(list_reduce(list_transform(range(len(e.e)), i -> e.e[i+1]*e.e[i+1]), (a,b) -> a+b))
+           |            * sqrt(list_reduce(list_transform(range(len(c.cent)), i -> c.cent[i+1]*c.cent[i+1]), (a,b) -> a+b))) AS cos_to_centroid
+           |FROM e JOIN cent c ON e.label = c.label
+           |ORDER BY e.vec_id""".stripMargin))
+
   val all: Seq[Q] = Seq(extSampleStratified, extQualityRepetition,
     extBm25Search, extDedupChunk, extScd2History, extBloomPrefilter,
     extStreamJoin, extDecontaminate, extVocabOov, extSplitAssign,
-    extCurationPipeline)
+    extCurationPipeline, extSourceOverlap, extLabelCentroid)
 }

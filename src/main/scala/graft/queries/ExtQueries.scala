@@ -442,7 +442,7 @@ object ExtQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     })
 
-  private val dotFold =
+  private[queries] val dotFold =
     "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
   /** Brute-force exact cosine top-5 neighbors for the first 10 vectors:

@@ -180,6 +180,30 @@ class CurationSpec extends SparkSpec {
     assert(bySplit("train").toDouble / kept.length > 0.8)
   }
 
+  test("source overlap: full pair matrix, jaccard bounded, symmetric-free") {
+    val m = CurationQueries.extSourceOverlap.run(spark, dir).collect()
+    val nSources = Tables.load(spark, dir, "documents")
+      .select($"source").distinct().count().toInt
+    assert(m.length === nSources * (nSources - 1) / 2)
+    m.foreach { r =>
+      val j = r.getAs[Double]("vocab_jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      // doc_a < doc_b convention: each unordered pair appears once
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+  }
+
+  test("label centroid: one cosine per vector, bounded, deterministic") {
+    val a = CurationQueries.extLabelCentroid.run(spark, dir).collect()
+    assert(a.length === Tables.load(spark, dir, "embeddings").count())
+    a.foreach { r =>
+      val c = r.getAs[Double]("cos_to_centroid")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+    }
+    val b = CurationQueries.extLabelCentroid.run(spark, dir).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("stream-stream join matches the batch range join") {
     val got = CurationQueries.extStreamJoin.run(spark, dir).collect().toSeq
     val e = Tables.load(spark, dir, "events")
