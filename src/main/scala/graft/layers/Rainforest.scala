@@ -242,12 +242,19 @@ final class Rainforest(val ctx: EtlContext) {
     * the categories array; order_date derives from created_ts — the
     * reference's divergence from daily_order_metrics, replicated
     * (etl/layers/gold/daily_category_metrics.py:109-131).
-    * Divergence: exact `percentile` instead of the reference's
-    * `percentile_approx` median (SURVEY.md §7.5 accepted alternative) —
-    * same statistic, but deterministic and DuckDB-QUANTILE_CONT-matchable;
-    * the percentile input is cast to double so both engines interpolate
-    * lo + f·(hi−lo) on identical doubles. The mean denominator is the
-    * non-null count, matching `mean()` NULL semantics.
+    * Median is `percentile_approx` at the default accuracy (10000), the
+    * reference's own choice (daily_category_metrics.py:130) and the
+    * bounded-memory one: the Greenwald-Khanna sketch holds O(accuracy)
+    * samples per group, vs exact `percentile`'s ObjectHashAggregate
+    * buffering EVERY value of the hottest (date, category) group — a
+    * 100-TB executor-memory hazard. The sketch is exact while a group
+    * stays under ~accuracy/2 values (no GK compression fires), returning
+    * the element of rank ceil(n/2) — which is DuckDB QUANTILE_DISC's
+    * 0.5 convention exactly, so the sf0.01 oracle stays hash-green; at
+    * production scale the same code degrades gracefully to a ±1/accuracy
+    * rank error instead of an OOM. Input cast to double so both engines
+    * rank identical doubles. The mean denominator is the non-null count,
+    * matching `mean()` NULL semantics.
     */
   val dailyCategoryMetrics = new DerivedNode(ctx, "daily_category_metrics",
     "gold", Seq("order_date", "category"), Seq(wideOrderItems),
@@ -262,7 +269,7 @@ final class Rainforest(val ctx: EtlContext) {
       .groupBy("order_date", "category")
       .agg((sum("actual_price").cast("double") / count(col("actual_price")))
           .as("mean_actual_price"),
-        expr("percentile(cast(actual_price as double), 0.5)")
+        expr("percentile_approx(cast(actual_price as double), 0.5, 10000)")
           .as("median_actual_price")))
 
   val bronze: Seq[BronzeNode] = Seq(appuser, seller, buyer, product, brand,

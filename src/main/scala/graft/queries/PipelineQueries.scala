@@ -157,12 +157,16 @@ object PipelineQueries {
             |ORDER BY order_id""".stripMargin))
 
   /** Category report through the framework: J5/J6 + A3 collect_list +
-    * G1 explode + A2 struct-keyed agg with exact-percentile median
-    * (SURVEY.md §7.5 divergence from the reference's percentile_approx,
-    * documented at the node). The struct grouping key is unpacked for a
-    * stable comparable shape; the oracle re-derives the whole lineage —
-    * order_item arithmetic, seller is_active filter, p_type category
-    * ranking — in plain DuckDB SQL with QUANTILE_CONT as the median.
+    * G1 explode + A2 struct-keyed agg with a percentile_approx median
+    * (reference semantics, bounded memory per group — rationale at the
+    * [[graft.layers.Rainforest.dailyCategoryMetrics]] node). The struct
+    * grouping key is unpacked for a stable comparable shape; the oracle
+    * re-derives the whole lineage — order_item arithmetic, seller
+    * is_active filter, p_type category ranking — in plain DuckDB SQL.
+    * QUANTILE_DISC(0.5) is the median oracle: both engines return the
+    * data element of rank ceil(n/2), exact and bit-identical as long as
+    * sf0.01 group sizes stay below the sketch's compression threshold
+    * (they are ~25 rows vs ~5000).
     */
   val dailyCategoryReport = Q(
     "pipeline_daily_category_report",
@@ -193,7 +197,7 @@ object PipelineQueries {
            |  FROM part p JOIN cat c ON p.p_type = c.name)
            |SELECT oi.order_date, pc.category_id, pc.category_name,
            |       CAST(SUM(oi.actual_price) AS DOUBLE) / COUNT(oi.actual_price) AS mean_revenue,
-           |       QUANTILE_CONT(CAST(oi.actual_price AS DOUBLE), 0.5) AS median_revenue
+           |       QUANTILE_DISC(CAST(oi.actual_price AS DOUBLE), 0.5) AS median_revenue
            |FROM oi
            |JOIN supplier ON oi.seller_id = s_suppkey
            |JOIN pc ON oi.product_id = pc.product_id
