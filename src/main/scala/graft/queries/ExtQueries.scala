@@ -1118,9 +1118,14 @@ object ExtQueries {
 
   /** HyperLogLog++ approximate cardinality (vocabulary size per source)
     * next to the exact count. HLL register-merge is commutative, so the
-    * estimate is deterministic across partitionings — but it is
-    * Spark-internal, so the check is rows-only (no DuckDB oracle; DuckDB's
-    * approx_count_distinct uses a different sketch).
+    * estimate is deterministic across partitionings — but the sketch is
+    * Spark-internal (DuckDB's approx_count_distinct differs), so the
+    * compared output carries the DuckDB-reproducible exact count plus a
+    * `within_5pct` accuracy verdict on the estimate: the driver confirms
+    * both that the exact path agrees AND that the HLL estimate lands
+    * inside its documented error envelope (default rsd 0.05; at sf0.01
+    * cardinalities the sketch is in sparse mode and exact). The raw
+    * estimate itself stays out of the compared columns.
     */
   val extApproxCardinality = Q(
     "ext_approx_cardinality",
@@ -1131,9 +1136,17 @@ object ExtQueries {
         .groupBy($"source")
         .agg(approx_count_distinct($"word").as("vocab_approx"),
           countDistinct($"word").as("vocab_exact"))
+        .select($"source", $"vocab_exact",
+          (abs($"vocab_approx" - $"vocab_exact").cast("double")
+            <= lit(0.05) * $"vocab_exact".cast("double"))
+            .as("within_5pct"))
         .orderBy($"source")
     },
-    None)
+    Some("""SELECT source, COUNT(DISTINCT word) AS vocab_exact,
+           |       TRUE AS within_5pct
+           |FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+           |      FROM documents)
+           |GROUP BY source ORDER BY source""".stripMargin))
 
   val all: Seq[Q] = Seq(extAsOfJoin, extApproxCardinality, extFingerprint,
     extDedupExact, extDedupNgramJaccard,
