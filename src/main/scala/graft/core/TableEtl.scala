@@ -1,7 +1,9 @@
 package graft.core
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.checks.{Check, Checks}
 
@@ -82,8 +84,9 @@ abstract class TableEtl(
     Checks.evaluate(ds.data, checks)
 
   /** Partitioned overwrite, format-parametric
-    * (reference: base_table.py:198-220; `mergeSchema` is honored by Delta
-    * and ignored by parquet — kept for format parity).
+    * (reference: base_table.py:198-220; the reference's Delta
+    * `mergeSchema` write option is replaced by the schema sidecar below —
+    * same evolution contract, carried as table metadata).
     * Divergence: partitionOverwriteMode=dynamic. The reference's plain
     * overwrite drops ALL prior loads on every run, which makes its
     * "latest etl_inserted partition" read trivially single-valued; dynamic
@@ -101,24 +104,103 @@ abstract class TableEtl(
     * production lakehouses use.
     */
   /** Per-format reader/writer options: self-describing formats need
-    * none; csv needs its header written and read back (and schema
-    * inference on read — a production deployment would pin an explicit
-    * schema instead).
+    * none; csv needs its header written and read back. Schema inference
+    * (csv `inferSchema`, parquet footer merging) only happens on the
+    * legacy fallback read of a table that predates the schema sidecar —
+    * every table written by this code pins its exact schema at write
+    * time and reads never infer.
     */
-  private def formatOptions(fmt: String): Map[String, String] = fmt match {
-    case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+  private def formatOptions(fmt: String, legacyInfer: Boolean = false)
+      : Map[String, String] = fmt match {
+    case "csv" if legacyInfer => Map("header" -> "true",
+      "inferSchema" -> "true")
+    case "csv" => Map("header" -> "true")
     case _ => Map.empty
   }
 
-  final def write(ds: EtlDataSet): Unit =
+  // ---- table metadata: the pinned read schema ----
+  // The reference carries schema evolution in Delta's transaction log
+  // (etl/utils/base_table.py:211-217, mergeSchema on write); on plain
+  // files the equivalent is a sidecar: each write() persists the exact
+  // written schema (partition columns included), and read() applies it
+  // with spark.read.schema(...). That removes BOTH per-read footer
+  // merging across the whole partition history (a driver metadata
+  // bottleneck as load count × file count grows) and csv re-inference
+  // (an extra full scan per read, with lossy round-trip types). Old
+  // partitions lacking a later-added column resolve it as NULL under the
+  // pinned schema — the same evolution contract mergeSchema gave us,
+  // now at O(1) planning cost. The `_`-prefix keeps the sidecar
+  // invisible to Spark's file index.
+
+  private def sidecarPath = new Path(storagePath, "_graft_schema.json")
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def persistSchema(schema: StructType): Unit = {
+    val out = fs(sidecarPath).create(sidecarPath, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def pinnedSchema(): Option[StructType] = {
+    val p = sidecarPath
+    if (!fs(p).exists(p)) None
+    else {
+      val in = fs(p).open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(DataType.fromJson(txt).asInstanceOf[StructType])
+    }
+  }
+
+  /** Inverse of Spark's partition-path escaping (%XX, uppercase hex). */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length)
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The latest load's partition directory, by ONE FileSystem listing of
+    * the table root — no Spark job, no file enumeration of older loads.
+    * Decoded `etl_inserted` strings (`yyyy-MM-dd HH:mm:ss[.f…]`) order
+    * lexically = chronologically. Single-partition-key layout only (every
+    * graft table); multi-key tables fall back to the scalar-max read.
+    */
+  private def latestPartitionDir(): Option[Path] = {
+    val root = new Path(storagePath)
+    if (partitionKeys.size != 1 || !fs(root).exists(root)) None
+    else {
+      val key = partitionKeys.head + "="
+      val dirs = fs(root).listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(key))
+      if (dirs.isEmpty) None
+      else Some(dirs
+        .maxBy(s => unescapePath(s.getPath.getName.drop(key.length)))
+        .getPath)
+    }
+  }
+
+  final def write(ds: EtlDataSet): Unit = {
     ds.data.hint("rebalance").write
-      .option("mergeSchema", "true")
       .option("partitionOverwriteMode", "dynamic")
       .options(formatOptions(ds.dataFormat))
       .format(ds.dataFormat)
       .mode("overwrite")
       .partitionBy(ds.partitionKeys: _*)
       .save(ds.storagePath)
+    // latest write wins: the pinned schema is always the newest load's
+    persistSchema(ds.data.schema)
+  }
 
   /** extract → transform → validate (throw on violation) → write-if-enabled
     * (reference: base_table.py:222-240).
@@ -137,11 +219,16 @@ abstract class TableEtl(
   }
 
   /** Consumption path (reference: etl/layers/bronze/orders.py:121-182):
-    * dry-run → cached frame; partitionValues → conjunctive equality filter;
-    * else latest `etl_inserted` partition (scalar max + equality — both
-    * prune to a single partition directory at scan time, so the "latest
-    * run" read touches one load's files no matter how much history the
-    * table holds).
+    * dry-run → cached frame; partitionValues → conjunctive equality filter
+    * (partition pruning drops unselected loads at planning); else the
+    * latest `etl_inserted` partition, located by directory listing and
+    * loaded directly (`basePath` keeps the partition column) — the
+    * "latest run" read plans and touches exactly one load's files no
+    * matter how much history the table holds, with no Spark job spent
+    * finding it. All reads apply the write-time pinned schema: no footer
+    * merging, no csv inference (see the sidecar note above); a table
+    * written before the sidecar existed falls back to the legacy
+    * mergeSchema scalar-max read.
     */
   def read(partitionValues: Map[String, String] = Map.empty): EtlDataSet = {
     val projected: DataFrame =
@@ -150,28 +237,39 @@ abstract class TableEtl(
           s"read() before run() with writeData=false on $name"))
         df.selectExpr(outputColumns: _*)
       } else {
-        // mergeSchema on read gives parquet the reference's Delta-style
-        // schema-evolution contract (etl/utils/base_table.py:211-217
-        // writes with mergeSchema=true): a column added by a later load
-        // resolves against old partitions as NULL instead of failing the
-        // outputColumns projection. Documented degradation vs Delta: the
-        // union schema comes from a footer merge instead of a transaction
-        // log — at very large file counts a real deployment would carry
-        // the schema in table metadata (Delta/Iceberg); the contract
-        // itself is exercised by TableEtlSpec's evolution round-trip.
-        val full = spark.read.option("mergeSchema", "true")
-          .options(formatOptions(dataFormat))
-          .format(dataFormat).load(storagePath)
-        val filtered =
-          if (partitionValues.nonEmpty)
-            full.where(partitionValues
-              .map { case (k, v) => col(k) === lit(v) }
-              .reduce(_ && _))
-          else {
-            val latest = full.agg(max(col("etl_inserted"))).first()
-            if (latest.isNullAt(0)) full
-            else full.where(col("etl_inserted") === lit(latest.get(0)))
-          }
+        val filtered: DataFrame = pinnedSchema() match {
+          case Some(st) if partitionValues.isEmpty =>
+            val reader = spark.read.schema(st)
+              .options(formatOptions(dataFormat)).format(dataFormat)
+            latestPartitionDir() match {
+              case Some(dir) => reader
+                .option("basePath", storagePath).load(dir.toString)
+              case None => reader.load(storagePath) // empty table
+            }
+          case Some(st) =>
+            spark.read.schema(st)
+              .options(formatOptions(dataFormat)).format(dataFormat)
+              .load(storagePath)
+              .where(partitionValues
+                .map { case (k, v) => col(k) === lit(v) }
+                .reduce(_ && _))
+          case None =>
+            // legacy (pre-sidecar) table: footer-merged union schema +
+            // scalar-max latest-partition selection, as the reference
+            // does it (etl/layers/bronze/orders.py:143-160)
+            val full = spark.read.option("mergeSchema", "true")
+              .options(formatOptions(dataFormat, legacyInfer = true))
+              .format(dataFormat).load(storagePath)
+            if (partitionValues.nonEmpty)
+              full.where(partitionValues
+                .map { case (k, v) => col(k) === lit(v) }
+                .reduce(_ && _))
+            else {
+              val latest = full.agg(max(col("etl_inserted"))).first()
+              if (latest.isNullAt(0)) full
+              else full.where(col("etl_inserted") === lit(latest.get(0)))
+            }
+        }
         filtered.selectExpr(outputColumns: _*)
       }
     dataset(projected)

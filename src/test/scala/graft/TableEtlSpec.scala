@@ -125,6 +125,28 @@ class TableEtlSpec extends SparkSpec {
     assert(pinned.where(col("channel").isNull).count() === 2)
   }
 
+  test("latest-partition read plans independently of partition history") {
+    val base = Files.createTempDirectory("graft_hist").toString
+    ordersNode(ctx(t0, base)).run()
+    val second = ordersNode(ctx(t1, base))
+    second.run()
+    // sabotage every data file of the OLDER load: if read() still merged
+    // footers across history (or listed/opened old partitions at all),
+    // planning or execution would now throw. The pinned-schema,
+    // listing-targeted read must not notice.
+    val oldDir = new java.io.File(
+      s"$base/bronze/orders/etl_inserted=2026-01-01 00%3A00%3A00")
+    val corrupted = oldDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(corrupted.nonEmpty) // the escape convention matched a real dir
+    corrupted.foreach { f =>
+      Files.write(f.toPath, "not a parquet footer".getBytes)
+    }
+    val ds = second.read()
+    assert(ds.data.count() === 2)
+    assert(ds.data.select("etl_inserted").distinct().collect()
+      .map(_.getTimestamp(0)).toSeq === Seq(t1.at))
+  }
+
   test("RunRegistry executes a shared upstream exactly once") {
     val base = Files.createTempDirectory("graft_memo").toString
     var runs = 0
