@@ -1,13 +1,15 @@
 package graft.queries
 
+import java.sql.Timestamp
+import java.time.Instant
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.FixedClock
-import graft.layers.{EtlContext, Interface, Rainforest}
-import graft.sources.RainforestFromTpch
+import graft.layers.{BronzeNode, EtlContext, Interface, Rainforest}
+import graft.sources.{InMemorySource, ParquetSource, RainforestFromTpch}
 
 /** Harness queries that run the REAL medallion pipeline (bronze → silver →
   * gold → interface) on the testdata via [[RainforestFromTpch]], then
@@ -291,6 +293,43 @@ object PipelineQueries {
            |JOIN supplier ON l_suppkey = s_suppkey
            |ORDER BY order_item_id""".stripMargin))
 
+  /** S4: partition-pinned consumption — `read(partitionValues)`
+    * (reference: etl/layers/bronze/orders.py:143-146). Two loads under
+    * different fixed clocks land as two `etl_inserted` partitions, the
+    * newer one a strict SUBSET of the older; reading with the older
+    * partition value pinned must return the full older load — proving
+    * the pin selects by partition value, not recency (a latest-partition
+    * read here would see 3 rows, not 5). Own lake root, distinct from
+    * the shared rainforest lake; re-runs are idempotent (fixed clocks +
+    * dynamic partition overwrite).
+    */
+  val pinnedPartitionRead = Q(
+    "pipeline_pinned_partition_read",
+    (s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_lake_pinned/$safe"
+      val older =
+        FixedClock(Timestamp.from(Instant.parse("2026-02-01T00:00:00Z")))
+      val newer =
+        FixedClock(Timestamp.from(Instant.parse("2026-02-02T00:00:00Z")))
+      def regionNode(clock: FixedClock, src: graft.sources.UpstreamSource) =
+        new BronzeNode(EtlContext(s, src, base, clock = clock),
+          "region", "region", Seq("r_regionkey"),
+          Seq("r_regionkey", "r_name"))
+      regionNode(older, ParquetSource(dir)).run()
+      val subset = s.read.parquet(s"$dir/region.parquet")
+        .where(col("r_regionkey") < 3)
+      val n2 = regionNode(newer, InMemorySource(Map("region" -> subset)))
+      n2.run()
+      n2.read(Map("etl_inserted" -> "2026-02-01 00:00:00"))
+        .data.orderBy("r_regionkey")
+    },
+    Some("""SELECT r_regionkey, r_name,
+           |       TIMESTAMP '2026-02-01 00:00:00' AS etl_inserted
+           |FROM region ORDER BY r_regionkey""".stripMargin))
+
   val all: Seq[Q] = Seq(dailyOrderReport, dimBuyer, dimSeller, dimProduct,
-    brgProductCategory, wideOrders, wideOrderItems, dailyCategoryReport)
+    brgProductCategory, wideOrders, wideOrderItems, dailyCategoryReport,
+    pinnedPartitionRead)
 }
