@@ -1,18 +1,30 @@
 package graft.ext
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor: partition the vector
   * space with k-means, then search only the `nprobe` clusters whose
   * centroids are nearest to the query — the classic trade of recall for a
-  * k/nprobe-fold reduction in candidates. At 100 TB: the index build is
-  * one MLlib k-means fit + one assignment pass; search is a centroid
-  * broadcast (k × dim doubles — tiny), a cluster-keyed join (never
-  * all-pairs), and a per-query top-k window.
+  * k/nprobe-fold reduction in candidates. At 100 TB: the index build is a
+  * fixed number of Lloyd passes (each one broadcast-join + keyed agg over
+  * the corpus); search is a centroid broadcast (k × dim doubles — tiny),
+  * a cluster-keyed join (never all-pairs), and a per-query top-k window.
+  *
+  * The k-means fit is a DETERMINISTIC, SQL-reproducible Lloyd's loop
+  * (replacing the earlier MLlib fit, whose k-means|| init is not
+  * reproducible outside Spark): initial centroids are the k
+  * smallest-vec_id vectors; each E-step assigns by squared Euclidean
+  * distance with ties broken on cluster id; each M-step computes
+  * per-dimension means as vec_id-ordered left folds (the bit-identical
+  * cross-engine summation proven by ext_label_centroid); iteration count
+  * is fixed. Empty clusters simply drop out of the M-step group-by —
+  * identically on every engine. Centroids are collected to the driver
+  * between passes and re-broadcast as literals — k × dim doubles, the
+  * same driver sync MLlib's own Lloyd iteration performs; doubles
+  * round-trip the driver bit-exactly. A production run would persist the
+  * base projection across passes; semantics are unchanged without it.
   *
   * Exact cosine within probed clusters reuses the fold formulation
   * (ExtQueries.dotFold) so IVF results are comparable to the brute-force
@@ -23,29 +35,159 @@ object Ivf {
   private val dotFold =
     "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
+  private val sqDistFold =
+    "aggregate(zip_with(%s, %s, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+
+  /** Strict left fold of one group's values in vec_id order — grouped
+    * double SUM is partition-order-dependent; this is not (see
+    * ext_label_centroid's rationale).
+    */
+  private val orderedMean =
+    "aggregate(transform(array_sort(collect_list(struct(vec_id, v))), x -> x.v), 0D, (a, x) -> a + x)"
+
   final case class Index(assigned: DataFrame, centroids: DataFrame)
 
-  /** Build the index: seeded k-means over the embedding column.
-    * `assigned` carries (vec_id, e, nrm, cluster); `centroids` is k rows
-    * of (cluster, ce, cnrm).
+  /** One E-step: nearest centroid by squared Euclidean distance, ties to
+    * the smaller cluster id.
     */
-  def build(emb: DataFrame, k: Int, seed: Long = 42L): Index = {
+  private def assign(base: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"dist", $"cluster")
+    base.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(sqDistFold.format("e", "ce")))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" === 1)
+      .select($"vec_id", $"e", $"nrm", $"cluster")
+  }
+
+  /** One M-step: per-(cluster, dimension) ordered-fold mean, reassembled
+    * into centroid arrays, collected (k × dim doubles) for the next pass.
+    */
+  private def meanCentroids(assigned: DataFrame): Seq[(Int, Seq[Double])] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned
+      .select($"cluster", $"vec_id", posexplode($"e"))
+      .toDF("cluster", "vec_id", "pos", "v")
+      .groupBy($"cluster", $"pos")
+      .agg((expr(orderedMean) / count(lit(1)).cast("double")).as("c"))
+      .groupBy($"cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+        .as("ce"))
+      .as[(Int, Seq[Double])]
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  private def centroidsDf(
+      spark: SparkSession, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cluster", "ce")
+  }
+
+  /** Build the index: `iters` deterministic Lloyd passes from the k
+    * smallest-vec_id seeds. `assigned` carries (vec_id, e, nrm, cluster)
+    * under the FINAL centroids; `centroids` is ≤ k rows of
+    * (cluster, ce, cnrm).
+    */
+  def build(emb: DataFrame, k: Int, iters: Int = 2): Index = {
     val spark = emb.sparkSession
     import spark.implicits._
     val base = emb
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
       .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})"))
-      .withColumn("fv", array_to_vector($"e"))
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("fv")
-      .fit(base)
-    val assigned = model.transform(base)
-      .select($"vec_id", $"e", $"nrm", $"prediction".as("cluster"))
-    val centroids = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.toSeq) }
-      .toDF("cluster", "ce")
-      .withColumn("ce", $"ce".cast("array<double>"))
+    var cents: Seq[(Int, Seq[Double])] = base
+      .orderBy($"vec_id").limit(k)
+      .select($"e").as[Seq[Double]].collect().toSeq
+      .zipWithIndex.map { case (e, i) => (i, e) }
+    for (_ <- 1 to iters)
+      cents = meanCentroids(assign(base, centroidsDf(spark, cents)))
+    val centroids = centroidsDf(spark, cents)
       .withColumn("cnrm", expr(s"sqrt(${dotFold.format("ce", "ce")})"))
-    Index(assigned, centroids)
+    Index(assign(base, centroids.select($"cluster", $"ce")), centroids)
+  }
+
+  // ---- DuckDB oracle generator ----
+  // The same Lloyd loop unrolled as a WITH chain, one (assign, mean) CTE
+  // pair per iteration — every double op mirrors the Spark side
+  // one-to-one (left folds in index order; vec_id-ordered M-step sums;
+  // identical tie-breaks), so the driver's hash compare is exact.
+
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), i -> $a[i+1]*$b[i+1]), (x,y) -> x+y)"
+
+  private def duckSqDist(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), i -> ($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1])), (x,y) -> x+y)"
+
+  private def duckAssign(from: String, cents: String): String =
+    s"""  SELECT vec_id, e, cluster FROM (
+       |    SELECT s.vec_id, s.e, c.cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |             ${duckSqDist("s.e", "c.ce")}, c.cluster) AS rk
+       |    FROM $from s CROSS JOIN $cents c)
+       |  WHERE rk = 1""".stripMargin
+
+  private def duckMean(from: String): String =
+    s"""  SELECT cluster, list(c ORDER BY pos) AS ce FROM (
+       |    SELECT cluster, pos,
+       |           list_reduce([CAST(0 AS DOUBLE)] || list(v ORDER BY vec_id), (x,y) -> x+y)
+       |             / CAST(COUNT(*) AS DOUBLE) AS c
+       |    FROM (SELECT cluster, vec_id, unnest(range(len(e))) AS pos,
+       |                 unnest(e) AS v FROM $from)
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1""".stripMargin
+
+  /** The full build+search as one DuckDB query over `embeddings`,
+    * parameter-matched to [[build]]/[[search]].
+    */
+  def duckOracleSql(
+      k: Int, iters: Int, maxQid: Int, topK: Int, nprobe: Int): String = {
+    val lloyd = (1 to iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""a$i AS (
+         |${duckAssign("e", prev)}),
+         |c$i AS (
+         |${duckMean(s"a$i")})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM e),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+       |         e AS ce
+       |  FROM (SELECT vec_id, e FROM e ORDER BY vec_id LIMIT $k)),
+       |$lloyd,
+       |cent AS (
+       |  SELECT cluster, ce, sqrt(${duckDot("ce", "ce")}) AS cnrm
+       |  FROM c$iters),
+       |af AS (
+       |${duckAssign("e", "cent")}),
+       |asg AS (
+       |  SELECT a.vec_id, a.e, n.nrm, a.cluster
+       |  FROM af a JOIN n ON a.vec_id = n.vec_id),
+       |q AS (
+       |  SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+       |  WHERE vec_id < $maxQid),
+       |probes AS (
+       |  SELECT qid, qe, qn, cluster FROM (
+       |    SELECT q.qid, q.qe, q.qn, c.cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |             ${duckDot("q.qe", "c.ce")} / (q.qn * c.cnrm) DESC,
+       |             c.cluster) AS crank
+       |    FROM q CROSS JOIN cent c)
+       |  WHERE crank <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, s.vec_id AS nid,
+       |         ${duckDot("p.qe", "s.e")} / (p.qn * s.nrm) AS cos
+       |  FROM probes p JOIN asg s ON p.cluster = s.cluster
+       |  WHERE p.qid <> s.vec_id)
+       |SELECT qid, rank, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rank
+       |  FROM cand)
+       |WHERE rank <= $topK ORDER BY qid, rank""".stripMargin
   }
 
   /** Probe the `nprobe` nearest clusters per query, exact cosine inside,

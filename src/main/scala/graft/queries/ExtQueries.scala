@@ -569,21 +569,24 @@ object ExtQueries {
     extKnnBrute.oracle)
 
   /** IVF (k-means inverted-file) approximate nearest neighbor — the
-    * cluster-probing scale path next to the LSH-bucketed variant. K-means
-    * is Spark-internal (seeded but not SQL-reproducible) → rows-only
-    * check; IvfSpec measures recall against the brute-force baseline.
+    * cluster-probing scale path next to the LSH-bucketed variant. The fit
+    * is a deterministic Lloyd's loop (smallest-vec_id seeds, fixed
+    * iterations, ordered-fold means — see [[graft.ext.Ivf]]), so the
+    * WHOLE build+search replays in DuckDB and the row is hash-compared;
+    * IvfSpec still measures recall against the brute-force baseline.
     */
   val extKnnIvf = Q(
     "ext_knn_cosine_ivf",
     (s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val index = graft.ext.Ivf.build(emb, k = 16)
+      val index = graft.ext.Ivf.build(emb, k = 16, iters = 2)
       graft.ext.Ivf
         .search(index, emb.where($"vec_id" < 10), topK = 5, nprobe = 4)
         .orderBy($"qid", $"rank")
     },
-    None)
+    Some(graft.ext.Ivf
+      .duckOracleSql(k = 16, iters = 2, maxQid = 10, topK = 5, nprobe = 4)))
 
   /** Embedding-cosine near-dup pairs (the fifth dedup family member):
     * candidates from [[graft.ext.SignLsh]] multi-band random-hyperplane
