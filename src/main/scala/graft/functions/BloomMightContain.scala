@@ -15,8 +15,13 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expre
   * predicate — no typed-filter lambda, no per-row deserialization.
   */
 object BloomMightContain {
-  def fromExpressions(exprs: Seq[Expression]): BloomFilterMightContain =
+  def fromExpressions(exprs: Seq[Expression]): BloomFilterMightContain = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        "bloom_might_contain(bloom, key) expects exactly 2 arguments, " +
+          s"got ${exprs.length}")
     BloomFilterMightContain(exprs(0), exprs(1))
+  }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -92,12 +92,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+  def fromExpressions(exprs: Seq[Expression]): CosineSimilarity = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"cosine_sim(a, b) expects exactly 2 arguments, got ${exprs.length}")
+    CosineSimilarity(exprs(0), exprs(1))
+  }
+
   /** Register `cosine_sim(a, b)` in the session's function registry so it
     * is usable from expr()/selectExpr/spark.sql.
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "scala_udf")
+      "cosine_sim", fromExpressions, "scala_udf")
 }

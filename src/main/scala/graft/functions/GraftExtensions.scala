@@ -21,7 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => CosineSimilarity.fromExpressions(exprs)))
     ext.injectFunction((
       FunctionIdentifier("hyperplane_bands"),
       new ExpressionInfo(classOf[HyperplaneBands].getName,

@@ -89,6 +89,10 @@ object HyperplaneBands {
     * rowsPerBand)` — the latter two must be integer literals.
     */
   def fromExpressions(exprs: Seq[Expression]): HyperplaneBands = {
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        "hyperplane_bands(e, bands, rowsPerBand) expects exactly 3 " +
+          s"arguments, got ${exprs.length}")
     def lit(e: Expression, what: String): Int = e match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(

@@ -79,6 +79,10 @@ object PolyHash {
     * — mult and salt must be integer literals.
     */
   def fromExpressions(exprs: Seq[Expression]): PolyHash = {
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        "poly_hash(str, mult, salt) expects exactly 3 arguments, " +
+          s"got ${exprs.length}")
     def lit(e: Expression, what: String): Int = e match {
       case Literal(v: Int, IntegerType) => v
       case other => throw new IllegalArgumentException(

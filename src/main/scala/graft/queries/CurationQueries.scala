@@ -458,7 +458,7 @@ object CurationQueries {
     },
     Some("""WITH g AS (
            |  SELECT doc_id, unnest(list_distinct(list_transform(
-           |           range(len(s) - 6),
+           |           range(len(s) - 7),
            |           i -> s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
            |                || ' ' || s[i+5] || ' ' || s[i+6] || ' ' || s[i+7] || ' ' || s[i+8]))) AS gram
            |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
@@ -624,7 +624,7 @@ object CurationQueries {
             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
             |ev AS (
             |  SELECT DISTINCT unnest(list_distinct(list_transform(
-            |           range(len(s) - 6),
+            |           range(len(s) - 7),
             |           i -> s[i+1] || ' ' || s[i+2] || ' ' || s[i+3] || ' ' || s[i+4]
             |                || ' ' || s[i+5] || ' ' || s[i+6] || ' ' || s[i+7] || ' ' || s[i+8]))) AS gram
             |  FROM (SELECT string_split(text, ' ') AS s FROM documents
@@ -632,7 +632,7 @@ object CurationQueries {
             |  WHERE len(s) >= 8),
             |tg AS (
             |  SELECT doc_id, unnest(list_distinct(list_transform(
-            |           range(len(w) - 6),
+            |           range(len(w) - 7),
             |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
             |                || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] || ' ' || w[i+8]))) AS gram
             |  FROM dd WHERE doc_id >= 10 AND len(w) >= 8),

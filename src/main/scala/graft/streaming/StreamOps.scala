@@ -111,17 +111,26 @@ object StreamOps {
 
   /** Streaming front door to the medallion lake: foreachBatch lands each
     * micro-batch as its own `etl_batch` partition via DYNAMIC partition
-    * overwrite — replaying a batch (restart, retry) rewrites its own
-    * partition instead of appending duplicates, giving idempotent
-    * ingestion without a transaction log (the parquet-terms version of a
-    * Delta MERGE-by-batch-id; StreamOpsSpec pins the replay property).
-    * Downstream TableEtl nodes read the result like any bronze table.
+    * overwrite — retrying a FAILED batch rewrites its own partition
+    * instead of appending duplicates (the parquet-terms version of a
+    * Delta MERGE-by-batch-id). The checkpoint is REQUIRED: it pins batch
+    * ids and source offsets, so a restart resumes after the last
+    * committed batch instead of re-reading the source — without it a
+    * restart may re-chunk the input into different batch boundaries,
+    * leaving the prior run's higher-numbered `etl_batch` partitions
+    * behind as duplicates (partition-overwrite idempotence only covers a
+    * batch replayed with the SAME id). StreamingSpec pins both the
+    * same-id replay (checkpoint lost, single batch) and the
+    * multi-batch resume property. Downstream TableEtl nodes read the
+    * result like any bronze table.
     */
   def startLakeSink(stream: DataFrame, targetPath: String,
-      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+      queryName: String, checkpointLocation: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .queryName(queryName)
       .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         batch.withColumn("etl_batch", lit(id))
           .write
@@ -145,6 +154,12 @@ object StreamOps {
     * partition count is locked into the query at start; the session
     * conf is restored afterwards (results are partition-independent —
     * every streaming oracle re-verifies under this setting).
+    *
+    * NOT safe for CONCURRENT streaming queries on one SparkSession: the
+    * conf set/restore races, and the loser could start (or finish the
+    * restore) under the other query's partition count. Fine under the
+    * repo's solo-run discipline; concurrent use would need a cloned
+    * session (`spark.newSession()`) per query instead.
     */
   def runToCompletion(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType,

@@ -87,16 +87,24 @@ class StreamingSpec extends SparkSpec {
   }
 
 
-  test("lake sink lands batches as partitions; replay is idempotent") {
+  test("lake sink lands batches as partitions; same-id replay is idempotent") {
     def ts(min: Long) = new Timestamp(base + min * 60000L)
     val rows = Seq((1L, ts(0), "a"), (2L, ts(1), "b"), (3L, ts(2), "c"))
       .toDF("event_id", "ts", "payload")
     val dir = java.nio.file.Files.createTempDirectory("graft_lake_sink")
     rows.write.mode("overwrite").parquet(s"$dir/in")
     val target = s"$dir/bronze"
+    // checkpoint-LOSS path: each run gets a fresh checkpoint, so batch 0
+    // is re-delivered with the same id and the dynamic partition
+    // overwrite rewrites etl_batch=0 instead of duplicating it (the
+    // single-batch case; multi-batch resume needs the shared checkpoint —
+    // next test)
+    var run = 0
     def ingestOnce(): Unit = {
+      run += 1
       val stream = spark.readStream.schema(rows.schema).parquet(s"$dir/in")
-      val q = StreamOps.startLakeSink(stream, target, "lake_sink_spec")
+      val q = StreamOps.startLakeSink(stream, target, "lake_sink_spec",
+        s"$dir/chk$run")
       try q.processAllAvailable()
       finally q.stop()
     }
@@ -104,13 +112,50 @@ class StreamingSpec extends SparkSpec {
     val first = spark.read.parquet(target)
     assert(first.count() === 3)
     assert(first.columns.contains("etl_batch"))
-    // a fresh run re-delivers batch 0 (no shared checkpoint): the dynamic
-    // partition overwrite rewrites etl_batch=0 instead of duplicating it
     ingestOnce()
     val second = spark.read.parquet(target)
     assert(second.count() === 3)
     assert(second.select("event_id").collect().map(_.getLong(0)).sorted
       .toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("lake sink checkpoint resumes across micro-batches without duplicates") {
+    def ts(min: Long) = new Timestamp(base + min * 60000L)
+    def file(id: Long, p: String, dir: String): Unit =
+      Seq((id, ts(id), p)).toDF("event_id", "ts", "payload")
+        .write.mode("append").parquet(dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake_resume")
+    val schema = Seq((1L, ts(0), "x")).toDF("event_id", "ts", "payload")
+      .schema
+    val target = s"$dir/bronze"
+    val chk = s"$dir/chk" // SHARED across restarts
+    // maxFilesPerTrigger=1 → one micro-batch per file, so the run spans
+    // multiple batch ids — the shape whose restart (without a checkpoint)
+    // could re-chunk the source into fewer batches and leave the prior
+    // run's higher etl_batch partitions behind as duplicates
+    def ingest(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      val q = StreamOps.startLakeSink(stream, target, "lake_resume_spec",
+        chk)
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    file(1L, "a", s"$dir/in")
+    file(2L, "b", s"$dir/in")
+    ingest()
+    val first = spark.read.parquet(target)
+    assert(first.count() === 2)
+    assert(first.select("etl_batch").distinct().count() === 2)
+    // new data arrives while the query is down; the restart must resume
+    // AFTER the committed batches — only the new file becomes a batch
+    file(3L, "c", s"$dir/in")
+    ingest()
+    val second = spark.read.parquet(target)
+    assert(second.count() === 3)
+    assert(second.select("event_id").collect().map(_.getLong(0)).sorted
+      .toSeq === Seq(1L, 2L, 3L))
+    assert(second.select("etl_batch").distinct().count() === 3)
   }
 
   test("streaming dedup re-admits an id after its watermark state expires") {

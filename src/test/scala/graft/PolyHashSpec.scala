@@ -53,4 +53,21 @@ class PolyHashSpec extends SparkSpec {
       .select(expr("poly_hash(s, 31, 7)").as("h")).collect().head
     assert(r.getAs[Long]("h") === 7L)
   }
+
+  test("wrong arity raises a clear signature error, not IndexOutOfBounds") {
+    PolyHash.register(spark)
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.HyperplaneBands.register(spark)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    for ((sql, want) <- Seq(
+        ("SELECT poly_hash('a', 31)", "expects exactly 3"),
+        ("SELECT cosine_sim(array(1.0D))", "expects exactly 2"),
+        ("SELECT hyperplane_bands(array(1.0D))", "expects exactly 3"))) {
+      val ex = intercept[Throwable] { spark.sql(sql).collect() }
+      assert(messages(ex).exists(_.contains(want)),
+        s"$sql → ${messages(ex).mkString(" | ")}")
+    }
+  }
 }
