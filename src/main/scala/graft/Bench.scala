@@ -1,5 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query seconds.
+  *
+  * Measurement conventions (round 3 — re-baselined in BASELINE.md):
+  *   - queries materialize through the `noop` sink, which executes every
+  *     projected expression. The earlier `.count()` convention let
+  *     Catalyst prune unused columns and sorts under the count, so
+  *     pure-projection queries (fingerprints, hashes) measured only
+  *     their scan.
+  *   - the medallion lake is built ONCE in warmup (the memoizing
+  *     registry then serves the pipeline queries their node reads), so
+  *     `pipeline_*` entries time the report query itself, not 13+ cold
+  *     write jobs of shared lineage — which made those entries amplify
+  *     host-load noise ~13×. The lineage build cost is still reported,
+  *     attributably, as per-node seconds under "lineage".
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,11 +33,22 @@ object Bench {
     // measured query is not charged ~3s of JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    // warm the lake: build the full medallion lineage once, timing each
+    // node; pipeline queries below then measure their reports
+    graft.core.LineageTimings.clear()
+    val tLake0 = System.nanoTime()
+    val rf = graft.queries.PipelineQueries.rainforest(spark, sfDir)
+    rf.gold.foreach(n => rf.ctx.registry.runOnce(n))
+    val lakeSec = (System.nanoTime() - tLake0) / 1e9
+    val lineage = graft.core.LineageTimings.snapshot
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
@@ -37,7 +64,10 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val lin = lineage.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"lineage":$lin,"lineage_total":$lakeSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -82,8 +82,9 @@ final class RunRegistry {
     val f = ran.computeIfAbsent(node.name, _ => Future {
       val t0 = System.nanoTime()
       node.run()
-      System.err.println(
-        f"[graft] ran ${node.name}%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+      val sec = (System.nanoTime() - t0) / 1e9
+      LineageTimings.record(node.name, sec)
+      System.err.println(f"[graft] ran ${node.name}%-24s $sec%8.2fs")
     })
     Await.result(f, Duration.Inf)
     read.computeIfAbsent(node.name, _ => node.read())
@@ -92,6 +93,22 @@ final class RunRegistry {
   /** Read-only variant for `runUpstream = false` consumers. */
   def readOnce(node: TableEtl): EtlDataSet =
     read.computeIfAbsent(node.name, _ => node.read())
+}
+
+/** Process-wide sink for per-node lineage execution times (wall-clock of
+  * each TableEtl.run, as measured inside RunRegistry.runOnce). Bench
+  * drains it into the benchmark JSON so pipeline-query timings are
+  * attributable: the lineage build cost is reported per node, separately
+  * from the report-query time.
+  */
+object LineageTimings {
+  import java.util.concurrent.ConcurrentHashMap
+  import scala.jdk.CollectionConverters._
+
+  private val t = new ConcurrentHashMap[String, Double]()
+  def record(name: String, sec: Double): Unit = t.put(name, sec)
+  def clear(): Unit = t.clear()
+  def snapshot: Map[String, Double] = t.asScala.toMap
 }
 
 object RunRegistry {
