@@ -766,8 +766,53 @@ object CurationQueries {
            |FROM e JOIN cent c ON e.label = c.label
            |ORDER BY e.vec_id""".stripMargin))
 
+  /** Sequence packing for training-batch construction — the GPT-style
+    * concat-and-chunk: documents are concatenated in a deterministic
+    * order (per-source, by doc_id — at corpus scale, by (shard,
+    * position)) and the token stream is cut into fixed
+    * `contextTokens`-sized windows; a document straddling a cut belongs
+    * to every window it overlaps. Emitted per doc: its token count, the
+    * first/last window it lands in, and how many windows it spans — the
+    * manifest a loader needs to materialize packed batches without
+    * re-tokenizing. One keyed cumulative-sum window per source (BIGINT,
+    * exact), no global sort, no shuffle beyond the per-source window —
+    * the same plan at 100 TB.
+    */
+  val extPackSequences = Q(
+    "ext_pack_sequences",
+    (s, dir) => {
+      import s.implicits._
+      val context = 512L
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("bigint").as("tokens"))
+        .withColumn("cum", sum($"tokens").over(w))
+        .select($"doc_id", $"source", $"tokens",
+          expr(s"(cum - tokens) div $context").as("start_chunk"),
+          expr(s"(cum - 1) div $context").as("end_chunk"))
+        .withColumn("n_chunks", $"end_chunk" - $"start_chunk" + lit(1))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, source, tokens,
+           |         SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM d)
+           |SELECT doc_id, source, tokens,
+           |       CAST((cum - tokens) // 512 AS BIGINT) AS start_chunk,
+           |       CAST((cum - 1) // 512 AS BIGINT) AS end_chunk,
+           |       CAST((cum - 1) // 512 - (cum - tokens) // 512 + 1 AS BIGINT) AS n_chunks
+           |FROM c ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(extSampleStratified, extQualityRepetition,
     extBm25Search, extDedupChunk, extScd2History, extBloomPrefilter,
     extStreamJoin, extDecontaminate, extVocabOov, extSplitAssign,
-    extCurationPipeline, extSourceOverlap, extLabelCentroid)
+    extCurationPipeline, extSourceOverlap, extLabelCentroid,
+    extPackSequences)
 }

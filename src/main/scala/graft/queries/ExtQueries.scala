@@ -183,6 +183,55 @@ object ExtQueries {
            |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
            |ORDER BY lang, source""".stripMargin))
 
+  /** The ≥ 0.5 word-3-gram-Jaccard near-dup pair set — shared by
+    * [[extDedupNgramJaccard]] (which emits it) and
+    * [[extDedupComponents]] (which clusters it).
+    */
+  private[graft] def jaccardPairs(s: SparkSession, dir: String)
+      : DataFrame = {
+    import s.implicits._
+    val g = cappedGrams(s, dir)
+    val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val inter = g.as("g1")
+      .join(g.as("g2"),
+        col("g1.gram") === col("g2.gram")
+          && col("g1.doc_id") < col("g2.doc_id"))
+      .groupBy(col("g1.doc_id").as("doc_a"), col("g2.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double")
+          / (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
+  /** The matching DuckDB CTE chain, ending in a `pairs(doc_a, doc_b,
+    * jaccard)` CTE (no trailing comma).
+    */
+  private[queries] val jaccardPairsDuckCtes: String =
+    s"""g0 AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |           range(len(s) - 2),
+       |           i -> s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]))) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+       |  WHERE len(s) >= 3),
+       |rare AS (SELECT gram FROM g0 GROUP BY 1 HAVING COUNT(*) <= $gramDocFreqCap),
+       |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN rare USING (gram)),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
+       |inter AS (
+       |  SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, COUNT(*) AS inter
+       |  FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |  FROM inter
+       |  JOIN sz sa ON doc_a = sa.doc_id
+       |  JOIN sz sb ON doc_b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)""".stripMargin
+
   /** Near-dup detection by word-3-gram Jaccard ≥ 0.5: inverted-index
     * self-join on gram (only docs sharing a shingle ever meet — the
     * scalable alternative to an all-pairs cross join), then exact
@@ -192,45 +241,70 @@ object ExtQueries {
     */
   val extDedupNgramJaccard = Q(
     "ext_dedup_ngram_jaccard",
+    (s, dir) => jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $jaccardPairsDuckCtes
+           |SELECT doc_a, doc_b, jaccard FROM pairs
+           |ORDER BY doc_a, doc_b""".stripMargin))
+
+  /** Near-dup CONNECTED COMPONENTS + survivor selection — the step a
+    * production dedup actually ships: pair emission (above) says who
+    * collides; this says which docs to KEEP. Components come from
+    * fixed-iteration min-label propagation over the symmetric pair
+    * graph: label(v) ← min(label(v), min over neighbors) per pass, each
+    * pass one keyed join + one keyed min-agg (never materializing
+    * anything super-linear in |edges|). Iterations are fixed at 3 —
+    * near-dup clusters are shallow (this corpus converges in 1 pass,
+    * largest component 3 docs; a production run would iterate to
+    * fixpoint with a convergence count, same per-pass plan) — and the
+    * unrolled loop replays in DuckDB, so the driver hash-checks the
+    * clustering itself. Survivor = the component's min doc_id
+    * (keep-first, matching the exact-dedup family convention).
+    */
+  val extDedupComponents = Q(
+    "ext_dedup_components",
     (s, dir) => {
       import s.implicits._
-      val g = cappedGrams(s, dir)
-      val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-      val inter = g.as("g1")
-        .join(g.as("g2"),
-          col("g1.gram") === col("g2.gram")
-            && col("g1.doc_id") < col("g2.doc_id"))
-        .groupBy(col("g1.doc_id").as("doc_a"), col("g2.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"),
-          (col("inter").cast("double")
-            / (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
-        .where(col("jaccard") >= 0.5)
-        .orderBy(col("doc_a"), col("doc_b"))
+      val iters = 3
+      val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
+      val edges = pairs
+        .union(pairs.select($"doc_b", $"doc_a"))
+        .toDF("src", "dst")
+      var labels = edges.select($"src".as("doc_id")).distinct()
+        .withColumn("comp", $"doc_id")
+      for (_ <- 1 to iters) {
+        val viaNeighbor = edges
+          .join(labels.select($"doc_id".as("dst"), $"comp"), Seq("dst"))
+          .select($"src".as("doc_id"), $"comp")
+        labels = labels.union(viaNeighbor)
+          .groupBy($"doc_id").agg(min($"comp").as("comp"))
+      }
+      labels
+        .select($"doc_id", $"comp".as("component"),
+          ($"doc_id" === $"comp").as("keep"))
+        .orderBy($"doc_id")
     },
-    Some(s"""WITH g0 AS (
-           |  SELECT doc_id, unnest(list_distinct(list_transform(
-           |           range(len(s) - 2),
-           |           i -> s[i+1] || ' ' || s[i+2] || ' ' || s[i+3]))) AS gram
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
-           |  WHERE len(s) >= 3),
-           |rare AS (SELECT gram FROM g0 GROUP BY 1 HAVING COUNT(*) <= $gramDocFreqCap),
-           |g AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN rare USING (gram)),
-           |sz AS (SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY 1),
-           |inter AS (
-           |  SELECT g1.doc_id AS doc_a, g2.doc_id AS doc_b, COUNT(*) AS inter
-           |  FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
-           |  GROUP BY 1, 2)
-           |SELECT doc_a, doc_b,
-           |       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-           |FROM inter
-           |JOIN sz sa ON doc_a = sa.doc_id
-           |JOIN sz sb ON doc_b = sb.doc_id
-           |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
-           |ORDER BY doc_a, doc_b""".stripMargin))
+    Some {
+      val iters = 3
+      val lloyd = (1 to iters).map { i =>
+        val prev = s"l${i - 1}"
+        s"""l$i AS (
+           |  SELECT doc_id, MIN(comp) AS comp FROM (
+           |    SELECT doc_id, comp FROM $prev
+           |    UNION ALL
+           |    SELECT e.src AS doc_id, l.comp
+           |    FROM edges e JOIN $prev l ON e.dst = l.doc_id)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $jaccardPairsDuckCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS comp FROM edges),
+         |$lloyd
+         |SELECT doc_id, comp AS component, doc_id = comp AS keep
+         |FROM l$iters ORDER BY doc_id""".stripMargin
+    })
 
   /** MinHash + LSH banding candidates: 16 portable min-hashes per doc
     * over its doc-frequency-capped shingles (see [[cappedGrams]]),
@@ -1152,7 +1226,7 @@ object ExtQueries {
            |GROUP BY source ORDER BY source""".stripMargin))
 
   val all: Seq[Q] = Seq(extAsOfJoin, extApproxCardinality, extFingerprint,
-    extDedupExact, extDedupNgramJaccard,
+    extDedupExact, extDedupNgramJaccard, extDedupComponents,
     extDedupMinhashLsh, extDedupSimhash, extDedupEmbedding, extKnnBrute,
     extKnnNative, extKnnLsh, extKnnIvf, extRangeJoin, extTextQuality,
     extTextFilter, extLangId, extTopTerms, extSessionize, extSessionWindow,

@@ -221,4 +221,56 @@ class CurationSpec extends SparkSpec {
       .orderBy($"purchase_id", $"click_id").collect().toSeq
     assert(got === want)
   }
+
+  test("near-dup components: pair-consistent labels, one survivor each") {
+    val sf01 = "/root/testdata/sf0.01" // sf0.001 has too few collisions
+    val comps = graft.queries.ExtQueries.extDedupComponents
+      .run(spark, sf01).collect()
+    assert(comps.nonEmpty)
+    val label = comps.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    // labels converged: both endpoints of every near-dup pair share a
+    // component, and the label is a real member id ≤ every member
+    val pairs = graft.queries.ExtQueries.jaccardPairs(spark, sf01)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(label(a) === label(b), s"pair ($a,$b) split across components")
+    }
+    label.foreach { case (id, c) => assert(c <= id && label(c) === c) }
+    // exactly one survivor per component, and it is the min member
+    val byComp = comps.groupBy(_.getAs[Long]("component"))
+    byComp.foreach { case (c, members) =>
+      val keepers = members.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length === 1)
+      assert(keepers.head.getAs[Long]("doc_id")
+        === members.map(_.getAs[Long]("doc_id")).min)
+      assert(keepers.head.getAs[Long]("doc_id") === c)
+    }
+  }
+
+  test("sequence packing: chunk arithmetic is a consistent manifest") {
+    val rows = CurationQueries.extPackSequences.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val C = 512L
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, docs) =>
+      val ordered = docs.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      var prevEnd = 0L
+      ordered.foreach { r =>
+        val tokens = r.getAs[Long]("tokens")
+        val start = r.getAs[Long]("start_chunk")
+        val end = r.getAs[Long]("end_chunk")
+        // recompute the cumulative stream: start/end derive from it
+        assert(start === cum / C)
+        assert(end === (cum + tokens - 1) / C)
+        assert(r.getAs[Long]("n_chunks") === end - start + 1)
+        // the stream is gapless: a doc starts in the chunk where the
+        // previous doc ended (or the next one at an exact boundary)
+        assert(start === prevEnd || start === prevEnd + 1)
+        cum += tokens
+        prevEnd = end
+      }
+    }
+  }
 }
