@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+import graft.queries.{CoreQueries, CurationQueries, ExtQueries, Q}
+
+/** Automated plan audit: the scale claims the queries make (pushdown,
+  * pruning, broadcast, top-k and window-limit pushdown, no accidental
+  * cartesian products) asserted against the OPTIMIZED physical plan, so
+  * a regression in plan shape fails CI instead of waiting for a bench
+  * diff. Planning only — nothing here executes a job.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: Q): String =
+    q.run(spark, dir).queryExecution.explainString(FormattedMode)
+
+  test("top-k order query plans as TakeOrderedAndProject, not a global sort") {
+    assert(plan(CoreQueries.q07TopOrders).contains("TakeOrderedAndProject"))
+  }
+
+  test("latest-event-per-user pushes the rank filter into WindowGroupLimit") {
+    assert(plan(CoreQueries.q06LatestEventPerUser)
+      .contains("WindowGroupLimit"))
+  }
+
+  test("query-set filters push down to the parquet scan") {
+    // kNN restricts queries to vec_id < 10: the scan itself must carry
+    // the predicate, not a post-scan Filter alone
+    val p = plan(ExtQueries.extKnnBrute)
+    assert(p.contains("PushedFilters: [") && p.contains("LessThan(vec_id"))
+  }
+
+  test("fingerprinting scan is column-pruned to the referenced columns") {
+    val p = plan(ExtQueries.extFingerprint)
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    // documents carries lang/source/label the query never touches
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("lang") && !rs.contains("source"),
+        s"unpruned scan: $rs")
+    }
+  }
+
+  test("decontamination broadcasts the eval gram set") {
+    val p = plan(CurationQueries.extDecontaminate)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("dedup candidate joins are keyed — no cartesian products anywhere") {
+    for (q <- Seq(ExtQueries.extDedupNgramJaccard,
+        ExtQueries.extDedupMinhashLsh, ExtQueries.extDedupSimhash,
+        ExtQueries.extDedupComponents, CurationQueries.extDedupChunk)) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans all-pairs")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"${q.name} plans an unkeyed join")
+    }
+  }
+
+  test("sequence packing plans one keyed window, no global sort before it") {
+    val p = plan(CurationQueries.extPackSequences)
+    // the cumulative sum runs per-source (hash-partitioned window); the
+    // only Exchange besides the final presentation ORDER BY is the
+    // hashpartitioning on source
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(source"))
+  }
+}
