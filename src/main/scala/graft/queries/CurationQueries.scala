@@ -810,9 +810,52 @@ object CurationQueries {
            |       CAST((cum - 1) // 512 - (cum - tokens) // 512 + 1 AS BIGINT) AS n_chunks
            |FROM c ORDER BY doc_id""".stripMargin))
 
+  /** Token-budget corpus selection — the data-mixing primitive: each
+    * source contributes documents up to a fixed token budget, chosen in
+    * deterministic hash order (squared portable hash, the family's
+    * uniform-residue form) so the SAME subset is selected on every run,
+    * engine, and partitioning — a rand()-ordered or first-k-by-position
+    * fill would bias toward ingestion order. A doc is kept only if it
+    * fits the remaining budget entirely (cum ≤ budget). One keyed
+    * ranking window + cumulative sum per source; no global sort — the
+    * identical plan at 100 TB with budgets in the billions of tokens.
+    */
+  val extTokenBudget = Q(
+    "ext_token_budget_sample",
+    (s, dir) => {
+      import s.implicits._
+      val budget = 800L
+      val w = Window.partitionBy($"source")
+        .orderBy($"h2", $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("bigint").as("tokens"))
+        .withColumn("bk", concat(lit("bud:"), $"doc_id".cast("string")))
+        .withColumn("h", expr(ExtQueries.mhBaseNative(s, "bk")))
+        .withColumn("h2", ($"h" * $"h" + $"h") % ExtQueries.mhP)
+        .withColumn("cum_tokens", sum($"tokens").over(w))
+        .where($"cum_tokens" <= budget)
+        .select($"doc_id", $"source", $"tokens", $"cum_tokens")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH d AS (
+            |  SELECT doc_id, source,
+            |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+            |         ${ExtQueries.mhBaseDuck("('bud:' || CAST(doc_id AS VARCHAR))")} AS h
+            |  FROM documents),
+            |r AS (
+            |  SELECT doc_id, source, tokens,
+            |         SUM(tokens) OVER (PARTITION BY source
+            |           ORDER BY ((h * h + h) % ${ExtQueries.mhP}), doc_id
+            |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            |  FROM d)
+            |SELECT doc_id, source, tokens, CAST(cum AS BIGINT) AS cum_tokens
+            |FROM r WHERE cum <= 800 ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(extSampleStratified, extQualityRepetition,
     extBm25Search, extDedupChunk, extScd2History, extBloomPrefilter,
     extStreamJoin, extDecontaminate, extVocabOov, extSplitAssign,
     extCurationPipeline, extSourceOverlap, extLabelCentroid,
-    extPackSequences)
+    extPackSequences, extTokenBudget)
 }

@@ -249,6 +249,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("token-budget sample: bounded per source, deterministic, binding") {
+    val sf01 = "/root/testdata/sf0.01"
+    val a = CurationQueries.extTokenBudget.run(spark, sf01).collect()
+    val b = CurationQueries.extTokenBudget.run(spark, sf01).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+    val bySource = a.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, docs) =>
+      val total = docs.map(_.getAs[Long]("tokens")).sum
+      assert(total <= 800L, s"$src over budget: $total")
+      assert(total === docs.map(_.getAs[Long]("cum_tokens")).max)
+    }
+    // the budget actually binds: not every document was selected
+    val corpus = Tables.load(spark, sf01, "documents").count()
+    assert(a.length < corpus)
+  }
+
   test("sequence packing: chunk arithmetic is a consistent manifest") {
     val rows = CurationQueries.extPackSequences.run(spark, dir).collect()
     assert(rows.nonEmpty)
