@@ -662,6 +662,81 @@ object ExtQueries {
     Some(graft.ext.Ivf
       .duckOracleSql(k = 16, iters = 2, maxQid = 10, topK = 5, nprobe = 4)))
 
+  /** Scalar-int8-quantized cosine kNN (the memory-bandwidth scale path,
+    * faiss-SQ8-style): per-vector symmetric quantization — scale =
+    * max|x|/127, code = floor(x/scale + 0.5) ∈ [−127, 127] — then
+    * candidates are scored by the INTEGER code dot product normalized by
+    * the integer code norms. 4× smaller vectors (store codes + one scale)
+    * and a vectorizable int inner loop replace the double fold on the
+    * scan side; exact double cosine is emitted alongside so the row also
+    * measures the quantization error (|qcos − cos| stays < 1e-2 here).
+    * Every step is bit-portable: max/abs are exact, /,*,sqrt correctly
+    * rounded from identical inputs, and the BIGINT sums are exact and
+    * ORDER-FREE — no fold-ordering contortions needed, which is itself
+    * the scale argument: integer accumulation commutes, so map-side
+    * partial aggregation is safe at any parallelism. At 100 TB this
+    * composes with the IVF/LSH bucketing (quantization cuts bytes/score,
+    * bucketing cuts candidates).
+    */
+  val extKnnInt8 = Q(
+    "ext_knn_cosine_int8",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        .withColumn("scale",
+          expr("aggregate(e, 0D, (m, x) -> greatest(m, abs(x))) / 127D"))
+        .withColumn("q8",
+          expr("transform(e, x -> cast(floor(x / scale + 0.5D) as bigint))"))
+        .withColumn("qn",
+          expr("sqrt(cast(aggregate(q8, 0L, (a, v) -> a + v * v) as double))"))
+        .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})"))
+      val q = emb.where($"vec_id" < 10)
+        .select($"vec_id".as("qid"), $"e".as("qe"), $"q8".as("qq8"),
+          $"qn".as("qqn"), $"nrm".as("qnrm"))
+      val w = Window.partitionBy($"qid").orderBy($"qcos".desc, $"nid")
+      q.join(emb.select($"vec_id".as("nid"), $"e", $"q8", $"qn", $"nrm"),
+          $"qid" =!= $"nid")
+        .withColumn("qcos",
+          expr("cast(aggregate(zip_with(qq8, q8, (x, y) -> x * y), 0L, (a, v) -> a + v) as double)")
+            / ($"qqn" * $"qn"))
+        .withColumn("cos",
+          expr(dotFold.format("qe", "e")) / ($"qnrm" * $"nrm"))
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 5)
+        .select($"qid", $"rank", $"nid", $"qcos", $"cos")
+        .orderBy($"qid", $"rank")
+    },
+    Some("""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings),
+           |sc AS (
+           |  SELECT vec_id, e,
+           |         list_reduce([CAST(0 AS DOUBLE)] || list_transform(e, x -> abs(x)),
+           |                     (m, x) -> greatest(m, x)) / 127 AS scale
+           |  FROM e),
+           |c AS (
+           |  SELECT vec_id, e,
+           |         list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q8
+           |  FROM sc),
+           |n AS (
+           |  SELECT vec_id, e, q8,
+           |         sqrt(CAST(list_reduce(list_transform(q8, v -> v * v), (a,b) -> a+b) AS DOUBLE)) AS qn,
+           |         sqrt(list_reduce(list_transform(range(len(e)), i -> e[i+1]*e[i+1]), (a,b) -> a+b)) AS nrm
+           |  FROM c),
+           |p AS (
+           |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |         CAST(list_reduce(list_transform(range(len(q.q8)), i -> q.q8[i+1]*c.q8[i+1]), (a,b) -> a+b) AS DOUBLE)
+           |           / (q.qn * c.qn) AS qcos,
+           |         list_reduce(list_transform(range(len(q.e)), i -> q.e[i+1]*c.e[i+1]), (a,b) -> a+b)
+           |           / (q.nrm * c.nrm) AS cos
+           |  FROM n q JOIN n c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+           |SELECT qid, rank, nid, qcos, cos FROM (
+           |  SELECT qid, nid, qcos, cos,
+           |         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos DESC, nid) AS INT) AS rank
+           |  FROM p)
+           |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin))
+
   /** Embedding-cosine near-dup pairs (the fifth dedup family member):
     * candidates from [[graft.ext.SignLsh]] multi-band random-hyperplane
     * LSH — 16 bands × 16 bits (256 deterministic hyperplanes), so each
@@ -1228,7 +1303,8 @@ object ExtQueries {
   val all: Seq[Q] = Seq(extAsOfJoin, extApproxCardinality, extFingerprint,
     extDedupExact, extDedupNgramJaccard, extDedupComponents,
     extDedupMinhashLsh, extDedupSimhash, extDedupEmbedding, extKnnBrute,
-    extKnnNative, extKnnLsh, extKnnIvf, extRangeJoin, extTextQuality,
+    extKnnNative, extKnnLsh, extKnnIvf, extKnnInt8, extRangeJoin,
+    extTextQuality,
     extTextFilter, extLangId, extTopTerms, extSessionize, extSessionWindow,
     extMultimodal, extMultimodalFrames, extStreamWindowCounts,
     extStreamSlidingCounts, extStreamSessionize, extStreamDedup)
