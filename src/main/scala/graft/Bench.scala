@@ -58,16 +58,19 @@ object Bench {
     // failed queries carry a -1 sentinel timing (never a silent partial
     // elapsed) and are listed under "failed" so a broken query cannot
     // masquerade as a fast one in the recorded baseline
+    // millisecond precision keeps the line compact enough to survive
+    // bounded log-tail captures; sub-ms digits are noise anyway
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results
-      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1) }
+      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f(v) else "-1") }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, true) => v }.sum
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val lin = lineage.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"lineage":$lin,"lineage_total":$lakeSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"lineage":$lin,"lineage_total":${f(lakeSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

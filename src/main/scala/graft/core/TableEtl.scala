@@ -114,7 +114,14 @@ abstract class TableEtl(
       : Map[String, String] = fmt match {
     case "csv" if legacyInfer => Map("header" -> "true",
       "inferSchema" -> "true")
-    case "csv" => Map("header" -> "true")
+    // enforceSchema=false validates each csv file's header against the
+    // pinned schema (csv mapping is otherwise POSITIONAL, header ignored):
+    // reading an old partition whose schema predates an evolution fails
+    // loudly instead of silently shifting that partition's values into
+    // the wrong columns. The hot latest-partition read is unaffected —
+    // the newest load's header always equals the pinned schema. Csv
+    // format limitation, documented; parquet/orc resolve by name.
+    case "csv" => Map("header" -> "true", "enforceSchema" -> "false")
     case _ => Map.empty
   }
 
@@ -137,22 +144,35 @@ abstract class TableEtl(
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Atomic: write to a temp name, then rename over the live sidecar.
+    * A crash mid-write leaves either the previous sidecar or none — never
+    * a truncated JSON that would poison every later read().
+    */
   private def persistSchema(schema: StructType): Unit = {
-    val out = fs(sidecarPath).create(sidecarPath, true)
+    val tmp = new Path(storagePath, s"_graft_schema.json.tmp")
+    val f = fs(sidecarPath)
+    val out = f.create(tmp, true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    f.delete(sidecarPath, false)
+    if (!f.rename(tmp, sidecarPath))
+      throw new java.io.IOException(s"rename $tmp -> $sidecarPath failed")
   }
 
-  private def pinnedSchema(): Option[StructType] = {
-    val p = sidecarPath
-    if (!fs(p).exists(p)) None
-    else {
-      val in = fs(p).open(p)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      Some(DataType.fromJson(txt).asInstanceOf[StructType])
-    }
-  }
+  /** None on missing OR unparseable sidecar — a corrupt/foreign file
+    * degrades to the legacy mergeSchema read instead of failing reads.
+    */
+  private def pinnedSchema(): Option[StructType] =
+    scala.util.Try {
+      val p = sidecarPath
+      if (!fs(p).exists(p)) None
+      else {
+        val in = fs(p).open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(DataType.fromJson(txt).asInstanceOf[StructType])
+      }
+    }.toOption.flatten // unreadable/corrupt sidecar, checksum errors, bad JSON
 
   /** Inverse of Spark's partition-path escaping (%XX, uppercase hex). */
   private def unescapePath(s: String): String = {
@@ -181,12 +201,14 @@ abstract class TableEtl(
     if (partitionKeys.size != 1 || !fs(root).exists(root)) None
     else {
       val key = partitionKeys.head + "="
+      // Only timestamp-shaped values compete: a null-load directory
+      // (etl_inserted=__HIVE_DEFAULT_PARTITION__) must not win "latest"
+      // forever just because '_' sorts above every digit.
       val dirs = fs(root).listStatus(root).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(key))
-      if (dirs.isEmpty) None
-      else Some(dirs
-        .maxBy(s => unescapePath(s.getPath.getName.drop(key.length)))
-        .getPath)
+        .map(s => (s.getPath, unescapePath(s.getPath.getName.drop(key.length))))
+        .filter { case (_, v) => v.matches("""\d{4}-\d{2}-\d{2}.*""") }
+      if (dirs.isEmpty) None else Some(dirs.maxBy(_._2)._1)
     }
   }
 
@@ -244,7 +266,18 @@ abstract class TableEtl(
             latestPartitionDir() match {
               case Some(dir) => reader
                 .option("basePath", storagePath).load(dir.toString)
-              case None => reader.load(storagePath) // empty table
+              case None =>
+                // No usable partition listing (multi-key layout, only
+                // null-load directories, or empty table): latest-load
+                // semantics still hold via the scalar-max filter under
+                // the pinned schema — never the bare full-history load.
+                val full = reader.load(storagePath)
+                if (!st.fieldNames.contains("etl_inserted")) full
+                else {
+                  val latest = full.agg(max(col("etl_inserted"))).first()
+                  if (latest.isNullAt(0)) full
+                  else full.where(col("etl_inserted") === lit(latest.get(0)))
+                }
             }
           case Some(st) =>
             spark.read.schema(st)

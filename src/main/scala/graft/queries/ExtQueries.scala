@@ -1275,9 +1275,11 @@ object ExtQueries {
     * compared output carries the DuckDB-reproducible exact count plus a
     * `within_5pct` accuracy verdict on the estimate: the driver confirms
     * both that the exact path agrees AND that the HLL estimate lands
-    * inside its documented error envelope (default rsd 0.05; at sf0.01
-    * cardinalities the sketch is in sparse mode and exact). The raw
-    * estimate itself stays out of the compared columns.
+    * inside a 3×rsd envelope (rsd is a standard deviation, not a bound,
+    * and Spark's HLL++ uses linear counting at small range — not exact —
+    * so the compared verdict asserts the statistically-safe 3σ band;
+    * ExtSpec pins the tighter 1×rsd claim for the shipped test data).
+    * The raw estimate itself stays out of the compared columns.
     */
   val extApproxCardinality = Q(
     "ext_approx_cardinality",
@@ -1290,12 +1292,12 @@ object ExtQueries {
           countDistinct($"word").as("vocab_exact"))
         .select($"source", $"vocab_exact",
           (abs($"vocab_approx" - $"vocab_exact").cast("double")
-            <= lit(0.05) * $"vocab_exact".cast("double"))
-            .as("within_5pct"))
+            <= lit(0.15) * $"vocab_exact".cast("double"))
+            .as("within_3rsd"))
         .orderBy($"source")
     },
     Some("""SELECT source, COUNT(DISTINCT word) AS vocab_exact,
-           |       TRUE AS within_5pct
+           |       TRUE AS within_3rsd
            |FROM (SELECT source, unnest(string_split(text, ' ')) AS word
            |      FROM documents)
            |GROUP BY source ORDER BY source""".stripMargin))

@@ -299,6 +299,30 @@ class NgramCapSpec extends SparkSpec {
   }
 }
 
+/** The ext_approx_cardinality driver verdict asserts only the 3×rsd
+  * statistical envelope; this pins the tighter 1×rsd (5%) accuracy on
+  * the shipped corpora, where HLL++ (rsd 0.05) comfortably holds.
+  */
+class HllAccuracySpec extends SparkSpec {
+  test("HLL vocab estimate is within 1×rsd of exact on sf0.001/sf0.01") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("source"))
+        .agg(approx_count_distinct(col("word")).as("est"),
+          countDistinct(col("word")).as("exact"))
+        .collect()
+      assert(rows.nonEmpty)
+      for (r <- rows) {
+        val (est, exact) = (r.getAs[Long]("est"), r.getAs[Long]("exact"))
+        assert(math.abs(est - exact) <= 0.05 * exact,
+          s"$dir source=${r.get(0)}: est=$est exact=$exact")
+      }
+    }
+  }
+}
+
 /** Multi-band random-hyperplane LSH: recall on true near-dups, bounded
   * band-bucket population on the real embeddings, and cross-run
   * determinism of the hyperplane family.

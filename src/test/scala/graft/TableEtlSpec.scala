@@ -147,6 +147,60 @@ class TableEtlSpec extends SparkSpec {
       .map(_.getTimestamp(0)).toSeq === Seq(t1.at))
   }
 
+  test("corrupt schema sidecar degrades to the legacy read, not a failure") {
+    val base = Files.createTempDirectory("graft_sc").toString
+    ordersNode(ctx(t0, base)).run()
+    val second = ordersNode(ctx(t1, base))
+    second.run()
+    Files.write(java.nio.file.Paths.get(
+      s"$base/bronze/orders/_graft_schema.json"),
+      "{ not json".getBytes)
+    val ds = second.read() // falls back to mergeSchema + scalar-max
+    assert(ds.data.count() === 2)
+    assert(ds.data.select("etl_inserted").distinct().collect()
+      .map(_.getTimestamp(0)).toSeq === Seq(t1.at))
+  }
+
+  test("a null-load partition directory never shadows the latest load") {
+    val base = Files.createTempDirectory("graft_nullpart").toString
+    val node = ordersNode(ctx(t0, base))
+    node.run()
+    // '_' sorts above every digit, so a lexical max over raw dir names
+    // would pick this forever
+    val hive = new java.io.File(
+      s"$base/bronze/orders/etl_inserted=__HIVE_DEFAULT_PARTITION__")
+    assert(hive.mkdir())
+    val ds = node.read()
+    assert(ds.data.count() === 2)
+    assert(ds.data.select("etl_inserted").distinct().collect()
+      .map(_.getTimestamp(0)).toSeq === Seq(t0.at))
+  }
+
+  test("multi-key partition layout keeps latest-load read semantics") {
+    val base = Files.createTempDirectory("graft_mk").toString
+    def node(clock: Clock) = new Node(ctx(clock, base)) {
+      override def layer: String = "bronze"
+      override def name: String = "orders_mk"
+      override def primaryKeys: Seq[String] = Seq("order_id")
+      override def partitionKeys: Seq[String] =
+        Seq("etl_inserted", "buyer_id")
+      override def outputColumns: Seq[String] =
+        Seq("order_id", "buyer_id", "order_ts", "etl_inserted")
+      override def transformUpstream(up: Seq[EtlDataSet]): EtlDataSet =
+        dataset(stamped(ctx.source.load(ctx.spark, "orders")))
+    }
+    node(t0).run()
+    val second = node(t1)
+    second.run()
+    // directory listing is inapplicable (two partition keys); the pinned-
+    // schema read must still select ONLY the latest load via scalar-max,
+    // not the whole history
+    val ds = second.read()
+    assert(ds.data.count() === 2)
+    assert(ds.data.select("etl_inserted").distinct().collect()
+      .map(_.getTimestamp(0)).toSeq === Seq(t1.at))
+  }
+
   test("RunRegistry executes a shared upstream exactly once") {
     val base = Files.createTempDirectory("graft_memo").toString
     var runs = 0
