@@ -266,18 +266,35 @@ object ExtQueries {
       import s.implicits._
       val iters = 3
       val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
+      // The edge list is referenced once per iteration plus once for the
+      // seed labels; uncached, each reference would replay the whole
+      // inverted-index self-join (~8 executions for 3 iterations).
+      // Persist it — it is the SMALL side (|near-dup pairs| ≪ |grams|) —
+      // and symmetrize via ONE explode pass so the pair join itself
+      // runs exactly once (a union of pairs with its swap would evaluate
+      // the uncached pair lineage twice inside the materialization job).
       val edges = pairs
-        .union(pairs.select($"doc_b", $"doc_a"))
-        .toDF("src", "dst")
+        .select(explode(array(
+          struct($"doc_a".as("src"), $"doc_b".as("dst")),
+          struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
+        .select($"e.src", $"e.dst")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var labels = edges.select($"src".as("doc_id")).distinct()
         .withColumn("comp", $"doc_id")
       for (_ <- 1 to iters) {
         val viaNeighbor = edges
           .join(labels.select($"doc_id".as("dst"), $"comp"), Seq("dst"))
           .select($"src".as("doc_id"), $"comp")
+        // eager localCheckpoint per pass: the label frame feeds the next
+        // pass TWICE (union + join), so an unbroken lineage replays
+        // 2^iters times and the analyzed plan doubles every pass — the
+        // standard iterative-algorithm lineage truncation (GraphX/MLlib
+        // do the same internally).
         labels = labels.union(viaNeighbor)
           .groupBy($"doc_id").agg(min($"comp").as("comp"))
+          .localCheckpoint(true)
       }
+      edges.unpersist() // labels' lineage is truncated; edges can go
       labels
         .select($"doc_id", $"comp".as("component"),
           ($"doc_id" === $"comp").as("keep"))
