@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-4 lake-operations + curation operators: per-column data
+  * profiling, count-min-sketch heavy hitters, PII redaction, unigram-LM
+  * quality scoring, and a small-file compaction round-trip. Same
+  * determinism contract as [[CurationQueries]]: portable hashes/ln,
+  * fixed-order double folds, identical aliases both engines.
+  */
+object ProfileQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  // ---- 1. data profiling ----
+
+  /** Per-column profile of a table in ONE pass (ANALYZE-style table
+    * stats: null count, distinct count, min/max, total string length).
+    * All columns aggregate in a single `agg` (Spark plans the multiple
+    * count-distincts via one Expand — still one scan), then unpivot to
+    * a row per column with `stack`. Scale posture: one scan + one
+    * aggregate; at 100 TB swap `countDistinct` for approx; here it stays
+    * exact so DuckDB reproduces it bit-for-bit.
+    */
+  private[graft] def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c).cast("string")).as(s"${c}__min"),
+        max(col(c).cast("string")).as(s"${c}__max"),
+        sum(length(col(c).cast("string")).cast("long")).as(s"${c}__len"))
+    } :+ count(lit(1)).as("n_rows")
+    val stacked = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max, ${c}__len")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stacked) AS " +
+          "(col_name, n_nulls, n_distinct, min_str, max_str, sum_len)")
+      .withColumn("avg_len",
+        col("sum_len").cast("double") / col("n_rows").cast("double"))
+      .orderBy(col("col_name"))
+  }
+
+  val extProfileColumns = Q(
+    "ext_profile_columns",
+    (s, dir) =>
+      profile(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars")),
+    Some {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  MIN(CAST($c AS VARCHAR)) AS min_str,
+           |  MAX(CAST($c AS VARCHAR)) AS max_str,
+           |  CAST(SUM(length(CAST($c AS VARCHAR))) AS BIGINT) AS sum_len,
+           |  CAST(SUM(length(CAST($c AS VARCHAR))) AS DOUBLE)
+           |    / CAST(COUNT(*) AS DOUBLE) AS avg_len
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    })
+
+  // ---- 2. count-min-sketch heavy hitters ----
+
+  /** CMS geometry: d=4 independent hash rows × w=1024 buckets. The row
+    * hashes are affine transforms of the shared portable polynomial base
+    * hash, so DuckDB computes the IDENTICAL sketch and the ESTIMATE
+    * column itself is hash-compared (unlike HLL, whose sketch is
+    * engine-internal).
+    */
+  private val cmsW = 1024L
+  private val cmsA = Seq(131L, 137L, 139L, 149L)
+  private val cmsB = Seq(17L, 29L, 43L, 59L)
+
+  /** Heavy hitters via count-min sketch: token stream → 4×1024 bucket
+    * counts (a FIXED-size aggregate no matter the corpus size — the
+    * whole point of the sketch), then candidate words probe the sketch
+    * (estimate = min over rows of the probed bucket) and the top 20 by
+    * estimate are emitted next to their exact counts. CMS never
+    * underestimates; `overcount` shows the collision error directly.
+    * Scale posture: the sketch build aggregates to 4096 cells (map-side
+    * partial combine does almost all the work); the candidate set here
+    * is the full vocabulary (bounded in this corpus) — at 100 TB
+    * candidates come from a sample or a prior round, and the sketch
+    * probe is a broadcast join either way.
+    */
+  val extHeavyHittersCms = Q(
+    "ext_heavy_hitters_cms",
+    (s, dir) => {
+      import s.implicits._
+      val based = t(s, dir, "documents")
+        .select(explode(split($"text", " ")).as("word"))
+        .withColumn("bh", expr(ExtQueries.mhBaseNative(s, "word")))
+      val entries = based.select(explode(array((0 until 4).map { i =>
+        struct(lit(i).as("i"),
+          (((lit(cmsA(i)) * $"bh" + lit(cmsB(i))) % ExtQueries.mhP) % cmsW)
+            .as("bucket"))
+      }: _*)).as("e")).select($"e.i", $"e.bucket")
+      val cms = entries.groupBy($"i", $"bucket").agg(count(lit(1)).as("c"))
+      val vocab = based.groupBy($"word")
+        .agg(count(lit(1)).as("exact"), min($"bh").as("bh"))
+      val probes = vocab.select($"word", $"exact",
+        explode(array((0 until 4).map { i =>
+          struct(lit(i).as("i"),
+            (((lit(cmsA(i)) * $"bh" + lit(cmsB(i))) % ExtQueries.mhP) % cmsW)
+              .as("bucket"))
+        }: _*)).as("e")).select($"word", $"exact", $"e.i", $"e.bucket")
+      probes.join(broadcast(cms), Seq("i", "bucket"))
+        .groupBy($"word", $"exact").agg(min($"c").as("est"))
+        .select($"word", $"exact", $"est", ($"est" - $"exact").as("overcount"))
+        .orderBy($"est".desc, $"word")
+        .limit(20)
+    },
+    Some {
+      val p = ExtQueries.mhP
+      val aList = cmsA.mkString("[", ",", "]")
+      val bList = cmsB.mkString("[", ",", "]")
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |b AS (SELECT word, ${ExtQueries.mhBaseDuck("word")} AS bh FROM w),
+         |ii AS (SELECT unnest([0,1,2,3]) AS i),
+         |e AS (
+         |  SELECT i, ((($aList)[i+1] * bh + ($bList)[i+1]) % $p) % $cmsW AS bucket
+         |  FROM b CROSS JOIN ii),
+         |cms AS (SELECT i, bucket, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         |vocab AS (SELECT word, COUNT(*) AS exact, MIN(bh) AS bh FROM b GROUP BY 1),
+         |probes AS (
+         |  SELECT word, exact, i,
+         |         ((($aList)[i+1] * bh + ($bList)[i+1]) % $p) % $cmsW AS bucket
+         |  FROM vocab CROSS JOIN ii),
+         |est AS (
+         |  SELECT word, exact, MIN(c) AS est
+         |  FROM probes JOIN cms USING (i, bucket) GROUP BY 1, 2)
+         |SELECT word, exact, est, est - exact AS overcount
+         |FROM est ORDER BY est DESC, word LIMIT 20""".stripMargin
+    })
+
+  // ---- 3. PII redaction ----
+
+  /** Conservative regex syntax only — these compile identically under
+    * Java regex (Spark) and RE2 (DuckDB): char classes, bounded repeats,
+    * ASCII \\b. No lookaround, no backrefs (RE2 has neither).
+    */
+  private[graft] val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val phonePat = """\b\d{3}-\d{3}-\d{4}\b"""
+  private[graft] val ipPat = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** Chained redaction; email first (its local part may contain digits
+    * a later pattern would otherwise bite into).
+    */
+  private[graft] def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>"),
+      ipPat, "<IP>")
+
+  /** PII scrubbing for training corpora: count and mask emails, phone
+    * numbers and IPv4 addresses. The shipped corpus contains no PII, so
+    * a deterministic contact string derived from `doc_id` is appended
+    * first — the redaction machinery (the operator under test) then runs
+    * over real positive matches, and DuckDB replicates both the
+    * synthesis and the scrub. Scale posture: pure codegen'd column
+    * expressions, no shuffle, pushdown-transparent.
+    */
+  val extPiiRedact = Q(
+    "ext_pii_redact",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          concat($"text",
+            lit(" contact user"), $"doc_id".cast("string"),
+            lit("@mail.example.com call 555-"),
+            lpad(($"doc_id" % 900L + 100L).cast("string"), 3, "0"),
+            lit("-"),
+            lpad(($"doc_id" % 9000L + 1000L).cast("string"), 4, "0"),
+            lit(" from 10.0."), ($"doc_id" % 256L).cast("string"), lit(".1"))
+            .as("pii_text"))
+        .select($"doc_id",
+          // Column-literal patterns, NOT SQL-string literals: Spark's
+          // parser eats unrecognized backslash escapes ('\d' -> 'd')
+          size(regexp_extract_all($"pii_text", lit(emailPat), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all($"pii_text", lit(phonePat), lit(0)))
+            .cast("long").as("n_phones"),
+          size(regexp_extract_all($"pii_text", lit(ipPat), lit(0)))
+            .cast("long").as("n_ips"),
+          redact($"pii_text").as("redacted"))
+        .orderBy($"doc_id")
+    },
+    Some(
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |           || '@mail.example.com call 555-'
+         |           || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+         |           || '-'
+         |           || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+         |           || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+         |           AS pii_text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii_text, '$emailPat')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pii_text, '$phonePat')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(pii_text, '$ipPat')) AS BIGINT) AS n_ips,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(pii_text, '$emailPat', '<EMAIL>', 'g'),
+         |      '$phonePat', '<PHONE>', 'g'),
+         |    '$ipPat', '<IP>', 'g') AS redacted
+         |FROM aug ORDER BY doc_id""".stripMargin))
+
+  // ---- 4. unigram-LM quality scoring ----
+
+  /** Stage the portable-ln inputs (y, u, u2) for `ln(x)` of column
+    * expression `x`, leaving the result as `out`.
+    */
+  private def stageLn(df: DataFrame, x: String, out: String): DataFrame =
+    df.withColumn("y", expr(CurationQueries.sixSqrt(x)))
+      .withColumn("u",
+        (col("y") - lit(1.0d)) / (col("y") + lit(1.0d)))
+      .withColumn("u2", col("u") * col("u"))
+      .withColumn(out, expr(CurationQueries.portableLnOfU))
+      .drop("y", "u", "u2")
+
+  /** Unigram language-model scoring (the CCNet/perplexity-filter shape):
+    * train p(w) = c(w)/N on the corpus itself, score each document by
+    * mean log-probability of its tokens. Documents of rare words score
+    * low — the classic cheap quality/outlier signal. ln is the portable
+    * sqrt-chain ([[CurationQueries.portableLnOfU]], exact cross-engine),
+    * and the per-document sum folds contributions in WORD ORDER via a
+    * sorted list (a grouped double SUM would be partition-order
+    * dependent). Scale posture: one token-keyed agg for the LM (its
+    * size = vocabulary, broadcastable), one (doc, word) agg for tf, one
+    * doc-keyed fold; the per-doc list is bounded by doc vocabulary.
+    * Valid for corpora up to ~4·10⁹ tokens per the ln reduction range —
+    * beyond that, widen the sqrt chain by one level.
+    */
+  private[graft] def lmScore(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val dw = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
+    val lm = stageLn(
+      dw.groupBy($"word").agg(count(lit(1)).as("c")),
+      "CAST(c AS DOUBLE)", "ln_c").select($"word", $"ln_c")
+    val lnTotal = stageLn(
+      dw.agg(count(lit(1)).as("n")),
+      "CAST(n AS DOUBLE)", "ln_t").select($"ln_t")
+    val tf = dw.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(lm), "word")
+      .crossJoin(broadcast(lnTotal))
+      .withColumn("contrib",
+        $"tf".cast("double") * ($"ln_c" - $"ln_t"))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_words"),
+        sort_array(collect_list(struct($"word", $"contrib"))).as("lst"))
+      .withColumn("s",
+        expr("aggregate(lst, CAST(0 AS DOUBLE), (acc, x) -> acc + x.contrib)"))
+      .select($"doc_id", $"n_words",
+        ($"s" / $"n_words".cast("double")).as("avg_logprob"))
+      .orderBy($"doc_id")
+  }
+
+  val extLmQuality = Q(
+    "ext_lm_quality",
+    (s, dir) => lmScore(t(s, dir, "documents")),
+    Some {
+      s"""WITH dw AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |wc AS (SELECT word, COUNT(*) AS c FROM dw GROUP BY 1),
+         |lm AS (
+         |  SELECT word, ($$LN) AS ln_c FROM (
+         |    SELECT word, u, u * u AS u2 FROM (
+         |      SELECT word, (y - CAST(1 AS DOUBLE)) / (y + CAST(1 AS DOUBLE)) AS u
+         |      FROM (SELECT word, ${CurationQueries.sixSqrt("CAST(c AS DOUBLE)")} AS y
+         |            FROM wc)))),
+         |tot AS (
+         |  SELECT ($$LN) AS ln_t FROM (
+         |    SELECT u, u * u AS u2 FROM (
+         |      SELECT (y - CAST(1 AS DOUBLE)) / (y + CAST(1 AS DOUBLE)) AS u
+         |      FROM (SELECT ${CurationQueries.sixSqrt("CAST(n AS DOUBLE)")} AS y
+         |            FROM (SELECT COUNT(*) AS n FROM dw))))),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM dw GROUP BY 1, 2),
+         |contrib AS (
+         |  SELECT t.doc_id, t.word,
+         |         CAST(t.tf AS DOUBLE) * (l.ln_c - tot.ln_t) AS contrib, t.tf
+         |  FROM tf t JOIN lm l USING (word) CROSS JOIN tot),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_words,
+         |         list_reduce([CAST(0 AS DOUBLE)] || list(contrib ORDER BY word),
+         |                     (a, b) -> a + b) AS s
+         |  FROM contrib GROUP BY 1)
+         |SELECT doc_id, n_words, s / CAST(n_words AS DOUBLE) AS avg_logprob
+         |FROM agg ORDER BY doc_id""".stripMargin
+        .replace("$LN", CurationQueries.portableLnOfU)
+    })
+
+  // ---- 5. compaction round-trip ----
+
+  /** Small-file compaction as a harness-checkable round-trip: fragment
+    * the documents table into many tiny files (16 per lang partition),
+    * compact with [[graft.ext.Compaction]] (REBALANCE +
+    * maxRecordsPerFile), and emit the compacted table's CONTENT — the
+    * oracle is the original table, proving the rewrite is lossless.
+    * The file-count reduction itself is asserted in ProfileSpec (DuckDB
+    * cannot see our file layout).
+    */
+  val extCompactFiles = Q(
+    "ext_compact_files",
+    (s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_compact").toString
+      val docs = t(s, dir, "documents")
+      docs.repartition(16).write.partitionBy("lang")
+        .mode("overwrite").parquet(s"$tmp/frag")
+      graft.ext.Compaction.compact(s, s"$tmp/frag", s"$tmp/opt",
+        Seq("lang"))
+      s.read.parquet(s"$tmp/opt")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text, lang, source, n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[Q] = Seq(extProfileColumns, extHeavyHittersCms,
+    extPiiRedact, extLmQuality, extCompactFiles)
+}

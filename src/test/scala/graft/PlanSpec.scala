@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.execution.FormattedMode
 
-import graft.queries.{CoreQueries, CurationQueries, ExtQueries, Q}
+import graft.queries.{CoreQueries, CurationQueries, ExtQueries,
+  ProfileQueries, Q}
 
 /** Automated plan audit: the scale claims the queries make (pushdown,
   * pruning, broadcast, top-k and window-limit pushdown, no accidental
@@ -58,6 +59,23 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"${q.name} plans an unkeyed join")
     }
+  }
+
+  test("CMS probe joins the 4096-cell sketch by broadcast") {
+    val p = plan(ProfileQueries.extHeavyHittersCms)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LM scoring broadcasts the vocabulary-sized model") {
+    val p = plan(ProfileQueries.extLmQuality)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("PII redaction plans no aggregation shuffle — pure column work") {
+    val p = plan(ProfileQueries.extPiiRedact)
+    // the only exchange allowed is the presentation ORDER BY
+    assert(!p.contains("hashpartitioning"))
   }
 
   test("sequence packing plans one keyed window, no global sort before it") {

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Compaction
+import graft.queries.ProfileQueries
+
+/** Behavioral coverage for the round-4 operators; the driver oracle
+  * checks cross-engine parity, these pin the semantics on crafted data.
+  */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile counts nulls, distincts and lengths per column") {
+    val df = Seq(
+      (Some(1L), Some("aa")), (Some(2L), None), (None, Some("bbbb")))
+      .toDF("id", "txt")
+    val p = ProfileQueries.profile(df, Seq("id", "txt"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(p("id").getAs[Long]("n_nulls") === 1L)
+    assert(p("id").getAs[Long]("n_distinct") === 2L)
+    assert(p("txt").getAs[Long]("n_nulls") === 1L)
+    assert(p("txt").getAs[Long]("sum_len") === 6L) // "aa" + "bbbb"
+    assert(p("txt").getAs[String]("min_str") === "aa")
+    assert(p("txt").getAs[String]("max_str") === "bbbb")
+    assert(p("id").getAs[Long]("n_rows") === 3L)
+  }
+
+  test("count-min estimates never underestimate; exact for the heavy hitter") {
+    val rows = ProfileQueries.extHeavyHittersCms
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"CMS underestimated ${r.getAs[String]("word")}")
+      assert(r.getAs[Long]("overcount")
+        === r.getAs[Long]("est") - r.getAs[Long]("exact"))
+    }
+    // top entry is ranked by estimate; with 4x1024 cells over a small
+    // vocabulary the heavy hitter's estimate should be collision-free
+    assert(rows.head.getAs[Long]("overcount") === 0L)
+  }
+
+  test("PII redaction masks emails, phones and IPv4s, leaves prose alone") {
+    val df = Seq(
+      "reach bob.smith+x@corp.example.org or 555-123-4567 via 10.1.2.3",
+      "no pii here, just words and 42 numbers").toDF("t")
+    val out = df.select(ProfileQueries.redact($"t").as("r"))
+      .as[String].collect()
+    assert(out(0) === "reach <EMAIL> or <PHONE> via <IP>")
+    assert(out(1) === "no pii here, just words and 42 numbers")
+  }
+
+  test("LM scoring ranks a common-word doc above a rare-word doc") {
+    val docs = Seq(
+      (1L, "the the the the"), // all high-frequency
+      (2L, "the the zzyzx the"), // one hapax
+      (3L, "the quux zzyzx corge")) // mostly hapax
+      .toDF("doc_id", "text")
+    val scores = ProfileQueries.lmScore(docs)
+      .collect().map(r => r.getAs[Long]("doc_id")
+        -> r.getAs[Double]("avg_logprob")).toMap
+    assert(scores(1) > scores(2))
+    assert(scores(2) > scores(3))
+    assert(scores.values.forall(v => v < 0.0 && !v.isNaN))
+  }
+
+  test("compaction collapses fragmented partitions and loses nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(16).write.partitionBy("lang")
+      .mode("overwrite").parquet(s"$tmp/frag")
+    val stats = Compaction.compact(spark, s"$tmp/frag", s"$tmp/opt",
+      Seq("lang"))
+    val langs = docs.select("lang").distinct().count()
+    assert(stats.filesBefore >= 16) // genuinely fragmented before
+    assert(stats.filesAfter <= langs) // ~1 file per partition after
+    assert(stats.filesAfter < stats.filesBefore)
+    val rt = spark.read.parquet(s"$tmp/opt")
+    assert(rt.count() === docs.count())
+    // content identical, not just cardinality
+    assert(rt.select("doc_id", "text").except(
+      docs.select("doc_id", "text")).isEmpty)
+  }
+}
