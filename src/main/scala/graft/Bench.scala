@@ -70,7 +70,17 @@ object Bench {
     val lin = lineage.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"lineage":$lin,"lineage_total":${f(lakeSec)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"lineage":$lin,"lineage_total":${f(lakeSec)},"sf":"$sfDir"}"""
+    println(line)
+    // belt and braces: sbt appends its own "[success] …" trailer to
+    // stdout, so a consumer that parses only the last line misses the
+    // JSON — persist the same line to a well-known artifact too
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] artifact write failed: $e") }
     spark.stop()
   }
 }

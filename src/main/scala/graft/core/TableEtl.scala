@@ -174,42 +174,19 @@ abstract class TableEtl(
       }
     }.toOption.flatten // unreadable/corrupt sidecar, checksum errors, bad JSON
 
-  /** Inverse of Spark's partition-path escaping (%XX, uppercase hex). */
-  private def unescapePath(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length)
-        try {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
-
   /** The latest load's partition directory, by ONE FileSystem listing of
     * the table root — no Spark job, no file enumeration of older loads.
     * Decoded `etl_inserted` strings (`yyyy-MM-dd HH:mm:ss[.f…]`) order
-    * lexically = chronologically. Single-partition-key layout only (every
+    * lexically = chronologically; only timestamp-shaped values compete
+    * (see [[LoadPartitions]]). Single-partition-key layout only (every
     * graft table); multi-key tables fall back to the scalar-max read.
     */
   private def latestPartitionDir(): Option[Path] = {
     val root = new Path(storagePath)
-    if (partitionKeys.size != 1 || !fs(root).exists(root)) None
-    else {
-      val key = partitionKeys.head + "="
-      // Only timestamp-shaped values compete: a null-load directory
-      // (etl_inserted=__HIVE_DEFAULT_PARTITION__) must not win "latest"
-      // forever just because '_' sorts above every digit.
-      val dirs = fs(root).listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(key))
-        .map(s => (s.getPath, unescapePath(s.getPath.getName.drop(key.length))))
-        .filter { case (_, v) => v.matches("""\d{4}-\d{2}-\d{2}.*""") }
-      if (dirs.isEmpty) None else Some(dirs.maxBy(_._2)._1)
-    }
+    if (partitionKeys.size != 1) None
+    else LoadPartitions
+      .timestampDirs(fs(root), root, partitionKeys.head)
+      .lastOption.map(_._1)
   }
 
   final def write(ds: EtlDataSet): Unit = {

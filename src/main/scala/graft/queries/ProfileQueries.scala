@@ -331,6 +331,68 @@ object ProfileQueries {
     Some("""SELECT doc_id, text, lang, source, n_chars
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // ---- 6. load retention ----
+
+  /** Load-partition retention (VACUUM): append two dated loads of the
+    * documents table to a scratch lake, expire all but the newest with
+    * [[graft.ext.Retention]] (pure metadata work — one listing + a
+    * directory delete, no Spark job), and emit the surviving content.
+    * The oracle reconstructs exactly the newest load, proving expiry
+    * removed the old load and ONLY the old load.
+    */
+  val extRetentionExpire = Q(
+    "ext_retention_expire",
+    (s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_retention").toString
+      val docs = t(s, dir, "documents")
+      for (load <- Seq("2026-01-01 00:00:00", "2026-01-02 00:00:00"))
+        docs.withColumn("etl_inserted",
+            lit(java.sql.Timestamp.valueOf(load)))
+          .write.mode("append").partitionBy("etl_inserted").parquet(tmp)
+      graft.ext.Retention.expireLoads(s, tmp, keep = 1)
+      s.read.parquet(tmp)
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars",
+          $"etl_inserted".cast("string").as("etl_inserted"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, text, lang, source, n_chars,
+           |       '2026-01-02 00:00:00' AS etl_inserted
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---- 7. z-order layout ----
+
+  /** Z-order (Morton-curve) layout round-trip: write events ordered
+    * along the interleaved-bit curve over (user_id, day) with
+    * [[graft.ext.ZOrderLayout]], then answer a single-user slice from
+    * the rewritten files. The oracle is the same slice of the original
+    * table — the layout changes WHERE rows live, never what they are.
+    * LayoutSpec asserts the actual two-dimensional pruning property
+    * (files touched ~√F on either dimension).
+    */
+  val extZorderLayout = Q(
+    "ext_zorder_layout",
+    (s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_zorder").toString
+      val ev = t(s, dir, "events")
+        .withColumn("day", dayofmonth($"ts").cast("long"))
+      graft.ext.ZOrderLayout.writeZOrder(ev, s"$tmp/z",
+        "user_id", "day", bits = 10, partitions = 8)
+      s.read.parquet(s"$tmp/z")
+        .where($"user_id" === 3L)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+          $"day")
+        .orderBy($"event_id")
+    },
+    Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+           |       event_type, value,
+           |       CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS day
+           |FROM events WHERE user_id = 3 ORDER BY event_id""".stripMargin))
+
   val all: Seq[Q] = Seq(extProfileColumns, extHeavyHittersCms,
-    extPiiRedact, extLmQuality, extCompactFiles)
+    extPiiRedact, extLmQuality, extCompactFiles, extRetentionExpire,
+    extZorderLayout)
 }

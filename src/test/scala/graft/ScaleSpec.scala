@@ -125,6 +125,37 @@ class BucketingSpec extends SparkSpec {
   }
 }
 
+class ZOrderLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("z-order prunes on BOTH dimensions; range layout on one") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .withColumn("day", dayofmonth($"ts").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_z")
+    val z = tmp.resolve("z").toString
+    val byUser = tmp.resolve("byUser").toString
+    val parts = 16
+    graft.ext.ZOrderLayout.writeZOrder(ev, z, "user_id", "day", 10, parts)
+    graft.ext.RangeLayout.writeRangeLayout(ev, byUser, "user_id", parts)
+    assert(spark.read.parquet(z).count() === ev.count())
+    // narrow slices on each dimension (~1/10 of users, ~1/10 of days)
+    val userPred = "user_id >= 30 AND user_id < 45"
+    val dayPred = "day >= 3 AND day < 6"
+    def touched(path: String, pred: String) =
+      graft.ext.RangeLayout.filesTouched(spark, path, pred)
+    // single-column layout: perfect on its own column, useless on the other
+    assert(touched(byUser, userPred) <= 3)
+    assert(touched(byUser, dayPred) >= parts - 2)
+    // z-order: bounded on BOTH dimensions (√F-ish locality; a ~1/10
+    // slice can straddle two top-level curve quadrants, so the loose
+    // bound is "well under the ~all-files of the wrong-dimension case")
+    assert(touched(z, userPred) <= 10,
+      s"z layout touched ${touched(z, userPred)} files for a user slice")
+    assert(touched(z, dayPred) <= 10,
+      s"z layout touched ${touched(z, dayPred)} files for a day slice")
+  }
+}
+
 class RangeLayoutSpec extends SparkSpec {
   import spark.implicits._
 

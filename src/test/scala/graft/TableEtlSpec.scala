@@ -201,6 +201,25 @@ class TableEtlSpec extends SparkSpec {
       .map(_.getTimestamp(0)).toSeq === Seq(t1.at))
   }
 
+  test("retention expires old loads; latest read and sidecar unaffected") {
+    val base = Files.createTempDirectory("graft_ret").toString
+    val t2 = FixedClock(Timestamp.valueOf("2026-01-03 00:00:00"))
+    for (c <- Seq(t0, t1, t2)) ordersNode(ctx(c, base)).run()
+    val node = ordersNode(ctx(t2, base))
+    val deleted = graft.ext.Retention.expireLoads(
+      spark, s"$base/bronze/orders", keep = 2)
+    assert(deleted === Seq("etl_inserted=2026-01-01 00:00:00")
+      .map(_.stripPrefix("etl_inserted=")))
+    // latest-load read still serves t2
+    val ds = node.read()
+    assert(ds.data.count() === 2)
+    assert(ds.data.select("etl_inserted").distinct().collect()
+      .map(_.getTimestamp(0)).toSeq === Seq(t2.at))
+    // the retained middle load is still pinnable; the expired one is gone
+    assert(node.read(Map("etl_inserted" -> t1.at.toString)).data.count() === 2)
+    assert(node.read(Map("etl_inserted" -> t0.at.toString)).data.count() === 0)
+  }
+
   test("RunRegistry executes a shared upstream exactly once") {
     val base = Files.createTempDirectory("graft_memo").toString
     var runs = 0
