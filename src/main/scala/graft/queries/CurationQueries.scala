@@ -284,6 +284,9 @@ object CurationQueries {
             x => x.getField("word"))).as("chunk"))
         .where($"nw" >= 4)
         .select($"doc_id", $"chunk").distinct()
+        // the chunking window+agg over the token stream feeds the df
+        // count and both self-join sides — materialize it exactly once
+        .localCheckpoint(true)
       val rare = chunks.groupBy($"chunk")
         .agg(count(lit(1)).as("cdf"))
         .where($"cdf" <= chunkDocFreqCap)

@@ -126,7 +126,9 @@ object ExtQueries {
 
   private[graft] def cappedGrams(s: SparkSession, dir: String,
       maxDocFreq: Long = gramDocFreqCap): DataFrame = {
-    val g = grams(s, dir)
+    // both the df-count branch and the join probe read the exploded gram
+    // stream; materialize it once instead of re-exploding the corpus
+    val g = grams(s, dir).localCheckpoint(true)
     val rare = g.groupBy(col("gram"))
       .agg(count(lit(1)).as("gram_df"))
       .where(col("gram_df") <= maxDocFreq)
@@ -190,7 +192,10 @@ object ExtQueries {
   private[graft] def jaccardPairs(s: SparkSession, dir: String)
       : DataFrame = {
     import s.implicits._
-    val g = cappedGrams(s, dir)
+    // the inverted index feeds three consumers (both self-join sides +
+    // sizes); materialize it once — at scale this is "build the gram
+    // index, then run the dedup family off it", not three corpus passes
+    val g = cappedGrams(s, dir).localCheckpoint(true)
     val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val inter = g.as("g1")
       .join(g.as("g2"),
@@ -338,8 +343,11 @@ object ExtQueries {
       val K = 16
       val bands = 4
       val rows = K / bands
+      // materialized once: the hashed gram index feeds the signature agg
+      // AND the sizes/intersection verification below
       val g = cappedGrams(s, dir)
         .withColumn("bh0", expr(mhBaseNative(s, "gram")))
+        .localCheckpoint(true)
       val hashCols = (0 until K).map(i =>
         min(expr(s"(${mhA(i)}L * bh0 + ${mhB(i)}L) % $mhP")).as(s"h$i"))
       val sig = g.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
@@ -355,11 +363,12 @@ object ExtQueries {
       // bucket a large fraction of the corpus hashes into discriminates
       // nothing — at 100 TB one such bucket is a quadratic straggler.
       // The oracle applies the identical cap.
-      val okBuckets = bandRows.groupBy($"band", $"bh")
+      val bandRowsM = bandRows.localCheckpoint(true) // 4 rows/doc, 3 readers
+      val okBuckets = bandRowsM.groupBy($"band", $"bh")
         .agg(count(lit(1)).as("bpop"))
         .where($"bpop" <= lshBucketCap)
         .select($"band", $"bh")
-      val cappedRows = bandRows.join(okBuckets, Seq("band", "bh"))
+      val cappedRows = bandRowsM.join(okBuckets, Seq("band", "bh"))
       val cand = cappedRows.as("x")
         .join(cappedRows.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
@@ -462,11 +471,15 @@ object ExtQueries {
         val src = if (i < 31) s"(b1 >> $i)" else s"(b2 >> ${i - 31})"
         sum(when(expr(s"$src & 1") === 1, 1).otherwise(-1)).as(s"b$i")
       }
+      // one row per doc; the 62-vote token-stream agg above is the
+      // expensive pass and feeds both the cap count and both self-join
+      // sides — materialize it exactly once
       val sig = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
         .select($"doc_id",
           (0 until 62).map(i =>
             when(col(s"b$i") > 0, expr(s"shiftleft(1L, $i)")).otherwise(0L))
             .reduce(_ bitwiseOR _).as("sim"))
+        .localCheckpoint(true)
       val blocks = sig.select($"doc_id", $"sim",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("blk"),

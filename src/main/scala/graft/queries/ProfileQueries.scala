@@ -392,7 +392,60 @@ object ProfileQueries {
            |       CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS day
            |FROM events WHERE user_id = 3 ORDER BY event_id""".stripMargin))
 
+  // ---- 8. weighted sampling without replacement ----
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws u ∈ (0,1] from the squared portable hash and ranks
+    * by -ln(u)/w with w = n_chars (longer docs proportionally likelier);
+    * the k smallest keys ARE a weighted sample without replacement — one
+    * pass, no sequential draws, the distributed-sampling standard. Both
+    * ln terms stay in the portable sqrt-chain domain (u ≥ 1/(2³¹), so
+    * the 64th root keeps |u'| ≤ 0.17), making the sample — not just its
+    * size — engine-reproducible. Scale posture: pure column exprs +
+    * TakeOrderedAndProject; no shuffle beyond top-k.
+    */
+  val extSampleWeighted = Q(
+    "ext_sample_weighted",
+    (s, dir) => {
+      import s.implicits._
+      val p = ExtQueries.mhP
+      val hashed = t(s, dir, "documents")
+        .withColumn("sk", concat(lit("wsp:"), $"doc_id".cast("string")))
+        .withColumn("h", expr(ExtQueries.mhBaseNative(s, "sk")))
+        .withColumn("h2", ($"h" * $"h" + $"h") % p)
+      val lnH = stageLn(hashed, "CAST(h2 + 1 AS DOUBLE)", "ln_h")
+      val lnP = stageLn(lnH, s"CAST(${p + 1} AS DOUBLE)", "ln_p")
+      lnP
+        .withColumn("wkey",
+          ($"ln_p" - $"ln_h")
+            / greatest($"n_chars", lit(1L)).cast("double"))
+        .select($"doc_id", $"source", $"n_chars", $"wkey")
+        .orderBy($"wkey", $"doc_id")
+        .limit(50)
+    },
+    Some {
+      val p = ExtQueries.mhP
+      val ln = (x: String, out: String, src: String) =>
+        s"""SELECT *, ($$LN) AS $out FROM (
+           |  SELECT *, u * u AS u2 FROM (
+           |    SELECT *, (y - CAST(1 AS DOUBLE)) / (y + CAST(1 AS DOUBLE)) AS u
+           |    FROM (SELECT *, ${CurationQueries.sixSqrt(x)} AS y FROM $src)))""".stripMargin
+      s"""WITH hh AS (
+         |  SELECT doc_id, source, n_chars, (h * h + h) % $p AS h2
+         |  FROM (SELECT doc_id, source, n_chars,
+         |          ${ExtQueries.mhBaseDuck("('wsp:' || CAST(doc_id AS VARCHAR))")} AS h
+         |        FROM documents)),
+         |lh AS (SELECT doc_id, source, n_chars, ln_h FROM (
+         |  ${ln("CAST(h2 + 1 AS DOUBLE)", "ln_h", "hh")})),
+         |lp AS (SELECT doc_id, source, n_chars, ln_h, ln_p FROM (
+         |  ${ln(s"CAST(${p + 1} AS DOUBLE)", "ln_p", "lh")}))
+         |SELECT doc_id, source, n_chars,
+         |       (ln_p - ln_h) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS wkey
+         |FROM lp ORDER BY wkey, doc_id LIMIT 50""".stripMargin
+        .replace("$LN", CurationQueries.portableLnOfU)
+    })
+
   val all: Seq[Q] = Seq(extProfileColumns, extHeavyHittersCms,
     extPiiRedact, extLmQuality, extCompactFiles, extRetentionExpire,
-    extZorderLayout)
+    extZorderLayout, extSampleWeighted)
 }

@@ -65,6 +65,19 @@ class ProfileSpec extends SparkSpec {
     assert(scores.values.forall(v => v < 0.0 && !v.isNaN))
   }
 
+  test("weighted sampling favors long documents") {
+    val dir = "/root/testdata/sf0.01"
+    val sample = ProfileQueries.extSampleWeighted.run(spark, dir).collect()
+    assert(sample.length === 50)
+    val sampleMean = sample.map(_.getAs[Long]("n_chars")).sum.toDouble / 50
+    val corpusMean = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(avg($"n_chars")).first().getDouble(0)
+    // length-proportional weights must pull the sample mean well above
+    // the corpus mean (size-biased sampling)
+    assert(sampleMean > corpusMean * 1.2,
+      s"sample mean $sampleMean vs corpus mean $corpusMean")
+  }
+
   test("compaction collapses fragmented partitions and loses nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
     val docs = spark.read
