@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -445,7 +446,86 @@ object ProfileQueries {
         .replace("$LN", CurationQueries.portableLnOfU)
     })
 
+  // ---- 9. incremental (new-vs-history) dedup ----
+
+  /** Incremental ingestion dedup — the shape a GROWING corpus actually
+    * runs: the already-ingested history is summarized as a bloom filter
+    * over content fingerprints (built once per ingest, broadcast as a
+    * foldable literal through the native codegen'd probe), and each NEW
+    * document is classified `dup_history` (fingerprint already in the
+    * corpus), `dup_batch` (keep-first within the incoming load), or
+    * `new`. Only bloom-positive rows (~fpp·|new| false positives plus
+    * true dups) reach the exact history join — the history itself is
+    * never reshuffled. History/load split is the deterministic squared
+    * hash (80/20); the incoming batch also carries a REPLAYED history
+    * slice (h2%10=0 re-ingested, as real feeds do) and a RE-POSTED slice
+    * (h2%10=9 content under fresh ids), so all three verdicts actually
+    * occur on the shipped corpus (it has no natural exact dups).
+    * Fingerprint is the portable poly-hash of the text (production would
+    * use 128 bits; the 31-bit space is deterministic on both engines,
+    * which is what the oracle checks).
+    */
+  val extDedupIncremental = Q(
+    "ext_dedup_incremental",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.BloomMightContain.register(s)
+      val p = ExtQueries.mhP
+      val docs = t(s, dir, "documents")
+        .withColumn("sk", concat(lit("inc:"), $"doc_id".cast("string")))
+        .withColumn("h", expr(ExtQueries.mhBaseNative(s, "sk")))
+        .withColumn("h2", ($"h" * $"h" + $"h") % p)
+        .withColumn("fp", expr(ExtQueries.mhBaseNative(s, "text")))
+      val hist = docs.where($"h2" % 10 < 8).select($"fp").distinct()
+      val base = docs.select($"doc_id", $"fp", $"h2")
+      val newLoad = base.where($"h2" % 10 >= 8)
+        .unionByName(base.where($"h2" % 10 === 0)) // replayed history
+        .unionByName(base.where($"h2" % 10 === 9) // re-posted, fresh id
+          .withColumn("doc_id", $"doc_id" + 1000000L))
+        .select($"doc_id", $"fp")
+      val nHist = math.max(hist.count(), 1000L)
+      val bf = hist.stat.bloomFilter("fp", nHist, 0.01)
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      val hex = os.toByteArray.map("%02X".format(_)).mkString
+      val probe = expr(s"bloom_might_contain(unhex('$hex'), fp)")
+      val definiteNew = newLoad.where(!probe)
+        .withColumn("hist_hit", lit(false))
+      val maybe = newLoad.where(probe)
+        .join(hist.withColumn("hist_hit", lit(true)), Seq("fp"), "left")
+        .withColumn("hist_hit", coalesce($"hist_hit", lit(false)))
+      val w = Window.partitionBy($"fp").orderBy($"doc_id")
+      definiteNew.unionByName(maybe)
+        .withColumn("rn", row_number().over(w))
+        .select($"doc_id", $"fp",
+          when($"hist_hit", "dup_history")
+            .when($"rn" > 1, "dup_batch")
+            .otherwise("new").as("status"))
+        .orderBy($"doc_id")
+    },
+    Some {
+      val p = ExtQueries.mhP
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         ${ExtQueries.mhBaseDuck("text")} AS fp,
+         |         (h * h + h) % $p AS h2
+         |  FROM (SELECT doc_id, text,
+         |          ${ExtQueries.mhBaseDuck("('inc:' || CAST(doc_id AS VARCHAR))")} AS h
+         |        FROM documents)),
+         |hist AS (SELECT DISTINCT fp FROM d WHERE h2 % 10 < 8),
+         |nw AS (
+         |  SELECT doc_id, fp FROM d WHERE h2 % 10 >= 8
+         |  UNION ALL SELECT doc_id, fp FROM d WHERE h2 % 10 = 0
+         |  UNION ALL SELECT doc_id + 1000000, fp FROM d WHERE h2 % 10 = 9)
+         |SELECT doc_id, fp,
+         |       CASE WHEN fp IN (SELECT fp FROM hist) THEN 'dup_history'
+         |            WHEN ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+         |              THEN 'dup_batch'
+         |            ELSE 'new' END AS status
+         |FROM nw ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(extProfileColumns, extHeavyHittersCms,
     extPiiRedact, extLmQuality, extCompactFiles, extRetentionExpire,
-    extZorderLayout, extSampleWeighted)
+    extZorderLayout, extSampleWeighted, extDedupIncremental)
 }

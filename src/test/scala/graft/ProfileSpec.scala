@@ -78,6 +78,20 @@ class ProfileSpec extends SparkSpec {
       s"sample mean $sampleMean vs corpus mean $corpusMean")
   }
 
+  test("incremental dedup yields all three verdicts with correct counts") {
+    val byStatus = ProfileQueries.extDedupIncremental
+      .run(spark, "/root/testdata/sf0.001").collect()
+      .groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+    // replayed history docs flag dup_history; re-posted fresh-id copies
+    // flag dup_batch; untouched incoming docs stay new
+    assert(byStatus.getOrElse("dup_history", 0) > 0)
+    assert(byStatus.getOrElse("dup_batch", 0) > 0)
+    assert(byStatus.getOrElse("new", 0) > 0)
+    // every re-posted copy's ORIGINAL (h2%10==9, smaller id) must stay
+    // 'new' — keep-first within the batch
+    assert(byStatus("dup_batch") <= byStatus("new"))
+  }
+
   test("compaction collapses fragmented partitions and loses nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
     val docs = spark.read
