@@ -114,3 +114,35 @@ object Checks {
         else None
     }
 }
+
+/** One row-level quality rule: `name` lands in the violation list of any
+  * row whose predicate is FALSE. Predicates must decide null handling
+  * explicitly (a null predicate counts as passing, like GE's `mostly`
+  * semantics for absent values).
+  */
+final case class RowRule(name: String, predicate: org.apache.spark.sql.Column)
+
+/** Row-level DQ QUARANTINE — the production alternative to the all-or-
+  * nothing validation gate above: instead of failing the load when any
+  * row is bad, split it. Good rows continue down the pipeline; bad rows
+  * land in a quarantine table with a deterministic, rule-ordered
+  * violation list for triage/replay. One projection pass, no shuffle,
+  * no per-row driver work — the violation column is a codegen'd
+  * concat_ws over when-expressions.
+  */
+object Quarantine {
+
+  /** All rows, with a `violations` column: comma-joined names of failed
+    * rules in declaration order; empty string = clean row.
+    */
+  def withViolations(df: DataFrame, rules: Seq[RowRule]): DataFrame =
+    df.withColumn("violations",
+      concat_ws(",", rules.map(r => when(!r.predicate, r.name)): _*))
+
+  /** (clean rows without the helper column, quarantined rows with it). */
+  def split(df: DataFrame, rules: Seq[RowRule]): (DataFrame, DataFrame) = {
+    val flagged = withViolations(df, rules)
+    (flagged.where(col("violations") === "").drop("violations"),
+      flagged.where(col("violations") =!= ""))
+  }
+}

@@ -525,7 +525,39 @@ object ProfileQueries {
          |FROM nw ORDER BY doc_id""".stripMargin
     })
 
+  // ---- 10. row-level DQ quarantine ----
+
+  /** Row-level data-quality quarantine over orders: rather than failing
+    * the whole load on any bad row (the validation-gate semantics the
+    * lifecycle checks keep), [[graft.checks.Quarantine]] splits it —
+    * every row is emitted with its rule-ordered violation list (empty =
+    * clean), so good rows flow on and bad rows are triageable. Rules
+    * here: a price upper bound and an order-status domain pin, both
+    * violated by real rows of the shipped table. Pure codegen'd
+    * projection — no shuffle, no driver work.
+    */
+  val extDqQuarantine = Q(
+    "ext_dq_quarantine",
+    (s, dir) => {
+      import s.implicits._
+      graft.checks.Quarantine.withViolations(
+        t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice"),
+        Seq(
+          graft.checks.RowRule("price_bound", $"o_totalprice" <= 300000.0d),
+          graft.checks.RowRule("status_domain",
+            $"o_orderstatus".isin("O", "F"))))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+           |  concat_ws(',',
+           |    CASE WHEN NOT (o_totalprice <= 300000) THEN 'price_bound' END,
+           |    CASE WHEN NOT (o_orderstatus IN ('O', 'F')) THEN 'status_domain' END)
+           |    AS violations
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extProfileColumns, extHeavyHittersCms,
     extPiiRedact, extLmQuality, extCompactFiles, extRetentionExpire,
-    extZorderLayout, extSampleWeighted, extDedupIncremental)
+    extZorderLayout, extSampleWeighted, extDedupIncremental,
+    extDqQuarantine)
 }

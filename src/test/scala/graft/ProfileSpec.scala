@@ -92,6 +92,23 @@ class ProfileSpec extends SparkSpec {
     assert(byStatus("dup_batch") <= byStatus("new"))
   }
 
+  test("quarantine splits rows and orders violation names by rule") {
+    import graft.checks.{Quarantine, RowRule}
+    val df = Seq((1, 50, "O"), (2, 500, "O"), (3, 50, "X"), (4, 500, "X"))
+      .toDF("id", "price", "status")
+    val rules = Seq(
+      RowRule("price", $"price" <= 100),
+      RowRule("status", $"status" === "O"))
+    val (good, bad) = Quarantine.split(df, rules)
+    assert(good.select("id").as[Int].collect().toSeq === Seq(1))
+    val reasons = bad.orderBy("id")
+      .select("id", "violations").collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    assert(reasons === Array(
+      2 -> "price", 3 -> "status", 4 -> "price,status"))
+    assert(!good.columns.contains("violations"))
+  }
+
   test("compaction collapses fragmented partitions and loses nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
     val docs = spark.read
