@@ -87,6 +87,37 @@ class StreamingSpec extends SparkSpec {
   }
 
 
+  test("AvailableNow backfill drains the backlog, then terminates itself") {
+    import org.apache.spark.sql.streaming.Trigger
+    def ts(min: Long) = new Timestamp(base + min * 60000L)
+    val rows = (1L to 20L).map(i => (i, ts(i), s"p$i"))
+      .toDF("event_id", "ts", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow")
+    rows.write.mode("overwrite").parquet(s"$dir/in")
+    // the scheduled-batch shape: process everything that exists now in
+    // bounded micro-batches (rate limit forces >1), then stop on its own
+    // — no external processAllAvailable/stop choreography
+    def run(): Unit = {
+      val q = spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$dir/in")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append").format("parquet")
+        .option("path", s"$dir/out")
+        .start()
+      assert(q.awaitTermination(120000), "query did not self-terminate")
+      assert(!q.isActive)
+    }
+    run()
+    assert(spark.read.parquet(s"$dir/out").count() === 20)
+    // a later scheduled run resumes from the checkpoint: nothing new to
+    // do, terminates on its own, no duplicates land
+    run()
+    assert(spark.read.parquet(s"$dir/out").count() === 20)
+  }
+
   test("lake sink lands batches as partitions; same-id replay is idempotent") {
     def ts(min: Long) = new Timestamp(base + min * 60000L)
     val rows = Seq((1L, ts(0), "a"), (2L, ts(1), "b"), (3L, ts(2), "c"))
