@@ -556,8 +556,45 @@ object ProfileQueries {
            |    AS violations
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  // ---- 11. scalable global ordinal assignment ----
+
+  /** Stable GLOBAL row ordinals (sample indices for a training corpus)
+    * without the classic scale bug: `row_number() OVER (ORDER BY …)`
+    * with no partition key collapses the whole table into ONE window
+    * partition. Instead: rank within each source (a keyed window that
+    * scales), aggregate one tiny row per source (count), prefix-sum
+    * those on the broadcastable source dimension, and add. The result
+    * equals the naive global ROW_NUMBER (the oracle) exactly; the plan
+    * never materializes a single-partition exchange. The prefix sum runs
+    * a window over the SOURCE-LEVEL table — rows = |sources|, which is
+    * what makes it safe.
+    */
+  val extGlobalIndex = Q(
+    "ext_global_index",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"source")
+      val inSource = docs.withColumn("rk",
+        row_number().over(
+          Window.partitionBy($"source").orderBy($"doc_id")))
+      val offsets = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("offset",
+          coalesce(sum($"n").over(
+            Window.orderBy($"source")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"source", $"offset")
+      inSource.join(broadcast(offsets), "source")
+        .select($"doc_id", $"source",
+          ($"offset" + $"rk").as("global_pos"))
+        .orderBy($"global_pos")
+    },
+    Some("""SELECT doc_id, source,
+           |       ROW_NUMBER() OVER (ORDER BY source, doc_id) AS global_pos
+           |FROM documents ORDER BY global_pos""".stripMargin))
+
   val all: Seq[Q] = Seq(extProfileColumns, extHeavyHittersCms,
     extPiiRedact, extLmQuality, extCompactFiles, extRetentionExpire,
     extZorderLayout, extSampleWeighted, extDedupIncremental,
-    extDqQuarantine)
+    extDqQuarantine, extGlobalIndex)
 }

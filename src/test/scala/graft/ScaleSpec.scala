@@ -186,3 +186,48 @@ class RangeLayoutSpec extends SparkSpec {
     assert(a === b)
   }
 }
+
+/** The 100-TB skew story's OTHER half: [[graft.ext.SkewJoin]] shows
+  * explicit salting; this shows the engine's own runtime remedy — AQE
+  * detecting a skewed shuffle partition after the map stage and
+  * splitting it across reducers — works under the session's planning,
+  * so a hot key degrades into extra parallelism instead of one
+  * straggler task. Thresholds are forced low to make a local-size
+  * dataset "skewed"; the mechanism is identical at scale.
+  */
+class AqeSkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AQE splits the hot key's partition in a sort-merge join") {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // half the big side lands on key 0 (the hot partition must exceed
+      // skewedPartitionFactor × the MEDIAN partition size, so the skew
+      // has to dwarf the even remainder); payload inflates bytes
+      val big = spark.range(120000).select(
+        when($"id" % 2 === 0, 0L).otherwise($"id" % 1000).as("k"),
+        concat(lit("x" * 120), $"id".cast("string")).as("payload"))
+      val dim = spark.range(1000).select($"id".as("k"),
+        concat(lit("d"), $"id".cast("string")).as("attr"))
+      val joined = big.join(dim, "k")
+      // collect() executes THIS dataset's plan (count() would build its
+      // own aggregate plan and leave this one unfinalized)
+      assert(joined.collect().length === 120000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the join skew-handled:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
