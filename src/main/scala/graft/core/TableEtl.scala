@@ -158,21 +158,36 @@ abstract class TableEtl(
       throw new java.io.IOException(s"rename $tmp -> $sidecarPath failed")
   }
 
-  /** None on missing OR unparseable sidecar — a corrupt/foreign file
-    * degrades to the legacy mergeSchema read instead of failing reads.
+  /** None on missing or CORRUPT sidecar (bad JSON, checksum mismatch,
+    * truncation) — those degrade to the legacy mergeSchema read, loudly.
+    * Transient I/O and permission failures PROPAGATE: silently falling
+    * back there would let one flaky read serve a different schema (and
+    * drop the csv header validation) with nothing distinguishing it
+    * from a real corruption.
     */
-  private def pinnedSchema(): Option[StructType] =
-    scala.util.Try {
-      val p = sidecarPath
-      if (!fs(p).exists(p)) None
-      else {
+  private def pinnedSchema(): Option[StructType] = {
+    val p = sidecarPath
+    if (!fs(p).exists(p)) None
+    else {
+      def corrupt(e: Throwable): Option[StructType] = {
+        System.err.println(
+          s"[graft] WARN corrupt schema sidecar $p (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}); falling back to legacy mergeSchema read")
+        None
+      }
+      try {
         val in = fs(p).open(p)
         val txt =
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString
           finally in.close()
-        Some(DataType.fromJson(txt).asInstanceOf[StructType])
+        try Some(DataType.fromJson(txt).asInstanceOf[StructType])
+        catch { case e: Exception => corrupt(e) } // unparseable JSON
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException => corrupt(e)
+        case e: java.io.EOFException => corrupt(e)
       }
-    }.toOption.flatten // unreadable/corrupt sidecar, checksum errors, bad JSON
+    }
+  }
 
   /** The latest load's partition directory, by ONE FileSystem listing of
     * the table root — no Spark job, no file enumeration of older loads.

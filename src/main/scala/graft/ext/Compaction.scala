@@ -49,7 +49,16 @@ object Compaction {
       maxRecordsPerFile: Long = 5000000L): Stats = {
     val before = dataFiles(spark, inDir)
     val df = spark.read.parquet(inDir)
-    val writer = df.hint("rebalance").write
+    // rebalance ON the partition columns: an unkeyed rebalance spreads
+    // each partitionBy value across many tasks, and the write then emits
+    // one file per (task, value) — re-fragmenting what it claims to
+    // bin-pack once AQE keeps more than one rebalanced partition
+    val rebalanced =
+      if (partitionCols.nonEmpty)
+        df.hint("rebalance",
+          partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.hint("rebalance")
+    val writer = rebalanced.write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)

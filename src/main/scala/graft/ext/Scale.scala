@@ -118,6 +118,12 @@ object ZOrderLayout {
       bits: Int, partitions: Int): Unit = {
     val r = df.agg(min(col(ca)), max(col(ca)), min(col(cb)), max(col(cb)))
       .first()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty input or all-null key column: nothing to order — write
+      // as-is rather than NPE on the absent bounds
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def b(i: Int): Long = r.getAs[Number](i).longValue
     def scaled(c: String, lo: Long, hi: Long): Column =
       ((col(c) - lit(lo)).cast("long") * lit(1L << bits)

@@ -286,7 +286,7 @@ object CurationQueries {
         .select($"doc_id", $"chunk").distinct()
         // the chunking window+agg over the token stream feeds the df
         // count and both self-join sides — materialize it exactly once
-        .localCheckpoint(true)
+        .transform(Q.mat)
       val rare = chunks.groupBy($"chunk")
         .agg(count(lit(1)).as("cdf"))
         .where($"cdf" <= chunkDocFreqCap)

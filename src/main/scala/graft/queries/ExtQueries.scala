@@ -128,7 +128,7 @@ object ExtQueries {
       maxDocFreq: Long = gramDocFreqCap): DataFrame = {
     // both the df-count branch and the join probe read the exploded gram
     // stream; materialize it once instead of re-exploding the corpus
-    val g = grams(s, dir).localCheckpoint(true)
+    val g = Mat(grams(s, dir))
     val rare = g.groupBy(col("gram"))
       .agg(count(lit(1)).as("gram_df"))
       .where(col("gram_df") <= maxDocFreq)
@@ -195,7 +195,7 @@ object ExtQueries {
     // the inverted index feeds three consumers (both self-join sides +
     // sizes); materialize it once — at scale this is "build the gram
     // index, then run the dedup family off it", not three corpus passes
-    val g = cappedGrams(s, dir).localCheckpoint(true)
+    val g = Mat(cappedGrams(s, dir))
     val sizes = g.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val inter = g.as("g1")
       .join(g.as("g2"),
@@ -297,7 +297,7 @@ object ExtQueries {
         // do the same internally).
         labels = labels.union(viaNeighbor)
           .groupBy($"doc_id").agg(min($"comp").as("comp"))
-          .localCheckpoint(true)
+          .transform(Q.mat)
       }
       edges.unpersist() // labels' lineage is truncated; edges can go
       labels
@@ -347,7 +347,7 @@ object ExtQueries {
       // AND the sizes/intersection verification below
       val g = cappedGrams(s, dir)
         .withColumn("bh0", expr(mhBaseNative(s, "gram")))
-        .localCheckpoint(true)
+        .transform(Q.mat)
       val hashCols = (0 until K).map(i =>
         min(expr(s"(${mhA(i)}L * bh0 + ${mhB(i)}L) % $mhP")).as(s"h$i"))
       val sig = g.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
@@ -363,7 +363,7 @@ object ExtQueries {
       // bucket a large fraction of the corpus hashes into discriminates
       // nothing — at 100 TB one such bucket is a quadratic straggler.
       // The oracle applies the identical cap.
-      val bandRowsM = bandRows.localCheckpoint(true) // 4 rows/doc, 3 readers
+      val bandRowsM = Mat(bandRows) // 4 rows/doc, 3 readers
       val okBuckets = bandRowsM.groupBy($"band", $"bh")
         .agg(count(lit(1)).as("bpop"))
         .where($"bpop" <= lshBucketCap)
@@ -479,7 +479,7 @@ object ExtQueries {
           (0 until 62).map(i =>
             when(col(s"b$i") > 0, expr(s"shiftleft(1L, $i)")).otherwise(0L))
             .reduce(_ bitwiseOR _).as("sim"))
-        .localCheckpoint(true)
+        .transform(Q.mat)
       val blocks = sig.select($"doc_id", $"sim",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("blk"),

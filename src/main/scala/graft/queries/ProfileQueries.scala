@@ -17,6 +17,15 @@ object ProfileQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Deterministic scratch directory for queries that exercise the
+    * write path: keyed by (query, input dir) and OVERWRITTEN on every
+    * run — fresh createTempDirectory names would leak a full table copy
+    * into /tmp per invocation, growing without bound across runs.
+    */
+  private def scratch(name: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_scratch/${name}_" +
+      Integer.toHexString(dir.hashCode)
+
   // ---- 1. data profiling ----
 
   /** Per-column profile of a table in ONE pass (ANALYZE-style table
@@ -97,9 +106,11 @@ object ProfileQueries {
     "ext_heavy_hitters_cms",
     (s, dir) => {
       import s.implicits._
-      val based = t(s, dir, "documents")
+      // hashed token stream feeds the sketch build AND the vocab agg —
+      // materialize once (same convention as the dedup-family indexes)
+      val based = Mat(t(s, dir, "documents")
         .select(explode(split($"text", " ")).as("word"))
-        .withColumn("bh", expr(ExtQueries.mhBaseNative(s, "word")))
+        .withColumn("bh", expr(ExtQueries.mhBaseNative(s, "word"))))
       val entries = based.select(explode(array((0 until 4).map { i =>
         struct(lit(i).as("i"),
           (((lit(cmsA(i)) * $"bh" + lit(cmsB(i))) % ExtQueries.mhP) % cmsW)
@@ -318,8 +329,7 @@ object ProfileQueries {
   val extCompactFiles = Q(
     "ext_compact_files",
     (s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_compact").toString
+      val tmp = scratch("compact", dir)
       val docs = t(s, dir, "documents")
       docs.repartition(16).write.partitionBy("lang")
         .mode("overwrite").parquet(s"$tmp/frag")
@@ -345,8 +355,11 @@ object ProfileQueries {
     "ext_retention_expire",
     (s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_retention").toString
+      val tmp = scratch("retention", dir)
+      // append-mode loads: clear the previous run's scratch table first
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val fsys = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fsys.exists(root)) fsys.delete(root, true)
       val docs = t(s, dir, "documents")
       for (load <- Seq("2026-01-01 00:00:00", "2026-01-02 00:00:00"))
         docs.withColumn("etl_inserted",
@@ -376,8 +389,7 @@ object ProfileQueries {
     "ext_zorder_layout",
     (s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_zorder").toString
+      val tmp = scratch("zorder", dir)
       val ev = t(s, dir, "events")
         .withColumn("day", dayofmonth($"ts").cast("long"))
       graft.ext.ZOrderLayout.writeZOrder(ev, s"$tmp/z",
@@ -471,17 +483,24 @@ object ProfileQueries {
       import s.implicits._
       graft.functions.BloomMightContain.register(s)
       val p = ExtQueries.mhP
-      val docs = t(s, dir, "documents")
+      // hashed corpus feeds the history set, the bloom build, and three
+      // incoming-batch slices — materialize once (ten lazy re-reads
+      // otherwise: count, sketch, both filter branches, the join)
+      val docs = Mat(t(s, dir, "documents")
         .withColumn("sk", concat(lit("inc:"), $"doc_id".cast("string")))
         .withColumn("h", expr(ExtQueries.mhBaseNative(s, "sk")))
         .withColumn("h2", ($"h" * $"h" + $"h") % p)
         .withColumn("fp", expr(ExtQueries.mhBaseNative(s, "text")))
-      val hist = docs.where($"h2" % 10 < 8).select($"fp").distinct()
-      val base = docs.select($"doc_id", $"fp", $"h2")
-      val newLoad = base.where($"h2" % 10 >= 8)
-        .unionByName(base.where($"h2" % 10 === 0)) // replayed history
-        .unionByName(base.where($"h2" % 10 === 9) // re-posted, fresh id
-          .withColumn("doc_id", $"doc_id" + 1000000L))
+        .select($"doc_id", $"fp", $"h2"))
+      val hist = Mat(docs.where($"h2" % 10 < 8).select($"fp").distinct())
+      // re-posted ids must be provably disjoint from real ids on ANY
+      // corpus (a fixed +1e6 collides once doc_ids pass a million,
+      // breaking the keep-first total order): offset by max(doc_id)+1
+      val repostOffset = docs.agg(max($"doc_id")).first().getLong(0) + 1L
+      val newLoad = docs.where($"h2" % 10 >= 8)
+        .unionByName(docs.where($"h2" % 10 === 0)) // replayed history
+        .unionByName(docs.where($"h2" % 10 === 9) // re-posted, fresh id
+          .withColumn("doc_id", $"doc_id" + lit(repostOffset)))
         .select($"doc_id", $"fp")
       val nHist = math.max(hist.count(), 1000L)
       val bf = hist.stat.bloomFilter("fp", nHist, 0.01)
@@ -513,10 +532,11 @@ object ProfileQueries {
          |          ${ExtQueries.mhBaseDuck("('inc:' || CAST(doc_id AS VARCHAR))")} AS h
          |        FROM documents)),
          |hist AS (SELECT DISTINCT fp FROM d WHERE h2 % 10 < 8),
+         |off AS (SELECT MAX(doc_id) + 1 AS o FROM d),
          |nw AS (
          |  SELECT doc_id, fp FROM d WHERE h2 % 10 >= 8
          |  UNION ALL SELECT doc_id, fp FROM d WHERE h2 % 10 = 0
-         |  UNION ALL SELECT doc_id + 1000000, fp FROM d WHERE h2 % 10 = 9)
+         |  UNION ALL SELECT doc_id + (SELECT o FROM off), fp FROM d WHERE h2 % 10 = 9)
          |SELECT doc_id, fp,
          |       CASE WHEN fp IN (SELECT fp FROM hist) THEN 'dup_history'
          |            WHEN ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1

@@ -18,6 +18,9 @@ final case class Q(
 }
 
 object Q {
+  /** Materialization point for multi-consumer frames — see [[Mat]]. */
+  def mat(df: DataFrame): DataFrame = Mat(df)
+
   def registry(qs: Seq[Q]): Map[String, (SparkSession, String) => DataFrame] =
     qs.map(q => q.name -> q.run).toMap
   def oracles(qs: Seq[Q]): Map[String, String] =

@@ -15,8 +15,12 @@ class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // materialization OFF: eager localCheckpoints would both execute jobs
+  // here and truncate the plan at each checkpoint, hiding every join
+  // upstream of one from the assertions below
   private def plan(q: Q): String =
-    q.run(spark, dir).queryExecution.explainString(FormattedMode)
+    graft.queries.Mat.withoutMaterialization(
+      q.run(spark, dir).queryExecution.explainString(FormattedMode))
 
   test("top-k order query plans as TakeOrderedAndProject, not a global sort") {
     assert(plan(CoreQueries.q07TopOrders).contains("TakeOrderedAndProject"))
@@ -55,6 +59,10 @@ class PlanSpec extends SparkSpec {
         ExtQueries.extDedupMinhashLsh, ExtQueries.extDedupSimhash,
         ExtQueries.extDedupComponents, CurationQueries.extDedupChunk)) {
       val p = plan(q)
+      // the audit must actually SEE the candidate joins — if a future
+      // materialization point truncates the plan above them, this fails
+      // instead of the cartesian asserts passing vacuously
+      assert(p.contains("Join"), s"${q.name}: no joins visible to audit")
       assert(!p.contains("CartesianProduct"), s"${q.name} plans all-pairs")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"${q.name} plans an unkeyed join")
