@@ -613,8 +613,59 @@ object ProfileQueries {
            |       ROW_NUMBER() OVER (ORDER BY source, doc_id) AS global_pos
            |FROM documents ORDER BY global_pos""".stripMargin))
 
+  // ---- 12. incremental aggregate maintenance ----
+
+  /** Materialized-aggregate MAINTENANCE: when a new load lands, update
+    * per-source corpus metrics by merging the stored partial state with
+    * the DELTA's partials — never rescanning history. Works for any
+    * algebraic aggregate (decompose into sum/count/min/max partials;
+    * derive avg at read). Here the "stored" state is the 80% history
+    * slice's partials and the delta is the rest; the oracle computes the
+    * same metrics with one flat full-corpus aggregate — equality proves
+    * the merge algebra. At 100 TB this is the difference between an
+    * incremental metrics refresh touching |delta| rows and a daily
+    * full-corpus pass; the merge input is two |sources|-row frames.
+    */
+  val extAggIncremental = Q(
+    "ext_agg_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val p = ExtQueries.mhP
+      val docs = t(s, dir, "documents")
+        .withColumn("sk", concat(lit("inc:"), $"doc_id".cast("string")))
+        .withColumn("h", expr(ExtQueries.mhBaseNative(s, "sk")))
+        .withColumn("h2", ($"h" * $"h" + $"h") % p)
+        .select($"doc_id", $"source", $"n_chars", $"h2")
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy($"source").agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"))
+      val stored = partials(docs.where($"h2" % 10 < 8)) // the MV state
+      val delta = partials(docs.where($"h2" % 10 >= 8)) // today's load
+      stored.unionByName(delta)
+        .groupBy($"source").agg(
+          sum($"n_docs").as("n_docs"),
+          sum($"sum_chars").as("sum_chars"),
+          min($"min_chars").as("min_chars"),
+          max($"max_chars").as("max_chars"))
+        .select($"source", $"n_docs", $"sum_chars", $"min_chars",
+          $"max_chars",
+          ($"sum_chars".cast("double") / $"n_docs".cast("double"))
+            .as("avg_chars"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  MIN(n_chars) AS min_chars,
+           |  MAX(n_chars) AS max_chars,
+           |  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+           |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[Q] = Seq(extProfileColumns, extHeavyHittersCms,
     extPiiRedact, extLmQuality, extCompactFiles, extRetentionExpire,
     extZorderLayout, extSampleWeighted, extDedupIncremental,
-    extDqQuarantine, extGlobalIndex)
+    extDqQuarantine, extGlobalIndex, extAggIncremental)
 }
