@@ -93,9 +93,11 @@ object Ivf {
   def build(emb: DataFrame, k: Int, iters: Int = 2): Index = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val base = emb
+    // persisted across passes: seeds + each Lloyd E-step + the final
+    // assignment all read this projection — one scan, not iters+2
+    val base = graft.queries.Mat(emb
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-      .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})"))
+      .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})")))
     var cents: Seq[(Int, Seq[Double])] = base
       .orderBy($"vec_id").limit(k)
       .select($"e").as[Seq[Double]].collect().toSeq
