@@ -664,8 +664,64 @@ object ProfileQueries {
            |  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
            |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
+  // ---- 13. table diff / reconciliation ----
+
+  /** Anti-entropy table reconciliation: verify a copy (migration,
+    * compaction, replication) matches its source WITHOUT shipping rows —
+    * per-group content checksums (count + order-independent XOR of the
+    * portable row hash), one keyed agg per side, then a group-level
+    * compare. Mismatched groups localize the damage to re-sync; at
+    * 100 TB the network cost is |groups| rows, not the table. The
+    * "copy" here is the corpus with one deterministically bit-rotted
+    * document, so exactly one source group flags — proving the checksum
+    * catches a single-row change and clears everything else.
+    */
+  val extTableDiff = Q(
+    "ext_table_diff",
+    (s, dir) => {
+      import s.implicits._
+      def summarize(df: DataFrame): DataFrame =
+        df.withColumn("rk",
+            concat($"doc_id".cast("string"), lit(":"), $"text"))
+          .withColumn("h", expr(ExtQueries.mhBaseNative(s, "rk")))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("xh"))
+      val left = summarize(t(s, dir, "documents"))
+      val right = summarize(t(s, dir, "documents")
+        .withColumn("text",
+          when($"doc_id" === 42L, concat($"text", lit(" [bitrot]")))
+            .otherwise($"text")))
+      left.select($"source", $"n".as("n_left"), $"xh".as("xh_left"))
+        .join(right.select($"source", $"n".as("n_right"),
+          $"xh".as("xh_right")), Seq("source"), "full_outer")
+        .select($"source",
+          coalesce($"n_left", lit(0L)).as("n_left"),
+          coalesce($"n_right", lit(0L)).as("n_right"),
+          ($"n_left" === $"n_right" && $"xh_left" === $"xh_right")
+            .as("in_sync"))
+        .orderBy($"source")
+    },
+    Some {
+      val h = ExtQueries.mhBaseDuck("(CAST(doc_id AS VARCHAR) || ':' || text)")
+      s"""WITH lh AS (
+         |  SELECT source, COUNT(*) AS n, bit_xor($h) AS xh
+         |  FROM documents GROUP BY 1),
+         |rdoc AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN doc_id = 42 THEN text || ' [bitrot]' ELSE text END AS text
+         |  FROM documents),
+         |rh AS (
+         |  SELECT source, COUNT(*) AS n, bit_xor($h) AS xh
+         |  FROM rdoc GROUP BY 1)
+         |SELECT COALESCE(lh.source, rh.source) AS source,
+         |       COALESCE(lh.n, 0) AS n_left, COALESCE(rh.n, 0) AS n_right,
+         |       lh.n = rh.n AND lh.xh = rh.xh AS in_sync
+         |FROM lh FULL OUTER JOIN rh ON lh.source = rh.source
+         |ORDER BY source""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(extProfileColumns, extHeavyHittersCms,
     extPiiRedact, extLmQuality, extCompactFiles, extRetentionExpire,
     extZorderLayout, extSampleWeighted, extDedupIncremental,
-    extDqQuarantine, extGlobalIndex, extAggIncremental)
+    extDqQuarantine, extGlobalIndex, extAggIncremental, extTableDiff)
 }
