@@ -146,13 +146,24 @@ object Bucketing {
     * into a local merge.
     */
   def writeBucketed(
-      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+      df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    // a managed-table location can survive a previous session whose
+    // in-memory catalog is gone; saveAsTable then refuses with
+    // LOCATION_ALREADY_EXISTS even in overwrite mode. Drop both halves —
+    // catalog entry AND stale directory — before writing.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key. */
   def bucketedJoin(

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-construction operators for a training-data pipeline, round 4:
+  * priority-aware cross-source dedup (keep the copy from the most
+  * curated source), domain-mixture weight computation (the per-source
+  * sampling rates that hit a target token mixture), and a positional
+  * inverted-index build (the search-side artifact BM25/decontamination
+  * consume).
+  *
+  * Determinism rules (same as [[ExtQueries]]): integer arithmetic and
+  * single double divisions only; every multi-element aggregation is
+  * explicitly ordered before rendering to a string; no engine-internal
+  * hash functions in compared columns.
+  */
+object CorpusQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Cross-source priority dedup: within each duplicate group keep the
+    * copy from the MOST CURATED source (lowest priority rank), breaking
+    * ties by doc_id — the canonical-copy selection step every multi-source
+    * corpus build runs (e.g. prefer the curated dump over the crawl).
+    * The synthetic corpus has no exact text dupes, so the dup-group key
+    * is the (lang, n_words) content signature — a stand-in with real
+    * groups; the selection semantics are the operator under test.
+    * Source priority reuses the corpus convention (source index mod 4,
+    * as in ext_sample_stratified). Scale posture: one keyed window over
+    * the group key — no all-pairs, no driver iteration.
+    */
+  val extCrossSourceDedup = Q(
+    "ext_cross_source_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang", $"n_words")
+        .orderBy($"priority", $"doc_id")
+      t(s, dir, "documents")
+        .select($"doc_id", $"lang", $"source",
+          size(split($"text", " ")).cast("bigint").as("n_words"),
+          (expr("cast(substring(source, 4, 10) as int)") % 4).as("priority"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_copies",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"lang", $"n_words")))
+        .where($"rn" === 1 && $"n_copies" >= 2)
+        .select($"lang", $"n_words", $"n_copies",
+          $"doc_id".as("keep_doc_id"), $"source".as("keep_source"),
+          ($"n_copies" - 1).as("n_removed"))
+        .orderBy($"lang", $"n_words")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, lang, source,
+           |         len(string_split(text, ' ')) AS n_words,
+           |         CAST(substring(source, 4, 10) AS INT) % 4 AS priority
+           |  FROM documents),
+           |r AS (
+           |  SELECT *,
+           |         ROW_NUMBER() OVER (PARTITION BY lang, n_words
+           |                            ORDER BY priority, doc_id) AS rn,
+           |         COUNT(*) OVER (PARTITION BY lang, n_words) AS n_copies
+           |  FROM d)
+           |SELECT lang, n_words, n_copies, doc_id AS keep_doc_id,
+           |       source AS keep_source, n_copies - 1 AS n_removed
+           |FROM r WHERE rn = 1 AND n_copies >= 2
+           |ORDER BY lang, n_words""".stripMargin))
+
+  /** Domain-mixture weights: given per-source available token counts and
+    * a target mixture (uniform here — the config is one literal away from
+    * any published mix), compute each source's target token share, the
+    * sampling probability (capped at 1 — you cannot exact-sample more
+    * than once), and the epoch factor (>1 ⇒ the source must repeat to
+    * fill its share, the LLaMA/Pile-style upsampling knob). One keyed
+    * agg + one broadcast-sized count — scale-independent.
+    */
+  val extMixtureWeights = Q(
+    "ext_mixture_weights",
+    (s, dir) => {
+      import s.implicits._
+      val budget = 100000L
+      val avail = t(s, dir, "documents")
+        .select($"source", size(split($"text", " ")).as("n_words"))
+        .groupBy($"source")
+        .agg(sum($"n_words").as("tokens_available"))
+      val n = avail.select(count(lit(1)).as("n_sources"))
+      avail.crossJoin(n)
+        .select($"source", $"tokens_available",
+          (lit(budget).cast("double") / $"n_sources".cast("double"))
+            .as("target_tokens"))
+        .withColumn("epochs",
+          $"target_tokens" / $"tokens_available".cast("double"))
+        .withColumn("sample_weight", least(lit(1.0d), $"epochs"))
+        .withColumn("direction",
+          when($"epochs" > 1.0d, lit("upsample")).otherwise(lit("downsample")))
+        .orderBy($"source")
+    },
+    Some("""WITH avail AS (
+           |  SELECT source,
+           |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           |           AS tokens_available
+           |  FROM documents GROUP BY source),
+           |n AS (SELECT COUNT(*) AS n_sources FROM avail),
+           |tgt AS (
+           |  SELECT source, tokens_available,
+           |         CAST(100000 AS DOUBLE) / CAST(n_sources AS DOUBLE)
+           |           AS target_tokens
+           |  FROM avail, n)
+           |SELECT source, tokens_available, target_tokens,
+           |       target_tokens / CAST(tokens_available AS DOUBLE) AS epochs,
+           |       LEAST(CAST(1.0 AS DOUBLE),
+           |             target_tokens / CAST(tokens_available AS DOUBLE))
+           |         AS sample_weight,
+           |       CASE WHEN target_tokens / CAST(tokens_available AS DOUBLE)
+           |                  > CAST(1.0 AS DOUBLE)
+           |            THEN 'upsample' ELSE 'downsample' END AS direction
+           |FROM tgt ORDER BY source""".stripMargin))
+
+  /** Positional inverted-index build over word-3-gram terms: per term,
+    * document frequency and the full posting list
+    * `doc:pos1-pos2 doc:pos1 …` (docs ascending, positions ascending) —
+    * the artifact phrase search, BM25 and n-gram decontamination read.
+    * Output is bounded by the df band (2..6): singleton terms carry no
+    * search value and boilerplate terms are exactly the high-df keys the
+    * dedup family caps away. Scale posture: two keyed aggregations over
+    * the exploded gram stream; per-key state is bounded by the df cap,
+    * so no group outgrows an executor regardless of corpus size.
+    */
+  val extInvertedIndex = Q(
+    "ext_inverted_index",
+    (s, dir) => {
+      import s.implicits._
+      val grams = t(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .where(size($"w") >= 3)
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+        .toDF("doc_id", "pos", "gram")
+      grams
+        .groupBy($"gram", $"doc_id")
+        .agg(array_join(sort_array(collect_list($"pos")), "-").as("poslist"))
+        .groupBy($"gram")
+        .agg(count(lit(1)).as("df"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct($"doc_id", $"poslist"))),
+              e => concat(e("doc_id").cast("string"), lit(":"), e("poslist"))),
+            " ").as("postings"))
+        .where($"df".between(2, 6))
+        .orderBy($"gram")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |  WHERE len(string_split(text, ' ')) >= 3),
+           |g AS (
+           |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+           |         concat_ws(' ', w[u.i + 1], w[u.i + 2], w[u.i + 3]) AS gram
+           |  FROM d, UNNEST(range(len(w) - 2)) AS u(i)),
+           |pd AS (
+           |  SELECT gram, doc_id,
+           |         string_agg(CAST(pos AS VARCHAR), '-' ORDER BY pos)
+           |           AS poslist
+           |  FROM g GROUP BY gram, doc_id),
+           |idx AS (
+           |  SELECT gram, COUNT(*) AS df,
+           |         string_agg(CAST(doc_id AS VARCHAR) || ':' || poslist,
+           |                    ' ' ORDER BY doc_id) AS postings
+           |  FROM pd GROUP BY gram)
+           |SELECT gram, df, postings FROM idx
+           |WHERE df BETWEEN 2 AND 6
+           |ORDER BY gram""".stripMargin))
+
+  val all: Seq[Q] =
+    Seq(extCrossSourceDedup, extMixtureWeights, extInvertedIndex)
+}

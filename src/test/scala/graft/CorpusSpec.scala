@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CorpusQueries, ScaleQueries}
+
+/** Property tests for the round-4 corpus-construction operators. The
+  * driver's DuckDB oracle certifies cross-engine value equality; these
+  * specs pin the SEMANTIC contracts the oracle SQL alone can't express
+  * (selection minimality, budget conservation, index invertibility, the
+  * shuffle-free physical plan).
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("cross-source dedup keeps the min-(priority, doc_id) copy per group") {
+    val kept = CorpusQueries.extCrossSourceDedup.run(spark, dir).collect()
+    assert(kept.nonEmpty)
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"source",
+        size(split($"text", " ")).cast("bigint").as("n_words"),
+        (expr("cast(substring(source, 4, 10) as int)") % 4).as("priority"))
+      .collect()
+      .groupBy(r => (r.getString(1), r.getLong(3)))
+    kept.foreach { k =>
+      val group = docs((k.getString(0), k.getLong(1)))
+      assert(group.length === k.getLong(2), "n_copies is the group size")
+      val best = group.minBy(r => (r.getInt(4), r.getLong(0)))
+      assert(k.getLong(3) === best.getLong(0), "keep_doc_id is the best copy")
+      assert(k.getString(4) === best.getString(2))
+    }
+    // only real duplicate groups are reported
+    assert(kept.forall(_.getLong(2) >= 2))
+  }
+
+  test("mixture weights conserve the token budget and cap sampling at 1") {
+    val rows = CorpusQueries.extMixtureWeights.run(spark, dir).collect()
+    val nSources = Tables.load(spark, dir, "documents")
+      .select($"source").distinct().count()
+    assert(rows.length === nSources)
+    val budget = rows.map(_.getAs[Double]("target_tokens")).sum
+    assert(math.abs(budget - 100000.0) < 1e-6, "targets partition the budget")
+    rows.foreach { r =>
+      val avail = r.getAs[Long]("tokens_available").toDouble
+      val epochs = r.getAs[Double]("epochs")
+      val weight = r.getAs[Double]("sample_weight")
+      assert(weight <= 1.0 + 1e-12)
+      assert(math.abs(epochs * avail - r.getAs[Double]("target_tokens")) < 1e-6)
+      assert(r.getAs[String]("direction")
+        === (if (epochs > 1.0) "upsample" else "downsample"))
+    }
+  }
+
+  test("inverted index postings parse back to real gram occurrences") {
+    val idx = CorpusQueries.extInvertedIndex.run(spark, dir)
+      .limit(50).collect()
+    assert(idx.nonEmpty)
+    val texts = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    idx.foreach { r =>
+      val gram = r.getString(0)
+      val postings = r.getString(2).split(" ")
+      assert(postings.length === r.getLong(1), "df = posting-list length")
+      // docs ascending
+      val docIds = postings.map(_.split(":")(0).toLong)
+      assert(docIds.sameElements(docIds.sorted))
+      postings.foreach { p =>
+        val Array(doc, poslist) = p.split(":")
+        val words = texts(doc.toLong).split(" ")
+        poslist.split("-").map(_.toInt).foreach { pos =>
+          assert(words.slice(pos, pos + 3).mkString(" ") === gram,
+            s"position $pos in doc $doc holds the gram")
+        }
+      }
+    }
+  }
+
+  test("the bucketed-join layout joins with zero shuffle exchanges") {
+    ScaleQueries.writeBucketed(spark, dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_scale_orders_b")
+        .join(spark.table("graft_scale_customer_b"),
+          col("o_custkey") === col("c_custkey"))
+      joined.count()
+      assert(graft.ext.Bucketing.isShuffleFree(joined),
+        joined.queryExecution.executedPlan.toString)
+    } finally spark.conf
+      .set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("salted-join query equals the unsalted formulation") {
+    val salted = ScaleQueries.extSkewSaltedJoin.run(spark, dir).collect()
+    val li = Tables.load(spark, dir, "lineitem")
+    val sup = Tables.load(spark, dir, "supplier")
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double")
+          .as("total_qty"))
+      .orderBy($"s_nationkey").collect()
+    assert(salted.toSeq === plain.toSeq)
+  }
+}
