@@ -115,7 +115,7 @@ object Ivf {
   // one-to-one (left folds in index order; vec_id-ordered M-step sums;
   // identical tie-breaks), so the driver's hash compare is exact.
 
-  private def duckDot(a: String, b: String): String =
+  private[graft] def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(len($a)), i -> $a[i+1]*$b[i+1]), (x,y) -> x+y)"
 
   private def duckSqDist(a: String, b: String): String =
@@ -139,11 +139,13 @@ object Ivf {
        |    GROUP BY 1, 2)
        |  GROUP BY 1""".stripMargin
 
-  /** The full build+search as one DuckDB query over `embeddings`,
-    * parameter-matched to [[build]]/[[search]].
+  /** The index build as a reusable CTE chain ending in
+    * `asg(vec_id, e, nrm, cluster)` — the final assignment under the
+    * converged centroids (plus `cent(cluster, ce, cnrm)`). Shared by the
+    * IVF-search oracle below and the SemDeDup oracle
+    * ([[graft.queries.SemanticQueries]]); parameter-matched to [[build]].
     */
-  def duckOracleSql(
-      k: Int, iters: Int, maxQid: Int, topK: Int, nprobe: Int): String = {
+  private[graft] def duckAsgCtes(k: Int, iters: Int): String = {
     val lloyd = (1 to iters).map { i =>
       val prev = if (i == 1) "c0" else s"c${i - 1}"
       s"""a$i AS (
@@ -151,7 +153,7 @@ object Ivf {
          |c$i AS (
          |${duckMean(s"a$i")})""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
        |  FROM embeddings),
        |n AS (
@@ -168,7 +170,15 @@ object Ivf {
        |${duckAssign("e", "cent")}),
        |asg AS (
        |  SELECT a.vec_id, a.e, n.nrm, a.cluster
-       |  FROM af a JOIN n ON a.vec_id = n.vec_id),
+       |  FROM af a JOIN n ON a.vec_id = n.vec_id)""".stripMargin
+  }
+
+  /** The full build+search as one DuckDB query over `embeddings`,
+    * parameter-matched to [[build]]/[[search]].
+    */
+  def duckOracleSql(
+      k: Int, iters: Int, maxQid: Int, topK: Int, nprobe: Int): String = {
+    s"""WITH ${duckAsgCtes(k, iters)},
        |q AS (
        |  SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
        |  WHERE vec_id < $maxQid),

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Semantic-level corpus operators, round 4: SemDeDup (cluster-scoped
+  * embedding dedup — Abbas et al. 2023, "SemDeDup: Data-efficient
+  * learning at web-scale through semantic deduplication") and an
+  * iterative PageRank (the web-graph quality prior crawl-corpus curation
+  * weighs documents by, computed BSP-style with DataFrame joins).
+  *
+  * Cross-engine determinism: all double reductions are vec_id- or
+  * src-ordered strict left folds (the ext_label_centroid convention);
+  * single divisions/multiplications mirror the oracle's expression tree
+  * exactly.
+  */
+object SemanticQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val dotFold =
+    "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+  /** SemDeDup: k-means the embedding space (the deterministic Lloyd fit
+    * shared with ext_knn_cosine_ivf), then look for near-duplicates ONLY
+    * within each cluster — pairwise cosine against cluster peers, never
+    * the corpus. Each removed item reports its most-similar lower-id
+    * keeper. At 100 TB the pair count is Σ|cluster|² instead of N²: the
+    * cluster count scales with the corpus, holding cluster sizes — and
+    * so per-key join fan-out — bounded; clusters shuffle independently.
+    * vs ext_dedup_embedding_cosine (sign-LSH banding): same contract,
+    * different recall/cost trade — LSH recalls only hash-colliding
+    * pairs, SemDeDup recalls ALL pairs co-assigned by the coarse
+    * quantizer; published practice picks per corpus.
+    */
+  val extDedupSemantic = Q(
+    "ext_dedup_semantic",
+    (s, dir) => {
+      import s.implicits._
+      val index = graft.ext.Ivf.build(
+        t(s, dir, "embeddings"), k = 16, iters = 2)
+      val a = index.assigned
+      val pairs = a.select($"cluster", $"vec_id".as("keep_id"),
+          $"e".as("ea"), $"nrm".as("na"))
+        .join(a.select($"cluster", $"vec_id".as("vec_id"),
+          $"e".as("eb"), $"nrm".as("nb")), Seq("cluster"))
+        .where($"keep_id" < $"vec_id")
+        .withColumn("cos",
+          expr(dotFold.format("ea", "eb")) / ($"na" * $"nb"))
+        .where($"cos" >= 0.35)
+      val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"keep_id")
+      pairs
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" === 1)
+        .select($"vec_id".as("removed_id"), $"keep_id".as("dup_of"),
+          $"cluster", $"cos")
+        .orderBy($"removed_id")
+    },
+    Some(s"""WITH ${graft.ext.Ivf.duckAsgCtes(k = 16, iters = 2)},
+            |pairs AS (
+            |  SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS vec_id,
+            |         ${graft.ext.Ivf.duckDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
+            |  FROM asg a JOIN asg b
+            |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+            |dup AS (
+            |  SELECT vec_id, keep_id, cluster, cos,
+            |         ROW_NUMBER() OVER (PARTITION BY vec_id
+            |                            ORDER BY cos DESC, keep_id) AS rk
+            |  FROM pairs WHERE cos >= 0.35)
+            |SELECT vec_id AS removed_id, keep_id AS dup_of, cluster, cos
+            |FROM dup WHERE rk = 1
+            |ORDER BY removed_id""".stripMargin))
+
+  /** Iterative PageRank over the customer↔supplier trade graph (edges =
+    * distinct (customer, supplier) pairs with any order line,
+    * symmetrized), 3 unrolled power iterations at damping 0.85 from the
+    * uniform vector — the quality-prior computation crawl curation runs
+    * over the link graph (cf. Common Crawl's harmonic-centrality
+    * ranking). Node ids: customer = c_custkey, supplier = 1000000 +
+    * s_suppkey. Each iteration is one join + one keyed aggregation; the
+    * per-node contribution sum is a src-ordered strict fold, so ranks
+    * are bit-identical cross-engine. Scale posture: BSP iteration with a
+    * fixed pass count, state = one (node, rank) table re-keyed per pass;
+    * nothing collects to the driver. (The in-degree-bounded fold stands
+    * in for the decimal tree-aggregation a web-scale graph would use.)
+    */
+  val extPagerankIter = Q(
+    "ext_pagerank_iter",
+    (s, dir) => {
+      import s.implicits._
+      val fwd = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select($"o_custkey".as("src"),
+          ($"l_suppkey" + 1000000L).as("dst"))
+        .distinct()
+      val edges = Q.mat(
+        fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst"))))
+      val nodes = edges.select($"src".as("node")).distinct()
+      val outdeg = edges.groupBy($"src")
+        .agg(count(lit(1)).cast("double").as("outdeg"))
+      val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
+      val r0 = nodes.crossJoin(nDf)
+        .select($"node", $"n", (lit(1.0d) / $"n").as("rank"))
+      // one power iteration: scatter rank/outdeg along edges, gather per
+      // dst as a src-ordered fold, damp
+      def step(r: DataFrame): DataFrame =
+        edges
+          .join(r.withColumnRenamed("node", "src"), Seq("src"))
+          .join(outdeg, Seq("src"))
+          .select($"dst".as("node"), $"n", $"src",
+            ($"rank" / $"outdeg").as("contrib"))
+          .groupBy($"node", $"n")
+          .agg(expr(
+            "aggregate(transform(array_sort(collect_list(struct(src, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)")
+            .as("inflow"))
+          .select($"node", $"n",
+            (lit(0.15d) / $"n" + lit(0.85d) * $"inflow").as("rank"))
+      val r3 = step(step(step(r0)))
+      r3.select($"node", $"rank").orderBy($"node")
+    },
+    Some("""WITH fwd AS (
+           |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |edges AS (
+           |  SELECT src, dst FROM fwd
+           |  UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |outdeg AS (
+           |  SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
+           |  FROM edges GROUP BY src),
+           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+           |r0 AS (
+           |  SELECT node, n, CAST(1.0 AS DOUBLE) / n AS rank
+           |  FROM nodes, nn),
+           |r1 AS (
+           |  SELECT e.dst AS node, r.n,
+           |         0.15 / r.n + 0.85 * list_reduce(
+           |           [CAST(0 AS DOUBLE)] ||
+           |             list(r.rank / o.outdeg ORDER BY e.src),
+           |           (a, x) -> a + x) AS rank
+           |  FROM edges e JOIN r0 r ON e.src = r.node
+           |              JOIN outdeg o ON e.src = o.src
+           |  GROUP BY e.dst, r.n),
+           |r2 AS (
+           |  SELECT e.dst AS node, r.n,
+           |         0.15 / r.n + 0.85 * list_reduce(
+           |           [CAST(0 AS DOUBLE)] ||
+           |             list(r.rank / o.outdeg ORDER BY e.src),
+           |           (a, x) -> a + x) AS rank
+           |  FROM edges e JOIN r1 r ON e.src = r.node
+           |              JOIN outdeg o ON e.src = o.src
+           |  GROUP BY e.dst, r.n),
+           |r3 AS (
+           |  SELECT e.dst AS node, r.n,
+           |         0.15 / r.n + 0.85 * list_reduce(
+           |           [CAST(0 AS DOUBLE)] ||
+           |             list(r.rank / o.outdeg ORDER BY e.src),
+           |           (a, x) -> a + x) AS rank
+           |  FROM edges e JOIN r2 r ON e.src = r.node
+           |              JOIN outdeg o ON e.src = o.src
+           |  GROUP BY e.dst, r.n)
+           |SELECT node, rank FROM r3 ORDER BY node""".stripMargin))
+
+  val all: Seq[Q] = Seq(extDedupSemantic, extPagerankIter)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.SemanticQueries
+
+/** Semantic-operator contracts the DuckDB oracle can't express: SemDeDup's
+  * keep/remove invariants and recall against the brute-force pair set;
+  * PageRank's conservation (stochastic-matrix) property.
+  */
+class SemanticSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("semdedup removes only toward a lower-id same-cluster near-dup") {
+    val removed = SemanticQueries.extDedupSemantic.run(spark, dir).collect()
+    assert(removed.nonEmpty)
+    removed.foreach { r =>
+      assert(r.getAs[Long]("dup_of") < r.getAs[Long]("removed_id"))
+      assert(r.getAs[Double]("cos") >= 0.35)
+    }
+    // one verdict per removed id
+    val ids = removed.map(_.getAs[Long]("removed_id"))
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("semdedup finds every within-cluster pair brute force finds") {
+    val index = graft.ext.Ivf.build(
+      Tables.load(spark, dir, "embeddings"), k = 16, iters = 2)
+    val a = index.assigned
+    val dotFold =
+      "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    // brute-force ALL pairs, then keep those SemDeDup's quantizer co-assigns
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"))
+    val brute = emb.select($"vec_id".as("ia"), $"e".as("ea"), $"nrm".as("na"))
+      .crossJoin(emb.select($"vec_id".as("ib"), $"e".as("eb"), $"nrm".as("nb")))
+      .where($"ia" < $"ib")
+      .withColumn("cos", expr(dotFold) / ($"na" * $"nb"))
+      .where($"cos" >= 0.35)
+      .join(a.select($"vec_id".as("ia"), $"cluster".as("ca")), Seq("ia"))
+      .join(a.select($"vec_id".as("ib"), $"cluster".as("cb")), Seq("ib"))
+      .where($"ca" === $"cb")
+      .select($"ib").distinct().as[Long].collect().toSet
+    val removed = SemanticQueries.extDedupSemantic.run(spark, dir)
+      .select($"removed_id").as[Long].collect().toSet
+    assert(brute === removed,
+      "removed set = {higher id of every co-clustered near-dup pair}")
+  }
+
+  test("pagerank conserves total rank mass on the symmetric trade graph") {
+    val ranks = SemanticQueries.extPagerankIter.run(spark, dir).collect()
+    assert(ranks.nonEmpty)
+    val total = ranks.map(_.getAs[Double]("rank")).sum
+    assert(math.abs(total - 1.0) < 1e-9,
+      s"symmetrized graph has no dangling mass; got $total")
+    val n = ranks.length.toDouble
+    ranks.foreach(r =>
+      assert(r.getAs[Double]("rank") > 0.15 / n - 1e-12,
+        "every node keeps at least the teleport share"))
+  }
+}
