@@ -98,11 +98,13 @@ object SemanticQueries {
         .select($"o_custkey".as("src"),
           ($"l_suppkey" + 1000000L).as("dst"))
         .distinct()
-      val edges = Q.mat(
-        fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst"))))
+      val sym = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+      // out-degree joins once into the materialized edge list, so each
+      // power iteration below is ONE join + ONE keyed agg (not two joins)
+      val edges = Q.mat(sym.join(
+        sym.groupBy($"src").agg(count(lit(1)).cast("double").as("outdeg")),
+        Seq("src")))
       val nodes = edges.select($"src".as("node")).distinct()
-      val outdeg = edges.groupBy($"src")
-        .agg(count(lit(1)).cast("double").as("outdeg"))
       val nDf = nodes.agg(count(lit(1)).cast("double").as("n"))
       val r0 = nodes.crossJoin(nDf)
         .select($"node", $"n", (lit(1.0d) / $"n").as("rank"))
@@ -111,7 +113,6 @@ object SemanticQueries {
       def step(r: DataFrame): DataFrame =
         edges
           .join(r.withColumnRenamed("node", "src"), Seq("src"))
-          .join(outdeg, Seq("src"))
           .select($"dst".as("node"), $"n", $"src",
             ($"rank" / $"outdeg").as("contrib"))
           .groupBy($"node", $"n")
