@@ -48,17 +48,18 @@ object Ivf {
   final case class Index(assigned: DataFrame, centroids: DataFrame)
 
   /** One E-step: nearest centroid by squared Euclidean distance, ties to
-    * the smaller cluster id.
+    * the smaller cluster id. Keeps every base column (callers carry
+    * different payloads — the IVF path has `nrm`, the PQ path doesn't).
     */
-  private def assign(base: DataFrame, cents: DataFrame): DataFrame = {
+  private[ext] def assign(base: DataFrame, cents: DataFrame): DataFrame = {
     val spark = base.sparkSession
     import spark.implicits._
     val w = Window.partitionBy($"vec_id").orderBy($"dist", $"cluster")
-    base.crossJoin(broadcast(cents))
+    base.crossJoin(broadcast(cents.select(col("cluster"), col("ce"))))
       .withColumn("dist", expr(sqDistFold.format("e", "ce")))
       .withColumn("rk", row_number().over(w))
       .where($"rk" === 1)
-      .select($"vec_id", $"e", $"nrm", $"cluster")
+      .select(base.columns.map(col) :+ $"cluster": _*)
   }
 
   /** One M-step: per-(cluster, dimension) ordered-fold mean, reassembled
@@ -85,6 +86,27 @@ object Ivf {
     cents.toDF("cluster", "ce")
   }
 
+  /** `iters` deterministic Lloyd passes over a `(vec_id, e, …)` frame
+    * from the k smallest-vec_id seeds; returns the final centroids.
+    * Shared by the IVF index build and the per-subspace PQ codebook fit.
+    */
+  private[ext] def fit(
+      base: DataFrame, k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Int, Seq[Double])] = base
+      .orderBy($"vec_id").limit(k)
+      .select($"e").as[Seq[Double]].collect().toSeq
+      .zipWithIndex.map { case (e, i) => (i, e) }
+    for (_ <- 1 to iters)
+      cents = meanCentroids(assign(base, centroidsDf(spark, cents)))
+    cents
+  }
+
+  private[ext] def centroidsOf(
+      spark: SparkSession, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    centroidsDf(spark, cents)
+
   /** Build the index: `iters` deterministic Lloyd passes from the k
     * smallest-vec_id seeds. `assigned` carries (vec_id, e, nrm, cluster)
     * under the FINAL centroids; `centroids` is ≤ k rows of
@@ -98,15 +120,9 @@ object Ivf {
     val base = graft.queries.Mat(emb
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
       .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})")))
-    var cents: Seq[(Int, Seq[Double])] = base
-      .orderBy($"vec_id").limit(k)
-      .select($"e").as[Seq[Double]].collect().toSeq
-      .zipWithIndex.map { case (e, i) => (i, e) }
-    for (_ <- 1 to iters)
-      cents = meanCentroids(assign(base, centroidsDf(spark, cents)))
-    val centroids = centroidsDf(spark, cents)
+    val centroids = centroidsDf(spark, fit(base, k, iters))
       .withColumn("cnrm", expr(s"sqrt(${dotFold.format("ce", "ce")})"))
-    Index(assign(base, centroids.select($"cluster", $"ce")), centroids)
+    Index(assign(base, centroids), centroids)
   }
 
   // ---- DuckDB oracle generator ----
@@ -138,6 +154,29 @@ object Ivf {
        |                 unnest(e) AS v FROM $from)
        |    GROUP BY 1, 2)
        |  GROUP BY 1""".stripMargin
+
+  /** Prefix-parametrized Lloyd fit+assign chain over any `(vec_id, e)`
+    * CTE: emits `<p>c0 … <p>cent, <p>asg(vec_id, e, cluster)`. Used by
+    * the PQ oracle, which runs one chain per subspace.
+    */
+  private[graft] def duckFitAssignCtes(
+      src: String, k: Int, iters: Int, p: String): String = {
+    val lloyd = (1 to iters).map { i =>
+      val prev = if (i == 1) s"${p}c0" else s"${p}c${i - 1}"
+      s"""${p}a$i AS (
+         |${duckAssign(src, prev)}),
+         |${p}c$i AS (
+         |${duckMean(s"${p}a$i")})""".stripMargin
+    }.mkString(",\n")
+    s"""${p}c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+       |         e AS ce
+       |  FROM (SELECT vec_id, e FROM $src ORDER BY vec_id LIMIT $k)),
+       |$lloyd,
+       |${p}cent AS (SELECT cluster, ce FROM ${p}c$iters),
+       |${p}asg AS (
+       |${duckAssign(src, s"${p}cent")})""".stripMargin
+  }
 
   /** The index build as a reusable CTE chain ending in
     * `asg(vec_id, e, nrm, cluster)` — the final assignment under the

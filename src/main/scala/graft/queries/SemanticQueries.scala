@@ -167,5 +167,20 @@ object SemanticQueries {
            |  GROUP BY e.dst, r.n)
            |SELECT node, rank FROM r3 ORDER BY node""".stripMargin))
 
-  val all: Seq[Q] = Seq(extDedupSemantic, extPagerankIter)
+  /** Product-quantization kNN (ADC over m=4 × 16-dim codebooks, 16
+    * codes each): the memory-compression ANN variant — each candidate
+    * costs m table lookups instead of a dim-length dot product, and the
+    * corpus stores m bytes per vector instead of dim floats. Completes
+    * the similarity-search family: brute/native (exact), LSH/IVF
+    * (candidate pruning), int8 (scalar quantization), PQ (vector
+    * quantization). PqSpec measures recall against the exact top-k.
+    */
+  val extKnnPq = Q(
+    "ext_knn_cosine_pq",
+    (s, dir) => graft.ext.Pq.searchAll(t(s, dir, "embeddings"),
+      m = 4, subDim = 16, k = 16, iters = 2, maxQid = 10, topK = 5),
+    Some(graft.ext.Pq.duckOracleSql(
+      m = 4, subDim = 16, k = 16, iters = 2, maxQid = 10, topK = 5)))
+
+  val all: Seq[Q] = Seq(extDedupSemantic, extPagerankIter, extKnnPq)
 }
