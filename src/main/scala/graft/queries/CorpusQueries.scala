@@ -174,6 +174,56 @@ object CorpusQueries {
            |WHERE df BETWEEN 2 AND 6
            |ORDER BY gram""".stripMargin))
 
+  /** Token-balanced shard assignment: order documents by size
+    * (longest-processing-time first), deal rank k to shard (k−1) mod 8 —
+    * the round-robin LPT approximation that keeps output shards within
+    * one max-document of each other, used when writing a corpus as
+    * fixed-count shards for data loaders. The global size rank is
+    * computed SCALABLY: `row_number() OVER (ORDER BY tokens DESC)` with
+    * no partition key would collapse the corpus into one window
+    * partition, so rows rank within token-count BANDS (floor(tokens/16)
+    * — a coarsening of the sort key, so band boundaries respect the
+    * global order) and add prefix-summed band offsets, the
+    * ext_global_index technique keyed by size band instead of source.
+    * The oracle is the naive global ROW_NUMBER — equality proves the
+    * banded rank IS the global rank.
+    */
+  val extShardBalance = Q(
+    "ext_shard_balance",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select($"doc_id",
+          size(split($"text", " ")).cast("bigint").as("tokens"))
+        .withColumn("band", floor($"tokens" / 16L))
+      val inBand = d.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"band").orderBy($"tokens".desc, $"doc_id")))
+      val offsets = d.groupBy($"band")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("offset",
+          coalesce(sum($"n").over(org.apache.spark.sql.expressions.Window
+            .orderBy($"band".desc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+        .select($"band", $"offset")
+      inBand.join(broadcast(offsets), Seq("band"))
+        .select($"doc_id", $"tokens",
+          (($"offset" + $"rk" - 1) % 8).as("shard"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id,
+           |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+           |  FROM documents),
+           |r AS (
+           |  SELECT doc_id, tokens,
+           |         ROW_NUMBER() OVER (ORDER BY tokens DESC, doc_id) AS rnk
+           |  FROM d)
+           |SELECT doc_id, tokens, (rnk - 1) % 8 AS shard
+           |FROM r ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] =
-    Seq(extCrossSourceDedup, extMixtureWeights, extInvertedIndex)
+    Seq(extCrossSourceDedup, extMixtureWeights, extInvertedIndex,
+      extShardBalance)
 }

@@ -77,6 +77,17 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("shard assignment balances token totals to within one max doc") {
+    val out = CorpusQueries.extShardBalance.run(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+      .view.mapValues(_.map(_.getAs[Long]("tokens")).sum)
+    assert(byShard.size === 8, "all 8 shards populated")
+    val maxDoc = out.map(_.getAs[Long]("tokens")).max
+    assert(byShard.values.max - byShard.values.min <= maxDoc,
+      s"LPT round-robin keeps shards within one max document: $byShard")
+  }
+
   test("the bucketed-join layout joins with zero shuffle exchanges") {
     ScaleQueries.writeBucketed(spark, dir)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
