@@ -59,7 +59,7 @@ object Ivf {
       .withColumn("dist", expr(sqDistFold.format("e", "ce")))
       .withColumn("rk", row_number().over(w))
       .where($"rk" === 1)
-      .select(base.columns.map(col) :+ $"cluster": _*)
+      .select(base.columns.toIndexedSeq.map(col) :+ $"cluster": _*)
   }
 
   /** One M-step: per-(cluster, dimension) ordered-fold mean, reassembled

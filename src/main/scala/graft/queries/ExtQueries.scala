@@ -1266,6 +1266,34 @@ object ExtQueries {
     Some("""SELECT event_id, user_id, event_type, value
            |FROM events ORDER BY event_id""".stripMargin))
 
+  /** Stream-static enrichment ([[graft.streaming.StreamOps
+    * .enrichWithDim]]): the event stream joins the bounded customer
+    * dimension per micro-batch (broadcast — the stream never shuffles
+    * for the lookup) and aggregates per (segment, event type). Complete
+    * mode; after the drain the result equals the batch join, which is
+    * exactly what the oracle checks.
+    */
+  val extStreamEnrich = Q(
+    "ext_stream_enrich",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_enrich_" + math.abs(dir.hashCode).toString
+      val dim = t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+      graft.streaming.StreamOps.runToCompletion(
+        s, streamSourceDir(dir, "enrich"), eventsStreamSchema,
+        df => graft.streaming.StreamOps.enrichWithDim(
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000"))), dim),
+        name, statePartitions = Some(8))
+        .select($"c_mktsegment", $"event_type", $"n_events",
+          $"sum_value".cast("double").as("sum_value"))
+        .orderBy($"c_mktsegment", $"event_type")
+    },
+    Some("""SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           |FROM events JOIN customer ON user_id = c_custkey
+           |GROUP BY c_mktsegment, event_type
+           |ORDER BY c_mktsegment, event_type""".stripMargin))
+
   /** As-of join (point-in-time): each event matched to the user's most
     * recent order at event time — [[graft.ext.AsOfJoin]]'s union +
     * carry-forward-window composition (one shuffle). Oracle: DuckDB's
@@ -1339,5 +1367,6 @@ object ExtQueries {
     extTextQuality,
     extTextFilter, extLangId, extTopTerms, extSessionize, extSessionWindow,
     extMultimodal, extMultimodalFrames, extStreamWindowCounts,
-    extStreamSlidingCounts, extStreamSessionize, extStreamDedup)
+    extStreamSlidingCounts, extStreamSessionize, extStreamDedup,
+    extStreamEnrich)
 }

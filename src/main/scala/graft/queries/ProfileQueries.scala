@@ -720,8 +720,104 @@ object ProfileQueries {
          |ORDER BY source""".stripMargin
     })
 
+  // ---- 14. character-entropy quality signal ----
+
+  /** Character-level Shannon entropy per document (nats): the cheap
+    * gibberish/boilerplate detector — near-zero for repeated-character
+    * spam, ~ln(alphabet) for natural text. entropy = Σ (c/n)·ln(n/c)
+    * over per-char counts, with ln the portable sqrt-chain (n/c ∈
+    * [1, doc length] — comfortably inside the reduction range) and the
+    * per-doc sum folded in CHARACTER order, so the scores are
+    * bit-identical cross-engine. Scale posture: one (doc, char) keyed
+    * agg (per-doc state bounded by the alphabet), one doc-keyed fold.
+    */
+  val extTextEntropy = Q(
+    "ext_text_entropy",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", $"text", length($"text").cast("double").as("n"))
+      val cc = docs
+        .select($"doc_id", $"n", explode(split($"text", "")).as("ch"))
+        .groupBy($"doc_id", $"n", $"ch")
+        .agg(count(lit(1)).cast("double").as("c"))
+      stageLn(cc, "n / c", "ln_nc")
+        .withColumn("term", ($"c" / $"n") * $"ln_nc")
+        .groupBy($"doc_id")
+        .agg(
+          expr("aggregate(transform(array_sort(collect_list(struct(ch, term))), x -> x.term), 0D, (a, x) -> a + x)")
+            .as("entropy"),
+          count(lit(1)).as("n_distinct_chars"))
+        .withColumn("is_low_entropy", $"entropy" < lit(2.0d))
+        .orderBy($"doc_id")
+    },
+    Some {
+      s"""WITH d AS (
+         |  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n
+         |  FROM documents),
+         |cc AS (
+         |  SELECT doc_id, n, ch, CAST(COUNT(*) AS DOUBLE) AS c
+         |  FROM (SELECT doc_id, n, unnest(string_split(text, '')) AS ch
+         |        FROM d)
+         |  GROUP BY doc_id, n, ch),
+         |l AS (
+         |  SELECT doc_id, ch, (c / n) * ($$LN) AS term FROM (
+         |    SELECT *, u * u AS u2 FROM (
+         |      SELECT *, (y - CAST(1 AS DOUBLE)) / (y + CAST(1 AS DOUBLE)) AS u
+         |      FROM (SELECT *, ${CurationQueries.sixSqrt("n / c")} AS y
+         |            FROM cc)))),
+         |e AS (
+         |  SELECT doc_id,
+         |         list_reduce([CAST(0 AS DOUBLE)] || list(term ORDER BY ch),
+         |                     (a, x) -> a + x) AS entropy,
+         |         COUNT(*) AS n_distinct_chars
+         |  FROM l GROUP BY doc_id)
+         |SELECT doc_id, entropy, n_distinct_chars,
+         |       entropy < CAST(2.0 AS DOUBLE) AS is_low_entropy
+         |FROM e ORDER BY doc_id""".stripMargin
+        .replace("$LN", CurationQueries.portableLnOfU)
+    })
+
+  // ---- 15. per-source quantile profile ----
+
+  /** Per-source document-length quantiles (p50/p90/p99) via
+    * `percentile_approx` — the bounded-memory GK sketch the category
+    * report established: exact (rank-selection) while a group holds
+    * fewer than ~accuracy/2 values, degrading to ±1/accuracy rank error
+    * instead of buffering every value (exact `percentile` is the 100-TB
+    * executor-memory hazard). The oracle selects the same ranks
+    * explicitly with ROW_NUMBER, pinning the convention instead of
+    * trusting an engine's quantile function to share it.
+    */
+  val extQuantileProfile = Q(
+    "ext_quantile_profile",
+    (s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"source", $"n_chars".cast("double").as("v"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile_approx(v, array(0.5D, 0.9D, 0.99D), 10000)")
+            .as("qs"))
+        .select($"source", $"n_docs",
+          $"qs"(0).as("p50"), $"qs"(1).as("p90"), $"qs"(2).as("p99"))
+        .orderBy($"source")
+    },
+    Some("""WITH r AS (
+           |  SELECT source, CAST(n_chars AS DOUBLE) AS v,
+           |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars)
+           |           AS rk,
+           |         COUNT(*) OVER (PARTITION BY source) AS n
+           |  FROM documents)
+           |SELECT source, MAX(n) AS n_docs,
+           |       MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
+           |       MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90,
+           |       MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS p99
+           |FROM r GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[Q] = Seq(extProfileColumns, extHeavyHittersCms,
     extPiiRedact, extLmQuality, extCompactFiles, extRetentionExpire,
     extZorderLayout, extSampleWeighted, extDedupIncremental,
-    extDqQuarantine, extGlobalIndex, extAggIncremental, extTableDiff)
+    extDqQuarantine, extGlobalIndex, extAggIncremental, extTableDiff,
+    extTextEntropy, extQuantileProfile)
 }

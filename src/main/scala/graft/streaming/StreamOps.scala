@@ -109,6 +109,22 @@ object StreamOps {
         col("click_id"), col("click_ts"))
   }
 
+  /** Stream-static enrichment join — the standard streaming lookup
+    * shape: each micro-batch joins the bounded dimension (broadcast: the
+    * static side is re-resolved per batch and never forces the stream
+    * to shuffle), then aggregates per (segment, event type). At scale
+    * the dimension rides along as a broadcast (or a state-store-backed
+    * lookup when it outgrows one); the unbounded side streams through
+    * untouched. Complete mode, decimal aggregation.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+
   /** Streaming front door to the medallion lake: foreachBatch lands each
     * micro-batch as its own `etl_batch` partition via DYNAMIC partition
     * overwrite — retrying a FAILED batch rewrites its own partition

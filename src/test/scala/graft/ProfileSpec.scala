@@ -11,6 +11,39 @@ import graft.queries.ProfileQueries
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
 
+  test("character entropy matches an exact java.lang.Math recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val out = ProfileQueries.extTextEntropy.run(spark, dir)
+      .select($"doc_id", $"entropy").as[(Long, Double)].collect().toMap
+    val texts = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(out.size === texts.length)
+    texts.foreach { case (id, text) =>
+      val n = text.length.toDouble
+      val exact = text.groupBy(identity).values
+        .map(g => (g.length / n) * math.log(n / g.length)).sum
+      assert(math.abs(out(id) - exact) < 1e-9,
+        s"doc $id: portable-ln entropy ${out(id)} vs exact $exact")
+      assert(out(id) >= 0.0)
+    }
+  }
+
+  test("quantile profile ranks match a driver-side exact selection") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = ProfileQueries.extQuantileProfile.run(spark, dir).collect()
+    val bySource = Tables.load(spark, dir, "documents")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+      .groupBy(_._1)
+    assert(rows.length === bySource.size)
+    rows.foreach { r =>
+      val vs = bySource(r.getAs[String]("source")).map(_._2.toDouble).sorted
+      def rank(p: Double) = vs(math.ceil(p * vs.length).toInt - 1)
+      assert(r.getAs[Double]("p50") === rank(0.5))
+      assert(r.getAs[Double]("p90") === rank(0.9))
+      assert(r.getAs[Double]("p99") === rank(0.99))
+    }
+  }
+
   test("profile counts nulls, distincts and lengths per column") {
     val df = Seq(
       (Some(1L), Some("aa")), (Some(2L), None), (None, Some("bbbb")))
