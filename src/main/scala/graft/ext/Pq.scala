@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   * codebooks, and each candidate's approximate cosine is the sum of its
   * m table entries — the memory-compression half of billion-scale ANN
   * (IVF prunes candidates; PQ shrinks what each candidate costs to
-  * score: m bytes instead of dim floats).
+  * score: m bytes instead of dim floats). [[searchIvfPq]] composes the
+  * two halves into the production IVF-PQ stack.
   *
   * Scale posture: codebooks are m×k×subDim doubles — broadcast
   * literals; encoding is a per-row broadcast argmin (one corpus pass);
@@ -27,36 +28,57 @@ object Pq {
   private val dotFold =
     "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
-  /** Encode + ADC search in one plan, parameter-matched to
-    * [[duckOracleSql]]: queries are vec_id < maxQid, results are top-k
-    * per query by (approximate cosine desc, neighbor id).
-    */
-  def searchAll(emb: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
-      maxQid: Int, topK: Int): DataFrame = {
+  /** (vec_id, en): L2-normalized double vectors, materialized once. */
+  private def normalized(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val en = graft.queries.Mat(emb
+    graft.queries.Mat(emb
       .select($"vec_id", $"embedding".cast("array<double>").as("e0"))
       .withColumn("nrm", expr(s"sqrt(${dotFold.format("e0", "e0")})"))
       .select($"vec_id", expr("transform(e0, x -> x / nrm)").as("en")))
-    val parts = (0 until m).map { sub =>
+  }
+
+  private final case class Sub(sub: Int, sv: DataFrame, cents: DataFrame)
+
+  /** Slice out each subspace and fit its codebook. */
+  private def fitSubspaces(en: DataFrame, m: Int, subDim: Int, k: Int,
+      iters: Int): Seq[Sub] = {
+    val spark = en.sparkSession
+    import spark.implicits._
+    (0 until m).map { sub =>
       val sv = graft.queries.Mat(en.select($"vec_id",
         expr(s"slice(en, ${sub * subDim + 1}, $subDim)").as("e")))
-      val cents = Ivf.centroidsOf(spark, Ivf.fit(sv, k, iters))
-      val codes = Ivf.assign(sv, cents)
-        .select($"vec_id", lit(sub).as("sub"), $"cluster".as("code"))
-      val lut = sv.where($"vec_id" < maxQid)
-        .crossJoin(broadcast(cents))
-        .select($"vec_id".as("qid"), lit(sub).as("sub"),
-          $"cluster".as("code"), expr(dotFold.format("e", "ce")).as("pdot"))
-      (codes, lut)
+      Sub(sub, sv, Ivf.centroidsOf(spark, Ivf.fit(sv, k, iters)))
     }
-    val codes = parts.map(_._1).reduce(_ unionByName _)
-    val lut = parts.map(_._2).reduce(_ unionByName _)
+  }
+
+  /** (vec_id, sub, code): each vector's m-code PQ encoding. */
+  private def codesOf(subs: Seq[Sub]): DataFrame =
+    subs.map { s =>
+      Ivf.assign(s.sv, s.cents)
+        .select(col("vec_id"), lit(s.sub).as("sub"),
+          col("cluster").as("code"))
+    }.reduce(_ unionByName _)
+
+  /** (qid, sub, code, pdot): each query's ADC lookup table. */
+  private def lutOf(subs: Seq[Sub], maxQid: Int): DataFrame =
+    subs.map { s =>
+      s.sv.where(col("vec_id") < maxQid)
+        .crossJoin(broadcast(s.cents))
+        .select(col("vec_id").as("qid"), lit(s.sub).as("sub"),
+          col("cluster").as("code"),
+          expr(dotFold.format("e", "ce")).as("pdot"))
+    }.reduce(_ unionByName _)
+
+  /** Sub-ordered strict fold of the m LUT entries per (query, candidate)
+    * + top-k. `cand` must carry (qid, nid, sub, pdot).
+    */
+  private def adcTopK(cand: DataFrame, topK: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
     val w = Window.partitionBy($"qid").orderBy($"approx_cos".desc, $"nid")
-    codes.join(lut, Seq("sub", "code"))
-      .where($"qid" =!= $"vec_id")
-      .groupBy($"qid", $"vec_id".as("nid"))
+    cand
+      .groupBy($"qid", $"nid")
       .agg(expr(
         "aggregate(transform(array_sort(collect_list(struct(sub, pdot))), x -> x.pdot), 0D, (a, x) -> a + x)")
         .as("approx_cos"))
@@ -66,53 +88,152 @@ object Pq {
       .orderBy($"qid", $"rank")
   }
 
-  /** The same encode+search as one DuckDB query over `embeddings` —
-    * one [[Ivf.duckFitAssignCtes]] Lloyd chain per subspace.
+  /** Flat PQ: encode + exhaustive ADC scan, parameter-matched to
+    * [[duckOracleSql]]: queries are vec_id < maxQid, results top-k per
+    * query by (approximate cosine desc, neighbor id).
     */
-  def duckOracleSql(m: Int, subDim: Int, k: Int, iters: Int,
-      maxQid: Int, topK: Int): String = {
-    def dot(a: String, b: String) = Ivf.duckDot(a, b)
-    val subs = (0 until m).map { s =>
+  def searchAll(emb: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
+      maxQid: Int, topK: Int): DataFrame = {
+    val subs = fitSubspaces(normalized(emb), m, subDim, k, iters)
+    adcTopK(
+      codesOf(subs).join(lutOf(subs, maxQid), Seq("sub", "code"))
+        .where(col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("nid"), col("sub"),
+          col("pdot")),
+      topK)
+  }
+
+  /** IVF-PQ — the production composition: the coarse quantizer
+    * ([[Ivf.build]]) prunes candidates to the `nprobe` nearest clusters,
+    * and PQ codes score ONLY those survivors via ADC. At 100 TB this is
+    * the standard shape: candidates shrink by k/nprobe, and each
+    * survivor costs m lookups instead of a dim-length dot product.
+    * Parameter-matched to [[duckIvfPqOracleSql]].
+    */
+  def searchIvfPq(emb: DataFrame, coarseK: Int, m: Int, subDim: Int,
+      k: Int, iters: Int, maxQid: Int, topK: Int, nprobe: Int)
+      : DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val index = Ivf.build(emb, coarseK, iters)
+    val subs = fitSubspaces(normalized(emb), m, subDim, k, iters)
+    // probe the nprobe nearest coarse clusters by exact cosine
+    // (identical to Ivf.search's probe stage)
+    val q = emb
+      .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qe"))
+      .where($"qid" < maxQid)
+      .withColumn("qn", expr(s"sqrt(${dotFold.format("qe", "qe")})"))
+    val wProbe = Window.partitionBy($"qid").orderBy($"ccos".desc, $"cluster")
+    val probes = q.crossJoin(broadcast(index.centroids))
+      .withColumn("ccos",
+        expr(dotFold.format("qe", "ce")) / ($"qn" * $"cnrm"))
+      .withColumn("crank", row_number().over(wProbe))
+      .where($"crank" <= nprobe)
+      .select($"qid", $"cluster")
+    val cand = probes
+      .join(index.assigned.select($"vec_id".as("nid"), $"cluster"),
+        Seq("cluster"))
+      .where($"qid" =!= $"nid")
+      .select($"qid", $"nid")
+    adcTopK(
+      cand
+        .join(codesOf(subs).withColumnRenamed("vec_id", "nid"), Seq("nid"))
+        .join(lutOf(subs, maxQid), Seq("qid", "sub", "code"))
+        .select($"qid", $"nid", $"sub", $"pdot"),
+      topK)
+  }
+
+  // ---- DuckDB oracle generators ----
+
+  private def subCtes(m: Int, subDim: Int, k: Int, iters: Int): String =
+    (0 until m).map { s =>
       s"""sub$s AS (
          |  SELECT vec_id, en[${s * subDim + 1}:${(s + 1) * subDim}] AS e
          |  FROM en),
          |${Ivf.duckFitAssignCtes(s"sub$s", k, iters, s"s$s")}""".stripMargin
     }.mkString(",\n")
-    val codesUnion = (0 until m)
-      .map(s => s"SELECT vec_id, $s AS sub, cluster AS code FROM s${s}asg")
-      .mkString("\n  UNION ALL ")
-    val lutUnion = (0 until m)
-      .map(s => s"""SELECT s.vec_id AS qid, $s AS sub, c.cluster AS code,
-                   |       ${dot("s.e", "c.ce")} AS pdot
-                   |  FROM sub$s s CROSS JOIN s${s}cent c
-                   |  WHERE s.vec_id < $maxQid""".stripMargin)
-      .mkString("\n  UNION ALL ")
-    s"""WITH e0 AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-       |  FROM embeddings),
-       |nr AS (
-       |  SELECT vec_id, e, sqrt(${dot("e", "e")}) AS nrm FROM e0),
-       |en AS (
-       |  SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM nr),
-       |$subs,
-       |codes AS (
-       |  $codesUnion),
-       |lut AS (
-       |  $lutUnion),
-       |cand AS (
-       |  SELECT l.qid, co.vec_id AS nid, l.sub, l.pdot
-       |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
-       |  WHERE co.vec_id <> l.qid),
-       |acc AS (
+
+  private def codesUnion(m: Int): String = (0 until m)
+    .map(s => s"SELECT vec_id, $s AS sub, cluster AS code FROM s${s}asg")
+    .mkString("\n  UNION ALL ")
+
+  private def lutUnion(m: Int, maxQid: Int): String = (0 until m)
+    .map(s => s"""SELECT s.vec_id AS qid, $s AS sub, c.cluster AS code,
+                 |       ${Ivf.duckDot("s.e", "c.ce")} AS pdot
+                 |  FROM sub$s s CROSS JOIN s${s}cent c
+                 |  WHERE s.vec_id < $maxQid""".stripMargin)
+    .mkString("\n  UNION ALL ")
+
+  private def adcTopKSql(topK: Int): String =
+    s"""acc AS (
        |  SELECT qid, nid,
        |         list_reduce([CAST(0 AS DOUBLE)] || list(pdot ORDER BY sub),
        |                     (a, x) -> a + x) AS approx_cos
-       |  FROM cand GROUP BY qid, nid)
+       |  FROM scored GROUP BY qid, nid)
        |SELECT qid, rank, nid, approx_cos FROM (
        |  SELECT qid, nid, approx_cos,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY qid
        |           ORDER BY approx_cos DESC, nid) AS INT) AS rank
        |  FROM acc)
        |WHERE rank <= $topK ORDER BY qid, rank""".stripMargin
-  }
+
+  /** Flat PQ encode+search as one DuckDB query over `embeddings` —
+    * one [[Ivf.duckFitAssignCtes]] Lloyd chain per subspace.
+    */
+  def duckOracleSql(m: Int, subDim: Int, k: Int, iters: Int,
+      maxQid: Int, topK: Int): String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |nr AS (
+       |  SELECT vec_id, e, sqrt(${Ivf.duckDot("e", "e")}) AS nrm FROM e0),
+       |en AS (
+       |  SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM nr),
+       |${subCtes(m, subDim, k, iters)},
+       |codes AS (
+       |  ${codesUnion(m)}),
+       |lut AS (
+       |  ${lutUnion(m, maxQid)}),
+       |scored AS (
+       |  SELECT l.qid, co.vec_id AS nid, l.sub, l.pdot
+       |  FROM codes co JOIN lut l ON co.sub = l.sub AND co.code = l.code
+       |  WHERE co.vec_id <> l.qid),
+       |${adcTopKSql(topK)}""".stripMargin
+
+  /** IVF-PQ as one DuckDB query: the [[Ivf.duckAsgCtes]] coarse chain
+    * (ending in `asg`/`cent`) + per-subspace PQ chains over the
+    * normalized vectors + probe-pruned ADC scoring.
+    */
+  def duckIvfPqOracleSql(coarseK: Int, m: Int, subDim: Int, k: Int,
+      iters: Int, maxQid: Int, topK: Int, nprobe: Int): String =
+    s"""WITH ${Ivf.duckAsgCtes(coarseK, iters)},
+       |en AS (
+       |  SELECT vec_id, list_transform(e, x -> x / nrm) AS en FROM n),
+       |${subCtes(m, subDim, k, iters)},
+       |codes AS (
+       |  ${codesUnion(m)}),
+       |lut AS (
+       |  ${lutUnion(m, maxQid)}),
+       |q AS (
+       |  SELECT vec_id AS qid, e AS qe, nrm AS qn FROM n
+       |  WHERE vec_id < $maxQid),
+       |probes AS (
+       |  SELECT qid, cluster FROM (
+       |    SELECT q.qid, c.cluster,
+       |           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |             ${Ivf.duckDot("q.qe", "c.ce")} / (q.qn * c.cnrm) DESC,
+       |             c.cluster) AS crank
+       |    FROM q CROSS JOIN cent c)
+       |  WHERE crank <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN asg a ON p.cluster = a.cluster
+       |  WHERE a.vec_id <> p.qid),
+       |scored AS (
+       |  SELECT c.qid, c.nid, l.sub, l.pdot
+       |  FROM cand c
+       |  JOIN codes co ON co.vec_id = c.nid
+       |  JOIN lut l ON l.qid = c.qid AND l.sub = co.sub
+       |            AND l.code = co.code),
+       |${adcTopKSql(topK)}""".stripMargin
 }

@@ -182,5 +182,21 @@ object SemanticQueries {
     Some(graft.ext.Pq.duckOracleSql(
       m = 4, subDim = 16, k = 16, iters = 2, maxQid = 10, topK = 5)))
 
-  val all: Seq[Q] = Seq(extDedupSemantic, extPagerankIter, extKnnPq)
+  /** IVF-PQ ([[graft.ext.Pq.searchIvfPq]]): the production billion-scale
+    * composition — the coarse quantizer prunes candidates to nprobe=4 of
+    * 16 clusters, PQ codes score only the survivors via ADC. The whole
+    * stack (coarse Lloyd + 4 subspace Lloyds + probe + ADC) replays in
+    * DuckDB, so the row is hash-compared end to end.
+    */
+  val extKnnIvfPq = Q(
+    "ext_knn_cosine_ivfpq",
+    (s, dir) => graft.ext.Pq.searchIvfPq(t(s, dir, "embeddings"),
+      coarseK = 16, m = 4, subDim = 16, k = 16, iters = 2,
+      maxQid = 10, topK = 5, nprobe = 4),
+    Some(graft.ext.Pq.duckIvfPqOracleSql(
+      coarseK = 16, m = 4, subDim = 16, k = 16, iters = 2,
+      maxQid = 10, topK = 5, nprobe = 4)))
+
+  val all: Seq[Q] =
+    Seq(extDedupSemantic, extPagerankIter, extKnnPq, extKnnIvfPq)
 }

@@ -86,6 +86,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"))
   }
 
+  test("semantic/graph/PQ operators never plan an unbounded cartesian") {
+    // centroid probes use crossJoin(broadcast(cents)) by design — a
+    // BroadcastNestedLoopJoin against a CONSTANT-size side (k or m×k
+    // rows), which scales; what must never appear is CartesianProduct,
+    // the sign of an unkeyed corpus-vs-corpus pairing
+    for (q <- Seq(graft.queries.SemanticQueries.extDedupSemantic,
+        graft.queries.SemanticQueries.extPagerankIter,
+        graft.queries.SemanticQueries.extKnnPq)) {
+      val p = plan(q)
+      assert(p.contains("Join"), s"${q.name}: no joins visible to audit")
+      assert(!p.contains("CartesianProduct"), s"${q.name} plans all-pairs")
+    }
+  }
+
   test("sequence packing plans one keyed window, no global sort before it") {
     val p = plan(CurationQueries.extPackSequences)
     // the cumulative sum runs per-source (hash-partitioned window); the

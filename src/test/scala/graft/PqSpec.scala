@@ -46,6 +46,26 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ scores agree with flat PQ on every surviving candidate") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val flat = Pq.searchAll(emb, m = 4, subDim = 16, k = 16, iters = 2,
+      maxQid = 10, topK = 500)
+      .select($"qid", $"nid", $"approx_cos")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ivfpq = Pq.searchIvfPq(emb, coarseK = 16, m = 4, subDim = 16,
+      k = 16, iters = 2, maxQid = 10, topK = 5, nprobe = 4)
+      .select($"qid", $"nid", $"approx_cos")
+      .as[(Long, Long, Double)].collect()
+    assert(ivfpq.nonEmpty)
+    // pruning changes WHICH candidates are scored, never their score
+    ivfpq.foreach { case (q, n, c) =>
+      assert(java.lang.Double.doubleToLongBits(flat((q, n)))
+        === java.lang.Double.doubleToLongBits(c),
+        s"($q,$n): ivfpq=$c flat=${flat((q, n))}")
+    }
+  }
+
   test("ADC approximation tracks the true cosine") {
     val pq = Pq.searchAll(Tables.load(spark, dir, "embeddings"),
       m = 4, subDim = 16, k = 16, iters = 2, maxQid = 10, topK = 5)
