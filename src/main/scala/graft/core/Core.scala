@@ -120,7 +120,7 @@ object RunRegistry {
     * lineage recursion blocks a thread per in-flight node — a bounded
     * pool could deadlock on a deep DAG.
     */
-  private[core] lazy val sharedExecutionContext =
+  private[graft] lazy val sharedExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       Executors.newCachedThreadPool(r => {
         val t = new Thread(r, "graft-lineage")

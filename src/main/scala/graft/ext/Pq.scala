@@ -40,16 +40,29 @@ object Pq {
 
   private final case class Sub(sub: Int, sv: DataFrame, cents: DataFrame)
 
-  /** Slice out each subspace and fit its codebook. */
+  /** Slice out each subspace and fit its codebook. The m fits are
+    * independent (disjoint codebooks, disjoint Lloyd state), so they run
+    * CONCURRENTLY — each fit is a chain of small driver-synced Spark
+    * jobs, and overlapping them fills the cluster instead of paying m
+    * sequential sync latencies. Results are collected in subspace order;
+    * per-fit determinism is unaffected.
+    */
   private def fitSubspaces(en: DataFrame, m: Int, subDim: Int, k: Int,
       iters: Int): Seq[Sub] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
     val spark = en.sparkSession
     import spark.implicits._
-    (0 until m).map { sub =>
-      val sv = graft.queries.Mat(en.select($"vec_id",
-        expr(s"slice(en, ${sub * subDim + 1}, $subDim)").as("e")))
-      Sub(sub, sv, Ivf.centroidsOf(spark, Ivf.fit(sv, k, iters)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      graft.core.RunRegistry.sharedExecutionContext
+    val fs = (0 until m).map { sub =>
+      Future {
+        val sv = graft.queries.Mat(en.select($"vec_id",
+          expr(s"slice(en, ${sub * subDim + 1}, $subDim)").as("e")))
+        Sub(sub, sv, Ivf.centroidsOf(spark, Ivf.fit(sv, k, iters)))
+      }
     }
+    fs.map(Await.result(_, Duration.Inf))
   }
 
   /** (vec_id, sub, code): each vector's m-code PQ encoding. */
@@ -113,10 +126,17 @@ object Pq {
   def searchIvfPq(emb: DataFrame, coarseK: Int, m: Int, subDim: Int,
       k: Int, iters: Int, maxQid: Int, topK: Int, nprobe: Int)
       : DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
     val spark = emb.sparkSession
     import spark.implicits._
-    val index = Ivf.build(emb, coarseK, iters)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      graft.core.RunRegistry.sharedExecutionContext
+    // the coarse index and the m codebooks are independent fits — build
+    // them concurrently, like the subspaces themselves
+    val indexF = Future { Ivf.build(emb, coarseK, iters) }
     val subs = fitSubspaces(normalized(emb), m, subDim, k, iters)
+    val index = Await.result(indexF, Duration.Inf)
     // probe the nprobe nearest coarse clusters by exact cosine
     // (identical to Ivf.search's probe stage)
     val q = emb
