@@ -223,7 +223,149 @@ object CorpusQueries {
            |SELECT doc_id, tokens, (rnk - 1) % 8 AS shard
            |FROM r ORDER BY doc_id""".stripMargin))
 
+  /** CDC apply (MERGE-style current-state materialization): fold a
+    * change stream — keyed upserts and deletes with sequence numbers —
+    * into a base snapshot, last-write-wins per key, deletes dropping the
+    * row. The complement of ext_scd2_history (which keeps every
+    * version): this materializes the CURRENT table, the lakehouse MERGE
+    * every CDC-fed pipeline runs. The change stream is synthesized
+    * deterministically from orders (every 5th key an upsert doubling the
+    * price, every 15th a delete that outranks it). One keyed window —
+    * at 100 TB the snapshot and the delta shuffle once on the key;
+    * nothing rescans history.
+    */
+  val extCdcApply = Q(
+    "ext_cdc_apply",
+    (s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice".cast("decimal(18,2)").as("o_totalprice"),
+          lit(0L).as("seq"), lit("U").as("op"))
+      val upserts = base.where($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey", lit("X").as("o_orderstatus"),
+          ($"o_totalprice" * 2).cast("decimal(18,2)").as("o_totalprice"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val deletes = base.where($"o_orderkey" % 15 === 0)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          lit(2L).as("seq"), lit("D").as("op"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderkey").orderBy($"seq".desc)
+      base.unionByName(upserts).unionByName(deletes)
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1 && $"op" =!= "D")
+        .select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice".cast("double").as("o_totalprice"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, o_orderstatus,
+           |         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+           |         0 AS seq, 'U' AS op
+           |  FROM orders),
+           |ups AS (
+           |  SELECT o_orderkey, 'X' AS o_orderstatus,
+           |         CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS o_totalprice,
+           |         1 AS seq, 'U' AS op
+           |  FROM base WHERE o_orderkey % 5 = 0),
+           |dels AS (
+           |  SELECT o_orderkey, o_orderstatus, o_totalprice, 2 AS seq,
+           |         'D' AS op
+           |  FROM base WHERE o_orderkey % 15 = 0),
+           |merged AS (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+           |                               ORDER BY seq DESC) AS rn
+           |  FROM (SELECT * FROM base UNION ALL SELECT * FROM ups
+           |        UNION ALL SELECT * FROM dels))
+           |SELECT o_orderkey, o_orderstatus,
+           |       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+           |FROM merged WHERE rn = 1 AND op <> 'D'
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** Kolmogorov–Smirnov drift detection: per source, the KS statistic
+    * between the source's doc-length distribution and the corpus-wide
+    * one — the standard data-quality monitor for "did this feed's
+    * distribution move". KS = max |ecdf_s − ecdf_corpus| evaluated at
+    * every observed value (the supremum of a step-function difference
+    * occurs at a jump point, so the observed-value grid is exact, not an
+    * approximation). Deterministic: cumulative INTEGER counts, one
+    * double division each, comparisons only. Scale posture: one
+    * (source, value) agg, one |sources|×|distinct values| grid with
+    * keyed cumulative windows — no row-level cross join.
+    */
+  val extKsDrift = Q(
+    "ext_ks_drift",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select($"source", $"n_chars")
+      val counts = d.groupBy($"source", $"n_chars")
+        .agg(count(lit(1)).as("c"))
+      val grid = d.select($"source").distinct()
+        .crossJoin(d.select($"n_chars").distinct())
+        .join(counts, Seq("source", "n_chars"), "left")
+        .na.fill(0L, Seq("c"))
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"n_chars")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val nSrc = d.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      val corpusCum = d.groupBy($"n_chars").agg(count(lit(1)).as("ca"))
+        .withColumn("cum_all",
+          sum($"ca").over(org.apache.spark.sql.expressions.Window
+            .orderBy($"n_chars")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        .select($"n_chars", $"cum_all")
+      val nAll = d.agg(count(lit(1)).as("n_all"))
+      grid
+        .withColumn("cum_s", sum($"c").over(wSrc))
+        .join(broadcast(corpusCum), Seq("n_chars"))
+        .join(broadcast(nSrc), Seq("source"))
+        .crossJoin(broadcast(nAll))
+        .withColumn("diff",
+          abs($"cum_s".cast("double") / $"n_s".cast("double")
+            - $"cum_all".cast("double") / $"n_all".cast("double")))
+        .groupBy($"source")
+        .agg(max($"diff").as("ks_stat"))
+        .withColumn("drifted", $"ks_stat" > 0.2d)
+        .orderBy($"source")
+    },
+    Some("""WITH d AS (SELECT source, n_chars FROM documents),
+           |counts AS (
+           |  SELECT source, n_chars, COUNT(*) AS c
+           |  FROM d GROUP BY source, n_chars),
+           |grid AS (
+           |  SELECT s.source, v.n_chars, COALESCE(c.c, 0) AS c
+           |  FROM (SELECT DISTINCT source FROM d) s
+           |  CROSS JOIN (SELECT DISTINCT n_chars FROM d) v
+           |  LEFT JOIN counts c
+           |    ON c.source = s.source AND c.n_chars = v.n_chars),
+           |cums AS (
+           |  SELECT source, n_chars,
+           |         SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+           |                      ROWS UNBOUNDED PRECEDING) AS cum_s
+           |  FROM grid),
+           |ca AS (
+           |  SELECT n_chars,
+           |         SUM(c2) OVER (ORDER BY n_chars
+           |                       ROWS UNBOUNDED PRECEDING) AS cum_all
+           |  FROM (SELECT n_chars, COUNT(*) AS c2 FROM d GROUP BY n_chars)),
+           |ns AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+           |na AS (SELECT COUNT(*) AS n_all FROM d)
+           |SELECT g.source,
+           |       MAX(abs(CAST(g.cum_s AS DOUBLE) / CAST(ns.n_s AS DOUBLE)
+           |           - CAST(ca.cum_all AS DOUBLE) / CAST(na.n_all AS DOUBLE)))
+           |         AS ks_stat,
+           |       MAX(abs(CAST(g.cum_s AS DOUBLE) / CAST(ns.n_s AS DOUBLE)
+           |           - CAST(ca.cum_all AS DOUBLE) / CAST(na.n_all AS DOUBLE)))
+           |         > CAST(0.2 AS DOUBLE) AS drifted
+           |FROM cums g
+           |JOIN ca ON g.n_chars = ca.n_chars
+           |JOIN ns ON g.source = ns.source
+           |CROSS JOIN na
+           |GROUP BY g.source ORDER BY g.source""".stripMargin))
+
   val all: Seq[Q] =
     Seq(extCrossSourceDedup, extMixtureWeights, extInvertedIndex,
-      extShardBalance)
+      extShardBalance, extCdcApply, extKsDrift)
 }

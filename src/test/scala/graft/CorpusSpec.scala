@@ -88,6 +88,51 @@ class CorpusSpec extends SparkSpec {
       s"LPT round-robin keeps shards within one max document: $byShard")
   }
 
+  test("cdc apply deletes, upserts and passes through the right keys") {
+    val out = CorpusQueries.extCdcApply.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val base = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(base.nonEmpty)
+    base.foreach { case (k, b) =>
+      if (k % 15 == 0) assert(!out.contains(k), s"$k deleted")
+      else if (k % 5 == 0) {
+        assert(out(k).getString(1) === "X", s"$k upserted status")
+        val expected = BigDecimal(b.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 2
+        assert(math.abs(out(k).getDouble(2) - expected.toDouble) < 1e-9)
+      } else {
+        assert(out(k).getString(1) === b.getString(1), s"$k untouched")
+      }
+    }
+    assert(out.size === base.count { case (k, _) => k % 15 != 0 })
+  }
+
+  test("ks drift statistic matches a driver-side exact recompute") {
+    val out = CorpusQueries.extKsDrift.run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val data = Tables.load(spark, dir, "documents")
+      .select($"source", $"n_chars").as[(String, Long)].collect()
+    val all = data.map(_._2).sorted
+    def ecdf(xs: Array[Long], v: Long): Double = {
+      var lo = 0; var hi = xs.length
+      while (lo < hi) {
+        val mid = (lo + hi) / 2
+        if (xs(mid) <= v) lo = mid + 1 else hi = mid
+      }
+      lo.toDouble / xs.length
+    }
+    data.groupBy(_._1).foreach { case (src, rows) =>
+      val xs = rows.map(_._2).sorted
+      val ks = all.distinct.map(v =>
+        math.abs(ecdf(xs, v) - ecdf(all, v))).max
+      assert(math.abs(out(src) - ks) < 1e-12,
+        s"$src: query=${out(src)} exact=$ks")
+      assert(out(src) >= 0.0 && out(src) <= 1.0)
+    }
+  }
+
   test("the bucketed-join layout joins with zero shuffle exchanges") {
     ScaleQueries.writeBucketed(spark, dir)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
