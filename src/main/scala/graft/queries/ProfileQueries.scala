@@ -815,9 +815,80 @@ object ProfileQueries {
            |       MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS p99
            |FROM r GROUP BY source ORDER BY source""".stripMargin))
 
+  // ---- 16. TF-IDF document vectors ----
+
+  /** Per-document top-3 TF-IDF terms — the sparse document vectors
+    * clustering/retrieval pipelines consume (vs BM25, which scores a
+    * QUERY against docs; this materializes each doc's own
+    * representation). tf is length-normalized (c/doc_len), idf = ln(N/df)
+    * via the portable sqrt-chain (N/df ≥ 1, inside the reduction range);
+    * both factors are single divisions, so scores are bit-identical
+    * cross-engine. Scale posture: one (doc, word) agg for tf, one
+    * vocab-sized agg for df (broadcast), one keyed top-k window —
+    * WindowGroupLimit prunes below rank 3 before the sort completes.
+    */
+  val extTfidfVectors = Q(
+    "ext_tfidf_vectors",
+    (s, dir) => {
+      import s.implicits._
+      val dw = t(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", size($"w").cast("double").as("dl"),
+          explode($"w").as("word"))
+      val tf = dw.groupBy($"doc_id", $"dl", $"word")
+        .agg(count(lit(1)).cast("double").as("c"))
+      val dfq = dw.select($"doc_id", $"word").distinct()
+        .groupBy($"word").agg(count(lit(1)).cast("double").as("df"))
+      val nDocs = dw.select($"doc_id").distinct()
+        .agg(count(lit(1)).cast("double").as("n_docs"))
+      val idf = stageLn(
+        dfq.crossJoin(broadcast(nDocs)), "n_docs / df", "idf")
+        .select($"word", $"idf")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tfidf".desc, $"word")
+      tf.join(broadcast(idf), "word")
+        .withColumn("tfidf", ($"c" / $"dl") * $"idf")
+        .withColumn("rank", row_number().over(w))
+        .where($"rank" <= 3)
+        .select($"doc_id", $"rank", $"word", $"tfidf")
+        .orderBy($"doc_id", $"rank")
+    },
+    Some {
+      s"""WITH dw AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         |         unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, dl, word, CAST(COUNT(*) AS DOUBLE) AS c
+         |  FROM dw GROUP BY doc_id, dl, word),
+         |dfq AS (
+         |  SELECT word, CAST(COUNT(*) AS DOUBLE) AS df
+         |  FROM (SELECT DISTINCT doc_id, word FROM dw) GROUP BY word),
+         |nd AS (
+         |  SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM dw),
+         |idf AS (
+         |  SELECT word, ($$LN) AS idf FROM (
+         |    SELECT *, u * u AS u2 FROM (
+         |      SELECT *, (y - CAST(1 AS DOUBLE)) / (y + CAST(1 AS DOUBLE)) AS u
+         |      FROM (SELECT word, df, n_docs,
+         |                   ${CurationQueries.sixSqrt("n_docs / df")} AS y
+         |            FROM dfq, nd)))),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.word, (tf.c / tf.dl) * idf.idf AS tfidf
+         |  FROM tf JOIN idf ON tf.word = idf.word)
+         |SELECT doc_id, rank, word, tfidf FROM (
+         |  SELECT doc_id, word, tfidf,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |           ORDER BY tfidf DESC, word) AS INT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        .replace("$LN", CurationQueries.portableLnOfU)
+    })
+
   val all: Seq[Q] = Seq(extProfileColumns, extHeavyHittersCms,
     extPiiRedact, extLmQuality, extCompactFiles, extRetentionExpire,
     extZorderLayout, extSampleWeighted, extDedupIncremental,
     extDqQuarantine, extGlobalIndex, extAggIncremental, extTableDiff,
-    extTextEntropy, extQuantileProfile)
+    extTextEntropy, extQuantileProfile, extTfidfVectors)
 }

@@ -100,6 +100,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("tf-idf top-k window takes the WindowGroupLimit pushdown") {
+    val p = plan(ProfileQueries.extTfidfVectors)
+    assert(p.contains("WindowGroupLimit"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("sequence packing plans one keyed window, no global sort before it") {
     val p = plan(CurationQueries.extPackSequences)
     // the cumulative sum runs per-source (hash-partitioned window); the

@@ -28,6 +28,26 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("tf-idf top terms match an exact java.lang.Math recompute") {
+    val dir = "/root/testdata/sf0.001"
+    val out = ProfileQueries.extTfidfVectors.run(spark, dir).collect()
+    val texts = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val words = texts.map { case (id, t) => id -> t.split(" ") }.toMap
+    val n = texts.length.toDouble
+    val df = words.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toDouble).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, word) = (r.getAs[Long]("doc_id"), r.getAs[String]("word"))
+      val ws = words(id)
+      val exact = (ws.count(_ == word) / ws.length.toDouble) *
+        math.log(n / df(word))
+      assert(math.abs(r.getAs[Double]("tfidf") - exact) < 1e-9,
+        s"doc $id '$word': ${r.getAs[Double]("tfidf")} vs $exact")
+    }
+  }
+
   test("quantile profile ranks match a driver-side exact selection") {
     val dir = "/root/testdata/sf0.001"
     val rows = ProfileQueries.extQuantileProfile.run(spark, dir).collect()
