@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
-  private val dotFold =
+  private[ext] val dotFold =
     "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
   private val sqDistFold =
@@ -241,6 +241,36 @@ object Ivf {
        |WHERE rank <= $topK ORDER BY qid, rank""".stripMargin
   }
 
+  /** Normalize a `(vec_id, embedding)` frame into the query shape
+    * `(qid, qe, qn)` shared by IVF search and IVF-PQ.
+    */
+  private[ext] def queryFrame(queries: DataFrame): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries
+      .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qe"))
+      .withColumn("qn", expr(s"sqrt(${dotFold.format("qe", "qe")})"))
+  }
+
+  /** The `nprobe` nearest clusters per query by exact centroid cosine
+    * (ties to the smaller cluster id): `(qid, qe, qn, cluster)`. The
+    * single probe implementation both [[search]] and
+    * [[Pq.searchIvfPq]] use — the tie-break and cosine formulation must
+    * stay bit-identical to the oracles, so it exists exactly once.
+    */
+  private[ext] def probe(
+      index: Index, q: DataFrame, nprobe: Int): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val wProbe = Window.partitionBy($"qid").orderBy($"ccos".desc, $"cluster")
+    q.crossJoin(broadcast(index.centroids))
+      .withColumn("ccos",
+        expr(dotFold.format("qe", "ce")) / ($"qn" * $"cnrm"))
+      .withColumn("crank", row_number().over(wProbe))
+      .where($"crank" <= nprobe)
+      .select($"qid", $"qe", $"qn", $"cluster")
+  }
+
   /** Probe the `nprobe` nearest clusters per query, exact cosine inside,
     * top-k per query.
     */
@@ -249,16 +279,7 @@ object Ivf {
       : DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val q = queries
-      .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qe"))
-      .withColumn("qn", expr(s"sqrt(${dotFold.format("qe", "qe")})"))
-    val wProbe = Window.partitionBy($"qid").orderBy($"ccos".desc, $"cluster")
-    val probes = q.crossJoin(broadcast(index.centroids))
-      .withColumn("ccos",
-        expr(dotFold.format("qe", "ce")) / ($"qn" * $"cnrm"))
-      .withColumn("crank", row_number().over(wProbe))
-      .where($"crank" <= nprobe)
-      .select($"qid", $"qe", $"qn", $"cluster")
+    val probes = probe(index, queryFrame(queries), nprobe)
     val wTop = Window.partitionBy($"qid").orderBy($"cos".desc, $"nid")
     probes
       .join(index.assigned

@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
-  private val dotFold =
-    "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+  // the ONE fold formulation every oracle depends on lives in Ivf
+  private val dotFold = Ivf.dotFold
 
   /** (vec_id, en): L2-normalized double vectors, materialized once. */
   private def normalized(emb: DataFrame): DataFrame = {
@@ -137,18 +137,9 @@ object Pq {
     val indexF = Future { Ivf.build(emb, coarseK, iters) }
     val subs = fitSubspaces(normalized(emb), m, subDim, k, iters)
     val index = Await.result(indexF, Duration.Inf)
-    // probe the nprobe nearest coarse clusters by exact cosine
-    // (identical to Ivf.search's probe stage)
-    val q = emb
-      .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qe"))
-      .where($"qid" < maxQid)
-      .withColumn("qn", expr(s"sqrt(${dotFold.format("qe", "qe")})"))
-    val wProbe = Window.partitionBy($"qid").orderBy($"ccos".desc, $"cluster")
-    val probes = q.crossJoin(broadcast(index.centroids))
-      .withColumn("ccos",
-        expr(dotFold.format("qe", "ce")) / ($"qn" * $"cnrm"))
-      .withColumn("crank", row_number().over(wProbe))
-      .where($"crank" <= nprobe)
+    // the nprobe nearest coarse clusters — Ivf's single probe stage
+    val probes = Ivf
+      .probe(index, Ivf.queryFrame(emb.where($"vec_id" < maxQid)), nprobe)
       .select($"qid", $"cluster")
     val cand = probes
       .join(index.assigned.select($"vec_id".as("nid"), $"cluster"),

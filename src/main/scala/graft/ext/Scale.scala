@@ -150,11 +150,30 @@ object Bucketing {
     // a managed-table location can survive a previous session whose
     // in-memory catalog is gone; saveAsTable then refuses with
     // LOCATION_ALREADY_EXISTS even in overwrite mode. Drop both halves —
-    // catalog entry AND stale directory — before writing.
+    // catalog entry AND stale directory — before writing. The location
+    // comes from the catalog when the table is registered; for the
+    // dead-session case it is derived the way the session catalog does
+    // (warehouse/<table> in `default`, warehouse/<db>.db/<table>
+    // elsewhere), honoring a qualified `db.tbl` name.
     val spark = df.sparkSession
+    val loc: org.apache.hadoop.fs.Path =
+      if (spark.catalog.tableExists(table))
+        new org.apache.hadoop.fs.Path(new java.net.URI(
+          spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+            .where(org.apache.spark.sql.functions.col("col_name")
+              === "Location")
+            .head().getString(1)))
+      else {
+        val (db, tbl) = table.split('.') match {
+          case Array(d, t) => (d, t)
+          case _ => (spark.catalog.currentDatabase, table)
+        }
+        val wh = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"))
+        if (db == "default") new org.apache.hadoop.fs.Path(wh, tbl)
+        else new org.apache.hadoop.fs.Path(wh, s"$db.db/$tbl")
+      }
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

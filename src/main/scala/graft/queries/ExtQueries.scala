@@ -1279,10 +1279,10 @@ object ExtQueries {
       import s.implicits._
       val name = "stream_enrich_" + math.abs(dir.hashCode).toString
       val dim = t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+      // no ts conversion: the enrichment is key-based, not event-time
       graft.streaming.StreamOps.runToCompletion(
         s, streamSourceDir(dir, "enrich"), eventsStreamSchema,
-        df => graft.streaming.StreamOps.enrichWithDim(
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000"))), dim),
+        df => graft.streaming.StreamOps.enrichWithDim(df, dim),
         name, statePartitions = Some(8))
         .select($"c_mktsegment", $"event_type", $"n_events",
           $"sum_value".cast("double").as("sum_value"))

@@ -22,8 +22,8 @@ object SemanticQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  private val dotFold =
-    "aggregate(zip_with(%s, %s, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+  // the shared fold formulation (bit-exactness depends on one copy)
+  private val dotFold = ExtQueries.dotFold
 
   /** SemDeDup: k-means the embedding space (the deterministic Lloyd fit
     * shared with ext_knn_cosine_ivf), then look for near-duplicates ONLY
@@ -80,8 +80,10 @@ object SemanticQueries {
     * symmetrized), 3 unrolled power iterations at damping 0.85 from the
     * uniform vector — the quality-prior computation crawl curation runs
     * over the link graph (cf. Common Crawl's harmonic-centrality
-    * ranking). Node ids: customer = c_custkey, supplier = 1000000 +
-    * s_suppkey. Each iteration is one join + one keyed aggregation; the
+    * ranking). Node ids: customer = 2·c_custkey, supplier =
+    * 2·s_suppkey + 1 — parity-disjoint at any key range (an additive
+    * offset would collide once keys outgrow it).
+    * Each iteration is one join + one keyed aggregation; the
     * per-node contribution sum is a src-ordered strict fold, so ranks
     * are bit-identical cross-engine. Scale posture: BSP iteration with a
     * fixed pass count, state = one (node, rank) table re-keyed per pass;
@@ -95,8 +97,12 @@ object SemanticQueries {
       val fwd = t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
         .join(t(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
           $"o_orderkey" === $"l_orderkey")
-        .select($"o_custkey".as("src"),
-          ($"l_suppkey" + 1000000L).as("dst"))
+        // disjoint node encoding: customer → 2k, supplier → 2k+1. A
+        // fixed additive offset would silently merge nodes once keys
+        // cross it (TPC-H has 150k customers PER scale factor); parity
+        // encoding stays collision-free at any corpus size.
+        .select(($"o_custkey" * 2L).as("src"),
+          ($"l_suppkey" * 2L + 1L).as("dst"))
         .distinct()
       val sym = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
       // out-degree joins once into the materialized edge list, so each
@@ -125,7 +131,7 @@ object SemanticQueries {
       r3.select($"node", $"rank").orderBy($"node")
     },
     Some("""WITH fwd AS (
-           |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
            |edges AS (
            |  SELECT src, dst FROM fwd

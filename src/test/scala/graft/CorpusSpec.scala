@@ -135,7 +135,9 @@ class CorpusSpec extends SparkSpec {
 
   test("the bucketed-join layout joins with zero shuffle exchanges") {
     ScaleQueries.writeBucketed(spark, dir)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
     try {
       val joined = spark.table("graft_scale_orders_b")
         .join(spark.table("graft_scale_customer_b"),
@@ -143,8 +145,7 @@ class CorpusSpec extends SparkSpec {
       joined.count()
       assert(graft.ext.Bucketing.isShuffleFree(joined),
         joined.queryExecution.executedPlan.toString)
-    } finally spark.conf
-      .set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally spark.conf.set(key, prev)
   }
 
   test("salted-join query equals the unsalted formulation") {
