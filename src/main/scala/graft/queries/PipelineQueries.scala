@@ -329,7 +329,39 @@ object PipelineQueries {
            |       TIMESTAMP '2026-02-01 00:00:00' AS etl_inserted
            |FROM region ORDER BY r_regionkey""".stripMargin))
 
+  /** O4 (dry-run mode) on the driver gate: the SAME flagship lineage
+    * (bronze orders → fact_orders → wide_orders → daily_order_metrics,
+    * DQ gate included) computed with `writeData = false` — every read()
+    * serves the in-memory transform, nothing lands on disk (the
+    * reference's test path, etl/layers/bronze/orders.py:133-142;
+    * TableEtlSpec asserts the no-write half). The oracle re-derives the
+    * report from the raw parquet, so a dry run must produce EXACTLY
+    * what a written run reports. Fresh context per call — dry-run
+    * results must not leak into (or read from) the shared written lake.
+    */
+  val dryRunReport = Q(
+    "pipeline_dry_run_report",
+    (s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_lake_dry/$safe"
+      val rf = new Rainforest(EtlContext(
+        s, RainforestFromTpch(dir), base, writeData = false,
+        clock = FixedClock.default))
+      rf.ctx.registry.runOnce(rf.dailyOrderMetrics).data
+        .select(col("order_date"),
+          col("total_price_sum").cast("double").as("total_price_sum"),
+          col("total_price_mean"))
+        .orderBy("order_date")
+    },
+    Some("""SELECT CAST(o_orderdate AS DATE) AS order_date,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price_sum,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS total_price_mean
+           |FROM orders JOIN supplier ON o_custkey = s_suppkey
+           |WHERE s_acctbal >= 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(dailyOrderReport, dimBuyer, dimSeller, dimProduct,
     brgProductCategory, wideOrders, wideOrderItems, dailyCategoryReport,
-    pinnedPartitionRead)
+    pinnedPartitionRead, dryRunReport)
 }

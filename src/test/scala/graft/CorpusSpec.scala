@@ -148,6 +148,15 @@ class CorpusSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("the dry-run pipeline query writes nothing to its lake root") {
+    graft.queries.PipelineQueries.dryRunReport.run(spark, dir).count()
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"), "graft_lake_dry", safe)
+    assert(!java.nio.file.Files.exists(root),
+      s"dry run must not materialize a lake at $root")
+  }
+
   test("salted-join query equals the unsalted formulation") {
     val salted = ScaleQueries.extSkewSaltedJoin.run(spark, dir).collect()
     val li = Tables.load(spark, dir, "lineitem")
