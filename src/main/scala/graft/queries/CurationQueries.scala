@@ -431,6 +431,73 @@ object CurationQueries {
            | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
            |ORDER BY purchase_id, click_id""".stripMargin))
 
+  /** Stream-stream LEFT OUTER join ([[graft.streaming.StreamOps
+    * .clickAttributionOuter]]): purchases without a click in the window
+    * emit null click columns — but ONLY once the watermark proves no
+    * future click can match. The oracle replicates both halves: the
+    * inner matches, plus unmatched purchases the engine's left-state
+    * eviction has finalized: the GLOBAL watermark is the minimum of the
+    * per-side watermarks (each from its own filtered stream — the click
+    * side's max can trail the purchase side's by hours), and a purchase
+    * finalizes at p.ts ≤ W (no future click with ts > W can satisfy
+    * click_ts ≤ p.ts). Purchases newer than W are correctly ABSENT when
+    * the feed ends — the eviction contract itself is what the driver
+    * hash-checks, verified at two scale factors with different
+    * watermark-dominating sides.
+    */
+  val extStreamJoinOuter = Q(
+    "ext_stream_join_outer",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_join_outer_" + math.abs(dir.hashCode).toString
+      graft.streaming.StreamOps.runToCompletion(
+        s, ExtQueries.streamSourceDir(dir, "join_outer"),
+        ExtQueries.eventsStreamSchema,
+        df => graft.streaming.StreamOps.clickAttributionOuter(
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        name, org.apache.spark.sql.streaming.OutputMode.Append,
+        statePartitions = Some(8))
+        .orderBy($"purchase_id", $"click_id".asc_nulls_first)
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+           |                  CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |matched AS (
+           |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           |         c.event_id AS click_id, c.ts AS click_ts
+           |  FROM e p JOIN e c
+           |    ON c.user_id = p.user_id
+           |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+           |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE),
+           |mx AS (
+           |  -- the GLOBAL watermark: each side's watermark derives from
+           |  -- ITS OWN filtered stream (floor_ms(max event time) - the
+           |  -- 10-min delay; Spark tracks watermarks at millisecond
+           |  -- precision), and the engine takes the minimum. A stored
+           |  -- purchase p can only match future clicks (ts > W) when
+           |  -- p.ts > W, so left state is finalized - and its unmatched
+           |  -- rows emitted - exactly at p.ts <= W
+           |  SELECT LEAST(
+           |           date_trunc('milliseconds',
+           |             MAX(CASE WHEN event_type = 'click' THEN ts END)),
+           |           date_trunc('milliseconds',
+           |             MAX(CASE WHEN event_type = 'purchase' THEN ts END)))
+           |           - INTERVAL 10 MINUTE AS wm
+           |  FROM e),
+           |unmatched AS (
+           |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           |         CAST(NULL AS BIGINT) AS click_id,
+           |         CAST(NULL AS TIMESTAMP) AS click_ts
+           |  FROM e p, mx
+           |  WHERE p.event_type = 'purchase'
+           |    AND p.ts <= wm
+           |    AND NOT EXISTS (
+           |      SELECT 1 FROM e c
+           |      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+           |        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE))
+           |SELECT * FROM (SELECT * FROM matched
+           |               UNION ALL SELECT * FROM unmatched)
+           |ORDER BY purchase_id, click_id ASC NULLS FIRST""".stripMargin))
+
   /** Benchmark decontamination: flag training documents sharing any
     * 8-gram with the held-out eval set (docs 0-9 stand in for a
     * benchmark). The standard contamination test (GPT-3 appendix C /
@@ -858,7 +925,7 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(extSampleStratified, extQualityRepetition,
     extBm25Search, extDedupChunk, extScd2History, extBloomPrefilter,
-    extStreamJoin, extDecontaminate, extVocabOov, extSplitAssign,
+    extStreamJoin, extStreamJoinOuter, extDecontaminate, extVocabOov, extSplitAssign,
     extCurationPipeline, extSourceOverlap, extLabelCentroid,
     extPackSequences, extTokenBudget)
 }

@@ -109,6 +109,36 @@ object StreamOps {
         col("click_id"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[clickAttribution]],
+    * but purchases with NO click in the window are also emitted — with
+    * null click columns — once the watermark proves no future click can
+    * match (a click for purchase p arrives at ts ≤ p.ts, so p finalizes
+    * when the click-side watermark passes p.ts). Purchases inside the
+    * final watermark window stay unemitted when the stream ends: the
+    * engine cannot rule out a later match, which is exactly the
+    * correctness contract outer stream joins trade latency for.
+    */
+  def clickAttributionOuter(events: DataFrame,
+      watermark: String = "10 minutes", windowSeconds: Long = 1800)
+      : DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("c_user") === col("user_id")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts")
+          - expr(s"INTERVAL $windowSeconds SECONDS"),
+      "leftOuter")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Stream-static enrichment join — the standard streaming lookup
     * shape: each micro-batch joins the bounded dimension (broadcast: the
     * static side is re-resolved per batch and never forces the stream
