@@ -231,3 +231,42 @@ class AqeSkewJoinSpec extends SparkSpec {
     }
   }
 }
+
+/** Regression coverage for the stale-managed-table-location cases
+  * writeBucketed handles: a dead session's leftover directory (no
+  * catalog entry) and a non-default database layout.
+  */
+class BucketedStaleLocationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeBucketed clears a dead session's leftover directory") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // simulate the dead-session residue: location exists, catalog empty
+    val loc = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      "stale_orphan_tbl")
+    loc.mkdirs()
+    java.nio.file.Files.writeString(
+      loc.toPath.resolve("junk.parquet"), "not parquet")
+    graft.ext.Bucketing.writeBucketed(df, "stale_orphan_tbl", "k", 2)
+    assert(spark.table("stale_orphan_tbl").count() === 2)
+  }
+
+  test("writeBucketed resolves db-qualified locations for overwrites") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bspec")
+    // twice: the second write exercises the catalog-location resolution
+    graft.ext.Bucketing.writeBucketed(df, "graft_bspec.tbl", "k", 2)
+    graft.ext.Bucketing.writeBucketed(df, "graft_bspec.tbl", "k", 2)
+    assert(spark.table("graft_bspec.tbl").count() === 3)
+    // and the dead-session path for the qualified name: drop from the
+    // catalog, recreate the derived location, write again
+    spark.sql("DROP TABLE graft_bspec.tbl")
+    val loc = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      "graft_bspec.db/tbl")
+    loc.mkdirs()
+    graft.ext.Bucketing.writeBucketed(df, "graft_bspec.tbl", "k", 2)
+    assert(spark.table("graft_bspec.tbl").count() === 3)
+  }
+}
