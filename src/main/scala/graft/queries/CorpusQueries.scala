@@ -249,11 +249,8 @@ object CorpusQueries {
       val deletes = base.where($"o_orderkey" % 15 === 0)
         .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
           lit(2L).as("seq"), lit("D").as("op"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"o_orderkey").orderBy($"seq".desc)
-      base.unionByName(upserts).unionByName(deletes)
-        .withColumn("rn", row_number().over(w))
-        .where($"rn" === 1 && $"op" =!= "D")
+      graft.ext.Cdc.currentState(
+        base.unionByName(upserts).unionByName(deletes), "o_orderkey")
         .select($"o_orderkey", $"o_orderstatus",
           $"o_totalprice".cast("double").as("o_totalprice"))
         .orderBy($"o_orderkey")

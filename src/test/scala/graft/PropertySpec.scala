@@ -66,4 +66,35 @@ class PropertySpec extends SparkSpec {
       whole.compareTo(split) == 0
     })
   }
+
+  test("cdc current-state equals a driver-side last-write-wins fold") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 8L), Gen.choose(0L, 6L),
+      Gen.oneOf("U", "D"), Gen.choose(0, 1000)))) { ops =>
+      val df = ops.toDF("k", "seq", "op", "payload")
+      val got = graft.ext.Cdc.currentState(df, "k")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val expected = ops.groupBy(_._1).flatMap { case (k, es) =>
+        // last write wins; seq ties break toward the upsert ('U' > 'D')
+        val win = es.maxBy(e => (e._2, e._3))
+        if (win._3 == "D") None else Some((k, win._4))
+      }.toSet
+      got == expected
+    })
+  }
+
+  test("morton code round-trips both dimensions for any inputs") {
+    check(Prop.forAll(
+      Gen.choose(0L, 255L), Gen.choose(0L, 255L)) { (a, b) =>
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(graft.ext.ZOrderLayout.mortonCode($"a", $"b", 8).as("m"))
+        .collect().head.getLong(0)
+      // deinterleave: even bits -> a, odd bits -> b
+      val (da, db) = (0 until 8).foldLeft((0L, 0L)) { case ((x, y), i) =>
+        (x | (((r >> (2 * i)) & 1L) << i),
+         y | (((r >> (2 * i + 1)) & 1L) << i))
+      }
+      da == a && db == b
+    })
+  }
 }
