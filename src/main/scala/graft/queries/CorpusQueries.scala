@@ -362,7 +362,94 @@ object CorpusQueries {
            |CROSS JOIN na
            |GROUP BY g.source ORDER BY g.source""".stripMargin))
 
+  /** Deterministic bootstrap confidence intervals for a per-source
+    * corpus metric (mean doc length): 50 resample replicates drawn by an
+    * affine index generator instead of rand() — reproducible across
+    * runs, engines and partitionings, like every sampling surface here.
+    * Replicate means are single divisions of exact integer sums (bit
+    * identical cross-engine); the 95% CI picks the rank-2 / rank-49
+    * replicate (ceil(0.025·50) / ceil(0.975·50)) with the replicate id
+    * breaking ties. Scale posture: the draw grid is B× the corpus — at
+    * 100 TB you bootstrap the per-partition AGGREGATES, not rows; the
+    * machinery (indexing by keyed window, affine draws, rank-selected
+    * quantiles) is identical.
+    */
+  val extBootstrapCi = Q(
+    "ext_bootstrap_ci",
+    (s, dir) => {
+      import s.implicits._
+      val b = 50
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+      val d = t(s, dir, "documents")
+        .select($"source", $"doc_id", $"n_chars")
+        .withColumn("idx", row_number().over(w) - 1)
+      val counts = d.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      val draws = counts
+        .select($"source", $"n_s",
+          explode(sequence(lit(0), lit(b - 1))).as("b"))
+        .select($"source", $"n_s", $"b",
+          explode(expr("sequence(0, n_s - 1)")).as("j"))
+        .withColumn("idx",
+          (lit(1103515245L) * $"b" + lit(69069L) * $"j" + lit(12345L))
+            % $"n_s")
+      val means = draws
+        .join(d, Seq("source", "idx"))
+        .groupBy($"source", $"b")
+        .agg((sum($"n_chars").cast("double")
+          / count(lit(1)).cast("double")).as("m"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"m", $"b")
+      val ci = means
+        .withColumn("rk", row_number().over(wRank))
+        .groupBy($"source")
+        .agg(max(when($"rk" === 2, $"m")).as("ci_lo"),
+          max(when($"rk" === 49, $"m")).as("ci_hi"))
+      d.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum($"n_chars").cast("double")
+            / count(lit(1)).cast("double")).as("mean_obs"))
+        .join(ci, Seq("source"))
+        .select($"source", $"n_docs", $"mean_obs", $"ci_lo", $"ci_hi")
+        .orderBy($"source")
+    },
+    Some("""WITH d AS (
+           |  SELECT source, doc_id, n_chars,
+           |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+           |           - 1 AS idx
+           |  FROM documents),
+           |counts AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+           |draws AS (
+           |  SELECT c.source, c.n_s, b.b, j.j,
+           |         (1103515245 * b.b + 69069 * j.j + 12345) % c.n_s AS idx
+           |  FROM counts c,
+           |       UNNEST(range(50)) AS b(b),
+           |       UNNEST(range(c.n_s)) AS j(j)),
+           |means AS (
+           |  SELECT dr.source, dr.b,
+           |         CAST(SUM(d.n_chars) AS DOUBLE)
+           |           / CAST(COUNT(*) AS DOUBLE) AS m
+           |  FROM draws dr JOIN d ON d.source = dr.source AND d.idx = dr.idx
+           |  GROUP BY dr.source, dr.b),
+           |ranked AS (
+           |  SELECT source, m,
+           |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY m, b)
+           |           AS rk
+           |  FROM means),
+           |ci AS (
+           |  SELECT source, MAX(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+           |         MAX(CASE WHEN rk = 49 THEN m END) AS ci_hi
+           |  FROM ranked GROUP BY source),
+           |obs AS (
+           |  SELECT source, COUNT(*) AS n_docs,
+           |         CAST(SUM(n_chars) AS DOUBLE)
+           |           / CAST(COUNT(*) AS DOUBLE) AS mean_obs
+           |  FROM d GROUP BY source)
+           |SELECT o.source, o.n_docs, o.mean_obs, c.ci_lo, c.ci_hi
+           |FROM obs o JOIN ci c ON o.source = c.source
+           |ORDER BY o.source""".stripMargin))
+
   val all: Seq[Q] =
     Seq(extCrossSourceDedup, extMixtureWeights, extInvertedIndex,
-      extShardBalance, extCdcApply, extKsDrift)
+      extShardBalance, extCdcApply, extKsDrift, extBootstrapCi)
 }

@@ -148,6 +148,29 @@ class CorpusSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("bootstrap CI matches a driver-side replicate recompute") {
+    val out = CorpusQueries.extBootstrapCi.run(spark, dir).collect()
+    val data = Tables.load(spark, dir, "documents")
+      .select($"source", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    assert(out.length === data.size)
+    out.foreach { r =>
+      val src = r.getString(0)
+      val vals = data(src).sortBy(_._2).map(_._3)
+      val n = vals.length
+      val reps = (0 until 50).map { b =>
+        val s = (0 until n).map { j =>
+          vals(((1103515245L * b + 69069L * j + 12345L) % n).toInt)
+        }.sum
+        s.toDouble / n.toDouble
+      }.sorted
+      assert(math.abs(r.getAs[Double]("ci_lo") - reps(1)) < 1e-12)
+      assert(math.abs(r.getAs[Double]("ci_hi") - reps(48)) < 1e-12)
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+    }
+  }
+
   test("the dry-run pipeline query writes nothing to its lake root") {
     graft.queries.PipelineQueries.dryRunReport.run(spark, dir).count()
     val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
