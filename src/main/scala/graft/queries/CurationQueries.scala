@@ -498,6 +498,72 @@ object CurationQueries {
            |               UNION ALL SELECT * FROM unmatched)
            |ORDER BY purchase_id, click_id ASC NULLS FIRST""".stripMargin))
 
+  /** Stream-stream FULL OUTER join: the left-outer contract above PLUS
+    * unmatched clicks, whose finalization bound is ASYMMETRIC — a click
+    * can still match future purchases up to 30 minutes ahead, so it
+    * finalizes only at c.ts ≤ W − 30min, while a purchase finalizes at
+    * p.ts ≤ W. The oracle replicates both bounds; the driver hash-checks
+    * the asymmetry itself.
+    */
+  val extStreamJoinFullOuter = Q(
+    "ext_stream_join_full_outer",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_join_fo_" + math.abs(dir.hashCode).toString
+      graft.streaming.StreamOps.runToCompletion(
+        s, ExtQueries.streamSourceDir(dir, "join_fo"),
+        ExtQueries.eventsStreamSchema,
+        df => graft.streaming.StreamOps.clickAttributionFullOuter(
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        name, org.apache.spark.sql.streaming.OutputMode.Append,
+        statePartitions = Some(8))
+        .orderBy($"user_id", $"purchase_id".asc_nulls_first,
+          $"click_id".asc_nulls_first)
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type,
+           |                  CAST(ts AS TIMESTAMP) AS ts FROM events),
+           |matched AS (
+           |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           |         c.event_id AS click_id, c.ts AS click_ts
+           |  FROM e p JOIN e c
+           |    ON c.user_id = p.user_id
+           |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+           |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE),
+           |mx AS (
+           |  SELECT LEAST(
+           |           date_trunc('milliseconds',
+           |             MAX(CASE WHEN event_type = 'click' THEN ts END)),
+           |           date_trunc('milliseconds',
+           |             MAX(CASE WHEN event_type = 'purchase' THEN ts END)))
+           |           - INTERVAL 10 MINUTE AS wm
+           |  FROM e),
+           |unmatched_p AS (
+           |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           |         CAST(NULL AS BIGINT) AS click_id,
+           |         CAST(NULL AS TIMESTAMP) AS click_ts
+           |  FROM e p, mx
+           |  WHERE p.event_type = 'purchase' AND p.ts <= wm
+           |    AND NOT EXISTS (
+           |      SELECT 1 FROM e c
+           |      WHERE c.event_type = 'click' AND c.user_id = p.user_id
+           |        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE)),
+           |unmatched_c AS (
+           |  SELECT c.user_id, CAST(NULL AS BIGINT) AS purchase_id,
+           |         CAST(NULL AS TIMESTAMP) AS purchase_ts,
+           |         c.event_id AS click_id, c.ts AS click_ts
+           |  FROM e c, mx
+           |  WHERE c.event_type = 'click'
+           |    AND c.ts <= wm - INTERVAL 30 MINUTE
+           |    AND NOT EXISTS (
+           |      SELECT 1 FROM e p
+           |      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+           |        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE))
+           |SELECT * FROM (SELECT * FROM matched
+           |               UNION ALL SELECT * FROM unmatched_p
+           |               UNION ALL SELECT * FROM unmatched_c)
+           |ORDER BY user_id, purchase_id ASC NULLS FIRST,
+           |         click_id ASC NULLS FIRST""".stripMargin))
+
   /** Benchmark decontamination: flag training documents sharing any
     * 8-gram with the held-out eval set (docs 0-9 stand in for a
     * benchmark). The standard contamination test (GPT-3 appendix C /
@@ -925,7 +991,8 @@ object CurationQueries {
 
   val all: Seq[Q] = Seq(extSampleStratified, extQualityRepetition,
     extBm25Search, extDedupChunk, extScd2History, extBloomPrefilter,
-    extStreamJoin, extStreamJoinOuter, extDecontaminate, extVocabOov, extSplitAssign,
+    extStreamJoin, extStreamJoinOuter, extStreamJoinFullOuter,
+    extDecontaminate, extVocabOov, extSplitAssign,
     extCurationPipeline, extSourceOverlap, extLabelCentroid,
     extPackSequences, extTokenBudget)
 }

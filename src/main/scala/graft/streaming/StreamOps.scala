@@ -139,6 +139,36 @@ object StreamOps {
         col("click_id"), col("click_ts"))
   }
 
+  /** Stream-stream FULL OUTER interval join: both finalization bounds at
+    * once — unmatched purchases emit at p.ts ≤ W (no future click with
+    * ts > W can satisfy click_ts ≤ p.ts), and unmatched clicks emit at
+    * c.ts ≤ W − window (a future purchase with ts > W could still match
+    * any younger click, so the engine must buffer the extra margin the
+    * interval condition implies). The asymmetry IS the semantics the
+    * oracle checks.
+    */
+  def clickAttributionFullOuter(events: DataFrame,
+      watermark: String = "10 minutes", windowSeconds: Long = 1800)
+      : DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("c_user") === col("user_id")
+        && col("click_ts") <= col("purchase_ts")
+        && col("click_ts") >= col("purchase_ts")
+          - expr(s"INTERVAL $windowSeconds SECONDS"),
+      "fullOuter")
+      .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Stream-static enrichment join — the standard streaming lookup
     * shape: each micro-batch joins the bounded dimension (broadcast: the
     * static side is re-resolved per batch and never forces the stream
