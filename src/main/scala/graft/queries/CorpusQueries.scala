@@ -449,7 +449,46 @@ object CorpusQueries {
            |FROM obs o JOIN ci c ON o.source = c.source
            |ORDER BY o.source""".stripMargin))
 
+  /** Edit-distance near-dup pairs over 30-char prefixes (title/header
+    * dedup — the string-metric member of the dedup family, next to the
+    * token-set (Jaccard/MinHash), bit-vector (SimHash) and embedding
+    * members). Candidate pairs come from (lang, length-band) BLOCKING —
+    * never all-pairs; cross-band pairs are the standard blocking
+    * trade-off, acceptable because near-identical prefixes land in the
+    * same or adjacent length bands. levenshtein is built into both
+    * engines with the classic DP semantics, so distances hash-compare.
+    */
+  val extDedupEditDistance = Q(
+    "ext_dedup_edit_distance",
+    (s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          substring($"text", 1, 30).as("prefix"),
+          floor($"n_chars" / 50L).as("band"))
+      d.as("a").join(d.as("b"),
+          col("a.lang") === col("b.lang")
+            && col("a.band") === col("b.band")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          levenshtein(col("a.prefix"), col("b.prefix")).as("dist"))
+        .where($"dist" <= 10)
+        .orderBy($"id_a", $"id_b")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, lang, substring(text, 1, 30) AS prefix,
+           |         CAST(floor(n_chars / 50) AS BIGINT) AS band
+           |  FROM documents)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist
+           |FROM d a JOIN d b
+           |  ON a.lang = b.lang AND a.band = b.band
+           | AND a.doc_id < b.doc_id
+           |WHERE levenshtein(a.prefix, b.prefix) <= 10
+           |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[Q] =
     Seq(extCrossSourceDedup, extMixtureWeights, extInvertedIndex,
-      extShardBalance, extCdcApply, extKsDrift, extBootstrapCi)
+      extShardBalance, extCdcApply, extKsDrift, extBootstrapCi,
+      extDedupEditDistance)
 }

@@ -57,7 +57,8 @@ class PlanSpec extends SparkSpec {
   test("dedup candidate joins are keyed — no cartesian products anywhere") {
     for (q <- Seq(ExtQueries.extDedupNgramJaccard,
         ExtQueries.extDedupMinhashLsh, ExtQueries.extDedupSimhash,
-        ExtQueries.extDedupComponents, CurationQueries.extDedupChunk)) {
+        ExtQueries.extDedupComponents, CurationQueries.extDedupChunk,
+        graft.queries.CorpusQueries.extDedupEditDistance)) {
       val p = plan(q)
       // the audit must actually SEE the candidate joins — if a future
       // materialization point truncates the plan above them, this fails
