@@ -379,6 +379,8 @@ object CorpusQueries {
     (s, dir) => {
       import s.implicits._
       val b = 50
+      val loRk = math.ceil(0.025 * b).toInt
+      val hiRk = math.ceil(0.975 * b).toInt
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"source").orderBy($"doc_id")
       val d = t(s, dir, "documents")
@@ -403,8 +405,8 @@ object CorpusQueries {
       val ci = means
         .withColumn("rk", row_number().over(wRank))
         .groupBy($"source")
-        .agg(max(when($"rk" === 2, $"m")).as("ci_lo"),
-          max(when($"rk" === 49, $"m")).as("ci_hi"))
+        .agg(max(when($"rk" === loRk, $"m")).as("ci_lo"),
+          max(when($"rk" === hiRk, $"m")).as("ci_hi"))
       d.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           (sum($"n_chars").cast("double")
@@ -413,7 +415,11 @@ object CorpusQueries {
         .select($"source", $"n_docs", $"mean_obs", $"ci_lo", $"ci_hi")
         .orderBy($"source")
     },
-    Some("""WITH d AS (
+    Some {
+      val b = 50
+      val loRk = math.ceil(0.025 * b).toInt
+      val hiRk = math.ceil(0.975 * b).toInt
+      s"""WITH d AS (
            |  SELECT source, doc_id, n_chars,
            |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
            |           - 1 AS idx
@@ -423,7 +429,7 @@ object CorpusQueries {
            |  SELECT c.source, c.n_s, b.b, j.j,
            |         (1103515245 * b.b + 69069 * j.j + 12345) % c.n_s AS idx
            |  FROM counts c,
-           |       UNNEST(range(50)) AS b(b),
+           |       UNNEST(range($b)) AS b(b),
            |       UNNEST(range(c.n_s)) AS j(j)),
            |means AS (
            |  SELECT dr.source, dr.b,
@@ -437,8 +443,8 @@ object CorpusQueries {
            |           AS rk
            |  FROM means),
            |ci AS (
-           |  SELECT source, MAX(CASE WHEN rk = 2 THEN m END) AS ci_lo,
-           |         MAX(CASE WHEN rk = 49 THEN m END) AS ci_hi
+           |  SELECT source, MAX(CASE WHEN rk = $loRk THEN m END) AS ci_lo,
+           |         MAX(CASE WHEN rk = $hiRk THEN m END) AS ci_hi
            |  FROM ranked GROUP BY source),
            |obs AS (
            |  SELECT source, COUNT(*) AS n_docs,
@@ -447,16 +453,19 @@ object CorpusQueries {
            |  FROM d GROUP BY source)
            |SELECT o.source, o.n_docs, o.mean_obs, c.ci_lo, c.ci_hi
            |FROM obs o JOIN ci c ON o.source = c.source
-           |ORDER BY o.source""".stripMargin))
+           |ORDER BY o.source""".stripMargin
+    })
 
   /** Edit-distance near-dup pairs over 30-char prefixes (title/header
     * dedup — the string-metric member of the dedup family, next to the
     * token-set (Jaccard/MinHash), bit-vector (SimHash) and embedding
-    * members). Candidate pairs come from (lang, length-band) BLOCKING —
-    * never all-pairs; cross-band pairs are the standard blocking
-    * trade-off, acceptable because near-identical prefixes land in the
-    * same or adjacent length bands. levenshtein is built into both
-    * engines with the classic DP semantics, so distances hash-compare.
+    * members). Candidate pairs come from (lang, HEAD TOKEN of the
+    * prefix) blocking — never all-pairs, and the key is derived from
+    * the COMPARED text itself, so near-identical prefixes (which share
+    * their first word unless the edit hits it) land in the same block;
+    * missing first-word edits is the standard blocking trade-off.
+    * levenshtein is built into both engines with the classic DP
+    * semantics, so distances hash-compare.
     */
   val extDedupEditDistance = Q(
     "ext_dedup_edit_distance",
@@ -464,11 +473,11 @@ object CorpusQueries {
       import s.implicits._
       val d = t(s, dir, "documents")
         .select($"doc_id", $"lang",
-          substring($"text", 1, 30).as("prefix"),
-          floor($"n_chars" / 50L).as("band"))
+          substring($"text", 1, 30).as("prefix"))
+        .withColumn("head", split($"prefix", " ")(0))
       d.as("a").join(d.as("b"),
           col("a.lang") === col("b.lang")
-            && col("a.band") === col("b.band")
+            && col("a.head") === col("b.head")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           levenshtein(col("a.prefix"), col("b.prefix")).as("dist"))
@@ -477,12 +486,12 @@ object CorpusQueries {
     },
     Some("""WITH d AS (
            |  SELECT doc_id, lang, substring(text, 1, 30) AS prefix,
-           |         CAST(floor(n_chars / 50) AS BIGINT) AS band
+           |         string_split(substring(text, 1, 30), ' ')[1] AS head
            |  FROM documents)
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist
            |FROM d a JOIN d b
-           |  ON a.lang = b.lang AND a.band = b.band
+           |  ON a.lang = b.lang AND a.head = b.head
            | AND a.doc_id < b.doc_id
            |WHERE levenshtein(a.prefix, b.prefix) <= 10
            |ORDER BY id_a, id_b""".stripMargin))

@@ -469,20 +469,27 @@ object CurationQueries {
            |   AND p.event_type = 'purchase' AND c.event_type = 'click'
            |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE),
            |mx AS (
-           |  -- the GLOBAL watermark: each side's watermark derives from
-           |  -- ITS OWN filtered stream (floor_ms(max event time) - the
-           |  -- 10-min delay; Spark tracks watermarks at millisecond
-           |  -- precision), and the engine takes the minimum. A stored
-           |  -- purchase p can only match future clicks (ts > W) when
-           |  -- p.ts > W, so left state is finalized - and its unmatched
-           |  -- rows emitted - exactly at p.ts <= W
-           |  SELECT LEAST(
-           |           date_trunc('milliseconds',
-           |             MAX(CASE WHEN event_type = 'click' THEN ts END)),
-           |           date_trunc('milliseconds',
-           |             MAX(CASE WHEN event_type = 'purchase' THEN ts END)))
-           |           - INTERVAL 10 MINUTE AS wm
-           |  FROM e),
+           |  -- the engine's finalization bound, replicated exactly:
+           |  -- each side's watermark derives from ITS OWN filtered
+           |  -- stream (floor_ms(max event time) - the 10-min delay;
+           |  -- Spark tracks watermarks at millisecond precision), the
+           |  -- global watermark is their MINIMUM - null-propagating,
+           |  -- because a side that saw no rows holds the global
+           |  -- watermark at epoch and nothing ever finalizes - and
+           |  -- Spark subtracts ONE MORE millisecond for state bounds
+           |  -- derived from non-strict predicates
+           |  -- (StreamingJoinHelper.getStateValueWatermark maps
+           |  -- LessThanOrEqual/GreaterThanOrEqual with `_ - 1`)
+           |  SELECT CASE WHEN mc IS NOT NULL AND mp IS NOT NULL
+           |              THEN LEAST(mc, mp) - INTERVAL 10 MINUTE
+           |                     - INTERVAL 1 MILLISECOND
+           |         END AS wm
+           |  FROM (SELECT
+           |          date_trunc('milliseconds',
+           |            MAX(CASE WHEN event_type = 'click' THEN ts END)) AS mc,
+           |          date_trunc('milliseconds',
+           |            MAX(CASE WHEN event_type = 'purchase' THEN ts END)) AS mp
+           |        FROM e)),
            |unmatched AS (
            |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
            |         CAST(NULL AS BIGINT) AS click_id,
@@ -530,13 +537,19 @@ object CurationQueries {
            |   AND p.event_type = 'purchase' AND c.event_type = 'click'
            |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE),
            |mx AS (
-           |  SELECT LEAST(
-           |           date_trunc('milliseconds',
-           |             MAX(CASE WHEN event_type = 'click' THEN ts END)),
-           |           date_trunc('milliseconds',
-           |             MAX(CASE WHEN event_type = 'purchase' THEN ts END)))
-           |           - INTERVAL 10 MINUTE AS wm
-           |  FROM e),
+           |  -- same finalization bound as ext_stream_join_outer:
+           |  -- null-propagating min of per-side ms-floored watermarks,
+           |  -- minus the engine's extra 1 ms for non-strict predicates
+           |  SELECT CASE WHEN mc IS NOT NULL AND mp IS NOT NULL
+           |              THEN LEAST(mc, mp) - INTERVAL 10 MINUTE
+           |                     - INTERVAL 1 MILLISECOND
+           |         END AS wm
+           |  FROM (SELECT
+           |          date_trunc('milliseconds',
+           |            MAX(CASE WHEN event_type = 'click' THEN ts END)) AS mc,
+           |          date_trunc('milliseconds',
+           |            MAX(CASE WHEN event_type = 'purchase' THEN ts END)) AS mp
+           |        FROM e)),
            |unmatched_p AS (
            |  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
            |         CAST(NULL AS BIGINT) AS click_id,

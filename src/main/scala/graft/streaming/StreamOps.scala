@@ -91,7 +91,18 @@ object StreamOps {
     * stream-stream joins at scale. Inner join, append mode.
     */
   def clickAttribution(events: DataFrame, watermark: String = "10 minutes",
-      windowSeconds: Long = 1800): DataFrame = {
+      windowSeconds: Long = 1800): DataFrame =
+    attributionJoin(events, watermark, windowSeconds, "inner")
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+
+  /** The one definition of the attribution join's sides, watermarks and
+    * interval condition — the inner/left-outer/full-outer variants must
+    * never drift apart (their oracles replicate this condition and the
+    * state-watermark bounds it implies).
+    */
+  private def attributionJoin(events: DataFrame, watermark: String,
+      windowSeconds: Long, joinType: String): DataFrame = {
     val clicks = events.where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -104,9 +115,8 @@ object StreamOps {
       col("c_user") === col("user_id")
         && col("click_ts") <= col("purchase_ts")
         && col("click_ts") >= col("purchase_ts")
-          - expr(s"INTERVAL $windowSeconds SECONDS"))
-      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
-        col("click_id"), col("click_ts"))
+          - expr(s"INTERVAL $windowSeconds SECONDS"),
+      joinType)
   }
 
   /** Stream-stream LEFT OUTER interval join: like [[clickAttribution]],
@@ -120,24 +130,10 @@ object StreamOps {
     */
   def clickAttributionOuter(events: DataFrame,
       watermark: String = "10 minutes", windowSeconds: Long = 1800)
-      : DataFrame = {
-    val clicks = events.where(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", watermark)
-    val purchases = events.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", watermark)
-    purchases.join(clicks,
-      col("c_user") === col("user_id")
-        && col("click_ts") <= col("purchase_ts")
-        && col("click_ts") >= col("purchase_ts")
-          - expr(s"INTERVAL $windowSeconds SECONDS"),
-      "leftOuter")
+      : DataFrame =
+    attributionJoin(events, watermark, windowSeconds, "leftOuter")
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"))
-  }
 
   /** Stream-stream FULL OUTER interval join: both finalization bounds at
     * once — unmatched purchases emit at p.ts ≤ W (no future click with
@@ -149,25 +145,11 @@ object StreamOps {
     */
   def clickAttributionFullOuter(events: DataFrame,
       watermark: String = "10 minutes", windowSeconds: Long = 1800)
-      : DataFrame = {
-    val clicks = events.where(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-      .withWatermark("click_ts", watermark)
-    val purchases = events.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", watermark)
-    purchases.join(clicks,
-      col("c_user") === col("user_id")
-        && col("click_ts") <= col("purchase_ts")
-        && col("click_ts") >= col("purchase_ts")
-          - expr(s"INTERVAL $windowSeconds SECONDS"),
-      "fullOuter")
+      : DataFrame =
+    attributionJoin(events, watermark, windowSeconds, "fullOuter")
       .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
         col("purchase_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"))
-  }
 
   /** Stream-static enrichment join — the standard streaming lookup
     * shape: each micro-batch joins the bounded dimension (broadcast: the
