@@ -96,14 +96,31 @@ object Bench {
       .mkString("{", ",", "}")
     val rem = suspects.map(_._1).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"remeasured":$rem,"lineage":$lin,"lineage_total":${f(lakeSec)},"sf":"$sfDir"}"""
+    // provenance: solo baseline recordings are run with
+    // SPARK_GRAFT_BENCH_PROVENANCE=solo; anything else (e.g. the driver
+    // host) stays "unattributed" so a driver-environment run can never
+    // silently masquerade as the committed solo record in BASELINE.md
+    val prov = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROVENANCE",
+      "unattributed")
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","provenance":"$prov","queries":$qs,"failed":$failed,"remeasured":$rem,"lineage":$lin,"lineage_total":${f(lakeSec)},"sf":"$sfDir"}"""
     println(line)
+    // the detail line above is ~4 KB and consumers that capture a
+    // bounded log tail truncate it mid-object (four rounds of
+    // `"parsed": null`); print a SHORT final summary line that fits any
+    // tail capture — a last-JSON-line parser picks this one up whole
+    val shortLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"failed":${results.count(r => !r._3)},"sf":"$sfDir"}"""
+    println(shortLine)
     // belt and braces: sbt appends its own "[success] …" trailer to
     // stdout, so a consumer that parses only the last line misses the
     // JSON — persist the same line to a well-known artifact too
+    // solo recordings land in BENCH_SELF.json (the committed baseline
+    // artifact); any other provenance writes BENCH_LAST.json so a
+    // driver-host run cannot clobber the committed solo record
+    val defaultOut =
+      if (prov == "solo") "BENCH_SELF.json" else "BENCH_LAST.json"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")),
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: $e") }

@@ -157,13 +157,22 @@ object Bucketing {
     // elsewhere), honoring a qualified `db.tbl` name.
     val spark = df.sparkSession
     val loc: org.apache.hadoop.fs.Path =
-      if (spark.catalog.tableExists(table))
-        new org.apache.hadoop.fs.Path(new java.net.URI(
-          spark.sql(s"DESCRIBE TABLE EXTENDED $table")
-            .where(org.apache.spark.sql.functions.col("col_name")
-              === "Location")
-            .head().getString(1)))
-      else {
+      if (spark.catalog.tableExists(table)) {
+        val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+          .where(org.apache.spark.sql.functions.col("col_name")
+            .isin("Location", "Type"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        // the drop below recursively deletes the location — that is only
+        // ever safe for a location the catalog OWNS. An EXTERNAL table's
+        // location is user data; destroying it on a name collision would
+        // be silent data loss, so refuse loudly instead.
+        if (desc.get("Type").exists(_.trim.equalsIgnoreCase("EXTERNAL")))
+          throw new IllegalArgumentException(
+            s"writeBucketed: refusing to overwrite EXTERNAL table " +
+              s"$table at ${desc("Location")} — its location is user " +
+              "data, not a managed layout; drop it explicitly first")
+        new org.apache.hadoop.fs.Path(new java.net.URI(desc("Location")))
+      } else {
         val (db, tbl) = table.split('.') match {
           case Array(d, t) => (d, t)
           case _ => (spark.catalog.currentDatabase, table)

@@ -271,7 +271,7 @@ object CorpusQueries {
            |  FROM base WHERE o_orderkey % 15 = 0),
            |merged AS (
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-           |                               ORDER BY seq DESC) AS rn
+           |                               ORDER BY seq DESC, op DESC) AS rn
            |  FROM (SELECT * FROM base UNION ALL SELECT * FROM ups
            |        UNION ALL SELECT * FROM dels))
            |SELECT o_orderkey, o_orderstatus,
@@ -287,13 +287,21 @@ object CorpusQueries {
     * occurs at a jump point, so the observed-value grid is exact, not an
     * approximation). Deterministic: cumulative INTEGER counts, one
     * double division each, comparisons only. Scale posture: one
-    * (source, value) agg, one |sources|×|distinct values| grid with
-    * keyed cumulative windows — no row-level cross join.
+    * (source, value) agg, one |sources|×|distinct values| grid (bounded
+    * by the VALUE DOMAIN — doc lengths — not the row count), and every
+    * cumulative sum is the banded prefix-sum from ext_global_index:
+    * rank within a fixed value band (partition size ≤ band width), then
+    * add band offsets prefix-summed over the BAND-LEVEL table (rows =
+    * |bands|) — no unpartitioned row-level window anywhere in the plan.
+    * Counts are integers, so the banded decomposition equals the flat
+    * cumulative bit-for-bit and the oracle keeps the naive formulation.
     */
   val extKsDrift = Q(
     "ext_ks_drift",
     (s, dir) => {
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val bandW = 256L // value-band width: every window runs within a band
       val d = t(s, dir, "documents").select($"source", $"n_chars")
       val counts = d.groupBy($"source", $"n_chars")
         .agg(count(lit(1)).as("c"))
@@ -301,21 +309,43 @@ object CorpusQueries {
         .crossJoin(d.select($"n_chars").distinct())
         .join(counts, Seq("source", "n_chars"), "left")
         .na.fill(0L, Seq("c"))
-      val wSrc = org.apache.spark.sql.expressions.Window
-        .partitionBy($"source").orderBy($"n_chars")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)
+        .withColumn("band", expr(s"n_chars div $bandW"))
+      // per-source ECDF, banded: within-band running count (partition ≤
+      // bandW distinct values) + per-source band offsets prefix-summed
+      // over the (source, band)-level table
+      val wSrcBand = Window.partitionBy($"source", $"band")
+        .orderBy($"n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val srcOffsets = grid.groupBy($"source", $"band")
+        .agg(sum($"c").as("bc"))
+        .withColumn("offset",
+          coalesce(sum($"bc").over(
+            Window.partitionBy($"source").orderBy($"band")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"source", $"band", $"offset")
       val nSrc = d.groupBy($"source").agg(count(lit(1)).as("n_s"))
-      val corpusCum = d.groupBy($"n_chars").agg(count(lit(1)).as("ca"))
-        .withColumn("cum_all",
-          sum($"ca").over(org.apache.spark.sql.expressions.Window
-            .orderBy($"n_chars")
-            .rowsBetween(org.apache.spark.sql.expressions.Window
-              .unboundedPreceding, 0)))
-        .select($"n_chars", $"cum_all")
+      // corpus ECDF, banded the same way; the only unpartitioned window
+      // runs over the BAND-LEVEL table (rows = |bands|), the
+      // ext_global_index convention
+      val caBand = d.groupBy($"n_chars").agg(count(lit(1)).as("ca"))
+        .withColumn("band", expr(s"n_chars div $bandW"))
+      val bandOffsets = caBand.groupBy($"band").agg(sum($"ca").as("bt"))
+        .withColumn("aoffset",
+          coalesce(sum($"bt").over(
+            Window.orderBy($"band")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"band", $"aoffset")
+      val corpusCum = caBand
+        .withColumn("cum_in_band",
+          sum($"ca").over(Window.partitionBy($"band").orderBy($"n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(bandOffsets), Seq("band"))
+        .select($"n_chars", ($"aoffset" + $"cum_in_band").as("cum_all"))
       val nAll = d.agg(count(lit(1)).as("n_all"))
       grid
-        .withColumn("cum_s", sum($"c").over(wSrc))
+        .withColumn("cum_in_band", sum($"c").over(wSrcBand))
+        .join(broadcast(srcOffsets), Seq("source", "band"))
+        .withColumn("cum_s", $"offset" + $"cum_in_band")
         .join(broadcast(corpusCum), Seq("n_chars"))
         .join(broadcast(nSrc), Seq("source"))
         .crossJoin(broadcast(nAll))
@@ -464,18 +494,34 @@ object CorpusQueries {
     * the COMPARED text itself, so near-identical prefixes (which share
     * their first word unless the edit hits it) land in the same block;
     * missing first-word edits is the standard blocking trade-off.
-    * levenshtein is built into both engines with the classic DP
-    * semantics, so distances hash-compare.
+    * Like every other self-join family member, the block POPULATION is
+    * capped at [[ExtQueries.lshBucketCap]]: a stop-word head token
+    * ("The …") would otherwise put a large corpus fraction into one
+    * block — k(k−1)/2 pairs on a skewed key, a quadratic straggler at
+    * 100 TB. A dropped block discriminates nothing (its members are
+    * mostly NOT near-dups of each other); recall for pairs whose only
+    * shared block is hot drops by design (EditDistCapSpec pins both
+    * sides). The oracle applies the identical cap. levenshtein is built
+    * into both engines with the classic DP semantics, so distances
+    * hash-compare.
     */
   val extDedupEditDistance = Q(
     "ext_dedup_edit_distance",
     (s, dir) => {
       import s.implicits._
+      // materialized once: read by the block-population count AND the
+      // capped self-join below
       val d = t(s, dir, "documents")
         .select($"doc_id", $"lang",
           substring($"text", 1, 30).as("prefix"))
         .withColumn("head", split($"prefix", " ")(0))
-      d.as("a").join(d.as("b"),
+        .transform(Q.mat)
+      val okBlocks = d.groupBy($"lang", $"head")
+        .agg(count(lit(1)).as("bpop"))
+        .where($"bpop" <= ExtQueries.lshBucketCap)
+        .select($"lang", $"head")
+      val capped = d.join(okBlocks, Seq("lang", "head"))
+      capped.as("a").join(capped.as("b"),
           col("a.lang") === col("b.lang")
             && col("a.head") === col("b.head")
             && col("a.doc_id") < col("b.doc_id"))
@@ -484,13 +530,18 @@ object CorpusQueries {
         .where($"dist" <= 10)
         .orderBy($"id_a", $"id_b")
     },
-    Some("""WITH d AS (
+    Some(s"""WITH d AS (
            |  SELECT doc_id, lang, substring(text, 1, 30) AS prefix,
            |         string_split(substring(text, 1, 30), ' ')[1] AS head
-           |  FROM documents)
+           |  FROM documents),
+           |ok AS (
+           |  SELECT lang, head FROM d GROUP BY lang, head
+           |  HAVING COUNT(*) <= ${ExtQueries.lshBucketCap}),
+           |c AS (
+           |  SELECT d.* FROM d JOIN ok USING (lang, head))
            |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |       CAST(levenshtein(a.prefix, b.prefix) AS INT) AS dist
-           |FROM d a JOIN d b
+           |FROM c a JOIN c b
            |  ON a.lang = b.lang AND a.head = b.head
            | AND a.doc_id < b.doc_id
            |WHERE levenshtein(a.prefix, b.prefix) <= 10

@@ -122,7 +122,7 @@ object ExtQueries {
     * but candidate recall for pairs whose ONLY shared bucket is hot
     * drops by design (documented per query).
     */
-  private[queries] val lshBucketCap = 100L
+  private[graft] val lshBucketCap = 100L
 
   private[graft] def cappedGrams(s: SparkSession, dir: String,
       maxDocFreq: Long = gramDocFreqCap): DataFrame = {

@@ -780,40 +780,57 @@ object ProfileQueries {
 
   // ---- 15. per-source quantile profile ----
 
-  /** Per-source document-length quantiles (p50/p90/p99) via
-    * `percentile_approx` — the bounded-memory GK sketch the category
-    * report established: exact (rank-selection) while a group holds
-    * fewer than ~accuracy/2 values, degrading to ±1/accuracy rank error
-    * instead of buffering every value (exact `percentile` is the 100-TB
-    * executor-memory hazard). The oracle selects the same ranks
-    * explicitly with ROW_NUMBER, pinning the convention instead of
-    * trusting an engine's quantile function to share it.
+  /** Per-source document-length quantiles (p50/p90/p99) by EXACT
+    * rank selection over the value-level count table — not
+    * `percentile_approx`: the GK sketch is only rank-exact while a
+    * group holds fewer than ~accuracy/2 values, so hash-comparing it to
+    * an exact oracle silently breaks once a source outgrows the sketch
+    * (the category report keeps percentile_approx where approx IS the
+    * contract). Scale posture: the quantile of a discrete column never
+    * needs a row-level sort — aggregate to (source, value, count)
+    * (bounded by the VALUE DOMAIN), one keyed cumulative window over
+    * that value-level table, then pick min value with cum ≥ ceil(q·n).
+    * Rank arithmetic is explicit DOUBLE in both engines (DuckDB's bare
+    * `0.99 * n` is decimal math and can ceil differently), so the
+    * selected ranks are bit-identical cross-engine at any group size.
     */
   val extQuantileProfile = Q(
     "ext_quantile_profile",
     (s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
-        .select($"source", $"n_chars".cast("double").as("v"))
+      val counts = t(s, dir, "documents")
+        .groupBy($"source", $"n_chars")
+        .agg(count(lit(1)).as("c"))
+      val cum = counts.withColumn("cum",
+        sum($"c").over(Window.partitionBy($"source").orderBy($"n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val ns = counts.groupBy($"source").agg(sum($"c").as("n"))
+      def rk(q: Double) =
+        ceil(lit(q) * $"n".cast("double")).cast("long")
+      def pick(q: Double) =
+        min(when($"cum" >= rk(q), $"n_chars")).cast("double")
+      cum.join(broadcast(ns), "source")
         .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          expr("percentile_approx(v, array(0.5D, 0.9D, 0.99D), 10000)")
-            .as("qs"))
-        .select($"source", $"n_docs",
-          $"qs"(0).as("p50"), $"qs"(1).as("p90"), $"qs"(2).as("p99"))
+        .agg(max($"n").as("n_docs"),
+          pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
         .orderBy($"source")
     },
-    Some("""WITH r AS (
-           |  SELECT source, CAST(n_chars AS DOUBLE) AS v,
-           |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars)
-           |           AS rk,
-           |         COUNT(*) OVER (PARTITION BY source) AS n
-           |  FROM documents)
-           |SELECT source, MAX(n) AS n_docs,
-           |       MAX(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS p50,
-           |       MAX(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) AS p90,
-           |       MAX(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS p99
-           |FROM r GROUP BY source ORDER BY source""".stripMargin))
+    Some("""WITH counts AS (
+           |  SELECT source, n_chars, COUNT(*) AS c
+           |  FROM documents GROUP BY source, n_chars),
+           |cum AS (
+           |  SELECT source, n_chars, c,
+           |         SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+           |                      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM counts),
+           |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+           |       FROM counts GROUP BY source)
+           |SELECT c.source, MAX(ns.n) AS n_docs,
+           |       CAST(MIN(CASE WHEN c.cum >= CAST(ceil(CAST(0.5 AS DOUBLE) * CAST(ns.n AS DOUBLE)) AS BIGINT) THEN c.n_chars END) AS DOUBLE) AS p50,
+           |       CAST(MIN(CASE WHEN c.cum >= CAST(ceil(CAST(0.9 AS DOUBLE) * CAST(ns.n AS DOUBLE)) AS BIGINT) THEN c.n_chars END) AS DOUBLE) AS p90,
+           |       CAST(MIN(CASE WHEN c.cum >= CAST(ceil(CAST(0.99 AS DOUBLE) * CAST(ns.n AS DOUBLE)) AS BIGINT) THEN c.n_chars END) AS DOUBLE) AS p99
+           |FROM cum c JOIN ns ON c.source = ns.source
+           |GROUP BY c.source ORDER BY c.source""".stripMargin))
 
   // ---- 16. TF-IDF document vectors ----
 

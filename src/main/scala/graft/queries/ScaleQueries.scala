@@ -59,8 +59,8 @@ object ScaleQueries {
     (s, dir) => {
       import s.implicits._
       writeBucketed(s, dir)
-      s.table("graft_scale_orders_b")
-        .join(s.table("graft_scale_customer_b"),
+      s.table(bucketedName("orders", dir))
+        .join(s.table(bucketedName("customer", dir)),
           $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
@@ -74,15 +74,24 @@ object ScaleQueries {
            |GROUP BY c_mktsegment
            |ORDER BY c_mktsegment""".stripMargin))
 
+  /** Catalog name for this query's bucketed copy of `table`, scoped by
+    * the dataset dir (the stream-query `dir.hashCode` sink convention):
+    * interleaved runs across scale factors must not read each other's
+    * layout or race through the drop+delete+write in
+    * [[graft.ext.Bucketing.writeBucketed]].
+    */
+  private[graft] def bucketedName(table: String, dir: String): String =
+    s"graft_scale_${table}_b_${math.abs(dir.hashCode)}"
+
   /** Idempotent bucketed-layout build shared by the query and ScaleSpec:
     * 8 buckets on the join key, sorted within buckets, via
     * [[graft.ext.Bucketing]].
     */
   private[graft] def writeBucketed(s: SparkSession, dir: String): Unit = {
     Bucketing.writeBucketed(
-      t(s, dir, "orders"), "graft_scale_orders_b", "o_custkey", 8)
+      t(s, dir, "orders"), bucketedName("orders", dir), "o_custkey", 8)
     Bucketing.writeBucketed(
-      t(s, dir, "customer"), "graft_scale_customer_b", "c_custkey", 8)
+      t(s, dir, "customer"), bucketedName("customer", dir), "c_custkey", 8)
   }
 
   val all: Seq[Q] = Seq(extSkewSaltedJoin, extBucketedJoin)

@@ -25,6 +25,13 @@ object SemanticQueries {
   // the shared fold formulation (bit-exactness depends on one copy)
   private val dotFold = ExtQueries.dotFold
 
+  /** Width of the fixed src-range bands the PageRank inflow folds
+    * within: a band covers `bandWidth` consecutive src ids, so (srcs
+    * being distinct per dst) the level-1 agg buffer holds at most this
+    * many entries — the hub-node state bound.
+    */
+  private[graft] val pagerankBandWidth = 1024L
+
   /** SemDeDup: k-means the embedding space (the deterministic Lloyd fit
     * shared with ext_knn_cosine_ivf), then look for near-duplicates ONLY
     * within each cluster — pairwise cosine against cluster peers, never
@@ -83,12 +90,18 @@ object SemanticQueries {
     * ranking). Node ids: customer = 2·c_custkey, supplier =
     * 2·s_suppkey + 1 — parity-disjoint at any key range (an additive
     * offset would collide once keys outgrow it).
-    * Each iteration is one join + one keyed aggregation; the
-    * per-node contribution sum is a src-ordered strict fold, so ranks
-    * are bit-identical cross-engine. Scale posture: BSP iteration with a
-    * fixed pass count, state = one (node, rank) table re-keyed per pass;
-    * nothing collects to the driver. (The in-degree-bounded fold stands
-    * in for the decimal tree-aggregation a web-scale graph would use.)
+    * Each iteration is one join + one two-level keyed aggregation; the
+    * per-node contribution sum is a TWO-LEVEL deterministic fold: srcs
+    * fold src-ordered WITHIN fixed src-range bands (band = src div
+    * [[pagerankBandWidth]], so a band holds ≤ bandWidth distinct srcs —
+    * the agg state is hard-capped even for a hub with millions of
+    * in-edges), then the band sums fold band-ordered. Both levels
+    * unroll identically in the oracle, so ranks are bit-identical
+    * cross-engine. Scale posture: BSP iteration with a fixed pass
+    * count, state = one (node, rank) table re-keyed per pass; nothing
+    * collects to the driver; no per-node unbounded buffer (a single
+    * flat src-ordered collect_list would be one — the r2 exact-
+    * percentile hazard class).
     */
   val extPagerankIter = Q(
     "ext_pagerank_iter",
@@ -115,63 +128,69 @@ object SemanticQueries {
       val r0 = nodes.crossJoin(nDf)
         .select($"node", $"n", (lit(1.0d) / $"n").as("rank"))
       // one power iteration: scatter rank/outdeg along edges, gather per
-      // dst as a src-ordered fold, damp
+      // dst as a two-level fold — src-ordered within fixed src-range
+      // bands (agg state ≤ bandWidth entries regardless of hub degree),
+      // then band-ordered over the band sums
       def step(r: DataFrame): DataFrame =
         edges
           .join(r.withColumnRenamed("node", "src"), Seq("src"))
           .select($"dst".as("node"), $"n", $"src",
             ($"rank" / $"outdeg").as("contrib"))
-          .groupBy($"node", $"n")
+          .groupBy($"node", $"n",
+            expr(s"src div $pagerankBandWidth").as("band"))
           .agg(expr(
             "aggregate(transform(array_sort(collect_list(struct(src, contrib))), x -> x.contrib), 0D, (a, x) -> a + x)")
+            .as("band_sum"))
+          .groupBy($"node", $"n")
+          .agg(expr(
+            "aggregate(transform(array_sort(collect_list(struct(band, band_sum))), x -> x.band_sum), 0D, (a, x) -> a + x)")
             .as("inflow"))
           .select($"node", $"n",
             (lit(0.15d) / $"n" + lit(0.85d) * $"inflow").as("rank"))
       val r3 = step(step(step(r0)))
       r3.select($"node", $"rank").orderBy($"node")
     },
-    Some("""WITH fwd AS (
-           |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-           |edges AS (
-           |  SELECT src, dst FROM fwd
-           |  UNION ALL SELECT dst AS src, src AS dst FROM fwd),
-           |nodes AS (SELECT DISTINCT src AS node FROM edges),
-           |outdeg AS (
-           |  SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
-           |  FROM edges GROUP BY src),
-           |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
-           |r0 AS (
-           |  SELECT node, n, CAST(1.0 AS DOUBLE) / n AS rank
-           |  FROM nodes, nn),
-           |r1 AS (
+    Some {
+      // one banded power iteration, unrolled three times — the two-CTE
+      // pair mirrors the Spark two-level groupBy exactly (src-ordered
+      // fold within a band, band-ordered fold of the band sums)
+      def iter(prev: String, out: String): String =
+        s"""${out}b AS (
            |  SELECT e.dst AS node, r.n,
-           |         0.15 / r.n + 0.85 * list_reduce(
+           |         e.src // $pagerankBandWidth AS band,
+           |         list_reduce(
            |           [CAST(0 AS DOUBLE)] ||
            |             list(r.rank / o.outdeg ORDER BY e.src),
-           |           (a, x) -> a + x) AS rank
-           |  FROM edges e JOIN r0 r ON e.src = r.node
+           |           (a, x) -> a + x) AS band_sum
+           |  FROM edges e JOIN $prev r ON e.src = r.node
            |              JOIN outdeg o ON e.src = o.src
-           |  GROUP BY e.dst, r.n),
-           |r2 AS (
-           |  SELECT e.dst AS node, r.n,
-           |         0.15 / r.n + 0.85 * list_reduce(
+           |  GROUP BY e.dst, r.n, band),
+           |$out AS (
+           |  SELECT node, n,
+           |         0.15 / n + 0.85 * list_reduce(
            |           [CAST(0 AS DOUBLE)] ||
-           |             list(r.rank / o.outdeg ORDER BY e.src),
+           |             list(band_sum ORDER BY band),
            |           (a, x) -> a + x) AS rank
-           |  FROM edges e JOIN r1 r ON e.src = r.node
-           |              JOIN outdeg o ON e.src = o.src
-           |  GROUP BY e.dst, r.n),
-           |r3 AS (
-           |  SELECT e.dst AS node, r.n,
-           |         0.15 / r.n + 0.85 * list_reduce(
-           |           [CAST(0 AS DOUBLE)] ||
-           |             list(r.rank / o.outdeg ORDER BY e.src),
-           |           (a, x) -> a + x) AS rank
-           |  FROM edges e JOIN r2 r ON e.src = r.node
-           |              JOIN outdeg o ON e.src = o.src
-           |  GROUP BY e.dst, r.n)
-           |SELECT node, rank FROM r3 ORDER BY node""".stripMargin))
+           |  FROM ${out}b GROUP BY node, n)""".stripMargin
+      s"""WITH fwd AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT src, dst FROM fwd
+         |  UNION ALL SELECT dst AS src, src AS dst FROM fwd),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |outdeg AS (
+         |  SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg
+         |  FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (
+         |  SELECT node, n, CAST(1.0 AS DOUBLE) / n AS rank
+         |  FROM nodes, nn),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+    })
 
   /** Product-quantization kNN (ADC over m=4 × 16-dim codebooks, 16
     * codes each): the memory-compression ANN variant — each candidate

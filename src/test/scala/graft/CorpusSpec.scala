@@ -139,8 +139,8 @@ class CorpusSpec extends SparkSpec {
     val prev = spark.conf.get(key)
     spark.conf.set(key, "-1")
     try {
-      val joined = spark.table("graft_scale_orders_b")
-        .join(spark.table("graft_scale_customer_b"),
+      val joined = spark.table(ScaleQueries.bucketedName("orders", dir))
+        .join(spark.table(ScaleQueries.bucketedName("customer", dir)),
           col("o_custkey") === col("c_custkey"))
       joined.count()
       assert(graft.ext.Bucketing.isShuffleFree(joined),
@@ -191,5 +191,37 @@ class CorpusSpec extends SparkSpec {
           .as("total_qty"))
       .orderBy($"s_nationkey").collect()
     assert(salted.toSeq === plain.toSeq)
+  }
+}
+
+/** The (lang, head-token) block-population cap in the edit-distance
+  * near-dup family (the 100 TB hot-key guard shared with the
+  * MinHash/SimHash bucket caps): a stop-word head token must not become
+  * a quadratic self-join key. Pins BOTH sides of the trade-off — a hot
+  * block is dropped entirely, and near-dups in cool blocks still pair.
+  */
+class EditDistCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a hot head-token block is dropped; cool-block near-dups survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_editcap")
+    val cap = graft.queries.ExtQueries.lshBucketCap.toInt
+    // hot block: cap+2 docs all headed by the stop word "The", pairwise
+    // near-identical prefixes — uncapped this is (cap+2)(cap+1)/2 pairs
+    val hot = (0 until cap + 2).map { i =>
+      (i.toLong, f"The quick brown fox number $i%03d jumps on", "en", "s",
+        40L)
+    }
+    // cool block: one crafted near-dup pair under a rare head token
+    val cool = Seq(
+      (9000L, "Zyzzyva report alpha beta gamma delta", "en", "s", 37L),
+      (9001L, "Zyzzyva report alpha beta gamma delt", "en", "s", 36L))
+    (hot ++ cool).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CorpusQueries.extDedupEditDistance
+      .run(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((9000L, 9001L)),
+      "only the cool-block pair survives; the hot block contributes none")
   }
 }

@@ -115,4 +115,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"))
     assert(p.contains("hashpartitioning(source"))
   }
+
+  test("every dedup-family member declares its candidate-population bound") {
+    // Regression guard for the round-4 edit-distance miss: a self-join
+    // dedup operator shipped with an uncapped blocking key. Every
+    // dedup-family query MUST be registered here with the mechanism that
+    // bounds its candidate population; an unregistered new member fails
+    // this test with instructions, and "cap-filter" members are
+    // structurally verified to carry the cap predicate in their
+    // optimized plan (so deleting the cap also fails).
+    val mechanism: Map[String, String] = Map(
+      "ext_dedup_exact" -> "keyed-window", // ranking window, no self-join
+      "ext_cross_source_dedup" -> "keyed-window",
+      "ext_stream_dedup" -> "watermarked-state", // bounded streaming state
+      "ext_dedup_ngram_jaccard" -> "cap-filter", // gramDocFreqCap
+      "ext_dedup_minhash_lsh" -> "cap-filter", // lshBucketCap
+      "ext_dedup_simhash" -> "cap-filter", // lshBucketCap
+      "ext_dedup_chunk" -> "cap-filter", // chunkDocFreqCap
+      "ext_dedup_edit_distance" -> "cap-filter", // lshBucketCap on blocks
+      "ext_dedup_components" -> "cap-filter", // capped jaccard edges
+      "ext_dedup_incremental" -> "bloom-exact-key", // bloom + exact fp join
+      "ext_dedup_semantic" -> "cluster-scoped", // pairs ≤ Σ|cluster|²
+      "ext_dedup_embedding_cosine" -> "wide-band-lsh") // 2^16 buckets/band
+    val family = SparkEntry.queries.keys
+      .filter(_.contains("dedup")).toSeq.sorted
+    assert(family.nonEmpty)
+    for (n <- family)
+      assert(mechanism.contains(n),
+        s"$n: dedup-family member with NO declared candidate-population " +
+          "bound — cap its blocking key (the lshBucketCap pattern, " +
+          "replicated in the oracle) and register the mechanism here")
+    val capped = Seq(ExtQueries.extDedupNgramJaccard,
+      ExtQueries.extDedupMinhashLsh, ExtQueries.extDedupSimhash,
+      CurationQueries.extDedupChunk,
+      graft.queries.CorpusQueries.extDedupEditDistance,
+      ExtQueries.extDedupComponents)
+    val capPredicate = "<= (5|100)\\)".r
+    for (q <- capped) {
+      assert(mechanism(q.name) == "cap-filter")
+      val p = plan(q)
+      assert(capPredicate.findFirstIn(p).isDefined,
+        s"${q.name}: no population-cap predicate in the optimized plan")
+    }
+  }
 }

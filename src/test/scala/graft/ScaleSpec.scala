@@ -269,4 +269,22 @@ class BucketedStaleLocationSpec extends SparkSpec {
     graft.ext.Bucketing.writeBucketed(df, "graft_bspec.tbl", "k", 2)
     assert(spark.table("graft_bspec.tbl").count() === 3)
   }
+
+  test("writeBucketed refuses to destroy an EXTERNAL table's location") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val ext = java.nio.file.Files
+      .createTempDirectory("graft_ext_tbl").toFile
+    df.write.mode("overwrite").parquet(ext.getPath)
+    spark.sql("DROP TABLE IF EXISTS ext_guard_tbl")
+    // a datasource table with an explicit LOCATION is EXTERNAL
+    spark.sql(s"CREATE TABLE ext_guard_tbl (k BIGINT, v STRING) " +
+      s"USING PARQUET LOCATION '${ext.getPath}'")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Bucketing.writeBucketed(df, "ext_guard_tbl", "k", 2)
+    }
+    assert(e.getMessage.contains("EXTERNAL"))
+    // the user data must be untouched
+    assert(spark.read.parquet(ext.getPath).count() === 1)
+    spark.sql("DROP TABLE ext_guard_tbl")
+  }
 }
