@@ -775,7 +775,13 @@ object ExtQueries {
     * (N/256)²) — then exact fold-cosine ≥ 0.35 confirms. The threshold is
     * calibrated to this corpus (max pairwise cosine ≈ 0.51; true dups
     * would sit near 1.0, where banded collision probability is ≈ 96 %).
-    * The oracle replicates the exact LCG hyperplane family in SQL.
+    * Band buckets above [[lshBucketCap]] are additionally dropped before
+    * the self-join (replicated in the oracle): wide keys bound bucket
+    * population for DISTRIBUTED embeddings, but a degenerate corpus
+    * (many identical/zero vectors) still concentrates one bucket — the
+    * cap makes this member uniformly hot-key-safe with the rest of the
+    * family. The oracle replicates the exact LCG hyperplane family in
+    * SQL.
     */
   val extDedupEmbedding = Q(
     "ext_dedup_embedding_cosine",
@@ -785,7 +791,8 @@ object ExtQueries {
         .select($"vec_id", $"embedding".cast("array<double>").as("e"))
         .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})"))
       val cand = graft.ext.SignLsh.candidatePairs(
-        emb, "vec_id", "e", dim = 64, bands = 16, rowsPerBand = 16)
+        emb, "vec_id", "e", dim = 64, bands = 16, rowsPerBand = 16,
+        bucketCap = Some(lshBucketCap))
       cand
         .join(emb.select($"vec_id".as("id_a"), $"e".as("ea"),
           $"nrm".as("na")), Seq("id_a"))
@@ -809,9 +816,14 @@ object ExtQueries {
             |  SELECT vec_id, e, nrm,
             |         ${graft.ext.SignLsh.duckBandsExpr("bits", 16, 16)} AS bands
             |  FROM n),
-            |bnd AS (
+            |bnd0 AS (
             |  SELECT vec_id, ub.band AS band, bands[ub.band + 1] AS bh
             |  FROM sig, (SELECT unnest(range(16)) AS band) ub),
+            |okb AS (
+            |  SELECT band, bh FROM bnd0
+            |  GROUP BY 1, 2 HAVING COUNT(*) <= $lshBucketCap),
+            |bnd AS (
+            |  SELECT bnd0.* FROM bnd0 JOIN okb USING (band, bh)),
             |cand AS (
             |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
             |  FROM bnd x JOIN bnd y

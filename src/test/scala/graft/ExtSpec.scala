@@ -427,4 +427,31 @@ class SignLshSpec extends SparkSpec {
       .collect().toSeq
     assert(sig() === sig())
   }
+
+  test("bucketCap drops a degenerate hot bucket; cool pairs survive") {
+    // degenerate corpus: `cap + 2` IDENTICAL vectors collide in every
+    // band (one bucket holds them all — (cap+2)(cap+1)/2 pairs uncapped)
+    // plus one crafted near-dup pair of a distinct direction
+    val cap = graft.queries.ExtQueries.lshBucketCap
+    val rnd = new scala.util.Random(11)
+    val hotVec = Array.fill(64)(rnd.nextGaussian()).toSeq
+    val coolVec = Array.fill(64)(rnd.nextGaussian())
+    val coolNoisy = coolVec.map(x => x * (1.0 + 1e-4 * rnd.nextGaussian()))
+    val rows = (0 until cap.toInt + 2).map(i => (i.toLong, hotVec)) ++
+      Seq((9000L, coolVec.toSeq), (9001L, coolNoisy.toSeq))
+    val df = rows.toDF("vec_id", "e")
+    val capped = SignLsh
+      .candidatePairs(df, "vec_id", "e", dim = 64, bands = 16,
+        rowsPerBand = 16, bucketCap = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((9000L, 9001L)),
+      "only the cool near-dup pair survives the bucket cap")
+    // and without the cap, the hot bucket would have flooded candidates
+    val uncapped = SignLsh
+      .candidatePairs(df, "vec_id", "e", dim = 64, bands = 16,
+        rowsPerBand = 16)
+      .count()
+    assert(uncapped > (cap * (cap - 1)) / 2,
+      "the degenerate bucket is genuinely quadratic without the cap")
+  }
 }

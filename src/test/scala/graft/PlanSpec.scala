@@ -136,7 +136,7 @@ class PlanSpec extends SparkSpec {
       "ext_dedup_components" -> "cap-filter", // capped jaccard edges
       "ext_dedup_incremental" -> "bloom-exact-key", // bloom + exact fp join
       "ext_dedup_semantic" -> "cluster-scoped", // pairs ≤ Σ|cluster|²
-      "ext_dedup_embedding_cosine" -> "wide-band-lsh") // 2^16 buckets/band
+      "ext_dedup_embedding_cosine" -> "cap-filter") // lshBucketCap on buckets
     val family = SparkEntry.queries.keys
       .filter(_.contains("dedup")).toSeq.sorted
     assert(family.nonEmpty)
@@ -149,7 +149,7 @@ class PlanSpec extends SparkSpec {
       ExtQueries.extDedupMinhashLsh, ExtQueries.extDedupSimhash,
       CurationQueries.extDedupChunk,
       graft.queries.CorpusQueries.extDedupEditDistance,
-      ExtQueries.extDedupComponents)
+      ExtQueries.extDedupComponents, ExtQueries.extDedupEmbedding)
     val capPredicate = "<= (5|100)\\)".r
     for (q <- capped) {
       assert(mechanism(q.name) == "cap-filter")
