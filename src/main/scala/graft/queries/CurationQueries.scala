@@ -1002,10 +1002,97 @@ object CurationQueries {
             |SELECT doc_id, source, tokens, CAST(cum AS BIGINT) AS cum_tokens
             |FROM r WHERE cum <= 800 ORDER BY doc_id""".stripMargin))
 
+  /** Span-level exact-substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): find the LONGEST
+    * duplicated token span per document pair — the partial-duplication
+    * signal doc-level Jaccard/MinHash misses (a 90-token boilerplate
+    * block inside two otherwise-different docs barely moves their
+    * Jaccard but is exactly what substring dedup removes before
+    * training). Positional 8-grams (suffix-automaton stand-in) → the
+    * gram doc-frequency cap ([[ExtQueries.gramDocFreqCap]], the family
+    * hot-key guard) → shared-gram hits per pair → runs of CONSECUTIVE
+    * matches on each alignment diagonal (pos_a − pos_b) via the
+    * gaps-and-islands trick (pos_a − row_number is constant exactly on
+    * a consecutive run; positions are unique per (pair, diag), so the
+    * island key is exact). A run of r grams covers r+7 tokens; spans of
+    * ≥ 3 runs (≥ 10 tokens) are reported. Scale posture: the capped
+    * inverted gram index bounds the self-join (same bound as the
+    * Jaccard family); the island window is keyed by (pair, diagonal) —
+    * partition size ≤ min(|doc_a|, |doc_b|) grams, never corpus-scale.
+    */
+  val extDedupSubstringSpan = Q(
+    "ext_dedup_substring_span",
+    (s, dir) => {
+      import s.implicits._
+      val minRun = 3
+      // positional grams: no array_distinct — the diagonal run-length
+      // needs every occurrence's position
+      val g = t(s, dir, "documents")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .where(size($"w") >= 8)
+        .select($"doc_id", posexplode(expr(
+          "transform(sequence(0, size(w)-8), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))"))
+          .as(Seq("pos", "gram")))
+        .transform(Q.mat)
+      val rare = g.select($"doc_id", $"gram").distinct()
+        .groupBy($"gram").agg(count(lit(1)).as("gdf"))
+        .where($"gdf" <= ExtQueries.gramDocFreqCap)
+        .select($"gram")
+      val cg = g.join(rare, Seq("gram")).transform(Q.mat)
+      val hits = cg.as("a").join(cg.as("b"),
+          col("a.gram") === col("b.gram")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+        .distinct()
+      val w = Window.partitionBy($"doc_a", $"doc_b", $"diag")
+        .orderBy($"pos_a")
+      hits
+        .withColumn("diag", $"pos_a" - $"pos_b")
+        .withColumn("island", $"pos_a" - row_number().over(w))
+        .groupBy($"doc_a", $"doc_b", $"diag", $"island")
+        .agg(count(lit(1)).as("run_len"))
+        .where($"run_len" >= minRun)
+        .groupBy($"doc_a", $"doc_b")
+        .agg(max($"run_len" + lit(7L)).as("max_span_tokens"),
+          count(lit(1)).as("n_spans"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+           |g AS (
+           |  SELECT doc_id, u.i AS pos,
+           |         s[u.i+1]||' '||s[u.i+2]||' '||s[u.i+3]||' '||s[u.i+4]||' '||s[u.i+5]||' '||s[u.i+6]||' '||s[u.i+7]||' '||s[u.i+8] AS gram
+           |  FROM d, UNNEST(range(len(s) - 7)) AS u(i)
+           |  WHERE len(s) >= 8),
+           |rare AS (
+           |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+           |  GROUP BY gram HAVING COUNT(*) <= ${ExtQueries.gramDocFreqCap}),
+           |cg AS (SELECT g.* FROM g JOIN rare USING (gram)),
+           |hits AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         a.pos AS pos_a, b.pos AS pos_b
+           |  FROM cg a JOIN cg b
+           |    ON a.gram = b.gram AND a.doc_id < b.doc_id),
+           |runs AS (
+           |  SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a,
+           |         pos_a - ROW_NUMBER() OVER (
+           |           PARTITION BY doc_a, doc_b, pos_a - pos_b
+           |           ORDER BY pos_a) AS island
+           |  FROM hits),
+           |sp AS (
+           |  SELECT doc_a, doc_b, diag, island, COUNT(*) AS run_len
+           |  FROM runs GROUP BY 1, 2, 3, 4)
+           |SELECT doc_a, doc_b,
+           |       CAST(MAX(run_len + 7) AS BIGINT) AS max_span_tokens,
+           |       CAST(COUNT(*) AS BIGINT) AS n_spans
+           |FROM sp WHERE run_len >= 3
+           |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin))
+
   val all: Seq[Q] = Seq(extSampleStratified, extQualityRepetition,
     extBm25Search, extDedupChunk, extScd2History, extBloomPrefilter,
     extStreamJoin, extStreamJoinOuter, extStreamJoinFullOuter,
     extDecontaminate, extVocabOov, extSplitAssign,
     extCurationPipeline, extSourceOverlap, extLabelCentroid,
-    extPackSequences, extTokenBudget)
+    extPackSequences, extTokenBudget, extDedupSubstringSpan)
 }

@@ -225,3 +225,37 @@ class EditDistCapSpec extends SparkSpec {
       "only the cool-block pair survives; the hot block contributes none")
   }
 }
+
+/** Span-level substring dedup: the gaps-and-islands run length must
+  * translate exactly into token-span length, sub-threshold overlaps must
+  * stay silent, and only genuinely overlapping pairs may appear.
+  */
+class SubstringSpanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a shared 20-token block reports a 20-token span; 9 tokens do not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_span")
+    val block = (1 to 20).map(i => s"c$i").mkString(" ")
+    val small = (1 to 9).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, ((1 to 10).map(i => s"a$i").mkString(" ")) + " " + block,
+        "en", "s", 0L),
+      (1L, ((1 to 12).map(i => s"b$i").mkString(" ")) + " " + block,
+        "en", "s", 0L),
+      // 9 shared tokens = a run of 2 grams, below the 3-run threshold
+      (2L, ((1 to 10).map(i => s"d$i").mkString(" ")) + " " + small,
+        "en", "s", 0L),
+      (3L, ((1 to 10).map(i => s"e$i").mkString(" ")) + " " + small,
+        "en", "s", 0L),
+      (4L, (1 to 40).map(i => s"f$i").mkString(" "), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CurationQueries.extDedupSubstringSpan
+      .run(spark, dir.toString).collect()
+    assert(out.length === 1, out.mkString(", "))
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) === (0L, 1L))
+    assert(r.getLong(2) === 20L, "13 consecutive grams cover 20 tokens")
+    assert(r.getLong(3) === 1L, "one island on one diagonal")
+  }
+}

@@ -132,6 +132,7 @@ class PlanSpec extends SparkSpec {
       "ext_dedup_minhash_lsh" -> "cap-filter", // lshBucketCap
       "ext_dedup_simhash" -> "cap-filter", // lshBucketCap
       "ext_dedup_chunk" -> "cap-filter", // chunkDocFreqCap
+      "ext_dedup_substring_span" -> "cap-filter", // gramDocFreqCap
       "ext_dedup_edit_distance" -> "cap-filter", // lshBucketCap on blocks
       "ext_dedup_components" -> "cap-filter", // capped jaccard edges
       "ext_dedup_incremental" -> "bloom-exact-key", // bloom + exact fp join
@@ -149,7 +150,8 @@ class PlanSpec extends SparkSpec {
       ExtQueries.extDedupMinhashLsh, ExtQueries.extDedupSimhash,
       CurationQueries.extDedupChunk,
       graft.queries.CorpusQueries.extDedupEditDistance,
-      ExtQueries.extDedupComponents, ExtQueries.extDedupEmbedding)
+      ExtQueries.extDedupComponents, ExtQueries.extDedupEmbedding,
+      CurationQueries.extDedupSubstringSpan)
     val capPredicate = "<= (5|100)\\)".r
     for (q <- capped) {
       assert(mechanism(q.name) == "cap-filter")
