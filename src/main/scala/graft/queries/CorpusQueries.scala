@@ -547,8 +547,127 @@ object CorpusQueries {
            |WHERE levenshtein(a.prefix, b.prefix) <= 10
            |ORDER BY id_a, id_b""".stripMargin))
 
+  /** Population Stability Index drift monitor — the OTHER standard
+    * distribution-shift test next to [[extKsDrift]]: KS reports the max
+    * ECDF gap (sensitive to a single sharp shift), PSI sums
+    * (p_s − p_c)·ln(p_s/p_c) over fixed bins (sensitive to diffuse
+    * reshaping; the credit-scoring convention: < 0.1 stable, > 0.25
+    * shifted). Ten equal-width bins over the corpus value range with
+    * INTEGER bin arithmetic (exact cross-engine); +1/B Laplace
+    * smoothing keeps empty bins finite; ln runs on the portable
+    * sqrt-chain ([[CurationQueries.portableLnOfU]]) over
+    * greatest/least-normalized INTEGER ratios, sign split on the
+    * integer compare — every double is a single division or product of
+    * identical expression trees, so PSI hash-compares. Scale posture:
+    * one (source, bin) agg + a |sources|×10 grid; the per-source sum is
+    * a 10-element bin-ordered fold (bounded agg state by construction).
+    * (The integer num/den products bound the exact path to ~3·10⁹ rows
+    * per side before BIGINT overflow; past that, drop to the
+    * per-probability doubles — the determinism argument is unchanged.)
+    */
+  val extPsiDrift = Q(
+    "ext_psi_drift",
+    (s, dir) => {
+      import s.implicits._
+      val B = 10
+      val d = t(s, dir, "documents").select($"source", $"n_chars")
+      val mm = d.agg(min($"n_chars").as("vmin"), max($"n_chars").as("vmax"),
+        count(lit(1)).as("n_all"))
+      val binned = d.crossJoin(broadcast(mm))
+        .withColumn("bin", expr(
+          s"least($B - 1, ((n_chars - vmin) * $B) div (vmax - vmin + 1))"))
+      val srcCounts = binned.groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("c_sb"))
+      val corpusCounts = binned.groupBy($"bin")
+        .agg(count(lit(1)).as("c_cb"))
+      val srcN = d.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      val bins = s.range(B).select($"id".as("bin"))
+      val grid = d.select($"source").distinct().crossJoin(broadcast(bins))
+      grid
+        .join(srcCounts, Seq("source", "bin"), "left")
+        .na.fill(0L, Seq("c_sb"))
+        .join(broadcast(corpusCounts), Seq("bin"), "left")
+        .na.fill(0L, Seq("c_cb"))
+        .join(broadcast(srcN), "source")
+        .crossJoin(broadcast(mm.select($"n_all")))
+        .withColumn("p_s",
+          ($"c_sb" + lit(1L)).cast("double")
+            / ($"n_s" + lit(B.toLong)).cast("double"))
+        .withColumn("p_c",
+          ($"c_cb" + lit(1L)).cast("double")
+            / ($"n_all" + lit(B.toLong)).cast("double"))
+        .withColumn("num", ($"c_sb" + lit(1L)) * ($"n_all" + lit(B.toLong)))
+        .withColumn("den", ($"c_cb" + lit(1L)) * ($"n_s" + lit(B.toLong)))
+        .withColumn("rmax",
+          greatest($"num", $"den").cast("double")
+            / least($"num", $"den").cast("double"))
+        .withColumn("y", expr(CurationQueries.sixSqrt("rmax")))
+        .withColumn("u", ($"y" - lit(1.0d)) / ($"y" + lit(1.0d)))
+        .withColumn("u2", $"u" * $"u")
+        .withColumn("lnabs", expr(CurationQueries.portableLnOfU))
+        .withColumn("lnr",
+          when($"num" >= $"den", $"lnabs").otherwise(-$"lnabs"))
+        .withColumn("term", ($"p_s" - $"p_c") * $"lnr")
+        .groupBy($"source")
+        .agg(expr(
+          "aggregate(transform(array_sort(collect_list(struct(bin, term))), x -> x.term), 0D, (a, x) -> a + x)")
+          .as("psi"))
+        .withColumn("drifted", $"psi" > lit(0.25d))
+        .orderBy($"source")
+    },
+    Some {
+      val ln = CurationQueries.portableLnOfU
+      s"""WITH d AS (SELECT source, n_chars FROM documents),
+         |mm AS (SELECT MIN(n_chars) AS vmin, MAX(n_chars) AS vmax,
+         |              COUNT(*) AS n_all FROM d),
+         |b AS (
+         |  SELECT source,
+         |         LEAST(9, ((n_chars - vmin) * 10) // (vmax - vmin + 1))
+         |           AS bin
+         |  FROM d, mm),
+         |sc AS (SELECT source, bin, COUNT(*) AS c_sb FROM b GROUP BY 1, 2),
+         |cc AS (SELECT bin, COUNT(*) AS c_cb FROM b GROUP BY 1),
+         |ns AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
+         |grid AS (
+         |  SELECT s.source, g.bin
+         |  FROM (SELECT DISTINCT source FROM d) s,
+         |       (SELECT unnest(range(10)) AS bin) g),
+         |cells AS (
+         |  SELECT grid.source, grid.bin,
+         |         COALESCE(sc.c_sb, 0) AS c_sb,
+         |         COALESCE(cc.c_cb, 0) AS c_cb, ns.n_s, mm.n_all
+         |  FROM grid
+         |  LEFT JOIN sc ON sc.source = grid.source AND sc.bin = grid.bin
+         |  LEFT JOIN cc ON cc.bin = grid.bin
+         |  JOIN ns ON ns.source = grid.source, mm),
+         |t0 AS (
+         |  SELECT source, bin,
+         |         CAST(c_sb + 1 AS DOUBLE) / CAST(n_s + 10 AS DOUBLE) AS p_s,
+         |         CAST(c_cb + 1 AS DOUBLE) / CAST(n_all + 10 AS DOUBLE) AS p_c,
+         |         (c_sb + 1) * (n_all + 10) AS num,
+         |         (c_cb + 1) * (n_s + 10) AS den
+         |  FROM cells),
+         |t1 AS (SELECT *, CAST(GREATEST(num, den) AS DOUBLE)
+         |                 / CAST(LEAST(num, den) AS DOUBLE) AS rmax FROM t0),
+         |t2 AS (SELECT *, ${CurationQueries.sixSqrt("rmax")} AS y FROM t1),
+         |t3 AS (SELECT *, (y - CAST(1 AS DOUBLE)) / (y + CAST(1 AS DOUBLE)) AS u FROM t2),
+         |t4 AS (SELECT *, u * u AS u2 FROM t3),
+         |t5 AS (
+         |  SELECT source, bin,
+         |         (p_s - p_c) * (CASE WHEN num >= den THEN ($ln)
+         |                             ELSE -($ln) END) AS term
+         |  FROM t4),
+         |agg AS (
+         |  SELECT source,
+         |         list_reduce([CAST(0 AS DOUBLE)] ||
+         |           list(term ORDER BY bin), (a, x) -> a + x) AS psi
+         |  FROM t5 GROUP BY source)
+         |SELECT source, psi, psi > CAST(0.25 AS DOUBLE) AS drifted
+         |FROM agg ORDER BY source""".stripMargin
+    })
+
   val all: Seq[Q] =
     Seq(extCrossSourceDedup, extMixtureWeights, extInvertedIndex,
       extShardBalance, extCdcApply, extKsDrift, extBootstrapCi,
-      extDedupEditDistance)
+      extDedupEditDistance, extPsiDrift)
 }

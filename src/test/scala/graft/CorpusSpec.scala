@@ -259,3 +259,67 @@ class SubstringSpanSpec extends SparkSpec {
     assert(r.getLong(3) === 1L, "one island on one diagonal")
   }
 }
+
+/** PSI drift: the binned index must match a driver-side recompute of
+  * the textbook formula, and a genuinely shifted source must cross the
+  * 0.25 threshold while identically-distributed sources stay near 0.
+  */
+class PsiDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def psiOf(rows: Seq[(String, Long)]): Map[String, Double] = {
+    val all = rows.map(_._2)
+    val (vmin, vmax) = (all.min, all.max)
+    def bin(v: Long): Long = math.min(9L, (v - vmin) * 10 / (vmax - vmin + 1))
+    val nAll = all.size.toLong
+    val cAll = all.groupBy(bin).view.mapValues(_.size.toLong).toMap
+    rows.groupBy(_._1).map { case (src, rs) =>
+      val nS = rs.size.toLong
+      val cS = rs.map(r => bin(r._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val psi = (0L until 10L).map { b =>
+        val ps = (cS.getOrElse(b, 0L) + 1).toDouble / (nS + 10)
+        val pc = (cAll.getOrElse(b, 0L) + 1).toDouble / (nAll + 10)
+        (ps - pc) * math.log(ps / pc)
+      }.sum
+      src -> psi
+    }
+  }
+
+  test("psi matches the textbook recompute on the real corpus") {
+    val out = CorpusQueries.extPsiDrift.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val data = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"source", $"n_chars").as[(String, Long)].collect().toSeq
+    val expect = psiOf(data)
+    assert(out.keySet === expect.keySet)
+    out.foreach { case (src, v) =>
+      assert(math.abs(v - expect(src)) < 1e-9, s"$src: $v vs ${expect(src)}")
+      assert(v >= 0.0, "PSI is a sum of (p-q)ln(p/q) terms, each >= 0")
+    }
+  }
+
+  test("a shifted source crosses the 0.25 threshold; stable ones do not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_psi")
+    // stable sources spread over the LOW half of the range (bins 0-4) so
+    // their own mass isn't one hot bin; the shifted source is a small
+    // fraction of the corpus (PSI compares source vs the blend, so a
+    // large shifted component would legitimately drag every source's
+    // index up)
+    val stable = (0 until 400).flatMap(i => Seq(
+      (i.toLong, "x", "en", "src1", (100 + (i % 50) * 8).toLong),
+      (1000L + i, "x", "en", "src2", (100 + (i % 50) * 8).toLong)))
+    // src3 concentrates in the top of the range the others never touch
+    val shifted = (0 until 20).map(i =>
+      (2000L + i, "x", "en", "src3", (900 + i % 50).toLong))
+    (stable ++ shifted)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusQueries.extPsiDrift.run(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    val bySrc = out.map(r => r._1 -> r).toMap
+    assert(bySrc("src3")._3, s"shifted source must flag: ${bySrc("src3")}")
+    assert(!bySrc("src1")._3 && !bySrc("src2")._3,
+      s"stable sources must not flag: $out")
+  }
+}
