@@ -181,3 +181,59 @@ class ProfileSpec extends SparkSpec {
       docs.select("doc_id", "text")).isEmpty)
   }
 }
+
+/** DSIR importance log-weights: the query must equal the textbook
+  * formula (driver-side recompute with Math.log) and rank target-like
+  * documents above target-unlike ones on a crafted corpus.
+  */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("log-weights match the textbook recompute on the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.queries.ProfileQueries.extDsirLogweight
+      .run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val toks = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .as[(Long, String)].collect()
+    val vocabV = toks.map(_._2).distinct.length.toLong
+    val nC = toks.length.toLong
+    val tgt = toks.filter(_._1 < 10)
+    val nT = tgt.length.toLong
+    val cT = tgt.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cC = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pool = toks.filter(_._1 >= 10).groupBy(_._1)
+    assert(out.keySet === pool.keySet)
+    pool.foreach { case (doc, ws) =>
+      val lw = ws.groupBy(_._2).map { case (w, occ) =>
+        occ.length * math.log(
+          ((cT.getOrElse(w, 0L) + 1).toDouble * (nC + vocabV))
+            / ((cC(w) + 1).toDouble * (nT + vocabV)))
+      }.sum
+      val (nTok, got) = out(doc)
+      assert(nTok === ws.length.toLong)
+      assert(math.abs(got - lw) < math.max(1e-9, 1e-11 * math.abs(lw)),
+        s"doc $doc: $got vs $lw")
+    }
+  }
+
+  test("target-like documents outrank target-unlike ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir")
+    val tgtText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs =
+      (0L until 10L).map(i => (i, tgtText, "en", "s", 0L)) ++ Seq(
+        (100L, "alpha beta gamma delta epsilon iota kappa mu",
+          "en", "s", 0L), // mostly target vocabulary
+        (101L, "nu xi omicron pi rho sigma tau upsilon",
+          "en", "s", 0L)) // disjoint vocabulary
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.ProfileQueries.extDsirLogweight
+      .run(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(100L) > out(101L),
+      s"target-like must outrank: ${out(100L)} vs ${out(101L)}")
+    assert(out(101L) < 0.0, "a fully off-target doc scores negative")
+  }
+}
