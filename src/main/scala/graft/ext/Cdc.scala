@@ -26,4 +26,25 @@ object Cdc {
       .where(col("__rn") === 1 && col("op") =!= "D")
       .drop("__rn", "seq", "op")
   }
+
+  /** Merge a CDC delta into an accumulated state table, RETAINING
+    * tombstones: per key keep the (seq, op)-maximal row, deletes
+    * included. Keeping tombstones in state is what makes incremental
+    * merging insensitive to how the change stream is split into
+    * batches — a delete must keep outranking any lower-seq update that
+    * arrives in a LATER batch; dropping it (currentState semantics)
+    * would resurrect the row. Read the current table by filtering
+    * `op <> 'D'` at the end. One keyed window per merge; at scale this
+    * is the lakehouse MERGE a streaming foreachBatch sink runs per
+    * micro-batch.
+    */
+  def mergeState(state: DataFrame, delta: DataFrame, key: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("seq").desc, col("op").desc)
+    state.unionByName(delta)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
 }

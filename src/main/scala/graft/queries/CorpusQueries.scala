@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -234,50 +236,143 @@ object CorpusQueries {
     * at 100 TB the snapshot and the delta shuffle once on the key;
     * nothing rescans history.
     */
+  /** The deterministic CDC change feed shared by the batch apply and the
+    * streaming foreachBatch merge: base snapshot at seq 0, every 5th key
+    * upserted (doubled price) at seq 1, every 15th deleted at seq 2.
+    */
+  private def cdcFeedSlices(s: SparkSession, dir: String): Seq[DataFrame] = {
+    import s.implicits._
+    val base = t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast("decimal(18,2)").as("o_totalprice"),
+        lit(0L).as("seq"), lit("U").as("op"))
+    val upserts = base.where($"o_orderkey" % 5 === 0)
+      .select($"o_orderkey", lit("X").as("o_orderstatus"),
+        ($"o_totalprice" * 2).cast("decimal(18,2)").as("o_totalprice"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val deletes = base.where($"o_orderkey" % 15 === 0)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        lit(2L).as("seq"), lit("D").as("op"))
+    Seq(base, upserts, deletes)
+  }
+
   val extCdcApply = Q(
     "ext_cdc_apply",
     (s, dir) => {
       import s.implicits._
-      val base = t(s, dir, "orders")
-        .select($"o_orderkey", $"o_orderstatus",
-          $"o_totalprice".cast("decimal(18,2)").as("o_totalprice"),
-          lit(0L).as("seq"), lit("U").as("op"))
-      val upserts = base.where($"o_orderkey" % 5 === 0)
-        .select($"o_orderkey", lit("X").as("o_orderstatus"),
-          ($"o_totalprice" * 2).cast("decimal(18,2)").as("o_totalprice"),
-          lit(1L).as("seq"), lit("U").as("op"))
-      val deletes = base.where($"o_orderkey" % 15 === 0)
-        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
-          lit(2L).as("seq"), lit("D").as("op"))
+      val Seq(base, upserts, deletes) = cdcFeedSlices(s, dir)
       graft.ext.Cdc.currentState(
         base.unionByName(upserts).unionByName(deletes), "o_orderkey")
         .select($"o_orderkey", $"o_orderstatus",
           $"o_totalprice".cast("double").as("o_totalprice"))
         .orderBy($"o_orderkey")
     },
-    Some("""WITH base AS (
-           |  SELECT o_orderkey, o_orderstatus,
-           |         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-           |         0 AS seq, 'U' AS op
-           |  FROM orders),
-           |ups AS (
-           |  SELECT o_orderkey, 'X' AS o_orderstatus,
-           |         CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS o_totalprice,
-           |         1 AS seq, 'U' AS op
-           |  FROM base WHERE o_orderkey % 5 = 0),
-           |dels AS (
-           |  SELECT o_orderkey, o_orderstatus, o_totalprice, 2 AS seq,
-           |         'D' AS op
-           |  FROM base WHERE o_orderkey % 15 = 0),
-           |merged AS (
-           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
-           |                               ORDER BY seq DESC, op DESC) AS rn
-           |  FROM (SELECT * FROM base UNION ALL SELECT * FROM ups
-           |        UNION ALL SELECT * FROM dels))
-           |SELECT o_orderkey, o_orderstatus,
-           |       CAST(o_totalprice AS DOUBLE) AS o_totalprice
-           |FROM merged WHERE rn = 1 AND op <> 'D'
-           |ORDER BY o_orderkey""".stripMargin))
+    Some(cdcOracleSql))
+
+  /** One oracle for both CDC applies: the batch window and the
+    * batch-split-insensitive streaming merge must land on the SAME
+    * current table.
+    */
+  private lazy val cdcOracleSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+      |         0 AS seq, 'U' AS op
+      |  FROM orders),
+      |ups AS (
+      |  SELECT o_orderkey, 'X' AS o_orderstatus,
+      |         CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS o_totalprice,
+      |         1 AS seq, 'U' AS op
+      |  FROM base WHERE o_orderkey % 5 = 0),
+      |dels AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 2 AS seq,
+      |         'D' AS op
+      |  FROM base WHERE o_orderkey % 15 = 0),
+      |merged AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |                               ORDER BY seq DESC, op DESC) AS rn
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM ups
+      |        UNION ALL SELECT * FROM dels))
+      |SELECT o_orderkey, o_orderstatus,
+      |       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM merged WHERE rn = 1 AND op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Streaming CDC ingestion — the change feed arrives as a FILE STREAM
+    * (one micro-batch per file via maxFilesPerTrigger=1) and a
+    * foreachBatch sink MERGEs each batch into a parquet state "lake"
+    * with [[graft.ext.Cdc.mergeState]] (tombstones retained, so the
+    * final table is provably insensitive to where the batch boundaries
+    * fall — the oracle is the BATCH apply's result). This is the
+    * streaming half of the CDC family: ext_cdc_apply is the one-shot
+    * window; this is the continuously-running lakehouse MERGE (a real
+    * deployment swaps the overwrite for a transactional MERGE; the
+    * per-batch keyed merge and tombstone contract are identical). Lake
+    * and checkpoint are recreated per invocation so reruns are
+    * deterministic; the 3-file feed dir is reused per dataset dir.
+    */
+  val extStreamCdcApply = Q(
+    "ext_stream_cdc_apply",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      val feedDir = java.nio.file.Paths.get(tmp, "graft_stream_cdcfeed", safe)
+      val ready = feedDir.resolve("_READY")
+      if (!java.nio.file.Files.exists(ready)) {
+        java.nio.file.Files.createDirectories(feedDir)
+        cdcFeedSlices(s, dir).zipWithIndex.foreach { case (slice, i) =>
+          val stage = feedDir.resolve(s"_stage_$i")
+          slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file in $stage"))
+          java.nio.file.Files.move(part, feedDir.resolve(s"cdc_$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        java.nio.file.Files.createFile(ready)
+      }
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DecimalType(18, 2)),
+        StructField("seq", LongType), StructField("op", StringType)))
+      val lake = java.nio.file.Paths.get(tmp, "graft_stream_cdclake", safe)
+      val ckpt = java.nio.file.Paths.get(tmp, "graft_stream_cdcckpt", safe)
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+      rmTree(lake); rmTree(ckpt)
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(feedDir.toString)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val cur =
+              if (java.nio.file.Files.exists(lake))
+                s.read.schema(schema).parquet(lake.toString)
+              else batch.limit(0)
+            // localCheckpoint materializes the merge BEFORE the
+            // overwrite touches the directory being read
+            graft.ext.Cdc.mergeState(cur, batch, "o_orderkey")
+              .localCheckpoint(true)
+              .write.mode("overwrite").parquet(lake.toString)
+            ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.schema(schema).parquet(lake.toString)
+        .where($"op" =!= "D")
+        .select($"o_orderkey", $"o_orderstatus",
+          $"o_totalprice".cast("double").as("o_totalprice"))
+        .orderBy($"o_orderkey")
+    },
+    Some(cdcOracleSql))
 
   /** Kolmogorov–Smirnov drift detection: per source, the KS statistic
     * between the source's doc-length distribution and the corpus-wide
@@ -668,6 +763,6 @@ object CorpusQueries {
 
   val all: Seq[Q] =
     Seq(extCrossSourceDedup, extMixtureWeights, extInvertedIndex,
-      extShardBalance, extCdcApply, extKsDrift, extBootstrapCi,
-      extDedupEditDistance, extPsiDrift)
+      extShardBalance, extCdcApply, extStreamCdcApply, extKsDrift,
+      extBootstrapCi, extDedupEditDistance, extPsiDrift)
 }

@@ -89,6 +89,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("mergeState over ANY batch split equals the one-shot currentState") {
+    // the streaming foreachBatch contract: tombstone-retaining merges
+    // must make the final table independent of where the micro-batch
+    // boundaries fall — including a delete arriving BEFORE a lower-seq
+    // update for the same key
+    check(Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.choose(0L, 8L), Gen.choose(0L, 6L), Gen.oneOf("U", "D"))),
+      Gen.choose(1, 4)) { (raw, nBatches) =>
+      val ops = raw.map { case (k, seq, op) =>
+        (k, seq, op, (k * 31 + seq * 7 + (if (op == "U") 1 else 0)).toInt)
+      }
+      val df = ops.toDF("k", "seq", "op", "payload")
+      val oneShot = graft.ext.Cdc.currentState(df, "k")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val batches = ops.zipWithIndex.groupBy(_._2 % nBatches)
+        .toSeq.sortBy(_._1).map(_._2.map(_._1))
+      val folded = batches.foldLeft(df.limit(0)) { (st, b) =>
+        graft.ext.Cdc.mergeState(
+          st, b.toDF("k", "seq", "op", "payload"), "k")
+      }
+      val got = folded.where($"op" =!= "D")
+        .collect().map(r => (r.getLong(0), r.getInt(3))).toSet
+      got == oneShot
+    })
+  }
+
   test("morton code round-trips both dimensions for any inputs") {
     check(Prop.forAll(
       Gen.choose(0L, 255L), Gen.choose(0L, 255L)) { (a, b) =>
