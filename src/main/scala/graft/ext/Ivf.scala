@@ -112,6 +112,23 @@ object Ivf {
     * under the FINAL centroids; `centroids` is ≤ k rows of
     * (cluster, ce, cnrm).
     */
+  /** Assign NEW vectors to an existing index's FROZEN centroids — one
+    * E-step, no refit: the incremental-ingest path. A production ANN
+    * service absorbs a delta load this way (re-clustering a 100 TB
+    * corpus per ingest is a non-starter); the index drifts from optimal
+    * as the distribution moves, which the PSI/KS monitors are for, and
+    * a periodic rebuild restores it. Returns (vec_id, e, nrm, cluster)
+    * like [[build]]'s `assigned`.
+    */
+  def assignNew(index: Index, emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = graft.queries.Mat(emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})")))
+    assign(base, index.centroids)
+  }
+
   def build(emb: DataFrame, k: Int, iters: Int = 2): Index = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -134,10 +151,10 @@ object Ivf {
   private[graft] def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(len($a)), i -> $a[i+1]*$b[i+1]), (x,y) -> x+y)"
 
-  private def duckSqDist(a: String, b: String): String =
+  private[graft] def duckSqDist(a: String, b: String): String =
     s"list_reduce(list_transform(range(len($a)), i -> ($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1])), (x,y) -> x+y)"
 
-  private def duckAssign(from: String, cents: String): String =
+  private[graft] def duckAssign(from: String, cents: String): String =
     s"""  SELECT vec_id, e, cluster FROM (
        |    SELECT s.vec_id, s.e, c.cluster,
        |           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY

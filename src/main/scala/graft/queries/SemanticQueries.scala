@@ -222,6 +222,56 @@ object SemanticQueries {
       coarseK = 16, m = 4, subDim = 16, k = 16, iters = 2,
       maxQid = 10, topK = 5, nprobe = 4)))
 
+  /** Incremental ANN ingestion: fit the IVF coarse quantizer on the
+    * 80 % HISTORY slice (vec_id % 5 ≠ 0), then absorb the 20 % delta by
+    * assigning each new vector to the FROZEN centroids — one E-step, no
+    * refit ([[graft.ext.Ivf.assignNew]]). This is how a production ANN
+    * index takes a delta load: re-clustering the corpus per ingest is a
+    * non-starter at 100 TB (the full Lloyd pass costs iters × corpus
+    * scans; the delta assign costs one broadcast join over the DELTA
+    * only). The output pins each new vector's cluster and its cosine to
+    * the frozen centroid, so the driver hash-checks both the frozen fit
+    * (replayed on the history slice in DuckDB) and the E-step. Index
+    * drift under a moving distribution is what ext_psi_drift/ext_ks_drift
+    * monitor; a periodic rebuild restores optimality.
+    */
+  val extKnnIncrementalIngest = Q(
+    "ext_knn_incremental_ingest",
+    (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.ext.Ivf.build(
+        emb.where($"vec_id" % 5 =!= 0), k = 16, iters = 2)
+      val delta = graft.ext.Ivf.assignNew(idx, emb.where($"vec_id" % 5 === 0))
+      delta.join(broadcast(idx.centroids), Seq("cluster"))
+        .select($"vec_id", $"cluster",
+          (expr(dotFold.format("e", "ce")) / ($"nrm" * $"cnrm"))
+            .as("centroid_cos"))
+        .orderBy($"vec_id")
+    },
+    Some {
+      import graft.ext.Ivf
+      s"""WITH e0 AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |h AS (SELECT vec_id, e FROM e0 WHERE vec_id % 5 <> 0),
+         |${Ivf.duckFitAssignCtes("h", 16, 2, "f")},
+         |cent AS (
+         |  SELECT cluster, ce, sqrt(${Ivf.duckDot("ce", "ce")}) AS cnrm
+         |  FROM fcent),
+         |d AS (
+         |  SELECT vec_id, e, sqrt(${Ivf.duckDot("e", "e")}) AS nrm
+         |  FROM e0 WHERE vec_id % 5 = 0),
+         |a AS (
+         |${Ivf.duckAssign("d", "cent")})
+         |SELECT a.vec_id, a.cluster,
+         |       ${Ivf.duckDot("a.e", "c.ce")} / (d.nrm * c.cnrm) AS centroid_cos
+         |FROM a JOIN d ON a.vec_id = d.vec_id
+         |       JOIN cent c ON a.cluster = c.cluster
+         |ORDER BY a.vec_id""".stripMargin
+    })
+
   val all: Seq[Q] =
-    Seq(extDedupSemantic, extPagerankIter, extKnnPq, extKnnIvfPq)
+    Seq(extDedupSemantic, extPagerankIter, extKnnPq, extKnnIvfPq,
+      extKnnIncrementalIngest)
 }

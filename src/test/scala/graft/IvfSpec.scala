@@ -39,4 +39,17 @@ class IvfSpec extends SparkSpec {
       assert(r.getLong(1) <= 3 && r.getInt(2) <= 3)
     }
   }
+
+  test("assignNew to frozen centroids IS the build-time E-step") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.load(spark, dir, "embeddings")
+    val index = Ivf.build(emb, k = 8)
+    // re-assigning the indexed corpus itself must reproduce the build's
+    // final assignment exactly — assignNew adds no fit of its own
+    val re = Ivf.assignNew(index, emb)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toSet
+    val orig = index.assigned
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toSet
+    assert(re === orig)
+  }
 }
