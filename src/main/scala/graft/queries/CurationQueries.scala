@@ -1017,9 +1017,23 @@ object CurationQueries {
     * island key is exact). A run of r grams covers r+7 tokens; spans of
     * ≥ 3 runs (≥ 10 tokens) are reported. Scale posture: the capped
     * inverted gram index bounds the self-join (same bound as the
-    * Jaccard family); the island window is keyed by (pair, diagonal) —
-    * partition size ≤ min(|doc_a|, |doc_b|) grams, never corpus-scale.
+    * Jaccard family) — and because grams here are POSITIONAL (every
+    * occurrence, not distinct-per-doc), a second cap bounds the per-doc
+    * occurrence MULTIPLICITY ([[spanOccCap]]): a gram occurring o_a/o_b
+    * times in a pair joins o_a·o_b hit rows, so a degenerate doc
+    * repeating one rare gram thousands of times would be quadratic
+    * inside a single pair (that pathology is intra-doc repetition —
+    * ext_quality_repetition's signal, not a cross-doc span). The island
+    * window is keyed by (pair, diagonal) — partition size ≤
+    * min(|doc_a|, |doc_b|) grams, never corpus-scale.
     */
+  /** Per-doc occurrence-multiplicity cap for the span-dedup gram index:
+    * a gram a single doc repeats more than this is degenerate intra-doc
+    * repetition (no cross-doc span signal) and would cost o_a·o_b join
+    * rows inside one pair.
+    */
+  private[queries] val spanOccCap = 16L
+
   val extDedupSubstringSpan = Q(
     "ext_dedup_substring_span",
     (s, dir) => {
@@ -1034,9 +1048,12 @@ object CurationQueries {
           "transform(sequence(0, size(w)-8), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))"))
           .as(Seq("pos", "gram")))
         .transform(Q.mat)
-      val rare = g.select($"doc_id", $"gram").distinct()
-        .groupBy($"gram").agg(count(lit(1)).as("gdf"))
-        .where($"gdf" <= ExtQueries.gramDocFreqCap)
+      val rare = g.groupBy($"doc_id", $"gram")
+        .agg(count(lit(1)).as("occ"))
+        .groupBy($"gram")
+        .agg(count(lit(1)).as("gdf"), max($"occ").as("gmax"))
+        .where($"gdf" <= ExtQueries.gramDocFreqCap
+          && $"gmax" <= spanOccCap)
         .select($"gram")
       val cg = g.join(rare, Seq("gram")).transform(Q.mat)
       val hits = cg.as("a").join(cg.as("b"),
@@ -1066,8 +1083,13 @@ object CurationQueries {
            |  FROM d, UNNEST(range(len(s) - 7)) AS u(i)
            |  WHERE len(s) >= 8),
            |rare AS (
-           |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
-           |  GROUP BY gram HAVING COUNT(*) <= ${ExtQueries.gramDocFreqCap}),
+           |  SELECT gram FROM (
+           |    SELECT gram, COUNT(*) AS gdf, MAX(occ) AS gmax
+           |    FROM (SELECT doc_id, gram, COUNT(*) AS occ
+           |          FROM g GROUP BY 1, 2)
+           |    GROUP BY gram)
+           |  WHERE gdf <= ${ExtQueries.gramDocFreqCap}
+           |    AND gmax <= $spanOccCap),
            |cg AS (SELECT g.* FROM g JOIN rare USING (gram)),
            |hits AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

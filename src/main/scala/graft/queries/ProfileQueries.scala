@@ -903,41 +903,52 @@ object ProfileQueries {
         .replace("$LN", CurationQueries.portableLnOfU)
     })
 
+  /** Fixed feature-space dimension for DSIR hashed unigram features —
+    * the paper's own device (hashed n-grams into a fixed bucket count):
+    * the importance-weight table is EXACTLY this many rows at any
+    * corpus size, so it broadcasts at 100 TB where a raw web vocabulary
+    * (10⁸+ types) would not.
+    */
+  private[graft] val dsirBuckets = 4096L
+
   /** DSIR-style importance log-weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score
     * every training-pool document by how target-like its token
-    * distribution is — log w(d) = Σ_w c_d(w)·ln(p_target(w)/p_corpus(w))
-    * with unigram features (the paper uses hashed n-grams; unigrams are
-    * the deterministic stand-in), Laplace-smoothed over the corpus
-    * vocabulary. Docs 0-9 stand in for the target domain (the
+    * distribution is — log w(d) = Σ_f c_d(f)·ln(p_target(f)/p_corpus(f))
+    * over HASHED unigram features (portable poly-hash mod
+    * [[dsirBuckets]] — the paper hashes n-grams the same way precisely
+    * so the feature space stays fixed-size), Laplace-smoothed over the
+    * bucket count. Docs 0-9 stand in for the target domain (the
     * decontamination convention). The selection step keeps the
     * highest-weight docs; emitting the log-weight (not exp) keeps every
     * double a product/sum of portable-ln outputs, so the ranking
-    * hash-compares. Scale posture: the per-word log-ratio table is
-    * vocabulary-sized (broadcast); per-doc scoring is one keyed agg
-    * over (doc, word) counts with a word-ordered fold — agg state
-    * bounded by the doc's distinct words, the [[extTextEntropy]] bound.
-    * Integer num/den normalization and sign-split ln as in
-    * ext_psi_drift.
+    * hash-compares. Scale posture: the log-ratio table is exactly
+    * `dsirBuckets` rows (broadcast at any corpus size); per-doc scoring
+    * is one keyed agg over (doc, bucket) counts with a bucket-ordered
+    * fold — agg state ≤ dsirBuckets entries. Integer num/den
+    * normalization and sign-split ln as in ext_psi_drift.
     */
   val extDsirLogweight = Q(
     "ext_dsir_logweight",
     (s, dir) => {
       import s.implicits._
+      val B = dsirBuckets
       val tok = t(s, dir, "documents")
         .select($"doc_id", explode(split($"text", " ")).as("word"))
+        .withColumn("bucket",
+          expr(s"${ExtQueries.mhBaseNative(s, "word")} % $B"))
+        .select($"doc_id", $"bucket")
         .transform(Q.mat)
       val target = tok.where($"doc_id" < 10)
-      val stats = tok.agg(
-        countDistinct($"word").as("v"), count(lit(1)).as("n_c"))
+      val nC = tok.agg(count(lit(1)).as("n_c"))
       val nT = target.agg(count(lit(1)).as("n_t"))
-      val cT = target.groupBy($"word").agg(count(lit(1)).as("c_t"))
-      val cC = tok.groupBy($"word").agg(count(lit(1)).as("c_c"))
-      val wts = cC.join(cT, Seq("word"), "left")
+      val cT = target.groupBy($"bucket").agg(count(lit(1)).as("c_t"))
+      val cC = tok.groupBy($"bucket").agg(count(lit(1)).as("c_c"))
+      val wts = cC.join(cT, Seq("bucket"), "left")
         .na.fill(0L, Seq("c_t"))
-        .crossJoin(broadcast(stats)).crossJoin(broadcast(nT))
-        .withColumn("num", ($"c_t" + lit(1L)) * ($"n_c" + $"v"))
-        .withColumn("den", ($"c_c" + lit(1L)) * ($"n_t" + $"v"))
+        .crossJoin(broadcast(nC)).crossJoin(broadcast(nT))
+        .withColumn("num", ($"c_t" + lit(1L)) * ($"n_c" + lit(B)))
+        .withColumn("den", ($"c_c" + lit(1L)) * ($"n_t" + lit(B)))
         .withColumn("rmax",
           greatest($"num", $"den").cast("double")
             / least($"num", $"den").cast("double"))
@@ -947,52 +958,54 @@ object ProfileQueries {
         .withColumn("lnabs", expr(CurationQueries.portableLnOfU))
         .withColumn("lnr",
           when($"num" >= $"den", $"lnabs").otherwise(-$"lnabs"))
-        .select($"word", $"lnr")
+        .select($"bucket", $"lnr")
       tok.where($"doc_id" >= 10)
-        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c_dw"))
-        .join(broadcast(wts), "word")
-        .withColumn("term", $"c_dw".cast("double") * $"lnr")
+        .groupBy($"doc_id", $"bucket").agg(count(lit(1)).as("c_db"))
+        .join(broadcast(wts), "bucket")
+        .withColumn("term", $"c_db".cast("double") * $"lnr")
         .groupBy($"doc_id")
-        .agg(sum($"c_dw").as("n_tokens"),
+        .agg(sum($"c_db").as("n_tokens"),
           expr(
-            "aggregate(transform(array_sort(collect_list(struct(word, term))), x -> x.term), 0D, (a, x) -> a + x)")
+            "aggregate(transform(array_sort(collect_list(struct(bucket, term))), x -> x.term), 0D, (a, x) -> a + x)")
             .as("log_weight"))
         .orderBy($"doc_id")
     },
     Some {
       val ln = CurationQueries.portableLnOfU
+      val B = dsirBuckets
       s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
-         |  FROM documents),
-         |v AS (SELECT COUNT(DISTINCT word) AS v, COUNT(*) AS n_c FROM tok),
+         |  SELECT doc_id, ${ExtQueries.mhBaseDuck("word")} % $B AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |        FROM documents)),
+         |nc AS (SELECT COUNT(*) AS n_c FROM tok),
          |nt AS (SELECT COUNT(*) AS n_t FROM tok WHERE doc_id < 10),
-         |ct AS (SELECT word, COUNT(*) AS c_t FROM tok
+         |ct AS (SELECT bucket, COUNT(*) AS c_t FROM tok
          |       WHERE doc_id < 10 GROUP BY 1),
-         |cc AS (SELECT word, COUNT(*) AS c_c FROM tok GROUP BY 1),
+         |cc AS (SELECT bucket, COUNT(*) AS c_c FROM tok GROUP BY 1),
          |w0 AS (
-         |  SELECT cc.word,
-         |         (COALESCE(ct.c_t, 0) + 1) * (v.n_c + v.v) AS num,
-         |         (cc.c_c + 1) * (nt.n_t + v.v) AS den
-         |  FROM cc LEFT JOIN ct USING (word), v, nt),
+         |  SELECT cc.bucket,
+         |         (COALESCE(ct.c_t, 0) + 1) * (nc.n_c + $B) AS num,
+         |         (cc.c_c + 1) * (nt.n_t + $B) AS den
+         |  FROM cc LEFT JOIN ct USING (bucket), nc, nt),
          |w1 AS (SELECT *, CAST(GREATEST(num, den) AS DOUBLE)
          |                 / CAST(LEAST(num, den) AS DOUBLE) AS rmax FROM w0),
          |w2 AS (SELECT *, ${CurationQueries.sixSqrt("rmax")} AS y FROM w1),
          |w3 AS (SELECT *, (y - CAST(1 AS DOUBLE)) / (y + CAST(1 AS DOUBLE)) AS u FROM w2),
          |w4 AS (SELECT *, u * u AS u2 FROM w3),
          |w5 AS (
-         |  SELECT word, CASE WHEN num >= den THEN ($ln)
-         |                    ELSE -($ln) END AS lnr
+         |  SELECT bucket, CASE WHEN num >= den THEN ($ln)
+         |                      ELSE -($ln) END AS lnr
          |  FROM w4),
          |d AS (
-         |  SELECT doc_id, word, COUNT(*) AS c_dw FROM tok
+         |  SELECT doc_id, bucket, COUNT(*) AS c_db FROM tok
          |  WHERE doc_id >= 10 GROUP BY 1, 2),
          |t AS (
-         |  SELECT d.doc_id, d.word, d.c_dw,
-         |         CAST(d.c_dw AS DOUBLE) * w5.lnr AS term
-         |  FROM d JOIN w5 USING (word))
-         |SELECT doc_id, CAST(SUM(c_dw) AS BIGINT) AS n_tokens,
+         |  SELECT d.doc_id, d.bucket, d.c_db,
+         |         CAST(d.c_db AS DOUBLE) * w5.lnr AS term
+         |  FROM d JOIN w5 USING (bucket))
+         |SELECT doc_id, CAST(SUM(c_db) AS BIGINT) AS n_tokens,
          |       list_reduce([CAST(0 AS DOUBLE)] ||
-         |         list(term ORDER BY word), (a, x) -> a + x) AS log_weight
+         |         list(term ORDER BY bucket), (a, x) -> a + x) AS log_weight
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })
 

@@ -191,13 +191,17 @@ class DsirSpec extends SparkSpec {
 
   test("log-weights match the textbook recompute on the real corpus") {
     val dir = "/root/testdata/sf0.001"
+    val B = graft.queries.ProfileQueries.dsirBuckets
+    // the portable poly-hash (mult 31, salt 7, mod 2^31−1) → bucket
+    def bucket(w: String): Long =
+      w.foldLeft(7L)((h, c) => (h * 31 + c.toLong) % 2147483647L) % B
     val out = graft.queries.ProfileQueries.extDsirLogweight
       .run(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val toks = Tables.load(spark, dir, "documents")
       .select($"doc_id", explode(split($"text", " ")).as("w"))
       .as[(Long, String)].collect()
-    val vocabV = toks.map(_._2).distinct.length.toLong
+      .map { case (d, w) => (d, bucket(w)) }
     val nC = toks.length.toLong
     val tgt = toks.filter(_._1 < 10)
     val nT = tgt.length.toLong
@@ -206,10 +210,10 @@ class DsirSpec extends SparkSpec {
     val pool = toks.filter(_._1 >= 10).groupBy(_._1)
     assert(out.keySet === pool.keySet)
     pool.foreach { case (doc, ws) =>
-      val lw = ws.groupBy(_._2).map { case (w, occ) =>
+      val lw = ws.groupBy(_._2).map { case (b, occ) =>
         occ.length * math.log(
-          ((cT.getOrElse(w, 0L) + 1).toDouble * (nC + vocabV))
-            / ((cC(w) + 1).toDouble * (nT + vocabV)))
+          ((cT.getOrElse(b, 0L) + 1).toDouble * (nC + B))
+            / ((cC(b) + 1).toDouble * (nT + B)))
       }.sum
       val (nTok, got) = out(doc)
       assert(nTok === ws.length.toLong)
