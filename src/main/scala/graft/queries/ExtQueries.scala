@@ -1372,6 +1372,89 @@ object ExtQueries {
            |      FROM documents)
            |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Leakage-safe train/valid/test assignment: hash the NEAR-DUP
+    * COMPONENT representative, not the document — the split bug this
+    * prevents is real and common (two near-duplicates landing one in
+    * train and one in valid silently inflates eval: the model has
+    * "seen" the valid doc). Components come from the same fixed-pass
+    * min-label propagation as [[extDedupComponents]] over the capped
+    * Jaccard pair graph; docs in no near-dup pair are their own
+    * singleton component, so their assignment coincides with
+    * [[CurationQueries.extSplitAssign]]'s per-doc hash. The 90/5/5
+    * thresholds and the squared-hash split convention are shared.
+    * Scale posture: inherits the capped edge generation + per-pass
+    * keyed join/agg of the components query; the split itself is one
+    * hash expression — no extra shuffle beyond the left join of docs
+    * to labels.
+    */
+  val extSplitLeakageSafe = Q(
+    "ext_split_leakage_safe",
+    (s, dir) => {
+      import s.implicits._
+      val iters = 3
+      val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
+      val edges = pairs
+        .select(explode(array(
+          struct($"doc_a".as("src"), $"doc_b".as("dst")),
+          struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
+        .select($"e.src", $"e.dst")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.select($"src".as("doc_id")).distinct()
+        .withColumn("comp", $"doc_id")
+      for (_ <- 1 to iters) {
+        val viaNeighbor = edges
+          .join(labels.select($"doc_id".as("dst"), $"comp"), Seq("dst"))
+          .select($"src".as("doc_id"), $"comp")
+        labels = labels.union(viaNeighbor)
+          .groupBy($"doc_id").agg(min($"comp").as("comp"))
+          .transform(Q.mat)
+      }
+      edges.unpersist()
+      t(s, dir, "documents").select($"doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("component", coalesce($"comp", $"doc_id"))
+        .withColumn("sk", concat(lit("spl:"), $"component".cast("string")))
+        .withColumn("h", expr(mhBaseNative(s, "sk")))
+        .withColumn("h2", ($"h" * $"h" + $"h") % mhP)
+        .withColumn("split",
+          when($"h2" % 100 < 90, "train")
+            .when($"h2" % 100 < 95, "valid")
+            .otherwise("test"))
+        .select($"doc_id", $"component", $"split")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val iters = 3
+      val prop = (1 to iters).map { i =>
+        val prev = s"l${i - 1}"
+        s"""l$i AS (
+           |  SELECT doc_id, MIN(comp) AS comp FROM (
+           |    SELECT doc_id, comp FROM $prev
+           |    UNION ALL
+           |    SELECT e.src AS doc_id, l.comp
+           |    FROM edges e JOIN $prev l ON e.dst = l.doc_id)
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $jaccardPairsDuckCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS comp FROM edges),
+         |$prop,
+         |cmp AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN l$iters l ON d.doc_id = l.doc_id),
+         |hh AS (
+         |  SELECT doc_id, component,
+         |         ${mhBaseDuck("('spl:' || CAST(component AS VARCHAR))")} AS h
+         |  FROM cmp)
+         |SELECT doc_id, component,
+         |       CASE WHEN ((h * h + h) % $mhP) % 100 < 90 THEN 'train'
+         |            WHEN ((h * h + h) % $mhP) % 100 < 95 THEN 'valid'
+         |            ELSE 'test' END AS split
+         |FROM hh ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(extAsOfJoin, extApproxCardinality, extFingerprint,
     extDedupExact, extDedupNgramJaccard, extDedupComponents,
     extDedupMinhashLsh, extDedupSimhash, extDedupEmbedding, extKnnBrute,
@@ -1380,5 +1463,5 @@ object ExtQueries {
     extTextFilter, extLangId, extTopTerms, extSessionize, extSessionWindow,
     extMultimodal, extMultimodalFrames, extStreamWindowCounts,
     extStreamSlidingCounts, extStreamSessionize, extStreamDedup,
-    extStreamEnrich)
+    extStreamEnrich, extSplitLeakageSafe)
 }

@@ -455,3 +455,38 @@ class SignLshSpec extends SparkSpec {
       "the degenerate bucket is genuinely quadratic without the cap")
   }
 }
+
+/** Leakage-safe splitting: the one invariant that matters — no near-dup
+  * pair may straddle train/valid/test — plus coincidence with the
+  * per-doc hash convention for docs outside any near-dup component.
+  */
+class LeakageSafeSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("near-dup pairs never straddle splits; singletons match doc hash") {
+    val out = ExtQueries.extSplitLeakageSafe.run(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val prs = ExtQueries.jaccardPairs(spark, dir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(prs.nonEmpty, "the corpus must exercise the non-trivial path")
+    prs.foreach { case (a, b) =>
+      assert(out(a)._1 === out(b)._1, s"pair ($a,$b) in different components")
+      assert(out(a)._2 === out(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    val inPairs = prs.flatMap(p => Seq(p._1, p._2)).toSet
+    def ph(x: String): Long =
+      x.foldLeft(7L)((h, c) => (h * 31 + c.toLong) % 2147483647L)
+    out.foreach { case (d, (compId, split)) =>
+      if (!inPairs.contains(d)) {
+        assert(compId === d, s"doc $d outside any pair must be a singleton")
+        val h = ph(s"spl:$d"); val h2 = (h * h + h) % 2147483647L
+        val want =
+          if (h2 % 100 < 90) "train"
+          else if (h2 % 100 < 95) "valid" else "test"
+        assert(split === want, s"singleton $d diverges from the doc hash")
+      }
+    }
+  }
+}
