@@ -323,3 +323,44 @@ class PsiDriftSpec extends SparkSpec {
       s"stable sources must not flag: $out")
   }
 }
+
+/** Degenerate-corpus edges for the round-5 monitors: a single-valued
+  * corpus must not divide by zero or emit NaN, and a pairless corpus
+  * must yield an empty (not failing) span report.
+  */
+class DriftEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("psi on a single-valued corpus is finite and zero-ish") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_psi_edge")
+    (0 until 50).flatMap(i => Seq(
+      (i.toLong, "x", "en", "s1", 100L), (100L + i, "x", "en", "s2", 100L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CorpusQueries.extPsiDrift.run(spark, dir.toString).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      val psi = r.getDouble(1)
+      assert(!psi.isNaN && !psi.isInfinite)
+      // not exactly 0: Laplace smoothing gives each of the 9 EMPTY bins
+      // 1/(n_s+10) source mass vs 1/(n_all+10) corpus mass, a small-n
+      // bias (~0.05 at n_s=50) that vanishes as n grows — what matters
+      // is that identical sources sit far below the 0.25 threshold
+      assert(psi < 0.1, s"identical sources must not drift: $psi")
+      assert(!r.getBoolean(2))
+    }
+  }
+
+  test("substring-span dedup on a pairless corpus is empty, not an error") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_span_edge")
+    // every doc uses a disjoint vocabulary — no shared 8-gram anywhere
+    (0 until 5).map(d =>
+      (d.toLong, (1 to 20).map(i => s"w${d}_$i").mkString(" "),
+        "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.CurationQueries.extDedupSubstringSpan
+      .run(spark, dir.toString).collect()
+    assert(out.isEmpty)
+  }
+}
