@@ -325,9 +325,12 @@ object CorpusQueries {
         cdcFeedSlices(s, dir).zipWithIndex.foreach { case (slice, i) =>
           val stage = feedDir.resolve(s"_stage_$i")
           slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-          val part = java.nio.file.Files.list(stage).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file in $stage"))
+          val listing = java.nio.file.Files.list(stage)
+          val part =
+            try listing.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"no part file in $stage"))
+            finally listing.close()
           java.nio.file.Files.move(part, feedDir.resolve(s"cdc_$i.parquet"),
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
@@ -342,8 +345,11 @@ object CorpusQueries {
       val ckpt = java.nio.file.Paths.get(tmp, "graft_stream_cdcckpt", safe)
       def rmTree(p: java.nio.file.Path): Unit =
         if (java.nio.file.Files.exists(p)) {
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
+          val walk = java.nio.file.Files.walk(p)
+          val paths =
+            try walk.iterator().asScala.toSeq.reverse
+            finally walk.close()
+          paths.foreach(java.nio.file.Files.delete)
         }
       rmTree(lake); rmTree(ckpt)
       val stream = s.readStream.schema(schema)
