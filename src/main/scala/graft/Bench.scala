@@ -108,7 +108,10 @@ object Bench {
     // bounded log tail truncate it mid-object (four rounds of
     // `"parsed": null`); print a SHORT final summary line that fits any
     // tail capture — a last-JSON-line parser picks this one up whole
-    val shortLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"failed":${results.count(r => !r._3)},"sf":"$sfDir"}"""
+    // "n_failed" (count), NOT "failed": the detail line's "failed" is an
+    // ARRAY of names — reusing the key with an integer would hand a
+    // schema conflict to any consumer that parses both lines
+    val shortLine = s"""{"metric":"total","value":${f(total)},"unit":"sec","n":${results.size},"n_failed":${results.count(r => !r._3)},"sf":"$sfDir"}"""
     println(shortLine)
     // belt and braces: sbt appends its own "[success] …" trailer to
     // stdout, so a consumer that parses only the last line misses the

@@ -112,31 +112,33 @@ object Ivf {
     * under the FINAL centroids; `centroids` is ≤ k rows of
     * (cluster, ce, cnrm).
     */
+  /** The shared (vec_id, e, nrm) projection of an embeddings frame. */
+  private def project(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})"))
+  }
+
   /** Assign NEW vectors to an existing index's FROZEN centroids — one
     * E-step, no refit: the incremental-ingest path. A production ANN
     * service absorbs a delta load this way (re-clustering a 100 TB
     * corpus per ingest is a non-starter); the index drifts from optimal
     * as the distribution moves, which the PSI/KS monitors are for, and
     * a periodic rebuild restores it. Returns (vec_id, e, nrm, cluster)
-    * like [[build]]'s `assigned`.
+    * like [[build]]'s `assigned`. No materialization point here: unlike
+    * [[build]]'s multi-pass reads, the projection feeds exactly one
+    * E-step join.
     */
-  def assignNew(index: Index, emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val base = graft.queries.Mat(emb
-      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-      .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})")))
-    assign(base, index.centroids)
-  }
+  def assignNew(index: Index, emb: DataFrame): DataFrame =
+    assign(project(emb), index.centroids)
 
   def build(emb: DataFrame, k: Int, iters: Int = 2): Index = {
     val spark = emb.sparkSession
     import spark.implicits._
     // persisted across passes: seeds + each Lloyd E-step + the final
     // assignment all read this projection — one scan, not iters+2
-    val base = graft.queries.Mat(emb
-      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-      .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})")))
+    val base = graft.queries.Mat(project(emb))
     val centroids = centroidsDf(spark, fit(base, k, iters))
       .withColumn("cnrm", expr(s"sqrt(${dotFold.format("ce", "ce")})"))
     Index(assign(base, centroids), centroids)

@@ -316,33 +316,12 @@ object CorpusQueries {
     (s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.types._
-      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // dir key: MD5 digest, not a sanitized path (lossy: '/a/sf0.001'
+      // and '/a/sf0_001' would collide) nor a 32-bit hashCode
+      val safe = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .take(6).map(b => f"${b & 0xff}%02x").mkString
       val tmp = System.getProperty("java.io.tmpdir", "/tmp")
-      val feedDir = java.nio.file.Paths.get(tmp, "graft_stream_cdcfeed", safe)
-      val ready = feedDir.resolve("_READY")
-      if (!java.nio.file.Files.exists(ready)) {
-        java.nio.file.Files.createDirectories(feedDir)
-        cdcFeedSlices(s, dir).zipWithIndex.foreach { case (slice, i) =>
-          val stage = feedDir.resolve(s"_stage_$i")
-          slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-          val listing = java.nio.file.Files.list(stage)
-          val part =
-            try listing.iterator().asScala
-              .find(_.getFileName.toString.endsWith(".parquet"))
-              .getOrElse(sys.error(s"no part file in $stage"))
-            finally listing.close()
-          java.nio.file.Files.move(part, feedDir.resolve(s"cdc_$i.parquet"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-        java.nio.file.Files.createFile(ready)
-      }
-      val schema = StructType(Seq(
-        StructField("o_orderkey", LongType),
-        StructField("o_orderstatus", StringType),
-        StructField("o_totalprice", DecimalType(18, 2)),
-        StructField("seq", LongType), StructField("op", StringType)))
-      val lake = java.nio.file.Paths.get(tmp, "graft_stream_cdclake", safe)
-      val ckpt = java.nio.file.Paths.get(tmp, "graft_stream_cdcckpt", safe)
       def rmTree(p: java.nio.file.Path): Unit =
         if (java.nio.file.Files.exists(p)) {
           val walk = java.nio.file.Files.walk(p)
@@ -351,6 +330,33 @@ object CorpusQueries {
             finally walk.close()
           paths.foreach(java.nio.file.Files.delete)
         }
+      // the feed is REBUILT per invocation (like the lake below): a
+      // cached feed keyed by path would silently replay stale changes
+      // after the dataset at `dir` is regenerated, and a create-once
+      // marker would race concurrent first runs
+      val feedDir = java.nio.file.Paths.get(tmp, "graft_stream_cdcfeed", safe)
+      rmTree(feedDir)
+      java.nio.file.Files.createDirectories(feedDir)
+      cdcFeedSlices(s, dir).zipWithIndex.foreach { case (slice, i) =>
+        val stage = feedDir.resolve(s"_stage_$i")
+        slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val listing = java.nio.file.Files.list(stage)
+        val part =
+          try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file in $stage"))
+          finally listing.close()
+        java.nio.file.Files.move(part, feedDir.resolve(s"cdc_$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        rmTree(stage)
+      }
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DecimalType(18, 2)),
+        StructField("seq", LongType), StructField("op", StringType)))
+      val lake = java.nio.file.Paths.get(tmp, "graft_stream_cdclake", safe)
+      val ckpt = java.nio.file.Paths.get(tmp, "graft_stream_cdcckpt", safe)
       rmTree(lake); rmTree(ckpt)
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(feedDir.toString)

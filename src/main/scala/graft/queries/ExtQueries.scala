@@ -111,7 +111,7 @@ object ExtQueries {
     * ≥ 0.5-pair set on this corpus is unchanged by the cap (the dropped
     * grams are non-discriminative boilerplate).
     */
-  private[queries] val gramDocFreqCap = 5L
+  private[graft] val gramDocFreqCap = 5L
 
   /** LSH bucket-population cap shared by the MinHash band join and the
     * SimHash block join: a bucket with k members contributes k(k−1)/2
@@ -1376,22 +1376,30 @@ object ExtQueries {
     * COMPONENT representative, not the document — the split bug this
     * prevents is real and common (two near-duplicates landing one in
     * train and one in valid silently inflates eval: the model has
-    * "seen" the valid doc). Components come from the same fixed-pass
-    * min-label propagation as [[extDedupComponents]] over the capped
-    * Jaccard pair graph; docs in no near-dup pair are their own
+    * "seen" the valid doc). Components come from min-label propagation
+    * over the capped Jaccard pair graph, iterated TO FIXPOINT — unlike
+    * [[extDedupComponents]]'s documented fixed-pass shortcut, the
+    * no-straddle invariant IS this query's contract, and a fixed pass
+    * count would silently split a near-dup chain whose graph diameter
+    * exceeds it. Convergence is detected by the monotone label sum
+    * (labels only ever decrease, so an unchanged sum means an unchanged
+    * labeling), with a loud failure at a pass bound far above any real
+    * near-dup cluster's diameter. The oracle computes the same fixpoint
+    * exactly via a recursive reachability CTE (min reachable doc_id =
+    * the converged min label). Docs in no near-dup pair are their own
     * singleton component, so their assignment coincides with
-    * [[CurationQueries.extSplitAssign]]'s per-doc hash. The 90/5/5
+    * [[CurationQueries.extSplitAssign]]'s per-doc hash; the 90/5/5
     * thresholds and the squared-hash split convention are shared.
-    * Scale posture: inherits the capped edge generation + per-pass
-    * keyed join/agg of the components query; the split itself is one
-    * hash expression — no extra shuffle beyond the left join of docs
-    * to labels.
+    * Scale posture: capped edge generation + per-pass keyed join/agg;
+    * pass count = component diameter (small for near-dup clusters: they
+    * are dense by construction), each convergence check one tiny agg
+    * over the label frame.
     */
   val extSplitLeakageSafe = Q(
     "ext_split_leakage_safe",
     (s, dir) => {
       import s.implicits._
-      val iters = 3
+      val maxPasses = 20
       val pairs = jaccardPairs(s, dir).select($"doc_a", $"doc_b")
       val edges = pairs
         .select(explode(array(
@@ -1399,15 +1407,27 @@ object ExtQueries {
           struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
         .select($"e.src", $"e.dst")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select($"src".as("doc_id")).distinct()
-        .withColumn("comp", $"doc_id")
-      for (_ <- 1 to iters) {
+      var labels = Q.mat(edges.select($"src".as("doc_id")).distinct()
+        .withColumn("comp", $"doc_id"))
+      var labelSum = labels.agg(sum($"comp")).head.getLong(0)
+      var converged = false
+      var pass = 0
+      while (!converged) {
+        pass += 1
+        if (pass > maxPasses)
+          sys.error(s"min-label propagation not converged in $maxPasses " +
+            "passes — near-dup component diameter is pathological")
         val viaNeighbor = edges
           .join(labels.select($"doc_id".as("dst"), $"comp"), Seq("dst"))
           .select($"src".as("doc_id"), $"comp")
         labels = labels.union(viaNeighbor)
           .groupBy($"doc_id").agg(min($"comp").as("comp"))
           .transform(Q.mat)
+        // labels are monotonically non-increasing: an unchanged sum
+        // means NO label changed → fixpoint
+        val s2 = labels.agg(sum($"comp")).head.getLong(0)
+        converged = s2 == labelSum
+        labelSum = s2
       }
       edges.unpersist()
       t(s, dir, "documents").select($"doc_id")
@@ -1424,26 +1444,21 @@ object ExtQueries {
         .orderBy($"doc_id")
     },
     Some {
-      val iters = 3
-      val prop = (1 to iters).map { i =>
-        val prev = s"l${i - 1}"
-        s"""l$i AS (
-           |  SELECT doc_id, MIN(comp) AS comp FROM (
-           |    SELECT doc_id, comp FROM $prev
-           |    UNION ALL
-           |    SELECT e.src AS doc_id, l.comp
-           |    FROM edges e JOIN $prev l ON e.dst = l.doc_id)
-           |  GROUP BY 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $jaccardPairsDuckCtes,
+      // exact fixpoint via recursive reachability: min reachable doc_id
+      // over the symmetrized pair graph IS the converged min label
+      s"""WITH RECURSIVE $jaccardPairsDuckCtes,
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |l0 AS (SELECT DISTINCT src AS doc_id, src AS comp FROM edges),
-         |$prop,
+         |reach(doc_id, node) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.doc_id, e.dst
+         |  FROM reach r JOIN edges e ON e.src = r.node),
+         |lfix AS (SELECT doc_id, MIN(node) AS comp FROM reach GROUP BY 1),
          |cmp AS (
          |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS component
-         |  FROM documents d LEFT JOIN l$iters l ON d.doc_id = l.doc_id),
+         |  FROM documents d LEFT JOIN lfix l ON d.doc_id = l.doc_id),
          |hh AS (
          |  SELECT doc_id, component,
          |         ${mhBaseDuck("('spl:' || CAST(component AS VARCHAR))")} AS h

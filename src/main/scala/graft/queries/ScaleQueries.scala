@@ -75,13 +75,20 @@ object ScaleQueries {
            |ORDER BY c_mktsegment""".stripMargin))
 
   /** Catalog name for this query's bucketed copy of `table`, scoped by
-    * the dataset dir (the stream-query `dir.hashCode` sink convention):
-    * interleaved runs across scale factors must not read each other's
-    * layout or race through the drop+delete+write in
-    * [[graft.ext.Bucketing.writeBucketed]].
+    * the dataset dir: interleaved runs across scale factors must not
+    * read each other's layout or race through the drop+delete+write in
+    * [[graft.ext.Bucketing.writeBucketed]]. The suffix is an MD5 digest
+    * of the dir, not `dir.hashCode` — a 32-bit string hash collides
+    * trivially (silently defeating the isolation) and
+    * `math.abs(Int.MinValue)` is negative, which breaks identifier
+    * parsing.
     */
-  private[graft] def bucketedName(table: String, dir: String): String =
-    s"graft_scale_${table}_b_${math.abs(dir.hashCode)}"
+  private[graft] def bucketedName(table: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+    s"graft_scale_${table}_b_$digest"
+  }
 
   /** Idempotent bucketed-layout build shared by the query and ScaleSpec:
     * 8 buckets on the join key, sorted within buckets, via

@@ -489,4 +489,30 @@ class LeakageSafeSplitSpec extends SparkSpec {
       }
     }
   }
+
+  test("a long near-dup CHAIN collapses to one component and one split") {
+    // sliding 16-token windows over one token stream, stride 4:
+    // consecutive docs share 12 tokens → 10 of 14 shingles → Jaccard
+    // 10/18 ≈ 0.56 (an edge); docs two apart share 6 of 22 ≈ 0.27 (no
+    // edge). 8 docs → a pure chain of graph DIAMETER 7 — the case a
+    // fixed small pass count would split into several components,
+    // letting directly-paired near-dups straddle train/valid.
+    val dir = java.nio.file.Files.createTempDirectory("graft_chain")
+    val stream = (0 until 16 + 7 * 4).map(i => s"tok$i")
+    val docs = (0 until 8).map { d =>
+      (d.toLong, stream.slice(4 * d, 4 * d + 16).mkString(" "),
+        "en", "s", 0L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the chain actually has the intended shape
+    val prs = ExtQueries.jaccardPairs(spark, dir.toString)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(prs === (0L until 7L).map(i => (i, i + 1)).toSet,
+      s"fixture must be a pure chain: $prs")
+    val out = ExtQueries.extSplitLeakageSafe.run(spark, dir.toString)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(out.size === 1,
+      s"all 8 chained docs must share one component+split: $out")
+  }
 }

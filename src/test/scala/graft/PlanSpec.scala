@@ -152,7 +152,14 @@ class PlanSpec extends SparkSpec {
       graft.queries.CorpusQueries.extDedupEditDistance,
       ExtQueries.extDedupComponents, ExtQueries.extDedupEmbedding,
       CurationQueries.extDedupSubstringSpan)
-    val capPredicate = "<= (5|100)\\)".r
+    // anchored to the CAP COLUMNS and the ACTUAL cap constants — a bare
+    // "<= 100" regex would be satisfied by any unrelated literal (and
+    // break silently if a cap constant changes)
+    val caps = Seq(ExtQueries.gramDocFreqCap, ExtQueries.lshBucketCap,
+      CurationQueries.chunkDocFreqCap, CurationQueries.spanOccCap)
+      .distinct.mkString("|")
+    val capPredicate =
+      s"(gram_df|bpop|gdf|gmax|cdf)#\\S+ <= ($caps)\\)".r
     for (q <- capped) {
       assert(mechanism(q.name) == "cap-filter")
       val p = plan(q)
