@@ -231,6 +231,47 @@ object Ivf {
        |  FROM af a JOIN n ON a.vec_id = n.vec_id)""".stripMargin
   }
 
+  /** [[duckAsgCtes]] with a DATA-DERIVED cluster count: `kExpr` is a
+    * SQL aggregate over the projected corpus (e.g.
+    * `GREATEST(16, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT))`) evaluated in
+    * a one-row `kk` CTE; the seed CTE filters `ROW_NUMBER() - 1 < kk.k`
+    * instead of `LIMIT k` (same rows — the window and the limit share
+    * the vec_id order). The Lloyd chain itself is k-agnostic, so only
+    * the seeding differs from the static variant. Used by the SemDeDup
+    * oracle, whose k scales with corpus size (`k ≈ N / targetClusterSize`
+    * — fixed k would make within-cluster pair cost quadratic in N).
+    */
+  private[graft] def duckAsgCtesDynK(kExpr: String, iters: Int): String = {
+    val lloyd = (1 to iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""a$i AS (
+         |${duckAssign("e", prev)}),
+         |c$i AS (
+         |${duckMean(s"a$i")})""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM e),
+       |kk AS (SELECT $kExpr AS k FROM e),
+       |c0 AS (
+       |  SELECT cluster, ce FROM (
+       |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+       |           e AS ce
+       |    FROM e) s CROSS JOIN kk
+       |  WHERE s.cluster < kk.k),
+       |$lloyd,
+       |cent AS (
+       |  SELECT cluster, ce, sqrt(${duckDot("ce", "ce")}) AS cnrm
+       |  FROM c$iters),
+       |af AS (
+       |${duckAssign("e", "cent")}),
+       |asg AS (
+       |  SELECT a.vec_id, a.e, n.nrm, a.cluster
+       |  FROM af a JOIN n ON a.vec_id = n.vec_id)""".stripMargin
+  }
+
   /** The full build+search as one DuckDB query over `embeddings`,
     * parameter-matched to [[build]]/[[search]].
     */

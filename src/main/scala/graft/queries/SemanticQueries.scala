@@ -32,13 +32,42 @@ object SemanticQueries {
     */
   private[graft] val pagerankBandWidth = 1024L
 
+  /** Minimum SemDeDup cluster count (the small-corpus floor) and the
+    * cluster-size target the corpus-scaled k aims at:
+    * k = max([[semanticKMin]], ⌈N / [[semanticTargetClusterSize]]⌉), so
+    * the EXPECTED cluster population — and with it the per-key fan-out of
+    * the within-cluster pair join — stays ~targetClusterSize no matter
+    * how the corpus grows (the Abbas et al. SemDeDup posture: they fit
+    * 11k clusters for LAION-440M, k ∝ N). Shared Spark/oracle.
+    */
+  private[graft] val semanticKMin = 16L
+  private[graft] val semanticTargetClusterSize = 64L
+
+  /** Hard population cap on a single cluster entering the pair join —
+    * the structural backstop behind the expected-size argument above: a
+    * degenerate quantizer (all-identical embeddings, a collapsed Lloyd
+    * fit) can still pile the corpus into ONE cluster, and a cluster with
+    * p members costs p(p−1)/2 pairs. Clusters above the cap are dropped
+    * from pairing entirely (their members get no dedup — the same
+    * documented trade as a hot LSH bucket: under a properly scaled k an
+    * over-cap cluster signals quantizer degeneracy, and the periodic
+    * index rebuild, not a quadratic join, is the remedy). 4× the target
+    * size, so healthy skew survives; replicated in the oracle; CI-pinned
+    * structurally by PlanSpec and behaviorally by SemanticCapSpec.
+    */
+  private[graft] val semanticClusterCap = 4L * semanticTargetClusterSize
+
   /** SemDeDup: k-means the embedding space (the deterministic Lloyd fit
     * shared with ext_knn_cosine_ivf), then look for near-duplicates ONLY
     * within each cluster — pairwise cosine against cluster peers, never
     * the corpus. Each removed item reports its most-similar lower-id
-    * keeper. At 100 TB the pair count is Σ|cluster|² instead of N²: the
-    * cluster count scales with the corpus, holding cluster sizes — and
-    * so per-key join fan-out — bounded; clusters shuffle independently.
+    * keeper. At 100 TB the pair count is Σ|cluster|² instead of N², and
+    * both factors of that bound are enforced, not hoped for: k scales
+    * with the corpus (k = max(16, ⌈N/64⌉) — one metadata-cheap count(),
+    * then the same Lloyd build), holding EXPECTED cluster sizes at
+    * [[semanticTargetClusterSize]]; and any cluster that still exceeds
+    * [[semanticClusterCap]] is dropped before pairing, so worst-case
+    * pair cost is ≤ N·cap/2 — linear in N — even under a collapsed fit.
     * vs ext_dedup_embedding_cosine (sign-LSH banding): same contract,
     * different recall/cost trade — LSH recalls only hash-colliding
     * pairs, SemDeDup recalls ALL pairs co-assigned by the coarse
@@ -48,12 +77,23 @@ object SemanticQueries {
     "ext_dedup_semantic",
     (s, dir) => {
       import s.implicits._
-      val index = graft.ext.Ivf.build(
-        t(s, dir, "embeddings"), k = 16, iters = 2)
-      val a = index.assigned
-      val pairs = a.select($"cluster", $"vec_id".as("keep_id"),
+      val emb = t(s, dir, "embeddings")
+      // corpus-scaled cluster count — same formula text as the oracle's
+      // kk CTE (GREATEST(16, CEIL(N / 64.0)))
+      val k = math.max(semanticKMin,
+        math.ceil(emb.count() / semanticTargetClusterSize.toDouble).toLong)
+      val index = graft.ext.Ivf.build(emb, k = k.toInt, iters = 2)
+      // three readers below (population census + both pair-join sides):
+      // materialize the assignment once instead of re-running the E-step
+      val a = Q.mat(index.assigned)
+      val okc = a.groupBy($"cluster")
+        .agg(count(lit(1)).as("cpop"))
+        .where($"cpop" <= semanticClusterCap)
+        .select($"cluster")
+      val ac = a.join(okc, Seq("cluster"))
+      val pairs = ac.select($"cluster", $"vec_id".as("keep_id"),
           $"e".as("ea"), $"nrm".as("na"))
-        .join(a.select($"cluster", $"vec_id".as("vec_id"),
+        .join(ac.select($"cluster", $"vec_id".as("vec_id"),
           $"e".as("eb"), $"nrm".as("nb")), Seq("cluster"))
         .where($"keep_id" < $"vec_id")
         .withColumn("cos",
@@ -67,11 +107,17 @@ object SemanticQueries {
           $"cluster", $"cos")
         .orderBy($"removed_id")
     },
-    Some(s"""WITH ${graft.ext.Ivf.duckAsgCtes(k = 16, iters = 2)},
+    Some(s"""WITH ${graft.ext.Ivf.duckAsgCtesDynK(
+              s"GREATEST($semanticKMin, CAST(CEIL(COUNT(*) / $semanticTargetClusterSize.0) AS BIGINT))",
+              iters = 2)},
+            |okc AS (
+            |  SELECT cluster FROM asg
+            |  GROUP BY 1 HAVING COUNT(*) <= $semanticClusterCap),
+            |acs AS (SELECT asg.* FROM asg JOIN okc USING (cluster)),
             |pairs AS (
             |  SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS vec_id,
             |         ${graft.ext.Ivf.duckDot("a.e", "b.e")} / (a.nrm * b.nrm) AS cos
-            |  FROM asg a JOIN asg b
+            |  FROM acs a JOIN acs b
             |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
             |dup AS (
             |  SELECT vec_id, keep_id, cluster, cos,

@@ -136,7 +136,7 @@ class PlanSpec extends SparkSpec {
       "ext_dedup_edit_distance" -> "cap-filter", // lshBucketCap on blocks
       "ext_dedup_components" -> "cap-filter", // capped jaccard edges
       "ext_dedup_incremental" -> "bloom-exact-key", // bloom + exact fp join
-      "ext_dedup_semantic" -> "cluster-scoped", // pairs ≤ Σ|cluster|²
+      "ext_dedup_semantic" -> "cap-filter", // semanticClusterCap + scaled k
       "ext_dedup_embedding_cosine" -> "cap-filter") // lshBucketCap on buckets
     val family = SparkEntry.queries.keys
       .filter(_.contains("dedup")).toSeq.sorted
@@ -151,15 +151,17 @@ class PlanSpec extends SparkSpec {
       CurationQueries.extDedupChunk,
       graft.queries.CorpusQueries.extDedupEditDistance,
       ExtQueries.extDedupComponents, ExtQueries.extDedupEmbedding,
-      CurationQueries.extDedupSubstringSpan)
+      CurationQueries.extDedupSubstringSpan,
+      graft.queries.SemanticQueries.extDedupSemantic)
     // anchored to the CAP COLUMNS and the ACTUAL cap constants — a bare
     // "<= 100" regex would be satisfied by any unrelated literal (and
     // break silently if a cap constant changes)
     val caps = Seq(ExtQueries.gramDocFreqCap, ExtQueries.lshBucketCap,
-      CurationQueries.chunkDocFreqCap, CurationQueries.spanOccCap)
+      CurationQueries.chunkDocFreqCap, CurationQueries.spanOccCap,
+      graft.queries.SemanticQueries.semanticClusterCap)
       .distinct.mkString("|")
     val capPredicate =
-      s"(gram_df|bpop|gdf|gmax|cdf)#\\S+ <= ($caps)\\)".r
+      s"(gram_df|bpop|gdf|gmax|cdf|cpop)#\\S+ <= ($caps)\\)".r
     for (q <- capped) {
       assert(mechanism(q.name) == "cap-filter")
       val p = plan(q)

@@ -63,3 +63,42 @@ class SemanticSpec extends SparkSpec {
         "every node keeps at least the teleport share"))
   }
 }
+
+/** The SemDeDup cluster-population cap ([[SemanticQueries
+  * .semanticClusterCap]]): the structural guard that keeps the
+  * within-cluster pair join sub-quadratic even when the coarse quantizer
+  * COLLAPSES — the degenerate all-identical-embedding corpus every
+  * other dedup member already has a hot-key spec for. Pins both sides
+  * of the trade: the collapsed cluster contributes ZERO pairs (uncapped
+  * it would be p(p−1)/2 ≈ 45k for p = 300), and a healthy small cluster
+  * still dedups.
+  */
+class SemanticCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a collapsed over-cap cluster is dropped; a cool near-dup pair survives") {
+    val cap = SemanticQueries.semanticClusterCap
+    assert(cap === 256L, "spec corpus is sized against the committed cap")
+    val dir = java.nio.file.Files.createTempDirectory("graft_semcap")
+    val rnd = new scala.util.Random(7)
+    // hot block: cap+44 IDENTICAL vectors (ids 1..300) — a fully
+    // collapsed quantizer piles them into one cluster of pop 300 > cap
+    val hotVec = Array.fill(64)(rnd.nextGaussian().toFloat).toSeq
+    // cool pair: same direction ± 1e-4 relative noise, ids 0 and 9001 —
+    // id 0 seeds its own centroid (seeds = k smallest vec_ids), id 9001
+    // joins it, so the pair sits in a pop-2 cluster under the cap
+    val coolVec = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val coolNoisy =
+      coolVec.map(x => x * (1.0f + 1e-4f * rnd.nextGaussian().toFloat))
+    val rows = Seq((0L, coolVec.toSeq)) ++
+      (1 to 300).map(i => (i.toLong, hotVec)) ++
+      Seq((9001L, coolNoisy.toSeq))
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SemanticQueries.extDedupSemantic.run(spark, dir.toString)
+      .collect().map(r => (r.getAs[Long]("removed_id"), r.getAs[Long]("dup_of")))
+    assert(out.toSeq === Seq((9001L, 0L)),
+      "only the cool pair dedups; the 300-strong collapsed cluster " +
+        "contributes zero of its ~45k uncapped pairs")
+  }
+}
