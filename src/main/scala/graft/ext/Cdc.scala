@@ -37,6 +37,15 @@ object Cdc {
     * `op <> 'D'` at the end. One keyed window per merge; at scale this
     * is the lakehouse MERGE a streaming foreachBatch sink runs per
     * micro-batch.
+    *
+    * Tie semantics: at EQUAL seq the `op`-descending tiebreak ranks
+    * 'U' over 'D' — an upsert and a delete sharing a commit sequence
+    * resolve to the upsert (upsert-over-delete), identically here and
+    * in the shared oracle SQL. This is a convention, not a law: real
+    * CDC feeds that want delete-wins (or that guarantee strictly
+    * ordered seq per key) should flip the tiebreak in BOTH places —
+    * engine and oracle agree today, which is what the driver compare
+    * actually pins.
     */
   def mergeState(state: DataFrame, delta: DataFrame, key: String)
       : DataFrame = {

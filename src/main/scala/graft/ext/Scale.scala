@@ -169,9 +169,17 @@ object Bucketing {
         if (desc.get("Type").exists(_.trim.equalsIgnoreCase("EXTERNAL")))
           throw new IllegalArgumentException(
             s"writeBucketed: refusing to overwrite EXTERNAL table " +
-              s"$table at ${desc("Location")} — its location is user " +
-              "data, not a managed layout; drop it explicitly first")
-        new org.apache.hadoop.fs.Path(new java.net.URI(desc("Location")))
+              s"$table at ${desc.getOrElse("Location", "<unknown>")} — " +
+              "its location is user data, not a managed layout; drop it " +
+              "explicitly first")
+        // a view / oddly-formatted catalog row can lack a Location line;
+        // fail with the actual problem, not a bare NoSuchElementException
+        val locStr = desc.getOrElse("Location", throw new
+          IllegalArgumentException(
+            s"writeBucketed: cannot determine the storage location of " +
+              s"existing table $table (no Location in DESCRIBE TABLE " +
+              "EXTENDED — is it a view?) — refusing to overwrite"))
+        new org.apache.hadoop.fs.Path(new java.net.URI(locStr))
       } else {
         val (db, tbl) = table.split('.') match {
           case Array(d, t) => (d, t)

@@ -307,9 +307,12 @@ object CorpusQueries {
     * streaming half of the CDC family: ext_cdc_apply is the one-shot
     * window; this is the continuously-running lakehouse MERGE (a real
     * deployment swaps the overwrite for a transactional MERGE; the
-    * per-batch keyed merge and tombstone contract are identical). Lake
-    * and checkpoint are recreated per invocation so reruns are
-    * deterministic; the 3-file feed dir is reused per dataset dir.
+    * per-batch keyed merge and tombstone contract are identical). Feed,
+    * lake and checkpoint live under a PER-INVOCATION unique key (two
+    * concurrent invocations on the same dataset dir — a parallel suite
+    * next to a bench run — must not have one's rebuild delete the dirs
+    * the other's stream is reading) and are removed on the way out, the
+    * result eagerly materialized first.
     */
   val extStreamCdcApply = Q(
     "ext_stream_cdc_apply",
@@ -330,59 +333,67 @@ object CorpusQueries {
             finally walk.close()
           paths.foreach(java.nio.file.Files.delete)
         }
-      // the feed is REBUILT per invocation (like the lake below): a
-      // cached feed keyed by path would silently replay stale changes
-      // after the dataset at `dir` is regenerated, and a create-once
-      // marker would race concurrent first runs
-      val feedDir = java.nio.file.Paths.get(tmp, "graft_stream_cdcfeed", safe)
-      rmTree(feedDir)
-      java.nio.file.Files.createDirectories(feedDir)
-      cdcFeedSlices(s, dir).zipWithIndex.foreach { case (slice, i) =>
-        val stage = feedDir.resolve(s"_stage_$i")
-        slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val listing = java.nio.file.Files.list(stage)
-        val part =
-          try listing.iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file in $stage"))
-          finally listing.close()
-        java.nio.file.Files.move(part, feedDir.resolve(s"cdc_$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        rmTree(stage)
-      }
-      val schema = StructType(Seq(
-        StructField("o_orderkey", LongType),
-        StructField("o_orderstatus", StringType),
-        StructField("o_totalprice", DecimalType(18, 2)),
-        StructField("seq", LongType), StructField("op", StringType)))
-      val lake = java.nio.file.Paths.get(tmp, "graft_stream_cdclake", safe)
-      val ckpt = java.nio.file.Paths.get(tmp, "graft_stream_cdcckpt", safe)
-      rmTree(lake); rmTree(ckpt)
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(feedDir.toString)
-      val q = stream.writeStream
-        .option("checkpointLocation", ckpt.toString)
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-              _: Long) =>
-            val cur =
-              if (java.nio.file.Files.exists(lake))
-                s.read.schema(schema).parquet(lake.toString)
-              else batch.limit(0)
-            // localCheckpoint materializes the merge BEFORE the
-            // overwrite touches the directory being read
-            graft.ext.Cdc.mergeState(cur, batch, "o_orderkey")
-              .localCheckpoint(true)
-              .write.mode("overwrite").parquet(lake.toString)
-            ()
+      // the feed is BUILT per invocation (a cached feed keyed by path
+      // would silently replay stale changes after the dataset at `dir`
+      // is regenerated) under a unique suffix, so a concurrent
+      // invocation on the same dataset dir can never delete or overwrite
+      // the dirs this stream is reading; everything is removed in the
+      // finally once the result is materialized
+      val key = safe + "-" + java.util.UUID.randomUUID().toString.take(8)
+      val feedDir = java.nio.file.Paths.get(tmp, "graft_stream_cdcfeed", key)
+      val lake = java.nio.file.Paths.get(tmp, "graft_stream_cdclake", key)
+      val ckpt = java.nio.file.Paths.get(tmp, "graft_stream_cdcckpt", key)
+      try {
+        java.nio.file.Files.createDirectories(feedDir)
+        cdcFeedSlices(s, dir).zipWithIndex.foreach { case (slice, i) =>
+          val stage = feedDir.resolve(s"_stage_$i")
+          slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val listing = java.nio.file.Files.list(stage)
+          val part =
+            try listing.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"no part file in $stage"))
+            finally listing.close()
+          java.nio.file.Files.move(part, feedDir.resolve(s"cdc_$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          rmTree(stage)
         }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      s.read.schema(schema).parquet(lake.toString)
-        .where($"op" =!= "D")
-        .select($"o_orderkey", $"o_orderstatus",
-          $"o_totalprice".cast("double").as("o_totalprice"))
-        .orderBy($"o_orderkey")
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DecimalType(18, 2)),
+          StructField("seq", LongType), StructField("op", StringType)))
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(feedDir.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              val cur =
+                if (java.nio.file.Files.exists(lake))
+                  s.read.schema(schema).parquet(lake.toString)
+                else batch.limit(0)
+              // localCheckpoint materializes the merge BEFORE the
+              // overwrite touches the directory being read
+              graft.ext.Cdc.mergeState(cur, batch, "o_orderkey")
+                .localCheckpoint(true)
+                .write.mode("overwrite").parquet(lake.toString)
+              ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        // the finally below deletes the lake this plan reads from:
+        // materialize EAGERLY (orders-sized — small) before returning
+        s.read.schema(schema).parquet(lake.toString)
+          .where($"op" =!= "D")
+          .select($"o_orderkey", $"o_orderstatus",
+            $"o_totalprice".cast("double").as("o_totalprice"))
+          .orderBy($"o_orderkey")
+          .localCheckpoint(true)
+      } finally {
+        rmTree(feedDir); rmTree(lake); rmTree(ckpt)
+      }
     },
     Some(cdcOracleSql))
 

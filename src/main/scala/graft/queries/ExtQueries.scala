@@ -1409,8 +1409,14 @@ object ExtQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var labels = Q.mat(edges.select($"src".as("doc_id")).distinct()
         .withColumn("comp", $"doc_id"))
-      var labelSum = labels.agg(sum($"comp")).head.getLong(0)
-      var converged = false
+      // sum(comp) over an EMPTY label frame is SQL NULL — a corpus with
+      // zero near-dup pairs must take the per-doc singleton fallback
+      // below, not NPE here (None ⇔ empty ⇔ already a fixpoint)
+      def labelSum0(df: DataFrame): Option[Long] =
+        Option(df.agg(sum($"comp")).head.getAs[java.lang.Long](0))
+          .map(_.toLong)
+      var labelSum = labelSum0(labels)
+      var converged = labelSum.isEmpty
       var pass = 0
       while (!converged) {
         pass += 1
@@ -1425,7 +1431,7 @@ object ExtQueries {
           .transform(Q.mat)
         // labels are monotonically non-increasing: an unchanged sum
         // means NO label changed → fixpoint
-        val s2 = labels.agg(sum($"comp")).head.getLong(0)
+        val s2 = labelSum0(labels)
         converged = s2 == labelSum
         labelSum = s2
       }

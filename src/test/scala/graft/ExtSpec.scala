@@ -515,4 +515,24 @@ class LeakageSafeSplitSpec extends SparkSpec {
     assert(out.size === 1,
       s"all 8 chained docs must share one component+split: $out")
   }
+
+  test("a corpus with ZERO near-dup pairs takes the singleton fallback") {
+    // every text is a single token → no 3-token shingles → jaccardPairs
+    // is EMPTY and so is the label frame; sum(comp) over it is SQL NULL
+    // — the degenerate corpus that used to NPE instead of reaching the
+    // documented per-doc singleton assignment
+    val dir = java.nio.file.Files.createTempDirectory("graft_pairless")
+    (0 until 12).map(i => (i.toLong, s"solo$i", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(ExtQueries.jaccardPairs(spark, dir.toString).isEmpty,
+      "fixture must generate no near-dup pairs")
+    val out = ExtQueries.extSplitLeakageSafe.run(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length === 12)
+    out.foreach { case (doc, comp, split) =>
+      assert(comp === doc, s"pairless doc $doc must be its own component")
+      assert(Set("train", "valid", "test").contains(split))
+    }
+  }
 }
