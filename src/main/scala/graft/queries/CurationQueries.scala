@@ -247,7 +247,7 @@ object CurationQueries {
     * [[ExtQueries.gramDocFreqCap]]): a chunk shared by k docs costs k²
     * join rows and discriminates nothing once k is large.
     */
-  private[graft] val chunkDocFreqCap = 5L
+  private[graft] val chunkDocFreqCap = graft.ScaleConfig.chunkDocFreqCap
 
   /** Sub-document dedup via CONTENT-DEFINED chunking — the scalable
     * approximation of exact-substring dedup (Lee et al. 2022,
@@ -1032,7 +1032,7 @@ object CurationQueries {
     * repetition (no cross-doc span signal) and would cost o_a·o_b join
     * rows inside one pair.
     */
-  private[graft] val spanOccCap = 16L
+  private[graft] val spanOccCap = graft.ScaleConfig.spanOccCap
 
   val extDedupSubstringSpan = Q(
     "ext_dedup_substring_span",

@@ -111,7 +111,7 @@ object ExtQueries {
     * ≥ 0.5-pair set on this corpus is unchanged by the cap (the dropped
     * grams are non-discriminative boilerplate).
     */
-  private[graft] val gramDocFreqCap = 5L
+  private[graft] val gramDocFreqCap = graft.ScaleConfig.gramDocFreqCap
 
   /** LSH bucket-population cap shared by the MinHash band join and the
     * SimHash block join: a bucket with k members contributes k(k−1)/2
@@ -122,7 +122,7 @@ object ExtQueries {
     * but candidate recall for pairs whose ONLY shared bucket is hot
     * drops by design (documented per query).
     */
-  private[graft] val lshBucketCap = 100L
+  private[graft] val lshBucketCap = graft.ScaleConfig.lshBucketCap
 
   private[graft] def cappedGrams(s: SparkSession, dir: String,
       maxDocFreq: Long = gramDocFreqCap): DataFrame = {
@@ -340,8 +340,8 @@ object ExtQueries {
     "ext_dedup_minhash_lsh",
     (s, dir) => {
       import s.implicits._
-      val K = 16
-      val bands = 4
+      val K = graft.ScaleConfig.minhashK
+      val bands = graft.ScaleConfig.minhashBands
       val rows = K / bands
       // materialized once: the hashed gram index feeds the signature agg
       // AND the sizes/intersection verification below
@@ -392,11 +392,12 @@ object ExtQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
     Some {
-      val minCols = (0 until 16)
+      val minCols = (0 until graft.ScaleConfig.minhashK)
         .map(i => s"MIN((${mhA(i)} * bh0 + ${mhB(i)}) % $mhP) AS h$i")
         .mkString(",\n           |         ")
-      val bandSelects = (0 until 4).map { b =>
-        val key = mhBandKey((b * 4 until (b + 1) * 4).map(i => s"h$i"))
+      val bandSelects = (0 until graft.ScaleConfig.minhashBands).map { b =>
+        val rpb = graft.ScaleConfig.minhashK / graft.ScaleConfig.minhashBands
+        val key = mhBandKey((b * rpb until (b + 1) * rpb).map(i => s"h$i"))
         s"SELECT doc_id, $b AS band, $key AS bh FROM sig"
       }.mkString("\n           |  UNION ALL ")
       s"""WITH g0 AS (
@@ -684,13 +685,16 @@ object ExtQueries {
     (s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      val index = graft.ext.Ivf.build(emb, k = 16, iters = 2)
+      val index = graft.ext.Ivf.build(emb,
+        k = graft.ScaleConfig.ivfK, iters = graft.ScaleConfig.lloydIters)
       graft.ext.Ivf
         .search(index, emb.where($"vec_id" < 10), topK = 5, nprobe = 4)
         .orderBy($"qid", $"rank")
     },
     Some(graft.ext.Ivf
-      .duckOracleSql(k = 16, iters = 2, maxQid = 10, topK = 5, nprobe = 4)))
+      .duckOracleSql(k = graft.ScaleConfig.ivfK,
+        iters = graft.ScaleConfig.lloydIters,
+        maxQid = 10, topK = 5, nprobe = 4)))
 
   /** Scalar-int8-quantized cosine kNN (the memory-bandwidth scale path,
     * faiss-SQ8-style): per-vector symmetric quantization — scale =
@@ -791,7 +795,9 @@ object ExtQueries {
         .select($"vec_id", $"embedding".cast("array<double>").as("e"))
         .withColumn("nrm", expr(s"sqrt(${dotFold.format("e", "e")})"))
       val cand = graft.ext.SignLsh.candidatePairs(
-        emb, "vec_id", "e", dim = 64, bands = 16, rowsPerBand = 16,
+        emb, "vec_id", "e", dim = 64,
+        bands = graft.ScaleConfig.signLshBands,
+        rowsPerBand = graft.ScaleConfig.signLshRowsPerBand,
         bucketCap = Some(lshBucketCap))
       cand
         .join(emb.select($"vec_id".as("id_a"), $"e".as("ea"),
@@ -810,15 +816,19 @@ object ExtQueries {
             |n AS (
             |  SELECT vec_id, e,
             |         sqrt(list_reduce(list_transform(range(len(e)), i -> e[i+1]*e[i+1]), (a,b) -> a+b)) AS nrm,
-            |         ${graft.ext.SignLsh.duckBitsExpr("e", 64, 256)} AS bits
+            |         ${graft.ext.SignLsh.duckBitsExpr("e", 64,
+                graft.ScaleConfig.signLshBands
+                  * graft.ScaleConfig.signLshRowsPerBand)} AS bits
             |  FROM e),
             |sig AS (
             |  SELECT vec_id, e, nrm,
-            |         ${graft.ext.SignLsh.duckBandsExpr("bits", 16, 16)} AS bands
+            |         ${graft.ext.SignLsh.duckBandsExpr("bits",
+                graft.ScaleConfig.signLshBands,
+                graft.ScaleConfig.signLshRowsPerBand)} AS bands
             |  FROM n),
             |bnd0 AS (
             |  SELECT vec_id, ub.band AS band, bands[ub.band + 1] AS bh
-            |  FROM sig, (SELECT unnest(range(16)) AS band) ub),
+            |  FROM sig, (SELECT unnest(range(${graft.ScaleConfig.signLshBands})) AS band) ub),
             |okb AS (
             |  SELECT band, bh FROM bnd0
             |  GROUP BY 1, 2 HAVING COUNT(*) <= $lshBucketCap),
@@ -1413,7 +1423,7 @@ object ExtQueries {
       // zero near-dup pairs must take the per-doc singleton fallback
       // below, not NPE here (None ⇔ empty ⇔ already a fixpoint)
       def labelSum0(df: DataFrame): Option[Long] =
-        Option(df.agg(sum($"comp")).head.getAs[java.lang.Long](0))
+        Option(df.agg(sum($"comp")).head().getAs[java.lang.Long](0))
           .map(_.toLong)
       var labelSum = labelSum0(labels)
       var converged = labelSum.isEmpty

@@ -909,7 +909,7 @@ object ProfileQueries {
     * corpus size, so it broadcasts at 100 TB where a raw web vocabulary
     * (10⁸+ types) would not.
     */
-  private[graft] val dsirBuckets = 4096L
+  private[graft] val dsirBuckets = graft.ScaleConfig.dsirBuckets
 
   /** DSIR-style importance log-weights (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): score

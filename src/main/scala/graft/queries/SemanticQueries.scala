@@ -30,7 +30,7 @@ object SemanticQueries {
     * being distinct per dst) the level-1 agg buffer holds at most this
     * many entries — the hub-node state bound.
     */
-  private[graft] val pagerankBandWidth = 1024L
+  private[graft] val pagerankBandWidth = graft.ScaleConfig.pagerankBandWidth
 
   /** Minimum SemDeDup cluster count (the small-corpus floor) and the
     * cluster-size target the corpus-scaled k aims at:
@@ -40,8 +40,9 @@ object SemanticQueries {
     * how the corpus grows (the Abbas et al. SemDeDup posture: they fit
     * 11k clusters for LAION-440M, k ∝ N). Shared Spark/oracle.
     */
-  private[graft] val semanticKMin = 16L
-  private[graft] val semanticTargetClusterSize = 64L
+  private[graft] val semanticKMin = graft.ScaleConfig.semanticKMin
+  private[graft] val semanticTargetClusterSize =
+    graft.ScaleConfig.semanticTargetClusterSize
 
   /** Hard population cap on a single cluster entering the pair join —
     * the structural backstop behind the expected-size argument above: a
@@ -55,7 +56,7 @@ object SemanticQueries {
     * size, so healthy skew survives; replicated in the oracle; CI-pinned
     * structurally by PlanSpec and behaviorally by SemanticCapSpec.
     */
-  private[graft] val semanticClusterCap = 4L * semanticTargetClusterSize
+  private[graft] val semanticClusterCap = graft.ScaleConfig.semanticClusterCap
 
   /** SemDeDup: k-means the embedding space (the deterministic Lloyd fit
     * shared with ext_knn_cosine_ivf), then look for near-duplicates ONLY
@@ -82,7 +83,8 @@ object SemanticQueries {
       // kk CTE (GREATEST(16, CEIL(N / 64.0)))
       val k = math.max(semanticKMin,
         math.ceil(emb.count() / semanticTargetClusterSize.toDouble).toLong)
-      val index = graft.ext.Ivf.build(emb, k = k.toInt, iters = 2)
+      val index = graft.ext.Ivf.build(emb, k = k.toInt,
+        iters = graft.ScaleConfig.lloydIters)
       // three readers below (population census + both pair-join sides):
       // materialize the assignment once instead of re-running the E-step
       val a = Q.mat(index.assigned)
@@ -109,7 +111,7 @@ object SemanticQueries {
     },
     Some(s"""WITH ${graft.ext.Ivf.duckAsgCtesDynK(
               s"GREATEST($semanticKMin, CAST(CEIL(COUNT(*) / $semanticTargetClusterSize.0) AS BIGINT))",
-              iters = 2)},
+              iters = graft.ScaleConfig.lloydIters)},
             |okc AS (
             |  SELECT cluster FROM asg
             |  GROUP BY 1 HAVING COUNT(*) <= $semanticClusterCap),
@@ -249,9 +251,13 @@ object SemanticQueries {
   val extKnnPq = Q(
     "ext_knn_cosine_pq",
     (s, dir) => graft.ext.Pq.searchAll(t(s, dir, "embeddings"),
-      m = 4, subDim = 16, k = 16, iters = 2, maxQid = 10, topK = 5),
+      m = graft.ScaleConfig.pqM, subDim = graft.ScaleConfig.pqSubDim,
+      k = graft.ScaleConfig.pqCodes, iters = graft.ScaleConfig.lloydIters,
+      maxQid = 10, topK = 5),
     Some(graft.ext.Pq.duckOracleSql(
-      m = 4, subDim = 16, k = 16, iters = 2, maxQid = 10, topK = 5)))
+      m = graft.ScaleConfig.pqM, subDim = graft.ScaleConfig.pqSubDim,
+      k = graft.ScaleConfig.pqCodes, iters = graft.ScaleConfig.lloydIters,
+      maxQid = 10, topK = 5)))
 
   /** IVF-PQ ([[graft.ext.Pq.searchIvfPq]]): the production billion-scale
     * composition — the coarse quantizer prunes candidates to nprobe=4 of
@@ -262,11 +268,15 @@ object SemanticQueries {
   val extKnnIvfPq = Q(
     "ext_knn_cosine_ivfpq",
     (s, dir) => graft.ext.Pq.searchIvfPq(t(s, dir, "embeddings"),
-      coarseK = 16, m = 4, subDim = 16, k = 16, iters = 2,
-      maxQid = 10, topK = 5, nprobe = 4),
+      coarseK = graft.ScaleConfig.ivfK, m = graft.ScaleConfig.pqM,
+      subDim = graft.ScaleConfig.pqSubDim, k = graft.ScaleConfig.pqCodes,
+      iters = graft.ScaleConfig.lloydIters, maxQid = 10, topK = 5,
+      nprobe = 4),
     Some(graft.ext.Pq.duckIvfPqOracleSql(
-      coarseK = 16, m = 4, subDim = 16, k = 16, iters = 2,
-      maxQid = 10, topK = 5, nprobe = 4)))
+      coarseK = graft.ScaleConfig.ivfK, m = graft.ScaleConfig.pqM,
+      subDim = graft.ScaleConfig.pqSubDim, k = graft.ScaleConfig.pqCodes,
+      iters = graft.ScaleConfig.lloydIters, maxQid = 10, topK = 5,
+      nprobe = 4)))
 
   /** Incremental ANN ingestion: fit the IVF coarse quantizer on the
     * 80 % HISTORY slice (vec_id % 5 ≠ 0), then absorb the 20 % delta by
@@ -287,7 +297,8 @@ object SemanticQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val idx = graft.ext.Ivf.build(
-        emb.where($"vec_id" % 5 =!= 0), k = 16, iters = 2)
+        emb.where($"vec_id" % 5 =!= 0),
+        k = graft.ScaleConfig.ivfK, iters = graft.ScaleConfig.lloydIters)
       val delta = graft.ext.Ivf.assignNew(idx, emb.where($"vec_id" % 5 === 0))
       delta.join(broadcast(idx.centroids), Seq("cluster"))
         .select($"vec_id", $"cluster",
@@ -301,7 +312,8 @@ object SemanticQueries {
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          |  FROM embeddings),
          |h AS (SELECT vec_id, e FROM e0 WHERE vec_id % 5 <> 0),
-         |${Ivf.duckFitAssignCtes("h", 16, 2, "f")},
+         |${Ivf.duckFitAssignCtes("h", graft.ScaleConfig.ivfK,
+             graft.ScaleConfig.lloydIters, "f")},
          |cent AS (
          |  SELECT cluster, ce, sqrt(${Ivf.duckDot("ce", "ce")}) AS cnrm
          |  FROM fcent),
