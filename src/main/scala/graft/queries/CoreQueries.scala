@@ -506,30 +506,43 @@ object CoreQueries {
     * single-connection extract would serialize through one executor.
     * The oracle reads the same rows straight from parquet.
     */
+  /** The partitioned Derby-backed JDBC supplier frame q25 reads:
+    * round-trips the table into an embedded Derby db keyed by `dir`,
+    * then opens the 4-way partitioned spark.read.jdbc. Shared with
+    * PlanSpec, which asserts predicate pushdown INTO the database on
+    * exactly this frame (S1's scale posture: the filter must run in
+    * the source, not in Spark after a full extract).
+    */
+  private[graft] def jdbcSupplierFrame(
+      s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dbDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"), "graft_derby",
+      dir.replaceAll("[^A-Za-z0-9]", "_"))
+    java.nio.file.Files.createDirectories(dbDir)
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    val props = new java.util.Properties()
+    props.setProperty("driver", driver)
+    val sup = t(s, dir, "supplier")
+      .select($"s_suppkey", $"s_name", $"s_acctbal")
+    sup.write.mode("overwrite").jdbc(url, "supplier", props)
+    val maxKey = sup.agg(max($"s_suppkey")).first().getLong(0)
+    val src = graft.sources.JdbcSource(url, user = "", password = "",
+      driver = driver,
+      partitionOptions = Map(
+        "partitionColumn" -> "S_SUPPKEY",
+        "lowerBound" -> "0",
+        "upperBound" -> (maxKey + 1).toString,
+        "numPartitions" -> "4"))
+    src.load(s, "supplier")
+  }
+
   val q25JdbcScan = Q(
     "q25_jdbc_scan",
     (s, dir) => {
       import s.implicits._
-      val dbDir = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir", "/tmp"), "graft_derby",
-        dir.replaceAll("[^A-Za-z0-9]", "_"))
-      java.nio.file.Files.createDirectories(dbDir)
-      val url = s"jdbc:derby:$dbDir/db;create=true"
-      val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
-      val props = new java.util.Properties()
-      props.setProperty("driver", driver)
-      val sup = t(s, dir, "supplier")
-        .select($"s_suppkey", $"s_name", $"s_acctbal")
-      sup.write.mode("overwrite").jdbc(url, "supplier", props)
-      val maxKey = sup.agg(max($"s_suppkey")).first().getLong(0)
-      val src = graft.sources.JdbcSource(url, user = "", password = "",
-        driver = driver,
-        partitionOptions = Map(
-          "partitionColumn" -> "S_SUPPKEY",
-          "lowerBound" -> "0",
-          "upperBound" -> (maxKey + 1).toString,
-          "numPartitions" -> "4"))
-      src.load(s, "supplier")
+      jdbcSupplierFrame(s, dir)
         .select(col("S_SUPPKEY").as("s_suppkey"),
           col("S_NAME").as("s_name"),
           col("S_ACCTBAL").as("s_acctbal"))

@@ -49,6 +49,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("JDBC partitioned scan pushes predicate and partitioning to the database") {
+    // the parquet scans have PushedFilters pinned below; S1's posture
+    // needs the same — a filter on the partitioned Derby read must run
+    // IN the database (PushedFilters on the JDBC relation), and the
+    // relation must really be the 4-way partitioned read, or a 100 TB
+    // extract serializes through one connection
+    import org.apache.spark.sql.functions.col
+    val p = CoreQueries.jdbcSupplierFrame(spark, dir)
+      .where(col("S_ACCTBAL") > 0.0)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("JDBCRelation"), s"no JDBC relation in plan:\n$p")
+    assert(p.contains("numPartitions=4"),
+      "JDBC scan lost its partitioned-read shape")
+    assert("(?i)PushedFilters: \\[[^\\]]*GreaterThan\\(S_ACCTBAL".r
+      .findFirstIn(p).isDefined,
+      s"acctbal predicate not pushed into the JDBC source:\n$p")
+    // strongest form: the generated source-side SQL itself carries the
+    // WHERE — the filter runs in the database, not post-extract
+    assert("(?i)External engine query:[^\\n]*WHERE[^\\n]*S_ACCTBAL[^\\n]* > 0".r
+      .findFirstIn(p).isDefined,
+      s"source-side SQL lacks the WHERE:\n$p")
+  }
+
   test("decontamination broadcasts the eval gram set") {
     val p = plan(CurationQueries.extDecontaminate)
     assert(p.contains("BroadcastHashJoin"))
