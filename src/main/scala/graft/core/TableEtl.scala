@@ -144,18 +144,23 @@ abstract class TableEtl(
   private def fs(p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Atomic: write to a temp name, then rename over the live sidecar.
-    * A crash mid-write leaves either the previous sidecar or none — never
-    * a truncated JSON that would poison every later read().
+  /** Atomic: write to a temp name, then rename OVER the live sidecar in
+    * one metadata op (FileContext rename with OVERWRITE — atomic on HDFS
+    * and the local fs). A crash mid-write leaves either the previous
+    * sidecar or the new one — never a truncated JSON, and never the
+    * delete-then-rename window where NO sidecar exists and a concurrent
+    * read() silently degrades to the slower legacy mergeSchema plan.
     */
   private def persistSchema(schema: StructType): Unit = {
-    val tmp = new Path(storagePath, s"_graft_schema.json.tmp")
     val f = fs(sidecarPath)
+    val tmp = f.makeQualified(
+      new Path(storagePath, s"_graft_schema.json.tmp"))
+    val dst = f.makeQualified(sidecarPath)
     val out = f.create(tmp, true)
     try out.write(schema.json.getBytes("UTF-8")) finally out.close()
-    f.delete(sidecarPath, false)
-    if (!f.rename(tmp, sidecarPath))
-      throw new java.io.IOException(s"rename $tmp -> $sidecarPath failed")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** None on missing or CORRUPT sidecar (bad JSON, checksum mismatch,
