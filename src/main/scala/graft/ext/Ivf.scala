@@ -134,11 +134,31 @@ object Ivf {
     assign(project(emb), index.centroids)
 
   def build(emb: DataFrame, k: Int, iters: Int = 2): Index = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     // persisted across passes: seeds + each Lloyd E-step + the final
     // assignment all read this projection — one scan, not iters+2
+    buildOn(graft.queries.Mat(project(emb)), k, iters)
+  }
+
+  /** [[build]] with a CORPUS-SCALED cluster count,
+    * k = max(kMin, ⌈N / targetClusterSize⌉) — the SemDeDup posture where
+    * expected cluster population must stay bounded as the corpus grows.
+    * N comes from the SAME materialized projection every Lloyd pass
+    * reads (a count over the checkpointed blocks), not a separate scan
+    * of the source — at 100 TB a standalone count() is a whole extra
+    * corpus pass. Returns the index and the k it chose.
+    */
+  def buildScaled(
+      emb: DataFrame, targetClusterSize: Long, kMin: Long,
+      iters: Int): (Index, Long) = {
     val base = graft.queries.Mat(project(emb))
+    val k = math.max(kMin,
+      math.ceil(base.count() / targetClusterSize.toDouble).toLong)
+    (buildOn(base, k.toInt, iters), k)
+  }
+
+  private def buildOn(base: DataFrame, k: Int, iters: Int): Index = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val centroids = centroidsDf(spark, fit(base, k, iters))
       .withColumn("cnrm", expr(s"sqrt(${dotFold.format("ce", "ce")})"))
     Index(assign(base, centroids), centroids)

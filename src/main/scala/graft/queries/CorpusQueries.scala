@@ -365,32 +365,36 @@ object CorpusQueries {
           StructField("seq", LongType), StructField("op", StringType)))
         val stream = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", 1).parquet(feedDir.toString)
+        // the last micro-batch's merged state, ALREADY materialized by
+        // the in-batch localCheckpoint: the final result below reads
+        // these in-memory blocks, so no eager lake re-read is needed and
+        // the finally can delete the dirs under a still-lazy plan.
+        // foreachBatch runs batches sequentially on the driver, so the
+        // plain var is safe.
+        var lastState: Option[DataFrame] = None
         val q = stream.writeStream
           .option("checkpointLocation", ckpt.toString)
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                 _: Long) =>
-              val cur =
-                if (java.nio.file.Files.exists(lake))
-                  s.read.schema(schema).parquet(lake.toString)
-                else batch.limit(0)
+              val cur = lastState.getOrElse(batch.limit(0))
               // localCheckpoint materializes the merge BEFORE the
               // overwrite touches the directory being read
-              graft.ext.Cdc.mergeState(cur, batch, "o_orderkey")
+              val merged = graft.ext.Cdc
+                .mergeState(cur, batch, "o_orderkey")
                 .localCheckpoint(true)
-                .write.mode("overwrite").parquet(lake.toString)
+              merged.write.mode("overwrite").parquet(lake.toString)
+              lastState = Some(merged)
               ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        // the finally below deletes the lake this plan reads from:
-        // materialize EAGERLY (orders-sized — small) before returning
-        s.read.schema(schema).parquet(lake.toString)
+        lastState.getOrElse(s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
           .where($"op" =!= "D")
           .select($"o_orderkey", $"o_orderstatus",
             $"o_totalprice".cast("double").as("o_totalprice"))
           .orderBy($"o_orderkey")
-          .localCheckpoint(true)
       } finally {
         rmTree(feedDir); rmTree(lake); rmTree(ckpt)
       }

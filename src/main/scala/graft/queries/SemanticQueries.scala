@@ -79,12 +79,12 @@ object SemanticQueries {
     (s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
-      // corpus-scaled cluster count — same formula text as the oracle's
-      // kk CTE (GREATEST(16, CEIL(N / 64.0)))
-      val k = math.max(semanticKMin,
-        math.ceil(emb.count() / semanticTargetClusterSize.toDouble).toLong)
-      val index = graft.ext.Ivf.build(emb, k = k.toInt,
-        iters = graft.ScaleConfig.lloydIters)
+      // corpus-scaled cluster count — same formula as the oracle's kk
+      // CTE (GREATEST(16, CEIL(N / 64.0))); N is counted off the fit's
+      // own materialized projection, not a separate corpus scan
+      val (index, _) = graft.ext.Ivf.buildScaled(emb,
+        targetClusterSize = semanticTargetClusterSize,
+        kMin = semanticKMin, iters = graft.ScaleConfig.lloydIters)
       // three readers below (population census + both pair-join sides):
       // materialize the assignment once instead of re-running the E-step
       val a = Q.mat(index.assigned)

@@ -23,9 +23,20 @@ ABS_FLOOR = 0.4  # seconds; below this a ratio is noise
 HOST_SWING = 1.15
 
 
+def load_bench(path):
+    """Bench prints a full record plus a short summary line; files may
+    hold either or both — take the first object carrying per-query data.
+    """
+    objs = [json.loads(l) for l in open(path) if l.strip()]
+    for o in objs:
+        if "queries" in o:
+            return o
+    sys.exit(f"bench_diff: no per-query record in {path}")
+
+
 def main(new_path, old_path="BENCH_SELF.json"):
-    new = json.load(open(new_path))
-    old = json.load(open(old_path))
+    new = load_bench(new_path)
+    old = load_bench(old_path)
     nq, oq = new.get("queries", {}), old.get("queries", {})
     shared = sorted(set(nq) & set(oq))
     if not shared:
