@@ -1,0 +1,226 @@
+package graft.lake
+
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s.{Formats, NoTypeHints}
+import org.json4s.jackson.Serialization
+
+/** Minimal ACID transaction log for parquet tables — the "Delta-style
+  * table format" the reference gets from the delta-spark package
+  * (reference `spark/conf/spark-defaults.conf:14`,
+  * `etl/utils/base_table.py:211-217`) and this sandbox has no jar for,
+  * re-built from the PUBLIC Delta transaction-log design (delta-io
+  * PROTOCOL.md): a table is a directory of immutable parquet data files
+  * plus an ordered log of JSON commits under `_txlog/`; the state of the
+  * table at version v is the replay of commits 0..v (add/remove file
+  * actions + table metadata). Writers never mutate data files — every
+  * write lands new files and commits a new log entry, so readers are
+  * snapshot-isolated for free and old versions stay readable (time
+  * travel).
+  *
+  * Concurrency: a commit is published by ATOMICALLY claiming the next
+  * version's file name — hard-link creation on local filesystems
+  * (`Files.createLink` fails with `FileAlreadyExistsException` if the
+  * target exists), no-overwrite rename on HDFS-like stores. Exactly one
+  * writer wins a version; losers re-read the new snapshot and retry
+  * (optimistic concurrency, Delta's model).
+  *
+  * Scale posture: snapshot resolution is NOT O(history) — every
+  * [[TxLog.checkpointInterval]] commits a checkpoint file captures the
+  * full replayed state and `_last_checkpoint` points at it, so a read
+  * replays one checkpoint + at most `checkpointInterval` tail commits
+  * regardless of table age. Per-file column min/max stats ride on each
+  * add action, giving O(files) data skipping without opening a single
+  * parquet footer.
+  */
+object TxLog {
+
+  /** One typed column statistic, string-encoded with a kind tag so the
+    * JSON stays schema-free: kind "l" (integral), "d" (floating), "s"
+    * (string). Used for file skipping — see [[TxTable.candidateFiles]].
+    */
+  final case class Stat(kind: String, min: String, max: String)
+
+  final case class Meta(schemaJson: String, partitionCols: List[String]) {
+    def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  }
+  /** `path` is relative to the table root; data files are immutable. */
+  final case class Add(path: String, rows: Long,
+      partitionValues: Map[String, String], stats: Map[String, Stat])
+  final case class Remove(path: String)
+  /** Commit provenance: operation name + the snapshot version the writer
+    * based its work on (−1 = blind append, conflicts impossible). */
+  final case class Info(op: String, readVersion: Long)
+
+  /** One JSON line per action, exactly one field set — the Delta layout
+    * (`{"add":{...}}` / `{"remove":{...}}` / `{"metaData":{...}}`). */
+  final case class LogEntry(meta: Option[Meta] = None, add: Option[Add] = None,
+      remove: Option[Remove] = None, info: Option[Info] = None)
+
+  final case class Snapshot(version: Long, meta: Meta, adds: Vector[Add])
+
+  private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+
+  val checkpointInterval = 10L
+
+  private def logDir(root: Path) = new Path(root, "_txlog")
+  private def commitFile(root: Path, v: Long) =
+    new Path(logDir(root), f"$v%020d.json")
+  private def checkpointFile(root: Path, v: Long) =
+    new Path(logDir(root), f"$v%020d.checkpoint.json")
+  private def lastCheckpointFile(root: Path) =
+    new Path(logDir(root), "_last_checkpoint")
+
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def render(entries: Seq[LogEntry]): String =
+    entries.map(Serialization.write(_)).mkString("\n")
+  private def parse(s: String): Seq[LogEntry] =
+    s.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
+      .map(Serialization.read[LogEntry](_)).toSeq
+
+  /** Atomically publish `content` as commit `version`. Returns false if
+    * the version was already claimed by a concurrent writer (the caller
+    * must re-resolve and retry). The claim is a hard link on `file://`
+    * (POSIX link(2) is atomic and fails if the target exists) and a
+    * no-overwrite rename elsewhere.
+    */
+  def tryCommit(fs: FileSystem, root: Path, version: Long,
+      entries: Seq[LogEntry]): Boolean = {
+    val dst = commitFile(root, version)
+    val tmpDir = new Path(logDir(root), ".tmp")
+    fs.mkdirs(tmpDir)
+    val tmp = new Path(tmpDir, java.util.UUID.randomUUID.toString + ".json")
+    writeString(fs, tmp, render(entries))
+    val won =
+      if (fs.getScheme == "file") {
+        val t = Paths.get(tmp.toUri.getPath)
+        val d = Paths.get(dst.toUri.getPath)
+        try { Files.createLink(d, t); true }
+        catch { case _: FileAlreadyExistsException => false }
+      } else !fs.exists(dst) && fs.rename(tmp, dst)
+    if (fs.getScheme == "file" || !won) fs.delete(tmp, false)
+    if (won) maybeCheckpoint(fs, root, version)
+    won
+  }
+
+  /** Highest committed version, or −1 for a nonexistent/empty log. */
+  def latestVersion(fs: FileSystem, root: Path): Long = {
+    val dir = logDir(root)
+    if (!fs.exists(dir)) return -1L
+    fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".json").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Resolve the table state at `asOf` (default: latest). Replays the
+    * newest checkpoint at-or-before the target plus the tail commits —
+    * bounded work however long the table has lived.
+    */
+  def snapshot(fs: FileSystem, root: Path, asOf: Option[Long] = None): Snapshot = {
+    val latest = latestVersion(fs, root)
+    require(latest >= 0, s"no transaction log at $root")
+    val target = asOf.getOrElse(latest)
+    require(target >= 0 && target <= latest,
+      s"version $target out of range [0, $latest] at $root")
+    val ckpt = newestCheckpointAtOrBefore(fs, root, target)
+    var meta: Option[Meta] = None
+    val live = scala.collection.mutable.LinkedHashMap[String, Add]()
+    val start = ckpt match {
+      case Some(v) =>
+        parse(readString(fs, checkpointFile(root, v))).foreach { e =>
+          e.meta.foreach(m => meta = Some(m))
+          e.add.foreach(a => live(a.path) = a)
+        }
+        v + 1
+      case None => 0L
+    }
+    (start to target).foreach { v =>
+      val p = commitFile(root, v)
+      require(fs.exists(p), s"missing commit $v at $root (vacuumed?)")
+      parse(readString(fs, p)).foreach { e =>
+        e.meta.foreach(m => meta = Some(m))
+        e.add.foreach(a => live(a.path) = a)
+        e.remove.foreach(r => live.remove(r.path))
+      }
+    }
+    Snapshot(target, meta.getOrElse(sys.error(s"no metaData in log at $root")),
+      live.values.toVector)
+  }
+
+  private def newestCheckpointAtOrBefore(fs: FileSystem, root: Path,
+      target: Long): Option[Long] = {
+    // Fast path: the _last_checkpoint pointer (one small read); fall back
+    // to a listing only when time-travelling behind it.
+    val hinted = {
+      val p = lastCheckpointFile(root)
+      if (fs.exists(p))
+        scala.util.Try(readString(fs, p).trim.toLong).toOption.filter(_ <= target)
+      else None
+    }
+    hinted.orElse {
+      if (!fs.exists(logDir(root))) None
+      else fs.listStatus(logDir(root)).iterator.map(_.getPath.getName)
+        .filter(_.endsWith(".checkpoint.json"))
+        .map(_.stripSuffix(".checkpoint.json").toLong)
+        .filter(_ <= target)
+        .foldLeft(-1L)(math.max) match {
+          case -1L => None
+          case v   => Some(v)
+        }
+    }
+  }
+
+  private def maybeCheckpoint(fs: FileSystem, root: Path, version: Long): Unit =
+    if (version > 0 && version % checkpointInterval == 0) {
+      val snap = snapshot(fs, root, Some(version))
+      val entries = LogEntry(meta = Some(snap.meta)) +:
+        snap.adds.map(a => LogEntry(add = Some(a)))
+      // A racing checkpointer writes byte-identical content — overwrite
+      // is harmless, so plain writes suffice here.
+      writeString(fs, checkpointFile(root, version), render(entries))
+      writeString(fs, lastCheckpointFile(root), version.toString)
+    }
+
+  /** Delete data files no longer referenced by any snapshot newer than
+    * `latest − keepVersions` (and the log entries before the oldest kept
+    * checkpointable point stay — the log is cheap, the data is not).
+    * Returns the deleted relative paths. Time travel behind the horizon
+    * may stop resolving; [[snapshot]] fails with a clear message.
+    */
+  def vacuum(fs: FileSystem, root: Path, keepVersions: Int): Seq[String] = {
+    val latest = latestVersion(fs, root)
+    require(latest >= 0, s"no transaction log at $root")
+    val floor = math.max(0L, latest - keepVersions + 1)
+    val referenced = (floor to latest).flatMap { v =>
+      snapshot(fs, root, Some(v)).adds.map(_.path)
+    }.toSet
+    val all = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(root, true)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      if (!rel.startsWith("_txlog") && rel.endsWith(".parquet")) all += rel
+    }
+    val doomed = all.filterNot(referenced)
+    doomed.foreach(rel => fs.delete(new Path(root, rel), false))
+    doomed.toSeq
+  }
+}

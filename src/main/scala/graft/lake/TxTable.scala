@@ -1,0 +1,327 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import TxLog._
+
+/** Table operations over a [[TxLog]]-managed parquet directory: ACID
+  * create / append / delete / partition-overwrite, snapshot-isolated
+  * reads, time travel, stats-based file skipping, and vacuum.
+  *
+  * Every mutation is copy-on-write (new immutable files + a log commit)
+  * with optimistic concurrency: writers base their work on a snapshot,
+  * try to claim `snapshot.version + 1`, and on losing the race re-read
+  * and redo — blind appends need no redo (they conflict with nothing),
+  * rewrites re-filter against the fresh state, which makes concurrent
+  * delete-vs-append linearize correctly instead of losing the appended
+  * rows. Failed attempts leave orphaned staged files; [[vacuum]] mops
+  * them up (Delta's model exactly).
+  *
+  * Scale posture: the driver-side state is O(files) metadata (paths +
+  * stats), never row data; reads hand Spark an explicit file list and
+  * attach partition columns from the log's own values; rewrites
+  * touch only the files that actually contain matching rows (found with
+  * one metadata-column aggregation), not the whole table.
+  */
+final class TxTable(spark: SparkSession, rootStr: String) {
+  private val root = new Path(rootStr)
+  private val fs: FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val maxRetries = 20
+
+  def version: Long = TxLog.latestVersion(fs, root)
+
+  // ---- writes ----
+
+  /** Create (or overwrite-create) the table from `df`. Version 0. */
+  def create(df: DataFrame, partitionCols: Seq[String] = Nil): Long = {
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
+    val meta = Meta(df.schema.json, partitionCols.toList)
+    val adds = stageWrite(df, meta)
+    val entries = LogEntry(meta = Some(meta)) +:
+      adds.map(a => LogEntry(add = Some(a))) :+
+      LogEntry(info = Some(Info("CREATE", -1L)))
+    require(TxLog.tryCommit(fs, root, 0L, entries),
+      s"table $root already has a log — create lost a race")
+    0L
+  }
+
+  /** Append rows. Additive schema evolution (new columns) is accepted:
+    * the merged schema lands in the same commit and old files read back
+    * with nulls in the new columns. Appends conflict with nothing —
+    * losing a version race just means claiming the next number.
+    */
+  def append(df: DataFrame): Long = {
+    // Stage ONCE — data files are commit-independent; only the version
+    // claim (and the schema check, against whatever landed meanwhile)
+    // repeats on a lost race.
+    val first = TxLog.snapshot(fs, root)
+    val adds = stageWrite(df, evolve(first.meta, df.schema))
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
+      val merged = evolve(snap.meta, df.schema)
+      val metaEntry =
+        if (merged.schemaJson != snap.meta.schemaJson)
+          Seq(LogEntry(meta = Some(merged)))
+        else Nil
+      val entries = metaEntry ++ adds.map(a => LogEntry(add = Some(a))) :+
+        LogEntry(info = Some(Info("APPEND", snap.version)))
+      val v = snap.version + 1
+      if (TxLog.tryCommit(fs, root, v, entries)) return v
+      attempt += 1
+    }
+    sys.error(s"append to $root lost $maxRetries races")
+  }
+
+  /** Delete matching rows, copy-on-write: only files that actually hold
+    * a matching row are rewritten; a lost race redoes the filter against
+    * the fresh snapshot (serializable against concurrent appends).
+    */
+  def deleteWhere(cond: Column): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
+      val hit = cur.where(cond)
+        .select(col(FileCol).as("f")).distinct()
+        .collect().map(r => relPath(r.getString(0))).toSet
+      if (hit.isEmpty) return snap.version // nothing to do, no commit
+      val affected = snap.adds.filter(a => hit(a.path))
+      // NULL-predicate rows are NOT matches and must survive the rewrite.
+      val survivors = readFiles(snap, affected.map(_.path))
+        .where(!coalesce(cond, lit(false)))
+      val adds = stageWrite(survivors, snap.meta)
+      val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        adds.map(a => LogEntry(add = Some(a))) :+
+        LogEntry(info = Some(Info("DELETE", snap.version)))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries, s"delete in $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** Replace one partition's contents with `df` (dynamic partition
+    * overwrite, the reference's write mode). `df` must carry the
+    * partition column with exactly `value` in every row.
+    */
+  def overwritePartition(partCol: String, value: String, df: DataFrame): Long = {
+    val stray = df.where(col(partCol).cast("string") =!= value).limit(1).count()
+    require(stray == 0, s"overwritePartition($partCol=$value) got rows outside the partition")
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      require(snap.meta.partitionCols.contains(partCol),
+        s"$partCol is not a partition column of $root")
+      val doomed = snap.adds.filter(_.partitionValues.get(partCol).contains(value))
+      val adds = stageWrite(df, snap.meta)
+      val entries = doomed.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        adds.map(a => LogEntry(add = Some(a))) :+
+        LogEntry(info = Some(Info("OVERWRITE_PARTITION", snap.version)))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries, s"overwrite in $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
+  def vacuum(keepVersions: Int): Seq[String] =
+    TxLog.vacuum(fs, root, keepVersions)
+
+  // ---- reads ----
+
+  /** Snapshot read; `asOf` time-travels to an older version. */
+  def read(asOf: Option[Long] = None): DataFrame =
+    readSnapshot(TxLog.snapshot(fs, root, asOf))
+
+  /** Range read with stats-based file skipping: only files whose
+    * recorded [min,max] for `colName` overlaps [lo,hi] are handed to
+    * Spark at all (the filter still applies for exactness). At 100 TB
+    * this is the difference between listing every file and reading the
+    * two that matter.
+    */
+  def readBetween(colName: String, lo: Any, hi: Any,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(fs, root, asOf)
+    val keep = candidateFiles(snap, colName, lo, hi)
+    val c = col(colName)
+    readFiles(snap, keep.map(_.path))
+      .where(c >= lit(lo) && c <= lit(hi))
+  }
+
+  /** The skipping decision, exposed for tests: files whose stats CANNOT
+    * exclude [lo,hi] (missing stats keep the file — conservative). */
+  def candidateFiles(snap: Snapshot, colName: String, lo: Any, hi: Any): Vector[Add] =
+    snap.adds.filter { a =>
+      a.stats.get(colName) match {
+        case None => true
+        case Some(st) => st.kind match {
+          case "l" => st.max.toLong >= toL(lo) && st.min.toLong <= toL(hi)
+          case "d" => st.max.toDouble >= toD(lo) && st.min.toDouble <= toD(hi)
+          case _   => st.max >= lo.toString && st.min <= hi.toString
+        }
+      }
+    }
+  private def toL(v: Any): Long = v match {
+    case n: Number => n.longValue(); case s: String => s.toLong
+  }
+  private def toD(v: Any): Double = v match {
+    case n: Number => n.doubleValue(); case s: String => s.toDouble
+  }
+
+  private def readSnapshot(snap: Snapshot): DataFrame =
+    readFiles(snap, snap.adds.map(_.path))
+
+  /** Delta's read model: data files hold only the DATA columns;
+    * partition columns are attached from the log's partitionValues, not
+    * parsed from directories (per-commit staging dirs make the layout
+    * inconsistent for Spark's own discovery — and the log is the source
+    * of truth anyway). Files group by partition tuple, one typed-literal
+    * projection per group. At 100 TB the same idea becomes a custom
+    * FileIndex; the union of per-tuple scans keeps this dependency-free.
+    */
+  private val FileCol = "__txlog_file"
+
+  private def readFiles(snap: Snapshot, rels: Seq[String],
+      withFileCol: Boolean = false): DataFrame = {
+    val schema = snap.meta.schema
+    val pcols = snap.meta.partitionCols
+    if (rels.isEmpty)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    val dataSchema = StructType(schema.fields.filterNot(f => pcols.contains(f.name)))
+    val addByPath = snap.adds.map(a => a.path -> a).toMap
+    rels.groupBy(r => addByPath(r).partitionValues)
+      .toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
+      .map { case (pv, paths) =>
+        val scan = spark.read.schema(dataSchema)
+          .parquet(paths.map(r => new Path(root, r).toString): _*)
+        // pull the metadata column while still on the raw scan — it does
+        // not survive later projections
+        val base = if (withFileCol)
+          scan.select(col("*"), col("_metadata.file_path").as(FileCol))
+        else scan
+        val withParts = pcols.foldLeft(base) { (df, c) =>
+          val v = pv.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+          df.withColumn(c, lit(v.orNull).cast(schema(c).dataType))
+        }
+        val cols = schema.fieldNames.map(col) ++
+          (if (withFileCol) Seq(col(FileCol)) else Nil)
+        withParts.select(cols: _*)
+      }
+      .reduce(_ unionAll _)
+  }
+
+  // ---- write plumbing ----
+
+  private def evolve(meta: Meta, incoming: StructType): Meta = {
+    val cur = meta.schema
+    val curNames = cur.fieldNames.toSet
+    incoming.fields.filter(f => curNames(f.name)).foreach { f =>
+      val have = cur(f.name).dataType
+      require(have == f.dataType,
+        s"column ${f.name}: incoming ${f.dataType} != table $have")
+    }
+    val added = incoming.fields.filterNot(f => curNames(f.name))
+    if (added.isEmpty) meta
+    else Meta(StructType(cur.fields ++ added.map(_.copy(nullable = true))).json,
+      meta.partitionCols)
+  }
+
+  /** Write `df` as new immutable files under `data/<uuid>/` and return
+    * their add actions: relative path, partition values (from the
+    * directory names), row count and per-column min/max — collected with
+    * ONE aggregation over just the new files (a production engine lifts
+    * these from parquet footers; same numbers, same one-pass cost).
+    */
+  private def stageWrite(df: DataFrame, meta: Meta): Vector[Add] = {
+    val stage = "data/" + java.util.UUID.randomUUID.toString.take(8)
+    val stagePath = new Path(root, stage)
+    val w = df.write.mode("overwrite")
+    (if (meta.partitionCols.nonEmpty) w.partitionBy(meta.partitionCols: _*) else w)
+      .parquet(stagePath.toString)
+
+    // A partitioned write of zero rows lands no part files at all; the
+    // stats read below would fail schema inference on the bare directory.
+    val anyFile = {
+      val it = fs.listFiles(stagePath, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (!anyFile) return Vector.empty
+
+    val statCols = meta.schema.fields.toSeq
+      .filterNot(f => meta.partitionCols.contains(f.name))
+      .filter(f => statKind(f.dataType).isDefined)
+      .filter(f => df.schema.fieldNames.contains(f.name))
+    // Plain read of the single staged dir: partition discovery is
+    // consistent within one staging root (and only data columns feed
+    // the stats anyway).
+    val staged = spark.read.parquet(stagePath.toString)
+    val aggs = count(lit(1L)).as("__rows") +: statCols.flatMap { f =>
+      Seq(min(col(f.name)).cast("string").as(s"__min_${f.name}"),
+        max(col(f.name)).cast("string").as(s"__max_${f.name}"))
+    }
+    staged
+      .groupBy(col("_metadata.file_path").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val rel = relPath(r.getAs[String]("__f"))
+        val stats = statCols.flatMap { f =>
+          val mn = r.getAs[String](s"__min_${f.name}")
+          val mx = r.getAs[String](s"__max_${f.name}")
+          if (mn == null || mx == null) None
+          else Some(f.name -> Stat(statKind(f.dataType).get, mn, mx))
+        }.toMap
+        Add(rel, r.getAs[Long]("__rows"), partValues(rel), stats)
+      }.toVector
+  }
+
+  private def statKind(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some("l")
+    case FloatType | DoubleType                        => Some("d")
+    case StringType                                    => Some("s")
+    case _                                             => None
+  }
+
+  private def relPath(abs: String): String = {
+    val a = new Path(new java.net.URI(abs)).toUri.getPath
+    val r = root.toUri.getPath.stripSuffix("/")
+    require(a.startsWith(r + "/"), s"file $abs outside table root $root")
+    a.stripPrefix(r + "/")
+  }
+
+  private def partValues(rel: String): Map[String, String] =
+    rel.split('/').iterator.filter(_.contains('='))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        seg.substring(0, i) -> unescape(seg.substring(i + 1))
+      }.toMap
+
+  /** Spark escapes `%`, `:`, `=` … in partition dir names as %xx
+    * (Hive's escapePathName); reverse it so [[TxLog.Add]] carries the
+    * logical value, not the dir spelling. */
+  private def unescape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

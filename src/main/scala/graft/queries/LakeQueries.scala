@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.lake.TxTable
+
+/** Round-6 ACID-lake operators: the [[graft.lake.TxLog]] transaction
+  * log exercised end-to-end against the DuckDB oracle. Each query
+  * scripts a deterministic commit history onto a scratch TxTable and
+  * emits snapshot CONTENT — the oracle reconstructs the same state
+  * relationally from the source table, proving create/append/delete/
+  * partition-overwrite/time-travel land exactly the rows ACID semantics
+  * promise. Concurrency, conflict retry, checkpoint resolution, vacuum
+  * and stats-skipping internals are pinned in TxLogSpec (file-layout
+  * behavior DuckDB cannot see).
+  */
+object LakeQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Same convention as ProfileQueries.scratch: keyed by (query, input
+    * dir), recreated per run via TxTable.create's root wipe. */
+  private def scratch(name: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_scratch/${name}_" +
+      Integer.toHexString(dir.hashCode)
+
+  // ---- 1. the full ACID write family ----
+
+  /** create → append → copy-on-write delete → partition overwrite, then
+    * one snapshot read. Final state: all orders with
+    * o_totalprice ≥ 100000, and within the 1-URGENT partition the
+    * status column rewritten to 'X' (the overwrite). Every mutation is
+    * its own optimistic commit; the read resolves the log, not a
+    * directory listing.
+    */
+  val extLakeAcid = Q(
+    "ext_lake_acid",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val tab = new TxTable(s, scratch("lake_acid", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0),
+        partitionCols = Seq("o_orderpriority"))
+      tab.append(orders.where($"o_orderkey" % 2 === 1))
+      tab.deleteWhere($"o_totalprice" < 100000.0)
+      val urgent = tab.read()
+        .where($"o_orderpriority" === "1-URGENT")
+        .withColumn("o_orderstatus", lit("X"))
+      tab.overwritePartition("o_orderpriority", "1-URGENT", urgent)
+      tab.read()
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice", $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |       CASE WHEN o_orderpriority = '1-URGENT' THEN 'X'
+           |            ELSE o_orderstatus END AS o_orderstatus,
+           |       o_totalprice, o_orderpriority
+           |FROM orders WHERE o_totalprice >= 100000
+           |ORDER BY o_orderkey""".stripMargin))
+
+  // ---- 2. time travel ----
+
+  /** Three commits (create evens / append odds / delete cheap), then
+    * per-priority totals read AT VERSION 1 (before the delete — the
+    * full table) and at head, tagged and unioned: the old snapshot
+    * stays exactly readable after later rewrites removed its files from
+    * the live set.
+    */
+  val extLakeTimeTravel = Q(
+    "ext_lake_time_travel",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val tab = new TxTable(s, scratch("lake_tt", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0))
+      tab.append(orders.where($"o_orderkey" % 2 === 1))
+      tab.deleteWhere($"o_totalprice" < 100000.0)
+      def totals(df: DataFrame, tag: String): DataFrame =
+        df.groupBy($"o_orderpriority")
+          .agg(count(lit(1L)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+              .as("revenue"))
+          .withColumn("snap", lit(tag))
+          .select($"snap", $"o_orderpriority", $"n", $"revenue")
+      totals(tab.read(asOf = Some(1L)), "v1")
+        .unionAll(totals(tab.read(), "head"))
+        .orderBy($"snap", $"o_orderpriority")
+    },
+    Some("""WITH v1 AS (
+           |  SELECT 'v1' AS snap, o_orderpriority, COUNT(*) AS n,
+           |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |  FROM orders GROUP BY 2),
+           |hd AS (
+           |  SELECT 'head' AS snap, o_orderpriority, COUNT(*) AS n,
+           |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |  FROM orders WHERE o_totalprice >= 100000 GROUP BY 2)
+           |SELECT * FROM v1 UNION ALL SELECT * FROM hd
+           |ORDER BY snap, o_orderpriority""".stripMargin))
+
+  // ---- 3. concurrent appends ----
+
+  /** Four writers land disjoint quarters of the orders table
+    * CONCURRENTLY (a fixed 4-thread pool, all four racing for version
+    * numbers): optimistic commits mean every writer wins SOME version
+    * and the final content is the union regardless of arrival order —
+    * the lost-update test. The oracle is simply the whole table.
+    */
+  val extLakeConcurrentAppend = Q(
+    "ext_lake_concurrent_append",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val tab = new TxTable(s, scratch("lake_conc", dir))
+      tab.create(orders.where($"o_orderkey" % 4 === 0))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val fs = (1 to 3).map { q =>
+          scala.concurrent.Future(tab.append(orders.where($"o_orderkey" % 4 === q)))
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fs),
+          scala.concurrent.duration.Duration(300, "s"))
+      } finally pool.shutdown()
+      tab.read()
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  // ---- 4. stats-based file skipping ----
+
+  /** Range scan through [[TxTable.readBetween]]: the table is written
+    * range-partitioned on o_orderkey so files carry disjoint key ranges,
+    * and the read hands Spark ONLY the files whose logged min/max
+    * overlap the window (TxLogSpec asserts the pruning count; here the
+    * oracle proves the pruned read loses nothing).
+    */
+  val extLakeSkippingScan = Q(
+    "ext_lake_skipping_scan",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val tab = new TxTable(s, scratch("lake_skip", dir))
+      tab.create(orders.repartitionByRange(8, $"o_orderkey"))
+      tab.readBetween("o_orderkey", 1000L, 3000L)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+           |ORDER BY o_orderkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(extLakeAcid, extLakeTimeTravel,
+    extLakeConcurrentAppend, extLakeSkippingScan)
+}

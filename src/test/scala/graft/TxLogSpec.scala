@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.lake.{TxLog, TxTable}
+
+/** The ACID-lake internals DuckDB cannot see: atomic version claims,
+  * conflict retry correctness under real concurrency, checkpointed
+  * snapshot resolution, time travel after vacuum, additive schema
+  * evolution, and stats-based file skipping counts. Content parity with
+  * the oracle is LakeQueries' job; this suite pins the file-layout and
+  * log behavior.
+  */
+class TxLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"txlog_$tag").resolve("tbl").toString
+
+  private def docs(n: Int): DataFrame =
+    spark.range(n.toLong).select(
+      $"id",
+      concat(lit("doc-"), $"id").as("text"),
+      (($"id" % 3).cast("string")).as("lang"))
+
+  test("create/append/read round-trip with partition columns recovered") {
+    val tab = new TxTable(spark, freshRoot("rt"))
+    tab.create(docs(30), partitionCols = Seq("lang"))
+    tab.append(docs(30).where($"id" < 10).withColumn("id", $"id" + 100))
+    val got = tab.read().orderBy("id").collect()
+    assert(got.length === 40)
+    // partition column values come back from the log, Delta-style
+    assert(got.map(_.getAs[String]("lang")).forall(l => Set("0", "1", "2")(l)))
+    assert(tab.version === 1L)
+  }
+
+  test("exactly one writer wins a version; a loser's retry lands next") {
+    val root = freshRoot("race")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(10))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Claim version 1 out from under an appender, twice: both forced
+    // claims must win exactly once, and the append still lands.
+    assert(TxLog.tryCommit(fs, new Path(root), 1L,
+      Seq(TxLog.LogEntry(info = Some(TxLog.Info("NOOP", 0L))))))
+    assert(!TxLog.tryCommit(fs, new Path(root), 1L,
+      Seq(TxLog.LogEntry(info = Some(TxLog.Info("NOOP", 0L))))))
+    val v = tab.append(docs(5).withColumn("id", $"id" + 500))
+    assert(v === 2L)
+    assert(tab.read().count() === 15)
+  }
+
+  test("concurrent delete vs append linearizes — no lost appended rows") {
+    val tab = new TxTable(spark, freshRoot("dva"))
+    tab.create(docs(100))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val del = scala.concurrent.Future(tab.deleteWhere($"id" % 2 === 0))
+      val app = scala.concurrent.Future(
+        tab.append(docs(10).withColumn("id", $"id" + 1000)))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(del, app)),
+        scala.concurrent.duration.Duration(120, "s"))
+    } finally pool.shutdown()
+    val ids = tab.read().select("id").as[Long].collect().toSet
+    // Both legal serializations (delete-then-append, append-then-delete)
+    // agree on: original odds survive, original evens don't, appended
+    // odds survive. Appended evens depend on the order — not asserted.
+    assert((0L until 100L).filter(_ % 2 == 1).forall(ids.contains))
+    assert((0L until 100L).filter(_ % 2 == 0).forall(!ids.contains(_)))
+    assert((1000L until 1010L).filter(_ % 2 == 1).forall(ids.contains))
+  }
+
+  test("NULL-predicate rows survive a delete") {
+    val tab = new TxTable(spark, freshRoot("np"))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "a"),
+        org.apache.spark.sql.Row(null, "b"),
+        org.apache.spark.sql.Row(3L, "c")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    tab.create(df)
+    tab.deleteWhere($"k" > 2L) // NULL > 2 is NULL, not a match
+    assert(tab.read().select("v").as[String].collect().toSet === Set("a", "b"))
+  }
+
+  test("snapshot resolution uses the checkpoint, and matches full replay") {
+    val root = freshRoot("ckpt")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(5))
+    (1 to 12).foreach(i => tab.append(docs(2).withColumn("id", $"id" + i * 10)))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new Path(root, "_txlog")).map(_.getPath.getName)
+    assert(names.exists(_.endsWith(".checkpoint.json")),
+      "interval-10 checkpoint must exist after 12 commits")
+    assert(names.contains("_last_checkpoint"))
+    // replay-from-zero (time travel to head version explicitly) equals
+    // the checkpointed fast path
+    val viaCkpt = tab.read().orderBy("id").collect().toSeq
+    val full = tab.read(asOf = Some(tab.version)).orderBy("id").collect().toSeq
+    assert(viaCkpt === full)
+    assert(tab.read().count() === 5 + 24)
+  }
+
+  test("time travel reads an old version; vacuum kills it cleanly") {
+    val tab = new TxTable(spark, freshRoot("tt"))
+    tab.create(docs(20))
+    tab.deleteWhere($"id" >= 10)
+    assert(tab.read().count() === 10)
+    assert(tab.read(asOf = Some(0L)).count() === 20, "v0 still resolvable")
+    val removed = tab.vacuum(keepVersions = 1)
+    assert(removed.nonEmpty, "the rewritten v0 files must be reclaimed")
+    assert(tab.read().count() === 10, "head unaffected by vacuum")
+    val err = intercept[Exception](tab.read(asOf = Some(0L)).count())
+    assert(err.getMessage != null)
+  }
+
+  test("additive schema evolution: old files read back with nulls") {
+    val tab = new TxTable(spark, freshRoot("evo"))
+    tab.create(docs(5))
+    tab.append(docs(3).withColumn("id", $"id" + 50)
+      .withColumn("score", $"id".cast("double") / 10.0))
+    val got = tab.read()
+    assert(got.schema.fieldNames.contains("score"))
+    assert(got.where($"id" < 50 && $"score".isNull).count() === 5)
+    assert(got.where($"id" >= 50 && $"score".isNotNull).count() === 3)
+    // incompatible type change is refused
+    val bad = docs(1).withColumn("score", lit("not-a-double"))
+    intercept[IllegalArgumentException](tab.append(bad))
+  }
+
+  test("stats skipping prunes files and loses nothing") {
+    val rootStr = freshRoot("skip")
+    val tab = new TxTable(spark, rootStr)
+    tab.create(spark.range(1000).select($"id",
+      ($"id" * 2).as("even")).repartitionByRange(10, $"id"))
+    val fs = new Path(rootStr).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val snap = TxLog.snapshot(fs, new Path(rootStr))
+    val cand = tab.candidateFiles(snap, "id", 100L, 199L)
+    assert(snap.adds.size === 10)
+    assert(cand.size <= 2, s"10 range-disjoint files, window spans ≤2, got ${cand.size}")
+    val got = tab.readBetween("id", 100L, 199L).select("id").as[Long].collect().sorted
+    assert(got === (100L to 199L).toArray)
+  }
+
+  test("overwritePartition replaces exactly one partition") {
+    val tab = new TxTable(spark, freshRoot("op"))
+    tab.create(docs(30), partitionCols = Seq("lang"))
+    val repl = docs(30).where($"lang" === "1")
+      .withColumn("text", lit("REPLACED"))
+    tab.overwritePartition("lang", "1", repl)
+    val got = tab.read()
+    assert(got.where($"lang" === "1" && $"text" =!= "REPLACED").count() === 0)
+    assert(got.where($"lang" =!= "1" && $"text" === "REPLACED").count() === 0)
+    assert(got.count() === 30)
+    // rows outside the named partition are refused
+    intercept[IllegalArgumentException](
+      tab.overwritePartition("lang", "1", docs(3)))
+  }
+}
