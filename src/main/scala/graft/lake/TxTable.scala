@@ -107,6 +107,48 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     sys.error("unreachable")
   }
 
+  /** MERGE (whole-row upsert): rows of `source` replace current rows
+    * sharing their key; unmatched source rows insert. Copy-on-write on
+    * exactly the files holding a matched key — the unmatched bulk of
+    * the table is never rewritten (the lakehouse MERGE contract).
+    * `source` must be unique per key (ambiguous merges are an error,
+    * as in Delta). Conflicts retry against the fresh snapshot, like
+    * [[deleteWhere]].
+    */
+  def merge(source: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val src = source.cache()
+    try {
+      val dups = src.groupBy(keyCols.map(col): _*)
+        .count().where(col("count") > 1).limit(1).count()
+      require(dups == 0, s"merge source has duplicate keys on ${keyCols.mkString(",")}")
+      var attempt = 0
+      while (true) {
+        val snap = TxLog.snapshot(fs, root)
+        val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
+        val keys = src.select(keyCols.map(col): _*)
+        val hit = cur.join(keys, keyCols, "left_semi")
+          .select(col(FileCol).as("f")).distinct()
+          .collect().map(r => relPath(r.getString(0))).toSet
+        val affected = snap.adds.filter(a => hit(a.path))
+        // survivors: rows of affected files whose key is NOT in source
+        val survivors = readFiles(snap, affected.map(_.path))
+          .join(keys, keyCols, "left_anti")
+        val adds = stageWrite(survivors, snap.meta) ++
+          stageWrite(src.select(snap.meta.schema.fieldNames.map(col): _*),
+            snap.meta)
+        val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+          adds.map(a => LogEntry(add = Some(a))) :+
+          LogEntry(info = Some(Info("MERGE", snap.version)))
+        if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+          return snap.version + 1
+        attempt += 1
+        require(attempt < maxRetries, s"merge into $root lost $maxRetries races")
+      }
+      sys.error("unreachable")
+    } finally src.unpersist()
+  }
+
   /** Replace one partition's contents with `df` (dynamic partition
     * overwrite, the reference's write mode). `df` must carry the
     * partition column with exactly `value` in every row.

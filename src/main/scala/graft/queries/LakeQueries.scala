@@ -134,7 +134,38 @@ object LakeQueries {
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
-  // ---- 4. stats-based file skipping ----
+  // ---- 4. MERGE (upsert) ----
+
+  /** The lakehouse MERGE: the table starts as the even orders; the
+    * source carries the odd orders (inserts) plus every key divisible
+    * by 10 with status rewritten to 'M' (updates). After the merge the
+    * table is ALL orders with exactly the %10 keys updated — matched
+    * rows replaced, unmatched inserted, untouched files never
+    * rewritten.
+    */
+  val extLakeMerge = Q(
+    "ext_lake_merge",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val tab = new TxTable(s, scratch("lake_merge", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0))
+      val source = orders.where($"o_orderkey" % 2 === 1)
+        .unionAll(orders.where($"o_orderkey" % 10 === 0)
+          .withColumn("o_orderstatus", lit("M")))
+      tab.merge(source, Seq("o_orderkey"))
+      tab.read()
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |       CASE WHEN o_orderkey % 10 = 0 THEN 'M'
+           |            ELSE o_orderstatus END AS o_orderstatus,
+           |       o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  // ---- 5. stats-based file skipping ----
 
   /** Range scan through [[TxTable.readBetween]]: the table is written
     * range-partitioned on o_orderkey so files carry disjoint key ranges,
@@ -158,5 +189,5 @@ object LakeQueries {
            |ORDER BY o_orderkey""".stripMargin))
 
   val all: Seq[Q] = Seq(extLakeAcid, extLakeTimeTravel,
-    extLakeConcurrentAppend, extLakeSkippingScan)
+    extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan)
 }

@@ -154,6 +154,34 @@ class TxLogSpec extends SparkSpec {
     assert(got === (100L to 199L).toArray)
   }
 
+  test("merge rewrites only files holding a matched key") {
+    val rootStr = freshRoot("mrg")
+    val tab = new TxTable(spark, rootStr)
+    // 10 range-disjoint files over ids 0..999
+    tab.create(spark.range(1000).select($"id",
+      lit("old").as("tag")).repartitionByRange(10, $"id"))
+    val fs = new Path(rootStr).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = TxLog.snapshot(fs, new Path(rootStr)).adds.map(_.path).toSet
+    // updates land in ONE file's range; inserts are new keys
+    val src = spark.range(100, 110).select($"id", lit("upd").as("tag"))
+      .unionAll(spark.range(2000, 2005).select($"id", lit("ins").as("tag")))
+    tab.merge(src, Seq("id"))
+    val after = TxLog.snapshot(fs, new Path(rootStr)).adds.map(_.path).toSet
+    // range boundaries are sampled, so the 10-key window may straddle a
+    // file edge — but it can never touch more than 2 of the 10 files
+    val rewritten = (before -- after).size
+    assert(rewritten >= 1 && rewritten <= 2,
+      s"only matched files are rewritten, got $rewritten of ${before.size}")
+    val got = tab.read()
+    assert(got.count() === 1005)
+    assert(got.where($"tag" === "upd").count() === 10)
+    assert(got.where($"tag" === "ins").count() === 5)
+    assert(got.where($"id" >= 100 && $"id" < 110 && $"tag" === "old").count() === 0)
+    // ambiguous source is refused
+    intercept[IllegalArgumentException](
+      tab.merge(src.unionAll(src.limit(1)), Seq("id")))
+  }
+
   test("overwritePartition replaces exactly one partition") {
     val tab = new TxTable(spark, freshRoot("op"))
     tab.create(docs(30), partitionCols = Seq("lang"))
