@@ -203,21 +203,30 @@ object TxLog {
     * checkpointable point stay — the log is cheap, the data is not).
     * Returns the deleted relative paths. Time travel behind the horizon
     * may stop resolving; [[snapshot]] fails with a clear message.
+    *
+    * `minAgeMs` guards in-flight writers: a file an active commit has
+    * staged but not yet published is unreferenced by ANY snapshot, and
+    * deleting it would fail that commit's readers later. Files younger
+    * than the threshold are left alone (Delta's retention-window rule —
+    * production uses hours; tests that own the table may pass 0).
     */
-  def vacuum(fs: FileSystem, root: Path, keepVersions: Int): Seq[String] = {
+  def vacuum(fs: FileSystem, root: Path, keepVersions: Int,
+      minAgeMs: Long = 0L): Seq[String] = {
     val latest = latestVersion(fs, root)
     require(latest >= 0, s"no transaction log at $root")
     val floor = math.max(0L, latest - keepVersions + 1)
     val referenced = (floor to latest).flatMap { v =>
       snapshot(fs, root, Some(v)).adds.map(_.path)
     }.toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val all = scala.collection.mutable.ArrayBuffer[String]()
     val it = fs.listFiles(root, true)
     val rootUri = root.toUri.getPath.stripSuffix("/")
     while (it.hasNext) {
-      val f = it.next().getPath
-      val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      if (!rel.startsWith("_txlog") && rel.endsWith(".parquet")) all += rel
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      if (!rel.startsWith("_txlog") && rel.endsWith(".parquet") &&
+          f.getModificationTime <= cutoff) all += rel
     }
     val doomed = all.filterNot(referenced)
     doomed.foreach(rel => fs.delete(new Path(root, rel), false))

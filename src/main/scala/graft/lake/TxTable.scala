@@ -174,8 +174,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     sys.error("unreachable")
   }
 
-  def vacuum(keepVersions: Int): Seq[String] =
-    TxLog.vacuum(fs, root, keepVersions)
+  def vacuum(keepVersions: Int, minAgeMs: Long = 0L): Seq[String] =
+    TxLog.vacuum(fs, root, keepVersions, minAgeMs)
 
   // ---- reads ----
 

@@ -125,6 +125,16 @@ class TxLogSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("vacuum's age guard protects young (possibly in-flight) files") {
+    val tab = new TxTable(spark, freshRoot("age"))
+    tab.create(docs(20))
+    tab.deleteWhere($"id" >= 10) // leaves v0's rewritten files unreferenced
+    assert(tab.vacuum(keepVersions = 1, minAgeMs = 3600L * 1000).isEmpty,
+      "files younger than the retention window must survive")
+    assert(tab.read(asOf = Some(0L)).count() === 20, "v0 untouched")
+    assert(tab.vacuum(keepVersions = 1).nonEmpty, "age 0 reclaims them")
+  }
+
   test("additive schema evolution: old files read back with nulls") {
     val tab = new TxTable(spark, freshRoot("evo"))
     tab.create(docs(5))
