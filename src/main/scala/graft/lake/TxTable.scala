@@ -235,8 +235,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       withFileCol: Boolean = false): DataFrame = {
     val schema = snap.meta.schema
     val pcols = snap.meta.partitionCols
-    if (rels.isEmpty)
-      return spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    if (rels.isEmpty) {
+      val sch = if (withFileCol)
+        StructType(schema.fields :+ StructField(FileCol, StringType))
+      else schema
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](), sch)
+    }
     val dataSchema = StructType(schema.fields.filterNot(f => pcols.contains(f.name)))
     val addByPath = snap.adds.map(a => a.path -> a).toMap
     rels.groupBy(r => addByPath(r).partitionValues)

@@ -188,6 +188,98 @@ object LakeQueries {
            |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
            |ORDER BY o_orderkey""".stripMargin))
 
+  // ---- 6. streaming MERGE into the ACID table ----
+
+  /** Streaming lakehouse ingestion: an upsert feed arrives as a file
+    * stream (one micro-batch per file) and foreachBatch MERGEs each
+    * batch into a TxTable — every micro-batch is one atomic commit, so
+    * a reader mid-stream sees a consistent prefix of batches, never a
+    * torn one (the property the parquet-overwrite variant
+    * ext_stream_cdc_apply cannot give). Batch 0 carries keys ≡0 (mod
+    * 3); batch 1 the ≡1 keys plus every %10 key re-statused 'U1';
+    * batch 2 the ≡2 keys (minus %10 — those already upserted) plus
+    * every %20 key as 'U2' —
+    * later batches override earlier ones per key, so the final table
+    * is the whole orders set with exactly the %10/%20 cascade applied.
+    * Feed, table and checkpoint live under a per-invocation unique key
+    * and are removed on the way out (result materialized first).
+    */
+  val extStreamLakeIngest = Q(
+    "ext_stream_lake_ingest",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      import scala.jdk.CollectionConverters._
+      val key = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = System.getProperty("java.io.tmpdir", "/tmp")
+      val feedDir = java.nio.file.Paths.get(tmp, "graft_lake_feed", key)
+      val tabDir = java.nio.file.Paths.get(tmp, "graft_lake_ingest", key)
+      val ckpt = java.nio.file.Paths.get(tmp, "graft_lake_ckpt", key)
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          val paths =
+            try walk.iterator().asScala.toSeq.reverse
+            finally walk.close()
+          paths.foreach(java.nio.file.Files.delete)
+        }
+      try {
+        java.nio.file.Files.createDirectories(feedDir)
+        val orders = t(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        val slices = Seq(
+          orders.where($"o_orderkey" % 3 === 0),
+          orders.where($"o_orderkey" % 3 === 1 && $"o_orderkey" % 10 =!= 0)
+            .unionAll(orders.where($"o_orderkey" % 10 === 0)
+              .withColumn("o_orderstatus", lit("U1"))),
+          orders.where($"o_orderkey" % 3 === 2 && $"o_orderkey" % 10 =!= 0)
+            .unionAll(orders.where($"o_orderkey" % 20 === 0)
+              .withColumn("o_orderstatus", lit("U2"))))
+        slices.zipWithIndex.foreach { case (slice, i) =>
+          val stage = feedDir.resolve(s"_stage_$i")
+          slice.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val listing = java.nio.file.Files.list(stage)
+          val part =
+            try listing.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"no part file in $stage"))
+            finally listing.close()
+          java.nio.file.Files.move(part, feedDir.resolve(s"ups_$i.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          rmTree(stage)
+        }
+        val tab = new TxTable(s, tabDir.toString)
+        tab.create(orders.limit(0))
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(feedDir.toString)
+        val q = stream.writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              tab.merge(batch.toDF(), Seq("o_orderkey")); ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        tab.read()
+          .orderBy($"o_orderkey")
+          .localCheckpoint(true)
+      } finally {
+        rmTree(feedDir); rmTree(tabDir); rmTree(ckpt)
+      }
+    },
+    Some("""SELECT o_orderkey,
+           |       CASE WHEN o_orderkey % 20 = 0 THEN 'U2'
+           |            WHEN o_orderkey % 10 = 0 THEN 'U1'
+           |            ELSE o_orderstatus END AS o_orderstatus,
+           |       o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeAcid, extLakeTimeTravel,
-    extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan)
+    extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
+    extStreamLakeIngest)
 }
