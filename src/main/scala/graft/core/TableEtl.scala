@@ -209,16 +209,42 @@ abstract class TableEtl(
       .lastOption.map(_._1)
   }
 
-  final def write(ds: EtlDataSet): Unit = {
-    ds.data.hint("rebalance").write
-      .option("partitionOverwriteMode", "dynamic")
-      .options(formatOptions(ds.dataFormat))
-      .format(ds.dataFormat)
-      .mode("overwrite")
-      .partitionBy(ds.partitionKeys: _*)
-      .save(ds.storagePath)
-    // latest write wins: the pinned schema is always the newest load's
-    persistSchema(ds.data.schema)
+  final def write(ds: EtlDataSet): Unit =
+    if (ds.dataFormat == "txlog") writeTx(ds)
+    else {
+      ds.data.hint("rebalance").write
+        .option("partitionOverwriteMode", "dynamic")
+        .options(formatOptions(ds.dataFormat))
+        .format(ds.dataFormat)
+        .mode("overwrite")
+        .partitionBy(ds.partitionKeys: _*)
+        .save(ds.storagePath)
+      // latest write wins: the pinned schema is always the newest load's
+      persistSchema(ds.data.schema)
+    }
+
+  /** ACID write path (`dataFormat = "txlog"`): the reference's actual
+    * storage is Delta (spark/conf/spark-defaults.conf:14); this lands
+    * the load through [[graft.lake.TxTable]] instead of plain files —
+    * first load creates the table, every later load is one ATOMIC
+    * dynamic-partition-overwrite commit (same-timestamp re-runs replace
+    * their own partition, exactly like the parquet path's dynamic mode,
+    * but readers can never see a half-written load and the schema rides
+    * in the log, not the sidecar).
+    */
+  private def writeTx(ds: EtlDataSet): Unit = {
+    val tab = new graft.lake.TxTable(spark, ds.storagePath)
+    if (!tab.exists) tab.create(ds.data.hint("rebalance"), ds.partitionKeys)
+    else {
+      require(ds.partitionKeys.size == 1,
+        s"txlog write supports exactly one partition key, got ${ds.partitionKeys}")
+      val k = ds.partitionKeys.head
+      val vals = ds.data.select(col(k).cast("string")).distinct()
+        .collect().map(_.getString(0))
+      require(vals.length == 1,
+        s"one load = one $k stamp; got ${vals.length} distinct values")
+      tab.overwritePartition(k, vals.head, ds.data.hint("rebalance"))
+    }
   }
 
   /** extract → transform → validate (throw on violation) → write-if-enabled
@@ -255,6 +281,28 @@ abstract class TableEtl(
         val df = currentData.getOrElse(throw new IllegalStateException(
           s"read() before run() with writeData=false on $name"))
         df.selectExpr(outputColumns: _*)
+      } else if (dataFormat == "txlog") {
+        // ACID read path: schema and partition values come from the
+        // transaction log (no sidecar, no directory listing, no footer
+        // merge). The latest-load lookup is pure log metadata, and the
+        // equality filter constant-folds per partition-literal scan
+        // branch, so unselected loads' files plan away entirely — the
+        // same one-load read cost as the listing path, snapshot-isolated.
+        val tab = new graft.lake.TxTable(spark, storagePath)
+        val full = tab.read()
+        val filtered =
+          if (partitionValues.nonEmpty)
+            full.where(partitionValues
+              .map { case (k, v) => col(k).cast("string") === lit(v) }
+              .reduce(_ && _))
+          else if (partitionKeys.size == 1)
+            tab.partitionValueMax(partitionKeys.head) match {
+              case Some(latest) =>
+                full.where(col(partitionKeys.head).cast("string") === lit(latest))
+              case None => full
+            }
+          else full
+        filtered.selectExpr(outputColumns: _*)
       } else {
         val filtered: DataFrame = pinnedSchema() match {
           case Some(st) if partitionValues.isEmpty =>

@@ -34,6 +34,20 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   def version: Long = TxLog.latestVersion(fs, root)
 
+  /** True once a transaction log exists at the root. */
+  def exists: Boolean = version >= 0L
+
+  /** Max partition value for `colName` across the live files — pure log
+    * metadata (no listing, no Spark job). Decoded timestamp strings
+    * order lexically = chronologically, so this IS the latest-load
+    * lookup for etl_inserted-partitioned tables.
+    */
+  def partitionValueMax(colName: String): Option[String] = {
+    val snap = TxLog.snapshot(fs, root)
+    snap.adds.flatMap(_.partitionValues.get(colName))
+      .filterNot(_ == "__HIVE_DEFAULT_PARTITION__").maxOption
+  }
+
   // ---- writes ----
 
   /** Create (or overwrite-create) the table from `df`. Version 0. */

@@ -279,7 +279,63 @@ object LakeQueries {
            |       o_totalprice
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  // ---- 7. the medallion writing through the ACID lake ----
+
+  /** The reference's tables actually live on Delta
+    * (spark/conf/spark-defaults.conf:14); `EtlContext(dataFormat =
+    * "txlog")` runs the SAME TableEtl lifecycle with the transaction
+    * log as storage: first load creates the table, each later load is
+    * one atomic partition-overwrite commit, the latest-load read comes
+    * from log metadata (no directory listing) and a partition-pinned
+    * read selects by value. Two region loads under different fixed
+    * clocks (newer a strict subset), then the head read (must see ONLY
+    * the newer 3-row load) unioned with the older-pinned read (the
+    * full 5 rows) — recency and pinning both served by the log.
+    */
+  val pipelineLakeMedallion = Q(
+    "pipeline_lake_medallion",
+    (s, dir) => {
+      import graft.core.FixedClock
+      import graft.layers.{BronzeNode, EtlContext}
+      import graft.sources.{InMemorySource, ParquetSource}
+      import java.sql.Timestamp
+      import java.time.Instant
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir", "/tmp")}" +
+        s"/graft_lake_medallion/$safe"
+      val older =
+        FixedClock(Timestamp.from(Instant.parse("2026-03-01T00:00:00Z")))
+      val newer =
+        FixedClock(Timestamp.from(Instant.parse("2026-03-02T00:00:00Z")))
+      def regionNode(clock: FixedClock, src: graft.sources.UpstreamSource) =
+        new BronzeNode(
+          EtlContext(s, src, base, dataFormat = "txlog", clock = clock),
+          "region", "region", Seq("r_regionkey"),
+          Seq("r_regionkey", "r_name"))
+      regionNode(older, ParquetSource(dir)).run()
+      val subset = s.read.parquet(s"$dir/region.parquet")
+        .where(col("r_regionkey") < 3)
+      val n2 = regionNode(newer, InMemorySource(Map("region" -> subset)))
+      n2.run()
+      val head = n2.read().data
+        .withColumn("load_tag", lit("head"))
+      val pinned = n2.read(Map("etl_inserted" -> "2026-03-01 00:00:00")).data
+        .withColumn("load_tag", lit("pinned"))
+      head.unionAll(pinned)
+        .select(col("load_tag"), col("r_regionkey"), col("r_name"),
+          col("etl_inserted"))
+        .orderBy(col("load_tag"), col("r_regionkey"))
+    },
+    Some("""SELECT 'head' AS load_tag, r_regionkey, r_name,
+           |       TIMESTAMP '2026-03-02 00:00:00' AS etl_inserted
+           |FROM region WHERE r_regionkey < 3
+           |UNION ALL
+           |SELECT 'pinned', r_regionkey, r_name,
+           |       TIMESTAMP '2026-03-01 00:00:00'
+           |FROM region
+           |ORDER BY load_tag, r_regionkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
-    extStreamLakeIngest)
+    extStreamLakeIngest, pipelineLakeMedallion)
 }

@@ -192,6 +192,19 @@ class TxLogSpec extends SparkSpec {
       tab.merge(src.unionAll(src.limit(1)), Seq("id")))
   }
 
+  test("partition-literal filter prunes other partitions' files from the plan") {
+    val tab = new TxTable(spark, freshRoot("prune"))
+    tab.create(docs(30), partitionCols = Seq("lang"))
+    val one = tab.read().where(col("lang").cast("string") === "1")
+    // the equality folds per union branch (each branch's lang is a
+    // literal), so other partitions' scans optimize away entirely —
+    // the lake's partition pruning
+    assert(one.inputFiles.nonEmpty)
+    assert(one.inputFiles.forall(_.contains("lang=1")),
+      s"non-matching partition files survived: ${one.inputFiles.toSeq}")
+    assert(one.count() === 10)
+  }
+
   test("overwritePartition replaces exactly one partition") {
     val tab = new TxTable(spark, freshRoot("op"))
     tab.create(docs(30), partitionCols = Seq("lang"))
