@@ -145,12 +145,15 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           .select(col(FileCol).as("f")).distinct()
           .collect().map(r => relPath(r.getString(0))).toSet
         val affected = snap.adds.filter(a => hit(a.path))
-        // survivors: rows of affected files whose key is NOT in source
+        // survivors: rows of affected files whose key is NOT in source.
+        // Staged together with the source rows — one write job + one
+        // stats pass instead of two of each.
         val survivors = readFiles(snap, affected.map(_.path))
           .join(keys, keyCols, "left_anti")
-        val adds = stageWrite(survivors, snap.meta) ++
-          stageWrite(src.select(snap.meta.schema.fieldNames.map(col): _*),
-            snap.meta)
+        val adds = stageWrite(
+          survivors.unionByName(
+            src.select(snap.meta.schema.fieldNames.map(col): _*)),
+          snap.meta)
         val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
           adds.map(a => LogEntry(add = Some(a))) :+
           LogEntry(info = Some(Info("MERGE", snap.version)))
