@@ -164,6 +164,13 @@ object TxLog {
       live.values.toVector)
   }
 
+  /** The commitInfo action of one commit, if recorded. */
+  def commitInfo(fs: FileSystem, root: Path, version: Long): Option[Info] = {
+    val p = commitFile(root, version)
+    require(fs.exists(p), s"missing commit $version at $root")
+    parse(readString(fs, p)).flatMap(_.info).headOption
+  }
+
   private def newestCheckpointAtOrBefore(fs: FileSystem, root: Path,
       target: Long): Option[Long] = {
     // Fast path: the _last_checkpoint pointer (one small read); fall back

@@ -1,5 +1,7 @@
 package graft.lake
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -191,8 +193,56 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     sys.error("unreachable")
   }
 
+  /** OPTIMIZE: bin-pack small files into fewer larger ones as ONE
+    * atomic commit — readers are never disturbed, and pre-optimize
+    * versions still time-travel (the small files stay on disk until
+    * vacuum). Only partition groups holding ≥ 2 files below `minRows`
+    * are rewritten; right-sized files are left alone. The lakehouse
+    * maintenance op streaming ingest makes necessary: per-micro-batch
+    * commits land per-batch-sized files.
+    */
+  def optimize(minRows: Long = 1L << 20): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      val doomed = snap.adds
+        .filter(_.rows < minRows)
+        .groupBy(_.partitionValues)
+        .filter(_._2.size >= 2)
+        .values.flatten.toVector
+      if (doomed.isEmpty) return snap.version // already compact
+      val packed = readFiles(snap, doomed.map(_.path)).hint("rebalance")
+      val adds = stageWrite(packed, snap.meta)
+      val entries = doomed.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        adds.map(a => LogEntry(add = Some(a))) :+
+        LogEntry(info = Some(Info("OPTIMIZE", snap.version)))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries, s"optimize of $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
   def vacuum(keepVersions: Int, minAgeMs: Long = 0L): Seq[String] =
     TxLog.vacuum(fs, root, keepVersions, minAgeMs)
+
+  /** DESCRIBE HISTORY: one row per commit — version, operation, and the
+    * snapshot version the writer based its work on. Pure log metadata.
+    */
+  def history(): DataFrame = {
+    val latest = version
+    require(latest >= 0, s"no transaction log at $root")
+    val rows = (0L to latest).map { v =>
+      val info = TxLog.commitInfo(fs, root, v)
+      Row(v, info.map(_.op).getOrElse("UNKNOWN"),
+        info.map(_.readVersion).getOrElse(-1L))
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("op", StringType, nullable = false),
+      StructField("read_version", LongType, nullable = false))))
+  }
 
   // ---- reads ----
 

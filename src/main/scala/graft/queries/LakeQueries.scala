@@ -335,7 +335,57 @@ object LakeQueries {
            |FROM region
            |ORDER BY load_tag, r_regionkey""".stripMargin))
 
+  // ---- 8. OPTIMIZE (log-native small-file compaction) ----
+
+  /** Four per-quarter appends land four small file sets; OPTIMIZE
+    * bin-packs them in one atomic commit (readers undisturbed,
+    * pre-optimize versions still travel). Content must be lossless —
+    * the oracle is the whole table; the file-count drop and version
+    * history are TxLogSpec's half (DuckDB cannot see the layout).
+    */
+  val extLakeOptimize = Q(
+    "ext_lake_optimize",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_opt", dir))
+      tab.create(orders.where($"o_orderkey" % 4 === 0))
+      (1 to 3).foreach(q => tab.append(orders.where($"o_orderkey" % 4 === q)))
+      tab.optimize()
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  // ---- 9. DESCRIBE HISTORY ----
+
+  /** The table's commit history as data: operation sequence and each
+    * writer's base (read) version — Delta's DESCRIBE HISTORY surface,
+    * from pure log metadata. The scripted create→append→merge→delete
+    * sequence makes the expected rows a literal table.
+    */
+  val extLakeHistory = Q(
+    "ext_lake_history",
+    (s, dir) => {
+      import s.implicits._
+      val region = t(s, dir, "region")
+      val tab = new TxTable(s, scratch("lake_hist", dir))
+      tab.create(region.where($"r_regionkey" < 3))
+      tab.append(region.where($"r_regionkey" >= 3))
+      tab.merge(region.where($"r_regionkey" === 0)
+        .withColumn("r_name", lit("PATCHED")), Seq("r_regionkey"))
+      tab.deleteWhere($"r_regionkey" === 4)
+      tab.history().orderBy($"version")
+    },
+    Some("""SELECT * FROM (VALUES
+           |  (CAST(0 AS BIGINT), 'CREATE', CAST(-1 AS BIGINT)),
+           |  (1, 'APPEND', 0), (2, 'MERGE', 1), (3, 'DELETE', 2))
+           |AS t(version, op, read_version)
+           |ORDER BY version""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
-    extStreamLakeIngest, pipelineLakeMedallion)
+    extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
+    extLakeHistory)
 }

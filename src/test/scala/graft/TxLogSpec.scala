@@ -192,6 +192,32 @@ class TxLogSpec extends SparkSpec {
       tab.merge(src.unionAll(src.limit(1)), Seq("id")))
   }
 
+  test("optimize bin-packs small files atomically; old versions still travel") {
+    val tab = new TxTable(spark, freshRoot("opt"))
+    tab.create(docs(10))
+    (1 to 4).foreach(i => tab.append(docs(5).withColumn("id", $"id" + i * 100)))
+    val beforeFiles = tab.read().inputFiles.length
+    val beforeRows = tab.read().count()
+    val v = tab.optimize()
+    assert(tab.read().inputFiles.length < beforeFiles,
+      s"optimize must shrink the file count (was $beforeFiles)")
+    assert(tab.read().count() === beforeRows, "content is lossless")
+    assert(tab.read(asOf = Some(v - 1)).count() === beforeRows,
+      "the pre-optimize snapshot still resolves")
+    assert(tab.optimize() === v, "an already-compact table is a no-op")
+  }
+
+  test("history records the operation sequence with base versions") {
+    val tab = new TxTable(spark, freshRoot("hist"))
+    tab.create(docs(10))
+    tab.append(docs(5).withColumn("id", $"id" + 100))
+    tab.deleteWhere($"id" < 3)
+    val h = tab.history().orderBy("version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(h === Array((0L, "CREATE", -1L), (1L, "APPEND", 0L),
+      (2L, "DELETE", 1L)))
+  }
+
   test("partition-literal filter prunes other partitions' files from the plan") {
     val tab = new TxTable(spark, freshRoot("prune"))
     tab.create(docs(30), partitionCols = Seq("lang"))
