@@ -43,8 +43,13 @@ object TxLog {
     */
   final case class Stat(kind: String, min: String, max: String)
 
-  final case class Meta(schemaJson: String, partitionCols: List[String]) {
+  /** `constraints` are SQL CHECK expressions every written row must
+    * satisfy (NULL passes, like SQL CHECK); absent in pre-constraint
+    * logs, so the field is optional. */
+  final case class Meta(schemaJson: String, partitionCols: List[String],
+      constraints: Option[List[String]] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    def checkExprs: List[String] = constraints.getOrElse(Nil)
   }
   /** `path` is relative to the table root; data files are immutable. */
   final case class Add(path: String, rows: Long,

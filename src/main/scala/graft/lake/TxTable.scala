@@ -76,10 +76,19 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // claim (and the schema check, against whatever landed meanwhile)
     // repeats on a lost race.
     val first = TxLog.snapshot(fs, root)
+    enforceConstraints(df, first.meta)
+    var checked = first.meta.checkExprs.toSet
     val adds = stageWrite(df, evolve(first.meta, df.schema))
     var attempt = 0
     while (attempt < maxRetries) {
       val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
+      // a concurrent ADD_CONSTRAINT must bind this append too
+      val fresh = snap.meta.checkExprs.filterNot(checked)
+      if (fresh.nonEmpty) {
+        enforceConstraints(df,
+          snap.meta.copy(constraints = Some(fresh)))
+        checked ++= fresh
+      }
       val merged = evolve(snap.meta, df.schema)
       val metaEntry =
         if (merged.schemaJson != snap.meta.schemaJson)
@@ -141,6 +150,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       var attempt = 0
       while (true) {
         val snap = TxLog.snapshot(fs, root)
+        enforceConstraints(src.select(
+          snap.meta.schema.fieldNames.filter(src.columns.contains).map(col): _*),
+          snap.meta)
         val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
         val keys = src.select(keyCols.map(col): _*)
         val hit = cur.join(keys, keyCols, "left_semi")
@@ -180,6 +192,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val snap = TxLog.snapshot(fs, root)
       require(snap.meta.partitionCols.contains(partCol),
         s"$partCol is not a partition column of $root")
+      enforceConstraints(df, snap.meta)
       val doomed = snap.adds.filter(_.partitionValues.get(partCol).contains(value))
       val adds = stageWrite(df, snap.meta)
       val entries = doomed.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
@@ -226,6 +239,42 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   def vacuum(keepVersions: Int, minAgeMs: Long = 0L): Seq[String] =
     TxLog.vacuum(fs, root, keepVersions, minAgeMs)
+
+  /** ADD CONSTRAINT: a SQL CHECK expression every future write must
+    * satisfy (NULL passes, SQL's CHECK rule). Existing rows are
+    * validated first — a table already violating the constraint refuses
+    * it, like Delta. The constraint rides in the log's metaData, so
+    * every writer (including one that opened the table later) enforces
+    * it from its snapshot.
+    */
+  def addConstraint(checkExpr: String): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      val bad = readSnapshot(snap)
+        .where(!coalesce(expr(checkExpr), lit(true))).limit(1).count()
+      require(bad == 0,
+        s"existing rows violate CHECK ($checkExpr) — constraint refused")
+      val meta = snap.meta.copy(
+        constraints = Some(snap.meta.checkExprs :+ checkExpr))
+      val entries = Seq(LogEntry(meta = Some(meta)),
+        LogEntry(info = Some(Info("ADD_CONSTRAINT", snap.version))))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries, s"addConstraint on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** Fail (BEFORE any file is staged) if a row of `df` violates a table
+    * CHECK constraint. One limit-1 probe per constraint over the new
+    * rows only. */
+  private def enforceConstraints(df: DataFrame, meta: Meta): Unit =
+    meta.checkExprs.foreach { c =>
+      val bad = df.where(!coalesce(expr(c), lit(true))).limit(1).count()
+      require(bad == 0, s"write violates CHECK ($c) — commit refused")
+    }
 
   /** DESCRIBE HISTORY: one row per commit — version, operation, and the
     * snapshot version the writer based its work on. Pure log metadata.
@@ -343,8 +392,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     }
     val added = incoming.fields.filterNot(f => curNames(f.name))
     if (added.isEmpty) meta
-    else Meta(StructType(cur.fields ++ added.map(_.copy(nullable = true))).json,
-      meta.partitionCols)
+    else meta.copy(schemaJson =
+      StructType(cur.fields ++ added.map(_.copy(nullable = true))).json)
   }
 
   /** Write `df` as new immutable files under `data/<uuid>/` and return

@@ -384,8 +384,37 @@ object LakeQueries {
            |AS t(version, op, read_version)
            |ORDER BY version""".stripMargin))
 
+  // ---- 10. CHECK constraints ----
+
+  /** Table-level CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT):
+    * after `o_totalprice >= 0` is added, an append of negated prices is
+    * REFUSED before a single file is committed — the table still reads
+    * exactly its pre-attempt content — and the honest append then
+    * lands. Oracle = the whole table: a leaked row from the refused
+    * write (or a lost good row) breaks the hash.
+    */
+  val extLakeConstraint = Q(
+    "ext_lake_constraint",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_chk", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0))
+      tab.addConstraint("o_totalprice >= 0")
+      val odds = orders.where($"o_orderkey" % 2 === 1)
+      val refused =
+        try { tab.append(odds.withColumn("o_totalprice", -$"o_totalprice")); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "the violating append must be refused")
+      tab.append(odds)
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
     extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
-    extLakeHistory)
+    extLakeHistory, extLakeConstraint)
 }

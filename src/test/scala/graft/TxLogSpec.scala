@@ -192,6 +192,24 @@ class TxLogSpec extends SparkSpec {
       tab.merge(src.unionAll(src.limit(1)), Seq("id")))
   }
 
+  test("CHECK constraints gate every write path atomically") {
+    val tab = new TxTable(spark, freshRoot("chk"))
+    tab.create(docs(10))
+    tab.addConstraint("id >= 0")
+    val v = tab.version
+    intercept[IllegalArgumentException](
+      tab.append(docs(5).withColumn("id", $"id" - 100L)))
+    assert(tab.version === v, "a refused append must commit nothing")
+    assert(tab.read().count() === 10)
+    tab.append(docs(3).withColumn("id", $"id" + 50L)) // satisfying rows pass
+    assert(tab.read().count() === 13)
+    // a constraint the existing data already violates is refused
+    intercept[IllegalArgumentException](tab.addConstraint("id < 20"))
+    // merge enforces too
+    intercept[IllegalArgumentException](
+      tab.merge(docs(2).withColumn("id", $"id" - 7L), Seq("id")))
+  }
+
   test("optimize bin-packs small files atomically; old versions still travel") {
     val tab = new TxTable(spark, freshRoot("opt"))
     tab.create(docs(10))
