@@ -114,16 +114,17 @@ object ZOrderLayout {
     * user id gets no say in which file a row lands in). The min/max
     * pre-pass is one cheap agg; at 100 TB it reads column stats, not data.
     */
-  def writeZOrder(df: DataFrame, path: String, ca: String, cb: String,
-      bits: Int, partitions: Int): Unit = {
+  /** The reusable half of [[writeZOrder]]: the frame re-clustered along
+    * the curve (range-partitioned + sorted by the scaled Morton code,
+    * helper column dropped). Returns `df` unchanged on empty/all-null
+    * key columns. Consumed by the dir-based writer below and by the
+    * ACID table's OPTIMIZE ZORDER ([[graft.lake.TxTable.optimize]]).
+    */
+  def zOrdered(df: DataFrame, ca: String, cb: String,
+      bits: Int, partitions: Int): DataFrame = {
     val r = df.agg(min(col(ca)), max(col(ca)), min(col(cb)), max(col(cb)))
       .first()
-    if (r.isNullAt(0) || r.isNullAt(2)) {
-      // empty input or all-null key column: nothing to order — write
-      // as-is rather than NPE on the absent bounds
-      df.write.mode("overwrite").parquet(path)
-      return
-    }
+    if (r.isNullAt(0) || r.isNullAt(2)) return df
     def b(i: Int): Long = r.getAs[Number](i).longValue
     def scaled(c: String, lo: Long, hi: Long): Column =
       ((col(c) - lit(lo)).cast("long") * lit(1L << bits)
@@ -134,8 +135,12 @@ object ZOrderLayout {
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
+
+  def writeZOrder(df: DataFrame, path: String, ca: String, cb: String,
+      bits: Int, partitions: Int): Unit =
+    zOrdered(df, ca, cb, bits, partitions)
+      .write.mode("overwrite").parquet(path)
 }
 
 object Bucketing {

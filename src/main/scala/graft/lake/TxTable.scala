@@ -214,17 +214,33 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * maintenance op streaming ingest makes necessary: per-micro-batch
     * commits land per-batch-sized files.
     */
-  def optimize(minRows: Long = 1L << 20): Long = {
+  /** With `zorderBy = Some((a, b))` this is OPTIMIZE ZORDER BY: ALL
+    * live files are rewritten re-clustered along the Morton curve of
+    * the two columns ([[graft.ext.ZOrderLayout.zOrdered]]), so each new
+    * file carries a TIGHT min/max box on BOTH columns and
+    * [[readBetween]]/[[candidateFiles]] prune on either dimension —
+    * Delta's OPTIMIZE ZORDER, driven entirely by the log's stats.
+    */
+  def optimize(minRows: Long = 1L << 20,
+      zorderBy: Option[(String, String)] = None,
+      zPartitions: Int = 8, zBits: Int = 10): Long = {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
-      val doomed = snap.adds
-        .filter(_.rows < minRows)
-        .groupBy(_.partitionValues)
-        .filter(_._2.size >= 2)
-        .values.flatten.toVector
+      val doomed = zorderBy match {
+        case Some(_) => snap.adds // global re-cluster
+        case None => snap.adds
+          .filter(_.rows < minRows)
+          .groupBy(_.partitionValues)
+          .filter(_._2.size >= 2)
+          .values.flatten.toVector
+      }
       if (doomed.isEmpty) return snap.version // already compact
-      val packed = readFiles(snap, doomed.map(_.path)).hint("rebalance")
+      val packed = zorderBy match {
+        case Some((a, b)) => graft.ext.ZOrderLayout.zOrdered(
+          readFiles(snap, doomed.map(_.path)), a, b, zBits, zPartitions)
+        case None => readFiles(snap, doomed.map(_.path)).hint("rebalance")
+      }
       val adds = stageWrite(packed, snap.meta)
       val entries = doomed.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
         adds.map(a => LogEntry(add = Some(a))) :+

@@ -384,7 +384,34 @@ object LakeQueries {
            |AS t(version, op, read_version)
            |ORDER BY version""".stripMargin))
 
-  // ---- 10. CHECK constraints ----
+  // ---- 10. OPTIMIZE ZORDER BY ----
+
+  /** OPTIMIZE ZORDER BY through the log: events land scattered (every
+    * file spans the full user and day ranges — stats skip nothing),
+    * one z-order optimize re-clusters along the (user_id, day) Morton
+    * curve, and the single-user read is served by [[TxTable
+    * .readBetween]] over the files whose logged min/max survive. The
+    * oracle proves the pruned read loses no row; the 2-D pruning factor
+    * itself is TxLogSpec's half.
+    */
+  val extLakeZorderScan = Q(
+    "ext_lake_zorder_scan",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("day", dayofmonth($"ts").cast("long"))
+        .select($"event_id", $"user_id", $"day", $"value")
+      val tab = new TxTable(s, scratch("lake_zorder", dir))
+      tab.create(ev.repartition(8))
+      tab.optimize(zorderBy = Some(("user_id", "day")), zPartitions = 8)
+      tab.readBetween("user_id", 3L, 3L).orderBy($"event_id")
+    },
+    Some("""SELECT event_id, user_id,
+           |       CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS day,
+           |       value
+           |FROM events WHERE user_id = 3 ORDER BY event_id""".stripMargin))
+
+  // ---- 11. CHECK constraints ----
 
   /** Table-level CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT):
     * after `o_totalprice >= 0` is added, an append of negated prices is
@@ -416,5 +443,5 @@ object LakeQueries {
   val all: Seq[Q] = Seq(extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
     extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
-    extLakeHistory, extLakeConstraint)
+    extLakeHistory, extLakeZorderScan, extLakeConstraint)
 }

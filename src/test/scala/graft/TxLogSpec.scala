@@ -225,6 +225,29 @@ class TxLogSpec extends SparkSpec {
     assert(tab.optimize() === v, "an already-compact table is a no-op")
   }
 
+  test("OPTIMIZE ZORDER tightens per-file stats on BOTH dimensions") {
+    val rootStr = freshRoot("zopt")
+    val tab = new TxTable(spark, rootStr)
+    val grid = spark.range(1024)
+      .select(($"id" % 32).as("u"), ($"id" / 32).as("d"))
+    tab.create(grid.repartition(8)) // round-robin: every file spans both ranges
+    val fs = new Path(rootStr).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = TxLog.snapshot(fs, new Path(rootStr))
+    assert(tab.candidateFiles(before, "u", 0L, 3L).size === before.adds.size,
+      "pre-zorder, a narrow slice cannot skip anything")
+    tab.optimize(zorderBy = Some(("u", "d")), zPartitions = 16)
+    val after = TxLog.snapshot(fs, new Path(rootStr))
+    val total = after.adds.size
+    assert(total > 2, s"z-rewrite should land several files, got $total")
+    val uHit = tab.candidateFiles(after, "u", 0L, 3L).size
+    val dHit = tab.candidateFiles(after, "d", 0L, 3L).size
+    assert(uHit <= total / 2, s"u-slice touches $uHit of $total")
+    assert(dHit <= total / 2, s"d-slice touches $dHit of $total")
+    // and the pruned read is still exact
+    val got = tab.readBetween("u", 0L, 3L).count()
+    assert(got === 1024 / 32 * 4)
+  }
+
   test("history records the operation sequence with base versions") {
     val tab = new TxTable(spark, freshRoot("hist"))
     tab.create(docs(10))
