@@ -331,15 +331,26 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   }
 
   /** The skipping decision, exposed for tests: files whose stats CANNOT
-    * exclude [lo,hi] (missing stats keep the file — conservative). */
+    * exclude [lo,hi] (missing stats keep the file — conservative).
+    * Partition columns carry no per-file stats — their single value
+    * rides in partitionValues and prunes exactly. */
   def candidateFiles(snap: Snapshot, colName: String, lo: Any, hi: Any): Vector[Add] =
     snap.adds.filter { a =>
       a.stats.get(colName) match {
-        case None => true
         case Some(st) => st.kind match {
           case "l" => st.max.toLong >= toL(lo) && st.min.toLong <= toL(hi)
           case "d" => st.max.toDouble >= toD(lo) && st.min.toDouble <= toD(hi)
           case _   => st.max >= lo.toString && st.min <= hi.toString
+        }
+        case None => a.partitionValues.get(colName) match {
+          case Some(v) if v != "__HIVE_DEFAULT_PARTITION__" =>
+            (lo, hi) match {
+              case (l: Number, h: Number) =>
+                scala.util.Try(v.toDouble).toOption
+                  .forall(d => d >= l.doubleValue && d <= h.doubleValue)
+              case _ => v >= lo.toString && v <= hi.toString
+            }
+          case _ => true
         }
       }
     }

@@ -225,6 +225,20 @@ class TxLogSpec extends SparkSpec {
     assert(tab.optimize() === v, "an already-compact table is a no-op")
   }
 
+  test("candidateFiles prunes partition columns from partitionValues") {
+    val rootStr = freshRoot("ppv")
+    val tab = new TxTable(spark, rootStr)
+    tab.create(docs(30), partitionCols = Seq("lang"))
+    val fs = new Path(rootStr).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = TxLog.snapshot(fs, new Path(rootStr))
+    val cand = tab.candidateFiles(snap, "lang", "1", "1")
+    assert(cand.nonEmpty && cand.size < snap.adds.size,
+      s"partition pruning kept ${cand.size} of ${snap.adds.size}")
+    assert(cand.forall(_.partitionValues.get("lang").contains("1")))
+    val got = tab.readBetween("lang", "1", "1").count()
+    assert(got === 10)
+  }
+
   test("OPTIMIZE ZORDER tightens per-file stats on BOTH dimensions") {
     val rootStr = freshRoot("zopt")
     val tab = new TxTable(spark, rootStr)
