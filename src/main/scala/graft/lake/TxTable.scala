@@ -256,6 +256,38 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def vacuum(keepVersions: Int, minAgeMs: Long = 0L): Seq[String] =
     TxLog.vacuum(fs, root, keepVersions, minAgeMs)
 
+  /** RESTORE to an older version as a NEW commit (Delta's RESTORE):
+    * the live file set (and metadata) become `toVersion`'s again, while
+    * history keeps every commit — the undo for a bad delete/merge that
+    * is itself time-travelable. Fails clearly if vacuum already
+    * reclaimed a file the old version needs.
+    */
+  def restore(toVersion: Long): Long = {
+    val old = TxLog.snapshot(fs, root, Some(toVersion))
+    old.adds.foreach { a =>
+      require(fs.exists(new Path(root, a.path)),
+        s"cannot restore to v$toVersion: ${a.path} was vacuumed")
+    }
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      val cur = snap.adds.map(_.path).toSet
+      val tgt = old.adds.map(_.path).toSet
+      val entries =
+        (if (old.meta != snap.meta) Seq(LogEntry(meta = Some(old.meta))) else Nil) ++
+        snap.adds.filterNot(a => tgt(a.path))
+          .map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        old.adds.filterNot(a => cur(a.path))
+          .map(a => LogEntry(add = Some(a))) :+
+        LogEntry(info = Some(Info("RESTORE", snap.version)))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries, s"restore of $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
   /** ADD CONSTRAINT: a SQL CHECK expression every future write must
     * satisfy (NULL passes, SQL's CHECK rule). Existing rows are
     * validated first — a table already violating the constraint refuses

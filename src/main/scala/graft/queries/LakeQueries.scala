@@ -411,7 +411,31 @@ object LakeQueries {
            |       value
            |FROM events WHERE user_id = 3 ORDER BY event_id""".stripMargin))
 
-  // ---- 11. CHECK constraints ----
+  // ---- 11. RESTORE ----
+
+  /** RESTORE as the undo of a destructive rewrite: create evens,
+    * append odds, delete everything cheap — then restore to the
+    * pre-delete version. The table must read EXACTLY the full orders
+    * again (the oracle), while the delete stays in history as its own
+    * commit (TxLogSpec's half).
+    */
+  val extLakeRestore = Q(
+    "ext_lake_restore",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_restore", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0))
+      tab.append(orders.where($"o_orderkey" % 2 === 1))
+      tab.deleteWhere($"o_totalprice" < 200000.0)
+      tab.restore(1L)
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  // ---- 12. CHECK constraints ----
 
   /** Table-level CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT):
     * after `o_totalprice >= 0` is added, an append of negated prices is
@@ -443,5 +467,5 @@ object LakeQueries {
   val all: Seq[Q] = Seq(extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
     extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
-    extLakeHistory, extLakeZorderScan, extLakeConstraint)
+    extLakeHistory, extLakeZorderScan, extLakeRestore, extLakeConstraint)
 }

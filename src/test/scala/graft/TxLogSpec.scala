@@ -225,6 +225,22 @@ class TxLogSpec extends SparkSpec {
     assert(tab.optimize() === v, "an already-compact table is a no-op")
   }
 
+  test("restore rewinds the live set as a new commit; vacuumed targets refuse") {
+    val tab = new TxTable(spark, freshRoot("rst"))
+    tab.create(docs(20))
+    tab.deleteWhere($"id" >= 10)
+    assert(tab.read().count() === 10)
+    val v = tab.restore(0L)
+    assert(tab.read().count() === 20, "the delete is undone")
+    assert(tab.read(asOf = Some(v - 1)).count() === 10,
+      "the deleted state is still in history")
+    val h = tab.history().collect().map(_.getString(1))
+    assert(h.last === "RESTORE")
+    tab.deleteWhere($"id" >= 10)
+    tab.vacuum(keepVersions = 1)
+    intercept[IllegalArgumentException](tab.restore(0L))
+  }
+
   test("candidateFiles prunes partition columns from partitionValues") {
     val rootStr = freshRoot("ppv")
     val tab = new TxTable(spark, rootStr)
