@@ -225,6 +225,26 @@ class TxLogSpec extends SparkSpec {
     assert(tab.optimize() === v, "an already-compact table is a no-op")
   }
 
+  test("concurrent merges on disjoint keys both land") {
+    val tab = new TxTable(spark, freshRoot("mm"))
+    tab.create(docs(100))
+    val a = docs(100).where($"id" < 10).withColumn("text", lit("A"))
+    val b = docs(100).where($"id" >= 50 && $"id" < 60).withColumn("text", lit("B"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fs = Seq(a, b).map(src =>
+        scala.concurrent.Future(tab.merge(src, Seq("id"))))
+      scala.concurrent.Await.result(scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration(120, "s"))
+    } finally pool.shutdown()
+    val got = tab.read()
+    assert(got.count() === 100, "no row lost or duplicated")
+    assert(got.where($"text" === "A").count() === 10)
+    assert(got.where($"text" === "B").count() === 10)
+  }
+
   test("restore rewinds the live set as a new commit; vacuumed targets refuse") {
     val tab = new TxTable(spark, freshRoot("rst"))
     tab.create(docs(20))
