@@ -256,6 +256,31 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def vacuum(keepVersions: Int, minAgeMs: Long = 0L): Seq[String] =
     TxLog.vacuum(fs, root, keepVersions, minAgeMs)
 
+  /** Shallow CLONE (Delta's CLONE ... SHALLOW): a NEW table whose log
+    * REFERENCES this table's current data files by absolute path — zero
+    * bytes copied, ready in O(files) metadata. Writes to the clone land
+    * in the clone's own directory (copy-on-write rewrites reference
+    * nothing from the source), so source and clone diverge freely; the
+    * standard dev/test-against-production workflow. Caveat (Delta's
+    * too): the clone's referenced files live under the SOURCE — a
+    * source-side vacuum past the cloned version breaks the clone.
+    */
+  def cloneTo(destRoot: String): TxTable = {
+    val snap = TxLog.snapshot(fs, root)
+    val dest = new Path(destRoot)
+    val dfs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (dfs.exists(dest)) dfs.delete(dest, true)
+    dfs.mkdirs(dest)
+    val absAdds = snap.adds.map(a =>
+      a.copy(path = new Path(root, a.path).toUri.getPath))
+    val entries = LogEntry(meta = Some(snap.meta)) +:
+      absAdds.map(a => LogEntry(add = Some(a))) :+
+      LogEntry(info = Some(Info("CLONE", snap.version)))
+    require(TxLog.tryCommit(dfs, dest, 0L, entries),
+      s"clone target $destRoot already has a log")
+    new TxTable(spark, destRoot)
+  }
+
   /** RESTORE to an older version as a NEW commit (Delta's RESTORE):
     * the live file set (and metadata) become `toVersion`'s again, while
     * history keeps every commit — the undo for a bad delete/merge that
@@ -514,11 +539,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     case _                                             => None
   }
 
+  /** Relative under this root for own files; pass-through absolute for
+    * files a shallow clone references outside it (their Add.path is
+    * stored absolute, so the round-trip matches either way). */
   private def relPath(abs: String): String = {
     val a = new Path(new java.net.URI(abs)).toUri.getPath
     val r = root.toUri.getPath.stripSuffix("/")
-    require(a.startsWith(r + "/"), s"file $abs outside table root $root")
-    a.stripPrefix(r + "/")
+    if (a.startsWith(r + "/")) a.stripPrefix(r + "/") else a
   }
 
   private def partValues(rel: String): Map[String, String] =

@@ -411,7 +411,47 @@ object LakeQueries {
            |       value
            |FROM events WHERE user_id = 3 ORDER BY event_id""".stripMargin))
 
-  // ---- 11. RESTORE ----
+  // ---- 11. shallow CLONE ----
+
+  /** Shallow clone + divergence: the clone is created zero-copy (its
+    * log references the source's files), then a destructive delete runs
+    * ON THE CLONE ONLY. Per-priority totals from both tables: the
+    * source must still show the full corpus, the clone the filtered one
+    * — proving copy-on-write isolation with no bytes duplicated (the
+    * zero-data-files half is TxLogSpec's).
+    */
+  val extLakeClone = Q(
+    "ext_lake_clone",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val tab = new TxTable(s, scratch("lake_clone_src", dir))
+      tab.create(orders)
+      val clone = tab.cloneTo(scratch("lake_clone_dst", dir))
+      clone.deleteWhere($"o_totalprice" < 100000.0)
+      def totals(df: DataFrame, tag: String): DataFrame =
+        df.groupBy($"o_orderpriority")
+          .agg(count(lit(1L)).as("n"),
+            sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+              .as("revenue"))
+          .withColumn("snap", lit(tag))
+          .select($"snap", $"o_orderpriority", $"n", $"revenue")
+      totals(tab.read(), "src")
+        .unionAll(totals(clone.read(), "clone"))
+        .orderBy($"snap", $"o_orderpriority")
+    },
+    Some("""WITH src AS (
+           |  SELECT 'src' AS snap, o_orderpriority, COUNT(*) AS n,
+           |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |  FROM orders GROUP BY 2),
+           |cl AS (
+           |  SELECT 'clone' AS snap, o_orderpriority, COUNT(*) AS n,
+           |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |  FROM orders WHERE o_totalprice >= 100000 GROUP BY 2)
+           |SELECT * FROM src UNION ALL SELECT * FROM cl
+           |ORDER BY snap, o_orderpriority""".stripMargin))
+
+  // ---- 12. RESTORE ----
 
   /** RESTORE as the undo of a destructive rewrite: create evens,
     * append odds, delete everything cheap — then restore to the
@@ -467,5 +507,6 @@ object LakeQueries {
   val all: Seq[Q] = Seq(extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
     extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
-    extLakeHistory, extLakeZorderScan, extLakeRestore, extLakeConstraint)
+    extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,
+    extLakeConstraint)
 }

@@ -245,6 +245,30 @@ class TxLogSpec extends SparkSpec {
     assert(got.where($"text" === "B").count() === 10)
   }
 
+  test("shallow clone reads the source zero-copy and diverges on write") {
+    val tab = new TxTable(spark, freshRoot("clsrc"))
+    tab.create(docs(30))
+    val cloneRoot = freshRoot("cldst")
+    val clone = tab.cloneTo(cloneRoot)
+    assert(clone.read().count() === 30)
+    // zero copy: no data file lives under the clone root
+    val dfs = new Path(cloneRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = dfs.listFiles(new Path(cloneRoot), true)
+    var dataFiles = 0
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) dataFiles += 1
+    assert(dataFiles === 0, s"clone staged $dataFiles data files")
+    assert(clone.history().collect().head.getString(1) === "CLONE")
+    // divergence both ways: a clone rewrite never touches the source...
+    clone.deleteWhere($"id" < 10)
+    assert(clone.read().count() === 20)
+    assert(tab.read().count() === 30, "source unaffected by clone delete")
+    // ...and a source append never reaches the clone
+    tab.append(docs(5).withColumn("id", $"id" + 500))
+    assert(tab.read().count() === 35)
+    assert(clone.read().count() === 20, "clone unaffected by source append")
+  }
+
   test("restore rewinds the live set as a new commit; vacuumed targets refuse") {
     val tab = new TxTable(spark, freshRoot("rst"))
     tab.create(docs(20))
