@@ -132,6 +132,61 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     sys.error("unreachable")
   }
 
+  /** UPDATE ... SET: rows matching `cond` get the `set` expressions
+    * applied; everything else is untouched. Copy-on-write like
+    * [[deleteWhere]]: only files that actually hold a matching row are
+    * rewritten (matched rows transformed, non-matched neighbours copied
+    * verbatim), one atomic commit. NULL predicates don't match (SQL
+    * UPDATE's rule). Set expressions may reference the old row —
+    * `update($"k" > 3, Map("v" -> $"v" * 2))` doubles in place.
+    * Partition columns refuse updates (a moved row would need a
+    * remove+add across partitions — Delta refuses this too).
+    */
+  def update(cond: Column, set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      val schema = snap.meta.schema
+      set.keys.foreach { c =>
+        require(schema.fieldNames.contains(c), s"SET column $c not in table schema")
+        require(!snap.meta.partitionCols.contains(c),
+          s"cannot UPDATE partition column $c")
+      }
+      val matched = coalesce(cond, lit(false))
+      val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
+      val hit = cur.where(matched)
+        .select(col(FileCol).as("f")).distinct()
+        .collect().map(r => relPath(r.getString(0))).toSet
+      if (hit.isEmpty) return snap.version // nothing matches, no commit
+      val affected = snap.adds.filter(a => hit(a.path))
+      // the match flag is computed on the OLD row, before any SET lands
+      // (a SET that flips its own predicate must not re-evaluate)
+      val flag = "__txlog_upd"
+      val rewritten = readFiles(snap, affected.map(_.path))
+        .withColumn(flag, matched)
+        .select(schema.fieldNames.map { c =>
+          set.get(c) match {
+            case Some(e) =>
+              when(col(flag), e.cast(schema(c).dataType)).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        } :+ col(flag): _*)
+      // constraints need probing only on the transformed rows — the
+      // copied-verbatim neighbours already passed at their own write
+      enforceConstraints(rewritten.where(col(flag)).drop(flag), snap.meta)
+      val adds = stageWrite(rewritten.drop(flag), snap.meta)
+      val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        adds.map(a => LogEntry(add = Some(a))) :+
+        LogEntry(info = Some(Info("UPDATE", snap.version)))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries, s"update in $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
   /** MERGE (whole-row upsert): rows of `source` replace current rows
     * sharing their key; unmatched source rows insert. Copy-on-write on
     * exactly the files holding a matched key — the unmatched bulk of

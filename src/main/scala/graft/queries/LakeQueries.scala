@@ -475,6 +475,44 @@ object LakeQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  // ---- 13. UPDATE ... SET ----
+
+  /** Copy-on-write UPDATE (Delta's UPDATE ... SET): urgent orders above
+    * 200k get re-statused 'E' and a 10% price cut IN PLACE — the SET
+    * expression reads the old row, the match predicate is evaluated
+    * before any assignment lands, and only files holding a matched row
+    * are rewritten (that bound is TxLogSpec's half). Oracle = the same
+    * CASE over the whole table; the untouched rows prove the rewrite
+    * copied non-matching neighbours verbatim.
+    */
+  val extLakeUpdate = Q(
+    "ext_lake_update",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderpriority")
+      val tab = new TxTable(s, scratch("lake_upd", dir))
+      tab.create(orders.repartitionByRange(8, $"o_orderkey"))
+      tab.update(
+        $"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 200000.0,
+        Map("o_orderstatus" -> lit("E"),
+          "o_totalprice" -> ($"o_totalprice" * 0.9)))
+      tab.read()
+        .select($"o_orderkey", $"o_orderstatus",
+          // one decimal rounding on BOTH sides: double×0.9 is exact in
+          // neither engine, 2dp is the price domain anyway
+          round($"o_totalprice", 2).as("o_totalprice"), $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |       CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+           |            THEN 'E' ELSE o_orderstatus END AS o_orderstatus,
+           |       ROUND(CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+           |             THEN o_totalprice * 0.9 ELSE o_totalprice END, 2) AS o_totalprice,
+           |       o_orderpriority
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   // ---- 12. CHECK constraints ----
 
   /** Table-level CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT):
@@ -508,5 +546,5 @@ object LakeQueries {
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
     extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
     extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,
-    extLakeConstraint)
+    extLakeConstraint, extLakeUpdate)
 }
