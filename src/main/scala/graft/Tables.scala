@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided testdata (TESTDATA.md): one parquet per
   * table under `/root/testdata/sf*`. Role mapping onto the reference's
@@ -18,12 +18,20 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
-    // a long (spark.sql.legacy.parquet.nanosAsLong — set in Verify/Bench/
-    // test sessions). Normalize to TimestampType at µs precision; the
-    // truncation (floor) matches DuckDB's CAST(ts_ns AS TIMESTAMP).
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // The driver has shipped events.ts under three parquet encodings across
+    // rounds: TIMESTAMP(NANOS) (readable only as a long under
+    // spark.sql.legacy.parquet.nanosAsLong, set in every session),
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ),
+    // and plain TIMESTAMP. Normalize all three to TimestampType at µs
+    // precision so downstream ts consumers (unix_micros, windows, watermarks)
+    // see one type. Sessions run UTC, so the NTZ cast is value-preserving;
+    // the nanos truncation (floor) matches DuckDB's CAST(ts_ns AS TIMESTAMP).
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
     else df
   }
 }

@@ -414,9 +414,9 @@ object CurationQueries {
       val name = "stream_join_" + math.abs(dir.hashCode).toString
       graft.streaming.StreamOps.runToCompletion(
         s, ExtQueries.streamSourceDir(dir, "join"),
-        ExtQueries.eventsStreamSchema,
+        ExtQueries.eventsStreamSchema(s, dir),
         df => graft.streaming.StreamOps.clickAttribution(
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+          ExtQueries.normalizeStreamTs(df)),
         name, org.apache.spark.sql.streaming.OutputMode.Append,
         statePartitions = Some(8))
         .orderBy($"purchase_id", $"click_id")
@@ -452,9 +452,9 @@ object CurationQueries {
       val name = "stream_join_outer_" + math.abs(dir.hashCode).toString
       graft.streaming.StreamOps.runToCompletion(
         s, ExtQueries.streamSourceDir(dir, "join_outer"),
-        ExtQueries.eventsStreamSchema,
+        ExtQueries.eventsStreamSchema(s, dir),
         df => graft.streaming.StreamOps.clickAttributionOuter(
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+          ExtQueries.normalizeStreamTs(df)),
         name, org.apache.spark.sql.streaming.OutputMode.Append,
         statePartitions = Some(8))
         .orderBy($"purchase_id", $"click_id".asc_nulls_first)
@@ -519,9 +519,9 @@ object CurationQueries {
       val name = "stream_join_fo_" + math.abs(dir.hashCode).toString
       graft.streaming.StreamOps.runToCompletion(
         s, ExtQueries.streamSourceDir(dir, "join_fo"),
-        ExtQueries.eventsStreamSchema,
+        ExtQueries.eventsStreamSchema(s, dir),
         df => graft.streaming.StreamOps.clickAttributionFullOuter(
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+          ExtQueries.normalizeStreamTs(df)),
         name, org.apache.spark.sql.streaming.OutputMode.Append,
         statePartitions = Some(8))
         .orderBy($"user_id", $"purchase_id".asc_nulls_first,

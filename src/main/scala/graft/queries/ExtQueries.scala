@@ -1058,18 +1058,32 @@ object ExtQueries {
            |       md5(text) AS checksum
            |FROM documents ORDER BY doc_id""".stripMargin))
 
-  /** The raw events parquet schema as the file-stream source sees it
-    * (ts arrives as TIMESTAMP(NANOS) → long under nanosAsLong; each
-    * streaming query normalizes it to µs TimestampType like
-    * [[graft.Tables.load]]).
+  /** The raw events parquet schema EXACTLY as the file-stream source will
+    * see it — probed from the actual file, never hard-coded: the driver has
+    * regenerated events.parquet with different `ts` encodings across rounds
+    * (TIMESTAMP(NANOS) → long under nanosAsLong; TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) → TIMESTAMP_NTZ; plain TIMESTAMP). One batch
+    * read of the footer (metadata-only) keeps the stream schema in lock-step
+    * with whatever encoding is on disk; [[normalizeStreamTs]] then maps any
+    * of the three to µs TimestampType, mirroring [[graft.Tables.load]].
     */
-  private[queries] def eventsStreamSchema = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+  private[graft] def eventsStreamSchema(
+      s: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
+    s.read.parquet(s"$dir/events.parquet").schema
+
+  /** Stream-side twin of [[graft.Tables.load]]'s `ts` normalization:
+    * long-nanos → µs timestamp; TIMESTAMP_NTZ → TimestampType (UTC
+    * session, value-preserving); TimestampType passes through.
+    */
+  private[graft] def normalizeStreamTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** The file-stream source requires a directory: expose the single
@@ -1132,9 +1146,9 @@ object ExtQueries {
       import s.implicits._
       val name = "stream_counts_" + math.abs(dir.hashCode).toString
       graft.streaming.StreamOps.runToCompletion(
-        s, streamSourceDir(dir, "counts"), eventsStreamSchema,
+        s, streamSourceDir(dir, "counts"), eventsStreamSchema(s, dir),
         df => graft.streaming.StreamOps.windowedEventCounts(
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+          normalizeStreamTs(df)),
         name, statePartitions = Some(8))
         .select($"window.start".as("window_start"),
           $"window.end".as("window_end"),
@@ -1195,9 +1209,9 @@ object ExtQueries {
       import s.implicits._
       val name = "stream_sliding_" + math.abs(dir.hashCode).toString
       graft.streaming.StreamOps.runToCompletion(
-        s, streamSourceDir(dir, "sliding"), eventsStreamSchema,
+        s, streamSourceDir(dir, "sliding"), eventsStreamSchema(s, dir),
         df => graft.streaming.StreamOps.windowedEventCounts(
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+          normalizeStreamTs(df),
           "10 minutes", "10 minutes", slide = Some("5 minutes")),
         name, statePartitions = Some(8))
         .select($"window.start".as("window_start"),
@@ -1232,9 +1246,9 @@ object ExtQueries {
       import s.implicits._
       val name = "stream_sessions_" + math.abs(dir.hashCode).toString
       graft.streaming.StreamOps.runToCompletion(
-        s, streamSourceDir(dir, "sessions"), eventsStreamSchema,
+        s, streamSourceDir(dir, "sessions"), eventsStreamSchema(s, dir),
         df => graft.streaming.StreamOps.sessionize(
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          normalizeStreamTs(df)
             .select($"user_id", $"event_id", $"ts")
             .as[graft.streaming.StreamOps.Event]).toDF(),
         name, org.apache.spark.sql.streaming.OutputMode.Append,
@@ -1277,9 +1291,9 @@ object ExtQueries {
       import s.implicits._
       val name = "stream_dedup_" + math.abs(dir.hashCode).toString
       graft.streaming.StreamOps.runToCompletion(
-        s, streamSourceDir(dir, "dedup", copies = 2), eventsStreamSchema,
+        s, streamSourceDir(dir, "dedup", copies = 2), eventsStreamSchema(s, dir),
         df => graft.streaming.StreamOps.dedupStream(
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+          normalizeStreamTs(df)),
         name, org.apache.spark.sql.streaming.OutputMode.Append,
         statePartitions = Some(8))
         .select($"event_id", $"user_id", $"event_type", $"value")
@@ -1303,7 +1317,7 @@ object ExtQueries {
       val dim = t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
       // no ts conversion: the enrichment is key-based, not event-time
       graft.streaming.StreamOps.runToCompletion(
-        s, streamSourceDir(dir, "enrich"), eventsStreamSchema,
+        s, streamSourceDir(dir, "enrich"), eventsStreamSchema(s, dir),
         df => graft.streaming.StreamOps.enrichWithDim(df, dim),
         name, statePartitions = Some(8))
         .select($"c_mktsegment", $"event_type", $"n_events",

@@ -500,16 +500,19 @@ object LakeQueries {
           "o_totalprice" -> ($"o_totalprice" * 0.9)))
       tab.read()
         .select($"o_orderkey", $"o_orderstatus",
-          // one decimal rounding on BOTH sides: double×0.9 is exact in
-          // neither engine, 2dp is the price domain anyway
-          round($"o_totalprice", 2).as("o_totalprice"), $"o_orderpriority")
+          // compare in integer cents: ×0.9 (stored), ×100, +0.5, floor are
+          // each ONE IEEE-double op → bit-identical across engines, unlike
+          // ROUND(x,2) (Spark HALF_UPs via exact BigDecimal, DuckDB rounds
+          // in double arithmetic — they disagree on half-cent boundaries)
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("price_cents"),
+          $"o_orderpriority")
         .orderBy($"o_orderkey")
     },
     Some("""SELECT o_orderkey,
            |       CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice > 200000
            |            THEN 'E' ELSE o_orderstatus END AS o_orderstatus,
-           |       ROUND(CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice > 200000
-           |             THEN o_totalprice * 0.9 ELSE o_totalprice END, 2) AS o_totalprice,
+           |       CAST(FLOOR((CASE WHEN o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+           |             THEN o_totalprice * 0.9 ELSE o_totalprice END) * 100 + 0.5) AS BIGINT) AS price_cents,
            |       o_orderpriority
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
