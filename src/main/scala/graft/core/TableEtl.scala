@@ -39,6 +39,15 @@ abstract class TableEtl(
   def upstreams: Seq[TableEtl] = Seq.empty
   def checks: Seq[Check] = Seq.empty
 
+  /** Directory of runtime-loaded GE-style expectation suites: when set
+    * and `<dir>/<name>.json` exists, that file REPLACES the compiled
+    * `checks` for this node — a data steward edits a threshold without a
+    * recompile, exactly the reference's workflow
+    * (etl/utils/base_table.py:155-167). Absent file → compiled checks,
+    * so code defaults still gate tables nobody wrote a suite for.
+    */
+  def checkSuiteDir: Option[String] = None
+
   /** The schema contract: the explicit projection every read() applies
     * (reference pattern: etl/layers/bronze/orders.py:163-170 — "explicitly
     * defined columns for easier debugging", README.md:101).
@@ -81,7 +90,10 @@ abstract class TableEtl(
     * (replaces base_table.py:140-196).
     */
   final def validate(ds: EtlDataSet): Seq[graft.checks.CheckViolation] =
-    Checks.evaluate(ds.data, checks)
+    Checks.evaluate(ds.data,
+      checkSuiteDir
+        .flatMap(graft.checks.CheckSuites.load(_, name))
+        .getOrElse(checks))
 
   /** Partitioned overwrite, format-parametric
     * (reference: base_table.py:198-220; the reference's Delta

@@ -21,7 +21,8 @@ final case class EtlContext(
     runUpstream: Boolean = true,
     writeData: Boolean = true,
     clock: Clock = SystemClock,
-    registry: RunRegistry = new RunRegistry)
+    registry: RunRegistry = new RunRegistry,
+    checkSuiteDir: Option[String] = None)
 
 /** A pipeline node bound to a context; storage layout mirrors the
   * reference's `s3a://rainforest/delta/<layer>/<name>`
@@ -33,6 +34,7 @@ abstract class Node(val ctx: EtlContext)
   def layer: String
   override def dataFormat: String = ctx.dataFormat
   override def storagePath: String = s"${ctx.basePath}/$layer/$name"
+  override def checkSuiteDir: Option[String] = ctx.checkSuiteDir
 
   /** Stamp the load timestamp (P7 — reference adds it in every transform,
     * e.g. etl/layers/bronze/orders.py:103-105).

@@ -30,9 +30,18 @@ object PipelineQueries {
     cache.computeIfAbsent(sfDir, _ => {
       val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
       val base =
-        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lake/$safe"
+        s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_lake_tx/$safe"
+      // txlog is the DEFAULT storage for the whole 27-node lineage, matching
+      // the reference whose default format IS the transactional one
+      // (spark/conf/spark-defaults.conf:14 sets delta as
+      // spark.sql.sources.default): every silver/gold load lands as one
+      // atomic partition-overwrite commit and every read is snapshot-
+      // isolated log metadata. The plain-parquet write/read path keeps its
+      // own oracle coverage via pipeline_pinned_partition_read (default
+      // format, separate lake root).
       new Rainforest(EtlContext(
-        spark, RainforestFromTpch(sfDir), base, clock = FixedClock.default))
+        spark, RainforestFromTpch(sfDir), base, dataFormat = "txlog",
+        clock = FixedClock.default))
     })
 
   private val ts95 = "TIMESTAMP '1995-01-01 00:00:00'"
@@ -361,7 +370,64 @@ object PipelineQueries {
            |WHERE s_acctbal >= 0
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** O3 with the reference's ACTUAL config surface: the DQ gate of the
+    * flagship gold table driven from a runtime-loaded GE-style JSON suite
+    * (etl/utils/base_table.py:155-167 +
+    * etl/great_expectations/expectations/daily_order_metrics.json) instead
+    * of compiled checks. Both directions proven in one query: the
+    * reference's literal 100k bound (which TPC-H daily means exceed —
+    * the same observation SURVEY.md records) REFUSES the load; the
+    * steward then edits ONLY the JSON and the identical lineage passes,
+    * whose output the oracle re-derives. No writes: the gate runs in
+    * dry-run mode against its own suite dir.
+    */
+  val dqSuiteGate = Q(
+    "pipeline_dq_suite_gate",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths}
+      val suiteDir = Files.createTempDirectory("graft_dq_suites")
+      def writeSuite(maxValue: Double): Unit =
+        Files.writeString(suiteDir.resolve("daily_order_metrics.json"),
+          s"""{"expectation_suite_name": "daily_order_metrics",
+             | "expectations": [
+             |  {"expectation_type": "expect_column_values_to_be_unique",
+             |   "kwargs": {"column": "order_date"}},
+             |  {"expectation_type": "expect_column_max_to_be_between",
+             |   "kwargs": {"column": "total_price_mean",
+             |              "min_value": 0, "max_value": $maxValue,
+             |              "strict_max": "True"}}
+             |]}""".stripMargin)
+      def metrics() = {
+        val rf = new Rainforest(EtlContext(
+          s, RainforestFromTpch(dir), basePath = "unused",
+          writeData = false, clock = FixedClock.default,
+          checkSuiteDir = Some(suiteDir.toString)))
+        rf.ctx.registry.runOnce(rf.dailyOrderMetrics)
+      }
+      writeSuite(maxValue = 100000) // the reference suite's literal bound
+      val refused =
+        try { metrics(); false }
+        catch { case _: graft.core.InvalidDataException => true }
+      require(refused,
+        "the file-loaded 100k bound must refuse TPC-H daily means")
+      writeSuite(maxValue = 1000000) // steward edits the JSON, not the code
+      val out = metrics().data
+        .select(col("order_date"),
+          col("total_price_sum").cast("double").as("total_price_sum"),
+          col("total_price_mean"))
+        .orderBy("order_date")
+      Files.deleteIfExists(suiteDir.resolve("daily_order_metrics.json"))
+      Files.deleteIfExists(suiteDir)
+      out
+    },
+    Some("""SELECT CAST(o_orderdate AS DATE) AS order_date,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price_sum,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS total_price_mean
+           |FROM orders JOIN supplier ON o_custkey = s_suppkey
+           |WHERE s_acctbal >= 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[Q] = Seq(dailyOrderReport, dimBuyer, dimSeller, dimProduct,
     brgProductCategory, wideOrders, wideOrderItems, dailyCategoryReport,
-    pinnedPartitionRead, dryRunReport)
+    pinnedPartitionRead, dryRunReport, dqSuiteGate)
 }

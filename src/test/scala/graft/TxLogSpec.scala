@@ -360,4 +360,46 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       tab.overwritePartition("lang", "1", docs(3)))
   }
+
+  test("concurrent OVERLAPPING-key merges serialize: last committer wins " +
+    "the overlap, no key duplicated, no update lost") {
+    val tab = new TxTable(spark, freshRoot("mrace"))
+    tab.create(docs(20)) // ids 0..19, text "doc-<id>"
+    def src(tag: String, lo: Long, hi: Long): DataFrame =
+      spark.range(lo, hi + 1).select(
+        $"id", concat(lit(s"$tag-"), $"id").as("text"),
+        ($"id" % 3).cast("string").as("lang"))
+    // A updates 5..14 (+inserts 100), B updates 10..19 (+inserts 200):
+    // keys 10..14 overlap — the contract under a lost race is re-read the
+    // FRESH snapshot and re-merge, so the later committer's rows must win
+    // the overlap and the earlier committer's non-overlap updates survive
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (vA, vB) =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val fa = scala.concurrent.Future(
+          tab.merge(src("A", 5, 14).unionAll(src("A", 100, 100)), Seq("id")))
+        val fb = scala.concurrent.Future(
+          tab.merge(src("B", 10, 19).unionAll(src("B", 200, 200)), Seq("id")))
+        scala.concurrent.Await.result(
+          fa.zip(fb), scala.concurrent.duration.Duration(180, "s"))
+      } finally pool.shutdown()
+    assert(Set(vA, vB) === Set(1L, 2L), "both merges must land, one per version")
+    val winner = if (vA > vB) "A" else "B"
+    val byId = tab.read().select($"id", $"text").as[(Long, String)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byId.values.forall(_.size == 1), "a key must never be duplicated")
+    val text = byId.view.mapValues(_.head).toMap
+    assert(text.keySet === ((0L until 20L).toSet + 100L + 200L))
+    (0L until 5L).foreach(i => assert(text(i) === s"doc-$i"))
+    (5L until 10L).foreach(i => assert(text(i) === s"A-$i"))
+    (10L until 15L).foreach(i => assert(text(i) === s"$winner-$i",
+      s"overlap key $i must carry the LAST committer's row"))
+    (15L until 20L).foreach(i => assert(text(i) === s"B-$i"))
+    assert(text(100L) === "A-100" && text(200L) === "B-200")
+    // and the retry still refuses an ambiguous (duplicate-key) source
+    intercept[IllegalArgumentException](
+      tab.merge(src("C", 1, 2).unionAll(src("C", 2, 3)), Seq("id")))
+  }
 }
