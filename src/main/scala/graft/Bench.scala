@@ -29,12 +29,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    // observability parity with the reference deployment
+    // (spark/conf/spark-defaults.conf:10-16: eventLog + history server):
+    // the Spark event log lands under a stable dir so a history server —
+    // or any profiling of this bench run — can replay it
+    val eventDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"), "graft_spark_events")
+    java.nio.file.Files.createDirectories(eventDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.eventLog.enabled", "true")
+      .config("spark.eventLog.compress", "true")
+      .config("spark.eventLog.dir", eventDir.toUri.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (JIT, codegen, parquet footer caches) so the first
@@ -44,11 +54,15 @@ object Bench {
     // warm the lake: build the full medallion lineage once, timing each
     // node; pipeline queries below then measure their reports
     graft.core.LineageTimings.clear()
+    graft.core.LineageRunReport.clear()
     val tLake0 = System.nanoTime()
     val rf = graft.queries.PipelineQueries.rainforest(spark, sfDir)
     rf.gold.foreach(n => rf.ctx.registry.runOnce(n))
     val lakeSec = (System.nanoTime() - tLake0) / 1e9
     val lineage = graft.core.LineageTimings.snapshot
+    // snapshot NOW: later measured queries run their own side contexts
+    // (dry-run, gate demos) that re-record the same node names
+    val lineageInfo = graft.core.LineageRunReport.snapshot
     def measure(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Boolean) = {
@@ -127,6 +141,35 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: $e") }
+    // per-run lineage report artifact (node → seconds, rows, format,
+    // checks, violations) next to the bench JSON — the run-observability
+    // surface the reference gets from its event-log/history-server setup,
+    // as a queryable file instead of a UI
+    try {
+      val info = lineageInfo
+      def js(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+      val nodes = (lineage.keySet ++ info.keySet).toSeq.sorted.map { n =>
+        val i = info.get(n)
+        val fields = Seq(
+          lineage.get(n).map(s => s""""seconds":${f(s)}"""),
+          i.map(x => s""""format":${js(x.format)}"""),
+          i.flatMap(_.rowsWritten).map(r => s""""rows_written":$r"""),
+          i.map(x => s""""checks_evaluated":${x.checksEvaluated}"""),
+          i.map(x => s""""violations":${
+            x.violations.map(js).mkString("[", ",", "]")}"""))
+          .flatten.mkString(",")
+        s"${js(n)}:{$fields}"
+      }.mkString("{", ",", "}")
+      val report = s"""{"sf":${js(sfDir)},"lineage_total_sec":${f(lakeSec)},""" +
+        s""""event_log_dir":${js(eventDir.toString)},"nodes":$nodes}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("LINEAGE_REPORT.json"),
+        (report + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] lineage report write failed: $e") }
     spark.stop()
   }
 }

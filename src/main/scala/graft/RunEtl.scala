@@ -22,6 +22,11 @@ object RunEtl {
       else java.nio.file.Files.createTempDirectory("graft_lake").toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
+    // event-log parity with the reference deployment
+    // (spark/conf/spark-defaults.conf:10-16)
+    val eventDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"), "graft_spark_events")
+    java.nio.file.Files.createDirectories(eventDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-etl")
@@ -29,6 +34,9 @@ object RunEtl {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.eventLog.enabled", "true")
+      .config("spark.eventLog.compress", "true")
+      .config("spark.eventLog.dir", eventDir.toUri.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

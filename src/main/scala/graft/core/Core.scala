@@ -111,6 +111,32 @@ object LineageTimings {
   def snapshot: Map[String, Double] = t.asScala.toMap
 }
 
+/** One node's run outcome for the per-run lineage report artifact
+  * (observability parity with the reference's event-log + history-server
+  * surface, spark/conf/spark-defaults.conf:10-16): storage format, how
+  * many DQ checks gated the load, the violation texts when the gate
+  * fired, and the written row count when it is free driver metadata
+  * (txlog tables carry per-file counts in the log; no extra Spark job
+  * is ever spent on the report).
+  */
+final case class NodeRunInfo(
+    format: String, checksEvaluated: Int, violations: Seq[String],
+    rowsWritten: Option[Long])
+
+/** Process-wide sink for [[NodeRunInfo]], keyed by node name.
+  * [[graft.Bench]] joins it with [[LineageTimings]] into
+  * `LINEAGE_REPORT.json` next to the bench output.
+  */
+object LineageRunReport {
+  import java.util.concurrent.ConcurrentHashMap
+  import scala.jdk.CollectionConverters._
+
+  private val m = new ConcurrentHashMap[String, NodeRunInfo]()
+  def record(name: String, info: NodeRunInfo): Unit = m.put(name, info)
+  def clear(): Unit = m.clear()
+  def snapshot: Map[String, NodeRunInfo] = m.asScala.toMap
+}
+
 object RunRegistry {
   import java.util.concurrent.Executors
 

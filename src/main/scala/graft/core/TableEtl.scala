@@ -89,11 +89,15 @@ abstract class TableEtl(
   /** Evaluate this table's checks; empty = pass
     * (replaces base_table.py:140-196).
     */
+  /** The checks actually gating this run: the runtime-loaded suite when
+    * one exists, else the compiled list. */
+  final def effectiveChecks: Seq[Check] =
+    checkSuiteDir
+      .flatMap(graft.checks.CheckSuites.load(_, name))
+      .getOrElse(checks)
+
   final def validate(ds: EtlDataSet): Seq[graft.checks.CheckViolation] =
-    Checks.evaluate(ds.data,
-      checkSuiteDir
-        .flatMap(graft.checks.CheckSuites.load(_, name))
-        .getOrElse(checks))
+    Checks.evaluate(ds.data, effectiveChecks)
 
   /** Partitioned overwrite, format-parametric
     * (reference: base_table.py:198-220; the reference's Delta
@@ -265,14 +269,37 @@ abstract class TableEtl(
   final def run(): Unit = {
     val transformed = transformUpstream(extractUpstream())
     currentData = Some(transformed.data)
+    val nChecks = effectiveChecks.size
     val violations = validate(transformed)
     if (violations.nonEmpty) {
       val detail = violations
         .map(v => s"${v.check.description}: ${v.detail}").mkString("; ")
+      LineageRunReport.record(name, NodeRunInfo(dataFormat, nChecks,
+        violations.map(v => s"${v.check.description}: ${v.detail}"), None))
       throw new InvalidDataException(
         s"The $name dataset did not pass validation: $detail")
     }
     if (writeData) write(transformed)
+    // row count for the report: free log metadata on txlog tables (the
+    // latest load's Add entries carry per-file counts) — never a Spark job
+    val rows =
+      if (writeData && dataFormat == "txlog")
+        scala.util.Try {
+          val root = new Path(storagePath)
+          val snap = graft.lake.TxLog.snapshot(fs(root), root)
+          val latest = partitionKeys.headOption
+            .filter(_ => partitionKeys.size == 1)
+            .flatMap(k => new graft.lake.TxTable(spark, storagePath)
+              .partitionValueMax(k).map(k -> _))
+          latest match {
+            case Some((k, v)) => snap.adds
+              .filter(_.partitionValues.get(k).contains(v)).map(_.rows).sum
+            case None => snap.adds.map(_.rows).sum
+          }
+        }.toOption
+      else None
+    LineageRunReport.record(name,
+      NodeRunInfo(dataFormat, nChecks, Seq.empty, rows))
   }
 
   /** Consumption path (reference: etl/layers/bronze/orders.py:121-182):

@@ -138,6 +138,14 @@ object TxLog {
     * newest checkpoint at-or-before the target plus the tail commits —
     * bounded work however long the table has lived.
     */
+  /** Driver-side instrumentation: (tail commit files replayed, whether a
+    * checkpoint seeded the state) for the most recent [[snapshot]] call in
+    * this JVM — the observable behind the bounded-replay contract
+    * (replay work stays ≤ [[checkpointInterval]] however long the table
+    * has lived; TxLogSpec + ext_lake_replay_depth assert it).
+    */
+  val lastReplay = new java.util.concurrent.atomic.AtomicReference[(Long, Boolean)]((0L, false))
+
   def snapshot(fs: FileSystem, root: Path, asOf: Option[Long] = None): Snapshot = {
     val latest = latestVersion(fs, root)
     require(latest >= 0, s"no transaction log at $root")
@@ -165,8 +173,18 @@ object TxLog {
         e.remove.foreach(r => live.remove(r.path))
       }
     }
+    lastReplay.set((target - start + 1, ckpt.isDefined))
     Snapshot(target, meta.getOrElse(sys.error(s"no metaData in log at $root")),
       live.values.toVector)
+  }
+
+  /** Every action of one commit — the change-data-feed building block
+    * ([[graft.lake.TxTable.readChanges]] derives row-level changes from
+    * the per-commit add/remove file diff). */
+  def commitEntries(fs: FileSystem, root: Path, version: Long): Seq[LogEntry] = {
+    val p = commitFile(root, version)
+    require(fs.exists(p), s"missing commit $version at $root (vacuumed?)")
+    parse(readString(fs, p))
   }
 
   /** The commitInfo action of one commit, if recorded. */

@@ -545,7 +545,108 @@ object LakeQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
-  val all: Seq[Q] = Seq(extLakeAcid, extLakeTimeTravel,
+  // ---- 14. bounded log-replay depth ----
+
+  /** Snapshot resolution must stay FLAT however long a table lives: a
+    * 113-commit history (11× the checkpoint interval — one real CREATE,
+    * then driver-side metadata commits, the cheap way to age a log) is
+    * probed at the head, at a checkpoint version, just past one, mid-
+    * epoch, and in the pre-checkpoint era. The observable is
+    * [[graft.lake.TxLog.lastReplay]]: tail commits replayed is ≤ the
+    * 10-commit checkpoint interval whenever a checkpoint precedes the
+    * target — O(interval) resolution, never O(history) — and every
+    * probe's snapshot still serves the table content (25 nation rows).
+    * The oracle pins the replay ledger as literals: a missed checkpoint
+    * or a full replay changes the emitted rows, a broken snapshot
+    * changes n_rows.
+    */
+  val extLakeReplayDepth = Q(
+    "ext_lake_replay_depth",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.hadoop.fs.Path
+      import graft.lake.TxLog
+      val root = scratch("lake_replay", dir)
+      val tab = new TxTable(s, root)
+      tab.create(t(s, dir, "nation")
+        .select($"n_nationkey", $"n_name", $"n_regionkey"))
+      val rootPath = new Path(root)
+      val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      (1L to 113L).foreach { v =>
+        val landed = TxLog.tryCommit(fs, rootPath, v,
+          Seq(TxLog.LogEntry(info = Some(TxLog.Info("NOOP", v - 1)))))
+        require(landed, s"scripted history commit $v must land")
+      }
+      val probes = Seq(9L, 57L, 105L, 110L, 113L).map { v =>
+        val snap = TxLog.snapshot(fs, rootPath, Some(v))
+        val (replayed, usedCkpt) = TxLog.lastReplay.get()
+        require(v < TxLog.checkpointInterval
+          || replayed <= TxLog.checkpointInterval,
+          s"probe $v replayed $replayed commits — O(history), not O(interval)")
+        val nRows = tab.read(asOf = Some(v)).count()
+        (v, replayed, usedCkpt, nRows)
+      }
+      probes.toDF("probe_version", "commits_replayed", "used_checkpoint",
+        "n_rows").orderBy($"probe_version")
+    },
+    Some("""SELECT * FROM (VALUES
+           |  (CAST(9 AS BIGINT),   CAST(10 AS BIGINT), false, (SELECT CAST(COUNT(*) AS BIGINT) FROM nation)),
+           |  (CAST(57 AS BIGINT),  CAST(7 AS BIGINT),  true,  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation)),
+           |  (CAST(105 AS BIGINT), CAST(5 AS BIGINT),  true,  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation)),
+           |  (CAST(110 AS BIGINT), CAST(0 AS BIGINT),  true,  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation)),
+           |  (CAST(113 AS BIGINT), CAST(3 AS BIGINT),  true,  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation))
+           |) AS t(probe_version, commits_replayed, used_checkpoint, n_rows)
+           |ORDER BY probe_version""".stripMargin))
+
+  // ---- 15. change data feed ----
+
+  /** [[graft.lake.TxTable.readChanges]] (Delta's `table_changes`) over a
+    * scripted history: create (evens) → append (odds) → copy-on-write
+    * DELETE (<100k) → copy-on-write UPDATE (>300k re-keyed to buyer −1).
+    * The feed for versions 1..3 must show exactly: the appended rows as
+    * v1 inserts, the deleted rows as v2 deletes, and each updated row as
+    * its v3 delete+insert pair — while every copy-on-write SURVIVOR
+    * (rewritten verbatim alongside) cancels out of the diff. The oracle
+    * reconstructs the same ledger relationally. o_totalprice passes
+    * through untouched (bit-stable doubles); only the scripted columns
+    * move.
+    */
+  val extLakeChangeFeed = Q(
+    "ext_lake_change_feed",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_cdf", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0)
+        .repartitionByRange(4, $"o_orderkey"))
+      tab.append(orders.where($"o_orderkey" % 2 === 1))
+      tab.deleteWhere($"o_totalprice" < 100000.0)
+      tab.update($"o_totalprice" > 300000.0, Map("o_custkey" -> lit(-1L)))
+      tab.readChanges(1L, 3L)
+        .orderBy($"_commit_version", $"_change_type", $"o_orderkey")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+           |         o_totalprice
+           |  FROM orders),
+           |del2 AS (SELECT * FROM base WHERE o_totalprice < 100000),
+           |upd3 AS (SELECT * FROM base
+           |         WHERE o_totalprice >= 100000 AND o_totalprice > 300000)
+           |SELECT o_orderkey, o_custkey, o_totalprice,
+           |       'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+           |FROM base WHERE o_orderkey % 2 = 1
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, o_totalprice, 'delete', 2 FROM del2
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, o_totalprice, 'delete', 3 FROM upd3
+           |UNION ALL
+           |SELECT o_orderkey, CAST(-1 AS BIGINT), o_totalprice, 'insert', 3
+           |FROM upd3
+           |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin))
+
+  val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
+    extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
     extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
     extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,

@@ -35,6 +35,60 @@ final case class JdbcSource(
   }
 }
 
+object JdbcSource {
+  /** Deployment parity with the reference (etl/utils/database.py:19-33):
+    * the connection comes from `UPSTREAM_*` environment variables with the
+    * reference's exact names and defaults, so the same deploy manifests
+    * drive either engine. `env` is injectable so the mapping is testable
+    * without mutating process env (the sandbox has no Postgres; the JDBC
+    * path itself is exercised against Derby in JdbcSourceSpec).
+    */
+  def fromEnv(
+      env: Map[String, String] = sys.env,
+      partitionOptions: Map[String, String] = Map.empty): JdbcSource = {
+    val host = env.getOrElse("UPSTREAM_HOST", "upstream")
+    val port = env.getOrElse("UPSTREAM_PORT", "5432")
+    val database = env.getOrElse("UPSTREAM_DATABASE", "upstreamdb")
+    JdbcSource(
+      url = s"jdbc:postgresql://$host:$port/$database",
+      user = env.getOrElse("UPSTREAM_USERNAME", "sdeuser"),
+      password = env.getOrElse("UPSTREAM_PASSWORD", "sdepassword"),
+      partitionOptions = partitionOptions)
+  }
+}
+
+/** Object-store wiring parity with the reference deployment
+  * (spark/conf/spark-defaults.conf:1-6: S3A endpoint/credentials/
+  * path-style for MinIO). All storage in this library already goes
+  * through the Hadoop FileSystem API (`Path.getFileSystem` — TxLog,
+  * TableEtl, sinks), so an `s3a://` basePath works wherever the
+  * hadoop-aws jars are on the classpath; this helper only translates the
+  * deployment env into the session settings the reference sets in conf.
+  * Untestable end-to-end offline (no S3 endpoint, no hadoop-aws jar in
+  * the sandbox) — the mapping itself is spec-pinned.
+  */
+object ObjectStoreConf {
+  /** `spark.hadoop.fs.s3a.*` settings from `S3A_*` env (empty when no
+    * S3A_ENDPOINT is configured — local FS deployments add nothing).
+    */
+  def s3aSettings(env: Map[String, String] = sys.env): Map[String, String] =
+    env.get("S3A_ENDPOINT") match {
+      case None => Map.empty
+      case Some(endpoint) => Map(
+        "spark.hadoop.fs.s3a.endpoint" -> endpoint,
+        "spark.hadoop.fs.s3a.access.key" ->
+          env.getOrElse("S3A_ACCESS_KEY", "minio"),
+        "spark.hadoop.fs.s3a.secret.key" ->
+          env.getOrElse("S3A_SECRET_KEY", "minio123"),
+        "spark.hadoop.fs.s3a.region" ->
+          env.getOrElse("S3A_REGION", "us-east-1"),
+        "spark.hadoop.fs.s3a.impl" ->
+          "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.path.style.access" ->
+          env.getOrElse("S3A_PATH_STYLE", "true"))
+    }
+}
+
 /** Local/cluster file upstream: one parquet per table under `dir` —
   * the shape of the driver testdata (TESTDATA.md).
   */

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import graft.core.FixedClock
 import graft.layers.{BronzeNode, EtlContext}
-import graft.sources.JdbcSource
+import graft.sources.{JdbcSource, ObjectStoreConf}
 
 /** S1 (JDBC table scan) exercised for real against an embedded Derby
   * database — the same `spark.read.jdbc` path the reference uses for its
@@ -38,5 +38,33 @@ class JdbcSourceSpec extends SparkSpec {
     assert(out.columns.contains("etl_inserted"))
     assert(out.select("ORDER_ID").collect().map(_.getInt(0)).sorted
       === Array(100, 101))
+  }
+
+  test("fromEnv maps the reference's UPSTREAM_* variables and defaults " +
+    "(etl/utils/database.py:19-33)") {
+    val defaulted = JdbcSource.fromEnv(env = Map.empty)
+    assert(defaulted.url === "jdbc:postgresql://upstream:5432/upstreamdb")
+    assert(defaulted.user === "sdeuser")
+    assert(defaulted.password === "sdepassword")
+    assert(defaulted.driver === "org.postgresql.Driver")
+    val custom = JdbcSource.fromEnv(env = Map(
+      "UPSTREAM_HOST" -> "db.prod", "UPSTREAM_PORT" -> "5433",
+      "UPSTREAM_DATABASE" -> "sales", "UPSTREAM_USERNAME" -> "svc",
+      "UPSTREAM_PASSWORD" -> "hunter2"))
+    assert(custom.url === "jdbc:postgresql://db.prod:5433/sales")
+    assert(custom.user === "svc" && custom.password === "hunter2")
+  }
+
+  test("s3aSettings mirrors spark-defaults.conf:1-6, and is empty when " +
+    "no endpoint is deployed") {
+    assert(ObjectStoreConf.s3aSettings(Map.empty) === Map.empty)
+    val s = ObjectStoreConf.s3aSettings(Map(
+      "S3A_ENDPOINT" -> "http://minio:9000"))
+    assert(s("spark.hadoop.fs.s3a.endpoint") === "http://minio:9000")
+    assert(s("spark.hadoop.fs.s3a.access.key") === "minio")
+    assert(s("spark.hadoop.fs.s3a.secret.key") === "minio123")
+    assert(s("spark.hadoop.fs.s3a.path.style.access") === "true")
+    assert(s("spark.hadoop.fs.s3a.impl")
+      === "org.apache.hadoop.fs.s3a.S3AFileSystem")
   }
 }

@@ -361,6 +361,61 @@ class TxLogSpec extends SparkSpec {
       tab.overwritePartition("lang", "1", docs(3)))
   }
 
+  test("change feed: pure rewrites emit nothing, updates emit pairs, " +
+    "vacuumed ranges refuse") {
+    val tab = new TxTable(spark, freshRoot("cdf"))
+    tab.create(docs(10))                                  // v0
+    (0 until 3).foreach(i =>                              // v1..v3
+      tab.append(docs(2).withColumn("id", $"id" + 100L * (i + 1))))
+    tab.optimize()                                        // v4: pure rewrite
+    tab.update($"id" === 3L, Map("text" -> lit("EDITED"))) // v5
+    // v4 (OPTIMIZE) rewrites every row verbatim: the multiset diff must
+    // cancel to exactly zero change rows
+    assert(tab.readChanges(4L, 4L).count() === 0)
+    // v5: one update = one delete+insert pair, nothing else
+    val pair = tab.readChanges(5L, 5L)
+      .select($"id", $"text", $"_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(pair === Set((3L, "doc-3", "delete"), (3L, "EDITED", "insert")))
+    // full range = create + appends + the pair, survivors all cancelled
+    val feed = tab.readChanges(0L, 5L)
+    assert(feed.where($"_change_type" === "insert").count() === 10 + 6 + 1)
+    assert(feed.where($"_change_type" === "delete").count() === 1)
+    // metadata-only commits emit nothing
+    tab.addConstraint("id IS NOT NULL")                   // v6
+    assert(tab.readChanges(6L, 6L).count() === 0)
+    // vacuum kills the old files the early range needs → loud refusal
+    tab.vacuum(keepVersions = 1)
+    intercept[Exception](tab.readChanges(0L, 5L).count())
+  }
+
+  test("replay depth stays bounded by the checkpoint interval over a " +
+    "113-commit history") {
+    val root = freshRoot("deep")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(25))
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to 113L).foreach { v =>
+      assert(TxLog.tryCommit(fs, rootPath, v,
+        Seq(TxLog.LogEntry(info = Some(TxLog.Info("NOOP", v - 1))))))
+    }
+    // every at-or-past-first-checkpoint resolution replays ≤ interval
+    // tail commits and seeds from a checkpoint; content never degrades
+    Seq(10L, 43L, 99L, 110L, 113L).foreach { v =>
+      val snap = TxLog.snapshot(fs, rootPath, Some(v))
+      val (replayed, usedCkpt) = TxLog.lastReplay.get()
+      assert(usedCkpt, s"probe $v must seed from a checkpoint")
+      assert(replayed <= TxLog.checkpointInterval,
+        s"probe $v replayed $replayed commits — O(history), not O(interval)")
+      assert(snap.version === v)
+      assert(tab.read(asOf = Some(v)).count() === 25)
+    }
+    // pre-checkpoint era: full replay is the only option, and it is exact
+    TxLog.snapshot(fs, rootPath, Some(7L))
+    assert(TxLog.lastReplay.get() === ((8L, false)))
+  }
+
   test("concurrent OVERLAPPING-key merges serialize: last committer wins " +
     "the overlap, no key duplicated, no update lost") {
     val tab = new TxTable(spark, freshRoot("mrace"))
