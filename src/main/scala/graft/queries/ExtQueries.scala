@@ -1285,6 +1285,105 @@ object ExtQueries {
     * the duplicate ids, and the batch-equivalent oracle is simply the
     * events table — each id once.
     */
+  /** Two-micro-batch feed for the late-data query: batch 1 (older mtime,
+    * processed first) holds the LATER half of events so it drives the
+    * watermark high; batch 2 holds the earlier half, so every one of its
+    * rows arrives far behind that watermark. Files are REWRITTEN from the
+    * normalized table (ts already TimestampType), making the feed's
+    * schema self-describing whatever parquet encoding the driver shipped
+    * this round. Built once per (sfDir), reused across invocations.
+    */
+  private def lateFeedDir(s: SparkSession, dir: String, split: String)
+      : String = {
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"), "graft_stream_late",
+      dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val b1 = out.resolve("batch1.parquet")
+    val b2 = out.resolve("batch2.parquet")
+    if (!(java.nio.file.Files.exists(b1) && java.nio.file.Files.exists(b2))) {
+      java.nio.file.Files.createDirectories(out)
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      def writeOne(df: DataFrame, dst: java.nio.file.Path,
+          mtimeMs: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_late")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .filter(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // the file source replays oldest-mtime first: the mtimes ARE the
+        // batch order
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      writeOne(ev.where(col("ts") >= lit(split).cast("timestamp")),
+        b1, 1000000L)
+      writeOne(ev.where(col("ts") < lit(split).cast("timestamp")),
+        b2, 2000000L)
+    }
+    out.toString
+  }
+
+  /** Structured Streaming LATE-DATA DROP: the feed presents the later
+    * half of January first (one file per trigger), establishing a
+    * watermark of max(ts) − 1 h; the second micro-batch then delivers
+    * the earlier half — every row of it weeks behind the watermark, so
+    * the windowed aggregation must DROP all of them, and append mode
+    * must emit exactly the batch-1 windows the watermark closed (window
+    * end ≤ watermark; later windows die unemitted in state). The oracle
+    * reconstructs precisely that set relationally — a single late row
+    * leaking in, or an unclosed window leaking out, breaks the hash.
+    */
+  val extStreamLateDrop = Q(
+    "ext_stream_late_drop",
+    (s, dir) => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val split = "2024-01-16 00:00:00"
+      val staged = lateFeedDir(s, dir, split)
+      // fresh feed dir per run: stage 1 drops in the later half (the
+      // drain commits its watermark), stage 2 the earlier = late half
+      val feed = Paths.get(staged, "feed")
+      if (Files.exists(feed))
+        Files.list(feed).forEach(p => Files.delete(p))
+      Files.createDirectories(feed)
+      def drop(n: String): () => Unit = () => {
+        Files.copy(Paths.get(staged, n), feed.resolve(n),
+          StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+      val schema = s.read.parquet(s"$staged/batch1.parquet").schema
+      val name = "stream_late_" + math.abs(dir.hashCode).toString
+      graft.streaming.StreamOps.runStaged(
+        s, feed.toString, schema,
+        df => graft.streaming.StreamOps.windowedEventCounts(
+          df, "5 minutes", "1 hour"),
+        name, org.apache.spark.sql.streaming.OutputMode.Append,
+        statePartitions = Some(8),
+        stages = Seq(drop("batch1.parquet"), drop("batch2.parquet")))
+        .select($"window.start".as("window_start"),
+          $"window.end".as("window_end"),
+          $"event_type", $"n_events",
+          $"sum_value".cast("double").as("sum_value"))
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""WITH b1 AS (
+           |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+           |  FROM events
+           |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'),
+           |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM b1)
+           |SELECT window_start, window_start + INTERVAL 5 MINUTE AS window_end,
+           |       event_type, n_events, sum_value
+           |FROM (
+           |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+           |         event_type, COUNT(*) AS n_events,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           |  FROM b1 GROUP BY 1, 2)
+           |WHERE window_start + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
+           |ORDER BY window_start, event_type""".stripMargin))
+
   val extStreamDedup = Q(
     "ext_stream_dedup",
     (s, dir) => {
@@ -1508,5 +1607,5 @@ object ExtQueries {
     extTextFilter, extLangId, extTopTerms, extSessionize, extSessionWindow,
     extMultimodal, extMultimodalFrames, extStreamWindowCounts,
     extStreamSlidingCounts, extStreamSessionize, extStreamDedup,
-    extStreamEnrich, extSplitLeakageSafe)
+    extStreamLateDrop, extStreamEnrich, extSplitLeakageSafe)
 }

@@ -219,16 +219,50 @@ object StreamOps {
     * repo's solo-run discipline; concurrent use would need a cloned
     * session (`spark.newSession()`) per query instead.
     */
-  def runToCompletion(spark: SparkSession, sourceDir: String,
+  /** Like [[runToCompletion]], but drains the source in explicit STAGES:
+    * each `stage()` callback mutates the source directory (drops the next
+    * file in), then the query drains to idle before the next stage runs.
+    * This pins the micro-batch schedule deterministically — late-data
+    * scenarios need the watermark to be committed BETWEEN two files,
+    * which a single drain of a pre-populated directory cannot guarantee
+    * (the initial listing lands as one batch under watermark 0). The
+    * no-data micro-batch Spark runs when a watermark advances (on by
+    * default) finalizes closed windows between stages.
+    */
+  def runStaged(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType,
       transform: DataFrame => DataFrame, queryName: String,
       mode: OutputMode = OutputMode.Complete,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      stages: Seq[() => Unit] = Seq.empty): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     statePartitions.foreach(n => spark.conf.set(key, n.toString))
     try {
       val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      val q = transform(stream).writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      try stages.foreach { stage => stage(); q.processAllAvailable() }
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.table(queryName)
+  }
+
+  def runToCompletion(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transform: DataFrame => DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Complete,
+      statePartitions: Option[Int] = None,
+      readOptions: Map[String, String] = Map.empty): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val stream = spark.readStream.options(readOptions)
+        .schema(schema).parquet(sourceDir)
       val q = transform(stream).writeStream
         .outputMode(mode)
         .format("memory")
