@@ -40,8 +40,17 @@ object RunEtl {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the reference's runtime-loaded expectation suites: when the repo's
+    // expectations/ dir is present, each node's DQ gate resolves
+    // expectations/<table>.json at run time (etl/utils/base_table.py:155-167
+    // workflow) — a steward edits a threshold there with no recompile;
+    // tables without a suite file keep their compiled checks
+    val suites = java.nio.file.Paths.get("expectations")
     val rf = new Rainforest(EtlContext(
-      spark, RainforestFromTpch(sfDir), lake, clock = FixedClock.default))
+      spark, RainforestFromTpch(sfDir), lake, clock = FixedClock.default,
+      checkSuiteDir =
+        if (java.nio.file.Files.isDirectory(suites)) Some(suites.toString)
+        else None))
 
     // reference order: category metrics first, then order metrics
     // (run_etl.py:14-28); each read() then feeds its interface view

@@ -1347,8 +1347,10 @@ object ExtQueries {
       // fresh feed dir per run: stage 1 drops in the later half (the
       // drain commits its watermark), stage 2 the earlier = late half
       val feed = Paths.get(staged, "feed")
-      if (Files.exists(feed))
-        Files.list(feed).forEach(p => Files.delete(p))
+      if (Files.exists(feed)) {
+        val ls = Files.list(feed)
+        try ls.forEach(p => Files.delete(p)) finally ls.close()
+      }
       Files.createDirectories(feed)
       def drop(n: String): () => Unit = () => {
         Files.copy(Paths.get(staged, n), feed.resolve(n),
