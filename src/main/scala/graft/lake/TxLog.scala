@@ -51,9 +51,23 @@ object TxLog {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def checkExprs: List[String] = constraints.getOrElse(Nil)
   }
-  /** `path` is relative to the table root; data files are immutable. */
+  /** `path` is relative to the table root; data files are immutable.
+    * `rows` counts LIVE rows (physical rows minus the deletion vector).
+    * `dv` is the merge-on-read DELETION VECTOR: physical row positions
+    * (`_metadata.row_index`) readers must skip — a small delete then
+    * costs one log entry instead of a file rewrite
+    * ([[TxTable.deleteWhereMergeOnRead]]); absent/empty = plain file.
+    * Inline sorted positions (vs Delta's binary sidecar bitmaps) with a
+    * caller-side cardinality cap: above the cap the writer falls back to
+    * copy-on-write, which bounds log bloat the same way Delta's DV
+    * compaction does. `stats` stay as written — a superset range is
+    * still a correct skipping bound.
+    */
   final case class Add(path: String, rows: Long,
-      partitionValues: Map[String, String], stats: Map[String, Stat])
+      partitionValues: Map[String, String], stats: Map[String, Stat],
+      dv: Option[List[Long]] = None) {
+    def dvPositions: List[Long] = dv.getOrElse(Nil)
+  }
   final case class Remove(path: String)
   /** Commit provenance: operation name + the snapshot version the writer
     * based its work on (−1 = blind append, conflicts impossible). */

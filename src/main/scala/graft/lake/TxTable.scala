@@ -132,6 +132,67 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     sys.error("unreachable")
   }
 
+  /** DELETE, merge-on-read (Delta's deletion vectors): files where the
+    * matched-row count is at most `maxPositionsPerFile` get a DELETION
+    * VECTOR — the physical row positions land in the log and every
+    * reader filters them out; the data file is NOT rewritten. At 100 TB
+    * this is the difference between a log entry and a gigabyte of IO
+    * for a 100-row delete. Files with more matches fall back to the
+    * copy-on-write rewrite (a big delete rewrites anyway, and an
+    * unbounded inline vector would bloat the log — Delta's binary DV
+    * sidecars make the same trade at a different constant); both kinds
+    * land in ONE atomic commit, conflict-retried like [[deleteWhere]].
+    * A vector covering a file's last live row drops the file outright.
+    * OPTIMIZE purges vectors naturally: it reads through them and
+    * rewrites clean files. The change feed stays exact: the commit
+    * carries remove+add of the same path, so [[readChanges]] diffs the
+    * old live set against the new one.
+    */
+  def deleteWhereMergeOnRead(cond: Column,
+      maxPositionsPerFile: Int = 10000): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      val addByPath = snap.adds.map(a => a.path -> a).toMap
+      val cur = readFiles(snap, snap.adds.map(_.path),
+        withFileCol = true, withPos = true)
+      val hits = cur.where(cond)
+        .groupBy(col(FileCol))
+        .agg(collect_list(col(PosCol)).as("pos"))
+        .collect()
+        .map(r => relPath(r.getString(0)) -> r.getSeq[Long](1))
+      if (hits.isEmpty) return snap.version // nothing to do, no commit
+      val (dvHits, cowHits) =
+        hits.partition(_._2.size <= maxPositionsPerFile)
+      val dvEntries = dvHits.toSeq.flatMap { case (p, pos) =>
+        val a = addByPath(p)
+        val live = a.rows - pos.size
+        val rm = LogEntry(remove = Some(Remove(p)))
+        if (live <= 0) Seq(rm) // vector would cover the whole file
+        else {
+          val merged = (a.dvPositions ++ pos).distinct.sorted
+          Seq(rm, LogEntry(add =
+            Some(a.copy(rows = live, dv = Some(merged.toList)))))
+        }
+      }
+      val cowAffected = cowHits.map(h => addByPath(h._1)).toSeq
+      val cowAdds =
+        if (cowAffected.isEmpty) Vector.empty
+        else stageWrite(readFiles(snap, cowAffected.map(_.path))
+          .where(!coalesce(cond, lit(false))), snap.meta)
+      val entries = dvEntries ++
+        cowAffected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        cowAdds.map(a => LogEntry(add = Some(a))) :+
+        LogEntry(info = Some(Info("DELETE_DV", snap.version)))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"merge-on-read delete in $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
   /** UPDATE ... SET: rows matching `cond` get the `set` expressions
     * applied; everything else is untouched. Copy-on-write like
     * [[deleteWhere]]: only files that actually hold a matching row are
@@ -535,38 +596,65 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * FileIndex; the union of per-tuple scans keeps this dependency-free.
     */
   private val FileCol = "__txlog_file"
+  private val PosCol = "__txlog_pos"
 
   private def readFiles(snap: Snapshot, rels: Seq[String],
-      withFileCol: Boolean = false): DataFrame = {
+      withFileCol: Boolean = false, withPos: Boolean = false): DataFrame = {
     val schema = snap.meta.schema
     val pcols = snap.meta.partitionCols
-    if (rels.isEmpty) {
-      val sch = if (withFileCol)
-        StructType(schema.fields :+ StructField(FileCol, StringType))
-      else schema
-      return spark.createDataFrame(java.util.Collections.emptyList[Row](), sch)
-    }
+    val metaFields =
+      (if (withFileCol) Seq(StructField(FileCol, StringType)) else Nil) ++
+        (if (withPos) Seq(StructField(PosCol, LongType)) else Nil)
+    if (rels.isEmpty)
+      return spark.createDataFrame(java.util.Collections.emptyList[Row](),
+        StructType(schema.fields ++ metaFields))
     val dataSchema = StructType(schema.fields.filterNot(f => pcols.contains(f.name)))
     val addByPath = snap.adds.map(a => a.path -> a).toMap
-    rels.groupBy(r => addByPath(r).partitionValues)
+    // files carrying a deletion vector scan individually (the anti-join
+    // key is the position alone, so no path normalization is needed);
+    // plain files keep the batched per-partition-tuple scan
+    val (dvRels, plainRels) =
+      rels.partition(r => addByPath(r).dvPositions.nonEmpty)
+    val needMeta = withFileCol || withPos || dvRels.nonEmpty
+    def metaSelect(scan: DataFrame): DataFrame =
+      // pull the metadata columns while still on the raw scan — they do
+      // not survive later projections
+      if (needMeta) scan.select(col("*"),
+        col("_metadata.file_path").as(FileCol),
+        col("_metadata.row_index").as(PosCol))
+      else scan
+    def finish(base: DataFrame, pv: Map[String, String]): DataFrame = {
+      val withParts = pcols.foldLeft(base) { (df, c) =>
+        val v = pv.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+        df.withColumn(c, lit(v.orNull).cast(schema(c).dataType))
+      }
+      val cols = schema.fieldNames.map(col) ++
+        (if (needMeta) Seq(col(FileCol), col(PosCol)) else Nil)
+      withParts.select(cols: _*)
+    }
+    val plainFrames = plainRels.groupBy(r => addByPath(r).partitionValues)
       .toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
       .map { case (pv, paths) =>
-        val scan = spark.read.schema(dataSchema)
-          .parquet(paths.map(r => new Path(root, r).toString): _*)
-        // pull the metadata column while still on the raw scan — it does
-        // not survive later projections
-        val base = if (withFileCol)
-          scan.select(col("*"), col("_metadata.file_path").as(FileCol))
-        else scan
-        val withParts = pcols.foldLeft(base) { (df, c) =>
-          val v = pv.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
-          df.withColumn(c, lit(v.orNull).cast(schema(c).dataType))
-        }
-        val cols = schema.fieldNames.map(col) ++
-          (if (withFileCol) Seq(col(FileCol)) else Nil)
-        withParts.select(cols: _*)
+        finish(metaSelect(spark.read.schema(dataSchema)
+          .parquet(paths.map(r => new Path(root, r).toString): _*)), pv)
       }
-      .reduce(_ unionAll _)
+    val dvFrames = dvRels.sorted.map { r =>
+      val a = addByPath(r)
+      val scan = metaSelect(spark.read.schema(dataSchema)
+        .parquet(new Path(root, r).toString))
+      // live rows = physical rows minus the vector: broadcast anti-join
+      // on position (the DV cardinality is writer-capped, so the
+      // broadcast is bounded)
+      import spark.implicits._
+      val dvDf = a.dvPositions.toDF("__dv_pos")
+      finish(scan.join(broadcast(dvDf),
+        col(PosCol) === col("__dv_pos"), "left_anti"), a.partitionValues)
+    }
+    val out = (plainFrames ++ dvFrames).reduce(_ unionAll _)
+    val drop =
+      (if (withFileCol) Nil else Seq(FileCol)) ++
+        (if (withPos) Nil else Seq(PosCol))
+    drop.foldLeft(out)(_ drop _)
   }
 
   // ---- write plumbing ----

@@ -645,8 +645,40 @@ object LakeQueries {
            |FROM upd3
            |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin))
 
+  // ---- 16. merge-on-read deletion vectors ----
+
+  /** [[graft.lake.TxTable.deleteWhereMergeOnRead]] (Delta's deletion
+    * vectors): a sparse delete (every 97th order) lands as log-only row
+    * positions — the query REQUIRES that no data file changed — then a
+    * bulk delete under a tiny per-file cap forces the copy-on-write
+    * fallback in the same API. Final content = both deletes applied,
+    * reconstructed relationally by the oracle; a row leaking back in
+    * (bad vector read) or vanishing (bad position capture) breaks the
+    * hash. Prices pass through untouched (bit-stable doubles).
+    */
+  val extLakeDeleteDv = Q(
+    "ext_lake_delete_dv",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_dv", dir))
+      tab.create(orders.repartitionByRange(8, $"o_orderkey"))
+      val before = tab.read().inputFiles.toSet
+      tab.deleteWhereMergeOnRead($"o_orderkey" % 97L === 0L)
+      require(tab.read().inputFiles.toSet == before,
+        "a sparse merge-on-read delete must not rewrite any data file")
+      tab.deleteWhereMergeOnRead($"o_totalprice" > 450000.0,
+        maxPositionsPerFile = 10)
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders
+           |WHERE o_orderkey % 97 <> 0 AND o_totalprice <= 450000
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
-    extLakeAcid, extLakeTimeTravel,
+    extLakeDeleteDv, extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
     extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
     extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,

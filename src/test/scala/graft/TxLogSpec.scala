@@ -361,6 +361,47 @@ class TxLogSpec extends SparkSpec {
       tab.overwritePartition("lang", "1", docs(3)))
   }
 
+  test("deletion vectors: small deletes rewrite NOTHING, reads stay exact, " +
+    "vectors merge, the cap falls back to copy-on-write, optimize purges") {
+    val root = freshRoot("dv")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(1000))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] =
+      TxLog.snapshot(fs, new Path(root)).adds.map(_.path).toSet
+    val before = dataFiles()
+    val v1 = tab.deleteWhereMergeOnRead($"id" % 100L === 0L) // 10 rows
+    assert(dataFiles() === before, "a DV delete must not stage a single file")
+    assert(tab.read().count() === 990)
+    assert(tab.read().where($"id" % 100L === 0L).count() === 0)
+    val snap1 = TxLog.snapshot(fs, new Path(root))
+    assert(snap1.adds.exists(_.dvPositions.nonEmpty))
+    assert(snap1.adds.map(_.rows).sum === 990, "Add.rows must count LIVE rows")
+    // change feed: the DV commit is exactly the 10 deletes, no inserts
+    val feed = tab.readChanges(v1, v1)
+    assert(feed.where($"_change_type" === "insert").count() === 0)
+    assert(feed.where($"_change_type" === "delete")
+      .select("id").as[Long].collect().sorted.toSeq
+      === (0L until 1000L by 100L))
+    // a second DV delete merges into the existing vectors
+    tab.deleteWhereMergeOnRead($"id" === 1L)
+    assert(tab.read().count() === 989)
+    // time travel reads THROUGH the pre-delete snapshot untouched
+    assert(tab.read(asOf = Some(0L)).count() === 1000)
+    // a whole-file vector drops the file, and over-cap files fall back
+    // to copy-on-write — both in one commit
+    val beforeBig = dataFiles()
+    tab.deleteWhereMergeOnRead($"id" >= 500L, maxPositionsPerFile = 100)
+    assert(tab.read().count() === 494) // 0..499 minus {0,1,100,200,300,400}
+    assert(dataFiles() !== beforeBig, "an over-cap delete must rewrite")
+    // OPTIMIZE reads through the vectors and purges them
+    tab.optimize()
+    val snapO = TxLog.snapshot(fs, new Path(root))
+    assert(snapO.adds.forall(_.dvPositions.isEmpty), "optimize must purge DVs")
+    assert(tab.read().count() === 494)
+    assert(tab.read().where($"id" % 100L === 0L || $"id" === 1L).count() === 0)
+  }
+
   test("change feed: pure rewrites emit nothing, updates emit pairs, " +
     "vacuumed ranges refuse") {
     val tab = new TxTable(spark, freshRoot("cdf"))
