@@ -296,6 +296,56 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     } finally src.unpersist()
   }
 
+  /** Apply one change-feed slice ([[readChanges]] output, `_change_type`
+    * ∈ insert|delete) to THIS table keyed by `keyCols` — the incremental
+    * materialized-view primitive: a downstream table stays in sync with
+    * an upstream's commits by folding each version's feed in, touching
+    * only the files that hold affected keys, never recomputing itself.
+    * Deletes remove their keys, inserts upsert theirs, one atomic
+    * commit; an update pair (delete+insert, same key) collapses to the
+    * insert. Insert rows must be unique per key, like [[merge]].
+    */
+  def applyChanges(changes: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    val slice = changes.cache()
+    try {
+      val ins = slice.where(col("_change_type") === "insert")
+        .drop("_change_type", "_commit_version")
+      val dups = ins.groupBy(keyCols.map(col): _*)
+        .count().where(col("count") > 1).limit(1).count()
+      require(dups == 0,
+        s"change slice has duplicate inserted keys on ${keyCols.mkString(",")}")
+      val touched = slice.select(keyCols.map(col): _*).distinct()
+      var attempt = 0
+      while (true) {
+        val snap = TxLog.snapshot(fs, root)
+        enforceConstraints(ins.select(
+          snap.meta.schema.fieldNames.filter(ins.columns.contains).map(col): _*),
+          snap.meta)
+        val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
+        val hit = cur.join(touched, keyCols, "left_semi")
+          .select(col(FileCol).as("f")).distinct()
+          .collect().map(r => relPath(r.getString(0))).toSet
+        val affected = snap.adds.filter(a => hit(a.path))
+        val survivors = readFiles(snap, affected.map(_.path))
+          .join(touched, keyCols, "left_anti")
+        val adds = stageWrite(
+          survivors.unionByName(
+            ins.select(snap.meta.schema.fieldNames.map(col): _*)),
+          snap.meta)
+        val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+          adds.map(a => LogEntry(add = Some(a))) :+
+          LogEntry(info = Some(Info("APPLY_CHANGES", snap.version)))
+        if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+          return snap.version + 1
+        attempt += 1
+        require(attempt < maxRetries,
+          s"applyChanges on $root lost $maxRetries races")
+      }
+      sys.error("unreachable")
+    } finally { slice.unpersist(); () }
+  }
+
   /** Replace one partition's contents with `df` (dynamic partition
     * overwrite, the reference's write mode). `df` must carry the
     * partition column with exactly `value` in every row.

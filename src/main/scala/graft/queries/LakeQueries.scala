@@ -677,8 +677,59 @@ object LakeQueries {
            |WHERE o_orderkey % 97 <> 0 AND o_totalprice <= 450000
            |ORDER BY o_orderkey""".stripMargin))
 
+  // ---- 17. incremental view maintenance over the change feed ----
+
+  /** The CDF consumption loop end-to-end: a silver PROJECTION of a bronze
+    * lake table is maintained purely from [[graft.lake.TxTable
+    * .readChanges]] slices — never recomputed. Bronze scripts create →
+    * append → merge-on-read delete → in-place update; for each version
+    * the silver table folds the transformed slice in via
+    * [[graft.lake.TxTable.applyChanges]] (deletes drop keys, inserts
+    * upsert, the update's delete+insert pair collapses). Final silver
+    * content must equal the transform of final bronze, which is exactly
+    * what the oracle computes relationally — a missed slice, a phantom
+    * survivor, or a mis-collapsed update pair breaks the hash. Prices
+    * compare in integer cents (IEEE-exact steps; see ext_lake_update).
+    */
+  val extLakeCdfIncremental = Q(
+    "ext_lake_cdf_incremental",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val bronze = new TxTable(s, scratch("lake_cdfi_bronze", dir))
+      bronze.create(orders.where($"o_orderkey" % 2 === 0)
+        .repartitionByRange(4, $"o_orderkey"))              // v0
+      bronze.append(orders.where($"o_orderkey" % 2 === 1))  // v1
+      bronze.deleteWhereMergeOnRead($"o_totalprice" < 100000.0) // v2
+      bronze.update($"o_totalprice" > 400000.0,
+        Map("o_orderstatus" -> lit("X")))                   // v3
+      def xform(df: DataFrame): DataFrame = {
+        val keep = Seq("_change_type", "_commit_version")
+          .filter(df.columns.contains).map(col)
+        df.select(Seq($"o_orderkey", $"o_orderstatus",
+          floor($"o_totalprice" * 100 + 0.5).cast("long")
+            .as("price_cents")) ++ keep: _*)
+      }
+      val silver = new TxTable(s, scratch("lake_cdfi_silver", dir))
+      (0L to bronze.version).foreach { v =>
+        val slice = bronze.readChanges(v, v)
+        if (v == 0L)
+          silver.create(xform(slice.where($"_change_type" === "insert")
+            .drop("_change_type", "_commit_version")))
+        else silver.applyChanges(xform(slice), Seq("o_orderkey"))
+      }
+      silver.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |       CASE WHEN o_totalprice > 400000 THEN 'X'
+           |            ELSE o_orderstatus END AS o_orderstatus,
+           |       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+           |FROM orders WHERE o_totalprice >= 100000
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
-    extLakeDeleteDv, extLakeAcid, extLakeTimeTravel,
+    extLakeDeleteDv, extLakeCdfIncremental, extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
     extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
     extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,
