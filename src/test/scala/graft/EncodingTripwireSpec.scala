@@ -32,6 +32,27 @@ class EncodingTripwireSpec extends SparkSpec {
       s"ts range [$lo, $hi] µs is outside 2000..2100 — encoding misread")
   }
 
+  test("embeddings/documents keep the shapes the operator surface assumes") {
+    import org.apache.spark.sql.types._
+    // ANN/dedup operators cast embedding -> array<double> for the native
+    // expressions and assume float32 on disk; documents drive every text
+    // operator. A regenerated file changing element type or column names
+    // should fail HERE, not as 20 red ANN rows.
+    val emb = Tables.load(spark, dir, "embeddings")
+    assert(emb.schema("embedding").dataType == ArrayType(FloatType, true)
+      || emb.schema("embedding").dataType == ArrayType(FloatType, false),
+      s"embedding arrived as ${emb.schema("embedding").dataType}")
+    assert(emb.schema("vec_id").dataType == LongType)
+    val dims = emb.select(size(col("embedding"))).distinct().collect()
+    assert(dims.length == 1 && dims.head.getInt(0) > 0,
+      "embedding dimensionality must be constant and positive")
+    val doc = Tables.load(spark, dir, "documents")
+    Seq("doc_id", "text", "lang", "source").foreach(c =>
+      assert(doc.columns.contains(c), s"documents lost column $c"))
+    assert(doc.where(col("text").isNull).count() == 0,
+      "null text would crash the text operators")
+  }
+
   test("stream feed sees the identical ts min/max/count as the batch table") {
     val batch = Tables.load(spark, dir, "events")
       .agg(min(col("ts")), max(col("ts")), count(lit(1))).head()
