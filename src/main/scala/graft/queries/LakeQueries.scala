@@ -712,12 +712,12 @@ object LakeQueries {
             .as("price_cents")) ++ keep: _*)
       }
       val silver = new TxTable(s, scratch("lake_cdfi_silver", dir))
-      (0L to bronze.version).foreach { v =>
-        val slice = bronze.readChanges(v, v)
-        if (v == 0L)
-          silver.create(xform(slice.where($"_change_type" === "insert")
-            .drop("_change_type", "_commit_version")))
-        else silver.applyChanges(xform(slice), Seq("o_orderkey"))
+      // seed from the v0 snapshot (a create's feed is trivially "every
+      // row inserted" — diffing it against an empty set is wasted work),
+      // then fold each later version's slice in
+      silver.create(xform(bronze.read(asOf = Some(0L))))
+      (1L to bronze.version).foreach { v =>
+        silver.applyChanges(xform(bronze.readChanges(v, v)), Seq("o_orderkey"))
       }
       silver.read().orderBy($"o_orderkey")
     },
