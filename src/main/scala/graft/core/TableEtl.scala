@@ -328,19 +328,16 @@ abstract class TableEtl(
         // branch, so unselected loads' files plan away entirely — the
         // same one-load read cost as the listing path, snapshot-isolated.
         val tab = new graft.lake.TxTable(spark, storagePath)
-        val full = tab.read()
         val filtered =
           if (partitionValues.nonEmpty)
-            full.where(partitionValues
+            tab.read().where(partitionValues
               .map { case (k, v) => col(k).cast("string") === lit(v) }
               .reduce(_ && _))
           else if (partitionKeys.size == 1)
-            tab.partitionValueMax(partitionKeys.head) match {
-              case Some(latest) =>
-                full.where(col(partitionKeys.head).cast("string") === lit(latest))
-              case None => full
-            }
-          else full
+            // one log resolution serves both the latest-load lookup and
+            // the read — this is every node's hot read path
+            tab.readLatestPartition(partitionKeys.head)
+          else tab.read()
         filtered.selectExpr(outputColumns: _*)
       } else {
         val filtered: DataFrame = pinnedSchema() match {

@@ -538,6 +538,25 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def read(asOf: Option[Long] = None): DataFrame =
     readSnapshot(TxLog.snapshot(fs, root, asOf))
 
+  /** Latest-partition read in ONE log resolution: the max of `colName`
+    * across the live files' partitionValues picks the newest load, and
+    * the same snapshot serves the filtered read — half the log IO of
+    * `partitionValueMax` + `read` (which the medallion's hot read path
+    * would otherwise do on every node). Falls back to the full snapshot
+    * when the column has no decoded values (empty table / all-null
+    * loads).
+    */
+  def readLatestPartition(colName: String): DataFrame = {
+    val snap = TxLog.snapshot(fs, root)
+    snap.adds.flatMap(_.partitionValues.get(colName))
+      .filterNot(_ == "__HIVE_DEFAULT_PARTITION__").maxOption match {
+      case Some(latest) =>
+        readSnapshot(snap)
+          .where(col(colName).cast("string") === lit(latest))
+      case None => readSnapshot(snap)
+    }
+  }
+
   /** CHANGE DATA FEED (Delta's `table_changes`): row-level changes landed
     * by commits `fromVersion..toVersion`, each row tagged `_change_type`
     * ('insert' | 'delete') and `_commit_version`. Derived from the
