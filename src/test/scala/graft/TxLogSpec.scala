@@ -402,6 +402,25 @@ class TxLogSpec extends SparkSpec {
     assert(tab.read().where($"id" % 100L === 0L || $"id" === 1L).count() === 0)
   }
 
+  test("readLatestPartition scans only the newest load's files, " +
+    "one log resolution") {
+    val tab = new TxTable(spark, freshRoot("rlp"))
+    tab.create(docs(30).withColumn("load", lit("2026-01-01")),
+      partitionCols = Seq("load"))
+    tab.overwritePartition("load", "2026-01-02",
+      docs(5).withColumn("id", $"id" + 100).withColumn("load", lit("2026-01-02")))
+    val latest = tab.readLatestPartition("load")
+    assert(latest.count() === 5)
+    assert(latest.select("load").distinct().as[String].collect()
+      === Array("2026-01-02"))
+    // the older load's files fold away at planning (each union branch
+    // carries its partition value as a literal) — same pruning contract
+    // as the explicit partition-literal read
+    assert(latest.inputFiles.nonEmpty)
+    assert(latest.inputFiles.forall(_.contains("load=2026-01-02")),
+      s"older load's files survived: ${latest.inputFiles.toSeq}")
+  }
+
   test("concurrent DV-delete vs append linearizes — no lost rows either way") {
     val tab = new TxTable(spark, freshRoot("dvrace"))
     tab.create(docs(200))
