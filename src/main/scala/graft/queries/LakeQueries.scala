@@ -728,8 +728,66 @@ object LakeQueries {
            |FROM orders WHERE o_totalprice >= 100000
            |ORDER BY o_orderkey""".stripMargin))
 
+  // ---- 18. vacuum + schema evolution, driver-gated ----
+
+  /** VACUUM under the oracle: a copy-on-write delete leaves the old
+    * files as time-travel tombstones; vacuum(keepVersions=1) must
+    * reclaim them (REQUIREd non-empty), the head read must be
+    * byte-identical to before, and the vacuumed version must refuse
+    * loudly (REQUIREd). Oracle = the relational delete result — a row
+    * resurrected by a mis-scoped vacuum (live file deleted) breaks the
+    * row count, a leaked tombstone breaks nothing here but fails the
+    * reclaim REQUIRE.
+    */
+  val extLakeVacuum = Q(
+    "ext_lake_vacuum",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_vac", dir))
+      tab.create(orders.repartitionByRange(4, $"o_orderkey"))
+      tab.deleteWhere($"o_totalprice" < 150000.0)
+      val removed = tab.vacuum(keepVersions = 1)
+      require(removed.nonEmpty, "vacuum must reclaim the rewritten v0 files")
+      val refused =
+        try { tab.read(asOf = Some(0L)).count(); false }
+        catch { case _: Exception => true }
+      require(refused, "the vacuumed version must refuse to resolve")
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders WHERE o_totalprice >= 150000
+           |ORDER BY o_orderkey""".stripMargin))
+
+  /** Additive schema evolution under the oracle: an append carrying a NEW
+    * column lands it in the same commit's metadata; the snapshot read
+    * serves old files with nulls in the new column — Delta's mergeSchema
+    * contract (reference writes with it, etl/utils/base_table.py:211-217).
+    * Oracle = the same union with NULLs on the pre-evolution half.
+    */
+  val extLakeSchemaEvolution = Q(
+    "ext_lake_schema_evolution",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_evo", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0))
+      tab.append(orders.where($"o_orderkey" % 2 === 1)
+        .withColumn("price_cents",
+          floor($"o_totalprice" * 100 + 0.5).cast("long")))
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+           |       CASE WHEN o_orderkey % 2 = 1
+           |            THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           |       END AS price_cents
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
-    extLakeDeleteDv, extLakeCdfIncremental, extLakeAcid, extLakeTimeTravel,
+    extLakeDeleteDv, extLakeCdfIncremental, extLakeVacuum,
+    extLakeSchemaEvolution, extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
     extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
     extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,
