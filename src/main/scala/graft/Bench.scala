@@ -57,7 +57,11 @@ object Bench {
     graft.core.LineageRunReport.clear()
     val tLake0 = System.nanoTime()
     val rf = graft.queries.PipelineQueries.rainforest(spark, sfDir)
-    rf.gold.foreach(n => rf.ctx.registry.runOnce(n))
+    // warm silver too, not only gold lineages: dim_buyer feeds no gold
+    // table, so without this its pipeline query would be charged a cold
+    // node build + commit instead of the report read the convention
+    // promises (every other pipeline_* entry is read-only)
+    (rf.silver ++ rf.gold).foreach(n => rf.ctx.registry.runOnce(n))
     val lakeSec = (System.nanoTime() - tLake0) / 1e9
     val lineage = graft.core.LineageTimings.snapshot
     // snapshot NOW: later measured queries run their own side contexts
