@@ -225,8 +225,10 @@ abstract class TableEtl(
       .lastOption.map(_._1)
   }
 
-  final def write(ds: EtlDataSet): Unit =
-    if (ds.dataFormat == "txlog") writeTx(ds)
+  /** Returns the committed txlog version for ACID writes (None on the
+    * plain-file path, which has no commit identity to report). */
+  final def write(ds: EtlDataSet): Option[Long] =
+    if (ds.dataFormat == "txlog") Some(writeTx(ds))
     else {
       ds.data.hint("rebalance").write
         .option("partitionOverwriteMode", "dynamic")
@@ -237,6 +239,7 @@ abstract class TableEtl(
         .save(ds.storagePath)
       // latest write wins: the pinned schema is always the newest load's
       persistSchema(ds.data.schema)
+      None
     }
 
   /** ACID write path (`dataFormat = "txlog"`): the reference's actual
@@ -248,7 +251,7 @@ abstract class TableEtl(
     * but readers can never see a half-written load and the schema rides
     * in the log, not the sidecar).
     */
-  private def writeTx(ds: EtlDataSet): Unit = {
+  private def writeTx(ds: EtlDataSet): Long = {
     val tab = new graft.lake.TxTable(spark, ds.storagePath)
     if (!tab.exists) tab.create(ds.data.hint("rebalance"), ds.partitionKeys)
     else {
@@ -279,25 +282,18 @@ abstract class TableEtl(
       throw new InvalidDataException(
         s"The $name dataset did not pass validation: $detail")
     }
-    if (writeData) write(transformed)
-    // row count for the report: free log metadata on txlog tables (the
-    // latest load's Add entries carry per-file counts) — never a Spark job
-    val rows =
-      if (writeData && dataFormat == "txlog")
-        scala.util.Try {
-          val root = new Path(storagePath)
-          val snap = graft.lake.TxLog.snapshot(fs(root), root)
-          val latest = partitionKeys.headOption
-            .filter(_ => partitionKeys.size == 1)
-            .flatMap(k => new graft.lake.TxTable(spark, storagePath)
-              .partitionValueMax(k).map(k -> _))
-          latest match {
-            case Some((k, v)) => snap.adds
-              .filter(_.partitionValues.get(k).contains(v)).map(_.rows).sum
-            case None => snap.adds.map(_.rows).sum
-          }
-        }.toOption
-      else None
+    val committed = if (writeData) write(transformed) else None
+    // row count for the report: free log metadata on txlog tables — sum
+    // the Add entries of THE COMMIT THIS RUN JUST WROTE (one commit-file
+    // read, never a Spark job). Summing the live snapshot instead would
+    // report whole-table cardinality for unpartitioned/multi-key tables.
+    val rows = committed.flatMap { v =>
+      scala.util.Try {
+        val root = new Path(storagePath)
+        graft.lake.TxLog.commitEntries(fs(root), root, v)
+          .flatMap(_.add).map(_.rows).sum
+      }.toOption
+    }
     LineageRunReport.record(name,
       NodeRunInfo(dataFormat, nChecks, Seq.empty, rows))
   }

@@ -158,7 +158,17 @@ object TxLog {
     * (replay work stays ≤ [[checkpointInterval]] however long the table
     * has lived; TxLogSpec + ext_lake_replay_depth assert it).
     */
-  val lastReplay = new java.util.concurrent.atomic.AtomicReference[(Long, Boolean)]((0L, false))
+  object lastReplay {
+    // Thread-local, NOT process-global: RunRegistry fans lineage out on a
+    // shared pool, so a JVM-global cell could be clobbered by any
+    // concurrent snapshot between a probe's snapshot() and its get() —
+    // the observable must describe the CALLER's last snapshot.
+    private val tl = new ThreadLocal[(Long, Boolean)] {
+      override def initialValue(): (Long, Boolean) = (0L, false)
+    }
+    private[lake] def set(v: (Long, Boolean)): Unit = tl.set(v)
+    def get(): (Long, Boolean) = tl.get()
+  }
 
   def snapshot(fs: FileSystem, root: Path, asOf: Option[Long] = None): Snapshot = {
     val latest = latestVersion(fs, root)

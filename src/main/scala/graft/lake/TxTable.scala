@@ -162,8 +162,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         .collect()
         .map(r => relPath(r.getString(0)) -> r.getSeq[Long](1))
       if (hits.isEmpty) return snap.version // nothing to do, no commit
-      val (dvHits, cowHits) =
-        hits.partition(_._2.size <= maxPositionsPerFile)
+      // The cap bounds the MERGED vector (existing positions + this
+      // delete's new hits — disjoint sets, since vectored rows are
+      // already invisible to the match scan): repeated sparse deletes
+      // must not grow a file's inline vector past the cap, or every
+      // later commit and checkpoint re-serializes an unbounded list.
+      val (dvHits, cowHits) = hits.partition { case (p, pos) =>
+        addByPath(p).dvPositions.size + pos.size <= maxPositionsPerFile
+      }
       val dvEntries = dvHits.toSeq.flatMap { case (p, pos) =>
         val a = addByPath(p)
         val live = a.rows - pos.size
@@ -462,13 +468,20 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
-      val cur = snap.adds.map(_.path).toSet
-      val tgt = old.adds.map(_.path).toSet
+      // Diff by FULL Add payload, not path: a merge-on-read delete re-adds
+      // the SAME path with a different deletion vector, so a path-only
+      // diff would leave the newer vector live and the restored table
+      // would silently miss rows the target version had. Any path whose
+      // current Add differs from the target's gets remove+re-add (the
+      // remove lands first in the entry order, so replay ends on the
+      // target's payload).
+      val curByPath = snap.adds.map(a => a.path -> a).toMap
+      val tgtByPath = old.adds.map(a => a.path -> a).toMap
       val entries =
         (if (old.meta != snap.meta) Seq(LogEntry(meta = Some(old.meta))) else Nil) ++
-        snap.adds.filterNot(a => tgt(a.path))
+        snap.adds.filterNot(a => tgtByPath.get(a.path).contains(a))
           .map(a => LogEntry(remove = Some(Remove(a.path)))) ++
-        old.adds.filterNot(a => cur(a.path))
+        old.adds.filterNot(a => curByPath.get(a.path).contains(a))
           .map(a => LogEntry(add = Some(a))) :+
         LogEntry(info = Some(Info("RESTORE", snap.version)))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))

@@ -1293,11 +1293,33 @@ object ExtQueries {
     * schema self-describing whatever parquet encoding the driver shipped
     * this round. Built once per (sfDir), reused across invocations.
     */
+  /** Content fingerprint of a parquet file-or-directory (size + mtime of
+    * every data file): the staged-feed cache below must key on WHAT the
+    * events table contains, not just where it lives — the driver
+    * regenerates events.parquet in place across rounds, and a cache
+    * keyed on the path alone would keep serving the previous round's
+    * rows while the oracle reads the current table.
+    */
+  private def contentFingerprint(p: java.nio.file.Path): String = {
+    import scala.jdk.CollectionConverters._
+    val parts =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .toSeq.sortBy(_.toString)
+        finally walk.close()
+      } else Seq(p)
+    val sig = parts.map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:" +
+      s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}").mkString("|")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
+  }
+
   private def lateFeedDir(s: SparkSession, dir: String, split: String)
       : String = {
+    val fp = contentFingerprint(java.nio.file.Paths.get(s"$dir/events.parquet"))
     val out = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir", "/tmp"), "graft_stream_late",
-      dir.replaceAll("[^A-Za-z0-9]", "_"))
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp)
     val b1 = out.resolve("batch1.parquet")
     val b2 = out.resolve("batch2.parquet")
     if (!(java.nio.file.Files.exists(b1) && java.nio.file.Files.exists(b2))) {

@@ -285,6 +285,23 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](tab.restore(0L))
   }
 
+  test("restore to a pre-DV version drops the newer deletion vector") {
+    // Regression: deleteWhereMergeOnRead re-adds the SAME path with a dv
+    // payload, so a path-only restore diff would emit nothing for that
+    // file and the restored table would silently keep the delete.
+    val tab = new TxTable(spark, freshRoot("rdv"))
+    tab.create(docs(100))
+    tab.deleteWhereMergeOnRead($"id" % 10 === 0)
+    assert(tab.read().count() === 90)
+    tab.restore(0L)
+    assert(tab.read().count() === 100,
+      "restore must re-point the file to its pre-vector Add payload")
+    // and the other direction: restoring BACK onto the vectored version
+    tab.restore(1L)
+    assert(tab.read().count() === 90,
+      "restore must also re-attach a target version's deletion vector")
+  }
+
   test("candidateFiles prunes partition columns from partitionValues") {
     val rootStr = freshRoot("ppv")
     val tab = new TxTable(spark, rootStr)
