@@ -325,10 +325,17 @@ abstract class TableEtl(
         // same one-load read cost as the listing path, snapshot-isolated.
         val tab = new graft.lake.TxTable(spark, storagePath)
         val filtered =
-          if (partitionValues.nonEmpty)
-            tab.read().where(partitionValues
-              .map { case (k, v) => col(k).cast("string") === lit(v) }
+          if (partitionValues.nonEmpty) {
+            // coerce the pin string to the COLUMN's type (the parquet
+            // path's `col === lit(v)` semantics): a timestamp pin like
+            // "…00:00:00.0" must match however the caller spells it,
+            // which a string-vs-string compare would miss
+            val df = tab.read()
+            df.where(partitionValues
+              .map { case (k, v) =>
+                col(k) === lit(v).cast(df.schema(k).dataType) }
               .reduce(_ && _))
+          }
           else if (partitionKeys.size == 1)
             // one log resolution serves both the latest-load lookup and
             // the read — this is every node's hot read path

@@ -45,11 +45,18 @@ object TxLog {
 
   /** `constraints` are SQL CHECK expressions every written row must
     * satisfy (NULL passes, like SQL CHECK); absent in pre-constraint
-    * logs, so the field is optional. */
+    * logs, so the field is optional. `cdfEnabled` is Delta's
+    * `delta.enableChangeDataFeed` table property: when set, mutating
+    * commits STAGE their changed rows as `_change_data` files at commit
+    * time, so reading the feed is O(changed rows) instead of a re-read +
+    * diff of every touched data file. Off by default — tables nobody
+    * reads a feed from must not pay the capture write. */
   final case class Meta(schemaJson: String, partitionCols: List[String],
-      constraints: Option[List[String]] = None) {
+      constraints: Option[List[String]] = None,
+      cdfEnabled: Option[Boolean] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def checkExprs: List[String] = constraints.getOrElse(Nil)
+    def cdf: Boolean = cdfEnabled.getOrElse(false)
   }
   /** `path` is relative to the table root; data files are immutable.
     * `rows` counts LIVE rows (physical rows minus the deletion vector).
@@ -69,14 +76,26 @@ object TxLog {
     def dvPositions: List[Long] = dv.getOrElse(Nil)
   }
   final case class Remove(path: String)
+  /** One commit-time change-data file (Delta's `cdc` action): `path` is
+    * a parquet file under `_change_data/` holding the commit's changed
+    * rows, table schema + `_change_type` ('insert' | 'delete'). These
+    * files are NOT part of the live table state — only [[TxTable
+    * .readChanges]] reads them. */
+  final case class Cdf(path: String, rows: Long)
   /** Commit provenance: operation name + the snapshot version the writer
-    * based its work on (−1 = blind append, conflicts impossible). */
-  final case class Info(op: String, readVersion: Long)
+    * based its work on (−1 = blind append, conflicts impossible).
+    * `cdfCaptured = Some(true)` marks a commit whose row-level changes
+    * were captured at commit time — possibly as ZERO Cdf files (a pure
+    * rewrite like OPTIMIZE changes nothing); absent on pre-capture
+    * commits, whose feed falls back to the file-diff recompute. */
+  final case class Info(op: String, readVersion: Long,
+      cdfCaptured: Option[Boolean] = None)
 
   /** One JSON line per action, exactly one field set — the Delta layout
     * (`{"add":{...}}` / `{"remove":{...}}` / `{"metaData":{...}}`). */
   final case class LogEntry(meta: Option[Meta] = None, add: Option[Add] = None,
-      remove: Option[Remove] = None, info: Option[Info] = None)
+      remove: Option[Remove] = None, info: Option[Info] = None,
+      cdf: Option[Cdf] = None)
 
   final case class Snapshot(version: Long, meta: Meta, adds: Vector[Add])
 
@@ -269,8 +288,12 @@ object TxLog {
     val latest = latestVersion(fs, root)
     require(latest >= 0, s"no transaction log at $root")
     val floor = math.max(0L, latest - keepVersions + 1)
+    // change-data files of KEPT commits stay readable (their feed slices
+    // must keep resolving); older commits' change data is reclaimable —
+    // the change horizon is the vacuum horizon, like time travel itself
     val referenced = (floor to latest).flatMap { v =>
-      snapshot(fs, root, Some(v)).adds.map(_.path)
+      snapshot(fs, root, Some(v)).adds.map(_.path) ++
+        commitEntries(fs, root, v).flatMap(_.cdf).map(_.path)
     }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val all = scala.collection.mutable.ArrayBuffer[String]()

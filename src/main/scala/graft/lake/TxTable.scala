@@ -52,11 +52,15 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   // ---- writes ----
 
-  /** Create (or overwrite-create) the table from `df`. Version 0. */
-  def create(df: DataFrame, partitionCols: Seq[String] = Nil): Long = {
+  /** Create (or overwrite-create) the table from `df`. Version 0.
+    * `enableChangeDataFeed` turns on commit-time change capture for every
+    * later mutating commit (Delta's `delta.enableChangeDataFeed`). */
+  def create(df: DataFrame, partitionCols: Seq[String] = Nil,
+      enableChangeDataFeed: Boolean = false): Long = {
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
-    val meta = Meta(df.schema.json, partitionCols.toList)
+    val meta = Meta(df.schema.json, partitionCols.toList,
+      cdfEnabled = if (enableChangeDataFeed) Some(true) else None)
     val adds = stageWrite(df, meta)
     val entries = LogEntry(meta = Some(meta)) +:
       adds.map(a => LogEntry(add = Some(a))) :+
@@ -122,8 +126,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         .where(!coalesce(cond, lit(false)))
       val adds = stageWrite(survivors, snap.meta)
       val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
-        adds.map(a => LogEntry(add = Some(a))) :+
-        LogEntry(info = Some(Info("DELETE", snap.version)))
+        adds.map(a => LogEntry(add = Some(a))) ++
+        captureTail(snap.meta, "DELETE", snap.version,
+          cur.where(cond).drop(FileCol)
+            .withColumn("_change_type", lit("delete")))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
         return snap.version + 1
       attempt += 1
@@ -188,8 +194,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           .where(!coalesce(cond, lit(false))), snap.meta)
       val entries = dvEntries ++
         cowAffected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
-        cowAdds.map(a => LogEntry(add = Some(a))) :+
-        LogEntry(info = Some(Info("DELETE_DV", snap.version)))
+        cowAdds.map(a => LogEntry(add = Some(a))) ++
+        captureTail(snap.meta, "DELETE_DV", snap.version,
+          cur.where(cond).drop(FileCol, PosCol)
+            .withColumn("_change_type", lit("delete")))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
         return snap.version + 1
       attempt += 1
@@ -243,9 +251,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // copied-verbatim neighbours already passed at their own write
       enforceConstraints(rewritten.where(col(flag)).drop(flag), snap.meta)
       val adds = stageWrite(rewritten.drop(flag), snap.meta)
+      // an UPDATE's feed is the delete+insert pair per matched row —
+      // both sides already in hand (old = the match scan, new = the
+      // transformed half of the rewrite)
       val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
-        adds.map(a => LogEntry(add = Some(a))) :+
-        LogEntry(info = Some(Info("UPDATE", snap.version)))
+        adds.map(a => LogEntry(add = Some(a))) ++
+        captureTail(snap.meta, "UPDATE", snap.version,
+          cur.where(matched).drop(FileCol)
+            .withColumn("_change_type", lit("delete"))
+            .unionAll(rewritten.where(col(flag)).drop(flag)
+              .withColumn("_change_type", lit("insert"))))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
         return snap.version + 1
       attempt += 1
@@ -286,13 +301,18 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         // stats pass instead of two of each.
         val survivors = readFiles(snap, affected.map(_.path))
           .join(keys, keyCols, "left_anti")
-        val adds = stageWrite(
-          survivors.unionByName(
-            src.select(snap.meta.schema.fieldNames.map(col): _*)),
-          snap.meta)
+        val srcAligned = src.select(snap.meta.schema.fieldNames.map(col): _*)
+        val adds = stageWrite(survivors.unionByName(srcAligned), snap.meta)
+        // MERGE feed: every replaced row as a delete (preimage) + every
+        // source row as an insert — Delta's CDF surfaces the pair even
+        // when a replacement happens to be byte-identical
         val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
-          adds.map(a => LogEntry(add = Some(a))) :+
-          LogEntry(info = Some(Info("MERGE", snap.version)))
+          adds.map(a => LogEntry(add = Some(a))) ++
+          captureTail(snap.meta, "MERGE", snap.version,
+            readFiles(snap, affected.map(_.path))
+              .join(keys, keyCols, "left_semi")
+              .withColumn("_change_type", lit("delete"))
+              .unionAll(srcAligned.withColumn("_change_type", lit("insert"))))
         if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
           return snap.version + 1
         attempt += 1
@@ -335,13 +355,15 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         val affected = snap.adds.filter(a => hit(a.path))
         val survivors = readFiles(snap, affected.map(_.path))
           .join(touched, keyCols, "left_anti")
-        val adds = stageWrite(
-          survivors.unionByName(
-            ins.select(snap.meta.schema.fieldNames.map(col): _*)),
-          snap.meta)
+        val insAligned = ins.select(snap.meta.schema.fieldNames.map(col): _*)
+        val adds = stageWrite(survivors.unionByName(insAligned), snap.meta)
         val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
-          adds.map(a => LogEntry(add = Some(a))) :+
-          LogEntry(info = Some(Info("APPLY_CHANGES", snap.version)))
+          adds.map(a => LogEntry(add = Some(a))) ++
+          captureTail(snap.meta, "APPLY_CHANGES", snap.version,
+            readFiles(snap, affected.map(_.path))
+              .join(touched, keyCols, "left_semi")
+              .withColumn("_change_type", lit("delete"))
+              .unionAll(insAligned.withColumn("_change_type", lit("insert"))))
         if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
           return snap.version + 1
         attempt += 1
@@ -354,7 +376,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   /** Replace one partition's contents with `df` (dynamic partition
     * overwrite, the reference's write mode). `df` must carry the
-    * partition column with exactly `value` in every row.
+    * partition column with exactly `value` in every row. Additive schema
+    * evolution is accepted like [[append]]'s: a load that gained a
+    * column lands the merged schema in the same commit, and older
+    * partitions read back with nulls in it.
     */
   def overwritePartition(partCol: String, value: String, df: DataFrame): Long = {
     val stray = df.where(col(partCol).cast("string") =!= value).limit(1).count()
@@ -365,11 +390,28 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       require(snap.meta.partitionCols.contains(partCol),
         s"$partCol is not a partition column of $root")
       enforceConstraints(df, snap.meta)
+      val merged = evolve(snap.meta, df.schema)
+      val metaEntry =
+        if (merged.schemaJson != snap.meta.schemaJson)
+          Seq(LogEntry(meta = Some(merged)))
+        else Nil
       val doomed = snap.adds.filter(_.partitionValues.get(partCol).contains(value))
-      val adds = stageWrite(df, snap.meta)
-      val entries = doomed.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
-        adds.map(a => LogEntry(add = Some(a))) :+
-        LogEntry(info = Some(Info("OVERWRITE_PARTITION", snap.version)))
+      val adds = stageWrite(df, merged)
+      val entries = metaEntry ++
+        doomed.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        adds.map(a => LogEntry(add = Some(a))) ++
+        captureTail(merged, "OVERWRITE_PARTITION", snap.version, {
+          // both capture sides under the MERGED schema: the doomed files
+          // may predate an evolution this very load introduces
+          def aligned(d: DataFrame) =
+            d.select(merged.schema.fields.map(f =>
+              if (d.columns.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          aligned(readFiles(snap, doomed.map(_.path)))
+            .withColumn("_change_type", lit("delete"))
+            .unionAll(aligned(df)
+              .withColumn("_change_type", lit("insert")))
+        })
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
         return snap.version + 1
       attempt += 1
@@ -414,9 +456,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         case None => readFiles(snap, doomed.map(_.path)).hint("rebalance")
       }
       val adds = stageWrite(packed, snap.meta)
+      // a pure rewrite changes no row: an EMPTY capture (marked in the
+      // Info line) tells readChanges to emit nothing for this commit
+      // instead of diffing the whole rewritten file set
       val entries = doomed.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
         adds.map(a => LogEntry(add = Some(a))) :+
-        LogEntry(info = Some(Info("OPTIMIZE", snap.version)))
+        LogEntry(info = Some(Info("OPTIMIZE", snap.version,
+          cdfCaptured = if (snap.meta.cdf) Some(true) else None)))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
         return snap.version + 1
       attempt += 1
@@ -519,6 +565,28 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     sys.error("unreachable")
   }
 
+  /** Turn on commit-time change capture from the NEXT commit on (the
+    * ALTER TABLE SET TBLPROPERTIES form of [[create]]'s flag). Commits
+    * before this one keep resolving their feed via the file-diff
+    * fallback — [[readChanges]] handles mixed histories per commit.
+    */
+  def enableChangeDataFeed(): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      if (snap.meta.cdf) return snap.version // already on, no commit
+      val entries = Seq(
+        LogEntry(meta = Some(snap.meta.copy(cdfEnabled = Some(true)))),
+        LogEntry(info = Some(Info("ENABLE_CDF", snap.version))))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"enableChangeDataFeed on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
   /** Fail (BEFORE any file is staged) if a row of `df` violates a table
     * CHECK constraint. One limit-1 probe per constraint over the new
     * rows only. */
@@ -572,18 +640,32 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   /** CHANGE DATA FEED (Delta's `table_changes`): row-level changes landed
     * by commits `fromVersion..toVersion`, each row tagged `_change_type`
-    * ('insert' | 'delete') and `_commit_version`. Derived from the
-    * commit's file-level add/remove diff: inserts are rows present in the
-    * added files but not the removed ones, deletes the reverse — a
-    * multiset `exceptAll`, so copy-on-write SURVIVORS (rewritten
-    * verbatim) cancel out, an UPDATE surfaces as its delete+insert pair,
-    * and a pure rewrite (OPTIMIZE/ZORDER) surfaces as nothing. Cost per
-    * commit is O(files that commit touched), never O(table); the whole
-    * range is one lazy union (no driver row work). Columns ride under
-    * the range-head schema — rows from before an additive evolution
-    * null-fill, like any time-travel read. Commits whose files were
-    * vacuumed refuse loudly (the change horizon is the vacuum horizon,
-    * Delta's rule too).
+    * ('insert' | 'delete') and `_commit_version`. Per commit, cheapest
+    * source first:
+    *
+    *   1. COMMIT-TIME CAPTURE: a commit marked `cdfCaptured` (the table
+    *      had CDF enabled when it landed) reads its staged
+    *      `_change_data` files and touches NO table data file — the feed
+    *      is read, not recomputed; O(changed rows). An empty marked
+    *      capture (OPTIMIZE) emits nothing.
+    *   2. ADDS-ONLY / REMOVES-ONLY shortcuts: an append's feed IS its
+    *      added files as inserts (a whole-file drop the reverse) — no
+    *      diff needed.
+    *   3. FILE-DIFF FALLBACK (pre-capture commits): multiset `exceptAll`
+    *      of added vs removed files, so copy-on-write SURVIVORS cancel
+    *      out and an UPDATE surfaces as its delete+insert pair. Cost is
+    *      O(files the commit touched) per read — exactly what capture
+    *      removes.
+    *
+    * Semantics note: capture records what the writer DID (a MERGE that
+    * replaces a row with identical bytes still feeds its delete+insert
+    * pair — Delta's pre/postimage behavior); the fallback diff cancels
+    * such no-op pairs. The scripted oracles change every matched row, so
+    * both sources agree there. Columns ride under the range-head schema
+    * — rows from before an additive evolution null-fill, like any
+    * time-travel read. Commits whose files (data OR change data) were
+    * vacuumed refuse loudly: the change horizon is the vacuum horizon,
+    * Delta's rule too.
     */
   def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
     val latest = version
@@ -591,26 +673,45 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     require(0 <= fromVersion && fromVersion <= toVersion && toVersion <= latest,
       s"change range [$fromVersion, $toVersion] outside [0, $latest] at $root")
     val head = TxLog.snapshot(fs, root, Some(toVersion))
-    def align(df: DataFrame): DataFrame =
+    def align(df: DataFrame, extra: Seq[Column] = Nil): DataFrame =
       df.select(head.meta.schema.fields.map(f =>
         if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq ++ extra: _*)
     val perCommit = (fromVersion to toVersion).flatMap { v =>
       val entries = TxLog.commitEntries(fs, root, v)
+      val captured = entries.flatMap(_.info).headOption
+        .exists(_.cdfCaptured.contains(true))
+      val cdfFiles = entries.flatMap(_.cdf)
       val addedPaths = entries.flatMap(_.add).map(_.path)
       val removedPaths = entries.flatMap(_.remove).map(_.path)
-      if (addedPaths.isEmpty && removedPaths.isEmpty) None // metadata-only
+      def stamp(df: DataFrame): DataFrame =
+        df.withColumn("_commit_version", lit(v))
+      if (captured) {
+        if (cdfFiles.isEmpty) None // marked pure rewrite: no logical change
+        else {
+          cdfFiles.foreach(c => require(fs.exists(new Path(root, c.path)),
+            s"change data of commit $v at $root was vacuumed"))
+          val df = spark.read.parquet(
+            cdfFiles.map(c => new Path(root, c.path).toString): _*)
+          Some(stamp(align(df, Seq(col("_change_type")))))
+        }
+      } else if (addedPaths.isEmpty && removedPaths.isEmpty) None
+      else if (removedPaths.isEmpty)
+        Some(stamp(align(readFiles(TxLog.snapshot(fs, root, Some(v)),
+          addedPaths)).withColumn("_change_type", lit("insert"))))
+      else if (addedPaths.isEmpty)
+        Some(stamp(align(readFiles(TxLog.snapshot(fs, root, Some(v - 1)),
+          removedPaths)).withColumn("_change_type", lit("delete"))))
       else {
         val added = align(readFiles(TxLog.snapshot(fs, root, Some(v)),
           addedPaths))
         val removed = align(
-          if (removedPaths.isEmpty) readFiles(head, Nil)
-          else readFiles(TxLog.snapshot(fs, root, Some(v - 1)), removedPaths))
+          readFiles(TxLog.snapshot(fs, root, Some(v - 1)), removedPaths))
         val ins = added.exceptAll(removed)
           .withColumn("_change_type", lit("insert"))
         val del = removed.exceptAll(added)
           .withColumn("_change_type", lit("delete"))
-        Some(ins.unionAll(del).withColumn("_commit_version", lit(v)))
+        Some(stamp(ins.unionAll(del)))
       }
     }
     if (perCommit.nonEmpty) perCommit.reduce(_ unionAll _)
@@ -805,6 +906,40 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         }.toMap
         Add(rel, r.getAs[Long]("__rows"), partValues(rel), stats)
       }.toVector
+  }
+
+  /** Stage a commit's changed rows (table columns + `_change_type`) as
+    * parquet under `_change_data/<uuid>/` and return their Cdf actions —
+    * Delta's commit-time CDF design: the feed is WRITTEN once by the
+    * committer that already has the changed rows in hand, and every
+    * later [[readChanges]] just reads it, instead of re-reading both
+    * file sets of the commit and diffing them per feed read. Cost is
+    * O(changed rows) at commit; lost-race restagings orphan their files
+    * and [[vacuum]] mops them, like [[stageWrite]]'s.
+    */
+  private def stageCdf(changes: DataFrame): Vector[Cdf] = {
+    val stage = "_change_data/" + java.util.UUID.randomUUID.toString.take(8)
+    val stagePath = new Path(root, stage)
+    changes.write.mode("overwrite").parquet(stagePath.toString)
+    spark.read.parquet(stagePath.toString)
+      .groupBy(col("_metadata.file_path").as("__f"))
+      .agg(count(lit(1L)).as("__rows"))
+      .collect()
+      .map(r => Cdf(relPath(r.getAs[String]("__f")), r.getAs[Long]("__rows")))
+      .toVector
+  }
+
+  /** The commit-tail entries for a mutating op under optional change
+    * capture: the staged Cdf actions (empty when capture is off or
+    * nothing changed) plus the Info line, marked `cdfCaptured` exactly
+    * when this table captures — the marker is what lets [[readChanges]]
+    * trust an empty capture (pure rewrite) instead of falling back. */
+  private def captureTail(meta: Meta, op: String, readVersion: Long,
+      changes: => DataFrame): Seq[LogEntry] = {
+    val cdfs = if (meta.cdf) stageCdf(changes) else Vector.empty
+    cdfs.map(c => LogEntry(cdf = Some(c))) :+
+      LogEntry(info = Some(Info(op, readVersion,
+        cdfCaptured = if (meta.cdf) Some(true) else None)))
   }
 
   private def statKind(dt: DataType): Option[String] = dt match {

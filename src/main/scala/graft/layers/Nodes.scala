@@ -12,12 +12,20 @@ import graft.sources.UpstreamSource
   * passes (spark, run_upstream, write_data) to every node constructor
   * (etl/layers/silver/dim_buyer_silver.py:75-87); we add the rest so tests
   * can pin time and storage.
+  *
+  * `dataFormat` defaults to "txlog" — the ACID transaction log IS the
+  * default medallion storage, matching the reference whose default
+  * format is Delta (spark/conf/spark-defaults.conf:14 sets
+  * spark.sql.sources.default=delta): EVERY entry point (RunEtl, the
+  * bench lineage, ad-hoc contexts) writes atomic commits unless a
+  * caller explicitly opts into plain files ("parquet"/"orc"/"csv"/
+  * "json" all remain supported and oracle-covered).
   */
 final case class EtlContext(
     spark: SparkSession,
     source: UpstreamSource,
     basePath: String,
-    dataFormat: String = "parquet",
+    dataFormat: String = "txlog",
     runUpstream: Boolean = true,
     writeData: Boolean = true,
     clock: Clock = SystemClock,

@@ -618,8 +618,10 @@ object LakeQueries {
       val orders = t(s, dir, "orders")
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
       val tab = new TxTable(s, scratch("lake_cdf", dir))
+      // commit-time capture ON: the delete/update commits stage their
+      // changed rows, and readChanges below reads ONLY those files
       tab.create(orders.where($"o_orderkey" % 2 === 0)
-        .repartitionByRange(4, $"o_orderkey"))
+        .repartitionByRange(4, $"o_orderkey"), enableChangeDataFeed = true)
       tab.append(orders.where($"o_orderkey" % 2 === 1))
       tab.deleteWhere($"o_totalprice" < 100000.0)
       tab.update($"o_totalprice" > 300000.0, Map("o_custkey" -> lit(-1L)))
@@ -699,7 +701,8 @@ object LakeQueries {
         .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
       val bronze = new TxTable(s, scratch("lake_cdfi_bronze", dir))
       bronze.create(orders.where($"o_orderkey" % 2 === 0)
-        .repartitionByRange(4, $"o_orderkey"))              // v0
+        .repartitionByRange(4, $"o_orderkey"),
+        enableChangeDataFeed = true)                        // v0
       bronze.append(orders.where($"o_orderkey" % 2 === 1))  // v1
       bronze.deleteWhereMergeOnRead($"o_totalprice" < 100000.0) // v2
       bronze.update($"o_totalprice" > 400000.0,

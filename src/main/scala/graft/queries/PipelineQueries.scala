@@ -323,7 +323,10 @@ object PipelineQueries {
       val newer =
         FixedClock(Timestamp.from(Instant.parse("2026-02-02T00:00:00Z")))
       def regionNode(clock: FixedClock, src: graft.sources.UpstreamSource) =
-        new BronzeNode(EtlContext(s, src, base, clock = clock),
+        // explicitly parquet: this query IS the plain-file path's oracle
+        // coverage now that the context default is txlog
+        new BronzeNode(EtlContext(s, src, base, dataFormat = "parquet",
+          clock = clock),
           "region", "region", Seq("r_regionkey"),
           Seq("r_regionkey", "r_name"))
       regionNode(older, ParquetSource(dir)).run()

@@ -26,9 +26,13 @@ class TableEtlSpec extends SparkSpec {
     (101, 11, "2024-01-02 12:00:00", 150.0, "2024-01-02 11:00:00"))
     .toDF("order_id", "buyer_id", "order_ts", "total_price", "created_ts")
 
-  private def ctx(clock: Clock, base: String, write: Boolean = true) =
+  /** Context on the DEFAULT storage (txlog) unless a test's subject is
+    * the plain-file layout itself (sidecar, partition dirs, retention) —
+    * those pin `format = "parquet"` explicitly. */
+  private def ctx(clock: Clock, base: String, write: Boolean = true,
+      format: String = "txlog") =
     EtlContext(spark, InMemorySource(Map("orders" -> ordersDf)), base,
-      writeData = write, clock = clock)
+      dataFormat = format, writeData = write, clock = clock)
 
   private def ordersNode(c: EtlContext) = new BronzeNode(c, "orders",
     "orders", Seq("order_id"),
@@ -127,8 +131,8 @@ class TableEtlSpec extends SparkSpec {
 
   test("latest-partition read plans independently of partition history") {
     val base = Files.createTempDirectory("graft_hist").toString
-    ordersNode(ctx(t0, base)).run()
-    val second = ordersNode(ctx(t1, base))
+    ordersNode(ctx(t0, base, format = "parquet")).run()
+    val second = ordersNode(ctx(t1, base, format = "parquet"))
     second.run()
     // sabotage every data file of the OLDER load: if read() still merged
     // footers across history (or listed/opened old partitions at all),
@@ -149,8 +153,8 @@ class TableEtlSpec extends SparkSpec {
 
   test("corrupt schema sidecar degrades to the legacy read, not a failure") {
     val base = Files.createTempDirectory("graft_sc").toString
-    ordersNode(ctx(t0, base)).run()
-    val second = ordersNode(ctx(t1, base))
+    ordersNode(ctx(t0, base, format = "parquet")).run()
+    val second = ordersNode(ctx(t1, base, format = "parquet"))
     second.run()
     Files.write(java.nio.file.Paths.get(
       s"$base/bronze/orders/_graft_schema.json"),
@@ -163,7 +167,7 @@ class TableEtlSpec extends SparkSpec {
 
   test("a null-load partition directory never shadows the latest load") {
     val base = Files.createTempDirectory("graft_nullpart").toString
-    val node = ordersNode(ctx(t0, base))
+    val node = ordersNode(ctx(t0, base, format = "parquet"))
     node.run()
     // '_' sorts above every digit, so a lexical max over raw dir names
     // would pick this forever
@@ -178,7 +182,9 @@ class TableEtlSpec extends SparkSpec {
 
   test("multi-key partition layout keeps latest-load read semantics") {
     val base = Files.createTempDirectory("graft_mk").toString
-    def node(clock: Clock) = new Node(ctx(clock, base)) {
+    // multi-key layouts stay on the plain-file path (the txlog writer
+    // deliberately REQUIREs exactly one partition key)
+    def node(clock: Clock) = new Node(ctx(clock, base, format = "parquet")) {
       override def layer: String = "bronze"
       override def name: String = "orders_mk"
       override def primaryKeys: Seq[String] = Seq("order_id")
@@ -204,8 +210,10 @@ class TableEtlSpec extends SparkSpec {
   test("retention expires old loads; latest read and sidecar unaffected") {
     val base = Files.createTempDirectory("graft_ret").toString
     val t2 = FixedClock(Timestamp.valueOf("2026-01-03 00:00:00"))
-    for (c <- Seq(t0, t1, t2)) ordersNode(ctx(c, base)).run()
-    val node = ordersNode(ctx(t2, base))
+    // Retention.expireLoads walks partition DIRECTORIES — the plain-file
+    // path's expiry; txlog tables expire history via vacuum instead
+    for (c <- Seq(t0, t1, t2)) ordersNode(ctx(c, base, format = "parquet")).run()
+    val node = ordersNode(ctx(t2, base, format = "parquet"))
     val deleted = graft.ext.Retention.expireLoads(
       spark, s"$base/bronze/orders", keep = 2)
     assert(deleted === Seq("etl_inserted=2026-01-01 00:00:00")

@@ -491,6 +491,56 @@ class TxLogSpec extends SparkSpec {
     intercept[Exception](tab.readChanges(0L, 5L).count())
   }
 
+  test("commit-time CDF: a feed slice reads ONLY _change_data — no table " +
+    "data file — and mixed histories fall back per commit") {
+    val root = freshRoot("cdfc")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(100), enableChangeDataFeed = true)      // v0
+    tab.append(docs(10).withColumn("id", $"id" + 1000L))    // v1 (adds-only)
+    val vDel = tab.deleteWhere($"id" >= 1005L && $"id" < 1010L) // v2
+    val vUpd = tab.update($"id" === 7L, Map("text" -> lit("EDITED"))) // v3
+    // content: identical ledger to the diff fallback's
+    val del = tab.readChanges(vDel, vDel)
+    assert(del.where($"_change_type" === "delete")
+      .select("id").as[Long].collect().sorted.toSeq === (1005L to 1009L))
+    assert(del.where($"_change_type" === "insert").count() === 0)
+    val pair = tab.readChanges(vUpd, vUpd)
+      .select($"id", $"text", $"_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(pair === Set((7L, "doc-7", "delete"), (7L, "EDITED", "insert")))
+    // THE capture contract: the mutating commits' feed slices plan zero
+    // table data files — every input is staged change data
+    val slice = tab.readChanges(vDel, vUpd)
+    assert(slice.inputFiles.nonEmpty)
+    assert(slice.inputFiles.forall(_.contains("_change_data")),
+      s"feed slice re-read table data: ${slice.inputFiles.toSeq}")
+    // DV deletes capture too
+    val vDv = tab.deleteWhereMergeOnRead($"id" % 25L === 0L)
+    val dvSlice = tab.readChanges(vDv, vDv)
+    assert(dvSlice.inputFiles.forall(_.contains("_change_data")))
+    // live multiples of 25: 0, 25, 50, 75 and the appended 1000
+    assert(dvSlice.where($"_change_type" === "delete").count() === 5)
+    // OPTIMIZE under capture: marked empty — nothing emitted, no diff run
+    val vOpt = tab.optimize()
+    assert(tab.readChanges(vOpt, vOpt).count() === 0)
+    // mixed history: a table that enables CDF mid-life serves pre-enable
+    // commits from the diff fallback and post-enable ones from capture
+    val mixed = new TxTable(spark, freshRoot("cdfm"))
+    mixed.create(docs(50))                                   // v0, no CDF
+    val vOld = mixed.deleteWhere($"id" >= 45L)               // v1, fallback
+    mixed.enableChangeDataFeed()                             // v2
+    val vNew = mixed.update($"id" === 1L, Map("text" -> lit("X"))) // v3
+    val feed = mixed.readChanges(vOld, vNew)
+    assert(feed.where($"_change_type" === "delete" && $"id" >= 45L)
+      .count() === 5, "pre-enable commit must still resolve via the diff")
+    assert(mixed.readChanges(vNew, vNew).inputFiles
+      .forall(_.contains("_change_data")))
+    // vacuumed change data refuses loudly
+    (1 to 3).foreach(_ => tab.append(docs(1).withColumn("id", $"id" + 9000)))
+    tab.vacuum(keepVersions = 1)
+    intercept[Exception](tab.readChanges(vDel, vDel).count())
+  }
+
   test("replay depth stays bounded by the checkpoint interval over a " +
     "113-commit history") {
     val root = freshRoot("deep")
