@@ -49,6 +49,18 @@ object ScaleConfig {
     */
   val spanOccCap = 16L
 
+  // ---- lake maintenance ----
+
+  /** OPTIMIZE rewrites any file whose deletion vector shadows more than
+    * this fraction of its physical rows, even if the file is otherwise
+    * right-sized — reads pay the vector anti-join per scan, and past
+    * this density the one-time rewrite is cheaper than the recurring
+    * filter over mostly-dead rows. Law: INVARIANT in table size (a
+    * per-file density, not a count); lower it on read-hot tables, raise
+    * it on write-hot ones. Delta's own DV-compaction heuristic shape.
+    */
+  val dvRewriteFraction = 0.10
+
   // ---- coarse quantization (IVF / SemDeDup / PQ) ----
 
   /** Cluster count for the FIXED-k IVF index demos (ext_knn_cosine_ivf

@@ -60,20 +60,60 @@ object TxLog {
   }
   /** `path` is relative to the table root; data files are immutable.
     * `rows` counts LIVE rows (physical rows minus the deletion vector).
-    * `dv` is the merge-on-read DELETION VECTOR: physical row positions
-    * (`_metadata.row_index`) readers must skip — a small delete then
-    * costs one log entry instead of a file rewrite
-    * ([[TxTable.deleteWhereMergeOnRead]]); absent/empty = plain file.
-    * Inline sorted positions (vs Delta's binary sidecar bitmaps) with a
-    * caller-side cardinality cap: above the cap the writer falls back to
-    * copy-on-write, which bounds log bloat the same way Delta's DV
-    * compaction does. `stats` stay as written — a superset range is
+    *
+    * The merge-on-read DELETION VECTOR — physical row positions
+    * (`_metadata.row_index`) readers must skip, so a small delete costs
+    * a log entry instead of a file rewrite ([[TxTable
+    * .deleteWhereMergeOnRead]]) — lives in a COMPACT BINARY SIDECAR
+    * (Delta's RoaringBitmap-sidecar design on varint terms): `dvFile`
+    * points at a `_dv/<uuid>.bin` of delta-varint-encoded sorted
+    * positions and `dvCount` carries its cardinality, so the log entry
+    * stays O(1) per vectored file however many positions the vector
+    * holds — every replay and checkpoint re-serializes a path + a
+    * count, never the positions. The legacy inline `dv` list is still
+    * READ (pre-sidecar logs/checkpoints resolve unchanged) but no
+    * longer written. `stats` stay as written — a superset range is
     * still a correct skipping bound.
     */
   final case class Add(path: String, rows: Long,
       partitionValues: Map[String, String], stats: Map[String, Stat],
-      dv: Option[List[Long]] = None) {
+      dv: Option[List[Long]] = None, dvFile: Option[String] = None,
+      dvCount: Option[Long] = None) {
+    /** Inline positions only — sidecar vectors resolve through
+      * [[TxTable]]'s fs-aware decode. */
     def dvPositions: List[Long] = dv.getOrElse(Nil)
+    def hasDv: Boolean = dvFile.isDefined || dv.exists(_.nonEmpty)
+    /** Vector cardinality without decoding the sidecar. */
+    def dvSize: Long = dvCount.orElse(dv.map(_.size.toLong)).getOrElse(0L)
+  }
+
+  /** Unsigned-LEB128 delta encoding of sorted positions: count, first
+    * position, then gaps — 1-2 bytes per position for the clustered
+    * vectors real deletes produce (vs ~8+ JSON chars inline). */
+  def encodeDv(sorted: Seq[Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(sorted.size * 2 + 8)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      bos.write(v.toInt)
+    }
+    varint(sorted.size.toLong)
+    var prev = 0L
+    sorted.foreach { p => varint(p - prev); prev = p }
+    bos.toByteArray
+  }
+
+  def decodeDv(bytes: Array[Byte]): Seq[Long] = {
+    var i = 0
+    def varint(): Long = {
+      var v = 0L; var shift = 0
+      while ({ val b = bytes(i); i += 1; v |= (b & 0x7fL) << shift
+               shift += 7; (b & 0x80) != 0 }) ()
+      v
+    }
+    val n = varint()
+    var prev = 0L
+    (0L until n).map { _ => prev += varint(); prev }
   }
   final case class Remove(path: String)
   /** One commit-time change-data file (Delta's `cdc` action): `path` is
@@ -292,7 +332,8 @@ object TxLog {
     // must keep resolving); older commits' change data is reclaimable —
     // the change horizon is the vacuum horizon, like time travel itself
     val referenced = (floor to latest).flatMap { v =>
-      snapshot(fs, root, Some(v)).adds.map(_.path) ++
+      val adds = snapshot(fs, root, Some(v)).adds
+      adds.map(_.path) ++ adds.flatMap(_.dvFile) ++
         commitEntries(fs, root, v).flatMap(_.cdf).map(_.path)
     }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -302,7 +343,9 @@ object TxLog {
     while (it.hasNext) {
       val f = it.next()
       val rel = f.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      if (!rel.startsWith("_txlog") && rel.endsWith(".parquet") &&
+      val reclaimable = rel.endsWith(".parquet") ||
+        (rel.startsWith("_dv/") && rel.endsWith(".bin"))
+      if (!rel.startsWith("_txlog") && reclaimable &&
           f.getModificationTime <= cutoff) all += rel
     }
     val doomed = all.filterNot(referenced)

@@ -171,10 +171,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // The cap bounds the MERGED vector (existing positions + this
       // delete's new hits — disjoint sets, since vectored rows are
       // already invisible to the match scan): repeated sparse deletes
-      // must not grow a file's inline vector past the cap, or every
-      // later commit and checkpoint re-serializes an unbounded list.
+      // must not grow a vector past the cap — the sidecar keeps the LOG
+      // O(1) regardless, but the read-side broadcast anti-join is sized
+      // by the cap.
       val (dvHits, cowHits) = hits.partition { case (p, pos) =>
-        addByPath(p).dvPositions.size + pos.size <= maxPositionsPerFile
+        addByPath(p).dvSize + pos.size <= maxPositionsPerFile
       }
       val dvEntries = dvHits.toSeq.flatMap { case (p, pos) =>
         val a = addByPath(p)
@@ -182,9 +183,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         val rm = LogEntry(remove = Some(Remove(p)))
         if (live <= 0) Seq(rm) // vector would cover the whole file
         else {
-          val merged = (a.dvPositions ++ pos).distinct.sorted
-          Seq(rm, LogEntry(add =
-            Some(a.copy(rows = live, dv = Some(merged.toList)))))
+          // merged vector into a NEW immutable sidecar; the log entry
+          // carries only its path + cardinality (O(1) however sparse or
+          // wide the vector), old sidecars age out via vacuum
+          val merged = (dvPositionsOf(a) ++ pos).distinct.sorted
+          val rel = writeDvSidecar(merged)
+          Seq(rm, LogEntry(add = Some(a.copy(rows = live, dv = None,
+            dvFile = Some(rel), dvCount = Some(merged.size.toLong)))))
         }
       }
       val cowAffected = cowHits.map(h => addByPath(h._1)).toSeq
@@ -435,19 +440,29 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * [[readBetween]]/[[candidateFiles]] prune on either dimension —
     * Delta's OPTIMIZE ZORDER, driven entirely by the log's stats.
     */
+  /** `dvFraction`: files whose deletion vector covers more than this
+    * fraction of their physical rows are rewritten too (alone if need
+    * be) — OPTIMIZE is how vectors are purged, and a file half-shadowed
+    * by its vector pays the anti-join on every read for rows that are
+    * mostly dead. */
   def optimize(minRows: Long = 1L << 20,
       zorderBy: Option[(String, String)] = None,
-      zPartitions: Int = 8, zBits: Int = 10): Long = {
+      zPartitions: Int = 8, zBits: Int = 10,
+      dvFraction: Double = graft.ScaleConfig.dvRewriteFraction): Long = {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
       val doomed = zorderBy match {
         case Some(_) => snap.adds // global re-cluster
-        case None => snap.adds
-          .filter(_.rows < minRows)
-          .groupBy(_.partitionValues)
-          .filter(_._2.size >= 2)
-          .values.flatten.toVector
+        case None =>
+          val small = snap.adds
+            .filter(_.rows < minRows)
+            .groupBy(_.partitionValues)
+            .filter(_._2.size >= 2)
+            .values.flatten
+          val dvHeavy = snap.adds.filter(a => a.hasDv &&
+            a.dvSize.toDouble / (a.rows + a.dvSize) > dvFraction)
+          (small ++ dvHeavy).toVector.distinctBy(_.path)
       }
       if (doomed.isEmpty) return snap.version // already compact
       val packed = zorderBy match {
@@ -489,8 +504,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val dfs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (dfs.exists(dest)) dfs.delete(dest, true)
     dfs.mkdirs(dest)
-    val absAdds = snap.adds.map(a =>
-      a.copy(path = new Path(root, a.path).toUri.getPath))
+    val absAdds = snap.adds.map(a => a.copy(
+      path = new Path(root, a.path).toUri.getPath,
+      dvFile = a.dvFile.map(r => new Path(root, r).toUri.getPath)))
     val entries = LogEntry(meta = Some(snap.meta)) +:
       absAdds.map(a => LogEntry(add = Some(a))) :+
       LogEntry(info = Some(Info("CLONE", snap.version)))
@@ -796,8 +812,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // files carrying a deletion vector scan individually (the anti-join
     // key is the position alone, so no path normalization is needed);
     // plain files keep the batched per-partition-tuple scan
-    val (dvRels, plainRels) =
-      rels.partition(r => addByPath(r).dvPositions.nonEmpty)
+    val (dvRels, plainRels) = rels.partition(r => addByPath(r).hasDv)
     val needMeta = withFileCol || withPos || dvRels.nonEmpty
     def metaSelect(scan: DataFrame): DataFrame =
       // pull the metadata columns while still on the raw scan — they do
@@ -827,9 +842,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         .parquet(new Path(root, r).toString))
       // live rows = physical rows minus the vector: broadcast anti-join
       // on position (the DV cardinality is writer-capped, so the
-      // broadcast is bounded)
+      // broadcast is bounded). Positions decode from the binary sidecar
+      // (or the legacy inline list) on the driver — cap-bounded metadata.
       import spark.implicits._
-      val dvDf = a.dvPositions.toDF("__dv_pos")
+      val dvDf = dvPositionsOf(a).toDF("__dv_pos")
       finish(scan.join(broadcast(dvDf),
         col(PosCol) === col("__dv_pos"), "left_anti"), a.partitionValues)
     }
@@ -906,6 +922,35 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         }.toMap
         Add(rel, r.getAs[Long]("__rows"), partValues(rel), stats)
       }.toVector
+  }
+
+  /** Persist a merged deletion vector as an immutable `_dv/<uuid>.bin`
+    * sidecar (delta-varint, [[TxLog.encodeDv]]); returns its
+    * root-relative path for the Add entry. */
+  private def writeDvSidecar(sorted: Seq[Long]): String = {
+    val rel = "_dv/" + java.util.UUID.randomUUID.toString.take(12) + ".bin"
+    val p = new Path(root, rel)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(TxLog.encodeDv(sorted)) finally out.close()
+    rel
+  }
+
+  /** Resolve a file's deletion-vector positions: binary sidecar first
+    * (clone-absolutized paths pass through like data paths), legacy
+    * inline list otherwise. Cap-bounded driver metadata. */
+  private def dvPositionsOf(a: Add): Seq[Long] = a.dvFile match {
+    case Some(rel) =>
+      val p = new Path(root, rel)
+      val in = fs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        TxLog.decodeDv(bos.toByteArray)
+      } finally in.close()
+    case None => a.dvPositions
   }
 
   /** Stage a commit's changed rows (table columns + `_change_type`) as

@@ -392,7 +392,7 @@ class TxLogSpec extends SparkSpec {
     assert(tab.read().count() === 990)
     assert(tab.read().where($"id" % 100L === 0L).count() === 0)
     val snap1 = TxLog.snapshot(fs, new Path(root))
-    assert(snap1.adds.exists(_.dvPositions.nonEmpty))
+    assert(snap1.adds.exists(_.hasDv))
     assert(snap1.adds.map(_.rows).sum === 990, "Add.rows must count LIVE rows")
     // change feed: the DV commit is exactly the 10 deletes, no inserts
     val feed = tab.readChanges(v1, v1)
@@ -414,7 +414,7 @@ class TxLogSpec extends SparkSpec {
     // OPTIMIZE reads through the vectors and purges them
     tab.optimize()
     val snapO = TxLog.snapshot(fs, new Path(root))
-    assert(snapO.adds.forall(_.dvPositions.isEmpty), "optimize must purge DVs")
+    assert(snapO.adds.forall(!_.hasDv), "optimize must purge DVs")
     assert(tab.read().count() === 494)
     assert(tab.read().where($"id" % 100L === 0L || $"id" === 1L).count() === 0)
   }
@@ -489,6 +489,73 @@ class TxLogSpec extends SparkSpec {
     // vacuum kills the old files the early range needs → loud refusal
     tab.vacuum(keepVersions = 1)
     intercept[Exception](tab.readChanges(0L, 5L).count())
+  }
+
+  test("deletion vectors live in compact binary sidecars: O(1) log entry " +
+    "per vectored file, DV-aware optimize, vacuumed sidecars") {
+    val root = freshRoot("dvsc")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(10000).coalesce(1))
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a WIDE sparse delete: 5000 positions in one file, inside the cap
+    val v1 = tab.deleteWhereMergeOnRead($"id" % 2 === 1L,
+      maxPositionsPerFile = 10000)
+    val commit = new Path(rootPath, f"_txlog/$v1%020d.json")
+    val txt = {
+      val in = fs.open(commit)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(!txt.contains("\"dv\":"),
+      "positions must NOT serialize inline in the log")
+    assert(txt.contains("dvFile") && txt.contains("\"dvCount\":5000"))
+    assert(fs.getFileStatus(commit).getLen < 2000,
+      s"5000-position DV commit must stay O(1): ${fs.getFileStatus(commit).getLen} bytes")
+    val add = TxLog.snapshot(fs, rootPath).adds.find(_.hasDv).get
+    assert(fs.exists(new Path(rootPath, add.dvFile.get)), "sidecar on disk")
+    // the sidecar itself is compact: ~1 byte per gap-2 position
+    assert(fs.getFileStatus(new Path(rootPath, add.dvFile.get)).getLen
+      < 5000 * 3)
+    assert(tab.read().count() === 5000)
+    assert(tab.read().where($"id" % 2 === 1L).count() === 0)
+    // a second delete merges into a NEW sidecar (files are immutable)
+    tab.deleteWhereMergeOnRead($"id" === 0L)
+    assert(tab.read().count() === 4999)
+
+    // DV-aware OPTIMIZE: the 30%-shadowed partition file is rewritten
+    // clean, the 0.3%-shadowed one keeps its vector untouched
+    val t2root = freshRoot("dvaw")
+    val tab2 = new TxTable(spark, t2root)
+    tab2.create(docs(999).coalesce(1), partitionCols = Seq("lang"))
+    tab2.deleteWhereMergeOnRead($"id" < 300 && $"id" % 3 === 0) // lang=0: 100/333
+    tab2.deleteWhereMergeOnRead($"id" === 1L)                   // lang=1: 1/333
+    val fs2 = new Path(t2root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = TxLog.snapshot(fs2, new Path(t2root)).adds
+      .map(a => a.path -> a).toMap
+    tab2.optimize(minRows = 0) // disable the small-file branch: DV-only pass
+    val after = TxLog.snapshot(fs2, new Path(t2root)).adds
+    val heavy = after.filter(_.partitionValues.get("lang").contains("0"))
+    assert(heavy.nonEmpty && heavy.forall(!_.hasDv),
+      "over-threshold DV file must be rewritten clean")
+    val light = after.filter(_.partitionValues.get("lang").contains("1"))
+    assert(light.nonEmpty && light.forall(a =>
+      a.hasDv && before.get(a.path).contains(a)),
+      "under-threshold DV file must be left untouched")
+    assert(tab2.read().count() === 999 - 100 - 1)
+    // after a full purge + vacuum, no sidecar survives
+    tab2.optimize(minRows = 0, dvFraction = 0.0)
+    tab2.vacuum(keepVersions = 1)
+    val leftover = {
+      val it = fs2.listFiles(new Path(t2root), true)
+      var found = List.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath.toString
+        if (p.endsWith(".bin")) found ::= p
+      }
+      found
+    }
+    assert(leftover.isEmpty, s"vacuum must reclaim dead sidecars: $leftover")
   }
 
   test("commit-time CDF: a feed slice reads ONLY _change_data — no table " +
