@@ -51,12 +51,23 @@ object TxLog {
     * time, so reading the feed is O(changed rows) instead of a re-read +
     * diff of every touched data file. Off by default — tables nobody
     * reads a feed from must not pay the capture write. */
+  /** `columnMapping` is Delta's column-mapping design in miniature:
+    * LOGICAL name (what the schema and every API shows) → PHYSICAL name
+    * (what the parquet files store, fixed forever at the column's first
+    * write). RENAME COLUMN then only rewrites this map + the schema —
+    * a metadata commit, zero data files touched — and reads at ANY
+    * version resolve through their own version's mapping. Columns
+    * absent from the map are identity-mapped. */
   final case class Meta(schemaJson: String, partitionCols: List[String],
       constraints: Option[List[String]] = None,
-      cdfEnabled: Option[Boolean] = None) {
+      cdfEnabled: Option[Boolean] = None,
+      columnMapping: Option[Map[String, String]] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def checkExprs: List[String] = constraints.getOrElse(Nil)
     def cdf: Boolean = cdfEnabled.getOrElse(false)
+    /** The parquet-file column name behind a logical schema name. */
+    def physicalOf(logical: String): String =
+      columnMapping.flatMap(_.get(logical)).getOrElse(logical)
   }
   /** `path` is relative to the table root; data files are immutable.
     * `rows` counts LIVE rows (physical rows minus the deletion vector).

@@ -581,6 +581,48 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     sys.error("unreachable")
   }
 
+  /** RENAME COLUMN — a METADATA-ONLY commit (Delta's column-mapping
+    * rename): the logical schema name changes, the physical parquet
+    * column keeps its first-write name forever, and the log's
+    * logical→physical map routes every read and write; not one data
+    * file is touched. Time travel before the rename serves the old
+    * logical name from that version's own metadata. Refused for
+    * partition columns (their values ride in directory names and
+    * partitionValues under the physical spelling) and for columns a
+    * CHECK constraint references (the stored expression text would
+    * silently stop binding).
+    */
+  def renameColumn(oldName: String, newName: String): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      val schema = snap.meta.schema
+      require(schema.fieldNames.contains(oldName),
+        s"RENAME: no column $oldName in $root")
+      require(!schema.fieldNames.contains(newName),
+        s"RENAME: column $newName already exists in $root")
+      require(!snap.meta.partitionCols.contains(oldName),
+        s"RENAME: $oldName is a partition column of $root")
+      require(!snap.meta.checkExprs.exists(
+          _.matches(s".*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*")),
+        s"RENAME: a CHECK constraint references $oldName — drop it first")
+      val renamed = StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val mapping = snap.meta.columnMapping.getOrElse(Map.empty) -
+        oldName + (newName -> snap.meta.physicalOf(oldName))
+      val meta = snap.meta.copy(schemaJson = renamed.json,
+        columnMapping = Some(mapping))
+      val entries = Seq(LogEntry(meta = Some(meta)),
+        LogEntry(info = Some(Info("RENAME_COLUMN", snap.version))))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"renameColumn on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
   /** Turn on commit-time change capture from the NEXT commit on (the
     * ALTER TABLE SET TBLPROPERTIES form of [[create]]'s flag). Commits
     * before this one keep resolving their feed via the file-diff
@@ -689,10 +731,20 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     require(0 <= fromVersion && fromVersion <= toVersion && toVersion <= latest,
       s"change range [$fromVersion, $toVersion] outside [0, $latest] at $root")
     val head = TxLog.snapshot(fs, root, Some(toVersion))
-    def align(df: DataFrame, extra: Seq[Column] = Nil): DataFrame =
-      df.select(head.meta.schema.fields.map(f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq ++ extra: _*)
+    // column identity across versions is the PHYSICAL name: a version's
+    // frame (logical names of ITS meta) maps onto the head's logical
+    // names through physicalOf on both sides, so a feed range crossing a
+    // RENAME commit stays one coherent relation under the head spelling
+    def alignFrom(df: DataFrame, vMeta: Meta,
+        extra: Seq[Column] = Nil): DataFrame =
+      df.select(head.meta.schema.fields.map { f =>
+        val phys = head.meta.physicalOf(f.name)
+        vMeta.schema.fieldNames.find(n => vMeta.physicalOf(n) == phys)
+          .filter(df.columns.contains) match {
+          case Some(n) => col(n).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }.toIndexedSeq ++ extra: _*)
     val perCommit = (fromVersion to toVersion).flatMap { v =>
       val entries = TxLog.commitEntries(fs, root, v)
       val captured = entries.flatMap(_.info).headOption
@@ -707,22 +759,30 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         else {
           cdfFiles.foreach(c => require(fs.exists(new Path(root, c.path)),
             s"change data of commit $v at $root was vacuumed"))
+          // change-data files store physical names directly
           val df = spark.read.parquet(
             cdfFiles.map(c => new Path(root, c.path).toString): _*)
-          Some(stamp(align(df, Seq(col("_change_type")))))
+          val aligned = df.select(head.meta.schema.fields.map { f =>
+            val p = head.meta.physicalOf(f.name)
+            if (df.columns.contains(p)) col(p).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq :+ col("_change_type"): _*)
+          Some(stamp(aligned))
         }
       } else if (addedPaths.isEmpty && removedPaths.isEmpty) None
-      else if (removedPaths.isEmpty)
-        Some(stamp(align(readFiles(TxLog.snapshot(fs, root, Some(v)),
-          addedPaths)).withColumn("_change_type", lit("insert"))))
-      else if (addedPaths.isEmpty)
-        Some(stamp(align(readFiles(TxLog.snapshot(fs, root, Some(v - 1)),
-          removedPaths)).withColumn("_change_type", lit("delete"))))
-      else {
-        val added = align(readFiles(TxLog.snapshot(fs, root, Some(v)),
-          addedPaths))
-        val removed = align(
-          readFiles(TxLog.snapshot(fs, root, Some(v - 1)), removedPaths))
+      else if (removedPaths.isEmpty) {
+        val snapV = TxLog.snapshot(fs, root, Some(v))
+        Some(stamp(alignFrom(readFiles(snapV, addedPaths), snapV.meta)
+          .withColumn("_change_type", lit("insert"))))
+      } else if (addedPaths.isEmpty) {
+        val snapP = TxLog.snapshot(fs, root, Some(v - 1))
+        Some(stamp(alignFrom(readFiles(snapP, removedPaths), snapP.meta)
+          .withColumn("_change_type", lit("delete"))))
+      } else {
+        val snapV = TxLog.snapshot(fs, root, Some(v))
+        val snapP = TxLog.snapshot(fs, root, Some(v - 1))
+        val added = alignFrom(readFiles(snapV, addedPaths), snapV.meta)
+        val removed = alignFrom(readFiles(snapP, removedPaths), snapP.meta)
         val ins = added.exceptAll(removed)
           .withColumn("_change_type", lit("insert"))
         val del = removed.exceptAll(added)
@@ -731,7 +791,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       }
     }
     if (perCommit.nonEmpty) perCommit.reduce(_ unionAll _)
-    else align(readFiles(head, Nil))
+    else alignFrom(readFiles(head, Nil), head.meta)
       .withColumn("_change_type", lit(""))
       .withColumn("_commit_version", lit(0L))
       .limit(0)
@@ -758,7 +818,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * rides in partitionValues and prunes exactly. */
   def candidateFiles(snap: Snapshot, colName: String, lo: Any, hi: Any): Vector[Add] =
     snap.adds.filter { a =>
-      a.stats.get(colName) match {
+      a.stats.get(snap.meta.physicalOf(colName)) match {
         case Some(st) => st.kind match {
           case "l" => st.max.toLong >= toL(lo) && st.min.toLong <= toL(hi)
           case "d" => st.max.toDouble >= toD(lo) && st.min.toDouble <= toD(hi)
@@ -807,7 +867,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     if (rels.isEmpty)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](),
         StructType(schema.fields ++ metaFields))
-    val dataSchema = StructType(schema.fields.filterNot(f => pcols.contains(f.name)))
+    // files store PHYSICAL column names (stable across renames); the
+    // scan schema asks for those and the final projection re-labels
+    // them with this version's LOGICAL names
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => pcols.contains(f.name))
+        .map(f => f.copy(name = snap.meta.physicalOf(f.name))))
     val addByPath = snap.adds.map(a => a.path -> a).toMap
     // files carrying a deletion vector scan individually (the anti-join
     // key is the position alone, so no path normalization is needed);
@@ -826,9 +891,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         val v = pv.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
         df.withColumn(c, lit(v.orNull).cast(schema(c).dataType))
       }
-      val cols = schema.fieldNames.map(col) ++
-        (if (needMeta) Seq(col(FileCol), col(PosCol)) else Nil)
-      withParts.select(cols: _*)
+      val cols = schema.fieldNames.map { n =>
+        if (pcols.contains(n)) col(n)
+        else col(snap.meta.physicalOf(n)).as(n)
+      } ++ (if (needMeta) Seq(col(FileCol), col(PosCol)) else Nil)
+      withParts.select(cols.toIndexedSeq: _*)
     }
     val plainFrames = plainRels.groupBy(r => addByPath(r).partitionValues)
       .toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
@@ -881,7 +948,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   private def stageWrite(df: DataFrame, meta: Meta): Vector[Add] = {
     val stage = "data/" + java.util.UUID.randomUUID.toString.take(8)
     val stagePath = new Path(root, stage)
-    val w = df.write.mode("overwrite")
+    // files store PHYSICAL names: a post-rename write lands in the same
+    // column the pre-rename files carry (partition columns are identity-
+    // mapped — rename refuses them)
+    val physDf = df.select(df.columns.map(c =>
+      col(c).as(meta.physicalOf(c))).toIndexedSeq: _*)
+    val w = physDf.write.mode("overwrite")
     (if (meta.partitionCols.nonEmpty) w.partitionBy(meta.partitionCols: _*) else w)
       .parquet(stagePath.toString)
 
@@ -896,17 +968,21 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     }
     if (!anyFile) return Vector.empty
 
+    // stats are computed over — and keyed by — PHYSICAL names: the
+    // physical name never changes, so a file's stats stay addressable
+    // through any sequence of renames (candidateFiles translates)
     val statCols = meta.schema.fields.toSeq
       .filterNot(f => meta.partitionCols.contains(f.name))
       .filter(f => statKind(f.dataType).isDefined)
       .filter(f => df.schema.fieldNames.contains(f.name))
+      .map(f => meta.physicalOf(f.name) -> f.dataType)
     // Plain read of the single staged dir: partition discovery is
     // consistent within one staging root (and only data columns feed
     // the stats anyway).
     val staged = spark.read.parquet(stagePath.toString)
-    val aggs = count(lit(1L)).as("__rows") +: statCols.flatMap { f =>
-      Seq(min(col(f.name)).cast("string").as(s"__min_${f.name}"),
-        max(col(f.name)).cast("string").as(s"__max_${f.name}"))
+    val aggs = count(lit(1L)).as("__rows") +: statCols.flatMap { case (p, _) =>
+      Seq(min(col(p)).cast("string").as(s"__min_$p"),
+        max(col(p)).cast("string").as(s"__max_$p"))
     }
     staged
       .groupBy(col("_metadata.file_path").as("__f"))
@@ -914,11 +990,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       .collect()
       .map { r =>
         val rel = relPath(r.getAs[String]("__f"))
-        val stats = statCols.flatMap { f =>
-          val mn = r.getAs[String](s"__min_${f.name}")
-          val mx = r.getAs[String](s"__max_${f.name}")
+        val stats = statCols.flatMap { case (p, dt) =>
+          val mn = r.getAs[String](s"__min_$p")
+          val mx = r.getAs[String](s"__max_$p")
           if (mn == null || mx == null) None
-          else Some(f.name -> Stat(statKind(f.dataType).get, mn, mx))
+          else Some(p -> Stat(statKind(dt).get, mn, mx))
         }.toMap
         Add(rel, r.getAs[Long]("__rows"), partValues(rel), stats)
       }.toVector
@@ -962,10 +1038,15 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * O(changed rows) at commit; lost-race restagings orphan their files
     * and [[vacuum]] mops them, like [[stageWrite]]'s.
     */
-  private def stageCdf(changes: DataFrame): Vector[Cdf] = {
+  private def stageCdf(changes: DataFrame, meta: Meta): Vector[Cdf] = {
     val stage = "_change_data/" + java.util.UUID.randomUUID.toString.take(8)
     val stagePath = new Path(root, stage)
-    changes.write.mode("overwrite").parquet(stagePath.toString)
+    // change data stores PHYSICAL names too, so a feed slice written
+    // before a rename reads back under any later logical spelling
+    val phys = changes.select(changes.columns.map(c =>
+      if (c == "_change_type") col(c)
+      else col(c).as(meta.physicalOf(c))).toIndexedSeq: _*)
+    phys.write.mode("overwrite").parquet(stagePath.toString)
     spark.read.parquet(stagePath.toString)
       .groupBy(col("_metadata.file_path").as("__f"))
       .agg(count(lit(1L)).as("__rows"))
@@ -981,7 +1062,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * trust an empty capture (pure rewrite) instead of falling back. */
   private def captureTail(meta: Meta, op: String, readVersion: Long,
       changes: => DataFrame): Seq[LogEntry] = {
-    val cdfs = if (meta.cdf) stageCdf(changes) else Vector.empty
+    val cdfs = if (meta.cdf) stageCdf(changes, meta) else Vector.empty
     cdfs.map(c => LogEntry(cdf = Some(c))) :+
       LogEntry(info = Some(Info(op, readVersion,
         cdfCaptured = if (meta.cdf) Some(true) else None)))

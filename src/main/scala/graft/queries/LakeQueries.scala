@@ -788,9 +788,50 @@ object LakeQueries {
            |       END AS price_cents
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** Column-mapping RENAME (Delta's RENAME COLUMN): o_totalprice becomes
+    * price_usd in a METADATA-ONLY commit — the query REQUIREs that not
+    * one data file changed — then an append arrives under the NEW
+    * logical name and lands in the SAME physical parquet column the old
+    * files carry. Head read (all rows, new spelling) unioned with the
+    * v0 time-travel read (pre-rename rows under the OLD spelling, which
+    * that version's own metadata still serves) — both reconstructed
+    * relationally by the oracle. A rename that rewrote data, dropped
+    * the mapping on read, or leaked the new name into history breaks
+    * rows or schema.
+    */
+  val extLakeSchemaRename = Q(
+    "ext_lake_schema_rename",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_rename", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0))     // v0
+      val filesBefore = tab.read().inputFiles.toSet
+      tab.renameColumn("o_totalprice", "price_usd")         // v1: metadata only
+      require(tab.read().inputFiles.toSet == filesBefore,
+        "RENAME COLUMN must not touch a single data file")
+      tab.append(orders.where($"o_orderkey" % 2 === 1)      // v2: new name in,
+        .withColumnRenamed("o_totalprice", "price_usd"))    //     same physical col
+      tab.read()
+        .select(lit("head").as("snap"), $"o_orderkey", $"o_custkey",
+          $"price_usd")
+        .unionAll(tab.read(asOf = Some(0L))
+          .select(lit("v0").as("snap"), $"o_orderkey", $"o_custkey",
+            $"o_totalprice".as("price_usd")))
+        .orderBy($"snap", $"o_orderkey")
+    },
+    Some("""SELECT 'head' AS snap, o_orderkey, o_custkey,
+           |       o_totalprice AS price_usd
+           |FROM orders
+           |UNION ALL
+           |SELECT 'v0', o_orderkey, o_custkey, o_totalprice
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |ORDER BY snap, o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
     extLakeDeleteDv, extLakeCdfIncremental, extLakeVacuum,
-    extLakeSchemaEvolution, extLakeAcid, extLakeTimeTravel,
+    extLakeSchemaEvolution, extLakeSchemaRename, extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
     extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
     extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,

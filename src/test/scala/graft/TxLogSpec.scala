@@ -558,6 +558,45 @@ class TxLogSpec extends SparkSpec {
     assert(leftover.isEmpty, s"vacuum must reclaim dead sidecars: $leftover")
   }
 
+  test("column-mapping rename: metadata-only, skipping stats survive, " +
+    "guards refuse partition/constrained/colliding names") {
+    val root = freshRoot("ren")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(100), partitionCols = Seq("lang"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesBefore = TxLog.snapshot(fs, new Path(root)).adds.map(_.path).toSet
+    tab.renameColumn("id", "doc_id")
+    assert(TxLog.snapshot(fs, new Path(root)).adds.map(_.path).toSet
+      === filesBefore, "rename must be a pure metadata commit")
+    // reads resolve the new logical name; the old one is gone
+    assert(tab.read().columns.toSeq === Seq("doc_id", "text", "lang"))
+    assert(tab.read().select("doc_id").count() === 100)
+    // stats-based skipping works through the mapping on the NEW name
+    val pruned = tab.candidateFiles(
+      TxLog.snapshot(fs, new Path(root)), "doc_id", 0L, 5L)
+    assert(pruned.forall(_.stats.contains("id")),
+      "stats stay keyed by the physical name")
+    assert(tab.readBetween("doc_id", 0L, 5L).count() === 6)
+    // a write under the new name lands in the old physical column
+    tab.append(docs(5).withColumn("id", $"id" + 500L)
+      .withColumnRenamed("id", "doc_id"))
+    assert(tab.read().count() === 105)
+    assert(tab.read().where($"doc_id" >= 500L).count() === 5)
+    // time travel BEFORE the rename serves the old logical name
+    assert(tab.read(asOf = Some(0L)).columns.toSeq
+      === Seq("id", "text", "lang"))
+    // rename-back round-trips
+    tab.renameColumn("doc_id", "id")
+    assert(tab.read().columns.toSeq === Seq("id", "text", "lang"))
+    assert(tab.read().count() === 105)
+    // guards
+    intercept[IllegalArgumentException](tab.renameColumn("lang", "language"))
+    intercept[IllegalArgumentException](tab.renameColumn("id", "text"))
+    intercept[IllegalArgumentException](tab.renameColumn("nope", "x"))
+    tab.addConstraint("id IS NOT NULL")
+    intercept[IllegalArgumentException](tab.renameColumn("id", "doc_id"))
+  }
+
   test("commit-time CDF: a feed slice reads ONLY _change_data — no table " +
     "data file — and mixed histories fall back per commit") {
     val root = freshRoot("cdfc")
