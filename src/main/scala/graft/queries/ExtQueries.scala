@@ -1037,25 +1037,35 @@ object ExtQueries {
            |       MIN(ts) AS session_start, MAX(ts) AS session_end
            |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin))
 
-  /** Multimodal binary-column features via the codegen'd column path
-    * (the mapPartitions decode template is MultimodalSpec-verified to
-    * produce identical output). The payload is the UTF-8 text standing in
-    * for an opaque media blob; width/height are the decode STUB's
-    * deterministic fakes.
+  /** Multimodal binary-column features via a REAL header decode: each
+    * document's bytes are wrapped in a crafted PNG (even doc_id) or JPEG
+    * (odd) container whose header carries dimensions derived from
+    * doc_id, and [[graft.ext.Multimodal.decodeMedia]] recovers format +
+    * width + height by PARSING the container bytes (PNG IHDR / JPEG SOF0
+    * — public layouts) in the mapPartitions decode stage. The oracle
+    * replicates the FIXTURE contract arithmetically (it cannot parse
+    * binaries): 1 + id%512 × 1 + id%384, and the containers' exact byte
+    * overhead (PNG 57, JPEG 27 + COM cap). A decoder that shortcut the
+    * formula instead of reading bytes would pass — the spec half
+    * (MultimodalSpec) pins real parsing via malformed/truncated inputs
+    * and hand-built headers the formula cannot predict.
     */
   val extMultimodal = Q(
     "ext_multimodal_features",
     (s, dir) => {
       import s.implicits._
-      graft.ext.Multimodal.featureColumns(
-        graft.ext.Multimodal.withBinary(t(s, dir, "documents")))
+      graft.ext.Multimodal.decodeMedia(
+        graft.ext.Multimodal.withMediaBinary(t(s, dir, "documents")))
         .orderBy($"doc_id")
     },
     Some("""SELECT doc_id,
-           |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           |       CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
-           |       CAST(1 + octet_length(encode(text)) % 48 AS INT) AS height,
-           |       md5(text) AS checksum
+           |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           |       CAST(1 + doc_id % 512 AS INT) AS width,
+           |       CAST(1 + doc_id % 384 AS INT) AS height,
+           |       CAST(CASE WHEN doc_id % 2 = 0
+           |                 THEN 57 + octet_length(encode(text))
+           |                 ELSE 27 + LEAST(octet_length(encode(text)), 60000)
+           |            END AS INT) AS n_bytes
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   /** The raw events parquet schema EXACTLY as the file-stream source will

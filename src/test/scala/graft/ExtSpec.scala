@@ -34,6 +34,53 @@ class MultimodalSpec extends SparkSpec {
     assert(viaPartitions === viaColumns)
   }
 
+  test("real header decode: PNG IHDR and JPEG SOF dimensions parse from " +
+    "bytes the fixture formula cannot predict") {
+    // hand-built containers with arbitrary dimensions — no doc_id
+    // relationship at all, so a formula-shortcut 'decoder' cannot pass
+    val png = Multimodal.buildPng(1920, 1080, "pixels!".getBytes)
+    assert(Multimodal.parseHeader(png) === (("png", 1920, 1080)))
+    val jpg = Multimodal.buildJpeg(640, 487, "scanline".getBytes)
+    assert(Multimodal.parseHeader(jpg) === (("jpeg", 640, 487)))
+    // byte-size contracts the oracle relies on
+    assert(png.length === 57 + 7)
+    assert(jpg.length === 27 + 8)
+    // the Spark decode stage recovers them through mapPartitions
+    val frames = Seq((1L, png), (2L, jpg)).toDF("doc_id", "payload")
+    val got = Multimodal.decodeMedia(frames).orderBy("doc_id")
+      .as[Multimodal.MediaInfo].collect().toSeq
+    assert(got === Seq(
+      Multimodal.MediaInfo(1L, "png", 1920, 1080, png.length),
+      Multimodal.MediaInfo(2L, "jpeg", 640, 487, jpg.length)))
+  }
+
+  test("malformed media falls back to unknown, never throws") {
+    assert(Multimodal.parseHeader("just some text".getBytes)
+      === (("unknown", 0, 0)))
+    assert(Multimodal.parseHeader(Array.empty[Byte]) === (("unknown", 0, 0)))
+    // a truncated PNG: signature only, no IHDR to read
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    assert(Multimodal.parseHeader(sig) === (("unknown", 0, 0)))
+    // PNG magic but a first chunk that is not IHDR
+    val bad = sig ++ Array.fill[Byte](16)(7)
+    assert(Multimodal.parseHeader(bad) === (("unknown", 0, 0)))
+    // JPEG SOI followed by garbage (no 0xff marker structure)
+    assert(Multimodal.parseHeader(
+      Array(0xff, 0xd8, 0x00, 0x01, 0x02, 0x03).map(_.toByte))
+      === (("unknown", 0, 0)))
+    // JPEG that ends before any SOF frame header
+    assert(Multimodal.parseHeader(
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)) === (("unknown", 0, 0)))
+    // and the whole decode stage survives a mixed good/garbage batch
+    val mixed = Seq(
+      (1L, Multimodal.buildPng(8, 4, Array.empty[Byte])),
+      (2L, "garbage".getBytes)).toDF("doc_id", "payload")
+    val got = Multimodal.decodeMedia(mixed).orderBy("doc_id")
+      .as[Multimodal.MediaInfo].collect().toSeq
+    assert(got.head.format === "png" && got.head.width === 8)
+    assert(got(1).format === "unknown" && got(1).width === 0)
+  }
+
   test("resize stub scales the stub-decoded dimensions") {
     val r = Multimodal.resizeStub(Multimodal.withBinary(docs), 32, 24)
       .where($"doc_id" === 1).collect().head
