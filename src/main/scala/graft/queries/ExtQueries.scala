@@ -1463,6 +1463,64 @@ object ExtQueries {
            |GROUP BY c_mktsegment, event_type
            |ORDER BY c_mktsegment, event_type""".stripMargin))
 
+  /** Structured Streaming through a PARQUET FILE SINK
+    * ([[graft.streaming.StreamOps.runToFileSink]]): the same 5-minute
+    * windowed aggregation as ext_stream_window_counts, but append mode
+    * writing real files with the sink's `_spark_metadata` exactly-once
+    * log — the deployment pattern, proving the memory-sink harness the
+    * other stream queries use is an observation convenience, not
+    * load-bearing. Append emits only watermark-finalized windows: the
+    * whole feed lands in one micro-batch (watermark 0 — nothing
+    * dropped), the watermark then advances to max(ts) − 1 h, and the
+    * no-data batch flushes every window whose END ≤ that watermark to
+    * parquet; the last hour's windows die unemitted in state. The
+    * oracle reconstructs exactly that set relationally. Sink +
+    * checkpoint are recreated fresh per run — a stale `_spark_metadata`
+    * from a previous run would mask the new files.
+    */
+  val extStreamFileSink = Q(
+    "ext_stream_file_sink",
+    (s, dir) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft_stream_file_sink", dir.replaceAll("[^A-Za-z0-9]", "_"))
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          val paths =
+            try walk.iterator().asScala.toSeq.reverse
+            finally walk.close()
+          paths.foreach(java.nio.file.Files.delete)
+        }
+      rmTree(base)
+      val result = graft.streaming.StreamOps.runToFileSink(
+        s, streamSourceDir(dir, "filesink"), eventsStreamSchema(s, dir),
+        df => graft.streaming.StreamOps.windowedEventCounts(
+            normalizeStreamTs(df), "5 minutes", "1 hour")
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("event_type"), col("n_events"),
+            col("sum_value").cast("double").as("sum_value")),
+        base.resolve("data").toString, base.resolve("ckpt").toString,
+        statePartitions = Some(8))
+      result.orderBy($"window_start", $"event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+           |  FROM events),
+           |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM ev)
+           |SELECT window_start, window_start + INTERVAL 5 MINUTE AS window_end,
+           |       event_type, n_events, sum_value
+           |FROM (
+           |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+           |         event_type, COUNT(*) AS n_events,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           |  FROM ev GROUP BY 1, 2)
+           |WHERE window_start + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
+           |ORDER BY window_start, event_type""".stripMargin))
+
   /** As-of join (point-in-time): each event matched to the user's most
     * recent order at event time — [[graft.ext.AsOfJoin]]'s union +
     * carry-forward-window composition (one shuffle). Oracle: DuckDB's
@@ -1641,5 +1699,6 @@ object ExtQueries {
     extTextFilter, extLangId, extTopTerms, extSessionize, extSessionWindow,
     extMultimodal, extMultimodalFrames, extStreamWindowCounts,
     extStreamSlidingCounts, extStreamSessionize, extStreamDedup,
-    extStreamLateDrop, extStreamEnrich, extSplitLeakageSafe)
+    extStreamLateDrop, extStreamEnrich, extStreamFileSink,
+    extSplitLeakageSafe)
 }

@@ -251,6 +251,40 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Drive a streaming query over a static parquet directory through an
+    * APPEND-mode parquet FILE sink — the production pattern the memory
+    * sink merely simulates — then read the committed result back.
+    * Exactly-once comes from the sink's own `_spark_metadata` commit
+    * log: a reader sees only files of fully committed micro-batches,
+    * and a replayed batch overwrites its slot in the log instead of
+    * duplicating rows. Nothing passes through the driver — rows go
+    * executor → parquet, so the path scales with executor count, not
+    * driver memory. Only watermark-finalized rows are ever written
+    * (append semantics), so the on-disk table equals the append-mode
+    * emission set the memory-sink harness observes.
+    */
+  def runToFileSink(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transform: DataFrame => DataFrame,
+      outDir: String, checkpointDir: String,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      val q = transform(stream).writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.read.parquet(outDir)
+  }
+
   def runToCompletion(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType,
       transform: DataFrame => DataFrame, queryName: String,

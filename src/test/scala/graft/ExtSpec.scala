@@ -134,6 +134,34 @@ class StreamingSpec extends SparkSpec {
   }
 
 
+  test("file sink writes only watermark-finalized windows with a commit log") {
+    def ts(min: Long) = new Timestamp(base + min * 60000L)
+    // windows: [0,5) holds 2 events, [5,10) holds 1; the event at
+    // minute 120 drives the final watermark to 120 − 60 = minute 60, so
+    // both early windows flush to parquet and the [120,125) window dies
+    // unemitted in state — the append-mode contract, observed through
+    // real files instead of the memory sink
+    val rows = Seq(
+      (1L, ts(0), "view", "1.0"), (2L, ts(3), "view", "2.0"),
+      (3L, ts(7), "click", "3.0"), (4L, ts(120), "view", "4.0"))
+      .toDF("event_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_file_sink")
+    rows.write.mode("overwrite").parquet(s"$dir/in")
+    val out = StreamOps.runToFileSink(spark, s"$dir/in", rows.schema,
+      df => StreamOps.windowedEventCounts(df, "5 minutes", "1 hour")
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n_events")),
+      s"$dir/out", s"$dir/ckpt", statePartitions = Some(4))
+    val got = out.select($"ws", $"event_type", $"n_events")
+      .as[(Timestamp, String, Long)]
+      .collect().toSeq.sortBy(r => (r._1.getTime, r._2))
+    assert(got === Seq((ts(0), "view", 2L), (ts(5), "click", 1L)))
+    // the exactly-once machinery: the sink's own _spark_metadata log,
+    // which spark.read consults so half-committed batches are invisible
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/out/_spark_metadata")))
+  }
+
   test("AvailableNow backfill drains the backlog, then terminates itself") {
     import org.apache.spark.sql.streaming.Trigger
     def ts(min: Long) = new Timestamp(base + min * 60000L)
