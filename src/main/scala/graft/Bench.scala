@@ -47,6 +47,9 @@ object Bench {
       .config("spark.eventLog.dir", eventDir.toUri.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // metrics sink parity (reference: spark/conf/metrics.properties →
+    // Prometheus): run-level counters land in METRICS_REPORT.json at exit
+    val metrics = graft.core.RunMetrics.install(spark)
     // warm the session (JIT, codegen, parquet footer caches) so the first
     // measured query is not charged ~3s of JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -174,6 +177,11 @@ object Bench {
         (report + "\n").getBytes("UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"[bench] lineage report write failed: $e") }
+    try graft.core.RunMetrics.writeArtifact(metrics, "METRICS_REPORT.json",
+      Seq("entry" -> "bench", "sf" -> sfDir,
+        "event_log_dir" -> eventDir.toString)): Unit
+    catch { case e: Exception =>
+      System.err.println(s"[bench] metrics report write failed: $e") }
     spark.stop()
   }
 }

@@ -39,6 +39,9 @@ object RunEtl {
       .config("spark.eventLog.dir", eventDir.toUri.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // metrics sink parity (reference: spark/conf/metrics.properties →
+    // Prometheus): run-level counters land in METRICS_REPORT.json at exit
+    val metrics = graft.core.RunMetrics.install(spark)
 
     // the reference's runtime-loaded expectation suites: when the repo's
     // expectations/ dir is present, each node's DQ gate resolves
@@ -62,6 +65,11 @@ object RunEtl {
     Interface.createDailyOrderReportView(order.data)
     Interface.dailyOrderReport(spark).show()
 
+    try graft.core.RunMetrics.writeArtifact(metrics, "METRICS_REPORT.json",
+      Seq("entry" -> "run_etl", "sf" -> sfDir,
+        "event_log_dir" -> eventDir.toString)): Unit
+    catch { case e: Exception =>
+      System.err.println(s"[run_etl] metrics report write failed: $e") }
     spark.stop()
   }
 }
