@@ -829,8 +829,61 @@ object LakeQueries {
            |FROM orders WHERE o_orderkey % 2 = 0
            |ORDER BY snap, o_orderkey""".stripMargin))
 
+  /** Aggregate IVM ([[graft.ext.Ivm.foldCountSum]]): a per-status
+    * (count, sum-of-cents) state table maintained purely from the change
+    * feed across create → append → merge-on-read delete → update, where
+    * the update REWRITES THE GROUP KEY itself (status → 'X') — rows
+    * migrate between groups via the feed's delete+insert pair, the
+    * hardest distributive-agg maintenance case. The state is never
+    * recomputed from bronze after v0; the oracle computes the batch
+    * aggregate of the FINAL bronze content relationally, so one missed
+    * retraction, one double-applied insert, or one group left behind at
+    * count 0 breaks the hash. Cents are exact longs — maintained state
+    * must be bit-identical, not approximately equal.
+    */
+  val extLakeIvmAgg = Q(
+    "ext_lake_ivm_agg",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus",
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("price_cents"))
+      val bronze = new TxTable(s, scratch("lake_ivma_bronze", dir))
+      bronze.create(orders.where($"o_orderkey" % 2 === 0)
+        .repartitionByRange(4, $"o_orderkey"),
+        enableChangeDataFeed = true)                            // v0
+      bronze.append(orders.where($"o_orderkey" % 2 === 1))      // v1
+      bronze.deleteWhereMergeOnRead($"price_cents" < 10000000L) // v2
+      bronze.update($"price_cents" > 40000000L,
+        Map("o_orderstatus" -> lit("X")))                       // v3
+      val state = new TxTable(s, scratch("lake_ivma_state", dir))
+      state.create(bronze.read(asOf = Some(0L))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"price_cents").as("sum_cents")))
+      (1L to bronze.version).foreach { v =>
+        graft.ext.Ivm.foldCountSum(state,
+          bronze.readChanges(v, v)
+            .select($"o_orderstatus", $"price_cents", $"_change_type"),
+          Seq("o_orderstatus"), "price_cents", "n_orders", "sum_cents")
+      }
+      state.read().orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+           |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+           |FROM (SELECT CASE WHEN cents > 40000000 THEN 'X'
+           |                  ELSE o_orderstatus END AS o_orderstatus,
+           |             cents
+           |      FROM (SELECT o_orderstatus,
+           |                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           |                     AS cents
+           |            FROM orders)
+           |      WHERE cents >= 10000000)
+           |GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
-    extLakeDeleteDv, extLakeCdfIncremental, extLakeVacuum,
+    extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
     extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,

@@ -716,3 +716,54 @@ class TxLogSpec extends SparkSpec {
       tab.merge(src("C", 1, 2).unionAll(src("C", 2, 3)), Seq("id")))
   }
 }
+
+/** Aggregate IVM delta-propagation edge cases the oracle query
+  * (ext_lake_ivm_agg) cannot isolate: exact zero-count retraction
+  * removing the group, a value-only update pair leaving count intact,
+  * and the loud failure on a malformed change type.
+  */
+class IvmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"ivm_$tag")
+      .resolve("tbl").toString
+
+  private def slice(rows: (String, Long, String)*): DataFrame =
+    rows.toDF("k", "v", "_change_type")
+
+  test("retraction to zero deletes the group; update pair keeps count") {
+    val state = new TxTable(spark, freshRoot("fold"))
+    state.create(Seq(("a", 2L, 30L), ("b", 1L, 5L))
+      .toDF("k", "n_rows", "sum_v"))
+    // delete both of a's rows → group a must vanish entirely
+    graft.ext.Ivm.foldCountSum(state,
+      slice(("a", 10L, "delete"), ("a", 20L, "delete")),
+      Seq("k"), "v", "n_rows", "sum_v")
+    assert(state.read().select($"k").as[String].collect().toSeq === Seq("b"))
+    // an update = delete+insert on b: count unchanged, sum moves 5→9
+    graft.ext.Ivm.foldCountSum(state,
+      slice(("b", 5L, "delete"), ("b", 9L, "insert")),
+      Seq("k"), "v", "n_rows", "sum_v")
+    val b = state.read().where($"k" === "b")
+      .select($"n_rows", $"sum_v").as[(Long, Long)].collect().head
+    assert(b === ((1L, 9L)))
+    // a brand-new group arrives through the feed alone
+    graft.ext.Ivm.foldCountSum(state,
+      slice(("c", 7L, "insert")), Seq("k"), "v", "n_rows", "sum_v")
+    val c = state.read().where($"k" === "c")
+      .select($"n_rows", $"sum_v").as[(Long, Long)].collect().head
+    assert(c === ((1L, 7L)))
+  }
+
+  test("a malformed change type fails loudly, never silently skips") {
+    val state = new TxTable(spark, freshRoot("bad"))
+    state.create(Seq(("a", 1L, 10L)).toDF("k", "n_rows", "sum_v"))
+    val e = intercept[Exception] {
+      graft.ext.Ivm.foldCountSum(state,
+        slice(("a", 1L, "update_postimage")),
+        Seq("k"), "v", "n_rows", "sum_v")
+    }
+    assert(e.getMessage != null)
+  }
+}
