@@ -54,17 +54,29 @@ object Bench {
     // measured query is not charged ~3s of JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    // optional family filter (regex, substring match) for spot-benches —
+    // e.g. SPARK_GRAFT_BENCH_ONLY='^(ext_lake_|ext_dedup_|ext_stream_)'
+    // for the 10× scaling runs; the driver sets nothing and measures all
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    def selected(n: String): Boolean =
+      only.forall(_.findFirstIn(n).isDefined)
     // warm the lake: build the full medallion lineage once, timing each
-    // node; pipeline queries below then measure their reports
+    // node; pipeline queries below then measure their reports (skipped
+    // when a filter selects no pipeline query — a lake-family spot-bench
+    // shouldn't pay 27 nodes of unmeasured lineage)
     graft.core.LineageTimings.clear()
     graft.core.LineageRunReport.clear()
+    val wantPipeline = SparkEntry.queries.keys
+      .exists(n => n.startsWith("pipeline_") && selected(n))
     val tLake0 = System.nanoTime()
-    val rf = graft.queries.PipelineQueries.rainforest(spark, sfDir)
-    // warm silver too, not only gold lineages: dim_buyer feeds no gold
-    // table, so without this its pipeline query would be charged a cold
-    // node build + commit instead of the report read the convention
-    // promises (every other pipeline_* entry is read-only)
-    (rf.silver ++ rf.gold).foreach(n => rf.ctx.registry.runOnce(n))
+    if (wantPipeline) {
+      val rf = graft.queries.PipelineQueries.rainforest(spark, sfDir)
+      // warm silver too, not only gold lineages: dim_buyer feeds no gold
+      // table, so without this its pipeline query would be charged a cold
+      // node build + commit instead of the report read the convention
+      // promises (every other pipeline_* entry is read-only)
+      (rf.silver ++ rf.gold).foreach(n => rf.ctx.registry.runOnce(n))
+    }
     val lakeSec = (System.nanoTime() - tLake0) / 1e9
     val lineage = graft.core.LineageTimings.snapshot
     // snapshot NOW: later measured queries run their own side contexts
@@ -85,7 +97,7 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qmap = SparkEntry.queries
+    val qmap = SparkEntry.queries.filter(kv => selected(kv._1))
     val pass1 = qmap.toSeq.sortBy(_._1).map { case (n, fn) => measure(n, fn) }
     // outliers: > max(1s, 3× median) — re-measure once, keep the min
     val okTimes = pass1.collect { case (_, v, true) => v }.sorted

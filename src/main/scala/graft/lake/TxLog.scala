@@ -58,16 +58,24 @@ object TxLog {
     * a metadata commit, zero data files touched — and reads at ANY
     * version resolve through their own version's mapping. Columns
     * absent from the map are identity-mapped. */
+  /** `retiredPhysical` lists parquet column names orphaned by DROP
+    * COLUMN: existing files still carry their bytes, so a later re-add
+    * of the same LOGICAL name must map to a FRESH physical name — a
+    * re-add that reused the retired name would silently resurrect the
+    * dropped column's old values into the new column on every pre-drop
+    * file. */
   final case class Meta(schemaJson: String, partitionCols: List[String],
       constraints: Option[List[String]] = None,
       cdfEnabled: Option[Boolean] = None,
-      columnMapping: Option[Map[String, String]] = None) {
+      columnMapping: Option[Map[String, String]] = None,
+      retiredPhysical: Option[List[String]] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def checkExprs: List[String] = constraints.getOrElse(Nil)
     def cdf: Boolean = cdfEnabled.getOrElse(false)
     /** The parquet-file column name behind a logical schema name. */
     def physicalOf(logical: String): String =
       columnMapping.flatMap(_.get(logical)).getOrElse(logical)
+    def retired: List[String] = retiredPhysical.getOrElse(Nil)
   }
   /** `path` is relative to the table root; data files are immutable.
     * `rows` counts LIVE rows (physical rows minus the deletion vector).

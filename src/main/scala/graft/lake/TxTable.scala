@@ -82,7 +82,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val first = TxLog.snapshot(fs, root)
     enforceConstraints(df, first.meta)
     var checked = first.meta.checkExprs.toSet
-    val adds = stageWrite(df, evolve(first.meta, df.schema))
+    // the staged files are written under THIS meta's physical names; any
+    // re-evolve on a lost race must reuse its mapping — a fresh evolve
+    // would mint new physical names for re-added (post-drop) columns and
+    // commit metadata pointing at columns the staged files don't carry
+    val stagedMeta = evolve(first.meta, df.schema)
+    val adds = stageWrite(df, stagedMeta)
     var attempt = 0
     while (attempt < maxRetries) {
       val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
@@ -93,7 +98,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           snap.meta.copy(constraints = Some(fresh)))
         checked ++= fresh
       }
-      val merged = evolve(snap.meta, df.schema)
+      val merged = evolve(snap.meta, df.schema,
+        preassigned = stagedMeta.columnMapping.getOrElse(Map.empty))
       val metaEntry =
         if (merged.schemaJson != snap.meta.schemaJson)
           Seq(LogEntry(meta = Some(merged)))
@@ -623,6 +629,48 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     sys.error("unreachable")
   }
 
+  /** DROP COLUMN — a METADATA-ONLY commit, the column-mapping twin of
+    * [[renameColumn]]: the field leaves the logical schema, the
+    * physical parquet column stays in every existing file and is simply
+    * never projected again; not one data file is touched. The physical
+    * name is RETIRED in the log, so a later re-add of the same logical
+    * name (via additive evolution) maps to a fresh physical name —
+    * pre-drop files then serve NULL in the re-added column instead of
+    * resurrecting the dropped bytes. Time travel before the drop serves
+    * the column from that version's own metadata. Refused for partition
+    * columns, constraint-referenced columns (same grounds as rename),
+    * and the last remaining column.
+    */
+  def dropColumn(name: String): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      val schema = snap.meta.schema
+      require(schema.fieldNames.contains(name),
+        s"DROP: no column $name in $root")
+      require(schema.fields.length > 1,
+        s"DROP: $name is the last column of $root")
+      require(!snap.meta.partitionCols.contains(name),
+        s"DROP: $name is a partition column of $root")
+      require(!snap.meta.checkExprs.exists(
+          _.matches(s".*\\b${java.util.regex.Pattern.quote(name)}\\b.*")),
+        s"DROP: a CHECK constraint references $name — drop it first")
+      val dropped = StructType(schema.fields.filterNot(_.name == name))
+      val meta = snap.meta.copy(schemaJson = dropped.json,
+        columnMapping = snap.meta.columnMapping.map(_ - name),
+        retiredPhysical =
+          Some((snap.meta.retired :+ snap.meta.physicalOf(name)).distinct))
+      val entries = Seq(LogEntry(meta = Some(meta)),
+        LogEntry(info = Some(Info("DROP_COLUMN", snap.version))))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"dropColumn on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
   /** Turn on commit-time change capture from the NEXT commit on (the
     * ALTER TABLE SET TBLPROPERTIES form of [[create]]'s flag). Commits
     * before this one keep resolving their feed via the file-diff
@@ -925,7 +973,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   // ---- write plumbing ----
 
-  private def evolve(meta: Meta, incoming: StructType): Meta = {
+  private def evolve(meta: Meta, incoming: StructType,
+      preassigned: Map[String, String] = Map.empty): Meta = {
     val cur = meta.schema
     val curNames = cur.fieldNames.toSet
     incoming.fields.filter(f => curNames(f.name)).foreach { f =>
@@ -935,8 +984,23 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     }
     val added = incoming.fields.filterNot(f => curNames(f.name))
     if (added.isEmpty) meta
-    else meta.copy(schemaJson =
-      StructType(cur.fields ++ added.map(_.copy(nullable = true))).json)
+    else {
+      // a re-added column whose identity physical name was RETIRED by a
+      // DROP gets a fresh physical name: old files' bytes for the
+      // dropped column must read as NULL in the new column, never
+      // resurrect (only the winning commit's UUID persists, so the
+      // retry loop minting a new one per attempt is harmless)
+      val retired = meta.retired.toSet
+      val remapped = added.filter(f => retired.contains(f.name)).map(f =>
+        f.name -> preassigned.getOrElse(f.name, f.name + "_r" +
+          java.util.UUID.randomUUID.toString.take(8)))
+      val mapping = meta.columnMapping.getOrElse(Map.empty) ++ remapped
+      meta.copy(
+        schemaJson =
+          StructType(cur.fields ++ added.map(_.copy(nullable = true))).json,
+        columnMapping =
+          if (mapping.isEmpty) meta.columnMapping else Some(mapping))
+    }
   }
 
   /** Write `df` as new immutable files under `data/<uuid>/` and return

@@ -882,9 +882,54 @@ object LakeQueries {
            |GROUP BY o_orderstatus
            |ORDER BY o_orderstatus""".stripMargin))
 
+  /** DROP COLUMN + re-add under column mapping
+    * ([[graft.lake.TxTable.dropColumn]]): o_custkey is dropped
+    * metadata-only (the query REQUIREs no data file changed), then a
+    * later append RE-ADDS a column with the same name carrying shifted
+    * values — additive evolution maps it to a FRESH physical name, so
+    * the pre-drop files must read NULL in it, never their old custkeys.
+    * Resurrection is the bug this design exists to prevent: one leaked
+    * original custkey on an even orderkey breaks the hash. v0 time
+    * travel still serves the original column from its own metadata.
+    */
+  val extLakeSchemaDrop = Q(
+    "ext_lake_schema_drop",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_drop", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0))       // v0
+      val filesBefore = tab.read().inputFiles.toSet
+      tab.dropColumn("o_custkey")                             // v1: metadata
+      require(tab.read().inputFiles.toSet == filesBefore,
+        "DROP COLUMN must not touch a single data file")
+      require(!tab.read().columns.contains("o_custkey"),
+        "dropped column leaked into the head schema")
+      tab.append(orders.where($"o_orderkey" % 2 === 1)        // v2: re-add,
+        .withColumn("o_custkey", $"o_custkey" + 555L))        // fresh physical
+      tab.read()
+        .select(lit("head").as("snap"), $"o_orderkey", $"o_custkey",
+          $"o_totalprice")
+        .unionAll(tab.read(asOf = Some(0L))
+          .select(lit("v0").as("snap"), $"o_orderkey", $"o_custkey",
+            $"o_totalprice"))
+        .orderBy($"snap", $"o_orderkey")
+    },
+    Some("""SELECT 'head' AS snap, o_orderkey,
+           |       CASE WHEN o_orderkey % 2 = 1 THEN o_custkey + 555 END
+           |         AS o_custkey,
+           |       o_totalprice
+           |FROM orders
+           |UNION ALL
+           |SELECT 'v0', o_orderkey, o_custkey, o_totalprice
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |ORDER BY snap, o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
     extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg, extLakeVacuum,
-    extLakeSchemaEvolution, extLakeSchemaRename, extLakeAcid, extLakeTimeTravel,
+    extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
+    extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
     extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
     extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,

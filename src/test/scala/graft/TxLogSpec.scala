@@ -597,6 +597,42 @@ class TxLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](tab.renameColumn("id", "doc_id"))
   }
 
+  test("column-mapping drop: metadata-only, re-add gets a fresh physical " +
+    "name, guards refuse partition/constrained/last columns") {
+    val root = freshRoot("drop")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(100), partitionCols = Seq("lang"))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesBefore = TxLog.snapshot(fs, new Path(root)).adds.map(_.path).toSet
+    tab.dropColumn("text")
+    assert(TxLog.snapshot(fs, new Path(root)).adds.map(_.path).toSet
+      === filesBefore, "drop must be a pure metadata commit")
+    assert(tab.read().columns.toSeq === Seq("id", "lang"))
+    // the physical name is retired in the log
+    assert(TxLog.snapshot(fs, new Path(root)).meta.retired === List("text"))
+    // re-add via additive evolution: fresh physical name, old bytes
+    // stay buried — pre-drop rows read NULL, new rows their value
+    tab.append(docs(5).withColumn("id", $"id" + 500L)
+      .withColumn("text", concat(lit("new-"), $"id")))
+    val mapping = TxLog.snapshot(fs, new Path(root)).meta
+      .columnMapping.getOrElse(Map.empty)
+    assert(mapping.get("text").exists(_ != "text"),
+      s"re-added column must map to a fresh physical name, got $mapping")
+    assert(tab.read().where($"text".isNotNull).count() === 5)
+    assert(tab.read().where($"id" < 500L && $"text".isNotNull).count() === 0)
+    // time travel before the drop serves the original column + bytes
+    assert(tab.read(asOf = Some(0L)).columns.toSeq === Seq("id", "text", "lang"))
+    assert(tab.read(asOf = Some(0L)).where($"text".isNull).count() === 0)
+    // guards
+    intercept[IllegalArgumentException](tab.dropColumn("lang"))
+    intercept[IllegalArgumentException](tab.dropColumn("nope"))
+    tab.addConstraint("id IS NOT NULL")
+    intercept[IllegalArgumentException](tab.dropColumn("id"))
+    val one = new TxTable(spark, freshRoot("drop1"))
+    one.create(docs(3).select($"id"))
+    intercept[IllegalArgumentException](one.dropColumn("id"))
+  }
+
   test("commit-time CDF: a feed slice reads ONLY _change_data — no table " +
     "data file — and mixed histories fall back per commit") {
     val root = freshRoot("cdfc")
