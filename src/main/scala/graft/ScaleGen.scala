@@ -59,12 +59,27 @@ object ScaleGen {
     val docSpan = span(t("documents"), "doc_id")
     val vecSpan = span(t("embeddings"), "vec_id")
 
+    // the driver testdata convention is ONE parquet FILE per table (the
+    // stream feed helpers link `<dir>/events.parquet` as a file); write
+    // to a staging dir and move the single part file into place —
+    // row-group splitting keeps scans parallel despite the single file
+    def writeOneFile(df: DataFrame, name: String): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("scalegen")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(out, s"$name.parquet")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     def replicate(name: String)(perCopy: (DataFrame, Int) => DataFrame)
         : Unit = {
       val base = t(name)
       val all = (0 until copies).map(i => perCopy(base, i))
         .reduce(_ unionAll _)
-      all.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      writeOneFile(all, name)
       println(s"[scalegen] $name x$copies -> $out/$name.parquet")
     }
     def shift(df: DataFrame, i: Int, cols: (String, Long)*): DataFrame =
@@ -99,7 +114,7 @@ object ScaleGen {
            |AS DOUBLE) - 8.0) AS FLOAT))""".stripMargin))
     }
     Seq("nation", "region").foreach { n =>
-      t(n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+      writeOneFile(t(n), n)
       println(s"[scalegen] $n x1 -> $out/$n.parquet")
     }
   }

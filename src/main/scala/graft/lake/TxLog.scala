@@ -68,7 +68,8 @@ object TxLog {
       constraints: Option[List[String]] = None,
       cdfEnabled: Option[Boolean] = None,
       columnMapping: Option[Map[String, String]] = None,
-      retiredPhysical: Option[List[String]] = None) {
+      retiredPhysical: Option[List[String]] = None,
+      bloomIndex: Option[Map[String, Double]] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def checkExprs: List[String] = constraints.getOrElse(Nil)
     def cdf: Boolean = cdfEnabled.getOrElse(false)
@@ -76,6 +77,9 @@ object TxLog {
     def physicalOf(logical: String): String =
       columnMapping.flatMap(_.get(logical)).getOrElse(logical)
     def retired: List[String] = retiredPhysical.getOrElse(Nil)
+    /** LOGICAL column name → target false-positive rate of its per-file
+      * bloom index ([[graft.lake.TxTable.addBloomIndex]]). */
+    def bloomCols: Map[String, Double] = bloomIndex.getOrElse(Map.empty)
   }
   /** `path` is relative to the table root; data files are immutable.
     * `rows` counts LIVE rows (physical rows minus the deletion vector).
@@ -94,10 +98,17 @@ object TxLog {
     * longer written. `stats` stay as written — a superset range is
     * still a correct skipping bound.
     */
+  /** `bloom` maps PHYSICAL column name → `_bloom/<uuid>.bin` sidecar (a
+    * serialized `org.apache.spark.util.sketch.BloomFilter` over
+    * `xxhash64` of the file's values): point lookups consult it to skip
+    * files min/max stats cannot exclude — the needle-in-100-TB read.
+    * Absent entries mean "no index for this file" and are always
+    * conservative (file kept). */
   final case class Add(path: String, rows: Long,
       partitionValues: Map[String, String], stats: Map[String, Stat],
       dv: Option[List[Long]] = None, dvFile: Option[String] = None,
-      dvCount: Option[Long] = None) {
+      dvCount: Option[Long] = None,
+      bloom: Option[Map[String, String]] = None) {
     /** Inline positions only — sidecar vectors resolve through
       * [[TxTable]]'s fs-aware decode. */
     def dvPositions: List[Long] = dv.getOrElse(Nil)
@@ -353,6 +364,7 @@ object TxLog {
     val referenced = (floor to latest).flatMap { v =>
       val adds = snapshot(fs, root, Some(v)).adds
       adds.map(_.path) ++ adds.flatMap(_.dvFile) ++
+        adds.flatMap(_.bloom.map(_.values).getOrElse(Nil)) ++
         commitEntries(fs, root, v).flatMap(_.cdf).map(_.path)
     }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -363,7 +375,8 @@ object TxLog {
       val f = it.next()
       val rel = f.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       val reclaimable = rel.endsWith(".parquet") ||
-        (rel.startsWith("_dv/") && rel.endsWith(".bin"))
+        ((rel.startsWith("_dv/") || rel.startsWith("_bloom/")) &&
+          rel.endsWith(".bin"))
       if (!rel.startsWith("_txlog") && reclaimable &&
           f.getModificationTime <= cutoff) all += rel
     }

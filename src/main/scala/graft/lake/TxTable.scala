@@ -512,7 +512,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     dfs.mkdirs(dest)
     val absAdds = snap.adds.map(a => a.copy(
       path = new Path(root, a.path).toUri.getPath,
-      dvFile = a.dvFile.map(r => new Path(root, r).toUri.getPath)))
+      dvFile = a.dvFile.map(r => new Path(root, r).toUri.getPath),
+      bloom = a.bloom.map(_.map { case (c, r) =>
+        c -> new Path(root, r).toUri.getPath })))
     val entries = LogEntry(meta = Some(snap.meta)) +:
       absAdds.map(a => LogEntry(add = Some(a))) :+
       LogEntry(info = Some(Info("CLONE", snap.version)))
@@ -667,6 +669,63 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       attempt += 1
       require(attempt < maxRetries,
         s"dropColumn on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** CREATE BLOOMFILTER INDEX (Delta's bloom filter index): from this
+    * commit on, every data file carries a `_bloom/<uuid>.bin` sidecar —
+    * a per-file bloom filter over xxhash64 of `colName` — and existing
+    * live files are BACKFILLED in one distributed pass (one
+    * `groupBy(_metadata.file_path)` aggregation over the live set, one
+    * commit re-adding each file with its sidecar reference; never a job
+    * per file). Point lookups ([[readEquals]]) then skip every file
+    * whose filter excludes the key — the needle-in-100-TB read min/max
+    * stats cannot serve when the column is uncorrelated with file
+    * layout (a uuid/user-id spread across every file's full range).
+    * Refused for partition columns: their single value rides in
+    * partitionValues and prunes exactly already.
+    */
+  def addBloomIndex(colName: String, fpp: Double = 0.01): Long = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      require(snap.meta.schema.fieldNames.contains(colName),
+        s"BLOOM INDEX: no column $colName in $root")
+      require(!snap.meta.partitionCols.contains(colName),
+        s"BLOOM INDEX: $colName is a partition column — partitionValues " +
+          "prune it exactly already")
+      val phys = snap.meta.physicalOf(colName)
+      val pcols = snap.meta.partitionCols
+      val dataSchema = StructType(
+        snap.meta.schema.fields.filterNot(f => pcols.contains(f.name))
+          .map(f => f.copy(name = snap.meta.physicalOf(f.name))))
+      val maxRows = snap.adds.map(_.rows).maxOption.getOrElse(0L)
+      val blooms = perFileBlooms(
+        snap.adds.map(a => new Path(root, a.path).toString),
+        Some(dataSchema), phys, maxRows, fpp)
+      val updated = snap.adds.flatMap { a =>
+        blooms.get(a.path).map { bytes =>
+          a.copy(bloom = Some(a.bloom.getOrElse(Map.empty) +
+            (phys -> writeBloomSidecar(bytes))))
+        }
+      }
+      val meta = snap.meta.copy(
+        bloomIndex = Some(snap.meta.bloomCols + (colName -> fpp)))
+      // remove-then-re-add per path (replay ends on the new payload);
+      // under CDF the marker says "pure rewrite, no logical change" so
+      // feed readers skip this commit instead of diffing it
+      val entries = (LogEntry(meta = Some(meta)) +:
+        (updated.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+          updated.map(a => LogEntry(add = Some(a))))) :+
+        LogEntry(info = Some(Info("ADD_BLOOM_INDEX", snap.version,
+          cdfCaptured = if (snap.meta.cdf) Some(true) else None)))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"addBloomIndex on $root lost $maxRetries races")
     }
     sys.error("unreachable")
   }
@@ -860,6 +919,60 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       .where(c >= lit(lo) && c <= lit(hi))
   }
 
+  /** Point lookup with bloom-index file skipping: stats prune first
+    * (equality is the degenerate range), then each surviving file's
+    * bloom sidecar is probed with the key's hash — only files whose
+    * filter says "maybe" are handed to Spark. A bloom can only
+    * false-POSITIVE, so no matching row is ever skipped; the equality
+    * filter stays on for exactness.
+    */
+  def readEquals(colName: String, value: Any,
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(fs, root, asOf)
+    val keep = bloomCandidateFiles(snap, colName, value)
+    readFiles(snap, keep.map(_.path)).where(col(colName) === lit(value))
+  }
+
+  /** The bloom + stats skipping decision, exposed for tests: candidate
+    * files for `colName == value` after BOTH prunes. Files without a
+    * sidecar for the column are kept (conservative). Sidecar loads are
+    * driver-side and bounded by the stats-surviving count; a production
+    * engine caches the deserialized filters across lookups.
+    */
+  def bloomCandidateFiles(snap: Snapshot, colName: String, value: Any)
+      : Vector[Add] = {
+    val statKept = candidateFiles(snap, colName, value, value)
+    val phys = snap.meta.physicalOf(colName)
+    snap.meta.schema.find(_.name == colName).map(_.dataType) match {
+      case None => statKept
+      case Some(dt) =>
+        val h = hashForBloom(dt, value)
+        statKept.filter { a =>
+          a.bloom.flatMap(_.get(phys)) match {
+            case None => true
+            case Some(rel) =>
+              val in = fs.open(new Path(root, rel))
+              val bf =
+                try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+                finally in.close()
+              bf.mightContainLong(h)
+          }
+        }
+    }
+  }
+
+  /** Driver-side twin of the build path's `xxhash64(col)`: the probe
+    * value casts to the COLUMN's type first (an Int probe against a
+    * BIGINT column must hash as a long, or nothing would ever match). */
+  private def hashForBloom(dt: DataType, value: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val lit0 = Literal(value)
+    val casted: org.apache.spark.sql.catalyst.expressions.Expression =
+      if (lit0.dataType == dt) lit0 else Cast(lit0, dt, Some("UTC"))
+    // seed 42 = the default the `xxhash64` SQL function builds with
+    XxHash64(Seq(casted), 42L).eval(null).asInstanceOf[Long]
+  }
+
   /** The skipping decision, exposed for tests: files whose stats CANNOT
     * exclude [lo,hi] (missing stats keep the file — conservative).
     * Partition columns carry no per-file stats — their single value
@@ -1048,7 +1161,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       Seq(min(col(p)).cast("string").as(s"__min_$p"),
         max(col(p)).cast("string").as(s"__max_$p"))
     }
-    staged
+    val baseAdds = staged
       .groupBy(col("_metadata.file_path").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1062,6 +1175,67 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         }.toMap
         Add(rel, r.getAs[Long]("__rows"), partValues(rel), stats)
       }.toVector
+    // bloom-indexed columns: one extra aggregation pass per indexed
+    // column this load carries, sidecars attached before the commit —
+    // new files are indexed the moment they are live
+    val indexed = meta.bloomCols.filter { case (c, _) =>
+      df.schema.fieldNames.contains(c) && !meta.partitionCols.contains(c)
+    }
+    if (indexed.isEmpty || baseAdds.isEmpty) baseAdds
+    else {
+      val maxRows = baseAdds.map(_.rows).max
+      indexed.foldLeft(baseAdds) { case (adds, (c, fpp)) =>
+        val phys = meta.physicalOf(c)
+        val blooms = perFileBlooms(
+          adds.map(a => new Path(root, a.path).toString), None,
+          phys, maxRows, fpp)
+        adds.map(a => blooms.get(a.path).fold(a) { bytes =>
+          a.copy(bloom = Some(a.bloom.getOrElse(Map.empty) +
+            (phys -> writeBloomSidecar(bytes))))
+        })
+      }
+    }
+  }
+
+  /** Per-file bloom filters in ONE distributed aggregation: hash the
+    * column, group by `_metadata.file_path`, aggregate with Catalyst's
+    * native BloomFilterAggregate ([[graft.functions.BloomAgg]]) — the
+    * serialized filters come back as one row per file (bytes bounded by
+    * the bits budget), never a job per file. `schemaOpt` carries the
+    * PHYSICAL data schema for live-set backfills (files may predate an
+    * additive evolution); staged reads infer (the staging dir is
+    * self-consistent). Sized for the LARGEST file at `fpp` — smaller
+    * files get a lower rate, never a higher one.
+    */
+  private def perFileBlooms(absPaths: Seq[String],
+      schemaOpt: Option[StructType], phys: String, maxRows: Long,
+      fpp: Double): Map[String, Array[Byte]] = {
+    if (absPaths.isEmpty || maxRows <= 0) return Map.empty
+    graft.functions.BloomAgg.register(spark)
+    val items = math.max(1L, maxRows)
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .create(items, fpp).bitSize()
+    val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
+    reader.parquet(absPaths: _*)
+      .select(col("_metadata.file_path").as("__f"),
+        xxhash64(col(phys)).as("__h"))
+      .groupBy(col("__f"))
+      .agg(expr(s"bloom_filter_agg(__h, CAST($items AS BIGINT), " +
+        s"CAST($bits AS BIGINT))").as("__b"))
+      .collect()
+      .map(r => relPath(r.getAs[String]("__f")) -> r.getAs[Array[Byte]]("__b"))
+      .toMap
+  }
+
+  /** Persist a serialized bloom filter as an immutable
+    * `_bloom/<uuid>.bin` sidecar; returns its root-relative path. */
+  private def writeBloomSidecar(bytes: Array[Byte]): String = {
+    val rel = "_bloom/" + java.util.UUID.randomUUID.toString.take(12) + ".bin"
+    val p = new Path(root, rel)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+    rel
   }
 
   /** Persist a merged deletion vector as an immutable `_dv/<uuid>.bin`

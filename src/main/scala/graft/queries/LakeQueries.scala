@@ -926,12 +926,58 @@ object LakeQueries {
            |FROM orders WHERE o_orderkey % 2 = 0
            |ORDER BY snap, o_orderkey""".stripMargin))
 
+  /** Bloom-index point lookups ([[graft.lake.TxTable.addBloomIndex]] /
+    * [[graft.lake.TxTable.readEquals]]): the table is laid out
+    * hash-random on a DIFFERENT column, so every file spans ~the whole
+    * o_orderkey range and min/max stats prune nothing — the REQUIRE
+    * pins that the bloom sidecars still skip files for a point key.
+    * Three deterministic keys (min, max, first-past-midpoint — the same
+    * scalars the oracle derives relationally) are looked up and
+    * unioned; a false negative (bloom skipping a file that held the
+    * key) loses a row and breaks the hash.
+    */
+  val extLakeBloomLookup = Q(
+    "ext_lake_bloom_lookup",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val root = scratch("lake_bloom", dir)
+      val tab = new TxTable(s, root)
+      tab.create(orders.repartition(8, $"o_custkey"))
+      tab.addBloomIndex("o_orderkey")
+      val r0 = orders.agg(min($"o_orderkey"), max($"o_orderkey")).head
+      val (k1, k2) = (r0.getLong(0), r0.getLong(1))
+      val k3 = orders.where($"o_orderkey" >= (k1 + k2) / 2)
+        .agg(min($"o_orderkey")).head.getLong(0)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val snap = graft.lake.TxLog.snapshot(fs,
+        new org.apache.hadoop.fs.Path(root))
+      val kept = tab.bloomCandidateFiles(snap, "o_orderkey", k3)
+      require(kept.size < snap.adds.size,
+        s"bloom must skip files stats cannot: kept ${kept.size}/${snap.adds.size}")
+      Seq(k1, k2, k3).distinct
+        .map(k => tab.readEquals("o_orderkey", k))
+        .reduce(_ unionAll _)
+        .orderBy($"o_orderkey")
+    },
+    Some("""WITH b AS (SELECT MIN(o_orderkey) AS k1, MAX(o_orderkey) AS k2
+           |           FROM orders),
+           |m AS (SELECT MIN(o_orderkey) AS k3 FROM orders, b
+           |      WHERE o_orderkey >= (b.k1 + b.k2) // 2)
+           |SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders, b, m
+           |WHERE o_orderkey IN (b.k1, b.k2, m.k3)
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
     extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeAcid, extLakeTimeTravel,
     extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
-    extStreamLakeIngest, pipelineLakeMedallion, extLakeOptimize,
+    extLakeBloomLookup, extStreamLakeIngest, pipelineLakeMedallion,
+    extLakeOptimize,
     extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,
     extLakeConstraint, extLakeUpdate)
 }

@@ -803,3 +803,82 @@ class IvmSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 }
+
+/** Per-file bloom index: the point-lookup skip path min/max stats
+  * cannot serve when the key is uncorrelated with file layout.
+  */
+class BloomIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"bloom_$tag")
+      .resolve("tbl").toString
+
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi).select($"id", concat(lit("u-"), $"id").as("tag"))
+
+  test("backfill + write-time indexing skip files with no false negatives") {
+    val root = freshRoot("skip")
+    val tab = new TxTable(spark, root)
+    // hash-random partitioning: every file spans ~the full id range, so
+    // min/max stats keep ALL files for a point id — the bloom's job
+    tab.create(rows(0, 4000).repartition(8))
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val snap0 = TxLog.snapshot(fs, new Path(root))
+    assert(tab.candidateFiles(snap0, "id", 123L, 123L).size === 8,
+      "precondition: stats alone must not prune a shuffled key")
+    tab.addBloomIndex("id", 0.01)
+    val snap1 = TxLog.snapshot(fs, new Path(root))
+    assert(snap1.adds.forall(_.bloom.exists(_.contains("id"))),
+      "backfill must index every live file")
+    val keep = tab.bloomCandidateFiles(snap1, "id", 123L)
+    assert(keep.size < 8, s"bloom kept ${keep.size}/8 files — no skip")
+    assert(tab.readEquals("id", 123L).select($"id").as[Long]
+      .collect().toSeq === Seq(123L))
+    // no false negatives across a key sample (false positives only)
+    (0 until 40).foreach { i =>
+      assert(tab.readEquals("id", i * 97L).count() === 1L) }
+    // an Int probe against the BIGINT column hashes as long
+    assert(tab.readEquals("id", 123).count() === 1L)
+    // a miss returns empty, usually touching zero files
+    assert(tab.readEquals("id", 999999L).count() === 0L)
+    // new appends are indexed at write time, no re-backfill
+    tab.append(rows(4000, 4200).repartition(2))
+    val snap2 = TxLog.snapshot(fs, new Path(root))
+    assert(snap2.adds.forall(_.bloom.exists(_.contains("id"))))
+    assert(tab.readEquals("id", 4100L).count() === 1L)
+    // a second index on the string column; probe casts through its type
+    tab.addBloomIndex("tag")
+    assert(tab.readEquals("tag", "u-123").count() === 1L)
+    assert(tab.readEquals("tag", "nope").count() === 0L)
+    // guards
+    intercept[IllegalArgumentException](tab.addBloomIndex("nope"))
+    intercept[IllegalArgumentException](tab.addBloomIndex("id", 2.0))
+  }
+
+  test("partition columns refuse; optimize re-indexes; vacuum reclaims " +
+    "orphaned sidecars and keeps referenced ones") {
+    val root = freshRoot("vac")
+    val tab = new TxTable(spark, root)
+    tab.create(rows(0, 500).withColumn("lang", ($"id" % 2).cast("string")),
+      partitionCols = Seq("lang"))
+    intercept[IllegalArgumentException](tab.addBloomIndex("lang"))
+    tab.addBloomIndex("id")
+    // optimize rewrites small files; the rewritten files must carry
+    // fresh sidecars (stageWrite indexes every load once the meta says so)
+    tab.optimize(minRows = 1L << 20)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val snap = TxLog.snapshot(fs, new Path(root))
+    assert(snap.adds.forall(_.bloom.exists(_.contains("id"))))
+    assert(tab.readEquals("id", 250L).count() === 1L)
+    val removed = tab.vacuum(keepVersions = 1)
+    assert(removed.exists(_.startsWith("_bloom/")),
+      s"vacuum must reclaim pre-optimize sidecars, removed=$removed")
+    // referenced sidecars survive: lookups still skip and still answer
+    assert(tab.readEquals("id", 250L).count() === 1L)
+    assert(snap.adds.flatMap(_.bloom.map(_.values).getOrElse(Nil))
+      .forall(rel => fs.exists(new Path(new Path(root), rel))))
+  }
+}
