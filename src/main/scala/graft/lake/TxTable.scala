@@ -333,6 +333,183 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     } finally src.unpersist()
   }
 
+  /** Delta's FULL conditional MERGE surface as a builder:
+    * `mergeInto(source, keys).whenMatchedDelete(...).whenMatchedUpdate(...)
+    * .whenNotMatchedInsert(...).whenNotMatchedBySourceUpdate(...).execute()`.
+    * Clause ORDER is significant — per row, the FIRST clause (within its
+    * match class) whose condition holds wins; a row no clause claims is
+    * kept unchanged (matched / target-only) or dropped (source-only),
+    * exactly Delta's semantics. Conditions and SET expressions reference
+    * the two sides as `t.<col>` / `s.<col>`.
+    *
+    * Scale posture: without BY SOURCE clauses only files holding a
+    * source key are rewritten (the same one-metadata-aggregation prune
+    * as [[merge]]); BY SOURCE clauses must scan every live file — that
+    * is Delta's cost too, and it is the caller's explicit opt-in.
+    */
+  def mergeInto(source: DataFrame, keyCols: Seq[String]): MergeInto =
+    new MergeInto(source, keyCols)
+
+  final class MergeInto private[lake] (source: DataFrame,
+      keyCols: Seq[String]) {
+    private case class Clause(cond: Option[Column],
+        set: Option[Map[String, Column]]) // set=None → DELETE
+    private val matchedCls =
+      scala.collection.mutable.ArrayBuffer[Clause]()
+    private val bySourceCls =
+      scala.collection.mutable.ArrayBuffer[Clause]()
+    private val insertCls =
+      scala.collection.mutable.ArrayBuffer[Clause]()
+
+    def whenMatchedUpdate(set: Map[String, Column],
+        condition: Option[Column] = None): this.type = {
+      matchedCls += Clause(condition, Some(set)); this
+    }
+    def whenMatchedDelete(condition: Option[Column] = None): this.type = {
+      matchedCls += Clause(condition, None); this
+    }
+    def whenNotMatchedInsert(condition: Option[Column] = None)
+        : this.type = {
+      insertCls += Clause(condition, None); this
+    }
+    def whenNotMatchedBySourceUpdate(set: Map[String, Column],
+        condition: Option[Column] = None): this.type = {
+      bySourceCls += Clause(condition, Some(set)); this
+    }
+    def whenNotMatchedBySourceDelete(condition: Option[Column] = None)
+        : this.type = {
+      bySourceCls += Clause(condition, None); this
+    }
+
+    // action-column encoding: one CASE over the full-outer join decides
+    // each row's fate once, then every output column and the CDF capture
+    // read the same decision — no per-clause shuffles
+    private val Keep = -1
+    private val Drop = -2
+    private def mId(i: Int) = i            // matched clause i
+    private def bId(i: Int) = 1000 + i     // by-source clause i
+    private def iId(i: Int) = 2000 + i     // insert clause i
+
+    def execute(): Long = {
+      require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+      require(matchedCls.nonEmpty || bySourceCls.nonEmpty ||
+        insertCls.nonEmpty, "MERGE needs at least one clause")
+      val src0 = source.cache()
+      try {
+        val dups = src0.groupBy(keyCols.map(col): _*)
+          .count().where(col("count") > 1).limit(1).count()
+        require(dups == 0,
+          s"merge source has duplicate keys on ${keyCols.mkString(",")}")
+        var attempt = 0
+        while (true) {
+          val snap = TxLog.snapshot(fs, root)
+          val fields = snap.meta.schema.fields.toSeq
+          // files holding a source key are loaded even for insert-only
+          // merges: a source row matching an existing key must classify
+          // as MATCHED (and be kept out of the inserts), which requires
+          // seeing the target row
+          val affected =
+            if (bySourceCls.nonEmpty) snap.adds
+            else {
+              val cur = readFiles(snap, snap.adds.map(_.path),
+                withFileCol = true)
+              val hit = cur
+                .join(src0.select(keyCols.map(col): _*), keyCols, "left_semi")
+                .select(col(FileCol).as("f")).distinct()
+                .collect().map(r => relPath(r.getString(0))).toSet
+              snap.adds.filter(a => hit(a.path))
+            }
+          val t = readFiles(snap, affected.map(_.path))
+            .withColumn("__t_ex", lit(true)).alias("t")
+          val s = src0.withColumn("__s_ex", lit(true)).alias("s")
+          // plain equality: null keys never match (Delta's rule) — a
+          // null-keyed source row is NOT MATCHED, a null-keyed target
+          // row is NOT MATCHED BY SOURCE
+          val joined = t.join(s,
+            keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+            "full_outer")
+          val isMatched = col("__t_ex").isNotNull && col("__s_ex").isNotNull
+          val tOnly = col("__t_ex").isNotNull && col("__s_ex").isNull
+          val sOnly = col("__t_ex").isNull && col("__s_ex").isNotNull
+          def chain(flag: Column, cls: Seq[Clause], id: Int => Int,
+              default: Int): Seq[(Column, Column)] =
+            cls.zipWithIndex.map { case (c, i) =>
+              (flag && c.cond.getOrElse(lit(true)), lit(id(i))) } :+
+              (flag, lit(default))
+          val pairs = chain(isMatched, matchedCls.toSeq, mId, Keep) ++
+            chain(tOnly, bySourceCls.toSeq, bId, Keep) ++
+            chain(sOnly, insertCls.toSeq, iId, Drop)
+          val action = pairs.tail
+            .foldLeft(when(pairs.head._1, pairs.head._2)) {
+              case (w, (c, v)) => w.when(c, v) }
+            .otherwise(lit(Drop))
+          val acted = joined.withColumn("__act", action)
+          val updateIds: Seq[Int] =
+            (matchedCls.zipWithIndex.collect {
+              case (Clause(_, Some(_)), i) => mId(i) } ++
+            bySourceCls.zipWithIndex.collect {
+              case (Clause(_, Some(_)), i) => bId(i) }).toSeq
+          val deleteIds: Seq[Int] =
+            (matchedCls.zipWithIndex.collect {
+              case (Clause(_, None), i) => mId(i) } ++
+            bySourceCls.zipWithIndex.collect {
+              case (Clause(_, None), i) => bId(i) }).toSeq
+          val setById: Map[Int, Map[String, Column]] =
+            (matchedCls.zipWithIndex.collect {
+              case (Clause(_, Some(m)), i) => mId(i) -> m } ++
+             bySourceCls.zipWithIndex.collect {
+               case (Clause(_, Some(m)), i) => bId(i) -> m }).toMap
+          def outCol(f: StructField): Column = {
+            val ins =
+              if (src0.columns.contains(f.name))
+                col(s"s.${f.name}").cast(f.dataType)
+              else lit(null).cast(f.dataType)
+            var e: Column = when(col("__act") >= iId(0), ins)
+            setById.toSeq.sortBy(_._1).foreach { case (id, set) =>
+              val v = set.get(f.name).map(_.cast(f.dataType))
+                .getOrElse(col(s"t.${f.name}"))
+              e = e.when(col("__act") === id, v)
+            }
+            e.otherwise(col(s"t.${f.name}")).as(f.name)
+          }
+          val dead = (deleteIds :+ Drop).map(_.toString)
+          val kept = acted
+            .where(!col("__act").cast("string").isin(dead: _*))
+            .select(fields.map(outCol): _*)
+          enforceConstraints(kept, snap.meta)
+          val adds = stageWrite(kept, snap.meta)
+          val changedIds = (updateIds ++ deleteIds).map(_.toString)
+          val entries =
+            affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+            adds.map(a => LogEntry(add = Some(a))) ++
+            captureTail(snap.meta, "MERGE_INTO", snap.version, {
+              // feed: preimage delete for every updated/deleted target
+              // row, postimage insert for every updated/inserted row;
+              // untouched survivors stay out of the feed
+              val del = acted
+                .where(col("__act").cast("string").isin(changedIds: _*))
+                .select(fields.map(f =>
+                  col(s"t.${f.name}").as(f.name)): _*)
+                .withColumn("_change_type", lit("delete"))
+              val ins = acted
+                .where(col("__act").cast("string")
+                  .isin(updateIds.map(_.toString): _*) ||
+                  col("__act") >= iId(0))
+                .select(fields.map(outCol): _*)
+                .withColumn("_change_type", lit("insert"))
+              del.unionAll(ins)
+            })
+          if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+            return snap.version + 1
+          attempt += 1
+          require(attempt < maxRetries,
+            s"mergeInto $root lost $maxRetries races")
+        }
+        sys.error("unreachable")
+      } finally { src0.unpersist(); () }
+    }
+  }
+
   /** Apply one change-feed slice ([[readChanges]] output, `_change_type`
     * ∈ insert|delete) to THIS table keyed by `keyCols` — the incremental
     * materialized-view primitive: a downstream table stays in sync with

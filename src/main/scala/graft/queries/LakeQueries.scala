@@ -971,11 +971,61 @@ object LakeQueries {
            |WHERE o_orderkey IN (b.k1, b.k2, m.k3)
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** Conditional MERGE ([[graft.lake.TxTable.mergeInto]], Delta's full
+    * clause surface) exercising every clause class at once, with clause
+    * ORDER load-bearing: matched cheap orders DELETE (first clause
+    * wins), remaining matched rows UPDATE (status 'M', price +1000),
+    * high-value source-only rows INSERT under a condition, and NOT
+    * MATCHED BY SOURCE rewrites expensive untouched orders to 'Z'. The
+    * oracle reconstructs the exact same CASE cascade relationally — a
+    * swapped clause order, a leaked conditional insert, or a by-source
+    * row the scan missed each breaks the hash.
+    */
+  val extLakeMergeConditional = Q(
+    "ext_lake_merge_conditional",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_mergec", dir))
+      tab.create(orders.repartitionByRange(6, $"o_orderkey"))
+      val source = orders.where($"o_orderkey" % 3 === 0)
+        .unionAll(orders.where($"o_orderkey" % 5 === 0)
+          .withColumn("o_orderkey", $"o_orderkey" + 100000000L))
+      tab.mergeInto(source, Seq("o_orderkey"))
+        .whenMatchedDelete(Some(col("t.o_totalprice") < 50000.0))
+        .whenMatchedUpdate(Map(
+          "o_orderstatus" -> lit("M"),
+          "o_totalprice" -> (col("s.o_totalprice") + 1000.0)))
+        .whenNotMatchedInsert(Some(col("s.o_totalprice") > 200000.0))
+        .whenNotMatchedBySourceUpdate(
+          Map("o_orderstatus" -> lit("Z")),
+          Some(col("t.o_totalprice") > 400000.0))
+        .execute()
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |       CASE WHEN o_orderkey % 3 = 0 THEN 'M'
+           |            WHEN o_totalprice > 400000 THEN 'Z'
+           |            ELSE o_orderstatus END AS o_orderstatus,
+           |       CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+           |            ELSE o_totalprice END AS o_totalprice
+           |FROM orders
+           |WHERE NOT (o_orderkey % 3 = 0 AND o_totalprice < 50000)
+           |UNION ALL
+           |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+           |       o_totalprice
+           |FROM orders
+           |WHERE o_orderkey % 5 = 0 AND o_totalprice > 200000
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
     extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeAcid, extLakeTimeTravel,
-    extLakeConcurrentAppend, extLakeMerge, extLakeSkippingScan,
+    extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
+    extLakeSkippingScan,
     extLakeBloomLookup, extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,
     extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,

@@ -882,3 +882,95 @@ class BloomIndexSpec extends SparkSpec {
       .forall(rel => fs.exists(new Path(new Path(root), rel))))
   }
 }
+
+/** Conditional MERGE clause semantics the oracle query cannot isolate:
+  * first-matching-clause-wins ordering, default keep/drop fates,
+  * null-key non-matching, insert-only dedup, and the CDF capture.
+  */
+class MergeIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"mi_$tag")
+      .resolve("tbl").toString
+
+  private def tbl(rows: (Long, String, Long)*) =
+    rows.toDF("id", "status", "amt")
+
+  test("clause order wins; unmatched-by-any-clause rows keep/drop by class") {
+    val tab = new TxTable(spark, freshRoot("ord"))
+    tab.create(tbl((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L)))
+    val src = tbl((1L, "s", 99L), (2L, "s", 99L), (9L, "s", 5L),
+      (10L, "s", 50L))
+    tab.mergeInto(src, Seq("id"))
+      // both clauses match id=1 (amt 10 < 15 AND < 25): FIRST wins → X
+      .whenMatchedUpdate(Map("status" -> lit("X")),
+        Some(col("t.amt") < 15L))
+      .whenMatchedUpdate(Map("status" -> lit("Y")),
+        Some(col("t.amt") < 25L))
+      .whenNotMatchedInsert(Some(col("s.amt") > 10L))
+      .execute()
+    val got = tab.read().orderBy($"id")
+      .select($"id", $"status", $"amt").as[(Long, String, Long)]
+      .collect().toSeq
+    // id=1 first clause (X); id=2 second (Y); id=3 matched by NO clause →
+    // kept unchanged; id=9 insert cond false → dropped; id=10 inserted
+    assert(got === Seq((1L, "X", 10L), (2L, "Y", 20L), (3L, "a", 30L),
+      (10L, "s", 50L)))
+  }
+
+  test("null source keys never match; insert-only merge cannot duplicate") {
+    val tab = new TxTable(spark, freshRoot("nk"))
+    tab.create(tbl((1L, "a", 10L)))
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "dup", 77L),
+        org.apache.spark.sql.Row(null, "nullkey", 88L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("status",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("amt",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    tab.mergeInto(src, Seq("id")).whenNotMatchedInsert().execute()
+    val got = tab.read().orderBy($"id").collect()
+    // id=1 matched → NOT re-inserted (still "a"); the null-keyed row is
+    // NOT MATCHED by definition → inserted
+    assert(got.length === 2)
+    assert(got.exists(r => r.isNullAt(0) && r.getString(1) === "nullkey"))
+    assert(got.exists(r => !r.isNullAt(0) && r.getLong(0) === 1L
+      && r.getString(1) === "a"))
+  }
+
+  test("by-source clauses rewrite unmatched target rows; CDF captures " +
+    "exactly the touched rows") {
+    val tab = new TxTable(spark, freshRoot("cdf"))
+    tab.create(tbl((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "a", 40L)), enableChangeDataFeed = true)
+    val v = tab.mergeInto(tbl((1L, "s", 11L), (9L, "s", 90L)), Seq("id"))
+      .whenMatchedUpdate(Map("amt" -> col("s.amt")))
+      .whenNotMatchedInsert()
+      .whenNotMatchedBySourceDelete(Some(col("t.amt") >= 40L))
+      .whenNotMatchedBySourceUpdate(Map("status" -> lit("stale")),
+        Some(col("t.amt") >= 30L))
+      .execute()
+    val got = tab.read().orderBy($"id")
+      .select($"id", $"status", $"amt").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(got === Seq((1L, "a", 11L), (2L, "a", 20L),
+      (3L, "stale", 30L), (9L, "s", 90L)))
+    // feed: update pair for 1, delete for 4, pair for 3, insert for 9 —
+    // and NOTHING for the untouched row 2
+    val feed = tab.readChanges(v, v)
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSeq
+    assert(!feed.exists(_._1 == 2L), s"untouched row leaked into feed: $feed")
+    assert(feed.count(_ == ((1L, "delete"))) === 1)
+    assert(feed.count(_ == ((1L, "insert"))) === 1)
+    assert(feed.count(_ == ((4L, "delete"))) === 1)
+    assert(!feed.exists(_ == ((4L, "insert"))))
+    assert(feed.count(_ == ((3L, "delete"))) === 1)
+    assert(feed.count(_ == ((3L, "insert"))) === 1)
+    assert(feed.count(_ == ((9L, "insert"))) === 1)
+  }
+}
