@@ -82,25 +82,26 @@ object ScaleConfig {
     */
   val lloydIters = 2
 
-  /** SemDeDup cluster-count floor and the cluster-size target its
-    * corpus-scaled k aims at: k = max(kMin, ⌈N / targetClusterSize⌉).
-    * Law: targetClusterSize is INVARIANT — it IS the scaling law (k
-    * grows linearly with N, holding expected cluster population, and so
-    * per-cluster pair cost, constant). Abbas et al. fit 11k clusters
-    * for LAION-440M ≈ N/40k; the smaller target here matches the
-    * test-corpus embedding density.
+  /** SemDeDup cluster-count law: k = max(kMin, ⌈√N⌉) — the published
+    * IVF guideline (FAISS's "how big is my index": cells ≈ √N). With
+    * k = √N the Lloyd ASSIGNMENT cost N·k and the within-cluster pair
+    * cost Σ|c|² ≈ N·(N/k) BOTH land at N^1.5 — the declared law for
+    * the whole query. The earlier k = ⌈N/64⌉ law held cluster sizes
+    * (and so pair cost) constant but made assignment N²/64: the
+    * sf0.1→sf1 spot-bench measured it ×35 for ×10 data — the suite's
+    * only super-linear query (BASELINE.md §scaling) — which is exactly
+    * the blow-up the √N rule exists to avoid.
     */
   val semanticKMin = 16L
-  val semanticTargetClusterSize = 64L
 
-  /** Hard population cap on a single SemDeDup cluster entering the pair
-    * join — the structural backstop when the quantizer collapses
-    * (degenerate corpora): worst-case pair cost ≤ N·cap/2, linear in N.
-    * Law: a small MULTIPLE of [[semanticTargetClusterSize]] (healthy
-    * skew survives, degeneracy is dropped and signals a rebuild);
-    * scales WITH the target, never with N.
+  /** SemDeDup cluster-population cap as a MULTIPLE of the corpus's
+    * EXPECTED cluster size ⌈N/k⌉: healthy skew survives, a collapsed
+    * quantizer's pile is dropped before pairing (and signals a
+    * rebuild). Worst-case pair cost ≤ N·capFactor·(N/k) =
+    * capFactor·N^1.5 — the cap now TRACKS the law instead of a fixed
+    * byte count, so it binds at every corpus size the same way.
     */
-  val semanticClusterCap = 4L * semanticTargetClusterSize
+  val semanticCapFactor = 4L
 
   // ---- sign-LSH (embedding near-dup banding) ----
 

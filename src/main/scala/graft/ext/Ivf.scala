@@ -139,21 +139,22 @@ object Ivf {
     buildOn(graft.queries.Mat(project(emb)), k, iters)
   }
 
-  /** [[build]] with a CORPUS-SCALED cluster count,
-    * k = max(kMin, ⌈N / targetClusterSize⌉) — the SemDeDup posture where
-    * expected cluster population must stay bounded as the corpus grows.
-    * N comes from the SAME materialized projection every Lloyd pass
-    * reads (a count over the checkpointed blocks), not a separate scan
-    * of the source — at 100 TB a standalone count() is a whole extra
-    * corpus pass. Returns the index and the k it chose.
+  /** [[build]] with a CORPUS-SCALED cluster count, k = max(kMin, ⌈√N⌉)
+    * — the published IVF sizing rule (FAISS: cells ≈ √N), which keeps
+    * the Lloyd assignment N·k at N^1.5 instead of the N² a
+    * constant-cluster-size law costs. N comes from the SAME
+    * materialized projection every Lloyd pass reads (a count over the
+    * checkpointed blocks), not a separate scan of the source — at
+    * 100 TB a standalone count() is a whole extra corpus pass. Returns
+    * the index, the k it chose, and N (callers derive relative caps
+    * from both).
     */
-  def buildScaled(
-      emb: DataFrame, targetClusterSize: Long, kMin: Long,
-      iters: Int): (Index, Long) = {
+  def buildScaled(emb: DataFrame, kMin: Long, iters: Int)
+      : (Index, Long, Long) = {
     val base = graft.queries.Mat(project(emb))
-    val k = math.max(kMin,
-      math.ceil(base.count() / targetClusterSize.toDouble).toLong)
-    (buildOn(base, k.toInt, iters), k)
+    val n = base.count()
+    val k = math.max(kMin, math.ceil(math.sqrt(n.toDouble)).toLong)
+    (buildOn(base, k.toInt, iters), k, n)
   }
 
   private def buildOn(base: DataFrame, k: Int, iters: Int): Index = {
@@ -274,7 +275,7 @@ object Ivf {
        |  FROM embeddings),
        |n AS (
        |  SELECT vec_id, e, sqrt(${duckDot("e", "e")}) AS nrm FROM e),
-       |kk AS (SELECT $kExpr AS k FROM e),
+       |kk AS (SELECT $kExpr AS k, COUNT(*) AS n FROM e),
        |c0 AS (
        |  SELECT cluster, ce FROM (
        |    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,

@@ -32,31 +32,34 @@ object SemanticQueries {
     */
   private[graft] val pagerankBandWidth = graft.ScaleConfig.pagerankBandWidth
 
-  /** Minimum SemDeDup cluster count (the small-corpus floor) and the
-    * cluster-size target the corpus-scaled k aims at:
-    * k = max([[semanticKMin]], ⌈N / [[semanticTargetClusterSize]]⌉), so
-    * the EXPECTED cluster population — and with it the per-key fan-out of
-    * the within-cluster pair join — stays ~targetClusterSize no matter
-    * how the corpus grows (the Abbas et al. SemDeDup posture: they fit
-    * 11k clusters for LAION-440M, k ∝ N). Shared Spark/oracle.
+  /** SemDeDup cluster-count law, k = max([[semanticKMin]], ⌈√N⌉) — the
+    * published IVF sizing rule (FAISS: cells ≈ √N). Assignment cost N·k
+    * and pair cost N·(N/k) BOTH land at N^1.5, the query's declared
+    * law; the earlier constant-cluster-size law (k = ⌈N/64⌉) priced
+    * assignment at N²/64 and measured ×35 for ×10 data in the sf0.1→sf1
+    * spot-bench. Shared Spark/oracle.
     */
   private[graft] val semanticKMin = graft.ScaleConfig.semanticKMin
-  private[graft] val semanticTargetClusterSize =
-    graft.ScaleConfig.semanticTargetClusterSize
+  private[graft] def semanticKFor(n: Long): Long =
+    math.max(semanticKMin, math.ceil(math.sqrt(n.toDouble)).toLong)
 
   /** Hard population cap on a single cluster entering the pair join —
-    * the structural backstop behind the expected-size argument above: a
-    * degenerate quantizer (all-identical embeddings, a collapsed Lloyd
-    * fit) can still pile the corpus into ONE cluster, and a cluster with
-    * p members costs p(p−1)/2 pairs. Clusters above the cap are dropped
-    * from pairing entirely (their members get no dedup — the same
-    * documented trade as a hot LSH bucket: under a properly scaled k an
-    * over-cap cluster signals quantizer degeneracy, and the periodic
-    * index rebuild, not a quadratic join, is the remedy). 4× the target
-    * size, so healthy skew survives; replicated in the oracle; CI-pinned
-    * structurally by PlanSpec and behaviorally by SemanticCapSpec.
+    * the structural backstop when the quantizer collapses (a degenerate
+    * all-identical corpus piles everything into ONE cluster, and a
+    * cluster with p members costs p(p−1)/2 pairs). Clusters above the
+    * cap are dropped from pairing entirely (their members get no dedup
+    * — the same documented trade as a hot LSH bucket: an over-cap
+    * cluster signals quantizer degeneracy, and the periodic index
+    * rebuild, not a quadratic join, is the remedy). The cap is
+    * [[graft.ScaleConfig.semanticCapFactor]]× the corpus's EXPECTED
+    * cluster size ⌈N/k⌉, so healthy skew survives at every corpus size;
+    * replicated in the oracle; CI-pinned structurally by PlanSpec and
+    * behaviorally by SemanticCapSpec.
     */
-  private[graft] val semanticClusterCap = graft.ScaleConfig.semanticClusterCap
+  private[graft] val semanticCapFactor = graft.ScaleConfig.semanticCapFactor
+  private[graft] def semanticCapFor(n: Long): Long =
+    semanticCapFactor *
+      math.ceil(n.toDouble / semanticKFor(n).toDouble).toLong
 
   /** SemDeDup: k-means the embedding space (the deterministic Lloyd fit
     * shared with ext_knn_cosine_ivf), then look for near-duplicates ONLY
@@ -64,11 +67,12 @@ object SemanticQueries {
     * the corpus. Each removed item reports its most-similar lower-id
     * keeper. At 100 TB the pair count is Σ|cluster|² instead of N², and
     * both factors of that bound are enforced, not hoped for: k scales
-    * with the corpus (k = max(16, ⌈N/64⌉) — one metadata-cheap count(),
-    * then the same Lloyd build), holding EXPECTED cluster sizes at
-    * [[semanticTargetClusterSize]]; and any cluster that still exceeds
-    * [[semanticClusterCap]] is dropped before pairing, so worst-case
-    * pair cost is ≤ N·cap/2 — linear in N — even under a collapsed fit.
+    * as √N ([[semanticKFor]] — one metadata-cheap count(), then the
+    * same Lloyd build), so assignment N·k and expected pair cost
+    * N·(N/k) both follow the declared N^1.5 law; and any cluster that
+    * exceeds [[semanticCapFor]] (capFactor× the expected size) is
+    * dropped before pairing, bounding worst-case pair cost at
+    * capFactor·N^1.5 even under a collapsed fit.
     * vs ext_dedup_embedding_cosine (sign-LSH banding): same contract,
     * different recall/cost trade — LSH recalls only hash-colliding
     * pairs, SemDeDup recalls ALL pairs co-assigned by the coarse
@@ -80,17 +84,17 @@ object SemanticQueries {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       // corpus-scaled cluster count — same formula as the oracle's kk
-      // CTE (GREATEST(16, CEIL(N / 64.0))); N is counted off the fit's
+      // CTE (GREATEST(16, CEIL(SQRT(N)))); N is counted off the fit's
       // own materialized projection, not a separate corpus scan
-      val (index, _) = graft.ext.Ivf.buildScaled(emb,
-        targetClusterSize = semanticTargetClusterSize,
+      val (index, _, n) = graft.ext.Ivf.buildScaled(emb,
         kMin = semanticKMin, iters = graft.ScaleConfig.lloydIters)
+      val cap = semanticCapFor(n)
       // three readers below (population census + both pair-join sides):
       // materialize the assignment once instead of re-running the E-step
       val a = Q.mat(index.assigned)
       val okc = a.groupBy($"cluster")
         .agg(count(lit(1)).as("cpop"))
-        .where($"cpop" <= semanticClusterCap)
+        .where($"cpop" <= cap)
         .select($"cluster")
       val ac = a.join(okc, Seq("cluster"))
       val pairs = ac.select($"cluster", $"vec_id".as("keep_id"),
@@ -110,11 +114,13 @@ object SemanticQueries {
         .orderBy($"removed_id")
     },
     Some(s"""WITH ${graft.ext.Ivf.duckAsgCtesDynK(
-              s"GREATEST($semanticKMin, CAST(CEIL(COUNT(*) / $semanticTargetClusterSize.0) AS BIGINT))",
+              s"GREATEST($semanticKMin, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))",
               iters = graft.ScaleConfig.lloydIters)},
             |okc AS (
             |  SELECT cluster FROM asg
-            |  GROUP BY 1 HAVING COUNT(*) <= $semanticClusterCap),
+            |  GROUP BY 1 HAVING COUNT(*) <=
+            |    (SELECT CAST($semanticCapFactor * CEIL(n / CAST(k AS DOUBLE))
+            |            AS BIGINT) FROM kk)),
             |acs AS (SELECT asg.* FROM asg JOIN okc USING (cluster)),
             |pairs AS (
             |  SELECT a.cluster, a.vec_id AS keep_id, b.vec_id AS vec_id,

@@ -179,9 +179,13 @@ class PlanSpec extends SparkSpec {
     // anchored to the CAP COLUMNS and the ACTUAL cap constants — a bare
     // "<= 100" regex would be satisfied by any unrelated literal (and
     // break silently if a cap constant changes)
+    // the semantic cap is RELATIVE to the plan corpus: compute the exact
+    // literal the law produces for this dir's embeddings count
+    val semCap = graft.queries.SemanticQueries.semanticCapFor(
+      spark.read.parquet(s"$dir/embeddings.parquet").count())
     val caps = Seq(ExtQueries.gramDocFreqCap, ExtQueries.lshBucketCap,
       CurationQueries.chunkDocFreqCap, CurationQueries.spanOccCap,
-      graft.queries.SemanticQueries.semanticClusterCap)
+      semCap)
       .distinct.mkString("|")
     val capPredicate =
       s"(gram_df|bpop|gdf|gmax|cdf|cpop)#\\S+ <= ($caps)\\)".r

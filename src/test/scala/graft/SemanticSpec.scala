@@ -77,8 +77,10 @@ class SemanticCapSpec extends SparkSpec {
   import spark.implicits._
 
   test("a collapsed over-cap cluster is dropped; a cool near-dup pair survives") {
-    val cap = SemanticQueries.semanticClusterCap
-    assert(cap === 256L, "spec corpus is sized against the committed cap")
+    // corpus N = 302 → k = max(16, ⌈√302⌉) = 18, expected size ⌈302/18⌉
+    // = 17, cap = 4·17 = 68: the 300-strong collapsed pile is over-cap
+    val cap = SemanticQueries.semanticCapFor(302L)
+    assert(cap === 68L, "spec corpus is sized against the relative cap")
     val dir = java.nio.file.Files.createTempDirectory("graft_semcap")
     val rnd = new scala.util.Random(7)
     // hot block: cap+44 IDENTICAL vectors (ids 1..300) — a fully
