@@ -158,16 +158,36 @@ object TxLog {
     * were captured at commit time — possibly as ZERO Cdf files (a pure
     * rewrite like OPTIMIZE changes nothing); absent on pre-capture
     * commits, whose feed falls back to the file-diff recompute. */
+  /** `tsMillis` is the IN-COMMIT timestamp (Delta's inCommitTimestamps):
+    * stamped by [[tryCommit]] as max(wall-clock, previous commit's
+    * stamp + 1), so the sequence is strictly monotonic even under clock
+    * skew or same-millisecond commits — the property TIMESTAMP AS OF
+    * resolution ([[graft.lake.TxTable.versionAtTimestamp]]) needs.
+    * File modification times (Delta's legacy source) are not used: they
+    * change under copies/restores. */
   final case class Info(op: String, readVersion: Long,
-      cdfCaptured: Option[Boolean] = None)
+      cdfCaptured: Option[Boolean] = None,
+      tsMillis: Option[Long] = None)
+
+  /** Writer-transaction watermark (Delta's `txn` action): `appId`
+    * identifies an idempotent writer (a streaming query, a retried
+    * batch job), `version` its application-level sequence number. A
+    * commit carrying (appId, v) is a no-op if the log already holds
+    * (appId, ≥v) — exactly-once across driver retries and checkpoint
+    * replays, enforced at the LOG, not by sink-layout conventions. */
+  final case class Txn(appId: String, version: Long)
 
   /** One JSON line per action, exactly one field set — the Delta layout
     * (`{"add":{...}}` / `{"remove":{...}}` / `{"metaData":{...}}`). */
   final case class LogEntry(meta: Option[Meta] = None, add: Option[Add] = None,
       remove: Option[Remove] = None, info: Option[Info] = None,
-      cdf: Option[Cdf] = None)
+      cdf: Option[Cdf] = None, txn: Option[Txn] = None)
 
-  final case class Snapshot(version: Long, meta: Meta, adds: Vector[Add])
+  /** `txns`: highest committed application-level version per writer
+    * appId — the idempotence watermark, replayed (and checkpointed)
+    * like the live file set. */
+  final case class Snapshot(version: Long, meta: Meta, adds: Vector[Add],
+      txns: Map[String, Long] = Map.empty)
 
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
@@ -214,7 +234,24 @@ object TxLog {
     val tmpDir = new Path(logDir(root), ".tmp")
     fs.mkdirs(tmpDir)
     val tmp = new Path(tmpDir, java.util.UUID.randomUUID.toString + ".json")
-    writeString(fs, tmp, render(entries))
+    // in-commit timestamp: strictly monotonic over versions —
+    // max(wall clock, predecessor's stamp + 1); one O(1) commit-file
+    // read per commit, and only Info entries without a stamp are
+    // touched (restores/replays keep whatever they carry)
+    val prevTs =
+      if (version <= 0) None
+      else scala.util.Try(commitInfo(fs, root, version - 1)
+        .flatMap(_.tsMillis)).toOption.flatten
+    val now = System.currentTimeMillis()
+    val ts = math.max(now, prevTs.map(_ + 1L).getOrElse(now))
+    val stamped = entries.map { e =>
+      e.info match {
+        case Some(i) if i.tsMillis.isEmpty =>
+          e.copy(info = Some(i.copy(tsMillis = Some(ts))))
+        case _ => e
+      }
+    }
+    writeString(fs, tmp, render(stamped))
     val won =
       if (fs.getScheme == "file") {
         val t = Paths.get(tmp.toUri.getPath)
@@ -268,27 +305,29 @@ object TxLog {
     val ckpt = newestCheckpointAtOrBefore(fs, root, target)
     var meta: Option[Meta] = None
     val live = scala.collection.mutable.LinkedHashMap[String, Add]()
+    val txns = scala.collection.mutable.HashMap[String, Long]()
+    def fold(e: LogEntry, withRemoves: Boolean): Unit = {
+      e.meta.foreach(m => meta = Some(m))
+      e.add.foreach(a => live(a.path) = a)
+      if (withRemoves) e.remove.foreach(r => live.remove(r.path))
+      e.txn.foreach(t => txns(t.appId) =
+        math.max(txns.getOrElse(t.appId, Long.MinValue), t.version))
+    }
     val start = ckpt match {
       case Some(v) =>
-        parse(readString(fs, checkpointFile(root, v))).foreach { e =>
-          e.meta.foreach(m => meta = Some(m))
-          e.add.foreach(a => live(a.path) = a)
-        }
+        parse(readString(fs, checkpointFile(root, v)))
+          .foreach(fold(_, withRemoves = false))
         v + 1
       case None => 0L
     }
     (start to target).foreach { v =>
       val p = commitFile(root, v)
       require(fs.exists(p), s"missing commit $v at $root (vacuumed?)")
-      parse(readString(fs, p)).foreach { e =>
-        e.meta.foreach(m => meta = Some(m))
-        e.add.foreach(a => live(a.path) = a)
-        e.remove.foreach(r => live.remove(r.path))
-      }
+      parse(readString(fs, p)).foreach(fold(_, withRemoves = true))
     }
     lastReplay.set((target - start + 1, ckpt.isDefined))
     Snapshot(target, meta.getOrElse(sys.error(s"no metaData in log at $root")),
-      live.values.toVector)
+      live.values.toVector, txns.toMap)
   }
 
   /** Every action of one commit — the change-data-feed building block
@@ -333,8 +372,10 @@ object TxLog {
   private def maybeCheckpoint(fs: FileSystem, root: Path, version: Long): Unit =
     if (version > 0 && version % checkpointInterval == 0) {
       val snap = snapshot(fs, root, Some(version))
-      val entries = LogEntry(meta = Some(snap.meta)) +:
-        snap.adds.map(a => LogEntry(add = Some(a)))
+      val entries = (LogEntry(meta = Some(snap.meta)) +:
+        snap.adds.map(a => LogEntry(add = Some(a)))) ++
+        snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          LogEntry(txn = Some(Txn(app, v))) }
       // A racing checkpointer writes byte-identical content — overwrite
       // is harmless, so plain writes suffice here.
       writeString(fs, checkpointFile(root, version), render(entries))

@@ -75,11 +75,28 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * with nulls in the new columns. Appends conflict with nothing —
     * losing a version race just means claiming the next number.
     */
-  def append(df: DataFrame): Long = {
+  def append(df: DataFrame): Long = appendCore(df, None)
+
+  /** [[append]] under a writer-transaction watermark: a call whose
+    * (appId, txnVersion) the log has already absorbed is a NO-OP
+    * returning the current version — exactly-once for retried batch
+    * jobs and replayed streaming micro-batches, enforced by the log
+    * itself (the check re-runs inside the optimistic-commit loop, so a
+    * concurrent duplicate loses the race and then skips).
+    */
+  def appendIdempotent(df: DataFrame, appId: String,
+      txnVersion: Long): Long =
+    appendCore(df, Some(Txn(appId, txnVersion)))
+
+  private def appendCore(df: DataFrame, txn: Option[Txn]): Long = {
     // Stage ONCE — data files are commit-independent; only the version
     // claim (and the schema check, against whatever landed meanwhile)
     // repeats on a lost race.
     val first = TxLog.snapshot(fs, root)
+    txn.foreach { t =>
+      if (first.txns.get(t.appId).exists(_ >= t.version))
+        return first.version
+    }
     enforceConstraints(df, first.meta)
     var checked = first.meta.checkExprs.toSet
     // the staged files are written under THIS meta's physical names; any
@@ -91,6 +108,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (attempt < maxRetries) {
       val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
+      // the duplicate check re-runs against every fresh snapshot: a
+      // concurrent twin that won the race turns this attempt into the
+      // no-op (the staged orphans are vacuum's to reclaim, like any
+      // lost-race staging)
+      txn.foreach { t =>
+        if (snap.txns.get(t.appId).exists(_ >= t.version))
+          return snap.version
+      }
       // a concurrent ADD_CONSTRAINT must bind this append too
       val fresh = snap.meta.checkExprs.filterNot(checked)
       if (fresh.nonEmpty) {
@@ -104,7 +129,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         if (merged.schemaJson != snap.meta.schemaJson)
           Seq(LogEntry(meta = Some(merged)))
         else Nil
-      val entries = metaEntry ++ adds.map(a => LogEntry(add = Some(a))) :+
+      val entries = metaEntry ++ adds.map(a => LogEntry(add = Some(a))) ++
+        txn.map(t => LogEntry(txn = Some(t))).toSeq :+
         LogEntry(info = Some(Info("APPEND", snap.version)))
       val v = snap.version + 1
       if (TxLog.tryCommit(fs, root, v, entries)) return v
@@ -288,7 +314,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * as in Delta). Conflicts retry against the fresh snapshot, like
     * [[deleteWhere]].
     */
-  def merge(source: DataFrame, keyCols: Seq[String]): Long = {
+  def merge(source: DataFrame, keyCols: Seq[String],
+      txn: Option[(String, Long)] = None): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val src = source.cache()
     try {
@@ -298,6 +325,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       var attempt = 0
       while (true) {
         val snap = TxLog.snapshot(fs, root)
+        // idempotence watermark (foreachBatch exactly-once): an already
+        // absorbed (appId, version) skips — checked per attempt, so a
+        // concurrent duplicate that wins the race is honored
+        txn.foreach { case (app, tv) =>
+          if (snap.txns.get(app).exists(_ >= tv)) return snap.version
+        }
         enforceConstraints(src.select(
           snap.meta.schema.fieldNames.filter(src.columns.contains).map(col): _*),
           snap.meta)
@@ -319,6 +352,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         // when a replacement happens to be byte-identical
         val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
           adds.map(a => LogEntry(add = Some(a))) ++
+          txn.map { case (app, tv) =>
+            LogEntry(txn = Some(Txn(app, tv))) }.toSeq ++
           captureTail(snap.meta, "MERGE", snap.version,
             readFiles(snap, affected.map(_.path))
               .join(keys, keyCols, "left_semi")
@@ -947,12 +982,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val rows = (0L to latest).map { v =>
       val info = TxLog.commitInfo(fs, root, v)
       Row(v, info.map(_.op).getOrElse("UNKNOWN"),
-        info.map(_.readVersion).getOrElse(-1L))
+        info.map(_.readVersion).getOrElse(-1L),
+        info.flatMap(_.tsMillis).map(Long.box).orNull)
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("op", StringType, nullable = false),
-      StructField("read_version", LongType, nullable = false))))
+      StructField("read_version", LongType, nullable = false),
+      StructField("timestamp_ms", LongType, nullable = true))))
   }
 
   // ---- reads ----
@@ -960,6 +997,43 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   /** Snapshot read; `asOf` time-travels to an older version. */
   def read(asOf: Option[Long] = None): DataFrame =
     readSnapshot(TxLog.snapshot(fs, root, asOf))
+
+  /** TIMESTAMP AS OF: the newest version whose in-commit timestamp is
+    * ≤ `tsMillis` (Delta's resolution rule). Binary search over the
+    * version range — O(log history) commit-file reads, never a replay.
+    * Commits from before in-commit timestamps existed sort earliest
+    * (they have no stamp). Refuses a timestamp before the first commit.
+    */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    val latest = version
+    require(latest >= 0, s"no transaction log at $root")
+    def tsOf(v: Long): Long =
+      TxLog.commitInfo(fs, root, v).flatMap(_.tsMillis)
+        .getOrElse(Long.MinValue)
+    require(tsOf(0L) <= tsMillis,
+      s"timestamp $tsMillis is before the first commit of $root " +
+        s"(${tsOf(0L)})")
+    var lo = 0L
+    var hi = latest
+    while (lo < hi) { // invariant: tsOf(lo) <= tsMillis
+      val mid = lo + (hi - lo + 1) / 2
+      if (tsOf(mid) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** Snapshot read at a wall-clock instant ([[versionAtTimestamp]]). */
+  def readAsOfTimestamp(tsMillis: Long): DataFrame =
+    read(asOf = Some(versionAtTimestamp(tsMillis)))
+
+  /** The in-commit timestamp of one version, if stamped. */
+  def commitTimestamp(v: Long): Option[Long] =
+    TxLog.commitInfo(fs, root, v).flatMap(_.tsMillis)
+
+  /** Highest application-level version committed under `appId`
+    * ([[appendIdempotent]] / [[merge]]'s txn watermark), if any. */
+  def latestTxnVersion(appId: String): Option[Long] =
+    TxLog.snapshot(fs, root).txns.get(appId)
 
   /** Latest-partition read in ONE log resolution: the max of `colName`
     * across the live files' partitionValues picks the newest load, and

@@ -260,8 +260,12 @@ object LakeQueries {
           .option("checkpointLocation", ckpt.toString)
           .foreachBatch {
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                _: Long) =>
-              tab.merge(batch.toDF(), Seq("o_orderkey")); ()
+                id: Long) =>
+              // the batch id is the txn watermark: a micro-batch
+              // replayed after checkpoint loss commits as a log-level
+              // no-op instead of relying on merge's key-idempotence
+              tab.merge(batch.toDF(), Seq("o_orderkey"),
+                txn = Some(("stream_lake_ingest", id))); ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
@@ -376,7 +380,9 @@ object LakeQueries {
       tab.merge(region.where($"r_regionkey" === 0)
         .withColumn("r_name", lit("PATCHED")), Seq("r_regionkey"))
       tab.deleteWhere($"r_regionkey" === 4)
-      tab.history().orderBy($"version")
+      // timestamp_ms is wall clock — real but non-reproducible, so the
+      // oracle row keeps the deterministic ledger columns only
+      tab.history().drop("timestamp_ms").orderBy($"version")
     },
     Some("""SELECT * FROM (VALUES
            |  (CAST(0 AS BIGINT), 'CREATE', CAST(-1 AS BIGINT)),
@@ -1020,10 +1026,49 @@ object LakeQueries {
            |WHERE o_orderkey % 5 = 0 AND o_totalprice > 200000
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** TIMESTAMP AS OF over in-commit timestamps
+    * ([[graft.lake.TxTable.readAsOfTimestamp]]): commits carry strictly
+    * monotonic stamps (max(clock, prev+1), so even same-millisecond
+    * commits order), and resolution picks the newest version at-or-
+    * before the instant. The probe instants come from the log itself
+    * (v1's own stamp; one tick before v2's), making the CONTENT
+    * deterministic while the stamps are real wall clock: reading at
+    * v1's stamp must see all rows — the v2 delete invisible — which is
+    * exactly the oracle relation. Pre-first-commit instants REQUIREd
+    * to refuse; a far-future instant resolves to head.
+    */
+  val extLakeTimeTravelTs = Q(
+    "ext_lake_time_travel_ts",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_ttts", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0))  // v0
+      tab.append(orders.where($"o_orderkey" % 2 === 1))  // v1
+      tab.deleteWhere($"o_totalprice" < 200000.0)        // v2
+      val ts0 = tab.commitTimestamp(0L).get
+      val ts1 = tab.commitTimestamp(1L).get
+      val ts2 = tab.commitTimestamp(2L).get
+      require(ts0 < ts1 && ts1 < ts2, "in-commit stamps must be monotonic")
+      require(tab.versionAtTimestamp(ts1) == 1L)
+      require(tab.versionAtTimestamp(ts2 - 1) == 1L,
+        "one tick before v2 still resolves to v1")
+      require(tab.versionAtTimestamp(ts2 + 3600000L) == 2L,
+        "a future instant resolves to head")
+      val refused =
+        try { tab.versionAtTimestamp(ts0 - 1); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "a pre-first-commit instant must refuse")
+      tab.readAsOfTimestamp(ts1).orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
     extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
-    extLakeAcid, extLakeTimeTravel,
+    extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeSkippingScan,
     extLakeBloomLookup, extStreamLakeIngest, pipelineLakeMedallion,

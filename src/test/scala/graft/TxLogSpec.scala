@@ -974,3 +974,96 @@ class MergeIntoSpec extends SparkSpec {
     assert(feed.count(_ == ((9L, "insert"))) === 1)
   }
 }
+
+/** Writer-transaction idempotence (the `txn` log action) and in-commit
+  * timestamps — the exactly-once and wall-clock-travel primitives.
+  */
+class TxnIdempotenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"txn_$tag")
+      .resolve("tbl").toString
+
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi).select($"id", concat(lit("r-"), $"id").as("v"))
+
+  test("a replayed (appId, version) append is a log-level no-op") {
+    val tab = new TxTable(spark, freshRoot("app"))
+    tab.create(rows(0, 10))
+    val v1 = tab.appendIdempotent(rows(10, 20), "job", 1L)
+    assert(tab.read().count() === 20)
+    // exact replay: no new commit, no new rows
+    assert(tab.appendIdempotent(rows(10, 20), "job", 1L) === v1)
+    assert(tab.version === v1)
+    assert(tab.read().count() === 20)
+    // a LOWER sequence number is also already absorbed
+    assert(tab.appendIdempotent(rows(90, 95), "job", 0L) === v1)
+    assert(tab.read().count() === 20)
+    // the next sequence number lands; an unrelated app is independent
+    val v2 = tab.appendIdempotent(rows(20, 25), "job", 2L)
+    assert(v2 === v1 + 1 && tab.read().count() === 25)
+    tab.appendIdempotent(rows(30, 32), "other", 1L)
+    assert(tab.read().count() === 27)
+    assert(tab.latestTxnVersion("job") === Some(2L))
+    assert(tab.latestTxnVersion("other") === Some(1L))
+    assert(tab.latestTxnVersion("nobody") === None)
+  }
+
+  test("the watermark survives checkpointed replay and merge honors it") {
+    val tab = new TxTable(spark, freshRoot("ck"))
+    tab.create(rows(0, 5))
+    tab.appendIdempotent(rows(5, 10), "etl", 7L)
+    // push past the checkpoint interval so the snapshot seeds from it
+    (1 to 12).foreach(i => tab.append(rows(100L * i, 100L * i + 2)))
+    assert(tab.latestTxnVersion("etl") === Some(7L),
+      "txn watermark must ride the checkpoint, not only the tail")
+    // a replayed merge under the same watermark is a no-op
+    val before = tab.version
+    tab.merge(rows(0, 3).withColumn("v", lit("CHANGED")),
+      Seq("id"), txn = Some(("etl", 7L)))
+    assert(tab.version === before)
+    assert(tab.read().where($"v" === "CHANGED").count() === 0)
+    // a fresh watermark merges for real
+    tab.merge(rows(0, 3).withColumn("v", lit("CHANGED")),
+      Seq("id"), txn = Some(("etl", 8L)))
+    assert(tab.read().where($"v" === "CHANGED").count() === 3)
+  }
+
+  test("concurrent duplicate idempotent appends land exactly once") {
+    val tab = new TxTable(spark, freshRoot("race"))
+    tab.create(rows(0, 5))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val a = scala.concurrent.Future(
+        tab.appendIdempotent(rows(5, 15), "dup", 1L))
+      val b = scala.concurrent.Future(
+        tab.appendIdempotent(rows(5, 15), "dup", 1L))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(a, b)),
+        scala.concurrent.duration.Duration(120, "s"))
+    } finally pool.shutdown()
+    assert(tab.read().count() === 15, "the duplicate must not double-land")
+    assert(tab.latestTxnVersion("dup") === Some(1L))
+  }
+
+  test("in-commit timestamps are monotonic and TIMESTAMP AS OF resolves") {
+    val tab = new TxTable(spark, freshRoot("ts"))
+    tab.create(rows(0, 5))         // v0
+    tab.append(rows(5, 10))        // v1
+    tab.deleteWhere($"id" < 3)     // v2
+    val ts = (0L to 2L).map(v => tab.commitTimestamp(v).get)
+    assert(ts(0) < ts(1) && ts(1) < ts(2),
+      "strict monotonicity even for same-millisecond commits")
+    assert(tab.versionAtTimestamp(ts(1)) === 1L)
+    assert(tab.versionAtTimestamp(ts(2) - 1) === 1L)
+    assert(tab.readAsOfTimestamp(ts(1)).count() === 10)
+    assert(tab.readAsOfTimestamp(ts(2)).count() === 7)
+    intercept[IllegalArgumentException](tab.versionAtTimestamp(ts(0) - 1))
+    // history surfaces the stamps
+    val h = tab.history().orderBy("version").collect()
+    assert(h.map(_.getAs[Long]("timestamp_ms")).toSeq === ts)
+  }
+}
