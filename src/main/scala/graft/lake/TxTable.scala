@@ -612,6 +612,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val snap = TxLog.snapshot(fs, root)
       require(snap.meta.partitionCols.contains(partCol),
         s"$partCol is not a partition column of $root")
+      // after a partition evolution, a value's rows can sit in
+      // old-layout files this operation would not replace — refuse
+      // until repartitionRewrite() (or OPTIMIZE churn) homogenizes
+      val pset = snap.meta.partitionCols.toSet
+      require(snap.adds.forall(_.partitionValues.keySet == pset),
+        s"mixed partition layouts in $root — run repartitionRewrite() " +
+          "before overwritePartition")
       enforceConstraints(df, snap.meta)
       val merged = evolve(snap.meta, df.schema)
       val metaEntry =
@@ -881,6 +888,78 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       attempt += 1
       require(attempt < maxRetries,
         s"dropColumn on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** PARTITION EVOLUTION (Iceberg's flagship metadata operation — Delta
+    * has no equivalent): change the table's partition spec as a
+    * METADATA-ONLY commit. Existing files keep their old layout and
+    * stay fully readable — each file's OWN partitionValues decide which
+    * columns read from the log vs the bytes ([[readFiles]]), and
+    * [[candidateFiles]] prunes old-layout files by their stats/values
+    * and new-layout files by the new directory values — while every
+    * write from this commit on lands under the new spec. No data is
+    * rewritten until (and unless) [[repartitionRewrite]] or a routine
+    * OPTIMIZE migrates old files. Refused for renamed (column-mapped)
+    * columns: directory names carry the physical spelling forever and a
+    * mapped column's two spellings would collide.
+    *
+    * Caveats of a mixed-layout table (all Iceberg-shared):
+    * [[overwritePartition]] refuses until the layout is homogeneous (a
+    * value's rows could hide in old-layout files it would not replace),
+    * and [[readLatestPartition]]/[[partitionValueMax]] see only files
+    * whose layout carries the column.
+    */
+  def repartitionBy(newPartitionCols: Seq[String]): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      newPartitionCols.foreach { c =>
+        require(snap.meta.schema.fieldNames.contains(c),
+          s"REPARTITION: no column $c in $root")
+        require(snap.meta.physicalOf(c) == c,
+          s"REPARTITION: $c is renamed (logical != physical) — directory " +
+            "values would carry a colliding spelling")
+      }
+      if (snap.meta.partitionCols == newPartitionCols.toList)
+        return snap.version // already this spec: no commit
+      val meta = snap.meta.copy(partitionCols = newPartitionCols.toList)
+      val entries = Seq(LogEntry(meta = Some(meta)),
+        LogEntry(info = Some(Info("REPARTITION", snap.version))))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"repartitionBy on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** Migrate every file NOT in the current partition spec to it — one
+    * atomic commit rewriting only the stale-layout files (a no-op on a
+    * homogeneous table). The explicit form of what routine OPTIMIZE
+    * does gradually; run it before [[overwritePartition]] on an evolved
+    * table. Under CDF the commit marks a pure rewrite (no logical
+    * change, empty feed).
+    */
+  def repartitionRewrite(): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      val target = snap.meta.partitionCols.toSet
+      val stale = snap.adds.filter(_.partitionValues.keySet != target)
+      if (stale.isEmpty) return snap.version
+      val adds = stageWrite(readFiles(snap, stale.map(_.path)), snap.meta)
+      val entries = stale.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        adds.map(a => LogEntry(add = Some(a))) :+
+        LogEntry(info = Some(Info("REPARTITION_REWRITE", snap.version,
+          cdfCaptured = if (snap.meta.cdf) Some(true) else None)))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"repartitionRewrite on $root lost $maxRetries races")
     }
     sys.error("unreachable")
   }
@@ -1272,7 +1351,6 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   private def readFiles(snap: Snapshot, rels: Seq[String],
       withFileCol: Boolean = false, withPos: Boolean = false): DataFrame = {
     val schema = snap.meta.schema
-    val pcols = snap.meta.partitionCols
     val metaFields =
       (if (withFileCol) Seq(StructField(FileCol, StringType)) else Nil) ++
         (if (withPos) Seq(StructField(PosCol, LongType)) else Nil)
@@ -1281,9 +1359,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         StructType(schema.fields ++ metaFields))
     // files store PHYSICAL column names (stable across renames); the
     // scan schema asks for those and the final projection re-labels
-    // them with this version's LOGICAL names
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => pcols.contains(f.name))
+    // them with this version's LOGICAL names. Each file's OWN
+    // partitionValues — not the table's current partition spec — decide
+    // which columns come from the log vs the file bytes: after
+    // PARTITION EVOLUTION ([[repartitionBy]]) old- and new-layout files
+    // coexist, and a column that is a directory value in one layout is
+    // plain data bytes in the other.
+    def dataSchemaFor(pv: Map[String, String]) = StructType(
+      schema.fields.filterNot(f => pv.contains(f.name))
         .map(f => f.copy(name = snap.meta.physicalOf(f.name))))
     val addByPath = snap.adds.map(a => a.path -> a).toMap
     // files carrying a deletion vector scan individually (the anti-join
@@ -1299,12 +1382,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         col("_metadata.row_index").as(PosCol))
       else scan
     def finish(base: DataFrame, pv: Map[String, String]): DataFrame = {
-      val withParts = pcols.foldLeft(base) { (df, c) =>
+      // attach exactly this file group's directory-value columns (keys
+      // not in the schema anymore — dropped after an evolution — are
+      // simply ignored)
+      val attached = pv.keySet.filter(schema.fieldNames.contains)
+      val withParts = attached.foldLeft(base) { (df, c) =>
         val v = pv.get(c).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
         df.withColumn(c, lit(v.orNull).cast(schema(c).dataType))
       }
       val cols = schema.fieldNames.map { n =>
-        if (pcols.contains(n)) col(n)
+        if (attached.contains(n)) col(n)
         else col(snap.meta.physicalOf(n)).as(n)
       } ++ (if (needMeta) Seq(col(FileCol), col(PosCol)) else Nil)
       withParts.select(cols.toIndexedSeq: _*)
@@ -1312,12 +1399,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val plainFrames = plainRels.groupBy(r => addByPath(r).partitionValues)
       .toSeq.sortBy(_._1.toSeq.sorted.mkString("/"))
       .map { case (pv, paths) =>
-        finish(metaSelect(spark.read.schema(dataSchema)
+        finish(metaSelect(spark.read.schema(dataSchemaFor(pv))
           .parquet(paths.map(r => new Path(root, r).toString): _*)), pv)
       }
     val dvFrames = dvRels.sorted.map { r =>
       val a = addByPath(r)
-      val scan = metaSelect(spark.read.schema(dataSchema)
+      val scan = metaSelect(spark.read.schema(dataSchemaFor(a.partitionValues))
         .parquet(new Path(root, r).toString))
       // live rows = physical rows minus the vector: broadcast anti-join
       // on position (the DV cardinality is writer-capped, so the

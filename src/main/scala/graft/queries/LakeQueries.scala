@@ -1065,13 +1065,63 @@ object LakeQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** Partition evolution ([[graft.lake.TxTable.repartitionBy]] —
+    * Iceberg's metadata-only spec change, which Delta lacks): an
+    * unpartitioned orders table evolves to PARTITION BY o_orderstatus
+    * without touching a file (REQUIREd), the next append lands in the
+    * new layout, and the mixed table must read whole — the status
+    * column coming from file bytes for old files and directory values
+    * for new ones. A value-pruned read must also prune BOTH layouts
+    * (old by stats, new by directory values — REQUIREd to skip files).
+    * repartitionRewrite then homogenizes (REQUIREd) with identical
+    * content, which is what the oracle checks relationally: one row
+    * lost in migration, or a status mis-attached from the wrong side
+    * of the layout, breaks the hash.
+    */
+  val extLakePartitionEvolution = Q(
+    "ext_lake_partition_evolution",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val root = scratch("lake_pevo", dir)
+      val tab = new TxTable(s, root)
+      tab.create(orders.where($"o_orderkey" % 2 === 0)
+        .repartitionByRange(4, $"o_orderkey"))            // v0: unpart.
+      val before = tab.read().inputFiles.toSet
+      tab.repartitionBy(Seq("o_orderstatus"))             // v1: metadata
+      require(tab.read().inputFiles.toSet == before,
+        "partition evolution must not touch a single data file")
+      tab.append(orders.where($"o_orderkey" % 2 === 1))   // v2: new layout
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val snap = graft.lake.TxLog.snapshot(fs,
+        new org.apache.hadoop.fs.Path(root))
+      require(snap.adds.exists(_.partitionValues.contains("o_orderstatus"))
+        && snap.adds.exists(!_.partitionValues.contains("o_orderstatus")),
+        "both layouts must coexist before the rewrite")
+      val kept = tab.candidateFiles(snap, "o_orderstatus", "F", "F")
+      require(kept.size < snap.adds.size,
+        s"value pruning must skip files in BOTH layouts: " +
+          s"kept ${kept.size}/${snap.adds.size}")
+      tab.repartitionRewrite()                            // v3: homogenize
+      require(graft.lake.TxLog.snapshot(fs,
+          new org.apache.hadoop.fs.Path(root))
+        .adds.forall(_.partitionValues.keySet == Set("o_orderstatus")),
+        "rewrite must leave one homogeneous layout")
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
     extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeSkippingScan,
-    extLakeBloomLookup, extStreamLakeIngest, pipelineLakeMedallion,
+    extLakeBloomLookup, extLakePartitionEvolution,
+    extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,
     extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,
     extLakeConstraint, extLakeUpdate)

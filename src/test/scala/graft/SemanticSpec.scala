@@ -26,8 +26,12 @@ class SemanticSpec extends SparkSpec {
   }
 
   test("semdedup finds every within-cluster pair brute force finds") {
-    val index = graft.ext.Ivf.build(
-      Tables.load(spark, dir, "embeddings"), k = 16, iters = 2)
+    // the SAME k law as the query (k = max(16, ceil(sqrt N))) — a fixed
+    // k here would cluster differently and compare the wrong universe
+    val (index, _, _) = graft.ext.Ivf.buildScaled(
+      Tables.load(spark, dir, "embeddings"),
+      kMin = SemanticQueries.semanticKMin,
+      iters = graft.ScaleConfig.lloydIters)
     val a = index.assigned
     val dotFold =
       "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"

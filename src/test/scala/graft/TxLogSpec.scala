@@ -1067,3 +1067,81 @@ class TxnIdempotenceSpec extends SparkSpec {
     assert(h.map(_.getAs[Long]("timestamp_ms")).toSeq === ts)
   }
 }
+
+/** Partition evolution: spec changes are metadata-only, mixed layouts
+  * read and prune correctly in BOTH directions, and the guarded
+  * operations refuse until the layout is homogeneous.
+  */
+class PartitionEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"pevo_$tag")
+      .resolve("tbl").toString
+
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi).select($"id",
+      (($"id" % 3).cast("string")).as("lang"),
+      concat(lit("d-"), $"id").as("text"))
+
+  test("unpartitioned -> partitioned: metadata-only, mixed reads, " +
+    "both layouts prune, rewrite homogenizes") {
+    val root = freshRoot("up")
+    val tab = new TxTable(spark, root)
+    tab.create(rows(0, 90).repartitionByRange(3, $"id"))
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val before = TxLog.snapshot(fs, new Path(root)).adds.map(_.path).toSet
+    tab.repartitionBy(Seq("lang"))
+    assert(TxLog.snapshot(fs, new Path(root)).adds.map(_.path).toSet
+      === before, "evolution must not touch a data file")
+    tab.append(rows(90, 180))
+    val snap = TxLog.snapshot(fs, new Path(root))
+    // new files carry the lang directory value, old files don't
+    assert(snap.adds.exists(_.partitionValues.contains("lang")))
+    assert(snap.adds.exists(!_.partitionValues.contains("lang")))
+    // the mixed table reads whole and correct in every column
+    val got = tab.read().orderBy($"id").collect()
+    assert(got.length === 180)
+    assert(got.forall(r => r.getAs[String]("lang")
+      === (r.getAs[Long]("id") % 3).toString))
+    // pruning: old-layout files by lang STATS, new-layout by VALUES —
+    // lang='9' matches nothing on either side
+    assert(tab.candidateFiles(snap, "lang", "9", "9").isEmpty)
+    assert(tab.readBetween("lang", "1", "1").count() === 60)
+    // overwritePartition refuses the mixed layout, works after rewrite
+    intercept[IllegalArgumentException](
+      tab.overwritePartition("lang", "1",
+        rows(0, 1).withColumn("lang", lit("1"))))
+    tab.repartitionRewrite()
+    val homo = TxLog.snapshot(fs, new Path(root))
+    assert(homo.adds.forall(_.partitionValues.keySet === Set("lang")))
+    assert(tab.read().count() === 180, "rewrite preserves content")
+    tab.overwritePartition("lang", "1",
+      rows(300, 302).withColumn("lang", lit("1")))
+    assert(tab.read().where($"lang" === "1").count() === 2)
+    // rewrite on a homogeneous table is a no-op commit-wise
+    val v = tab.version
+    assert(tab.repartitionRewrite() === v)
+  }
+
+  test("partitioned -> unpartitioned: directory values become data " +
+    "bytes; old files still serve the column from the log") {
+    val root = freshRoot("down")
+    val tab = new TxTable(spark, root)
+    tab.create(rows(0, 30), partitionCols = Seq("lang"))
+    tab.repartitionBy(Seq.empty)
+    tab.append(rows(30, 60))
+    // old files: lang attached from partitionValues; new: from bytes
+    val got = tab.read().orderBy($"id").collect()
+    assert(got.length === 60)
+    assert(got.forall(r => r.getAs[String]("lang")
+      === (r.getAs[Long]("id") % 3).toString))
+    // time travel BEFORE the evolution still reads the old spec
+    assert(tab.read(asOf = Some(0L)).count() === 30)
+    // guards: unknown and renamed columns refuse
+    intercept[IllegalArgumentException](tab.repartitionBy(Seq("nope")))
+    tab.renameColumn("text", "body")
+    intercept[IllegalArgumentException](tab.repartitionBy(Seq("body")))
+  }
+}
