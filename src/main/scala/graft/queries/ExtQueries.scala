@@ -1463,6 +1463,63 @@ object ExtQueries {
            |GROUP BY c_mktsegment, event_type
            |ORDER BY c_mktsegment, event_type""".stripMargin))
 
+  /** Spark's NATIVE session_window under STREAMING (the batch twin is
+    * ext_session_window): 30-min-gap sessions per user with a 1-hour
+    * watermark, append mode — a session is emitted only when the
+    * watermark passes its END (last event + gap). The whole feed lands
+    * in one micro-batch under watermark 0 (nothing dropped), the
+    * watermark then advances to max(ts) − 1 h, and the no-data batch
+    * flushes exactly the sessions closed below it; later sessions die
+    * unemitted in state. The oracle reconstructs that emission set
+    * relationally: the batch sessionization filtered to
+    * session_end ≤ max(ts) − 1 h (with session_window's ≥-gap split
+    * semantics, same as the batch oracle).
+    */
+  val extStreamSessionWindow = Q(
+    "ext_stream_session_window",
+    (s, dir) => {
+      import s.implicits._
+      val name = "stream_sesswin_" + math.abs(dir.hashCode).toString
+      graft.streaming.StreamOps.runToCompletion(
+        s, streamSourceDir(dir, "sesswin"), eventsStreamSchema(s, dir),
+        df => normalizeStreamTs(df)
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events")),
+        name, org.apache.spark.sql.streaming.OutputMode.Append,
+        statePartitions = Some(8))
+        .select($"user_id", $"w.start".as("session_start"),
+          $"w.end".as("session_end"), $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+           |  FROM events),
+           |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM ev),
+           |flagged AS (
+           |  SELECT user_id, event_id, ts,
+           |         CASE WHEN prev_us IS NULL
+           |                   OR epoch_us(ts) - prev_us >= 1800000000
+           |              THEN 1 ELSE 0 END AS new_sess
+           |  FROM (SELECT user_id, event_id, ts,
+           |               LAG(epoch_us(ts)) OVER
+           |                 (PARTITION BY user_id ORDER BY ts, event_id)
+           |                 AS prev_us
+           |        FROM ev)),
+           |sess AS (
+           |  SELECT user_id, ts,
+           |         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+           |               ORDER BY ts, event_id
+           |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+           |  FROM flagged)
+           |SELECT user_id, MIN(ts) AS session_start,
+           |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           |       COUNT(*) AS n_events
+           |FROM sess GROUP BY user_id, session_idx
+           |HAVING MAX(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+           |ORDER BY user_id, session_start""".stripMargin))
+
   /** Structured Streaming through a PARQUET FILE SINK
     * ([[graft.streaming.StreamOps.runToFileSink]]): the same 5-minute
     * windowed aggregation as ext_stream_window_counts, but append mode
@@ -1700,5 +1757,6 @@ object ExtQueries {
     extMultimodal, extMultimodalFrames, extStreamWindowCounts,
     extStreamSlidingCounts, extStreamSessionize, extStreamDedup,
     extStreamLateDrop, extStreamEnrich, extStreamFileSink,
+    extStreamSessionWindow,
     extSplitLeakageSafe)
 }
