@@ -160,34 +160,11 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: $e") }
-    // per-run lineage report artifact (node → seconds, rows, format,
-    // checks, violations) next to the bench JSON — the run-observability
-    // surface the reference gets from its event-log/history-server setup,
-    // as a queryable file instead of a UI
-    try {
-      val info = lineageInfo
-      def js(s: String): String = "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-      val nodes = (lineage.keySet ++ info.keySet).toSeq.sorted.map { n =>
-        val i = info.get(n)
-        val fields = Seq(
-          lineage.get(n).map(s => s""""seconds":${f(s)}"""),
-          i.map(x => s""""format":${js(x.format)}"""),
-          i.flatMap(_.rowsWritten).map(r => s""""rows_written":$r"""),
-          i.map(x => s""""checks_evaluated":${x.checksEvaluated}"""),
-          i.map(x => s""""violations":${
-            x.violations.map(js).mkString("[", ",", "]")}"""))
-          .flatten.mkString(",")
-        s"${js(n)}:{$fields}"
-      }.mkString("{", ",", "}")
-      val report = s"""{"sf":${js(sfDir)},"lineage_total_sec":${f(lakeSec)},""" +
-        s""""event_log_dir":${js(eventDir.toString)},"nodes":$nodes}"""
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("LINEAGE_REPORT.json"),
-        (report + "\n").getBytes("UTF-8"))
-    } catch { case e: Exception =>
+    // per-run lineage report artifact next to the bench JSON — shared
+    // writer with RunEtl (core.LineageRunReport.writeArtifact)
+    try graft.core.LineageRunReport.writeArtifact("LINEAGE_REPORT.json",
+      sfDir, lakeSec, eventDir.toString, lineage, lineageInfo)
+    catch { case e: Exception =>
       System.err.println(s"[bench] lineage report write failed: $e") }
     try graft.core.RunMetrics.writeArtifact(metrics, "METRICS_REPORT.json",
       Seq("entry" -> "bench", "sf" -> sfDir,

@@ -57,6 +57,9 @@ object RunEtl {
 
     // reference order: category metrics first, then order metrics
     // (run_etl.py:14-28); each read() then feeds its interface view
+    graft.core.LineageTimings.clear()
+    graft.core.LineageRunReport.clear()
+    val tPipe0 = System.nanoTime()
     val category = rf.ctx.registry.runOnce(rf.dailyCategoryMetrics)
     Interface.createDailyCategoryReportView(category.data)
     Interface.dailyCategoryReport(spark).show()
@@ -70,6 +73,16 @@ object RunEtl {
         "event_log_dir" -> eventDir.toString)): Unit
     catch { case e: Exception =>
       System.err.println(s"[run_etl] metrics report write failed: $e") }
+    // lineage artifact parity with Bench: node timings/rows/checks of
+    // THIS run through the same shared writer (total = wall seconds of
+    // the pipeline section — per-node times overlap under the
+    // concurrent registry, so their sum is not a duration)
+    try graft.core.LineageRunReport.writeArtifact("LINEAGE_REPORT.json",
+      sfDir, (System.nanoTime() - tPipe0) / 1e9,
+      eventDir.toString, graft.core.LineageTimings.snapshot,
+      graft.core.LineageRunReport.snapshot)
+    catch { case e: Exception =>
+      System.err.println(s"[run_etl] lineage report write failed: $e") }
     spark.stop()
   }
 }

@@ -135,6 +135,40 @@ object LineageRunReport {
   def record(name: String, info: NodeRunInfo): Unit = m.put(name, info)
   def clear(): Unit = m.clear()
   def snapshot: Map[String, NodeRunInfo] = m.asScala.toMap
+
+  /** Write the per-run lineage artifact (node → seconds, rows, format,
+    * checks, violations) — the run-observability surface the reference
+    * deployment gets from its event-log + history-server setup, as a
+    * queryable file. Shared by [[graft.Bench]] and [[graft.RunEtl]] so
+    * both entry points report the same way.
+    */
+  def writeArtifact(path: String, sfDir: String, lineageTotalSec: Double,
+      eventLogDir: String, lineage: Map[String, Double],
+      info: Map[String, NodeRunInfo]): Unit = {
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    def f(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val nodes = (lineage.keySet ++ info.keySet).toSeq.sorted.map { n =>
+      val i = info.get(n)
+      val fields = Seq(
+        lineage.get(n).map(s => s""""seconds":${f(s)}"""),
+        i.map(x => s""""format":${js(x.format)}"""),
+        i.flatMap(_.rowsWritten).map(r => s""""rows_written":$r"""),
+        i.map(x => s""""checks_evaluated":${x.checksEvaluated}"""),
+        i.map(x => s""""violations":${
+          x.violations.map(js).mkString("[", ",", "]")}"""))
+        .flatten.mkString(",")
+      s"${js(n)}:{$fields}"
+    }.mkString("{", ",", "}")
+    val report =
+      s"""{"sf":${js(sfDir)},"lineage_total_sec":${f(lineageTotalSec)},""" +
+        s""""event_log_dir":${js(eventLogDir)},"nodes":$nodes}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      (report + "\n").getBytes("UTF-8")): Unit
+  }
 }
 
 object RunRegistry {
