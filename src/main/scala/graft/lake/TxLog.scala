@@ -104,11 +104,16 @@ object TxLog {
     * files min/max stats cannot exclude — the needle-in-100-TB read.
     * Absent entries mean "no index for this file" and are always
     * conservative (file kept). */
+  /** `bytes` records the file's on-disk size at write time
+    * (`_metadata.file_size`), so plan-time listing
+    * ([[graft.lake.TxFileIndex]]) needs zero filesystem RPCs; absent on
+    * legacy entries, which fall back to one `getFileStatus` each. */
   final case class Add(path: String, rows: Long,
       partitionValues: Map[String, String], stats: Map[String, Stat],
       dv: Option[List[Long]] = None, dvFile: Option[String] = None,
       dvCount: Option[Long] = None,
-      bloom: Option[Map[String, String]] = None) {
+      bloom: Option[Map[String, String]] = None,
+      bytes: Option[Long] = None) {
     /** Inline positions only — sidecar vectors resolve through
       * [[TxTable]]'s fs-aware decode. */
     def dvPositions: List[Long] = dv.getOrElse(Nil)

@@ -1374,6 +1374,27 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // plain files keep the batched per-partition-tuple scan
     val (dvRels, plainRels) = rels.partition(r => addByPath(r).hasDv)
     val needMeta = withFileCol || withPos || dvRels.nonEmpty
+    // the hot path — a plain snapshot read with no metadata columns and
+    // a homogeneous partition layout — goes through ONE native
+    // FileIndex scan ([[TxFileIndex]]): the log serves files/partition
+    // values/stats into Spark's own parquet source, so partition
+    // pruning and min/max file skipping happen inside the planner and
+    // the whole read is a single vectorized, codegen'd scan node
+    // instead of a union of per-tuple frames. Mixed layouts (partition
+    // evolution) and metadata-needing mutation scans keep the explicit
+    // per-group path, which handles both exactly.
+    if (!withFileCol && !withPos) {
+      val pset = snap.meta.partitionCols.toSet
+      if (plainRels.forall(r => addByPath(r).partitionValues.keySet == pset)) {
+        val plainDf =
+          TxFileIndex.scan(spark, root, snap, plainRels.map(addByPath))
+        // DV'd files still need the per-file anti-join on row position;
+        // their metadata columns stay internal to each frame
+        val dvDf = dvRels.sorted.map(r => dvFrame(snap, addByPath(r))
+          .drop(FileCol, PosCol))
+        return (plainDf +: dvDf).reduce(_ unionAll _)
+      }
+    }
     def metaSelect(scan: DataFrame): DataFrame =
       // pull the metadata columns while still on the raw scan — they do
       // not survive later projections
@@ -1402,24 +1423,45 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         finish(metaSelect(spark.read.schema(dataSchemaFor(pv))
           .parquet(paths.map(r => new Path(root, r).toString): _*)), pv)
       }
-    val dvFrames = dvRels.sorted.map { r =>
-      val a = addByPath(r)
-      val scan = metaSelect(spark.read.schema(dataSchemaFor(a.partitionValues))
-        .parquet(new Path(root, r).toString))
-      // live rows = physical rows minus the vector: broadcast anti-join
-      // on position (the DV cardinality is writer-capped, so the
-      // broadcast is bounded). Positions decode from the binary sidecar
-      // (or the legacy inline list) on the driver — cap-bounded metadata.
-      import spark.implicits._
-      val dvDf = dvPositionsOf(a).toDF("__dv_pos")
-      finish(scan.join(broadcast(dvDf),
-        col(PosCol) === col("__dv_pos"), "left_anti"), a.partitionValues)
-    }
+    val dvFrames = dvRels.sorted.map(r => dvFrame(snap, addByPath(r)))
     val out = (plainFrames ++ dvFrames).reduce(_ unionAll _)
     val drop =
       (if (withFileCol) Nil else Seq(FileCol)) ++
         (if (withPos) Nil else Seq(PosCol))
     drop.foldLeft(out)(_ drop _)
+  }
+
+  /** One deletion-vectored file's LIVE rows, with [[FileCol]]/[[PosCol]]
+    * attached (callers that don't want them drop them): live rows =
+    * physical rows minus the vector, a broadcast anti-join on position
+    * (the DV cardinality is writer-capped, so the broadcast is bounded).
+    * Positions decode from the binary sidecar (or the legacy inline
+    * list) on the driver — cap-bounded metadata.
+    */
+  private def dvFrame(snap: Snapshot, a: Add): DataFrame = {
+    val schema = snap.meta.schema
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => a.partitionValues.contains(f.name))
+        .map(f => f.copy(name = snap.meta.physicalOf(f.name))))
+    val scan = spark.read.schema(dataSchema)
+      .parquet(new Path(root, a.path).toString)
+      .select(col("*"),
+        col("_metadata.file_path").as(FileCol),
+        col("_metadata.row_index").as(PosCol))
+    import spark.implicits._
+    val dvDf = dvPositionsOf(a).toDF("__dv_pos")
+    val base = scan.join(broadcast(dvDf),
+      col(PosCol) === col("__dv_pos"), "left_anti")
+    val attached = a.partitionValues.keySet.filter(schema.fieldNames.contains)
+    val withParts = attached.foldLeft(base) { (df, c) =>
+      val v = a.partitionValues.get(c)
+        .filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+      df.withColumn(c, lit(v.orNull).cast(schema(c).dataType))
+    }
+    withParts.select(schema.fieldNames.map { n =>
+      if (attached.contains(n)) col(n)
+      else col(snap.meta.physicalOf(n)).as(n)
+    }.toIndexedSeq ++ Seq(col(FileCol), col(PosCol)): _*)
   }
 
   // ---- write plumbing ----
@@ -1495,10 +1537,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // consistent within one staging root (and only data columns feed
     // the stats anyway).
     val staged = spark.read.parquet(stagePath.toString)
-    val aggs = count(lit(1L)).as("__rows") +: statCols.flatMap { case (p, _) =>
-      Seq(min(col(p)).cast("string").as(s"__min_$p"),
-        max(col(p)).cast("string").as(s"__max_$p"))
-    }
+    val aggs = count(lit(1L)).as("__rows") +:
+      first(col("_metadata.file_size")).as("__bytes") +:
+      statCols.flatMap { case (p, _) =>
+        Seq(min(col(p)).cast("string").as(s"__min_$p"),
+          max(col(p)).cast("string").as(s"__max_$p"))
+      }
     val baseAdds = staged
       .groupBy(col("_metadata.file_path").as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1511,7 +1555,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           if (mn == null || mx == null) None
           else Some(p -> Stat(statKind(dt).get, mn, mx))
         }.toMap
-        Add(rel, r.getAs[Long]("__rows"), partValues(rel), stats)
+        Add(rel, r.getAs[Long]("__rows"), partValues(rel), stats,
+          bytes = Some(r.getAs[Long]("__bytes")))
       }.toVector
     // bloom-indexed columns: one extra aggregation pass per indexed
     // column this load carries, sidecars attached before the commit —

@@ -1324,11 +1324,16 @@ object ExtQueries {
     Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
   }
 
-  private def lateFeedDir(s: SparkSession, dir: String, split: String)
-      : String = {
+  /** Two-batch staged feed split at `split`: `lateFirst = true` stages
+    * the LATER half as batch 1 (the late-data scenario — batch 2's rows
+    * arrive behind the watermark); `false` stages in event-time order
+    * (the restart-recovery scenario — no late data, the interesting
+    * part is the boundary window spanning the two batches). */
+  private def splitFeedDir(s: SparkSession, dir: String, split: String,
+      tag: String, lateFirst: Boolean): String = {
     val fp = contentFingerprint(java.nio.file.Paths.get(s"$dir/events.parquet"))
     val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir", "/tmp"), "graft_stream_late",
+      System.getProperty("java.io.tmpdir", "/tmp"), s"graft_stream_$tag",
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + fp)
     val b1 = out.resolve("batch1.parquet")
     val b2 = out.resolve("batch2.parquet")
@@ -1351,13 +1356,16 @@ object ExtQueries {
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
       }
-      writeOne(ev.where(col("ts") >= lit(split).cast("timestamp")),
-        b1, 1000000L)
-      writeOne(ev.where(col("ts") < lit(split).cast("timestamp")),
-        b2, 2000000L)
+      val later = ev.where(col("ts") >= lit(split).cast("timestamp"))
+      val earlier = ev.where(col("ts") < lit(split).cast("timestamp"))
+      writeOne(if (lateFirst) later else earlier, b1, 1000000L)
+      writeOne(if (lateFirst) earlier else later, b2, 2000000L)
     }
     out.toString
   }
+
+  private def lateFeedDir(s: SparkSession, dir: String, split: String)
+      : String = splitFeedDir(s, dir, split, "late", lateFirst = true)
 
   /** Structured Streaming LATE-DATA DROP: the feed presents the later
     * half of January first (one file per trigger), establishing a
@@ -1415,6 +1423,72 @@ object ExtQueries {
            |         event_type, COUNT(*) AS n_events,
            |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
            |  FROM b1 GROUP BY 1, 2)
+           |WHERE window_start + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
+           |ORDER BY window_start, event_type""".stripMargin))
+
+  /** Structured Streaming CHECKPOINT RESTART ([[graft.streaming
+    * .StreamOps.runWithRestart]]): the windowed aggregation runs as TWO
+    * query incarnations over one checkpoint + parquet sink — batch 1
+    * (events before an off-grid split instant), STOP, cold restart,
+    * batch 2 (the rest). Exactly-once across the restart is the whole
+    * claim: the recovered incarnation must neither re-emit batch 1's
+    * windows (seen-files log + sink metadata) nor mis-count the
+    * boundary window whose rows SPAN the restart (state-store
+    * recovery — the split is deliberately not on the 5-minute grid).
+    * The oracle is the single-run emission set: any duplicate, dropped
+    * row, or split-brained boundary window breaks the hash.
+    */
+  val extStreamRestartRecovery = Q(
+    "ext_stream_restart_recovery",
+    (s, dir) => {
+      import s.implicits._
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import scala.jdk.CollectionConverters._
+      val split = "2024-01-16 00:02:30" // off the 5-min grid on purpose
+      val staged = splitFeedDir(s, dir, split, "restart", lateFirst = false)
+      val base = Paths.get(System.getProperty("java.io.tmpdir", "/tmp"),
+        "graft_stream_restart_run", dir.replaceAll("[^A-Za-z0-9]", "_"))
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
+          val paths =
+            try walk.iterator().asScala.toSeq.reverse
+            finally walk.close()
+          paths.foreach(Files.delete)
+        }
+      rmTree(base) // fresh sink + checkpoint + feed per run
+      val feed = base.resolve("feed")
+      Files.createDirectories(feed)
+      def drop(n: String): () => Unit = () => {
+        Files.copy(Paths.get(staged, n), feed.resolve(n),
+          StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+      val schema = s.read.parquet(s"$staged/batch1.parquet").schema
+      graft.streaming.StreamOps.runWithRestart(
+        s, feed.toString, schema,
+        df => graft.streaming.StreamOps.windowedEventCounts(
+            df, "5 minutes", "1 hour")
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("event_type"), col("n_events"),
+            col("sum_value").cast("double").as("sum_value")),
+        base.resolve("data").toString, base.resolve("ckpt").toString,
+        statePartitions = Some(8),
+        stagesBeforeRestart = Seq(drop("batch1.parquet")),
+        stagesAfterRestart = Seq(drop("batch2.parquet")))
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+           |  FROM events),
+           |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM ev)
+           |SELECT window_start, window_start + INTERVAL 5 MINUTE AS window_end,
+           |       event_type, n_events, sum_value
+           |FROM (
+           |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+           |         event_type, COUNT(*) AS n_events,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           |  FROM ev GROUP BY 1, 2)
            |WHERE window_start + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
            |ORDER BY window_start, event_type""".stripMargin))
 
@@ -1757,6 +1831,7 @@ object ExtQueries {
     extMultimodal, extMultimodalFrames, extStreamWindowCounts,
     extStreamSlidingCounts, extStreamSessionize, extStreamDedup,
     extStreamLateDrop, extStreamEnrich, extStreamFileSink,
+    extStreamRestartRecovery,
     extStreamSessionWindow,
     extSplitLeakageSafe)
 }

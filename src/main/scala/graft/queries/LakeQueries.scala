@@ -188,6 +188,54 @@ object LakeQueries {
            |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** The native-FileIndex read path end-to-end ([[graft.lake
+    * .TxFileIndex]]): a partitioned lake table read with an ORDINARY
+    * `.where` — no readBetween/readEquals routing — and the planner
+    * itself prunes partitions (priority IN-list) and skips files by the
+    * log's min/max stats (orderkey range over range-clustered files),
+    * then aggregates. The query REQUIRES, structurally, that the scan
+    * is one TxFileIndex relation and that the planner's own listing
+    * under the scan's filters keeps strictly fewer files than the live
+    * set — a silent fallback to read-everything breaks the run, not
+    * just the timing. Content is oracle-checked as usual.
+    */
+  val extLakeNativeScan = Q(
+    "ext_lake_native_scan",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val tab = new TxTable(s, scratch("lake_native", dir))
+      tab.create(orders.repartitionByRange(8, $"o_orderkey"),
+        partitionCols = Seq("o_orderpriority"))
+      val read = tab.read()
+        .where($"o_orderpriority".isin("1-URGENT", "2-HIGH") &&
+          $"o_orderkey" <= 3000L)
+      val scans = read.queryExecution.sparkPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }
+      require(scans.length == 1 &&
+        scans.head.relation.location.isInstanceOf[graft.lake.TxFileIndex],
+        "lake read must plan as ONE native TxFileIndex scan")
+      val sc = scans.head
+      val kept = sc.relation.location
+        .listFiles(sc.partitionFilters, sc.dataFilters).map(_.files.size).sum
+      val all = sc.relation.location.listFiles(Nil, Nil).map(_.files.size).sum
+      require(kept < all,
+        s"planner-side pruning kept $kept of $all files — nothing pruned")
+      read.groupBy($"o_orderpriority")
+        .agg(count(lit(1L)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |FROM orders
+           |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |  AND o_orderkey <= 3000
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin))
+
   // ---- 6. streaming MERGE into the ACID table ----
 
   /** Streaming lakehouse ingestion: an upsert feed arrives as a file
@@ -1119,7 +1167,7 @@ object LakeQueries {
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
-    extLakeSkippingScan,
+    extLakeSkippingScan, extLakeNativeScan,
     extLakeBloomLookup, extLakePartitionEvolution,
     extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,

@@ -285,6 +285,55 @@ object StreamOps {
     spark.read.parquet(outDir)
   }
 
+  /** Checkpoint RESTART RECOVERY: run `transform` as TWO consecutive
+    * query incarnations over the SAME checkpoint and append-mode
+    * parquet sink — the first drains `stagesBeforeRestart` and STOPS
+    * (the planned-restart/crash moment), the second starts cold from
+    * the checkpoint and drains `stagesAfterRestart`. Everything a
+    * production restart relies on is exercised for real:
+    *
+    *   - source offsets: the file-source's seen-files log lives in the
+    *     checkpoint, so incarnation 2 never re-reads incarnation 1's
+    *     files (re-reading would double-count every recovered window),
+    *   - operator state + watermark: unclosed windows and the committed
+    *     watermark are restored from the state store, so a window
+    *     SPANNING the restart combines rows from both incarnations —
+    *     the part recovery-by-offsets-alone cannot get right,
+    *   - sink idempotence: `_spark_metadata` makes a replayed batch
+    *     overwrite its slot, never duplicate it.
+    *
+    * Returns the committed sink content; equality with the single-run
+    * emission set is exactly the exactly-once claim.
+    */
+  def runWithRestart(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transform: DataFrame => DataFrame,
+      outDir: String, checkpointDir: String,
+      statePartitions: Option[Int] = None,
+      stagesBeforeRestart: Seq[() => Unit] = Seq.empty,
+      stagesAfterRestart: Seq[() => Unit] = Seq.empty): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      def launch() = transform(
+        spark.readStream.schema(schema).parquet(sourceDir))
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      val q1 = launch()
+      try stagesBeforeRestart.foreach { st => st(); q1.processAllAvailable() }
+      finally q1.stop()
+      val q2 = launch()
+      try stagesAfterRestart.foreach { st => st(); q2.processAllAvailable() }
+      finally q2.stop()
+    } finally spark.conf.set(key, prev)
+    spark.read.parquet(outDir)
+  }
+
   def runToCompletion(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType,
       transform: DataFrame => DataFrame, queryName: String,

@@ -350,16 +350,27 @@ class TxLogSpec extends SparkSpec {
       (2L, "DELETE", 1L)))
   }
 
+  /** The files a plan will actually read: each native scan's FileIndex
+    * listing under the scan's own partition + data filters (the
+    * planner-side pruning [[graft.lake.TxFileIndex]] serves). */
+  private def scannedFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.listFiles(s.partitionFilters, s.dataFilters)
+          .flatMap(_.files.map(_.getPath.toString))
+    }.flatten
+
   test("partition-literal filter prunes other partitions' files from the plan") {
     val tab = new TxTable(spark, freshRoot("prune"))
     tab.create(docs(30), partitionCols = Seq("lang"))
     val one = tab.read().where(col("lang").cast("string") === "1")
-    // the equality folds per union branch (each branch's lang is a
-    // literal), so other partitions' scans optimize away entirely —
-    // the lake's partition pruning
-    assert(one.inputFiles.nonEmpty)
-    assert(one.inputFiles.forall(_.contains("lang=1")),
-      s"non-matching partition files survived: ${one.inputFiles.toSeq}")
+    // the predicate lands in the scan's partitionFilters and the
+    // FileIndex lists only that partition's files — the lake's
+    // partition pruning, now inside the planner
+    val files = scannedFiles(one)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("lang=1")),
+      s"non-matching partition files survived: $files")
     assert(one.count() === 10)
   }
 
@@ -430,12 +441,13 @@ class TxLogSpec extends SparkSpec {
     assert(latest.count() === 5)
     assert(latest.select("load").distinct().as[String].collect()
       === Array("2026-01-02"))
-    // the older load's files fold away at planning (each union branch
-    // carries its partition value as a literal) — same pruning contract
-    // as the explicit partition-literal read
-    assert(latest.inputFiles.nonEmpty)
-    assert(latest.inputFiles.forall(_.contains("load=2026-01-02")),
-      s"older load's files survived: ${latest.inputFiles.toSeq}")
+    // the older load's files are pruned by the planner's FileIndex
+    // listing — same pruning contract as the explicit
+    // partition-literal read
+    val files = scannedFiles(latest)
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("load=2026-01-02")),
+      s"older load's files survived: $files")
   }
 
   test("concurrent DV-delete vs append linearizes — no lost rows either way") {
