@@ -1,0 +1,133 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{
+  LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** The txlog table as a Structured Streaming SOURCE (Delta's streaming
+  * source design): commit versions are the offsets, and each
+  * micro-batch is the rows APPENDED by versions `(start, end]` — a
+  * `readStream` over the lake tails the transaction log instead of a
+  * directory listing, so
+  *
+  *   - exactly-once falls out of the offset contract: a version's rows
+  *     are delivered once, replays after a restart re-plan the same
+  *     version range from the checkpointed offset, and lost-race
+  *     orphan files (never committed) are never seen — the property a
+  *     plain file-stream over the data directory cannot give,
+  *   - batches read through [[TxTable]]'s own read path (column
+  *     mapping, partition values from the log, native FileIndex scan),
+  *     executor-side — the driver handles O(files) metadata per batch,
+  *     never rows,
+  *   - non-append commits REFUSE by default, exactly like Delta
+  *     ("Detected a data update..."): a delete/update under a
+  *     downstream that saw the old rows would silently diverge;
+  *     `ignoreChanges=true` opts into Delta's relaxed mode (rewritten
+  *     files re-emit their surviving rows — documented at-least-once
+  *     for touched files, the same caveat Delta documents).
+  *
+  * Offsets serialize as the plain version number; schema is pinned at
+  * source creation (the range-head rule readChanges uses) and later
+  * additive evolution null-fills.
+  */
+final class TxStreamSource(spark: SparkSession, rootStr: String,
+    startingVersion: Long, ignoreChanges: Boolean) extends Source {
+
+  private val root = new Path(rootStr)
+  private val fs =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val tab = new TxTable(spark, rootStr)
+
+  override val schema: StructType =
+    TxStreamSource.nullable(TxLog.snapshot(fs, root).meta.schema)
+
+  override def getOffset: Option[Offset] = {
+    val v = TxLog.latestVersion(fs, root)
+    if (v < 0) None else Some(LongOffset(v))
+  }
+
+  private def ver(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(ver(_) + 1L).getOrElse(startingVersion)
+    val to = ver(end)
+    val frames = (from to to).flatMap { v =>
+      val entries = TxLog.commitEntries(fs, root, v)
+      val removed = entries.flatMap(_.remove)
+      val added = entries.flatMap(_.add)
+      if (removed.nonEmpty && !ignoreChanges) {
+        val op = entries.flatMap(_.info).headOption.map(_.op).getOrElse("?")
+        sys.error(s"TxStreamSource at $root: commit $v ($op) rewrites " +
+          "or removes data files — a streaming read of a non-append " +
+          "table diverges silently. Use ignoreChanges=true to accept " +
+          "re-emitted rows (at-least-once for touched files), or feed " +
+          "downstream from readChanges instead.")
+      }
+      if (added.isEmpty) None
+      else Some(tab.readCommitAdds(v))
+    }
+    val batch =
+      if (frames.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+      else
+        frames.map(df => df.select(schema.fieldNames.map { n =>
+          if (df.columns.contains(n)) col(n)
+          else lit(null).cast(schema(n).dataType).as(n)
+        }.toIndexedSeq: _*)).reduce(_ unionAll _)
+    org.apache.spark.sql.graft.GraftSqlBridge.asStreamingBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"TxStreamSource[$rootStr]"
+}
+
+object TxStreamSource {
+  /** Source schemas are nullable like any resolved file-source schema
+    * (`asNullable` itself is `private[sql]`). */
+  private[lake] def nullable(st: StructType): StructType =
+    StructType(st.fields.map(_.copy(nullable = true)))
+}
+
+/** `spark.readStream.format("graft.lake.TxLogStreamProvider")
+  * .option("path", tableRoot).load()`. Options: `startingVersion`
+  * (default 0 — the CREATE commit's rows included), `ignoreChanges`
+  * (default false). */
+class TxLogStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "txlog-stream"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      sys.error("txlog-stream needs .option(\"path\", <tableRoot>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val root = new Path(pathOf(parameters))
+    val fs = root.getFileSystem(
+      sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+    (shortName(), TxStreamSource.nullable(TxLog.snapshot(fs, root).meta.schema))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new TxStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      startingVersion = parameters.get("startingVersion")
+        .map(_.toLong).getOrElse(0L),
+      ignoreChanges = parameters.get("ignoreChanges")
+        .exists(_.toBoolean))
+}

@@ -1431,6 +1431,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     drop.foldLeft(out)(_ drop _)
   }
 
+  /** The rows one commit ADDED, read under that commit's own snapshot
+    * metadata (column mapping, partition values, native scan) — the
+    * per-version micro-batch of [[TxStreamSource]]. Fresh adds never
+    * carry deletion vectors, so this is always a clean file read. */
+  private[lake] def readCommitAdds(v: Long): DataFrame = {
+    val snap = TxLog.snapshot(fs, root, Some(v))
+    val added = TxLog.commitEntries(fs, root, v).flatMap(_.add).map(_.path)
+    readFiles(snap, added)
+  }
+
   /** One deletion-vectored file's LIVE rows, with [[FileCol]]/[[PosCol]]
     * attached (callers that don't want them drop them): live rows =
     * physical rows minus the vector, a broadcast anti-join on position

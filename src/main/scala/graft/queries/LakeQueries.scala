@@ -236,6 +236,45 @@ object LakeQueries {
            |GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
+  /** The lake as a STREAMING SOURCE ([[graft.lake.TxStreamSource]] —
+    * Delta's streaming-source design): `readStream` over a TxTable
+    * tails the transaction log, commit versions are the offsets, and
+    * each append commit's rows arrive as one micro-batch, exactly
+    * once — lost-race orphan files under `data/` are invisible because
+    * batches derive from the LOG, not a directory listing. The query
+    * scripts create + three appends with drains between them (so the
+    * feed really arrives as multiple micro-batches, pinned in
+    * TxStreamSourceSpec) and compares the sink against the whole
+    * table: a duplicated, dropped, or orphan-leaked row breaks the
+    * hash.
+    */
+  val extStreamLakeSource = Q(
+    "ext_stream_lake_source",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_src", dir))
+      tab.create(orders.where($"o_orderkey" % 4 === 0))
+      val name = "stream_lake_src_" + math.abs(dir.hashCode).toString
+      val q = s.readStream.format("graft.lake.TxLogStreamProvider")
+        .option("path", scratch("lake_src", dir)).load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable() // batch 1: the CREATE commit's rows
+        tab.append(orders.where($"o_orderkey" % 4 === 1))
+        q.processAllAvailable() // batch 2: one append
+        tab.append(orders.where($"o_orderkey" % 4 === 2))
+        tab.append(orders.where($"o_orderkey" % 4 === 3))
+        q.processAllAvailable() // batch 3: two appends, one version range
+      } finally q.stop()
+      s.table(name).orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   // ---- 6. streaming MERGE into the ACID table ----
 
   /** Streaming lakehouse ingestion: an upsert feed arrives as a file
@@ -1167,7 +1206,7 @@ object LakeQueries {
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
-    extLakeSkippingScan, extLakeNativeScan,
+    extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
     extLakeBloomLookup, extLakePartitionEvolution,
     extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,

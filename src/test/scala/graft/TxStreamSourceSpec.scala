@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+import graft.lake.TxTable
+
+/** [[graft.lake.TxStreamSource]] — the txlog table as a Structured
+  * Streaming source: version-offset batching, exactly-once across a
+  * checkpoint restart, refusal of non-append history, and the
+  * ignoreChanges opt-in. Content parity with the oracle is
+  * ext_stream_lake_source's job; this suite pins the offset and
+  * recovery behavior the oracle cannot see.
+  */
+class TxStreamSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"txsrc_$tag").resolve("tbl").toString
+
+  private def docs(n: Int, from: Long = 0L): DataFrame =
+    spark.range(from, from + n).select(
+      $"id", concat(lit("doc-"), $"id").as("text"))
+
+  test("append commits arrive as separate micro-batches, exactly once") {
+    val root = freshRoot("mb")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(10))
+    val q = spark.readStream.format("graft.lake.TxLogStreamProvider")
+      .option("path", root).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txsrc_mb").start()
+    try {
+      q.processAllAvailable()
+      tab.append(docs(5, from = 100L))
+      q.processAllAvailable()
+      tab.append(docs(5, from = 200L))
+      q.processAllAvailable()
+      val got = spark.table("txsrc_mb").select($"id").as[Long]
+        .collect().sorted
+      assert(got.length === 20) // no dup, no drop
+      assert(got.count(_ >= 200L) === 5)
+      // the drains really produced MULTIPLE batches (offsets advanced
+      // per append), not one catch-all
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    } finally q.stop()
+  }
+
+  test("restart from checkpoint re-emits nothing, resumes at the next version") {
+    val root = freshRoot("rs")
+    val out = Files.createTempDirectory("txsrc_out").toString
+    val ckpt = Files.createTempDirectory("txsrc_ckpt").toString
+    val tab = new TxTable(spark, root)
+    tab.create(docs(10))
+    def launch() = spark.readStream
+      .format("graft.lake.TxLogStreamProvider")
+      .option("path", root).load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    val q1 = launch()
+    try q1.processAllAvailable() finally q1.stop()
+    tab.append(docs(5, from = 100L))
+    val q2 = launch()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out).select($"id").as[Long].collect().sorted
+    assert(got.length === 15,
+      s"restart must deliver each version exactly once, got ${got.length}")
+    assert(got.count(_ >= 100L) === 5)
+  }
+
+  test("a rewriting commit refuses the stream; ignoreChanges re-emits survivors") {
+    val root = freshRoot("rw")
+    val tab = new TxTable(spark, root)
+    // ONE data file, so the rewrite's re-emission set is exactly the
+    // 9 survivors (ignoreChanges re-emits only TOUCHED files' rows)
+    tab.create(docs(10).coalesce(1))
+    tab.deleteWhere($"id" === 3L) // copy-on-write rewrite
+    val q = spark.readStream.format("graft.lake.TxLogStreamProvider")
+      .option("path", root).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txsrc_rw").start()
+    val err = intercept[StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination()
+    }
+    q.stop()
+    assert(err.getMessage.contains("rewrites") ||
+      Option(err.getCause).exists(_.getMessage.contains("rewrites")))
+    // ignoreChanges: the rewrite's surviving rows re-emit (documented
+    // at-least-once for touched files — Delta's relaxed mode)
+    val q2 = spark.readStream.format("graft.lake.TxLogStreamProvider")
+      .option("path", root).option("ignoreChanges", "true").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txsrc_rw2").start()
+    try {
+      q2.processAllAvailable()
+      val got = spark.table("txsrc_rw2").select($"id").as[Long].collect()
+      // create's 10 rows + the rewrite's 9 survivors; id=3 exactly once
+      assert(got.length === 19)
+      assert(got.count(_ == 3L) === 1)
+    } finally q2.stop()
+  }
+
+  test("lost-race orphan data files are invisible to the stream") {
+    val root = freshRoot("orph")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(10))
+    // plant an orphan parquet under data/ that no commit references —
+    // the staging debris a lost race leaves behind
+    docs(99, from = 900L).coalesce(1).write.mode("overwrite")
+      .parquet(root + "/data/orphan_stage")
+    val q = spark.readStream.format("graft.lake.TxLogStreamProvider")
+      .option("path", root).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txsrc_orph").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("txsrc_orph").select($"id").as[Long].collect()
+      assert(got.length === 10)
+      assert(got.forall(_ < 900L), "orphan rows leaked into the stream")
+    } finally q.stop()
+  }
+}
