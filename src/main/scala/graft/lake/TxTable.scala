@@ -314,8 +314,17 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * as in Delta). Conflicts retry against the fresh snapshot, like
     * [[deleteWhere]].
     */
+  /** `schemaEvolution = true` is Delta's
+    * `spark.databricks.delta.schema.autoMerge`: source columns the
+    * target lacks are ADDED (additive evolution) in the same commit —
+    * surviving rows null-fill, and older files read back with nulls
+    * like any [[append]]-side evolution. Off by default: silently
+    * widening a table from a typo'd source column is the failure mode
+    * Delta defaults against too.
+    */
   def merge(source: DataFrame, keyCols: Seq[String],
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      schemaEvolution: Boolean = false): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val src = source.cache()
     try {
@@ -334,6 +343,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         enforceConstraints(src.select(
           snap.meta.schema.fieldNames.filter(src.columns.contains).map(col): _*),
           snap.meta)
+        val meta =
+          if (schemaEvolution) evolve(snap.meta, src.schema) else snap.meta
+        val metaEntry =
+          if (meta.schemaJson != snap.meta.schemaJson)
+            Seq(LogEntry(meta = Some(meta)))
+          else Nil
         val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
         val keys = src.select(keyCols.map(col): _*)
         val hit = cur.join(keys, keyCols, "left_semi")
@@ -342,21 +357,27 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         val affected = snap.adds.filter(a => hit(a.path))
         // survivors: rows of affected files whose key is NOT in source.
         // Staged together with the source rows — one write job + one
-        // stats pass instead of two of each.
-        val survivors = readFiles(snap, affected.map(_.path))
-          .join(keys, keyCols, "left_anti")
-        val srcAligned = src.select(snap.meta.schema.fieldNames.map(col): _*)
-        val adds = stageWrite(survivors.unionByName(srcAligned), snap.meta)
+        // stats pass instead of two of each. Under evolution both sides
+        // align to the MERGED schema (survivors null-fill new columns).
+        def aligned(df: DataFrame): DataFrame =
+          df.select(meta.schema.fields.map(f =>
+            if (df.columns.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        val survivors = aligned(readFiles(snap, affected.map(_.path))
+          .join(keys, keyCols, "left_anti"))
+        val srcAligned = src.select(meta.schema.fieldNames.map(col): _*)
+        val adds = stageWrite(survivors.unionByName(srcAligned), meta)
         // MERGE feed: every replaced row as a delete (preimage) + every
         // source row as an insert — Delta's CDF surfaces the pair even
         // when a replacement happens to be byte-identical
-        val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        val entries = metaEntry ++
+          affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
           adds.map(a => LogEntry(add = Some(a))) ++
           txn.map { case (app, tv) =>
             LogEntry(txn = Some(Txn(app, tv))) }.toSeq ++
-          captureTail(snap.meta, "MERGE", snap.version,
-            readFiles(snap, affected.map(_.path))
-              .join(keys, keyCols, "left_semi")
+          captureTail(meta, "MERGE", snap.version,
+            aligned(readFiles(snap, affected.map(_.path))
+              .join(keys, keyCols, "left_semi"))
               .withColumn("_change_type", lit("delete"))
               .unionAll(srcAligned.withColumn("_change_type", lit("insert"))))
         if (TxLog.tryCommit(fs, root, snap.version + 1, entries))

@@ -236,6 +236,34 @@ object LakeQueries {
            |GROUP BY o_orderpriority
            |ORDER BY o_orderpriority""".stripMargin))
 
+  /** MERGE with SCHEMA EVOLUTION (Delta's autoMerge):
+    * the upsert feed arrives carrying a column the target lacks
+    * (`o_orderpriority`) — `merge(schemaEvolution = true)` lands the
+    * widened schema, the merged keys' rows and the untouched files'
+    * null-backfill in ONE commit. Final state: every third order
+    * enriched with its priority, everything else null there — a
+    * leaked value (bad survivor alignment) or a dropped column breaks
+    * the hash.
+    */
+  val extLakeMergeEvolution = Q(
+    "ext_lake_merge_evolution",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val tab = new TxTable(s, scratch("lake_mev", dir))
+      tab.create(orders
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice"))
+      val enriched = orders.where($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          $"o_orderpriority")
+      tab.merge(enriched, Seq("o_orderkey"), schemaEvolution = true)
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+           |       CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+           |            ELSE NULL END AS o_orderpriority
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   /** The lake as a STREAMING SOURCE ([[graft.lake.TxStreamSource]] —
     * Delta's streaming-source design): `readStream` over a TxTable
     * tails the transaction log, commit versions are the offsets, and
@@ -1206,6 +1234,7 @@ object LakeQueries {
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
+    extLakeMergeEvolution,
     extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
     extLakeBloomLookup, extLakePartitionEvolution,
     extStreamLakeIngest, pipelineLakeMedallion,
