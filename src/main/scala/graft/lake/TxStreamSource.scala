@@ -64,15 +64,20 @@ final class TxStreamSource(spark: SparkSession, rootStr: String,
       val entries = TxLog.commitEntries(fs, root, v)
       val removed = entries.flatMap(_.remove)
       val added = entries.flatMap(_.add)
-      if (removed.nonEmpty && !ignoreChanges) {
-        val op = entries.flatMap(_.info).headOption.map(_.op).getOrElse("?")
+      val op = entries.flatMap(_.info).headOption.map(_.op).getOrElse("?")
+      // pure rewrites (Delta's dataChange=false commits) change no
+      // logical row: table maintenance must never break a downstream
+      // stream, so these SKIP instead of refusing — same rule the
+      // change feed applies
+      val pureRewrite = TxStreamSource.pureRewriteOps(op)
+      if (removed.nonEmpty && !pureRewrite && !ignoreChanges) {
         sys.error(s"TxStreamSource at $root: commit $v ($op) rewrites " +
           "or removes data files — a streaming read of a non-append " +
           "table diverges silently. Use ignoreChanges=true to accept " +
           "re-emitted rows (at-least-once for touched files), or feed " +
           "downstream from readChanges instead.")
       }
-      if (added.isEmpty) None
+      if (added.isEmpty || pureRewrite) None
       else Some(tab.readCommitAdds(v))
     }
     val batch =
@@ -98,6 +103,11 @@ object TxStreamSource {
     * (`asNullable` itself is `private[sql]`). */
   private[lake] def nullable(st: StructType): StructType =
     StructType(st.fields.map(_.copy(nullable = true)))
+
+  /** Operations whose commits move bytes but change no logical row —
+    * skipped by the stream like Delta's dataChange=false adds. */
+  private[lake] val pureRewriteOps: Set[String] =
+    Set("OPTIMIZE", "REPARTITION_REWRITE", "ADD_BLOOM_INDEX")
 }
 
 /** `spark.readStream.format("graft.lake.TxLogStreamProvider")

@@ -303,6 +303,71 @@ object LakeQueries {
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** LAKE→LAKE STREAMING MEDALLION: bronze TxTable as the streaming
+    * SOURCE ([[graft.lake.TxStreamSource]]), a per-customer running
+    * aggregate maintained INCREMENTALLY in foreachBatch, MERGEd into a
+    * silver TxTable under the batch-id writer transaction — the whole
+    * production loop (stream the lake, fold the delta, commit
+    * atomically, exactly-once across replays) in one oracle-checked
+    * query. Each micro-batch costs one keyed aggregation of the BATCH
+    * plus a merge touching only affected keys' files; the silver table
+    * is never recomputed. Final silver must equal the batch aggregate
+    * over all of bronze — a double-applied batch (broken idempotence),
+    * missed version, or drifted decimal fold breaks the hash.
+    */
+  val extStreamLakeToLake = Q(
+    "ext_stream_lake_to_lake",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val bronzeDir = scratch("l2l_bronze", dir)
+      val silverDir = scratch("l2l_silver", dir)
+      val bronze = new TxTable(s, bronzeDir)
+      bronze.create(orders.where($"o_orderkey" % 4 === 0))
+      val silver = new TxTable(s, silverDir)
+      silver.create(s.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType(Seq(
+          StructField("o_custkey", LongType),
+          StructField("n_orders", LongType),
+          StructField("revenue", DecimalType(18, 2))))))
+      val q = s.readStream.format("graft.lake.TxLogStreamProvider")
+        .option("path", bronzeDir).load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val delta = batch.groupBy($"o_custkey")
+            .agg(count(lit(1L)).as("d_n"),
+              sum($"o_totalprice".cast("decimal(18,2)")).as("d_rev"))
+          val merged = delta.join(silver.read(), Seq("o_custkey"), "left")
+            .select($"o_custkey",
+              ($"d_n" + coalesce($"n_orders", lit(0L))).as("n_orders"),
+              ($"d_rev" + coalesce($"revenue",
+                lit(0).cast("decimal(18,2)")))
+                .cast("decimal(18,2)").as("revenue"))
+          silver.merge(merged, Seq("o_custkey"),
+            txn = Some(("l2l_silver", id)))
+          ()
+        }.start()
+      try {
+        q.processAllAvailable() // batch: the CREATE quarter
+        bronze.append(orders.where($"o_orderkey" % 4 === 1))
+        q.processAllAvailable()
+        bronze.append(orders.where($"o_orderkey" % 4 === 2))
+        bronze.append(orders.where($"o_orderkey" % 4 === 3))
+        q.processAllAvailable()
+      } finally q.stop()
+      silver.read()
+        .select($"o_custkey", $"n_orders",
+          $"revenue".cast("double").as("revenue"))
+        .orderBy($"o_custkey")
+    },
+    Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+           |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+
   // ---- 6. streaming MERGE into the ACID table ----
 
   /** Streaming lakehouse ingestion: an upsert feed arrives as a file
@@ -1236,6 +1301,7 @@ object LakeQueries {
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeMergeEvolution,
     extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
+    extStreamLakeToLake,
     extLakeBloomLookup, extLakePartitionEvolution,
     extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,

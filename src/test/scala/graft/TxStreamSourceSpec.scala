@@ -103,6 +103,27 @@ class TxStreamSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("OPTIMIZE mid-stream neither refuses nor re-emits (dataChange=false)") {
+    val root = freshRoot("opt")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(10))
+    val q = spark.readStream.format("graft.lake.TxLogStreamProvider")
+      .option("path", root).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txsrc_opt").start()
+    try {
+      q.processAllAvailable()
+      // compaction moves every row into new files — no logical change
+      tab.optimize(minRows = 1L << 20)
+      q.processAllAvailable() // must NOT throw, must emit nothing
+      tab.append(docs(5, from = 100L))
+      q.processAllAvailable() // and the stream keeps flowing after it
+      val got = spark.table("txsrc_opt").select($"id").as[Long]
+        .collect().sorted
+      assert(got.length === 15, s"optimize re-emitted rows: ${got.length}")
+    } finally q.stop()
+  }
+
   test("lost-race orphan data files are invisible to the stream") {
     val root = freshRoot("orph")
     val tab = new TxTable(spark, root)
