@@ -34,9 +34,20 @@ import org.apache.spark.sql.types.StructType
   * Offsets serialize as the plain version number; schema is pinned at
   * source creation (the range-head rule readChanges uses) and later
   * additive evolution null-fills.
+  *
+  * `readChangeFeed = true` is Delta's CDF streaming mode: each
+  * micro-batch is [[TxTable.readChanges]] over the version range —
+  * rows tagged `_change_type` / `_commit_version` — so DELETE, UPDATE
+  * and MERGE commits STREAM as their row-level change pairs instead of
+  * refusing. The downstream sees the exact delta to apply (a CDC
+  * `applyChanges` loop closes the circle), and on a CDF-enabled table
+  * each batch reads only the commits' staged `_change_data` files —
+  * never a table data file. Pure rewrites (OPTIMIZE) stream nothing,
+  * same as the append mode skips them.
   */
 final class TxStreamSource(spark: SparkSession, rootStr: String,
-    startingVersion: Long, ignoreChanges: Boolean) extends Source {
+    startingVersion: Long, ignoreChanges: Boolean,
+    readChangeFeed: Boolean = false) extends Source {
 
   private val root = new Path(rootStr)
   private val fs =
@@ -44,7 +55,8 @@ final class TxStreamSource(spark: SparkSession, rootStr: String,
   private val tab = new TxTable(spark, rootStr)
 
   override val schema: StructType =
-    TxStreamSource.nullable(TxLog.snapshot(fs, root).meta.schema)
+    TxStreamSource.sourceSchema(
+      TxLog.snapshot(fs, root).meta.schema, readChangeFeed)
 
   override def getOffset: Option[Offset] = {
     val v = TxLog.latestVersion(fs, root)
@@ -60,6 +72,25 @@ final class TxStreamSource(spark: SparkSession, rootStr: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver(_) + 1L).getOrElse(startingVersion)
     val to = ver(end)
+    if (readChangeFeed) {
+      // project onto the schema pinned at source creation (additive
+      // evolution mid-stream otherwise widens the batch and trips the
+      // sink's schema check) — same null-fill rule as the append path
+      val batch =
+        if (from > to)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            schema)
+        else {
+          val df = tab.readChanges(from, to)
+          df.select(schema.fieldNames.map { n =>
+            if (df.columns.contains(n)) col(n)
+            else lit(null).cast(schema(n).dataType).as(n)
+          }.toIndexedSeq: _*)
+        }
+      return org.apache.spark.sql.graft.GraftSqlBridge
+        .asStreamingBatch(batch)
+    }
     val frames = (from to to).flatMap { v =>
       val entries = TxLog.commitEntries(fs, root, v)
       val removed = entries.flatMap(_.remove)
@@ -104,6 +135,20 @@ object TxStreamSource {
   private[lake] def nullable(st: StructType): StructType =
     StructType(st.fields.map(_.copy(nullable = true)))
 
+  /** The stream's resolved schema: the table schema, plus the change
+    * feed's `_change_type`/`_commit_version` tags in CDF mode (the
+    * exact columns [[TxTable.readChanges]] emits). */
+  private[lake] def sourceSchema(table: StructType,
+      readChangeFeed: Boolean): StructType = {
+    val base = nullable(table)
+    if (!readChangeFeed) base
+    else StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = true) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = true))
+  }
+
   /** Operations whose commits move bytes but change no logical row —
     * skipped by the stream like Delta's dataChange=false adds. */
   private[lake] val pureRewriteOps: Set[String] =
@@ -113,7 +158,9 @@ object TxStreamSource {
 /** `spark.readStream.format("graft.lake.TxLogStreamProvider")
   * .option("path", tableRoot).load()`. Options: `startingVersion`
   * (default 0 — the CREATE commit's rows included), `ignoreChanges`
-  * (default false). */
+  * (default false), `readChangeFeed` (default false — stream the
+  * change feed instead of appended rows; mutating commits stream their
+  * delete/insert pairs instead of refusing). */
 class TxLogStreamProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -129,7 +176,9 @@ class TxLogStreamProvider extends StreamSourceProvider
     val root = new Path(pathOf(parameters))
     val fs = root.getFileSystem(
       sqlContext.sparkSession.sparkContext.hadoopConfiguration)
-    (shortName(), TxStreamSource.nullable(TxLog.snapshot(fs, root).meta.schema))
+    (shortName(), TxStreamSource.sourceSchema(
+      TxLog.snapshot(fs, root).meta.schema,
+      parameters.get("readChangeFeed").exists(_.toBoolean)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -139,5 +188,7 @@ class TxLogStreamProvider extends StreamSourceProvider
       startingVersion = parameters.get("startingVersion")
         .map(_.toLong).getOrElse(0L),
       ignoreChanges = parameters.get("ignoreChanges")
+        .exists(_.toBoolean),
+      readChangeFeed = parameters.get("readChangeFeed")
         .exists(_.toBoolean))
 }

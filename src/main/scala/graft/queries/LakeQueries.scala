@@ -368,6 +368,80 @@ object LakeQueries {
            |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
            |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
 
+  /** CHANGE-DATA-FEED STREAMING (Delta's `readChangeFeed`): the stream
+    * source's CDF mode makes a table under DELETE/UPDATE streamable —
+    * each micro-batch delivers the version range's row-level change
+    * pairs (`_change_type`, `_commit_version`) instead of refusing the
+    * rewrite. The scripted history covers all four source paths: an
+    * uncaptured CREATE (file-level fallback), a captured append, an
+    * UPDATE (delete+insert pair per matched row, pre-image status
+    * intact), a copy-on-write DELETE — and on the captured commits the
+    * batch reads only `_change_data` files, never table data (the spec
+    * pins that). The oracle reconstructs the exact feed, version tags
+    * included: a survivor row leaking into a batch (the file-diff
+    * failure mode capture exists to avoid), a lost pre-image, or a
+    * misnumbered version breaks the hash.
+    */
+  val extStreamCdf = Q(
+    "ext_stream_cdf",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val rootDir = scratch("stream_cdf", dir)
+      val tab = new TxTable(s, rootDir)
+      tab.create(orders.where($"o_orderkey" % 4 === 0))   // v0
+      tab.enableChangeDataFeed()                          // v1
+      val name = "stream_cdf_" + math.abs(dir.hashCode).toString
+      val q = s.readStream.format("graft.lake.TxLogStreamProvider")
+        .option("path", rootDir)
+        .option("readChangeFeed", "true").load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable() // batch: v0 inserts (+ empty v1)
+        tab.append(orders.where($"o_orderkey" % 4 === 1)) // v2
+        q.processAllAvailable() // batch: captured append inserts
+        tab.update($"o_orderkey" % 8 === 1,               // v3
+          Map("o_orderstatus" -> lit("X")))
+        tab.deleteWhere($"o_totalprice" < 50000.0)        // v4
+        q.processAllAvailable() // batch: update pairs + delete rows
+      } finally q.stop()
+      s.table(name)
+        .orderBy($"_commit_version", $"_change_type", $"o_orderkey")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |  FROM orders
+           |), feed AS (
+           |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |         'insert' AS _change_type,
+           |         CAST(0 AS BIGINT) AS _commit_version
+           |  FROM base WHERE o_orderkey % 4 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |         'insert', CAST(2 AS BIGINT)
+           |  FROM base WHERE o_orderkey % 4 = 1
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           |         'delete', CAST(3 AS BIGINT)
+           |  FROM base WHERE o_orderkey % 8 = 1
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey, 'X', o_totalprice,
+           |         'insert', CAST(3 AS BIGINT)
+           |  FROM base WHERE o_orderkey % 8 = 1
+           |  UNION ALL
+           |  SELECT o_orderkey, o_custkey,
+           |         CASE WHEN o_orderkey % 8 = 1 THEN 'X'
+           |              ELSE o_orderstatus END,
+           |         o_totalprice, 'delete', CAST(4 AS BIGINT)
+           |  FROM base
+           |  WHERE o_orderkey % 4 IN (0, 1) AND o_totalprice < 50000
+           |)
+           |SELECT * FROM feed
+           |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin))
+
   // ---- 6. streaming MERGE into the ACID table ----
 
   /** Streaming lakehouse ingestion: an upsert feed arrives as a file
@@ -1301,7 +1375,7 @@ object LakeQueries {
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeMergeEvolution,
     extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
-    extStreamLakeToLake,
+    extStreamLakeToLake, extStreamCdf,
     extLakeBloomLookup, extLakePartitionEvolution,
     extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,

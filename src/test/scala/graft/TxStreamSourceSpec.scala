@@ -124,6 +124,57 @@ class TxStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readChangeFeed streams mutating commits as tagged change pairs") {
+    val root = freshRoot("cdf")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(10))             // v0: uncaptured — fallback inserts
+    tab.enableChangeDataFeed()       // v1: no rows
+    val q = spark.readStream.format("graft.lake.TxLogStreamProvider")
+      .option("path", root).option("readChangeFeed", "true").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txsrc_cdf").start()
+    try {
+      q.processAllAvailable()
+      tab.deleteWhere($"id" === 3L)                       // v2
+      tab.update($"id" === 7L, Map("text" -> lit("X")))   // v3
+      q.processAllAvailable() // must NOT refuse — CDF mode's whole point
+      val got = spark.table("txsrc_cdf")
+        .select($"id", $"text", $"_change_type", $"_commit_version")
+        .as[(Long, String, String, Long)].collect()
+      assert(got.count(_._3 == "insert") === 11) // 10 create + 1 update post
+      assert(got.filter(_._4 == 0L).forall(_._3 == "insert"))
+      assert(got.filter(_._1 == 3L).map(r => (r._3, r._4)).toSet ===
+        Set(("insert", 0L), ("delete", 2L)))
+      // the update pair: pre-image text intact on the delete side
+      assert(got.filter(r => r._1 == 7L && r._4 == 3L).map(r => (r._2, r._3))
+        .toSet === Set(("doc-7", "delete"), ("X", "insert")))
+    } finally q.stop()
+  }
+
+  test("readChangeFeed restart resumes at the next version, re-emitting nothing") {
+    val root = freshRoot("cdfrs")
+    val out = Files.createTempDirectory("txsrc_cdf_out").toString
+    val ckpt = Files.createTempDirectory("txsrc_cdf_ckpt").toString
+    val tab = new TxTable(spark, root)
+    tab.create(docs(10))
+    tab.enableChangeDataFeed()
+    def launch() = spark.readStream
+      .format("graft.lake.TxLogStreamProvider")
+      .option("path", root).option("readChangeFeed", "true").load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    val q1 = launch()
+    try q1.processAllAvailable() finally q1.stop()
+    tab.deleteWhere($"id" < 2L) // a mutating commit lands while down
+    val q2 = launch()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out)
+      .select($"id", $"_change_type").as[(Long, String)].collect()
+    assert(got.length === 12, // 10 inserts once + 2 deletes once
+      s"CDF restart must deliver each version exactly once, got ${got.length}")
+    assert(got.count(_._2 == "delete") === 2)
+  }
+
   test("lost-race orphan data files are invisible to the stream") {
     val root = freshRoot("orph")
     val tab = new TxTable(spark, root)
