@@ -64,15 +64,31 @@ object TxLog {
     * re-add that reused the retired name would silently resurrect the
     * dropped column's old values into the new column on every pre-drop
     * file. */
+  /** `readerFeatures` is Delta's table-features protocol in miniature:
+    * the first commit that makes a table depend on read-side behavior a
+    * naive scan would get WRONG (skipping deletion-vectored rows,
+    * resolving logical→physical column names) stamps the feature name
+    * here, and [[snapshot]] REFUSES any table whose stamped features
+    * this client does not implement — a loud version-skew error instead
+    * of resurrected deleted rows or misread columns on a mixed-version
+    * fleet. Write-side-only machinery (CDF staging, bloom sidecars,
+    * stats) is deliberately NOT stamped: a reader ignoring it still
+    * answers correctly, Delta's writer-feature distinction. */
   final case class Meta(schemaJson: String, partitionCols: List[String],
       constraints: Option[List[String]] = None,
       cdfEnabled: Option[Boolean] = None,
       columnMapping: Option[Map[String, String]] = None,
       retiredPhysical: Option[List[String]] = None,
-      bloomIndex: Option[Map[String, Double]] = None) {
+      bloomIndex: Option[Map[String, Double]] = None,
+      readerFeatures: Option[List[String]] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def checkExprs: List[String] = constraints.getOrElse(Nil)
     def cdf: Boolean = cdfEnabled.getOrElse(false)
+    def features: List[String] = readerFeatures.getOrElse(Nil)
+    /** This meta plus one required reader feature (idempotent). */
+    def withReaderFeature(f: String): Meta =
+      if (features.contains(f)) this
+      else copy(readerFeatures = Some((features :+ f).sorted))
     /** The parquet-file column name behind a logical schema name. */
     def physicalOf(logical: String): String =
       columnMapping.flatMap(_.get(logical)).getOrElse(logical)
@@ -197,6 +213,12 @@ object TxLog {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
   val checkpointInterval = 10L
+
+  /** Reader features THIS client implements — the refusal set for
+    * [[Meta.readerFeatures]]. A future feature name stamped by a newer
+    * writer makes every [[snapshot]] here fail loudly. */
+  val supportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping")
 
   private def logDir(root: Path) = new Path(root, "_txlog")
   private def commitFile(root: Path, v: Long) =
@@ -331,8 +353,16 @@ object TxLog {
       parse(readString(fs, p)).foreach(fold(_, withRemoves = true))
     }
     lastReplay.set((target - start + 1, ckpt.isDefined))
-    Snapshot(target, meta.getOrElse(sys.error(s"no metaData in log at $root")),
-      live.values.toVector, txns.toMap)
+    val m = meta.getOrElse(sys.error(s"no metaData in log at $root"))
+    // protocol gate: refuse, at THIS version's meta, any reader feature
+    // we do not implement — time travel before the upgrade still works
+    val alien = m.features.filterNot(supportedReaderFeatures)
+    require(alien.isEmpty,
+      s"table at $root (v$target) requires reader feature(s) " +
+        s"${alien.mkString(", ")} this client does not implement " +
+        s"(supported: ${supportedReaderFeatures.toSeq.sorted.mkString(", ")})" +
+        " — upgrade the reader or time-travel behind the upgrade commit")
+    Snapshot(target, m, live.values.toVector, txns.toMap)
   }
 
   /** Every action of one commit — the change-data-feed building block

@@ -229,7 +229,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         if (cowAffected.isEmpty) Vector.empty
         else stageWrite(readFiles(snap, cowAffected.map(_.path))
           .where(!coalesce(cond, lit(false))), snap.meta)
-      val entries = dvEntries ++
+      // the first vectored file makes naive readers WRONG (they would
+      // return deleted rows) — stamp the reader feature in the same
+      // commit so a version-skewed client refuses instead of misreading
+      val protocol =
+        if (dvEntries.exists(_.add.exists(_.dvFile.isDefined)) &&
+            !snap.meta.features.contains("deletionVectors"))
+          Seq(LogEntry(meta =
+            Some(snap.meta.withReaderFeature("deletionVectors"))))
+        else Nil
+      val entries = protocol ++ dvEntries ++
         cowAffected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
         cowAdds.map(a => LogEntry(add = Some(a))) ++
         captureTail(snap.meta, "DELETE_DV", snap.version,
@@ -860,6 +869,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         oldName + (newName -> snap.meta.physicalOf(oldName))
       val meta = snap.meta.copy(schemaJson = renamed.json,
         columnMapping = Some(mapping))
+        .withReaderFeature("columnMapping")
       val entries = Seq(LogEntry(meta = Some(meta)),
         LogEntry(info = Some(Info("RENAME_COLUMN", snap.version))))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
@@ -902,6 +912,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         columnMapping = snap.meta.columnMapping.map(_ - name),
         retiredPhysical =
           Some((snap.meta.retired :+ snap.meta.physicalOf(name)).distinct))
+        .withReaderFeature("columnMapping")
       val entries = Seq(LogEntry(meta = Some(meta)),
         LogEntry(info = Some(Info("DROP_COLUMN", snap.version))))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
