@@ -442,6 +442,75 @@ object LakeQueries {
            |SELECT * FROM feed
            |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin))
 
+  /** CDF STREAM → applyChanges: the production replica loop. A
+    * downstream TxTable is maintained PURELY from the upstream's
+    * streamed change feed — foreachBatch folds each version's slice in
+    * ascending order (applyChanges collapses a same-key delete+insert
+    * pair to the insert, so cross-version slices must apply per
+    * version), touching only files holding affected keys; the upstream
+    * is never re-read and the replica never recomputed. After appends,
+    * an update and a delete, the replica must equal the upstream's
+    * final state exactly — a missed version, a survivor leak, or
+    * deletes applied out of order breaks the hash. Re-applied slices
+    * (a restart replay) are content-idempotent: keyed deletes of
+    * absent keys and upserts of identical rows change nothing.
+    */
+  val extStreamCdfApply = Q(
+    "ext_stream_cdf_apply",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val upDir = scratch("cdf_apply_up", dir)
+      val downDir = scratch("cdf_apply_down", dir)
+      val up = new TxTable(s, upDir)
+      up.create(orders.where($"o_orderkey" % 4 === 0))    // v0
+      up.enableChangeDataFeed()                           // v1
+      val down = new TxTable(s, downDir)
+      down.create(s.createDataFrame(
+        java.util.Collections.emptyList[Row](),
+        StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))))
+      val q = s.readStream.format("graft.lake.TxLogStreamProvider")
+        .option("path", upDir).option("readChangeFeed", "true").load()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cached = batch.cache()
+          try {
+            val versions = cached.select($"_commit_version").distinct()
+              .as[Long].collect().sorted
+            versions.foreach { v =>
+              down.applyChanges(
+                cached.where($"_commit_version" === v),
+                Seq("o_orderkey")): Unit
+            }
+          } finally { cached.unpersist(); () }
+        }.start()
+      try {
+        q.processAllAvailable() // v0 inserts seed the replica
+        up.append(orders.where($"o_orderkey" % 4 === 1))  // v2
+        q.processAllAvailable()
+        up.update($"o_orderkey" % 8 === 1,                // v3
+          Map("o_orderstatus" -> lit("X")))
+        up.deleteWhere($"o_totalprice" < 50000.0)         // v4
+        q.processAllAvailable() // one batch, two versions, order matters
+      } finally q.stop()
+      down.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |       CASE WHEN o_orderkey % 8 = 1 THEN 'X'
+           |            ELSE o_orderstatus END AS o_orderstatus,
+           |       o_totalprice
+           |FROM orders
+           |WHERE o_orderkey % 4 IN (0, 1) AND o_totalprice >= 50000
+           |ORDER BY o_orderkey""".stripMargin))
+
   // ---- 6. streaming MERGE into the ACID table ----
 
   /** Streaming lakehouse ingestion: an upsert feed arrives as a file
@@ -1375,7 +1444,7 @@ object LakeQueries {
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeMergeEvolution,
     extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
-    extStreamLakeToLake, extStreamCdf,
+    extStreamLakeToLake, extStreamCdf, extStreamCdfApply,
     extLakeBloomLookup, extLakePartitionEvolution,
     extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,
