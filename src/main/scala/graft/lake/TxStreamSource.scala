@@ -47,7 +47,11 @@ import org.apache.spark.sql.types.StructType
   */
 final class TxStreamSource(spark: SparkSession, rootStr: String,
     startingVersion: Long, ignoreChanges: Boolean,
-    readChangeFeed: Boolean = false) extends Source {
+    readChangeFeed: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+
+  maxVersionsPerTrigger.foreach(n =>
+    require(n >= 1L, s"maxVersionsPerTrigger must be >= 1, got $n"))
 
   private val root = new Path(rootStr)
   private val fs =
@@ -58,9 +62,26 @@ final class TxStreamSource(spark: SparkSession, rootStr: String,
     TxStreamSource.sourceSchema(
       TxLog.snapshot(fs, root).meta.schema, readChangeFeed)
 
+  /** Rate-limit watermark: the highest version exposed through
+    * getOffset/getBatch in this process. Delta's maxFilesPerTrigger
+    * concern on version terms — without a cap, a NEW stream over a
+    * long-lived table plans its entire backlog as ONE micro-batch
+    * (at scale: an unbounded first batch instead of a paced
+    * backfill). getBatch advances it on recovery replay too, so a
+    * restarted stream paces from its checkpoint, never behind it. */
+  @volatile private var highWater: Long = startingVersion - 1L
+
   override def getOffset: Option[Offset] = {
     val v = TxLog.latestVersion(fs, root)
-    if (v < 0) None else Some(LongOffset(v))
+    if (v < 0) None
+    else {
+      val capped = maxVersionsPerTrigger match {
+        case Some(n) => math.min(v, highWater + n)
+        case None => v
+      }
+      if (capped > highWater) highWater = capped
+      Some(LongOffset(highWater))
+    }
   }
 
   private def ver(o: Offset): Long = o match {
@@ -72,6 +93,7 @@ final class TxStreamSource(spark: SparkSession, rootStr: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver(_) + 1L).getOrElse(startingVersion)
     val to = ver(end)
+    if (to > highWater) highWater = to // recovery replay seeds the pace
     if (readChangeFeed) {
       // project onto the schema pinned at source creation (additive
       // evolution mid-stream otherwise widens the batch and trips the
@@ -160,7 +182,10 @@ object TxStreamSource {
   * (default 0 — the CREATE commit's rows included), `ignoreChanges`
   * (default false), `readChangeFeed` (default false — stream the
   * change feed instead of appended rows; mutating commits stream their
-  * delete/insert pairs instead of refusing). */
+  * delete/insert pairs instead of refusing), `maxVersionsPerTrigger`
+  * (unset = unbounded — at most this many commit versions per
+  * micro-batch, so a backfill over a long history paces itself instead
+  * of planning the whole backlog as one batch). */
 class TxLogStreamProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -190,5 +215,7 @@ class TxLogStreamProvider extends StreamSourceProvider
       ignoreChanges = parameters.get("ignoreChanges")
         .exists(_.toBoolean),
       readChangeFeed = parameters.get("readChangeFeed")
-        .exists(_.toBoolean))
+        .exists(_.toBoolean),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
+        .map(_.toLong))
 }

@@ -175,6 +175,53 @@ class TxStreamSourceSpec extends SparkSpec {
     assert(got.count(_._2 == "delete") === 2)
   }
 
+  test("maxVersionsPerTrigger paces a backlog into bounded micro-batches") {
+    val root = freshRoot("rate")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(4))                       // v0
+    tab.append(docs(4, from = 100L))          // v1
+    tab.append(docs(4, from = 200L))          // v2
+    tab.append(docs(4, from = 300L))          // v3: backlog of 4 versions
+    val q = spark.readStream.format("graft.lake.TxLogStreamProvider")
+      .option("path", root)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txsrc_rate").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("txsrc_rate").select($"id").as[Long]
+        .collect().sorted
+      assert(got.length === 16, "pacing must not drop or duplicate rows")
+      // the backlog arrived as one batch PER VERSION, not one catch-all
+      assert(q.recentProgress.count(_.numInputRows > 0) === 4,
+        s"expected 4 paced batches, saw " +
+          q.recentProgress.filter(_.numInputRows > 0).length)
+    } finally q.stop()
+  }
+
+  test("rate-limited restart paces from the checkpoint, exactly once") {
+    val root = freshRoot("raters")
+    val out = Files.createTempDirectory("txsrc_rate_out").toString
+    val ckpt = Files.createTempDirectory("txsrc_rate_ckpt").toString
+    val tab = new TxTable(spark, root)
+    tab.create(docs(6))
+    def launch() = spark.readStream
+      .format("graft.lake.TxLogStreamProvider")
+      .option("path", root).option("maxVersionsPerTrigger", "1").load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    val q1 = launch()
+    try q1.processAllAvailable() finally q1.stop()
+    tab.append(docs(3, from = 100L)) // two versions land while down
+    tab.append(docs(3, from = 200L))
+    val q2 = launch()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out).select($"id").as[Long].collect().sorted
+    assert(got.length === 12,
+      s"rate-limited restart must deliver exactly once, got ${got.length}")
+    assert(got.count(_ >= 100L) === 6)
+  }
+
   test("lost-race orphan data files are invisible to the stream") {
     val root = freshRoot("orph")
     val tab = new TxTable(spark, root)
