@@ -80,7 +80,8 @@ object TxLog {
       columnMapping: Option[Map[String, String]] = None,
       retiredPhysical: Option[List[String]] = None,
       bloomIndex: Option[Map[String, Double]] = None,
-      readerFeatures: Option[List[String]] = None) {
+      readerFeatures: Option[List[String]] = None,
+      generatedColumns: Option[Map[String, String]] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def checkExprs: List[String] = constraints.getOrElse(Nil)
     def cdf: Boolean = cdfEnabled.getOrElse(false)
@@ -89,6 +90,14 @@ object TxLog {
     def withReaderFeature(f: String): Meta =
       if (features.contains(f)) this
       else copy(readerFeatures = Some((features :+ f).sorted))
+    /** GENERATED ALWAYS AS columns: logical name → SQL expression over
+      * the row's other columns, fixed at CREATE. Ingest paths compute
+      * an absent generated column and VALIDATE a present one; columns
+      * a generated expression reads (or the generated column itself)
+      * refuse UPDATE/RENAME/DROP — the invariant can never silently
+      * break. Stored physically like Delta's, so partitioning by a
+      * generated column gives ordinary partition pruning. */
+    def generated: Map[String, String] = generatedColumns.getOrElse(Map.empty)
     /** The parquet-file column name behind a logical schema name. */
     def physicalOf(logical: String): String =
       columnMapping.flatMap(_.get(logical)).getOrElse(logical)

@@ -54,14 +54,26 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   /** Create (or overwrite-create) the table from `df`. Version 0.
     * `enableChangeDataFeed` turns on commit-time change capture for every
-    * later mutating commit (Delta's `delta.enableChangeDataFeed`). */
+    * later mutating commit (Delta's `delta.enableChangeDataFeed`).
+    * `generatedColumns` declares GENERATED ALWAYS AS columns (logical
+    * name → SQL expression over the row): computed here if `df` lacks
+    * them, validated if it carries them, and maintained on every later
+    * ingest — partition by one for pruning on a derived key (the
+    * date-from-timestamp layout) without trusting writers to derive it
+    * consistently. */
   def create(df: DataFrame, partitionCols: Seq[String] = Nil,
-      enableChangeDataFeed: Boolean = false): Long = {
+      enableChangeDataFeed: Boolean = false,
+      generatedColumns: Map[String, String] = Map.empty): Long = {
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
-    val meta = Meta(df.schema.json, partitionCols.toList,
-      cdfEnabled = if (enableChangeDataFeed) Some(true) else None)
-    val adds = stageWrite(df, meta)
+    val gen =
+      if (generatedColumns.isEmpty) None else Some(generatedColumns)
+    val df2 = applyGenerated(df,
+      Meta(df.schema.json, Nil, generatedColumns = gen))
+    val meta = Meta(df2.schema.json, partitionCols.toList,
+      cdfEnabled = if (enableChangeDataFeed) Some(true) else None,
+      generatedColumns = gen)
+    val adds = stageWrite(df2, meta)
     val entries = LogEntry(meta = Some(meta)) +:
       adds.map(a => LogEntry(add = Some(a))) :+
       LogEntry(info = Some(Info("CREATE", -1L)))
@@ -88,7 +100,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       txnVersion: Long): Long =
     appendCore(df, Some(Txn(appId, txnVersion)))
 
-  private def appendCore(df: DataFrame, txn: Option[Txn]): Long = {
+  private def appendCore(df0: DataFrame, txn: Option[Txn]): Long = {
     // Stage ONCE — data files are commit-independent; only the version
     // claim (and the schema check, against whatever landed meanwhile)
     // repeats on a lost race.
@@ -97,6 +109,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       if (first.txns.get(t.appId).exists(_ >= t.version))
         return first.version
     }
+    // generated columns are fixed at CREATE, so the first snapshot's
+    // set is authoritative for the whole retry loop
+    val df = applyGenerated(df0, first.meta)
     enforceConstraints(df, first.meta)
     var checked = first.meta.checkExprs.toSet
     // the staged files are written under THIS meta's physical names; any
@@ -273,6 +288,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         require(schema.fieldNames.contains(c), s"SET column $c not in table schema")
         require(!snap.meta.partitionCols.contains(c),
           s"cannot UPDATE partition column $c")
+        require(!generatedTouches(snap.meta, c),
+          s"cannot UPDATE $c: it is a generated column or read by one " +
+            "(the derived value would silently diverge from its source)")
       }
       val matched = coalesce(cond, lit(false))
       val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
@@ -335,7 +353,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       txn: Option[(String, Long)] = None,
       schemaEvolution: Boolean = false): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
-    val src = source.cache()
+    // generated columns are create-time-fixed: compute/validate them on
+    // the source once, against any snapshot's meta
+    val src = applyGenerated(source, TxLog.snapshot(fs, root).meta).cache()
     try {
       val dups = src.groupBy(keyCols.map(col): _*)
         .count().where(col("count") > 1).limit(1).count()
@@ -863,6 +883,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       require(!snap.meta.checkExprs.exists(
           _.matches(s".*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*")),
         s"RENAME: a CHECK constraint references $oldName — drop it first")
+      require(!generatedTouches(snap.meta, oldName),
+        s"RENAME: $oldName is a generated column or read by one — its " +
+          "expression text would dangle under the new name")
       val renamed = StructType(schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
       val mapping = snap.meta.columnMapping.getOrElse(Map.empty) -
@@ -907,6 +930,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       require(!snap.meta.checkExprs.exists(
           _.matches(s".*\\b${java.util.regex.Pattern.quote(name)}\\b.*")),
         s"DROP: a CHECK constraint references $name — drop it first")
+      require(!generatedTouches(snap.meta, name),
+        s"DROP: $name is a generated column or read by one — drop " +
+          "would orphan the expression")
       val dropped = StructType(schema.fields.filterNot(_.name == name))
       val meta = snap.meta.copy(schemaJson = dropped.json,
         columnMapping = snap.meta.columnMapping.map(_ - name),
@@ -1074,6 +1100,33 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     }
     sys.error("unreachable")
   }
+
+  /** GENERATED ALWAYS AS maintenance on an ingest frame: an absent
+    * generated column is COMPUTED from its expression; a present one is
+    * VALIDATED against it (null-safe equality, one limit-1 probe per
+    * column) and refused on the first disagreement — a writer can
+    * never land a row where the derived key lies about the row. */
+  private def applyGenerated(df: DataFrame, meta: Meta): DataFrame =
+    meta.generated.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
+      if (!d.columns.contains(c)) d.withColumn(c, expr(e))
+      else {
+        val want =
+          if (meta.schema.fieldNames.contains(c))
+            expr(e).cast(meta.schema(c).dataType)
+          else expr(e)
+        val bad = d.where(!(col(c) <=> want)).limit(1).count()
+        require(bad == 0,
+          s"generated column $c: incoming values disagree with ($e)")
+        d
+      }
+    }
+
+  /** Word-boundary reference test — the same rule CHECK constraints use
+    * for rename safety. Conservative: a false positive refuses an op,
+    * never corrupts one. */
+  private def generatedTouches(meta: Meta, colName: String): Boolean =
+    meta.generated.contains(colName) || meta.generated.values.exists(
+      _.matches(s".*\\b${java.util.regex.Pattern.quote(colName)}\\b.*"))
 
   /** Fail (BEFORE any file is staged) if a row of `df` violates a table
     * CHECK constraint. One limit-1 probe per constraint over the new

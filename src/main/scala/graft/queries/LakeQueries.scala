@@ -511,6 +511,45 @@ object LakeQueries {
            |WHERE o_orderkey % 4 IN (0, 1) AND o_totalprice >= 50000
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** GENERATED COLUMNS (Delta's GENERATED ALWAYS AS): `o_year` is
+    * declared as `year(o_orderdate)` at CREATE and the table partitions
+    * by it — the classic derived-date layout. Writers never supply it:
+    * create and append both COMPUTE it, and a filter on the generated
+    * column partition-prunes via the log's own values (asserted in the
+    * query: the 1995 read plans a strict subset of live files). The
+    * oracle re-derives the column relationally — a writer-side drift
+    * between expression and stored value, or a pruned-away row, breaks
+    * the hash. Validation/refusal behavior (a lying writer, UPDATE on
+    * the source column) is GeneratedColumnsSpec's job.
+    */
+  val extLakeGeneratedCol = Q(
+    "ext_lake_generated_col",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          $"o_orderdate")
+      val tab = new TxTable(s, scratch("lake_gencol", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0),
+        partitionCols = Seq("o_year"),
+        generatedColumns = Map("o_year" -> "year(o_orderdate)"))
+      tab.append(orders.where($"o_orderkey" % 2 === 1))
+      val fs = new org.apache.hadoop.fs.Path(scratch("lake_gencol", dir))
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val snap = graft.lake.TxLog.snapshot(fs,
+        new org.apache.hadoop.fs.Path(scratch("lake_gencol", dir)))
+      val kept = tab.candidateFiles(snap, "o_year", 1995, 1995)
+      require(kept.nonEmpty && kept.size < snap.adds.size,
+        s"generated-column partition pruning failed: " +
+          s"kept ${kept.size}/${snap.adds.size}")
+      tab.read().where($"o_year" === 1995).orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+           |       CAST(year(o_orderdate) AS INT) AS o_year
+           |FROM orders
+           |WHERE year(o_orderdate) = 1995
+           |ORDER BY o_orderkey""".stripMargin))
+
   // ---- 6. streaming MERGE into the ACID table ----
 
   /** Streaming lakehouse ingestion: an upsert feed arrives as a file
@@ -1445,7 +1484,7 @@ object LakeQueries {
     extLakeMergeEvolution,
     extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
     extStreamLakeToLake, extStreamCdf, extStreamCdfApply,
-    extLakeBloomLookup, extLakePartitionEvolution,
+    extLakeBloomLookup, extLakePartitionEvolution, extLakeGeneratedCol,
     extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,
     extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.lake.TxTable
+
+/** GENERATED ALWAYS AS columns ([[graft.lake.TxTable.create]]'s
+  * `generatedColumns`): the invariant is that the stored derived value
+  * NEVER disagrees with its expression over the row. Ingest paths
+  * compute an absent column and validate a present one; every op that
+  * could silently break the invariant (UPDATE of the column or its
+  * sources, RENAME, DROP) refuses. Content parity with the oracle is
+  * ext_lake_generated_col's job.
+  */
+class GeneratedColumnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"gencol_$tag").resolve("tbl").toString
+
+  private def rows(n: Int, from: Long = 0L): DataFrame =
+    spark.range(from, from + n).select(
+      $"id", ($"id" * 10).as("cents"))
+
+  test("absent generated columns are computed on create, append and merge") {
+    val root = freshRoot("compute")
+    val tab = new TxTable(spark, root)
+    tab.create(rows(5), generatedColumns =
+      Map("dollars" -> "cents / 10"))
+    tab.append(rows(3, from = 100L))
+    tab.merge(rows(2, from = 200L), Seq("id"))
+    val got = tab.read().select($"id", $"dollars".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 10)
+    assert(got.forall { case (id, d) => d === id })
+  }
+
+  test("a present generated column is validated; a lying writer refuses") {
+    val root = freshRoot("lie")
+    val tab = new TxTable(spark, root)
+    tab.create(rows(5), generatedColumns =
+      Map("dollars" -> "cents / 10"))
+    // truthful explicit values pass
+    tab.append(rows(2, from = 50L).withColumn("dollars", $"cents" / 10))
+    val err = intercept[IllegalArgumentException] {
+      tab.append(rows(2, from = 80L).withColumn("dollars", lit(999)))
+    }
+    assert(err.getMessage.contains("generated column dollars"))
+    // the refused append staged nothing into the live set
+    assert(tab.read().count() === 7)
+  }
+
+  test("UPDATE refuses the generated column and its source columns") {
+    val root = freshRoot("upd")
+    val tab = new TxTable(spark, root)
+    tab.create(rows(5), generatedColumns =
+      Map("dollars" -> "cents / 10"))
+    val e1 = intercept[IllegalArgumentException] {
+      tab.update($"id" === 1L, Map("dollars" -> lit(7)))
+    }
+    assert(e1.getMessage.contains("generated"))
+    val e2 = intercept[IllegalArgumentException] {
+      tab.update($"id" === 1L, Map("cents" -> lit(7)))
+    }
+    assert(e2.getMessage.contains("generated"))
+    // a column no generated expression reads updates fine
+    tab.update($"id" === 1L, Map("id" -> lit(-1L)))
+    assert(tab.read().where($"id" === -1L).count() === 1)
+  }
+
+  test("RENAME and DROP refuse columns a generated expression touches") {
+    val root = freshRoot("ddl")
+    val tab = new TxTable(spark, root)
+    tab.create(rows(5).withColumn("note", lit("x")),
+      generatedColumns = Map("dollars" -> "cents / 10"))
+    assert(intercept[IllegalArgumentException] {
+      tab.renameColumn("cents", "pennies")
+    }.getMessage.contains("generated"))
+    assert(intercept[IllegalArgumentException] {
+      tab.dropColumn("dollars")
+    }.getMessage.contains("generated"))
+    // untouched columns keep full DDL freedom
+    tab.renameColumn("note", "comment")
+    assert(tab.read().columns.contains("comment"))
+  }
+}
