@@ -1156,6 +1156,38 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       StructField("timestamp_ms", LongType, nullable = true))))
   }
 
+  /** DESCRIBE DETAIL (Delta's one-row table summary), resolved purely
+    * from log metadata — zero data files opened: live file/row/byte
+    * totals (bytes from the Add entries' recorded sizes; legacy entries
+    * without one fall back to a getFileStatus each), DV shadow count,
+    * partition spec, stamped reader features, generated columns, and
+    * the CDF flag. The at-a-glance operational surface a table owner
+    * checks before an OPTIMIZE or a vacuum. */
+  def detail(asOf: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(fs, root, asOf)
+    val bytes = snap.adds.map(a => a.bytes.getOrElse(
+      fs.getFileStatus(new Path(root, a.path)).getLen)).sum
+    val row = Row(rootStr, snap.version, snap.adds.size.toLong,
+      snap.adds.map(_.rows).sum, bytes,
+      snap.adds.map(_.dvSize).sum,
+      snap.meta.partitionCols, snap.meta.features,
+      snap.meta.generated, snap.meta.cdf,
+      snap.meta.checkExprs.size.toLong)
+    spark.createDataFrame(Seq(row).asJava, StructType(Seq(
+      StructField("location", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("num_files", LongType, nullable = false),
+      StructField("num_rows", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("dv_shadowed_rows", LongType, nullable = false),
+      StructField("partition_columns", ArrayType(StringType), nullable = false),
+      StructField("reader_features", ArrayType(StringType), nullable = false),
+      StructField("generated_columns", MapType(StringType, StringType),
+        nullable = false),
+      StructField("cdf_enabled", BooleanType, nullable = false),
+      StructField("num_constraints", LongType, nullable = false))))
+  }
+
   // ---- reads ----
 
   /** Snapshot read; `asOf` time-travels to an older version. */

@@ -71,6 +71,28 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(tab.read().where($"id" === -1L).count() === 1)
   }
 
+  test("detail() reports live totals, features and generated columns from metadata only") {
+    val root = freshRoot("detail")
+    val tab = new TxTable(spark, root)
+    tab.create(rows(10).coalesce(1),
+      generatedColumns = Map("dollars" -> "cents / 10"))
+    tab.deleteWhereMergeOnRead($"id" === 3L) // one DV row + a feature stamp
+    val d = tab.detail().collect().head
+    assert(d.getAs[Long]("version") === 1L)
+    assert(d.getAs[Long]("num_rows") === 9L)
+    assert(d.getAs[Long]("dv_shadowed_rows") === 1L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    assert(d.getAs[Seq[String]]("reader_features") ===
+      Seq("deletionVectors"))
+    assert(d.getAs[Map[String, String]]("generated_columns") ===
+      Map("dollars" -> "cents / 10"))
+    assert(!d.getAs[Boolean]("cdf_enabled"))
+    // time travel: the pre-delete detail shows the clean v0
+    val d0 = tab.detail(asOf = Some(0L)).collect().head
+    assert(d0.getAs[Long]("num_rows") === 10L)
+    assert(d0.getAs[Seq[String]]("reader_features") === Nil)
+  }
+
   test("RENAME and DROP refuse columns a generated expression touches") {
     val root = freshRoot("ddl")
     val tab = new TxTable(spark, root)
