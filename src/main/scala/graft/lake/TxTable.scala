@@ -354,15 +354,18 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       schemaEvolution: Boolean = false): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // generated columns are create-time-fixed: compute/validate them on
-    // the source once, against any snapshot's meta
-    val src = applyGenerated(source, TxLog.snapshot(fs, root).meta).cache()
+    // the source once, against the FIRST snapshot — which then also
+    // serves attempt 0 of the retry loop, so the common no-conflict
+    // merge replays the log exactly once
+    val first = TxLog.snapshot(fs, root)
+    val src = applyGenerated(source, first.meta).cache()
     try {
       val dups = src.groupBy(keyCols.map(col): _*)
         .count().where(col("count") > 1).limit(1).count()
       require(dups == 0, s"merge source has duplicate keys on ${keyCols.mkString(",")}")
       var attempt = 0
       while (true) {
-        val snap = TxLog.snapshot(fs, root)
+        val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
         // idempotence watermark (foreachBatch exactly-once): an already
         // absorbed (appId, version) skips — checked per attempt, so a
         // concurrent duplicate that wins the race is honored
@@ -608,8 +611,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     require(keyCols.nonEmpty, "applyChanges needs at least one key column")
     val slice = changes.cache()
     try {
-      val ins = slice.where(col("_change_type") === "insert")
-        .drop("_change_type", "_commit_version")
+      // generated columns are create-time-fixed: a slice lacking one is
+      // COMPUTED, a slice carrying a diverging value is REFUSED — ingest
+      // via the feed upholds the same invariant as append/merge
+      val first = TxLog.snapshot(fs, root)
+      val ins = applyGenerated(
+        slice.where(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version"), first.meta)
       val dups = ins.groupBy(keyCols.map(col): _*)
         .count().where(col("count") > 1).limit(1).count()
       require(dups == 0,
@@ -617,7 +625,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val touched = slice.select(keyCols.map(col): _*).distinct()
       var attempt = 0
       while (true) {
-        val snap = TxLog.snapshot(fs, root)
+        val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
         enforceConstraints(ins.select(
           snap.meta.schema.fieldNames.filter(ins.columns.contains).map(col): _*),
           snap.meta)
@@ -654,12 +662,18 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * column lands the merged schema in the same commit, and older
     * partitions read back with nulls in it.
     */
-  def overwritePartition(partCol: String, value: String, df: DataFrame): Long = {
+  def overwritePartition(partCol: String, value: String, df0: DataFrame): Long = {
+    // generated columns first (create-time-fixed, so the first snapshot's
+    // meta is authoritative): the headline use case partitions BY a
+    // generated column, so the load may legitimately arrive without it —
+    // compute it before the stray check can even look at it
+    val first = TxLog.snapshot(fs, root)
+    val df = applyGenerated(df0, first.meta)
     val stray = df.where(col(partCol).cast("string") =!= value).limit(1).count()
     require(stray == 0, s"overwritePartition($partCol=$value) got rows outside the partition")
     var attempt = 0
     while (true) {
-      val snap = TxLog.snapshot(fs, root)
+      val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
       require(snap.meta.partitionCols.contains(partCol),
         s"$partCol is not a partition column of $root")
       // after a partition evolution, a value's rows can sit in
@@ -881,7 +895,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       require(!snap.meta.partitionCols.contains(oldName),
         s"RENAME: $oldName is a partition column of $root")
       require(!snap.meta.checkExprs.exists(
-          _.matches(s".*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*")),
+          _.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*")),
         s"RENAME: a CHECK constraint references $oldName — drop it first")
       require(!generatedTouches(snap.meta, oldName),
         s"RENAME: $oldName is a generated column or read by one — its " +
@@ -928,7 +942,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       require(!snap.meta.partitionCols.contains(name),
         s"DROP: $name is a partition column of $root")
       require(!snap.meta.checkExprs.exists(
-          _.matches(s".*\\b${java.util.regex.Pattern.quote(name)}\\b.*")),
+          _.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(name)}\\b.*")),
         s"DROP: a CHECK constraint references $name — drop it first")
       require(!generatedTouches(snap.meta, name),
         s"DROP: $name is a generated column or read by one — drop " +
@@ -1126,7 +1140,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * never corrupts one. */
   private def generatedTouches(meta: Meta, colName: String): Boolean =
     meta.generated.contains(colName) || meta.generated.values.exists(
-      _.matches(s".*\\b${java.util.regex.Pattern.quote(colName)}\\b.*"))
+      _.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(colName)}\\b.*"))
 
   /** Fail (BEFORE any file is staged) if a row of `df` violates a table
     * CHECK constraint. One limit-1 probe per constraint over the new

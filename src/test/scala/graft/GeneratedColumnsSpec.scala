@@ -93,6 +93,60 @@ class GeneratedColumnsSpec extends SparkSpec {
     assert(d0.getAs[Seq[String]]("reader_features") === Nil)
   }
 
+  test("applyChanges computes an absent generated column and refuses a lying one") {
+    val root = freshRoot("apply")
+    val tab = new TxTable(spark, root)
+    tab.create(rows(5), generatedColumns =
+      Map("dollars" -> "cents / 10"))
+    // a change slice WITHOUT the generated column: computed, not an
+    // AnalysisException in the align-select
+    val slice = rows(2, from = 300L)
+      .withColumn("_change_type", lit("insert"))
+    tab.applyChanges(slice, Seq("id"))
+    val got = tab.read().where($"id" >= 300L)
+      .select($"dollars".cast("long")).as[Long].collect().sorted
+    assert(got.toSeq === Seq(300L, 301L))
+    // a slice carrying a diverging generated value refuses
+    val lying = rows(1, from = 400L).withColumn("dollars", lit(999))
+      .withColumn("_change_type", lit("insert"))
+    assert(intercept[IllegalArgumentException] {
+      tab.applyChanges(lying, Seq("id"))
+    }.getMessage.contains("generated column dollars"))
+  }
+
+  test("overwritePartition computes a generated partition column") {
+    val root = freshRoot("ovw")
+    val tab = new TxTable(spark, root)
+    val base = rows(4).withColumn("bucket", ($"id" % 2).cast("string"))
+    tab.create(base, partitionCols = Seq("bucket"),
+      generatedColumns = Map("bucket" -> "CAST(id % 2 AS STRING)"))
+    // the load arrives WITHOUT the generated partition column — the
+    // headline use case: the table derives its own partition key
+    tab.overwritePartition("bucket", "0", rows(1, from = 10L))
+    val got = tab.read().select($"id", $"bucket").as[(Long, String)]
+      .collect().toMap
+    assert(got === Map(10L -> "0", 1L -> "1", 3L -> "1"))
+    // a load lying about the generated key refuses before staging
+    assert(intercept[IllegalArgumentException] {
+      tab.overwritePartition("bucket", "0",
+        rows(1, from = 21L).withColumn("bucket", lit("0")))
+    }.getMessage.contains("generated column bucket"))
+  }
+
+  test("a generated expression containing a newline still guards DDL") {
+    val root = freshRoot("nl")
+    val tab = new TxTable(spark, root)
+    tab.create(rows(3), generatedColumns =
+      Map("dollars" -> "cents\n/ 10"))
+    // (?s) makes \b-search span the newline: cents is still protected
+    assert(intercept[IllegalArgumentException] {
+      tab.update($"id" === 1L, Map("cents" -> lit(7)))
+    }.getMessage.contains("generated"))
+    assert(intercept[IllegalArgumentException] {
+      tab.renameColumn("cents", "pennies")
+    }.getMessage.contains("generated"))
+  }
+
   test("RENAME and DROP refuse columns a generated expression touches") {
     val root = freshRoot("ddl")
     val tab = new TxTable(spark, root)
