@@ -1,7 +1,5 @@
 package graft.lake
 
-import java.nio.file.{FileAlreadyExistsException, Files, Paths}
-
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.json4s.{Formats, NoTypeHints}
@@ -21,11 +19,13 @@ import org.json4s.jackson.Serialization
   * travel).
   *
   * Concurrency: a commit is published by ATOMICALLY claiming the next
-  * version's file name — hard-link creation on local filesystems
-  * (`Files.createLink` fails with `FileAlreadyExistsException` if the
-  * target exists), no-overwrite rename on HDFS-like stores. Exactly one
-  * writer wins a version; losers re-read the new snapshot and retry
-  * (optimistic concurrency, Delta's model).
+  * version's file name through the per-scheme [[LogStore]] claim —
+  * hard link on local filesystems, no-overwrite rename on HDFS-like
+  * stores, a registered conditional-PUT/coordinator claim on object
+  * stores (whose rename is NOT atomic), and a loud refusal on a scheme
+  * with none of the three. Exactly one writer wins a version; losers
+  * re-read the new snapshot and retry (optimistic concurrency, Delta's
+  * model).
   *
   * Scale posture: snapshot resolution is NOT O(history) — every
   * [[TxLog.checkpointInterval]] commits a checkpoint file captures the
@@ -260,9 +260,12 @@ object TxLog {
 
   /** Atomically publish `content` as commit `version`. Returns false if
     * the version was already claimed by a concurrent writer (the caller
-    * must re-resolve and retry). The claim is a hard link on `file://`
-    * (POSIX link(2) is atomic and fails if the target exists) and a
-    * no-overwrite rename elsewhere.
+    * must re-resolve and retry). HOW the claim is made is per-scheme
+    * ([[LogStore.claimFor]]): hard link on `file://`, no-overwrite
+    * rename on HDFS-like stores, a registered conditional-PUT/
+    * coordinator claim on object stores — and a LOUD refusal on a
+    * scheme with none of the three, instead of a silent
+    * last-writer-wins race.
     */
   def tryCommit(fs: FileSystem, root: Path, version: Long,
       entries: Seq[LogEntry]): Boolean = {
@@ -288,14 +291,8 @@ object TxLog {
       }
     }
     writeString(fs, tmp, render(stamped))
-    val won =
-      if (fs.getScheme == "file") {
-        val t = Paths.get(tmp.toUri.getPath)
-        val d = Paths.get(dst.toUri.getPath)
-        try { Files.createLink(d, t); true }
-        catch { case _: FileAlreadyExistsException => false }
-      } else !fs.exists(dst) && fs.rename(tmp, dst)
-    if (fs.getScheme == "file" || !won) fs.delete(tmp, false)
+    val won = LogStore.claimFor(fs).claim(fs, tmp, dst)
+    if (fs.exists(tmp)) fs.delete(tmp, false)
     if (won) maybeCheckpoint(fs, root, version)
     won
   }

@@ -66,6 +66,15 @@ object JdbcSource {
   * deployment env into the session settings the reference sets in conf.
   * Untestable end-to-end offline (no S3 endpoint, no hadoop-aws jar in
   * the sandbox) — the mapping itself is spec-pinned.
+  *
+  * MULTI-WRITER CAVEAT: S3A rename is not atomic, so TxLog commits on
+  * `s3a://` additionally need a claim registered via
+  * [[graft.lake.LogStore.register]] (a conditional-PUT client — MinIO
+  * honors `If-None-Match: *` — or an external coordinator, Delta's
+  * S3DynamoDBLogStore pattern), or the explicit
+  * `graft.txlog.unsafeSingleWriter=true` acknowledgment for
+  * one-writer deployments. With neither, commits REFUSE loudly
+  * (TxLogStoreSpec) instead of silently racing.
   */
 object ObjectStoreConf {
   /** `spark.hadoop.fs.s3a.*` settings from `S3A_*` env (empty when no

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+
+import graft.lake.{LogStore, TxLog}
+
+/** A local filesystem masquerading as an object store: scheme "mocks3"
+  * and a rename that — like S3's copy+delete — NEVER refuses an
+  * existing destination. The raw primitives on this store silently
+  * lose a racing commit; [[graft.lake.LogStore]] must therefore refuse
+  * it by default and win the race only through a registered claim.
+  */
+class MockS3FileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "mocks3"
+  override def getUri: java.net.URI = java.net.URI.create("mocks3:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    // last-writer-wins, the object-store PUT semantics
+    if (exists(dst)) delete(dst, false)
+    super.rename(src, dst)
+  }
+}
+
+/** The per-scheme commit-claim contract ([[graft.lake.LogStore]]): the
+  * multi-writer ACID guarantee holds exactly where an atomic claim
+  * exists, and is REFUSED — not silently raced — where none does.
+  * Driven through a simulated non-atomic store, per the known Delta S3
+  * problem (solved there with conditional PUT / DynamoDB coordination).
+  */
+class TxLogStoreSpec extends SparkSpec {
+
+  private def mockFs(extra: (String, String)*): MockS3FileSystem = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    extra.foreach { case (k, v) => conf.set(k, v) }
+    val fs = new MockS3FileSystem
+    fs.initialize(java.net.URI.create("mocks3:///"), conf)
+    fs
+  }
+
+  private def freshRoot(tag: String): Path =
+    new Path(Files.createTempDirectory(s"logstore_$tag")
+      .resolve("tbl").toString)
+
+  private def entriesFor(op: String): Seq[TxLog.LogEntry] = Seq(
+    TxLog.LogEntry(meta = Some(TxLog.Meta(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))).json, Nil))),
+    TxLog.LogEntry(info = Some(TxLog.Info(op, -1L))))
+
+  test("the simulated store's raw primitives double-claim: both writers' renames succeed") {
+    val fs = mockFs()
+    val root = freshRoot("raw")
+    fs.mkdirs(root)
+    val dst = new Path(root, "00000000000000000000.json")
+    val t1 = new Path(root, "tmp1")
+    val t2 = new Path(root, "tmp2")
+    Seq(t1 -> "writer-one", t2 -> "writer-two").foreach { case (p, s) =>
+      val out = fs.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    // both writers pass the exists check before either renames...
+    assert(!fs.exists(dst) && !fs.exists(dst))
+    assert(fs.rename(t1, dst))
+    // ...and the SECOND rename succeeds too — writer one's commit is gone
+    assert(fs.rename(t2, dst))
+    val in = fs.open(dst)
+    val buf = new Array[Byte](64)
+    val n = in.read(buf); in.close()
+    assert(new String(buf, 0, n, "UTF-8") === "writer-two")
+  }
+
+  test("commits on a scheme with no atomic claim refuse loudly by default") {
+    val fs = mockFs()
+    val root = freshRoot("refuse")
+    val err = intercept[IllegalStateException] {
+      TxLog.tryCommit(fs, root, 0L, entriesFor("CREATE"))
+    }
+    assert(err.getMessage.contains("no atomic commit claim"))
+    assert(err.getMessage.contains("mocks3"))
+    // nothing was published
+    assert(TxLog.latestVersion(fs, root) === -1L)
+  }
+
+  test("a registered claim makes a double-claim impossible: 8 racing writers, 1 winner") {
+    LogStore.register("mocks3", LogStore.SingleDriverClaim)
+    try {
+      val fs = mockFs()
+      val root = freshRoot("race")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val barrier = new java.util.concurrent.CyclicBarrier(8)
+        val wins = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence((0 until 8).map { i =>
+            scala.concurrent.Future {
+              barrier.await()
+              TxLog.tryCommit(fs, root, 0L, entriesFor(s"CREATE_$i"))
+            }
+          }),
+          scala.concurrent.duration.Duration(60, "s"))
+        assert(wins.count(identity) === 1,
+          s"expected exactly one winning claim, got $wins")
+        assert(TxLog.latestVersion(fs, root) === 0L)
+        // the winner's content survived intact (exactly one op line)
+        val ops = TxLog.commitInfo(fs, root, 0L).map(_.op).toSeq
+        assert(ops.size === 1 && ops.head.startsWith("CREATE_"))
+      } finally pool.shutdown()
+    } finally LogStore.unregister("mocks3")
+  }
+
+  test("explicit single-writer acknowledgment unlocks plain rename commits") {
+    val fs = mockFs(LogStore.unsafeSingleWriterKey -> "true")
+    val root = freshRoot("single")
+    assert(TxLog.tryCommit(fs, root, 0L, entriesFor("CREATE")))
+    // a second claim of the same version still loses (the exists check
+    // holds within one writer's sequential commits)
+    assert(!TxLog.tryCommit(fs, root, 0L, entriesFor("DUPE")))
+    assert(TxLog.latestVersion(fs, root) === 0L)
+  }
+
+  test("hdfs-like schemes keep the rename claim; file keeps the hard link") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val localFs = new Path(freshRoot("claims"), "x")
+      .getFileSystem(conf)
+    assert(LogStore.claimFor(localFs) eq LogStore.HardLinkClaim)
+  }
+}
