@@ -234,8 +234,21 @@ object TxLog {
     new Path(logDir(root), f"$v%020d.json")
   private def checkpointFile(root: Path, v: Long) =
     new Path(logDir(root), f"$v%020d.checkpoint.json")
+  private def checkpointParquetDir(root: Path, v: Long) =
+    new Path(logDir(root), f"$v%020d.checkpoint.parquet")
   private def lastCheckpointFile(root: Path) =
     new Path(logDir(root), "_last_checkpoint")
+
+  private def activeSession: Option[org.apache.spark.sql.SparkSession] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+
+  /** Typed columnar shape of a checkpoint row — the same LogEntry the
+    * JSON log uses, encoded by Spark's product encoder so checkpoint
+    * write/read is ordinary distributed parquet IO. */
+  private lazy val logEntryEncoder
+      : org.apache.spark.sql.Encoder[LogEntry] =
+    org.apache.spark.sql.Encoders.product[LogEntry]
 
   private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
     val out = fs.create(p, true)
@@ -297,8 +310,47 @@ object TxLog {
     won
   }
 
-  /** Highest committed version, or −1 for a nonexistent/empty log. */
+  /** Highest committed version, or −1 for a nonexistent/empty log.
+    * Bounded, not O(history): commits are consecutive integers, so the
+    * `_last_checkpoint` pointer gives a committed FLOOR and the answer
+    * is at most [[checkpointInterval]] existence probes past it — a
+    * long-lived table never pays a full `_txlog/` listing per read
+    * (Delta lists from the last-known version for the same reason).
+    * Logs without a checkpoint yet fall back to the one listing.
+    */
   def latestVersion(fs: FileSystem, root: Path): Long = {
+    val hinted = {
+      val p = lastCheckpointFile(root)
+      if (fs.exists(p))
+        scala.util.Try(readString(fs, p).trim.toLong).toOption
+      else None
+    }
+    hinted match {
+      case Some(h) if h >= 0 && fs.exists(commitFile(root, h)) =>
+        probeForwardFrom(fs, root, h)
+      case _ => listedLatestVersion(fs, root)
+    }
+  }
+
+  /** [[latestVersion]] with a caller-held committed floor (e.g. the
+    * stream source's last-seen version): O(new commits) existence
+    * probes, zero listings, zero `_last_checkpoint` reads — the
+    * per-trigger hot path. A stale/unknown floor falls back to
+    * [[latestVersion]]. */
+  def latestVersionFrom(fs: FileSystem, root: Path,
+      knownAtLeast: Long): Long =
+    if (knownAtLeast < 0 || !fs.exists(commitFile(root, knownAtLeast)))
+      latestVersion(fs, root)
+    else probeForwardFrom(fs, root, knownAtLeast)
+
+  private def probeForwardFrom(fs: FileSystem, root: Path,
+      committed: Long): Long = {
+    var v = committed
+    while (fs.exists(commitFile(root, v + 1))) v += 1
+    v
+  }
+
+  private def listedLatestVersion(fs: FileSystem, root: Path): Long = {
     val dir = logDir(root)
     if (!fs.exists(dir)) return -1L
     fs.listStatus(dir).iterator.map(_.getPath.getName)
@@ -348,7 +400,7 @@ object TxLog {
     }
     val start = ckpt match {
       case Some(v) =>
-        parse(readString(fs, checkpointFile(root, v)))
+        readCheckpointEntries(fs, root, v)
           .foreach(fold(_, withRemoves = false))
         v + 1
       case None => 0L
@@ -400,14 +452,34 @@ object TxLog {
     hinted.orElse {
       if (!fs.exists(logDir(root))) None
       else fs.listStatus(logDir(root)).iterator.map(_.getPath.getName)
-        .filter(_.endsWith(".checkpoint.json"))
-        .map(_.stripSuffix(".checkpoint.json").toLong)
+        .filter(n => n.endsWith(".checkpoint.json") ||
+          n.endsWith(".checkpoint.parquet"))
+        .map(_.stripSuffix(".checkpoint.parquet")
+          .stripSuffix(".checkpoint.json").toLong)
         .filter(_ <= target)
         .foldLeft(-1L)(math.max) match {
           case -1L => None
           case v   => Some(v)
         }
-    }
+    }.filter(v =>
+      // a parquet checkpoint is unreadable without a session; pretend
+      // it doesn't exist and replay from 0 — always correct, just slower
+      fs.exists(checkpointFile(root, v)) ||
+        (fs.exists(checkpointParquetDir(root, v)) && activeSession.isDefined))
+  }
+
+  /** One checkpoint's entries, either format: PARQUET (written through
+    * Spark — distributed columnar IO, no single JSON string through the
+    * driver) when present, the legacy single-string JSON otherwise. */
+  private def readCheckpointEntries(fs: FileSystem, root: Path,
+      v: Long): Seq[LogEntry] = {
+    val pq = checkpointParquetDir(root, v)
+    if (fs.exists(pq)) {
+      val spark = activeSession.getOrElse(sys.error(
+        s"parquet checkpoint at $pq needs an active SparkSession"))
+      spark.read.schema(logEntryEncoder.schema).parquet(pq.toString)
+        .as(logEntryEncoder).collect().toSeq
+    } else parse(readString(fs, checkpointFile(root, v)))
   }
 
   private def maybeCheckpoint(fs: FileSystem, root: Path, version: Long): Unit =
@@ -417,9 +489,21 @@ object TxLog {
         snap.adds.map(a => LogEntry(add = Some(a)))) ++
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           LogEntry(txn = Some(Txn(app, v))) }
-      // A racing checkpointer writes byte-identical content — overwrite
-      // is harmless, so plain writes suffice here.
-      writeString(fs, checkpointFile(root, version), render(entries))
+      // Only the version's winning committer checkpoints it, so plain
+      // overwriting writes suffice. With a session the checkpoint is
+      // PARQUET (Delta's design: splittable, columnar, written/read as
+      // ordinary Spark IO instead of one driver-side JSON string — the
+      // difference between a metadata op and a driver OOM at a
+      // million-file table); the JSON form remains for sessionless
+      // writers and as the legacy read path.
+      activeSession match {
+        case Some(spark) =>
+          spark.createDataset(entries)(logEntryEncoder)
+            .write.mode("overwrite")
+            .parquet(checkpointParquetDir(root, version).toString)
+        case None =>
+          writeString(fs, checkpointFile(root, version), render(entries))
+      }
       writeString(fs, lastCheckpointFile(root), version.toString)
     }
 

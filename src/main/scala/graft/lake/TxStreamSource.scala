@@ -71,8 +71,15 @@ final class TxStreamSource(spark: SparkSession, rootStr: String,
     * restarted stream paces from its checkpoint, never behind it. */
   @volatile private var highWater: Long = startingVersion - 1L
 
+  /** Highest version this source has OBSERVED committed (not capped by
+    * the trigger limit like [[highWater]]) — the floor that keeps
+    * [[getOffset]]'s per-trigger log probe O(new commits) instead of
+    * O(history) ([[TxLog.latestVersionFrom]]). */
+  @volatile private var lastSeen: Long = -1L
+
   override def getOffset: Option[Offset] = {
-    val v = TxLog.latestVersion(fs, root)
+    val v = TxLog.latestVersionFrom(fs, root, lastSeen)
+    if (v >= 0) lastSeen = v
     if (v < 0) None
     else {
       val capped = maxVersionsPerTrigger match {

@@ -101,8 +101,8 @@ class TxLogSpec extends SparkSpec {
     (1 to 12).foreach(i => tab.append(docs(2).withColumn("id", $"id" + i * 10)))
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names = fs.listStatus(new Path(root, "_txlog")).map(_.getPath.getName)
-    assert(names.exists(_.endsWith(".checkpoint.json")),
-      "interval-10 checkpoint must exist after 12 commits")
+    assert(names.exists(_.endsWith(".checkpoint.parquet")),
+      "interval-10 parquet checkpoint must exist after 12 commits")
     assert(names.contains("_last_checkpoint"))
     // replay-from-zero (time travel to head version explicitly) equals
     // the checkpointed fast path
@@ -110,6 +110,69 @@ class TxLogSpec extends SparkSpec {
     val full = tab.read(asOf = Some(tab.version)).orderBy("id").collect().toSeq
     assert(viaCkpt === full)
     assert(tab.read().count() === 5 + 24)
+  }
+
+  test("checkpoint-vs-replay equality over BOTH formats (parquet and legacy JSON)") {
+    val root = freshRoot("ckfmt")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(20))
+    (1 to 7).foreach(i => tab.append(docs(2).withColumn("id", $"id" + i * 100)))
+    tab.deleteWhereMergeOnRead($"id" === 1L) // a dvFile-carrying Add
+    tab.appendIdempotent(docs(1).withColumn("id", $"id" + 900), "appA", 3L)
+    tab.append(docs(1).withColumn("id", $"id" + 950)) // v10 -> checkpoint
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new Path(root)
+    val ckptPq = new Path(rootP, f"_txlog/${10L}%020d.checkpoint.parquet")
+    val lastCkpt = new Path(rootP, "_txlog/_last_checkpoint")
+    assert(fs.exists(ckptPq), "v10 parquet checkpoint expected")
+
+    def snapKey(s: TxLog.Snapshot) =
+      (s.version, s.meta, s.adds.toSet, s.txns)
+    val viaParquet = TxLog.snapshot(fs, rootP)
+    assert(TxLog.lastReplay.get()._2, "parquet path must seed from the checkpoint")
+
+    // full replay: hide the checkpoint entirely
+    val hidden = new Path(rootP, "ckpt_hidden")
+    fs.rename(ckptPq, hidden)
+    fs.delete(lastCkpt, false)
+    val viaReplay = TxLog.snapshot(fs, rootP)
+    assert(!TxLog.lastReplay.get()._2, "hidden checkpoint must force full replay")
+    assert(snapKey(viaParquet) === snapKey(viaReplay),
+      "parquet checkpoint and full replay must resolve the same state")
+
+    // legacy JSON checkpoint: same entries, single-string format
+    fs.rename(hidden, ckptPq)
+    implicit val fmts: org.json4s.Formats =
+      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+    val enc = org.apache.spark.sql.Encoders.product[TxLog.LogEntry]
+    val entries = spark.read.schema(enc.schema)
+      .parquet(ckptPq.toString).as(enc).collect().toSeq
+    val json = entries.map(org.json4s.jackson.Serialization.write(_)).mkString("\n")
+    fs.delete(ckptPq, true)
+    val ckptJson = new Path(rootP, f"_txlog/${10L}%020d.checkpoint.json")
+    val out = fs.create(ckptJson, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val outLc = fs.create(lastCkpt, true)
+    try outLc.write("10".getBytes("UTF-8")) finally outLc.close()
+    val viaJson = TxLog.snapshot(fs, rootP)
+    assert(TxLog.lastReplay.get()._2, "JSON path must seed from the checkpoint")
+    assert(snapKey(viaParquet) === snapKey(viaJson),
+      "legacy JSON checkpoint must resolve the same state")
+    assert(viaJson.txns.get("appA") === Some(3L),
+      "txn watermark rides both checkpoint formats")
+  }
+
+  test("latestVersionFrom probes forward from a committed floor; stale floors fall back") {
+    val root = freshRoot("lvf")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(3))
+    (1 to 4).foreach(i => tab.append(docs(1).withColumn("id", $"id" + i)))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new Path(root)
+    assert(TxLog.latestVersionFrom(fs, rootP, 4L) === 4L)
+    assert(TxLog.latestVersionFrom(fs, rootP, 2L) === 4L)
+    assert(TxLog.latestVersionFrom(fs, rootP, -1L) === 4L, "unknown floor falls back")
+    assert(TxLog.latestVersionFrom(fs, rootP, 99L) === 4L, "stale floor falls back")
   }
 
   test("time travel reads an old version; vacuum kills it cleanly") {
