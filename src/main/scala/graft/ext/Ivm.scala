@@ -39,10 +39,12 @@ object Ivm {
     */
   def foldCountSum(state: TxTable, slice: DataFrame, keyCols: Seq[String],
       valueCol: String, countName: String, sumName: String): Long = {
-    // a feed row that is neither insert nor delete must fail loudly —
-    // sum() would otherwise silently skip its null and desync the state
-    val sgn = when(col("_change_type") === "insert", 1L)
-      .when(col("_change_type") === "delete", -1L)
+    // a feed row of an unknown change type must fail loudly — sum()
+    // would otherwise silently skip its null and desync the state. An
+    // update's pre/postimage pair is a retraction + addition: together
+    // they move a row between groups or adjust its value.
+    val sgn = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
       .otherwise(raise_error(
         concat(lit("Ivm.foldCountSum: unknown _change_type "),
           col("_change_type"))))

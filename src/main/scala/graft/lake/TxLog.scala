@@ -178,9 +178,10 @@ object TxLog {
   final case class Remove(path: String)
   /** One commit-time change-data file (Delta's `cdc` action): `path` is
     * a parquet file under `_change_data/` holding the commit's changed
-    * rows, table schema + `_change_type` ('insert' | 'delete'). These
-    * files are NOT part of the live table state — only [[TxTable
-    * .readChanges]] reads them. */
+    * rows, table schema + `_change_type` ('insert' | 'delete' |
+    * 'update_preimage' | 'update_postimage'). These files are NOT part
+    * of the live table state — only [[TxTable.readChanges]] reads
+    * them. */
   final case class Cdf(path: String, rows: Long)
   /** Commit provenance: operation name + the snapshot version the writer
     * based its work on (−1 = blind append, conflicts impossible).

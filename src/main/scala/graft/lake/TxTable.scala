@@ -315,16 +315,18 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // copied-verbatim neighbours already passed at their own write
       enforceConstraints(rewritten.where(col(flag)).drop(flag), snap.meta)
       val adds = stageWrite(rewritten.drop(flag), snap.meta)
-      // an UPDATE's feed is the delete+insert pair per matched row —
-      // both sides already in hand (old = the match scan, new = the
-      // transformed half of the rewrite)
+      // an UPDATE's feed is the pre/postimage pair per matched row
+      // (Delta's four change types — downstream consumers can tell an
+      // update from a coincidental delete+insert of the same key in one
+      // commit); both sides already in hand (old = the match scan, new
+      // = the transformed half of the rewrite)
       val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
         adds.map(a => LogEntry(add = Some(a))) ++
         captureTail(snap.meta, "UPDATE", snap.version,
           cur.where(matched).drop(FileCol)
-            .withColumn("_change_type", lit("delete"))
+            .withColumn("_change_type", lit("update_preimage"))
             .unionAll(rewritten.where(col(flag)).drop(flag)
-              .withColumn("_change_type", lit("insert"))))
+              .withColumn("_change_type", lit("update_postimage"))))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
         return snap.version + 1
       attempt += 1
@@ -399,19 +401,26 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           .join(keys, keyCols, "left_anti"))
         val srcAligned = src.select(meta.schema.fieldNames.map(col): _*)
         val adds = stageWrite(survivors.unionByName(srcAligned), meta)
-        // MERGE feed: every replaced row as a delete (preimage) + every
-        // source row as an insert — Delta's CDF surfaces the pair even
-        // when a replacement happens to be byte-identical
+        // MERGE feed, Delta's four change types: every replaced row is
+        // an update PREIMAGE and its replacement the POSTIMAGE (the
+        // pair surfaces even when the replacement is byte-identical —
+        // Delta's behavior); source rows with no matched key are plain
+        // inserts
         val entries = metaEntry ++
           affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
           adds.map(a => LogEntry(add = Some(a))) ++
           txn.map { case (app, tv) =>
             LogEntry(txn = Some(Txn(app, tv))) }.toSeq ++
-          captureTail(meta, "MERGE", snap.version,
-            aligned(readFiles(snap, affected.map(_.path))
-              .join(keys, keyCols, "left_semi"))
-              .withColumn("_change_type", lit("delete"))
-              .unionAll(srcAligned.withColumn("_change_type", lit("insert"))))
+          captureTail(meta, "MERGE", snap.version, {
+            val tgt = readFiles(snap, affected.map(_.path))
+            val tgtKeys = tgt.select(keyCols.map(col): _*)
+            aligned(tgt.join(keys, keyCols, "left_semi"))
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionAll(srcAligned.join(tgtKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_postimage")))
+              .unionAll(srcAligned.join(tgtKeys, keyCols, "left_anti")
+                .withColumn("_change_type", lit("insert")))
+          })
         if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
           return snap.version + 1
         attempt += 1
@@ -566,26 +575,34 @@ final class TxTable(spark: SparkSession, rootStr: String) {
             .select(fields.map(outCol): _*)
           enforceConstraints(kept, snap.meta)
           val adds = stageWrite(kept, snap.meta)
-          val changedIds = (updateIds ++ deleteIds).map(_.toString)
           val entries =
             affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
             adds.map(a => LogEntry(add = Some(a))) ++
             captureTail(snap.meta, "MERGE_INTO", snap.version, {
-              // feed: preimage delete for every updated/deleted target
-              // row, postimage insert for every updated/inserted row;
-              // untouched survivors stay out of the feed
+              // feed, Delta's four change types: an update clause emits
+              // the pre/postimage pair, a delete clause a plain delete,
+              // an insert clause a plain insert; untouched survivors
+              // stay out of the feed
+              def tRow = fields.map(f => col(s"t.${f.name}").as(f.name))
+              val updStr = updateIds.map(_.toString)
+              val pre = acted
+                .where(col("__act").cast("string").isin(updStr: _*))
+                .select(tRow: _*)
+                .withColumn("_change_type", lit("update_preimage"))
               val del = acted
-                .where(col("__act").cast("string").isin(changedIds: _*))
-                .select(fields.map(f =>
-                  col(s"t.${f.name}").as(f.name)): _*)
-                .withColumn("_change_type", lit("delete"))
-              val ins = acted
                 .where(col("__act").cast("string")
-                  .isin(updateIds.map(_.toString): _*) ||
-                  col("__act") >= iId(0))
+                  .isin(deleteIds.map(_.toString): _*))
+                .select(tRow: _*)
+                .withColumn("_change_type", lit("delete"))
+              val post = acted
+                .where(col("__act").cast("string").isin(updStr: _*))
+                .select(fields.map(outCol): _*)
+                .withColumn("_change_type", lit("update_postimage"))
+              val ins = acted
+                .where(col("__act") >= iId(0))
                 .select(fields.map(outCol): _*)
                 .withColumn("_change_type", lit("insert"))
-              del.unionAll(ins)
+              pre.unionAll(del).unionAll(post).unionAll(ins)
             })
           if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
             return snap.version + 1
@@ -599,13 +616,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   }
 
   /** Apply one change-feed slice ([[readChanges]] output, `_change_type`
-    * ∈ insert|delete) to THIS table keyed by `keyCols` — the incremental
-    * materialized-view primitive: a downstream table stays in sync with
-    * an upstream's commits by folding each version's feed in, touching
-    * only the files that hold affected keys, never recomputing itself.
-    * Deletes remove their keys, inserts upsert theirs, one atomic
-    * commit; an update pair (delete+insert, same key) collapses to the
-    * insert. Insert rows must be unique per key, like [[merge]].
+    * ∈ insert|delete|update_preimage|update_postimage) to THIS table
+    * keyed by `keyCols` — the incremental materialized-view primitive:
+    * a downstream table stays in sync with an upstream's commits by
+    * folding each version's feed in, touching only the files that hold
+    * affected keys, never recomputing itself. Deletes and update
+    * preimages remove their keys, inserts and update postimages upsert
+    * theirs, one atomic commit — an update's pre/post pair is one keyed
+    * migration, and a legacy delete+insert pair of the same key
+    * collapses to the insert identically. Upserted rows must be unique
+    * per key, like [[merge]].
     */
   def applyChanges(changes: DataFrame, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "applyChanges needs at least one key column")
@@ -616,7 +636,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // via the feed upholds the same invariant as append/merge
       val first = TxLog.snapshot(fs, root)
       val ins = applyGenerated(
-        slice.where(col("_change_type") === "insert")
+        slice.where(col("_change_type").isin("insert", "update_postimage"))
           .drop("_change_type", "_commit_version"), first.meta)
       val dups = ins.groupBy(keyCols.map(col): _*)
         .count().where(col("count") > 1).limit(1).count()
@@ -640,11 +660,23 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         val adds = stageWrite(survivors.unionByName(insAligned), snap.meta)
         val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
           adds.map(a => LogEntry(add = Some(a))) ++
-          captureTail(snap.meta, "APPLY_CHANGES", snap.version,
-            readFiles(snap, affected.map(_.path))
+          captureTail(snap.meta, "APPLY_CHANGES", snap.version, {
+            // this table's OWN feed keeps the four-type fidelity: a key
+            // both removed and upserted is an update pair, a key only
+            // removed a delete, a key with no prior row an insert
+            val old = readFiles(snap, affected.map(_.path))
               .join(touched, keyCols, "left_semi")
-              .withColumn("_change_type", lit("delete"))
-              .unionAll(insAligned.withColumn("_change_type", lit("insert"))))
+            val insKeys = ins.select(keyCols.map(col): _*).distinct()
+            val oldKeys = old.select(keyCols.map(col): _*).distinct()
+            old.join(insKeys, keyCols, "left_semi")
+              .withColumn("_change_type", lit("update_preimage"))
+              .unionAll(old.join(insKeys, keyCols, "left_anti")
+                .withColumn("_change_type", lit("delete")))
+              .unionAll(insAligned.join(oldKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_postimage")))
+              .unionAll(insAligned.join(oldKeys, keyCols, "left_anti")
+                .withColumn("_change_type", lit("insert")))
+          })
         if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
           return snap.version + 1
         attempt += 1
@@ -1266,8 +1298,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   /** CHANGE DATA FEED (Delta's `table_changes`): row-level changes landed
     * by commits `fromVersion..toVersion`, each row tagged `_change_type`
-    * ('insert' | 'delete') and `_commit_version`. Per commit, cheapest
-    * source first:
+    * ('insert' | 'delete' | 'update_preimage' | 'update_postimage' —
+    * Delta's four change types; UPDATE/MERGE commits feed their old and
+    * new row as the pre/post pair) and `_commit_version`. Per commit,
+    * cheapest source first:
     *
     *   1. COMMIT-TIME CAPTURE: a commit marked `cdfCaptured` (the table
     *      had CDF enabled when it landed) reads its staged
@@ -1279,15 +1313,18 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     *      diff needed.
     *   3. FILE-DIFF FALLBACK (pre-capture commits): multiset `exceptAll`
     *      of added vs removed files, so copy-on-write SURVIVORS cancel
-    *      out and an UPDATE surfaces as its delete+insert pair. Cost is
+    *      out and an UPDATE surfaces as a delete+insert pair. Cost is
     *      O(files the commit touched) per read — exactly what capture
-    *      removes.
+    *      removes. A file diff cannot know WHY a row changed, so the
+    *      fallback never emits the update_* types — only capture
+    *      carries the four-type fidelity (Delta's fallback-less design
+    *      sidesteps this by requiring CDF on from the start).
     *
     * Semantics note: capture records what the writer DID (a MERGE that
-    * replaces a row with identical bytes still feeds its delete+insert
-    * pair — Delta's pre/postimage behavior); the fallback diff cancels
-    * such no-op pairs. The scripted oracles change every matched row, so
-    * both sources agree there. Columns ride under the range-head schema
+    * replaces a row with identical bytes still feeds its pre/postimage
+    * pair — Delta's behavior); the fallback diff cancels such no-op
+    * pairs. The scripted oracles change every matched row, so both
+    * sources agree there. Columns ride under the range-head schema
     * — rows from before an additive evolution null-fill, like any
     * time-travel read. Commits whose files (data OR change data) were
     * vacuumed refuse loudly: the change horizon is the vacuum horizon,

@@ -374,8 +374,9 @@ object LakeQueries {
     * pairs (`_change_type`, `_commit_version`) instead of refusing the
     * rewrite. The scripted history covers all four source paths: an
     * uncaptured CREATE (file-level fallback), a captured append, an
-    * UPDATE (delete+insert pair per matched row, pre-image status
-    * intact), a copy-on-write DELETE — and on the captured commits the
+    * UPDATE (update_preimage/update_postimage pair per matched row —
+    * Delta's four change types), a copy-on-write DELETE — and on the
+    * captured commits the
     * batch reads only `_change_data` files, never table data (the spec
     * pins that). The oracle reconstructs the exact feed, version tags
     * included: a survivor row leaking into a batch (the file-diff
@@ -425,11 +426,11 @@ object LakeQueries {
            |  FROM base WHERE o_orderkey % 4 = 1
            |  UNION ALL
            |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-           |         'delete', CAST(3 AS BIGINT)
+           |         'update_preimage', CAST(3 AS BIGINT)
            |  FROM base WHERE o_orderkey % 8 = 1
            |  UNION ALL
            |  SELECT o_orderkey, o_custkey, 'X', o_totalprice,
-           |         'insert', CAST(3 AS BIGINT)
+           |         'update_postimage', CAST(3 AS BIGINT)
            |  FROM base WHERE o_orderkey % 8 = 1
            |  UNION ALL
            |  SELECT o_orderkey, o_custkey,
@@ -973,7 +974,9 @@ object LakeQueries {
     * DELETE (<100k) → copy-on-write UPDATE (>300k re-keyed to buyer −1).
     * The feed for versions 1..3 must show exactly: the appended rows as
     * v1 inserts, the deleted rows as v2 deletes, and each updated row as
-    * its v3 delete+insert pair — while every copy-on-write SURVIVOR
+    * its v3 update_preimage/update_postimage pair (Delta's four change
+    * types — an update is distinguishable from a coincidental
+    * delete+insert of the same key) — while every copy-on-write SURVIVOR
     * (rewritten verbatim alongside) cancels out of the diff. The oracle
     * reconstructs the same ledger relationally. o_totalprice passes
     * through untouched (bit-stable doubles); only the scripted columns
@@ -1009,9 +1012,11 @@ object LakeQueries {
            |UNION ALL
            |SELECT o_orderkey, o_custkey, o_totalprice, 'delete', 2 FROM del2
            |UNION ALL
-           |SELECT o_orderkey, o_custkey, o_totalprice, 'delete', 3 FROM upd3
+           |SELECT o_orderkey, o_custkey, o_totalprice, 'update_preimage', 3
+           |FROM upd3
            |UNION ALL
-           |SELECT o_orderkey, CAST(-1 AS BIGINT), o_totalprice, 'insert', 3
+           |SELECT o_orderkey, CAST(-1 AS BIGINT), o_totalprice,
+           |       'update_postimage', 3
            |FROM upd3
            |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin))
 
@@ -1055,7 +1060,8 @@ object LakeQueries {
     * append → merge-on-read delete → in-place update; for each version
     * the silver table folds the transformed slice in via
     * [[graft.lake.TxTable.applyChanges]] (deletes drop keys, inserts
-    * upsert, the update's delete+insert pair collapses). Final silver
+    * upsert, the update's pre/postimage pair is one keyed migration).
+    * Final silver
     * content must equal the transform of final bronze, which is exactly
     * what the oracle computes relationally — a missed slice, a phantom
     * survivor, or a mis-collapsed update pair breaks the hash. Prices

@@ -716,15 +716,18 @@ class TxLogSpec extends SparkSpec {
     tab.append(docs(10).withColumn("id", $"id" + 1000L))    // v1 (adds-only)
     val vDel = tab.deleteWhere($"id" >= 1005L && $"id" < 1010L) // v2
     val vUpd = tab.update($"id" === 7L, Map("text" -> lit("EDITED"))) // v3
-    // content: identical ledger to the diff fallback's
+    // deletes: identical ledger to the diff fallback's
     val del = tab.readChanges(vDel, vDel)
     assert(del.where($"_change_type" === "delete")
       .select("id").as[Long].collect().sorted.toSeq === (1005L to 1009L))
-    assert(del.where($"_change_type" === "insert").count() === 0)
+    assert(del.where($"_change_type" =!= "delete").count() === 0)
+    // the captured update carries the four-type pre/postimage pair the
+    // file-diff fallback cannot know
     val pair = tab.readChanges(vUpd, vUpd)
       .select($"id", $"text", $"_change_type").as[(Long, String, String)]
       .collect().toSet
-    assert(pair === Set((7L, "doc-7", "delete"), (7L, "EDITED", "insert")))
+    assert(pair === Set((7L, "doc-7", "update_preimage"),
+      (7L, "EDITED", "update_postimage")))
     // THE capture contract: the mutating commits' feed slices plan zero
     // table data files — every input is staged change data
     val slice = tab.readChanges(vDel, vUpd)
@@ -867,12 +870,31 @@ class IvmSpec extends SparkSpec {
     assert(c === ((1L, 7L)))
   }
 
+  test("update pre/postimage pairs fold as retraction + addition") {
+    val state = new TxTable(spark, freshRoot("pp"))
+    state.create(Seq(("a", 2L, 30L)).toDF("k", "n_rows", "sum_v"))
+    // a value-only update: count stays, sum moves 30 → 37
+    graft.ext.Ivm.foldCountSum(state,
+      slice(("a", 10L, "update_preimage"), ("a", 17L, "update_postimage")),
+      Seq("k"), "v", "n_rows", "sum_v")
+    val a = state.read().where($"k" === "a")
+      .select($"n_rows", $"sum_v").as[(Long, Long)].collect().head
+    assert(a === ((2L, 37L)))
+    // a group-moving update: the pair migrates a row a → b
+    graft.ext.Ivm.foldCountSum(state,
+      slice(("a", 17L, "update_preimage"), ("b", 17L, "update_postimage")),
+      Seq("k"), "v", "n_rows", "sum_v")
+    val got = state.read().select($"k", $"n_rows", $"sum_v")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("a", 1L, 20L), ("b", 1L, 17L)))
+  }
+
   test("a malformed change type fails loudly, never silently skips") {
     val state = new TxTable(spark, freshRoot("bad"))
     state.create(Seq(("a", 1L, 10L)).toDF("k", "n_rows", "sum_v"))
     val e = intercept[Exception] {
       graft.ext.Ivm.foldCountSum(state,
-        slice(("a", 1L, "update_postimage")),
+        slice(("a", 1L, "upsert")), // not a Delta change type
         Seq("k"), "v", "n_rows", "sum_v")
     }
     assert(e.getMessage != null)
@@ -1035,17 +1057,18 @@ class MergeIntoSpec extends SparkSpec {
       .collect().toSeq
     assert(got === Seq((1L, "a", 11L), (2L, "a", 20L),
       (3L, "stale", 30L), (9L, "s", 90L)))
-    // feed: update pair for 1, delete for 4, pair for 3, insert for 9 —
-    // and NOTHING for the untouched row 2
+    // feed, four-type fidelity: pre/post pair for each updated row (1
+    // and 3), a plain delete for 4, a plain insert for 9 — and NOTHING
+    // for the untouched row 2
     val feed = tab.readChanges(v, v)
       .select($"id", $"_change_type").as[(Long, String)].collect().toSeq
     assert(!feed.exists(_._1 == 2L), s"untouched row leaked into feed: $feed")
-    assert(feed.count(_ == ((1L, "delete"))) === 1)
-    assert(feed.count(_ == ((1L, "insert"))) === 1)
+    assert(feed.count(_ == ((1L, "update_preimage"))) === 1)
+    assert(feed.count(_ == ((1L, "update_postimage"))) === 1)
     assert(feed.count(_ == ((4L, "delete"))) === 1)
-    assert(!feed.exists(_ == ((4L, "insert"))))
-    assert(feed.count(_ == ((3L, "delete"))) === 1)
-    assert(feed.count(_ == ((3L, "insert"))) === 1)
+    assert(feed.count(_._1 == 4L) === 1)
+    assert(feed.count(_ == ((3L, "update_preimage"))) === 1)
+    assert(feed.count(_ == ((3L, "update_postimage"))) === 1)
     assert(feed.count(_ == ((9L, "insert"))) === 1)
   }
 }

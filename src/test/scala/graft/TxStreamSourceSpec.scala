@@ -141,13 +141,14 @@ class TxStreamSourceSpec extends SparkSpec {
       val got = spark.table("txsrc_cdf")
         .select($"id", $"text", $"_change_type", $"_commit_version")
         .as[(Long, String, String, Long)].collect()
-      assert(got.count(_._3 == "insert") === 11) // 10 create + 1 update post
+      assert(got.count(_._3 == "insert") === 10) // the create's rows
       assert(got.filter(_._4 == 0L).forall(_._3 == "insert"))
       assert(got.filter(_._1 == 3L).map(r => (r._3, r._4)).toSet ===
         Set(("insert", 0L), ("delete", 2L)))
-      // the update pair: pre-image text intact on the delete side
+      // the update streams as its four-type pre/postimage pair
       assert(got.filter(r => r._1 == 7L && r._4 == 3L).map(r => (r._2, r._3))
-        .toSet === Set(("doc-7", "delete"), ("X", "insert")))
+        .toSet === Set(("doc-7", "update_preimage"),
+          ("X", "update_postimage")))
     } finally q.stop()
   }
 
