@@ -1431,6 +1431,26 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     readFiles(snap, keep.map(_.path)).where(col(colName) === lit(value))
   }
 
+  /** Multi-key point read: only the live files whose stats/bloom CANNOT
+    * exclude `colName == ` one of `values` are planned — one Spark job
+    * for the whole key set, never a job per key. The read backing
+    * [[graft.ext.Ivm]]'s bounded min/max retraction (recompute JUST the
+    * groups whose extremum was retracted), and any multi-key lookup.
+    * Pruning decisions are driver-side log metadata (stats) plus one
+    * sidecar probe per surviving file per key (bloom), like
+    * [[readEquals]].
+    */
+  def readEqualsAny(colName: String, values: Seq[Any],
+      asOf: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(fs, root, asOf)
+    if (values.isEmpty)
+      return readFiles(snap, Nil)
+    val keep = values.iterator
+      .flatMap(v => bloomCandidateFiles(snap, colName, v).map(_.path))
+      .toSeq.distinct
+    readFiles(snap, keep).where(col(colName).isin(values: _*))
+  }
+
   /** The bloom + stats skipping decision, exposed for tests: candidate
     * files for `colName == value` after BOTH prunes. Files without a
     * sidecar for the column are kept (conservative). Sidecar loads are

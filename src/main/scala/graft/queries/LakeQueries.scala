@@ -1256,6 +1256,67 @@ object LakeQueries {
            |GROUP BY o_orderstatus
            |ORDER BY o_orderstatus""".stripMargin))
 
+  /** MIN/MAX IVM with bounded retraction
+    * ([[graft.ext.Ivm.foldCountSumMinMax]]): the per-status state now
+    * also maintains min/max cents through a DELETE-HEAVY history built
+    * to retract extrema — v2 deletes every group's low end (min
+    * retraction), v3 re-keys the high end to 'X' (the preimages retract
+    * every group's max; the postimages build X's extrema delta-only),
+    * v4 scatters deletes across the range (some hit extrema and
+    * recompute, most stay delta-propagated). Retraction recomputes read
+    * ONLY the affected groups through the stats/bloom-pruned multi-key
+    * point read — never the whole bronze table. The oracle batch-
+    * recomputes all five aggregates from final bronze content: one
+    * stale extremum after any retraction breaks the hash.
+    */
+  val extLakeIvmMinMax = Q(
+    "ext_lake_ivm_minmax",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus",
+          floor($"o_totalprice" * 100 + 0.5).cast("long").as("price_cents"))
+      val bronze = new TxTable(s, scratch("lake_ivmm_bronze", dir))
+      bronze.create(orders.where($"o_orderkey" % 2 === 0)
+        .repartitionByRange(4, $"o_orderkey"),
+        enableChangeDataFeed = true)                            // v0
+      bronze.append(orders.where($"o_orderkey" % 2 === 1))      // v1
+      bronze.deleteWhereMergeOnRead($"price_cents" < 10000000L) // v2: minima
+      bronze.update($"price_cents" > 40000000L,
+        Map("o_orderstatus" -> lit("X")))                       // v3: maxima
+      bronze.deleteWhere($"price_cents" % 7L === 0L)            // v4: scatter
+      val state = new TxTable(s, scratch("lake_ivmm_state", dir))
+      state.create(bronze.read(asOf = Some(0L))
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"price_cents").as("sum_cents"),
+          min($"price_cents").as("min_cents"),
+          max($"price_cents").as("max_cents")))
+      (1L to bronze.version).foreach { v =>
+        graft.ext.Ivm.foldCountSumMinMax(state, bronze, v,
+          bronze.readChanges(v, v)
+            .select($"o_orderstatus", $"price_cents", $"_change_type"),
+          Seq("o_orderstatus"), "price_cents",
+          "n_orders", "sum_cents", "min_cents", "max_cents")
+      }
+      state.read().orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+           |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |       CAST(MIN(cents) AS BIGINT) AS min_cents,
+           |       CAST(MAX(cents) AS BIGINT) AS max_cents
+           |FROM (SELECT CASE WHEN cents > 40000000 THEN 'X'
+           |                  ELSE o_orderstatus END AS o_orderstatus,
+           |             cents
+           |      FROM (SELECT o_orderstatus,
+           |                   CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+           |                     AS cents
+           |            FROM orders)
+           |      WHERE cents >= 10000000)
+           |WHERE cents % 7 <> 0
+           |GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin))
+
   /** DROP COLUMN + re-add under column mapping
     * ([[graft.lake.TxTable.dropColumn]]): o_custkey is dropped
     * metadata-only (the query REQUIREs no data file changed), then a
@@ -1483,7 +1544,8 @@ object LakeQueries {
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
-    extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg, extLakeVacuum,
+    extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg,
+    extLakeIvmMinMax, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,

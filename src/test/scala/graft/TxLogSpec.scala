@@ -889,6 +889,40 @@ class IvmSpec extends SparkSpec {
     assert(got === Seq(("a", 1L, 20L), ("b", 1L, 17L)))
   }
 
+  test("min/max retraction recomputes only on an extremum hit; duplicates survive") {
+    // base: k=a holds values {5, 5, 9} — the min has multiplicity 2
+    val base = new TxTable(spark, freshRoot("mmbase"))
+    base.create(Seq(("a", 1L, 5L), ("a", 2L, 5L), ("a", 3L, 9L))
+      .toDF("k", "id", "v"), enableChangeDataFeed = true)
+    val state = new TxTable(spark, freshRoot("mmstate"))
+    state.create(base.read().groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        min($"v").as("mn"), max($"v").as("mx")))
+    // delete ONE of the two min rows: the slice alone cannot know the
+    // other 5 survives — the recompute must find mn still 5
+    val v1 = base.deleteWhere($"id" === 1L)
+    graft.ext.Ivm.foldCountSumMinMax(state, base, v1,
+      base.readChanges(v1, v1).select($"k", $"v", $"_change_type"),
+      Seq("k"), "v", "n", "s", "mn", "mx")
+    val after = state.read().select($"n", $"s", $"mn", $"mx")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(after === ((2L, 14L, 5L, 9L)))
+    // delete the max: recompute finds the next-highest
+    val v2 = base.deleteWhere($"id" === 3L)
+    graft.ext.Ivm.foldCountSumMinMax(state, base, v2,
+      base.readChanges(v2, v2).select($"k", $"v", $"_change_type"),
+      Seq("k"), "v", "n", "s", "mn", "mx")
+    val after2 = state.read().select($"n", $"s", $"mn", $"mx")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(after2 === ((1L, 5L, 5L, 5L)))
+    // empty the group: the state row vanishes, no recompute attempted
+    val v3 = base.deleteWhere($"id" === 2L)
+    graft.ext.Ivm.foldCountSumMinMax(state, base, v3,
+      base.readChanges(v3, v3).select($"k", $"v", $"_change_type"),
+      Seq("k"), "v", "n", "s", "mn", "mx")
+    assert(state.read().count() === 0L)
+  }
+
   test("a malformed change type fails loudly, never silently skips") {
     val state = new TxTable(spark, freshRoot("bad"))
     state.create(Seq(("a", 1L, 10L)).toDF("k", "n_rows", "sum_v"))
