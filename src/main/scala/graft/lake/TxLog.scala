@@ -74,6 +74,16 @@ object TxLog {
     * fleet. Write-side-only machinery (CDF staging, bloom sidecars,
     * stats) is deliberately NOT stamped: a reader ignoring it still
     * answers correctly, Delta's writer-feature distinction. */
+  /** `writerFeatures` is the WRITE-SIDE half of the table-features
+    * protocol (Delta splits reader/writer features for exactly this):
+    * the first commit that makes correct WRITING depend on behavior a
+    * naive writer would break — enforcing CHECK constraints, computing
+    * generated columns, preserving deletion vectors through rewrites,
+    * writing physical column names, staging change data on mutation —
+    * stamps the feature name here, and every [[TxTable]] mutating path
+    * REFUSES a stamped feature this client does not implement. Reading
+    * never consults it: an old reader of a constraint-bearing table is
+    * fine; an old WRITER would silently break the invariant. */
   final case class Meta(schemaJson: String, partitionCols: List[String],
       constraints: Option[List[String]] = None,
       cdfEnabled: Option[Boolean] = None,
@@ -81,15 +91,21 @@ object TxLog {
       retiredPhysical: Option[List[String]] = None,
       bloomIndex: Option[Map[String, Double]] = None,
       readerFeatures: Option[List[String]] = None,
-      generatedColumns: Option[Map[String, String]] = None) {
+      generatedColumns: Option[Map[String, String]] = None,
+      writerFeatures: Option[List[String]] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def checkExprs: List[String] = constraints.getOrElse(Nil)
     def cdf: Boolean = cdfEnabled.getOrElse(false)
     def features: List[String] = readerFeatures.getOrElse(Nil)
+    def writerFeats: List[String] = writerFeatures.getOrElse(Nil)
     /** This meta plus one required reader feature (idempotent). */
     def withReaderFeature(f: String): Meta =
       if (features.contains(f)) this
       else copy(readerFeatures = Some((features :+ f).sorted))
+    /** This meta plus one required writer feature (idempotent). */
+    def withWriterFeature(f: String): Meta =
+      if (writerFeats.contains(f)) this
+      else copy(writerFeatures = Some((writerFeats :+ f).sorted))
     /** GENERATED ALWAYS AS columns: logical name → SQL expression over
       * the row's other columns, fixed at CREATE. Ingest paths compute
       * an absent generated column and VALIDATE a present one; columns
@@ -229,6 +245,13 @@ object TxLog {
     * writer makes every [[snapshot]] here fail loudly. */
   val supportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping")
+
+  /** Writer features THIS client implements — the refusal set every
+    * [[TxTable]] mutating path checks before committing. Reads never
+    * consult this set. */
+  val supportedWriterFeatures: Set[String] =
+    Set("checkConstraints", "generatedColumns", "deletionVectors",
+      "columnMapping", "changeDataFeed")
 
   private def logDir(root: Path) = new Path(root, "_txlog")
   private def commitFile(root: Path, v: Long) =

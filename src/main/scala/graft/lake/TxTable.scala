@@ -70,9 +70,15 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       if (generatedColumns.isEmpty) None else Some(generatedColumns)
     val df2 = applyGenerated(df,
       Meta(df.schema.json, Nil, generatedColumns = gen))
-    val meta = Meta(df2.schema.json, partitionCols.toList,
-      cdfEnabled = if (enableChangeDataFeed) Some(true) else None,
-      generatedColumns = gen)
+    // features a naive writer would break are stamped from birth: a
+    // version-skewed writer refuses instead of landing diverging
+    // generated values or mutation commits with no change capture
+    val meta = (Seq(
+      if (enableChangeDataFeed) Some("changeDataFeed") else None,
+      if (gen.isDefined) Some("generatedColumns") else None).flatten)
+      .foldLeft(Meta(df2.schema.json, partitionCols.toList,
+        cdfEnabled = if (enableChangeDataFeed) Some(true) else None,
+        generatedColumns = gen))(_ withWriterFeature _)
     val adds = stageWrite(df2, meta)
     val entries = LogEntry(meta = Some(meta)) +:
       adds.map(a => LogEntry(add = Some(a))) :+
@@ -105,6 +111,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // claim (and the schema check, against whatever landed meanwhile)
     // repeats on a lost race.
     val first = TxLog.snapshot(fs, root)
+    gateWriter(first.meta)
     txn.foreach { t =>
       if (first.txns.get(t.appId).exists(_ >= t.version))
         return first.version
@@ -123,6 +130,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (attempt < maxRetries) {
       val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       // the duplicate check re-runs against every fresh snapshot: a
       // concurrent twin that won the race turns this attempt into the
       // no-op (the staged orphans are vacuum's to reclaim, like any
@@ -162,6 +170,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
       val hit = cur.where(cond)
         .select(col(FileCol).as("f")).distinct()
@@ -206,6 +215,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       val addByPath = snap.adds.map(a => a.path -> a).toMap
       val cur = readFiles(snap, snap.adds.map(_.path),
         withFileCol = true, withPos = true)
@@ -245,13 +255,17 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         else stageWrite(readFiles(snap, cowAffected.map(_.path))
           .where(!coalesce(cond, lit(false))), snap.meta)
       // the first vectored file makes naive readers WRONG (they would
-      // return deleted rows) — stamp the reader feature in the same
-      // commit so a version-skewed client refuses instead of misreading
+      // return deleted rows) and naive WRITERS destructive (a rewrite
+      // ignoring the vector resurrects them) — stamp both protocol
+      // halves in the same commit so a version-skewed client refuses
+      // instead of misreading or corrupting
       val protocol =
         if (dvEntries.exists(_.add.exists(_.dvFile.isDefined)) &&
-            !snap.meta.features.contains("deletionVectors"))
+            (!snap.meta.features.contains("deletionVectors") ||
+             !snap.meta.writerFeats.contains("deletionVectors")))
           Seq(LogEntry(meta =
-            Some(snap.meta.withReaderFeature("deletionVectors"))))
+            Some(snap.meta.withReaderFeature("deletionVectors")
+              .withWriterFeature("deletionVectors"))))
         else Nil
       val entries = protocol ++ dvEntries ++
         cowAffected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
@@ -283,6 +297,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       val schema = snap.meta.schema
       set.keys.foreach { c =>
         require(schema.fieldNames.contains(c), s"SET column $c not in table schema")
@@ -360,6 +375,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // serves attempt 0 of the retry loop, so the common no-conflict
     // merge replays the log exactly once
     val first = TxLog.snapshot(fs, root)
+    gateWriter(first.meta)
     val src = applyGenerated(source, first.meta).cache()
     try {
       val dups = src.groupBy(keyCols.map(col): _*)
@@ -368,6 +384,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       var attempt = 0
       while (true) {
         val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
+        gateWriter(snap.meta)
         // idempotence watermark (foreachBatch exactly-once): an already
         // absorbed (appId, version) skips — checked per attempt, so a
         // concurrent duplicate that wins the race is honored
@@ -500,6 +517,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         var attempt = 0
         while (true) {
           val snap = TxLog.snapshot(fs, root)
+          gateWriter(snap.meta)
           val fields = snap.meta.schema.fields.toSeq
           // files holding a source key are loaded even for insert-only
           // merges: a source row matching an existing key must classify
@@ -635,6 +653,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // COMPUTED, a slice carrying a diverging value is REFUSED — ingest
       // via the feed upholds the same invariant as append/merge
       val first = TxLog.snapshot(fs, root)
+      gateWriter(first.meta)
       val ins = applyGenerated(
         slice.where(col("_change_type").isin("insert", "update_postimage"))
           .drop("_change_type", "_commit_version"), first.meta)
@@ -646,6 +665,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       var attempt = 0
       while (true) {
         val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
+        gateWriter(snap.meta)
         enforceConstraints(ins.select(
           snap.meta.schema.fieldNames.filter(ins.columns.contains).map(col): _*),
           snap.meta)
@@ -700,12 +720,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // generated column, so the load may legitimately arrive without it —
     // compute it before the stray check can even look at it
     val first = TxLog.snapshot(fs, root)
+    gateWriter(first.meta)
     val df = applyGenerated(df0, first.meta)
     val stray = df.where(col(partCol).cast("string") =!= value).limit(1).count()
     require(stray == 0, s"overwritePartition($partCol=$value) got rows outside the partition")
     var attempt = 0
     while (true) {
       val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       require(snap.meta.partitionCols.contains(partCol),
         s"$partCol is not a partition column of $root")
       // after a partition evolution, a value's rows can sit in
@@ -773,6 +795,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       val doomed = zorderBy match {
         case Some(_) => snap.adds // global re-cluster
         case None =>
@@ -853,6 +876,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       // Diff by FULL Add payload, not path: a merge-on-read delete re-adds
       // the SAME path with a different deletion vector, so a path-only
       // diff would leave the newer vector live and the restored table
@@ -888,12 +912,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       val bad = readSnapshot(snap)
         .where(!coalesce(expr(checkExpr), lit(true))).limit(1).count()
       require(bad == 0,
         s"existing rows violate CHECK ($checkExpr) — constraint refused")
       val meta = snap.meta.copy(
         constraints = Some(snap.meta.checkExprs :+ checkExpr))
+        .withWriterFeature("checkConstraints")
       val entries = Seq(LogEntry(meta = Some(meta)),
         LogEntry(info = Some(Info("ADD_CONSTRAINT", snap.version))))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
@@ -919,6 +945,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       val schema = snap.meta.schema
       require(schema.fieldNames.contains(oldName),
         s"RENAME: no column $oldName in $root")
@@ -939,6 +966,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val meta = snap.meta.copy(schemaJson = renamed.json,
         columnMapping = Some(mapping))
         .withReaderFeature("columnMapping")
+        .withWriterFeature("columnMapping")
       val entries = Seq(LogEntry(meta = Some(meta)),
         LogEntry(info = Some(Info("RENAME_COLUMN", snap.version))))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
@@ -966,6 +994,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       val schema = snap.meta.schema
       require(schema.fieldNames.contains(name),
         s"DROP: no column $name in $root")
@@ -985,6 +1014,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         retiredPhysical =
           Some((snap.meta.retired :+ snap.meta.physicalOf(name)).distinct))
         .withReaderFeature("columnMapping")
+        .withWriterFeature("columnMapping")
       val entries = Seq(LogEntry(meta = Some(meta)),
         LogEntry(info = Some(Info("DROP_COLUMN", snap.version))))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
@@ -1019,6 +1049,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       newPartitionCols.foreach { c =>
         require(snap.meta.schema.fieldNames.contains(c),
           s"REPARTITION: no column $c in $root")
@@ -1051,6 +1082,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       val target = snap.meta.partitionCols.toSet
       val stale = snap.adds.filter(_.partitionValues.keySet != target)
       if (stale.isEmpty) return snap.version
@@ -1086,6 +1118,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       require(snap.meta.schema.fieldNames.contains(colName),
         s"BLOOM INDEX: no column $colName in $root")
       require(!snap.meta.partitionCols.contains(colName),
@@ -1134,9 +1167,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
       if (snap.meta.cdf) return snap.version // already on, no commit
       val entries = Seq(
-        LogEntry(meta = Some(snap.meta.copy(cdfEnabled = Some(true)))),
+        LogEntry(meta = Some(snap.meta.copy(cdfEnabled = Some(true))
+          .withWriterFeature("changeDataFeed"))),
         LogEntry(info = Some(Info("ENABLE_CDF", snap.version))))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
         return snap.version + 1
@@ -1145,6 +1180,23 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         s"enableChangeDataFeed on $root lost $maxRetries races")
     }
     sys.error("unreachable")
+  }
+
+  /** Write-side protocol gate ([[TxLog.supportedWriterFeatures]], the
+    * twin of [[TxLog.snapshot]]'s reader gate): refuse to mutate a
+    * table whose stamped writer features this client does not
+    * implement — an old writer would silently break the invariant the
+    * feature protects (unenforced CHECK constraints, diverging
+    * generated columns, dropped deletion vectors, logically-named
+    * files, an incomplete change feed). Reading never consults it.
+    */
+  private def gateWriter(meta: Meta): Unit = {
+    val alien = meta.writerFeats.filterNot(TxLog.supportedWriterFeatures)
+    require(alien.isEmpty,
+      s"table at $root requires writer feature(s) " +
+        s"${alien.mkString(", ")} this client does not implement " +
+        s"(supported: ${TxLog.supportedWriterFeatures.toSeq.sorted
+          .mkString(", ")}) — upgrade the writer; reads are unaffected")
   }
 
   /** GENERATED ALWAYS AS maintenance on an ingest frame: an absent
@@ -1216,7 +1268,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val row = Row(rootStr, snap.version, snap.adds.size.toLong,
       snap.adds.map(_.rows).sum, bytes,
       snap.adds.map(_.dvSize).sum,
-      snap.meta.partitionCols, snap.meta.features,
+      snap.meta.partitionCols, snap.meta.features, snap.meta.writerFeats,
       snap.meta.generated, snap.meta.cdf,
       snap.meta.checkExprs.size.toLong)
     spark.createDataFrame(Seq(row).asJava, StructType(Seq(
@@ -1228,6 +1280,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       StructField("dv_shadowed_rows", LongType, nullable = false),
       StructField("partition_columns", ArrayType(StringType), nullable = false),
       StructField("reader_features", ArrayType(StringType), nullable = false),
+      StructField("writer_features", ArrayType(StringType), nullable = false),
       StructField("generated_columns", MapType(StringType, StringType),
         nullable = false),
       StructField("cdf_enabled", BooleanType, nullable = false),

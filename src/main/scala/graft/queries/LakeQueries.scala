@@ -1317,6 +1317,63 @@ object LakeQueries {
            |GROUP BY o_orderstatus
            |ORDER BY o_orderstatus""".stripMargin))
 
+  /** DESCRIBE DETAIL ([[graft.lake.TxTable.detail]]): the one-row
+    * operational summary, resolved purely from log metadata — zero data
+    * files opened. Scripted to exercise every surface at once: a
+    * partitioned table on a GENERATED column with CDF on from birth, a
+    * CHECK constraint, and a deletion-vector delete — so the head
+    * detail must show the live/shadowed row split, both protocol
+    * halves' stamps (reader: deletionVectors; writer: changeDataFeed +
+    * checkConstraints + deletionVectors + generatedColumns), the
+    * partition spec and the constraint count, while the v0 time-travel
+    * detail shows the clean birth state. Nondeterministic fields
+    * (location, file count/bytes — layout-dependent) are projected
+    * away; everything else is oracle-pinned.
+    */
+  val extLakeDetail = Q(
+    "ext_lake_detail",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          $"o_orderdate")
+      val tab = new TxTable(s, scratch("lake_detail", dir))
+      tab.create(orders, partitionCols = Seq("o_year"),
+        generatedColumns = Map("o_year" -> "year(o_orderdate)"),
+        enableChangeDataFeed = true)                        // v0
+      tab.addConstraint("o_totalprice >= 0")                // v1
+      tab.deleteWhereMergeOnRead($"o_orderkey" % 97 === 0)  // v2: DVs
+      def slim(d: DataFrame, snapName: String) =
+        d.select(lit(snapName).as("snap"), $"version", $"num_rows",
+          $"dv_shadowed_rows",
+          array_join($"partition_columns", ",").as("partition_cols"),
+          array_join($"reader_features", ",").as("reader_feats"),
+          array_join($"writer_features", ",").as("writer_feats"),
+          array_join(sort_array(map_keys($"generated_columns")), ",")
+            .as("generated_cols"),
+          $"cdf_enabled", $"num_constraints")
+      slim(tab.detail(), "head")
+        .unionAll(slim(tab.detail(asOf = Some(0L)), "v0"))
+        .orderBy($"snap")
+    },
+    Some("""SELECT 'head' AS snap, CAST(2 AS BIGINT) AS version,
+           |       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 97 <> 0)
+           |         AS num_rows,
+           |       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 97 = 0)
+           |         AS dv_shadowed_rows,
+           |       'o_year' AS partition_cols,
+           |       'deletionVectors' AS reader_feats,
+           |       'changeDataFeed,checkConstraints,deletionVectors,generatedColumns'
+           |         AS writer_feats,
+           |       'o_year' AS generated_cols,
+           |       TRUE AS cdf_enabled, CAST(1 AS BIGINT) AS num_constraints
+           |UNION ALL
+           |SELECT 'v0', CAST(0 AS BIGINT),
+           |       (SELECT COUNT(*) FROM orders), CAST(0 AS BIGINT),
+           |       'o_year', '', 'changeDataFeed,generatedColumns', 'o_year',
+           |       TRUE, CAST(0 AS BIGINT)
+           |ORDER BY snap""".stripMargin))
+
   /** DROP COLUMN + re-add under column mapping
     * ([[graft.lake.TxTable.dropColumn]]): o_custkey is dropped
     * metadata-only (the query REQUIREs no data file changed), then a
@@ -1555,6 +1612,6 @@ object LakeQueries {
     extLakeBloomLookup, extLakePartitionEvolution, extLakeGeneratedCol,
     extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,
-    extLakeHistory, extLakeZorderScan, extLakeClone, extLakeRestore,
-    extLakeConstraint, extLakeUpdate)
+    extLakeHistory, extLakeDetail, extLakeZorderScan, extLakeClone,
+    extLakeRestore, extLakeConstraint, extLakeUpdate)
 }

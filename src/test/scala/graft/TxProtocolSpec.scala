@@ -91,6 +91,73 @@ class TxProtocolSpec extends SparkSpec {
       .meta.features === List("columnMapping", "deletionVectors"))
   }
 
+  test("an unknown WRITER feature refuses every mutation but reads stay open") {
+    val root = freshRoot("walien")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(5))
+    val fs = fsOf(root)
+    val p = new Path(root)
+    val snap = TxLog.snapshot(fs, p)
+    // a newer writer stamps a write-side feature we don't implement
+    val evil = snap.meta.withWriterFeature("v9-row-tracking")
+    assert(TxLog.tryCommit(fs, p, snap.version + 1, Seq(
+      LogEntry(meta = Some(evil)),
+      LogEntry(info = Some(Info("UPGRADE", snap.version))))))
+    // READS are unaffected — writer features never gate a reader
+    assert(tab.read().count() === 5)
+    assert(tab.detail().collect().head
+      .getAs[Seq[String]]("writer_features") === Seq("v9-row-tracking"))
+    // every mutating path refuses loudly instead of silently breaking
+    // the invariant the feature protects
+    def refuses(op: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](op)
+      assert(e.getMessage.contains("writer feature"), e.getMessage)
+      assert(e.getMessage.contains("v9-row-tracking"), e.getMessage)
+    }
+    refuses(tab.append(docs(1)))
+    refuses(tab.deleteWhere($"id" === 1L))
+    refuses(tab.update($"id" === 1L, Map("text" -> lit("x"))))
+    refuses(tab.merge(docs(1), Seq("id")))
+    refuses(tab.mergeInto(docs(1), Seq("id")).whenNotMatchedInsert().execute())
+    refuses(tab.applyChanges(
+      docs(1).withColumn("_change_type", lit("insert")), Seq("id")))
+    refuses(tab.optimize())
+    refuses(tab.addConstraint("id IS NOT NULL"))
+    refuses(tab.renameColumn("text", "body"))
+    refuses(tab.dropColumn("text"))
+    refuses(tab.restore(0L))
+    // nothing landed
+    assert(tab.read().count() === 5)
+    assert(tab.version === snap.version + 1)
+  }
+
+  test("constraints, CDF, generated columns, DV and mapping stamp writer features") {
+    val root = freshRoot("wstamp")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(10).coalesce(1),
+      generatedColumns = Map("id2" -> "id * 2"))
+    def writerFeats = TxLog.snapshot(fsOf(root), new Path(root))
+      .meta.writerFeats
+    assert(writerFeats === List("generatedColumns"))
+    tab.addConstraint("id IS NOT NULL")
+    assert(writerFeats === List("checkConstraints", "generatedColumns"))
+    tab.enableChangeDataFeed()
+    assert(writerFeats ===
+      List("changeDataFeed", "checkConstraints", "generatedColumns"))
+    tab.deleteWhereMergeOnRead($"id" === 3L)
+    assert(writerFeats.contains("deletionVectors"))
+    tab.renameColumn("text", "body")
+    assert(writerFeats.contains("columnMapping"))
+    // this client implements all of them: writes keep flowing
+    tab.append(docs(2).withColumnRenamed("text", "body"))
+    assert(tab.read().count() === 11)
+    // and a CDF-at-birth table stamps from v0
+    val born = new TxTable(spark, freshRoot("wborn"))
+    born.create(docs(3), enableChangeDataFeed = true)
+    assert(TxLog.snapshot(fsOf(root), new Path(root)).meta // tab unaffected
+      .writerFeats.contains("changeDataFeed"))
+  }
+
   test("the stamp survives a checkpoint replay") {
     val root = freshRoot("ckpt")
     val tab = new TxTable(spark, root)
