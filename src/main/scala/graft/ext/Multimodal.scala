@@ -7,19 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, plus batch feature extraction (BASELINE.json north star).
   *
-  * The features surface decodes REAL container headers: [[parseHeader]]
-  * reads true dimensions from PNG IHDR / JPEG SOF bytes (public
-  * formats, zero dependencies), with a malformed-input fallback instead
-  * of exceptions. Full pixel decode stays out of scope (the container
-  * ships no codecs) — [[decodeFeatures]]/[[resizeStub]] keep the
-  * byte-derived STUB bodies as the documented template for where a
-  * javax.imageio / ffmpeg-JNI kernel would drop in.
-  *
-  * At 100 TB the decode stage is the expensive part; the shape here —
-  * `mapPartitions` with partition-level init, no driver collection,
-  * columnar metadata kept alongside the blob — is what a real decoder
-  * drops into, and [[decodeMedia]] demonstrates it with a real parser
-  * body.
+  * Every dimension this module emits comes from a REAL container
+  * header: [[parseHeader]] reads PNG IHDR / JPEG SOF bytes (public
+  * formats, zero dependencies) with a malformed-input fallback instead
+  * of exceptions, [[pngHeaderColumns]] reads the same PNG fields as
+  * pure column functions (whole-stage codegen, the columnar fast path
+  * for fixed-offset formats), and [[resizePlan]]/[[sampleMediaFrames]]
+  * derive their geometry from the parse. Full PIXEL decode stays out
+  * of scope (the container ships no codecs) — the mapPartitions bodies
+  * are where a javax.imageio / ffmpeg-JNI kernel drops in, and the
+  * shape around them (per-partition init, streamed rows, no driver
+  * collection, columnar metadata beside the blob) is the 100 TB-safe
+  * plumbing.
   */
 object Multimodal {
 
@@ -34,39 +33,6 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         col("lang").as("lang"),
         col("source").as("source")).as("meta"))
-
-  final case class MediaFeatures(
-      doc_id: Long, n_bytes: Int, width: Int, height: Int,
-      checksum: String)
-
-  /** STUB decoder — deterministic fake in place of a real codec. A real
-    * implementation would replace ONLY the body of `decodeOne`
-    * (e.g. javax.imageio / ffmpeg JNI), keeping the partition-batch
-    * shape: init once per partition, stream rows, emit typed features.
-    */
-  def decodeFeatures(withPayload: DataFrame): DataFrame = {
-    val spark = withPayload.sparkSession
-    import spark.implicits._
-    val out = withPayload.select("doc_id", "payload")
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        // per-partition init would construct the real decoder here
-        val digest = java.security.MessageDigest.getInstance("MD5")
-        rows.map { case (id, bytes) => decodeOne(digest, id, bytes) }
-      }
-    out.toDF()
-  }
-
-  private def decodeOne(
-      digest: java.security.MessageDigest, id: Long,
-      bytes: Array[Byte]): MediaFeatures = {
-    digest.reset()
-    val md5hex = digest.digest(bytes)
-      .map(b => f"${b & 0xff}%02x").mkString
-    // ??? real decode goes here; fake dimensions derive from byte length
-    MediaFeatures(id, bytes.length,
-      1 + bytes.length % 64, 1 + bytes.length % 48, md5hex)
-  }
 
   // ---- REAL header decode (round 8): PNG + JPEG are public formats
   // with fixed header layouts, so true dimensions parse with zero
@@ -200,54 +166,99 @@ object Multimodal {
       }.toDF()
   }
 
-  /** Column-function variant of the same features (codegen'd, no
-    * deserialization to JVM objects) — preferred when the "decode" is
-    * expressible as expressions; the mapPartitions path above is the
-    * template for when it is not.
+  /** Column-function header read for FIXED-OFFSET formats: a PNG's
+    * IHDR dimensions sit at container bytes 17–24 (big-endian), so the
+    * whole read stays inside whole-stage codegen — no JVM object churn,
+    * no mapPartitions — the columnar fast path at 100 TB. Non-PNG rows
+    * (including JPEG, whose SOF needs a segment SCAN — that is
+    * [[decodeMedia]]'s job) emit the same ('unknown', 0, 0) fallback
+    * the parser uses. Dimensions come from the ACTUAL header bytes,
+    * never from a byte-length formula.
     */
-  def featureColumns(withPayload: DataFrame): DataFrame =
+  def pngHeaderColumns(withPayload: DataFrame): DataFrame = {
+    val pngSig = Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val isPng = length(col("payload")) >= 24 &&
+      substring(col("payload"), 1, 8) === lit(pngSig) &&
+      substring(col("payload"), 13, 4) === lit("IHDR".getBytes("US-ASCII"))
+    def be32(pos: Int) =
+      conv(hex(substring(col("payload"), pos, 4)), 16, 10).cast("int")
     withPayload.select(
       col("doc_id"),
-      length(col("payload")).as("n_bytes"),
-      (lit(1) + length(col("payload")) % 64).as("width"),
-      (lit(1) + length(col("payload")) % 48).as("height"),
-      md5(col("payload")).as("checksum"))
+      when(isPng, lit("png")).otherwise(lit("unknown")).as("format"),
+      when(isPng, be32(17)).otherwise(lit(0)).as("width"),
+      when(isPng, be32(21)).otherwise(lit(0)).as("height"),
+      length(col("payload")).as("n_bytes"))
+  }
 
-  /** STUB resize — a real implementation swaps the checksum/arith body
-    * for a scaling kernel; the Spark shape (pure column functions over
-    * the stub-decoded dimensions, no shuffle, no driver round-trip) is
-    * what matters at scale.
+  /** Resize PLAN derived from parsed headers: source dimensions come
+    * from [[decodeMedia]]'s real PNG/JPEG parse (unparseable payloads
+    * drop out — there is nothing to resize), targets and true scale
+    * factors attach as pure column functions. The pixel resampling
+    * kernel itself would drop into decodeMedia's mapPartitions body;
+    * the plan shape (no shuffle, no driver round-trip) is what matters
+    * at scale.
     */
-  def resizeStub(withPayload: DataFrame, targetW: Int, targetH: Int)
+  def resizePlan(withPayload: DataFrame, targetW: Int, targetH: Int)
       : DataFrame =
-    withPayload.select(
-      col("doc_id"),
-      (lit(1) + length(col("payload")) % 64).as("src_width"),
-      (lit(1) + length(col("payload")) % 48).as("src_height"),
-      lit(targetW).as("width"),
-      lit(targetH).as("height"))
+    decodeMedia(withPayload)
+      .where(col("format") =!= "unknown")
+      .select(
+        col("doc_id"),
+        col("width").as("src_width"),
+        col("height").as("src_height"),
+        lit(targetW).as("width"),
+        lit(targetH).as("height"))
       .withColumn("scale_x",
         col("width").cast("double") / col("src_width"))
       .withColumn("scale_y",
         col("height").cast("double") / col("src_height"))
 
-  /** STUB frame sampler — the payload is treated as a fixed-size-frame
-    * "video" (frameBytes per frame) and every k-th frame is emitted with
-    * a checksum. A real decoder replaces the substring/md5 with codec
-    * calls; the generate-and-explode shape (one row per sampled frame,
-    * computed columnar, never collected) is the 100 TB-safe plumbing.
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, checksum: String)
+
+  /** The opaque body region of a [[buildPng]]/[[buildJpeg]] container —
+    * the fixture layout's published framing (PNG: signature + IHDR
+    * chunk + IDAT header in front, CRC + IEND behind; JPEG: SOI + SOF0
+    * + COM header in front, EOI behind). A real video pipeline replaces
+    * this with codec calls; everything downstream only sees bytes. */
+  private def containerBody(fmt: String, bytes: Array[Byte]): Array[Byte] =
+    fmt match {
+      case "png"  => bytes.slice(41, bytes.length - 16)
+      case "jpeg" => bytes.slice(25, bytes.length - 2)
+      case _      => Array.empty
+    }
+
+  /** Frame sampling driven by the PARSED header: each media container's
+    * body is treated as a sequence of `width`-byte frames — width read
+    * from the real PNG IHDR / JPEG SOF, never a fixture formula — and
+    * every k-th frame is emitted with its checksum. mapPartitions with
+    * per-partition digest init and a streamed flatMap: one output row
+    * per sampled frame, nothing collected, unparseable payloads emit
+    * nothing (one bad blob must not kill the stage).
     */
-  def sampleFrames(withPayload: DataFrame, frameBytes: Int = 64,
-      everyK: Int = 4): DataFrame =
-    withPayload
-      .where(length(col("payload")) > 0)
-      .select(col("doc_id"),
-        explode(expr(
-          s"""transform(
-             |  sequence(0, int(ceil(length(payload) / ${frameBytes}D)) - 1, $everyK),
-             |  i -> named_struct(
-             |    'frame_idx', i,
-             |    'checksum', md5(substring(payload, i * $frameBytes + 1, $frameBytes))))""".stripMargin))
-          .as("f"))
-      .select(col("doc_id"), col("f.frame_idx"), col("f.checksum"))
+  def sampleMediaFrames(withPayload: DataFrame, everyK: Int = 4)
+      : DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, bytes) =>
+          val (fmt, w, _) = parseHeader(bytes)
+          val body = containerBody(fmt, bytes)
+          if (w <= 0 || body.isEmpty) Iterator.empty
+          else {
+            val nFrames = ((body.length + w - 1) / w)
+            (0 until nFrames by everyK).iterator.map { i =>
+              digest.reset()
+              val hex = digest
+                .digest(body.slice(i * w, math.min((i + 1) * w, body.length)))
+                .map(b => f"${b & 0xff}%02x").mkString
+              MediaFrame(id, i, hex)
+            }
+          }
+        }
+      }.toDF()
+  }
 }

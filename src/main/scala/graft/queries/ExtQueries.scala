@@ -1123,26 +1123,36 @@ object ExtQueries {
     streamDir.toString
   }
 
-  /** Multimodal frame sampling ([[graft.ext.Multimodal.sampleFrames]]):
-    * the binary payload as a fixed-64-byte-frame "video", every 4th
-    * frame emitted with its checksum — one row per sampled frame,
-    * generate-and-explode, never collected. The payload is the UTF-8
-    * text (pure ASCII corpus), so DuckDB's string substring produces the
-    * identical bytes for the oracle's md5.
+  /** Multimodal frame sampling, header-driven
+    * ([[graft.ext.Multimodal.sampleMediaFrames]]): each crafted media
+    * container's opaque body is sliced into frames whose width the
+    * DECODER reads from the real PNG IHDR / JPEG SOF header — never
+    * from the fixture formula — and every 4th frame lands with its
+    * checksum, one row per frame, streamed, never collected. The
+    * ORACLE replicates the fixture's published contract arithmetically
+    * (width = 1 + doc_id % 512; body = the text bytes, JPEG capped at
+    * the COM segment's 60000-byte limit; pure-ASCII corpus makes
+    * DuckDB's string substring byte-identical): a decoder that
+    * misparsed one header would slice every frame of that document
+    * wrong and break the hash.
     */
   val extMultimodalFrames = Q(
     "ext_multimodal_frames",
     (s, dir) => {
       import s.implicits._
-      graft.ext.Multimodal.sampleFrames(
-        graft.ext.Multimodal.withBinary(t(s, dir, "documents")))
+      graft.ext.Multimodal.sampleMediaFrames(
+        graft.ext.Multimodal.withMediaBinary(t(s, dir, "documents")))
         .orderBy($"doc_id", $"frame_idx")
     },
     Some("""SELECT doc_id, CAST(i AS INT) AS frame_idx,
-           |       md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS checksum
-           |FROM (SELECT doc_id, text,
-           |             unnest(range(0, CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT), 4)) AS i
-           |      FROM documents WHERE octet_length(encode(text)) > 0)
+           |       md5(substring(body, CAST(i * w + 1 AS INT), w)) AS checksum
+           |FROM (SELECT doc_id, body, w,
+           |             unnest(range(0, CAST(CEIL(octet_length(encode(body)) * 1.0 / w) AS BIGINT), 4)) AS i
+           |      FROM (SELECT doc_id, CAST(1 + doc_id % 512 AS INT) AS w,
+           |                   CASE WHEN doc_id % 2 = 0 THEN text
+           |                        ELSE substring(text, 1, 60000) END AS body
+           |            FROM documents)
+           |      WHERE octet_length(encode(body)) > 0)
            |ORDER BY doc_id, frame_idx""".stripMargin))
 
   /** Structured Streaming: tumbling 5-minute windows × event_type driven

@@ -25,13 +25,27 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getString(1) === "src1")
   }
 
-  test("mapPartitions decode stub matches the column-function path") {
-    val b = Multimodal.withBinary(docs)
-    val viaPartitions = Multimodal.decodeFeatures(b)
-      .orderBy("doc_id").as[Multimodal.MediaFeatures].collect().toSeq
-    val viaColumns = Multimodal.featureColumns(b)
-      .orderBy("doc_id").as[Multimodal.MediaFeatures].collect().toSeq
-    assert(viaPartitions === viaColumns)
+  test("columnar PNG header read matches the mapPartitions parser") {
+    // PNG dims at fixed offsets parse as pure column functions; the
+    // two paths must agree on real containers AND on garbage
+    val mixed = Seq(
+      (1L, Multimodal.buildPng(1234, 77, "pixels".getBytes)),
+      (2L, Multimodal.buildJpeg(640, 480, "scan".getBytes)), // not PNG
+      (3L, "not media at all".getBytes))
+      .toDF("doc_id", "payload")
+    val viaColumns = Multimodal.pngHeaderColumns(mixed)
+      .select($"doc_id", $"format", $"width", $"height")
+      .as[(Long, String, Int, Int)].collect().toSeq.sortBy(_._1)
+    assert(viaColumns === Seq(
+      (1L, "png", 1234, 77),
+      (2L, "unknown", 0, 0), // JPEG needs the segment-scan parser
+      (3L, "unknown", 0, 0)))
+    // on PNG rows the codegen'd path agrees exactly with the parser
+    val viaParser = Multimodal.decodeMedia(mixed)
+      .where($"format" === "png")
+      .select($"doc_id", $"width", $"height")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(viaParser === Seq((1L, 1234, 77)))
   }
 
   test("real header decode: PNG IHDR and JPEG SOF dimensions parse from " +
@@ -81,31 +95,42 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).format === "unknown" && got(1).width === 0)
   }
 
-  test("resize stub scales the stub-decoded dimensions") {
-    val r = Multimodal.resizeStub(Multimodal.withBinary(docs), 32, 24)
-      .where($"doc_id" === 1).collect().head
-    // doc 1 payload = "hello world text" = 16 bytes → src 17×17
-    assert(r.getAs[Int]("src_width") === 17)
-    assert(r.getAs[Int]("src_height") === 17)
-    assert(r.getAs[Int]("width") === 32)
-    assert(r.getAs[Double]("scale_x") === 32.0 / 17)
-    assert(r.getAs[Double]("scale_y") === 24.0 / 17)
+  test("resize plan scales the PARSED dimensions; unparseable rows drop") {
+    val mixed = Seq(
+      (1L, Multimodal.buildPng(64, 48, "pix".getBytes)),
+      (2L, Multimodal.buildJpeg(320, 200, "scan".getBytes)),
+      (3L, "garbage".getBytes)) // nothing to resize
+      .toDF("doc_id", "payload")
+    val r = Multimodal.resizePlan(mixed, 32, 24).orderBy("doc_id").collect()
+    assert(r.length === 2, "unparseable payloads must drop out")
+    assert(r(0).getAs[Int]("src_width") === 64)
+    assert(r(0).getAs[Double]("scale_x") === 0.5)
+    assert(r(0).getAs[Double]("scale_y") === 0.5)
+    assert(r(1).getAs[Int]("src_width") === 320)
+    assert(r(1).getAs[Double]("scale_x") === 32.0 / 320)
+    assert(r(1).getAs[Double]("scale_y") === 24.0 / 200)
   }
 
-  test("frame sampler emits every k-th fixed-size frame with checksums") {
-    // 300-byte payload, 64-byte frames → 5 frames, every 2nd → idx 0,2,4
-    val d = Seq((9L, "x" * 300, "en", "s", 300L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val frames = Multimodal.sampleFrames(
-      Multimodal.withBinary(d), frameBytes = 64, everyK = 2)
+  test("frame sampler slices by the width the HEADER declares") {
+    // a 300-byte body behind a PNG header declaring width 64:
+    // ceil(300/64) = 5 frames, every 2nd → idx 0, 2, 4
+    val d = Seq((9L, Multimodal.buildPng(64, 7, ("x" * 300).getBytes)),
+      (10L, "garbage".getBytes)) // emits nothing, kills nothing
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.sampleMediaFrames(d, everyK = 2)
       .orderBy("frame_idx").collect()
+    assert(frames.map(_.getAs[Long]("doc_id")).forall(_ === 9L))
     assert(frames.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2, 4))
     // all-'x' frames 0 and 2 are identical bytes → identical checksum;
-    // the final partial frame (44 bytes) differs
+    // the final partial frame (300 - 4*64 = 44 bytes) differs
     assert(frames(0).getAs[String]("checksum")
       === frames(1).getAs[String]("checksum"))
     assert(frames(2).getAs[String]("checksum")
       !== frames(0).getAs[String]("checksum"))
+    // and the checksum is over the BODY bytes, not container framing
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(("x" * 64).getBytes).map(b => f"${b & 0xff}%02x").mkString
+    assert(frames(0).getAs[String]("checksum") === expected)
   }
 }
 
