@@ -92,7 +92,9 @@ object TxLog {
       bloomIndex: Option[Map[String, Double]] = None,
       readerFeatures: Option[List[String]] = None,
       generatedColumns: Option[Map[String, String]] = None,
-      writerFeatures: Option[List[String]] = None) {
+      writerFeatures: Option[List[String]] = None,
+      rowTracking: Option[Boolean] = None,
+      rowIdWatermark: Option[Long] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def checkExprs: List[String] = constraints.getOrElse(Nil)
     def cdf: Boolean = cdfEnabled.getOrElse(false)
@@ -121,6 +123,20 @@ object TxLog {
     /** LOGICAL column name → target false-positive rate of its per-file
       * bloom index ([[graft.lake.TxTable.addBloomIndex]]). */
     def bloomCols: Map[String, Double] = bloomIndex.getOrElse(Map.empty)
+    /** ROW TRACKING (Delta's row tracking, materialized-column form):
+      * when on, every ingested row carries a physical `_row_id` column
+      * — allocated monotonically from [[rowIdWatermark]], PRESERVED
+      * verbatim through every rewrite (UPDATE, OPTIMIZE, survivors of
+      * DELETE/MERGE) — so a row's identity survives file churn without
+      * key assumptions. The column is not part of the logical schema
+      * (plain reads never see it; [[graft.lake.TxTable.readWithRowIds]]
+      * exposes it) and per-file min/max stats ride on it like any data
+      * column, so row-id point lookups prune. */
+    def tracksRows: Boolean = rowTracking.getOrElse(false)
+    /** The next unallocated row id (ids below it are spoken for;
+      * allocation may leave gaps — only uniqueness and stability are
+      * promised, Delta's contract too). */
+    def nextRowId: Long = rowIdWatermark.getOrElse(0L)
   }
   /** `path` is relative to the table root; data files are immutable.
     * `rows` counts LIVE rows (physical rows minus the deletion vector).
@@ -251,7 +267,7 @@ object TxLog {
     * consult this set. */
   val supportedWriterFeatures: Set[String] =
     Set("checkConstraints", "generatedColumns", "deletionVectors",
-      "columnMapping", "changeDataFeed")
+      "columnMapping", "changeDataFeed", "rowTracking")
 
   private def logDir(root: Path) = new Path(root, "_txlog")
   private def commitFile(root: Path, v: Long) =

@@ -61,26 +61,36 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * ingest — partition by one for pruning on a derived key (the
     * date-from-timestamp layout) without trusting writers to derive it
     * consistently. */
+  /** `enableRowTracking` (Delta's row tracking) gives every row a
+    * stable `_row_id`, preserved through every rewrite — see
+    * [[TxLog.Meta.tracksRows]] and [[readWithRowIds]]. Create-time
+    * opt-in only, like the CDF flag. */
   def create(df: DataFrame, partitionCols: Seq[String] = Nil,
       enableChangeDataFeed: Boolean = false,
-      generatedColumns: Map[String, String] = Map.empty): Long = {
+      generatedColumns: Map[String, String] = Map.empty,
+      enableRowTracking: Boolean = false): Long = {
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
     val gen =
       if (generatedColumns.isEmpty) None else Some(generatedColumns)
     val df2 = applyGenerated(df,
       Meta(df.schema.json, Nil, generatedColumns = gen))
+    val df3 = if (enableRowTracking) assignRowIds(df2, 0L) else df2
     // features a naive writer would break are stamped from birth: a
     // version-skewed writer refuses instead of landing diverging
-    // generated values or mutation commits with no change capture
+    // generated values, mutation commits with no change capture, or
+    // rewrites that drop row identity
     val meta = (Seq(
       if (enableChangeDataFeed) Some("changeDataFeed") else None,
-      if (gen.isDefined) Some("generatedColumns") else None).flatten)
+      if (gen.isDefined) Some("generatedColumns") else None,
+      if (enableRowTracking) Some("rowTracking") else None).flatten)
       .foldLeft(Meta(df2.schema.json, partitionCols.toList,
         cdfEnabled = if (enableChangeDataFeed) Some(true) else None,
-        generatedColumns = gen))(_ withWriterFeature _)
-    val adds = stageWrite(df2, meta)
-    val entries = LogEntry(meta = Some(meta)) +:
+        generatedColumns = gen,
+        rowTracking = if (enableRowTracking) Some(true) else None))(
+        _ withWriterFeature _)
+    val adds = stageWrite(df3, meta)
+    val entries = LogEntry(meta = Some(bumpWatermark(meta, adds))) +:
       adds.map(a => LogEntry(add = Some(a))) :+
       LogEntry(info = Some(Info("CREATE", -1L)))
     require(TxLog.tryCommit(fs, root, 0L, entries),
@@ -126,7 +136,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // would mint new physical names for re-added (post-drop) columns and
     // commit metadata pointing at columns the staged files don't carry
     val stagedMeta = evolve(first.meta, df.schema)
-    val adds = stageWrite(df, stagedMeta)
+    // a TRACKED append stages per attempt instead: its physical row ids
+    // come from the attempt's watermark, and a lost race to another
+    // tracked writer would otherwise duplicate ids
+    val tracks = first.meta.tracksRows
+    val stagedOnce =
+      if (tracks) Vector.empty[Add] else stageWrite(df, stagedMeta)
     var attempt = 0
     while (attempt < maxRetries) {
       val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
@@ -148,9 +163,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       }
       val merged = evolve(snap.meta, df.schema,
         preassigned = stagedMeta.columnMapping.getOrElse(Map.empty))
+      val adds =
+        if (tracks) stageWrite(assignRowIds(df, snap.meta.nextRowId), merged)
+        else stagedOnce
+      val newMeta = if (tracks) bumpWatermark(merged, adds) else merged
       val metaEntry =
-        if (merged.schemaJson != snap.meta.schemaJson)
-          Seq(LogEntry(meta = Some(merged)))
+        if (newMeta != snap.meta) Seq(LogEntry(meta = Some(newMeta)))
         else Nil
       val entries = metaEntry ++ adds.map(a => LogEntry(add = Some(a))) ++
         txn.map(t => LogEntry(txn = Some(t))).toSeq :+
@@ -177,8 +195,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         .collect().map(r => relPath(r.getString(0))).toSet
       if (hit.isEmpty) return snap.version // nothing to do, no commit
       val affected = snap.adds.filter(a => hit(a.path))
-      // NULL-predicate rows are NOT matches and must survive the rewrite.
-      val survivors = readFiles(snap, affected.map(_.path))
+      // NULL-predicate rows are NOT matches and must survive the rewrite
+      // (row ids ride through verbatim on a tracked table).
+      val survivors = readFiles(snap, affected.map(_.path),
+          withRowId = snap.meta.tracksRows)
         .where(!coalesce(cond, lit(false)))
       val adds = stageWrite(survivors, snap.meta)
       val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
@@ -252,7 +272,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val cowAffected = cowHits.map(h => addByPath(h._1)).toSeq
       val cowAdds =
         if (cowAffected.isEmpty) Vector.empty
-        else stageWrite(readFiles(snap, cowAffected.map(_.path))
+        else stageWrite(readFiles(snap, cowAffected.map(_.path),
+            withRowId = snap.meta.tracksRows)
           .where(!coalesce(cond, lit(false))), snap.meta)
       // the first vectored file makes naive readers WRONG (they would
       // return deleted rows) and naive WRITERS destructive (a rewrite
@@ -317,7 +338,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // the match flag is computed on the OLD row, before any SET lands
       // (a SET that flips its own predicate must not re-evaluate)
       val flag = "__txlog_upd"
-      val rewritten = readFiles(snap, affected.map(_.path))
+      val tracks = snap.meta.tracksRows
+      val rewritten = readFiles(snap, affected.map(_.path),
+          withRowId = tracks)
         .withColumn(flag, matched)
         .select(schema.fieldNames.map { c =>
           set.get(c) match {
@@ -325,10 +348,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               when(col(flag), e.cast(schema(c).dataType)).otherwise(col(c)).as(c)
             case None => col(c)
           }
-        } :+ col(flag): _*)
+        } ++ (if (tracks) Seq(col(RowIdCol)) else Nil) :+ col(flag): _*)
       // constraints need probing only on the transformed rows — the
       // copied-verbatim neighbours already passed at their own write
-      enforceConstraints(rewritten.where(col(flag)).drop(flag), snap.meta)
+      enforceConstraints(
+        rewritten.where(col(flag)).drop(flag, RowIdCol), snap.meta)
       val adds = stageWrite(rewritten.drop(flag), snap.meta)
       // an UPDATE's feed is the pre/postimage pair per matched row
       // (Delta's four change types — downstream consumers can tell an
@@ -340,7 +364,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         captureTail(snap.meta, "UPDATE", snap.version,
           cur.where(matched).drop(FileCol)
             .withColumn("_change_type", lit("update_preimage"))
-            .unionAll(rewritten.where(col(flag)).drop(flag)
+            .unionAll(rewritten.where(col(flag)).drop(flag, RowIdCol)
               .withColumn("_change_type", lit("update_postimage"))))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
         return snap.version + 1
@@ -396,10 +420,6 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           snap.meta)
         val meta =
           if (schemaEvolution) evolve(snap.meta, src.schema) else snap.meta
-        val metaEntry =
-          if (meta.schemaJson != snap.meta.schemaJson)
-            Seq(LogEntry(meta = Some(meta)))
-          else Nil
         val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
         val keys = src.select(keyCols.map(col): _*)
         val hit = cur.join(keys, keyCols, "left_semi")
@@ -413,11 +433,30 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         def aligned(df: DataFrame): DataFrame =
           df.select(meta.schema.fields.map(f =>
             if (df.columns.contains(f.name)) col(f.name)
-            else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-        val survivors = aligned(readFiles(snap, affected.map(_.path))
-          .join(keys, keyCols, "left_anti"))
-        val srcAligned = src.select(meta.schema.fieldNames.map(col): _*)
+            else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq ++
+            (if (df.columns.contains(RowIdCol)) Seq(col(RowIdCol))
+             else Nil): _*)
+        val tracks = snap.meta.tracksRows
+        val tgt = readFiles(snap, affected.map(_.path), withRowId = tracks)
+        val survivors = aligned(tgt.join(keys, keyCols, "left_anti"))
+        val srcAligned0 = src.select(meta.schema.fieldNames.map(col): _*)
+        // row identity survives the upsert: a source row replacing a
+        // matched key INHERITS that row's id (Delta's merge-update
+        // semantics); unmatched source rows draw fresh ids
+        val srcAligned =
+          if (!tracks) srcAligned0
+          else srcAligned0.join(
+            tgt.select((keyCols.map(col) :+
+              col(RowIdCol).as("__old_rid")).toIndexedSeq: _*),
+            keyCols, "left")
+            .withColumn(RowIdCol, coalesce(col("__old_rid"),
+              lit(snap.meta.nextRowId) + monotonically_increasing_id()))
+            .drop("__old_rid")
         val adds = stageWrite(survivors.unionByName(srcAligned), meta)
+        val newMeta = if (tracks) bumpWatermark(meta, adds) else meta
+        val metaEntry =
+          if (newMeta != snap.meta) Seq(LogEntry(meta = Some(newMeta)))
+          else Nil
         // MERGE feed, Delta's four change types: every replaced row is
         // an update PREIMAGE and its replacement the POSTIMAGE (the
         // pair surfaces even when the replacement is byte-identical —
@@ -429,13 +468,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           txn.map { case (app, tv) =>
             LogEntry(txn = Some(Txn(app, tv))) }.toSeq ++
           captureTail(meta, "MERGE", snap.version, {
-            val tgt = readFiles(snap, affected.map(_.path))
-            val tgtKeys = tgt.select(keyCols.map(col): _*)
-            aligned(tgt.join(keys, keyCols, "left_semi"))
+            // the feed carries table columns only — row ids stay out
+            val tgtF = readFiles(snap, affected.map(_.path))
+            val tgtKeys = tgtF.select(keyCols.map(col): _*)
+            aligned(tgtF.join(keys, keyCols, "left_semi"))
               .withColumn("_change_type", lit("update_preimage"))
-              .unionAll(srcAligned.join(tgtKeys, keyCols, "left_semi")
+              .unionAll(srcAligned0.join(tgtKeys, keyCols, "left_semi")
                 .withColumn("_change_type", lit("update_postimage")))
-              .unionAll(srcAligned.join(tgtKeys, keyCols, "left_anti")
+              .unionAll(srcAligned0.join(tgtKeys, keyCols, "left_anti")
                 .withColumn("_change_type", lit("insert")))
           })
         if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
@@ -534,7 +574,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
                 .collect().map(r => relPath(r.getString(0))).toSet
               snap.adds.filter(a => hit(a.path))
             }
-          val t = readFiles(snap, affected.map(_.path))
+          val tracks = snap.meta.tracksRows
+          val t = readFiles(snap, affected.map(_.path), withRowId = tracks)
             .withColumn("__t_ex", lit(true)).alias("t")
           val s = src0.withColumn("__s_ex", lit(true)).alias("s")
           // plain equality: null keys never match (Delta's rule) — a
@@ -588,12 +629,24 @@ final class TxTable(spark: SparkSession, rootStr: String) {
             e.otherwise(col(s"t.${f.name}")).as(f.name)
           }
           val dead = (deleteIds :+ Drop).map(_.toString)
-          val kept = acted
+          // row identity rides the clause semantics: kept/updated rows
+          // keep the target row's id, inserted rows draw fresh ones
+          val kept0 = acted
             .where(!col("__act").cast("string").isin(dead: _*))
-            .select(fields.map(outCol): _*)
-          enforceConstraints(kept, snap.meta)
+            .select(fields.map(outCol) ++
+              (if (tracks) Seq(col(s"t.$RowIdCol").as(RowIdCol))
+               else Nil): _*)
+          val kept =
+            if (!tracks) kept0
+            else kept0.withColumn(RowIdCol, coalesce(col(RowIdCol),
+              lit(snap.meta.nextRowId) + monotonically_increasing_id()))
+          enforceConstraints(kept.drop(RowIdCol), snap.meta)
           val adds = stageWrite(kept, snap.meta)
+          val newMeta =
+            if (tracks) bumpWatermark(snap.meta, adds) else snap.meta
           val entries =
+            (if (newMeta != snap.meta) Seq(LogEntry(meta = Some(newMeta)))
+             else Nil) ++
             affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
             adds.map(a => LogEntry(add = Some(a))) ++
             captureTail(snap.meta, "MERGE_INTO", snap.version, {
@@ -674,11 +727,30 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           .select(col(FileCol).as("f")).distinct()
           .collect().map(r => relPath(r.getString(0))).toSet
         val affected = snap.adds.filter(a => hit(a.path))
-        val survivors = readFiles(snap, affected.map(_.path))
-          .join(touched, keyCols, "left_anti")
-        val insAligned = ins.select(snap.meta.schema.fieldNames.map(col): _*)
+        val tracks = snap.meta.tracksRows
+        val oldRows = readFiles(snap, affected.map(_.path),
+          withRowId = tracks)
+        val survivors = oldRows.join(touched, keyCols, "left_anti")
+        val insAligned0 = ins.select(snap.meta.schema.fieldNames.map(col): _*)
+        // an upsert replacing a key INHERITS that row's id (idempotent
+        // replica maintenance without key assumptions — re-applying a
+        // slice reproduces the same ids); brand-new keys draw fresh ids
+        val insAligned =
+          if (!tracks) insAligned0
+          else insAligned0.join(
+            oldRows.groupBy(keyCols.map(col): _*)
+              .agg(min(col(RowIdCol)).as("__old_rid")),
+            keyCols, "left")
+            .withColumn(RowIdCol, coalesce(col("__old_rid"),
+              lit(snap.meta.nextRowId) + monotonically_increasing_id()))
+            .drop("__old_rid")
         val adds = stageWrite(survivors.unionByName(insAligned), snap.meta)
-        val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        val newMeta =
+          if (tracks) bumpWatermark(snap.meta, adds) else snap.meta
+        val entries =
+          (if (newMeta != snap.meta) Seq(LogEntry(meta = Some(newMeta)))
+           else Nil) ++
+          affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
           adds.map(a => LogEntry(add = Some(a))) ++
           captureTail(snap.meta, "APPLY_CHANGES", snap.version, {
             // this table's OWN feed keeps the four-type fidelity: a key
@@ -692,9 +764,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               .withColumn("_change_type", lit("update_preimage"))
               .unionAll(old.join(insKeys, keyCols, "left_anti")
                 .withColumn("_change_type", lit("delete")))
-              .unionAll(insAligned.join(oldKeys, keyCols, "left_semi")
+              .unionAll(insAligned0.join(oldKeys, keyCols, "left_semi")
                 .withColumn("_change_type", lit("update_postimage")))
-              .unionAll(insAligned.join(oldKeys, keyCols, "left_anti")
+              .unionAll(insAligned0.join(oldKeys, keyCols, "left_anti")
                 .withColumn("_change_type", lit("insert")))
           })
         if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
@@ -739,12 +811,15 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           "before overwritePartition")
       enforceConstraints(df, snap.meta)
       val merged = evolve(snap.meta, df.schema)
-      val metaEntry =
-        if (merged.schemaJson != snap.meta.schemaJson)
-          Seq(LogEntry(meta = Some(merged)))
-        else Nil
       val doomed = snap.adds.filter(_.partitionValues.get(partCol).contains(value))
-      val adds = stageWrite(df, merged)
+      // a whole-partition replacement is new data — fresh row ids
+      val tracks = snap.meta.tracksRows
+      val adds = stageWrite(
+        if (tracks) assignRowIds(df, snap.meta.nextRowId) else df, merged)
+      val newMeta = if (tracks) bumpWatermark(merged, adds) else merged
+      val metaEntry =
+        if (newMeta != snap.meta) Seq(LogEntry(meta = Some(newMeta)))
+        else Nil
       val entries = metaEntry ++
         doomed.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
         adds.map(a => LogEntry(add = Some(a))) ++
@@ -809,10 +884,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           (small ++ dvHeavy).toVector.distinctBy(_.path)
       }
       if (doomed.isEmpty) return snap.version // already compact
+      // a pure rewrite must carry row identity through verbatim
       val packed = zorderBy match {
         case Some((a, b)) => graft.ext.ZOrderLayout.zOrdered(
-          readFiles(snap, doomed.map(_.path)), a, b, zBits, zPartitions)
-        case None => readFiles(snap, doomed.map(_.path)).hint("rebalance")
+          readFiles(snap, doomed.map(_.path),
+            withRowId = snap.meta.tracksRows), a, b, zBits, zPartitions)
+        case None => readFiles(snap, doomed.map(_.path),
+          withRowId = snap.meta.tracksRows).hint("rebalance")
       }
       val adds = stageWrite(packed, snap.meta)
       // a pure rewrite changes no row: an EMPTY capture (marked in the
@@ -1086,7 +1164,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val target = snap.meta.partitionCols.toSet
       val stale = snap.adds.filter(_.partitionValues.keySet != target)
       if (stale.isEmpty) return snap.version
-      val adds = stageWrite(readFiles(snap, stale.map(_.path)), snap.meta)
+      val adds = stageWrite(readFiles(snap, stale.map(_.path),
+        withRowId = snap.meta.tracksRows), snap.meta)
       val entries = stale.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
         adds.map(a => LogEntry(add = Some(a))) :+
         LogEntry(info = Some(Info("REPARTITION_REWRITE", snap.version,
@@ -1292,6 +1371,19 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   /** Snapshot read; `asOf` time-travels to an older version. */
   def read(asOf: Option[Long] = None): DataFrame =
     readSnapshot(TxLog.snapshot(fs, root, asOf))
+
+  /** Snapshot read WITH the stable `_row_id` column (row tracking must
+    * be enabled at [[create]]): ids are unique across the table's life,
+    * preserved verbatim through UPDATE/OPTIMIZE/DELETE-survivor/
+    * MERGE-update rewrites, inherited by keyed upserts
+    * ([[applyChanges]], [[merge]] matches), and fresh for genuinely new
+    * rows — exact row lineage without key assumptions. */
+  def readWithRowIds(asOf: Option[Long] = None): DataFrame = {
+    val snap = TxLog.snapshot(fs, root, asOf)
+    require(snap.meta.tracksRows,
+      s"row tracking is not enabled on $root (create(enableRowTracking))")
+    readFiles(snap, snap.adds.map(_.path), withRowId = true)
+  }
 
   /** TIMESTAMP AS OF: the newest version whose in-commit timestamp is
     * ≤ `tsMillis` (Delta's resolution rule). Binary search over the
@@ -1588,13 +1680,33 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     */
   private val FileCol = "__txlog_file"
   private val PosCol = "__txlog_pos"
+  private val RowIdCol = "_row_id"
+
+  /** Fresh row-id assignment from the watermark: unique and stable are
+    * the contract, dense is not (Delta's rule too) —
+    * `monotonically_increasing_id` embeds the partition ordinal, so a
+    * write's ids may span gaps; the post-write watermark is the
+    * MAX assigned + 1, read from the staged files' own `_row_id` stats
+    * (computed by [[stageWrite]] like any data column — no extra pass,
+    * and row-id point lookups prune for free). */
+  private def assignRowIds(df: DataFrame, from: Long): DataFrame =
+    df.withColumn(RowIdCol, lit(from) + monotonically_increasing_id())
+
+  private def bumpWatermark(meta: Meta, adds: Seq[Add]): Meta = {
+    val hi = adds.flatMap(_.stats.get(RowIdCol)).map(_.max.toLong)
+    if (hi.isEmpty) meta
+    else meta.copy(rowIdWatermark =
+      Some(math.max(meta.nextRowId, hi.max + 1L)))
+  }
 
   private def readFiles(snap: Snapshot, rels: Seq[String],
-      withFileCol: Boolean = false, withPos: Boolean = false): DataFrame = {
+      withFileCol: Boolean = false, withPos: Boolean = false,
+      withRowId: Boolean = false): DataFrame = {
     val schema = snap.meta.schema
     val metaFields =
       (if (withFileCol) Seq(StructField(FileCol, StringType)) else Nil) ++
-        (if (withPos) Seq(StructField(PosCol, LongType)) else Nil)
+        (if (withPos) Seq(StructField(PosCol, LongType)) else Nil) ++
+        (if (withRowId) Seq(StructField(RowIdCol, LongType)) else Nil)
     if (rels.isEmpty)
       return spark.createDataFrame(java.util.Collections.emptyList[Row](),
         StructType(schema.fields ++ metaFields))
@@ -1606,9 +1718,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // PARTITION EVOLUTION ([[repartitionBy]]) old- and new-layout files
     // coexist, and a column that is a directory value in one layout is
     // plain data bytes in the other.
+    // a row-id read asks the scan for the PHYSICAL `_row_id` column too
+    // (not part of the logical schema; files from before tracking read
+    // null — only create-time opt-in exists today, so in practice every
+    // file of a tracked table carries it)
     def dataSchemaFor(pv: Map[String, String]) = StructType(
       schema.fields.filterNot(f => pv.contains(f.name))
-        .map(f => f.copy(name = snap.meta.physicalOf(f.name))))
+        .map(f => f.copy(name = snap.meta.physicalOf(f.name))) ++
+        (if (withRowId) Seq(StructField(RowIdCol, LongType)) else Nil))
     val addByPath = snap.adds.map(a => a.path -> a).toMap
     // files carrying a deletion vector scan individually (the anti-join
     // key is the position alone, so no path normalization is needed);
@@ -1624,7 +1741,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // instead of a union of per-tuple frames. Mixed layouts (partition
     // evolution) and metadata-needing mutation scans keep the explicit
     // per-group path, which handles both exactly.
-    if (!withFileCol && !withPos) {
+    if (!withFileCol && !withPos && !withRowId) {
       val pset = snap.meta.partitionCols.toSet
       if (plainRels.forall(r => addByPath(r).partitionValues.keySet == pset)) {
         val plainDf =
@@ -1655,7 +1772,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val cols = schema.fieldNames.map { n =>
         if (attached.contains(n)) col(n)
         else col(snap.meta.physicalOf(n)).as(n)
-      } ++ (if (needMeta) Seq(col(FileCol), col(PosCol)) else Nil)
+      } ++ (if (needMeta) Seq(col(FileCol), col(PosCol)) else Nil) ++
+        (if (withRowId) Seq(col(RowIdCol)) else Nil)
       withParts.select(cols.toIndexedSeq: _*)
     }
     val plainFrames = plainRels.groupBy(r => addByPath(r).partitionValues)
@@ -1664,7 +1782,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         finish(metaSelect(spark.read.schema(dataSchemaFor(pv))
           .parquet(paths.map(r => new Path(root, r).toString): _*)), pv)
       }
-    val dvFrames = dvRels.sorted.map(r => dvFrame(snap, addByPath(r)))
+    val dvFrames = dvRels.sorted.map(r =>
+      dvFrame(snap, addByPath(r), withRowId))
     val out = (plainFrames ++ dvFrames).reduce(_ unionAll _)
     val drop =
       (if (withFileCol) Nil else Seq(FileCol)) ++
@@ -1689,11 +1808,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * Positions decode from the binary sidecar (or the legacy inline
     * list) on the driver — cap-bounded metadata.
     */
-  private def dvFrame(snap: Snapshot, a: Add): DataFrame = {
+  private def dvFrame(snap: Snapshot, a: Add,
+      withRowId: Boolean = false): DataFrame = {
     val schema = snap.meta.schema
     val dataSchema = StructType(
       schema.fields.filterNot(f => a.partitionValues.contains(f.name))
-        .map(f => f.copy(name = snap.meta.physicalOf(f.name))))
+        .map(f => f.copy(name = snap.meta.physicalOf(f.name))) ++
+        (if (withRowId) Seq(StructField(RowIdCol, LongType)) else Nil))
     val scan = spark.read.schema(dataSchema)
       .parquet(new Path(root, a.path).toString)
       .select(col("*"),
@@ -1712,7 +1833,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     withParts.select(schema.fieldNames.map { n =>
       if (attached.contains(n)) col(n)
       else col(snap.meta.physicalOf(n)).as(n)
-    }.toIndexedSeq ++ Seq(col(FileCol), col(PosCol)): _*)
+    }.toIndexedSeq ++ Seq(col(FileCol), col(PosCol)) ++
+      (if (withRowId) Seq(col(RowIdCol)) else Nil): _*)
   }
 
   // ---- write plumbing ----
@@ -1778,12 +1900,17 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
     // stats are computed over — and keyed by — PHYSICAL names: the
     // physical name never changes, so a file's stats stay addressable
-    // through any sequence of renames (candidateFiles translates)
+    // through any sequence of renames (candidateFiles translates).
+    // `_row_id` (never renamed, not in the logical schema) rides along
+    // when present — its max feeds the watermark bump, its min/max
+    // prune row-id point lookups.
     val statCols = meta.schema.fields.toSeq
       .filterNot(f => meta.partitionCols.contains(f.name))
       .filter(f => statKind(f.dataType).isDefined)
       .filter(f => df.schema.fieldNames.contains(f.name))
-      .map(f => meta.physicalOf(f.name) -> f.dataType)
+      .map(f => meta.physicalOf(f.name) -> f.dataType) ++
+      (if (df.schema.fieldNames.contains(RowIdCol))
+        Seq(RowIdCol -> (LongType: DataType)) else Nil)
     // Plain read of the single staged dir: partition discovery is
     // consistent within one staging root (and only data columns feed
     // the stats anyway).

@@ -1374,6 +1374,49 @@ object LakeQueries {
            |       TRUE, CAST(0 AS BIGINT)
            |ORDER BY snap""".stripMargin))
 
+  /** ROW TRACKING ([[graft.lake.TxTable.readWithRowIds]], Delta's row
+    * tracking): every row's `_row_id` must survive an UPDATE (content
+    * changes, identity doesn't), a global OPTIMIZE (files churn,
+    * identity doesn't) and a DELETE's survivor rewrite. Concrete id
+    * VALUES depend on physical partition layout, so the query proves
+    * the invariants relationally: per surviving key, `id_stable` joins
+    * the head id against the v0 id (one drifted id breaks the hash),
+    * and an in-query REQUIRE pins global uniqueness. The post-update
+    * status rides along so the rewrite is proven to be the real one.
+    */
+  val extLakeRowTracking = Q(
+    "ext_lake_row_tracking",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_rowtrack", dir))
+      tab.create(orders.repartitionByRange(4, $"o_orderkey"),
+        enableRowTracking = true)                           // v0
+      tab.update($"o_totalprice" > 400000.0,
+        Map("o_orderstatus" -> lit("X")))                   // v1: rewrite
+      tab.optimize()                                        // v2: churn
+      tab.deleteWhere($"o_orderkey" % 3 === 0)              // v3: survivors
+      val v0 = tab.readWithRowIds(asOf = Some(0L))
+        .select($"o_orderkey", $"_row_id".as("rid0"))
+      val head = tab.readWithRowIds()
+        .select($"o_orderkey", $"o_orderstatus", $"_row_id".as("rid"))
+      val n = head.count()
+      require(head.select($"rid").distinct().count() == n,
+        "row ids must stay globally unique through the rewrites")
+      head.join(v0, Seq("o_orderkey"))
+        .select($"o_orderkey", $"o_orderstatus",
+          ($"rid" === $"rid0").as("id_stable"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |       CASE WHEN o_totalprice > 400000 THEN 'X'
+           |            ELSE o_orderstatus END AS o_orderstatus,
+           |       TRUE AS id_stable
+           |FROM orders
+           |WHERE o_orderkey % 3 <> 0
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** DROP COLUMN + re-add under column mapping
     * ([[graft.lake.TxTable.dropColumn]]): o_custkey is dropped
     * metadata-only (the query REQUIREs no data file changed), then a
@@ -1612,6 +1655,6 @@ object LakeQueries {
     extLakeBloomLookup, extLakePartitionEvolution, extLakeGeneratedCol,
     extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,
-    extLakeHistory, extLakeDetail, extLakeZorderScan, extLakeClone,
-    extLakeRestore, extLakeConstraint, extLakeUpdate)
+    extLakeHistory, extLakeDetail, extLakeRowTracking, extLakeZorderScan,
+    extLakeClone, extLakeRestore, extLakeConstraint, extLakeUpdate)
 }

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.lake.{TxLog, TxTable}
+
+/** ROW TRACKING ([[graft.lake.TxTable.create]]'s `enableRowTracking`):
+  * every row carries a stable `_row_id` — unique across the table's
+  * life, preserved verbatim through every rewrite, inherited by keyed
+  * upserts, fresh for genuinely new rows. The identity contract the
+  * change feed and idempotent replica maintenance lean on. Content
+  * parity with the oracle is ext_lake_row_tracking's job; this suite
+  * pins the id semantics per operation.
+  */
+class TxRowTrackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"rowtrack_$tag").resolve("tbl").toString
+
+  private def docs(n: Int, from: Long = 0L): DataFrame =
+    spark.range(from, from + n).select(
+      $"id", concat(lit("doc-"), $"id").as("text"))
+
+  private def idsByKey(tab: TxTable,
+      asOf: Option[Long] = None): Map[Long, Long] =
+    tab.readWithRowIds(asOf).select($"id", $"_row_id")
+      .as[(Long, Long)].collect().toMap
+
+  test("ids are unique, stamped as a writer feature, and hidden from plain reads") {
+    val tab = new TxTable(spark, freshRoot("uniq"))
+    tab.create(docs(50).repartition(4), enableRowTracking = true)
+    tab.append(docs(30, from = 100L).repartition(3))
+    val ids = idsByKey(tab)
+    assert(ids.size === 80)
+    assert(ids.values.toSet.size === 80, "row ids must be unique")
+    // plain reads never see the physical column
+    assert(!tab.read().columns.contains("_row_id"))
+    // protocol: a naive writer would break identity on rewrite
+    assert(tab.detail().collect().head
+      .getAs[scala.collection.Seq[String]]("writer_features")
+      .contains("rowTracking"))
+    // an untracked table refuses the row-id read
+    val plain = new TxTable(spark, freshRoot("plain"))
+    plain.create(docs(3))
+    assert(intercept[IllegalArgumentException] {
+      plain.readWithRowIds()
+    }.getMessage.contains("row tracking"))
+  }
+
+  test("ids survive UPDATE, OPTIMIZE and DELETE-survivor rewrites verbatim") {
+    val tab = new TxTable(spark, freshRoot("stab"))
+    tab.create(docs(60).repartition(4), enableRowTracking = true)
+    val before = idsByKey(tab)
+    tab.update($"id" % 5 === 0L, Map("text" -> lit("EDITED")))
+    tab.optimize() // bin-packs everything: pure rewrite
+    tab.deleteWhere($"id" >= 40L)
+    val after = idsByKey(tab)
+    assert(after.keySet === (0L until 40L).toSet)
+    after.foreach { case (k, rid) =>
+      assert(rid === before(k), s"row $k changed id $rid != ${before(k)}")
+    }
+    // time travel reads the ids of ITS version's files
+    assert(idsByKey(tab, asOf = Some(0L)) === before)
+  }
+
+  test("MERGE: survivors and matched rows keep ids, inserts draw fresh ones") {
+    val tab = new TxTable(spark, freshRoot("merge"))
+    tab.create(docs(20).coalesce(2), enableRowTracking = true)
+    val before = idsByKey(tab)
+    tab.merge(docs(5, from = 15L).withColumn("text", lit("UPSERTED")),
+      Seq("id")) // 15..19 match, 20..24 would... 15..19 exist? docs(20)=0..19; from=15 → 15..19 match exactly
+    val after = idsByKey(tab)
+    assert(after.size === 20)
+    (0L until 20L).foreach { k =>
+      assert(after(k) === before(k),
+        s"matched/survivor row $k must keep its id")
+    }
+    // a second merge inserting new keys: fresh, non-colliding ids
+    tab.merge(docs(3, from = 100L), Seq("id"))
+    val ids2 = idsByKey(tab)
+    assert(ids2.values.toSet.size === 23)
+    Seq(100L, 101L, 102L).foreach(k =>
+      assert(!before.values.toSet.contains(ids2(k)),
+        "inserted rows must not reuse existing ids"))
+  }
+
+  test("applyChanges: upserts inherit the replaced row's id — re-applied slices are id-idempotent") {
+    val tab = new TxTable(spark, freshRoot("apply"))
+    tab.create(docs(10).coalesce(1), enableRowTracking = true)
+    val before = idsByKey(tab)
+    val slice = Seq(
+      (3L, "REPLACED", "insert"),
+      (7L, "whatever", "delete"),
+      (50L, "BRAND_NEW", "insert")).toDF("id", "text", "_change_type")
+    tab.applyChanges(slice, Seq("id"))
+    val after = idsByKey(tab)
+    assert(!after.contains(7L))
+    assert(after(3L) === before(3L), "keyed upsert must inherit the id")
+    assert(!before.values.toSet.contains(after(50L)), "new key, fresh id")
+    // idempotence: re-applying reproduces the same ids
+    tab.applyChanges(slice, Seq("id"))
+    assert(idsByKey(tab) === after)
+  }
+
+  test("concurrent tracked appends never duplicate an id") {
+    val tab = new TxTable(spark, freshRoot("conc"))
+    tab.create(docs(10), enableRowTracking = true)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val a = scala.concurrent.Future(
+        tab.append(docs(25, from = 1000L).repartition(3)))
+      val b = scala.concurrent.Future(
+        tab.append(docs(25, from = 2000L).repartition(3)))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(a, b)),
+        scala.concurrent.duration.Duration(120, "s"))
+    } finally pool.shutdown()
+    val ids = idsByKey(tab)
+    assert(ids.size === 60)
+    assert(ids.values.toSet.size === 60,
+      "a lost-race append must restage with fresh ids, never duplicate")
+  }
+}
