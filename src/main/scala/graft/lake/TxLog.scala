@@ -269,6 +269,42 @@ object TxLog {
     Set("checkConstraints", "generatedColumns", "deletionVectors",
       "columnMapping", "changeDataFeed", "rowTracking")
 
+  /** Entry count at which a checkpoint is written as PARQUET instead of
+    * single-string JSON. Below it, the distributed write/read is pure
+    * fixed cost (~0.4 s of Spark job per checkpoint measured at toy
+    * scale — round-9's one real regression): a few thousand JSON lines
+    * through the driver is microseconds. Above it, the JSON string is
+    * the driver OOM path and parquet is the only sane format. The read
+    * side accepts BOTH formats forever, so the threshold can move
+    * without migration. Overridable per session via
+    * [[checkpointParquetMinEntriesKey]] (tests force the parquet path
+    * with 1; a deployment that wants parquet-always can too). */
+  val checkpointParquetMinEntriesDefault = 10000L
+  val checkpointParquetMinEntriesKey =
+    "spark.graft.lake.checkpointParquetMinEntries"
+  private def checkpointParquetMinEntries: Long =
+    activeSession.flatMap(_.conf.getOption(checkpointParquetMinEntriesKey))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(checkpointParquetMinEntriesDefault)
+
+  /** The `_last_checkpoint` pointer: version plus (new format) the
+    * checkpoint's entry count — the live-set size, known WITHOUT opening
+    * the checkpoint, which the lazy snapshot path uses to decide whether
+    * the driver may fold the file list in memory. Legacy files carry the
+    * bare version long; both parse. */
+  final case class CkptPointer(version: Long, entries: Option[Long] = None)
+
+  private[lake] def readLastCheckpoint(fs: FileSystem,
+      root: Path): Option[CkptPointer] = {
+    val p = lastCheckpointFile(root)
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val s = readString(fs, p).trim
+      if (s.startsWith("{")) Serialization.read[CkptPointer](s)
+      else CkptPointer(s.toLong)
+    }.toOption
+  }
+
   private def logDir(root: Path) = new Path(root, "_txlog")
   private def commitFile(root: Path, v: Long) =
     new Path(logDir(root), f"$v%020d.json")
@@ -359,12 +395,7 @@ object TxLog {
     * Logs without a checkpoint yet fall back to the one listing.
     */
   def latestVersion(fs: FileSystem, root: Path): Long = {
-    val hinted = {
-      val p = lastCheckpointFile(root)
-      if (fs.exists(p))
-        scala.util.Try(readString(fs, p).trim.toLong).toOption
-      else None
-    }
+    val hinted = readLastCheckpoint(fs, root).map(_.version)
     hinted match {
       case Some(h) if h >= 0 && fs.exists(commitFile(root, h)) =>
         probeForwardFrom(fs, root, h)
@@ -479,16 +510,23 @@ object TxLog {
     parse(readString(fs, p)).flatMap(_.info).headOption
   }
 
+  /** A parquet checkpoint is usable only once its `_SUCCESS` marker
+    * exists: Spark creates the directory BEFORE job commit, so a bare
+    * directory may be a partial write (first checkpoint of a table, or
+    * a crashed writer) — basing a snapshot on it would silently drop
+    * adds/meta. Delta guards the same hole with validated multi-part
+    * names; a committed marker is the single-file equivalent. A session
+    * is also required — parquet is unreadable without one. */
+  private def parquetCheckpointReadable(fs: FileSystem, root: Path,
+      v: Long): Boolean =
+    fs.exists(new Path(checkpointParquetDir(root, v), "_SUCCESS")) &&
+      activeSession.isDefined
+
   private def newestCheckpointAtOrBefore(fs: FileSystem, root: Path,
       target: Long): Option[Long] = {
     // Fast path: the _last_checkpoint pointer (one small read); fall back
     // to a listing only when time-travelling behind it.
-    val hinted = {
-      val p = lastCheckpointFile(root)
-      if (fs.exists(p))
-        scala.util.Try(readString(fs, p).trim.toLong).toOption.filter(_ <= target)
-      else None
-    }
+    val hinted = readLastCheckpoint(fs, root).map(_.version).filter(_ <= target)
     hinted.orElse {
       if (!fs.exists(logDir(root))) None
       else fs.listStatus(logDir(root)).iterator.map(_.getPath.getName)
@@ -502,24 +540,32 @@ object TxLog {
           case v   => Some(v)
         }
     }.filter(v =>
-      // a parquet checkpoint is unreadable without a session; pretend
-      // it doesn't exist and replay from 0 — always correct, just slower
+      // an unusable checkpoint (partial parquet write, or parquet with
+      // no session) is treated as absent and the log replays from 0 —
+      // always correct, just slower
       fs.exists(checkpointFile(root, v)) ||
-        (fs.exists(checkpointParquetDir(root, v)) && activeSession.isDefined))
+        parquetCheckpointReadable(fs, root, v))
   }
 
-  /** One checkpoint's entries, either format: PARQUET (written through
-    * Spark — distributed columnar IO, no single JSON string through the
-    * driver) when present, the legacy single-string JSON otherwise. */
+  /** One checkpoint's entries, either format. JSON is preferred when
+    * present — a driver-side string parse with zero Spark jobs, which
+    * is how every checkpoint below [[checkpointParquetMinEntries]] is
+    * written; PARQUET (distributed columnar IO, no single JSON string
+    * through the driver) serves the large-live-set tables, and only
+    * once its `_SUCCESS` marker proves the write completed. */
   private def readCheckpointEntries(fs: FileSystem, root: Path,
       v: Long): Seq[LogEntry] = {
-    val pq = checkpointParquetDir(root, v)
-    if (fs.exists(pq)) {
+    val json = checkpointFile(root, v)
+    if (fs.exists(json)) parse(readString(fs, json))
+    else {
+      val pq = checkpointParquetDir(root, v)
+      require(fs.exists(new Path(pq, "_SUCCESS")),
+        s"parquet checkpoint at $pq has no _SUCCESS marker (partial write)")
       val spark = activeSession.getOrElse(sys.error(
         s"parquet checkpoint at $pq needs an active SparkSession"))
       spark.read.schema(logEntryEncoder.schema).parquet(pq.toString)
         .as(logEntryEncoder).collect().toSeq
-    } else parse(readString(fs, checkpointFile(root, v)))
+    }
   }
 
   private def maybeCheckpoint(fs: FileSystem, root: Path, version: Long): Unit =
@@ -530,21 +576,30 @@ object TxLog {
         snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
           LogEntry(txn = Some(Txn(app, v))) }
       // Only the version's winning committer checkpoints it, so plain
-      // overwriting writes suffice. With a session the checkpoint is
-      // PARQUET (Delta's design: splittable, columnar, written/read as
-      // ordinary Spark IO instead of one driver-side JSON string — the
-      // difference between a metadata op and a driver OOM at a
-      // million-file table); the JSON form remains for sessionless
-      // writers and as the legacy read path.
+      // overwriting writes suffice. FORMAT BY LIVE-SET SIZE: below
+      // [[checkpointParquetMinEntries]] the checkpoint is single-string
+      // JSON — a driver-side write measured in microseconds, so
+      // commit-heavy small tables never pay a Spark job every
+      // checkpointInterval commits (round-9's 2–2.7× regression on
+      // ext_lake_replay_depth/history/optimize). Above it — the tables
+      // where the JSON string IS the driver OOM path — the checkpoint
+      // is PARQUET (Delta's design: splittable, columnar, ordinary
+      // distributed Spark IO), published by its `_SUCCESS` marker so a
+      // concurrent reader never bases a snapshot on a partial write.
       activeSession match {
-        case Some(spark) =>
+        case Some(spark) if entries.size >= checkpointParquetMinEntries =>
+          val pq = checkpointParquetDir(root, version)
           spark.createDataset(entries)(logEntryEncoder)
-            .write.mode("overwrite")
-            .parquet(checkpointParquetDir(root, version).toString)
-        case None =>
+            .write.mode("overwrite").parquet(pq.toString)
+          // the job committer writes _SUCCESS by default; a deployment
+          // that disabled the marker still needs the publish signal
+          val marker = new Path(pq, "_SUCCESS")
+          if (!fs.exists(marker)) writeString(fs, marker, "")
+        case _ =>
           writeString(fs, checkpointFile(root, version), render(entries))
       }
-      writeString(fs, lastCheckpointFile(root), version.toString)
+      writeString(fs, lastCheckpointFile(root), Serialization.write(
+        CkptPointer(version, Some(entries.size.toLong))))
     }
 
   /** Delete data files no longer referenced by any snapshot newer than

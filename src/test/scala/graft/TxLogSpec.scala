@@ -101,8 +101,13 @@ class TxLogSpec extends SparkSpec {
     (1 to 12).foreach(i => tab.append(docs(2).withColumn("id", $"id" + i * 10)))
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names = fs.listStatus(new Path(root, "_txlog")).map(_.getPath.getName)
-    assert(names.exists(_.endsWith(".checkpoint.parquet")),
-      "interval-10 parquet checkpoint must exist after 12 commits")
+    // format-by-size: a toy live set checkpoints as single-string JSON
+    // (no Spark job on the commit path); parquet is the large-table form
+    assert(names.exists(_.endsWith(".checkpoint.json")),
+      "interval-10 JSON checkpoint must exist after 12 commits " +
+        "(live set below the parquet threshold)")
+    assert(!names.exists(_.endsWith(".checkpoint.parquet")),
+      "a toy live set must NOT pay a distributed parquet checkpoint")
     assert(names.contains("_last_checkpoint"))
     // replay-from-zero (time travel to head version explicitly) equals
     // the checkpointed fast path
@@ -115,16 +120,22 @@ class TxLogSpec extends SparkSpec {
   test("checkpoint-vs-replay equality over BOTH formats (parquet and legacy JSON)") {
     val root = freshRoot("ckfmt")
     val tab = new TxTable(spark, root)
-    tab.create(docs(20))
-    (1 to 7).foreach(i => tab.append(docs(2).withColumn("id", $"id" + i * 100)))
-    tab.deleteWhereMergeOnRead($"id" === 1L) // a dvFile-carrying Add
-    tab.appendIdempotent(docs(1).withColumn("id", $"id" + 900), "appA", 3L)
-    tab.append(docs(1).withColumn("id", $"id" + 950)) // v10 -> checkpoint
+    // force the parquet form (normally reserved for 10k+-file live sets)
+    spark.conf.set(TxLog.checkpointParquetMinEntriesKey, "1")
+    try {
+      tab.create(docs(20))
+      (1 to 7).foreach(i => tab.append(docs(2).withColumn("id", $"id" + i * 100)))
+      tab.deleteWhereMergeOnRead($"id" === 1L) // a dvFile-carrying Add
+      tab.appendIdempotent(docs(1).withColumn("id", $"id" + 900), "appA", 3L)
+      tab.append(docs(1).withColumn("id", $"id" + 950)) // v10 -> checkpoint
+    } finally spark.conf.unset(TxLog.checkpointParquetMinEntriesKey)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootP = new Path(root)
     val ckptPq = new Path(rootP, f"_txlog/${10L}%020d.checkpoint.parquet")
     val lastCkpt = new Path(rootP, "_txlog/_last_checkpoint")
     assert(fs.exists(ckptPq), "v10 parquet checkpoint expected")
+    assert(fs.exists(new Path(ckptPq, "_SUCCESS")),
+      "parquet checkpoint must carry its publish marker")
 
     def snapKey(s: TxLog.Snapshot) =
       (s.version, s.meta, s.adds.toSet, s.txns)
@@ -160,6 +171,29 @@ class TxLogSpec extends SparkSpec {
       "legacy JSON checkpoint must resolve the same state")
     assert(viaJson.txns.get("appA") === Some(3L),
       "txn watermark rides both checkpoint formats")
+  }
+
+  test("a parquet checkpoint without _SUCCESS is invisible — partial " +
+      "writes never seed a snapshot") {
+    val root = freshRoot("cksucc")
+    val tab = new TxTable(spark, root)
+    spark.conf.set(TxLog.checkpointParquetMinEntriesKey, "1")
+    try {
+      tab.create(docs(5))
+      (1 to 10).foreach(i => tab.append(docs(1).withColumn("id", $"id" + i * 10)))
+    } finally spark.conf.unset(TxLog.checkpointParquetMinEntriesKey)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new Path(root)
+    val ckptPq = new Path(rootP, f"_txlog/${10L}%020d.checkpoint.parquet")
+    val withMarker = tab.read().orderBy("id").collect().toSeq
+    assert(TxLog.lastReplay.get()._2, "marker present: checkpoint seeds")
+    // simulate the partial write Spark's committer leaves mid-job: the
+    // directory exists, the marker does not
+    fs.delete(new Path(ckptPq, "_SUCCESS"), false)
+    val withoutMarker = tab.read().orderBy("id").collect().toSeq
+    assert(!TxLog.lastReplay.get()._2,
+      "no marker: the checkpoint must be treated as absent (full replay)")
+    assert(withMarker === withoutMarker, "content stays exact either way")
   }
 
   test("latestVersionFrom probes forward from a committed floor; stale floors fall back") {
