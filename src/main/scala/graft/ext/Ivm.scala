@@ -31,6 +31,21 @@ import graft.lake.TxTable
   */
 object Ivm {
 
+  /** Null-safe left join on `keys` (`<=>` per key): a NULL group key is
+    * a legitimate group (SQL GROUP BY keeps it), so every state probe
+    * here must match it — plain-equality joins would treat an existing
+    * null-keyed group as brand new and silently desync its state. The
+    * right side's keys are renamed pre-join and dropped after. */
+  private def nullSafeLeft(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val r = right.select(right.columns.map(c =>
+      if (keys.contains(c)) col(c).as(s"__ns_$c") else col(c))
+      .toIndexedSeq: _*)
+    left.join(r, keys.map(k => col(k) <=> col(s"__ns_$k")).reduce(_ && _),
+        "left")
+      .drop(keys.map(k => s"__ns_$k"): _*)
+  }
+
   /** Fold one change-feed slice (schema: key cols + `valueCol` +
     * `_change_type`) into a (count, sum) aggregate state table keyed by
     * `keyCols` with columns `countName` and `sumName`. `valueCol` must
@@ -58,7 +73,7 @@ object Ivm {
     // only the touched groups: delta drives the join, state is probed
     val cur = state.read()
       .select((keyCols :+ countName :+ sumName).map(col): _*)
-    val folded = delta.join(cur, keyCols, "left")
+    val folded = nullSafeLeft(delta, cur, keyCols)
       .select(keyCols.map(col) ++ Seq(
         (coalesce(col(countName), lit(0L)) + col("_d_n")).as(countName),
         (coalesce(col(sumName), lit(0L)) + coalesce(col("_d_sum"), lit(0L)))
@@ -109,7 +124,7 @@ object Ivm {
     val cur = state.read()
       .select((keyCols ++ Seq(countName, sumName, minName, maxName))
         .map(col): _*)
-    val folded = delta.join(cur, keyCols, "left")
+    val folded = nullSafeLeft(delta, cur, keyCols)
       .select(keyCols.map(col) ++ Seq(
         (coalesce(col(countName), lit(0L)) + col("_d_n")).as(countName),
         (coalesce(col(sumName), lit(0L)) + coalesce(col("_d_sum"), lit(0L)))
@@ -140,18 +155,36 @@ object Ivm {
             lit(null).cast("long").as("_r_max")): _*)
         else {
           val affected =
-            if (keyCols.size == 1)
-              base.readEqualsAny(keyCols.head,
-                marked.map(_.get(0)), asOf = Some(baseAsOf))
-            else base.read(asOf = Some(baseAsOf)).join(
-              folded.where(col("_needs_base"))
-                .select(keyCols.map(col): _*),
-              keyCols, "left_semi")
+            if (keyCols.size == 1) {
+              // a NULL group key never matches isin()/a bloom probe —
+              // route it through an explicit IS NULL read (stats can't
+              // prune nulls, so this is the full-file-set filter; null
+              // groups with retracted extrema are the rare case that
+              // must stay CORRECT, not the hot one)
+              val k = keyCols.head
+              val (nullKeyed, defined) = marked.partition(_.isNullAt(0))
+              val reads =
+                (if (defined.isEmpty) Nil
+                 else Seq(base.readEqualsAny(k, defined.map(_.get(0)),
+                   asOf = Some(baseAsOf)))) ++
+                (if (nullKeyed.isEmpty) Nil
+                 else Seq(base.read(asOf = Some(baseAsOf))
+                   .where(col(k).isNull)))
+              reads.reduce(_ unionByName _)
+            } else {
+              // null-safe semi join: a null-keyed marked group must
+              // still select its base rows
+              val m = folded.where(col("_needs_base"))
+                .select(keyCols.map(k => col(k).as(s"__mk_$k")): _*)
+              val b = base.read(asOf = Some(baseAsOf))
+              b.join(m, keyCols.map(k => col(k) <=> col(s"__mk_$k"))
+                .reduce(_ && _), "left_semi")
+            }
           affected.groupBy(keyCols.map(col): _*)
             .agg(min(col(valueCol).cast("long")).as("_r_min"),
               max(col(valueCol).cast("long")).as("_r_max"))
         }
-      val merged = folded.join(recomputed, keyCols, "left")
+      val merged = nullSafeLeft(folded, recomputed, keyCols)
         .select(keyCols.map(col) ++ Seq(
           col(countName), col(sumName),
           when(col("_needs_base"), col("_r_min"))

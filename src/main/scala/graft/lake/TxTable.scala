@@ -443,11 +443,17 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         // row identity survives the upsert: a source row replacing a
         // matched key INHERITS that row's id (Delta's merge-update
         // semantics); unmatched source rows draw fresh ids
+        // the id lookup is PRE-AGGREGATED per key: a target legally
+        // holding duplicate rows for a key (appended twice) must not
+        // fan the joined source row out into N staged copies — the
+        // contract is "source replaces current rows sharing their
+        // key", one row out, inheriting the smallest id (same rule as
+        // applyChanges)
         val srcAligned =
           if (!tracks) srcAligned0
           else srcAligned0.join(
-            tgt.select((keyCols.map(col) :+
-              col(RowIdCol).as("__old_rid")).toIndexedSeq: _*),
+            tgt.groupBy(keyCols.map(col): _*)
+              .agg(min(col(RowIdCol)).as("__old_rid")),
             keyCols, "left")
             .withColumn(RowIdCol, coalesce(col("__old_rid"),
               lit(snap.meta.nextRowId) + monotonically_increasing_id()))
@@ -697,6 +703,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * migration, and a legacy delete+insert pair of the same key
     * collapses to the insert identically. Upserted rows must be unique
     * per key, like [[merge]].
+    *
+    * Keys match NULL-SAFELY (`<=>`, SQL's IS NOT DISTINCT FROM): a
+    * maintained state table legitimately holds NULL group keys
+    * ([[graft.ext.Ivm]] over a nullable grouping column), and
+    * plain-equality matching would silently never replace or delete
+    * such a row — the feed's null-keyed upsert would DUPLICATE it
+    * instead. [[merge]] deliberately keeps SQL MERGE's
+    * null-never-matches comparison; replica maintenance must not.
     */
   def applyChanges(changes: DataFrame, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "applyChanges needs at least one key column")
@@ -723,21 +737,21 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           snap.meta.schema.fieldNames.filter(ins.columns.contains).map(col): _*),
           snap.meta)
         val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
-        val hit = cur.join(touched, keyCols, "left_semi")
+        val hit = nullSafeKeyJoin(cur, touched, keyCols, "left_semi")
           .select(col(FileCol).as("f")).distinct()
           .collect().map(r => relPath(r.getString(0))).toSet
         val affected = snap.adds.filter(a => hit(a.path))
         val tracks = snap.meta.tracksRows
         val oldRows = readFiles(snap, affected.map(_.path),
           withRowId = tracks)
-        val survivors = oldRows.join(touched, keyCols, "left_anti")
+        val survivors = nullSafeKeyJoin(oldRows, touched, keyCols, "left_anti")
         val insAligned0 = ins.select(snap.meta.schema.fieldNames.map(col): _*)
         // an upsert replacing a key INHERITS that row's id (idempotent
         // replica maintenance without key assumptions — re-applying a
         // slice reproduces the same ids); brand-new keys draw fresh ids
         val insAligned =
           if (!tracks) insAligned0
-          else insAligned0.join(
+          else nullSafeKeyJoin(insAligned0,
             oldRows.groupBy(keyCols.map(col): _*)
               .agg(min(col(RowIdCol)).as("__old_rid")),
             keyCols, "left")
@@ -756,17 +770,19 @@ final class TxTable(spark: SparkSession, rootStr: String) {
             // this table's OWN feed keeps the four-type fidelity: a key
             // both removed and upserted is an update pair, a key only
             // removed a delete, a key with no prior row an insert
-            val old = readFiles(snap, affected.map(_.path))
-              .join(touched, keyCols, "left_semi")
+            val old = nullSafeKeyJoin(readFiles(snap, affected.map(_.path)),
+              touched, keyCols, "left_semi")
             val insKeys = ins.select(keyCols.map(col): _*).distinct()
             val oldKeys = old.select(keyCols.map(col): _*).distinct()
-            old.join(insKeys, keyCols, "left_semi")
+            nullSafeKeyJoin(old, insKeys, keyCols, "left_semi")
               .withColumn("_change_type", lit("update_preimage"))
-              .unionAll(old.join(insKeys, keyCols, "left_anti")
+              .unionAll(nullSafeKeyJoin(old, insKeys, keyCols, "left_anti")
                 .withColumn("_change_type", lit("delete")))
-              .unionAll(insAligned0.join(oldKeys, keyCols, "left_semi")
+              .unionAll(nullSafeKeyJoin(insAligned0, oldKeys, keyCols,
+                  "left_semi")
                 .withColumn("_change_type", lit("update_postimage")))
-              .unionAll(insAligned0.join(oldKeys, keyCols, "left_anti")
+              .unionAll(nullSafeKeyJoin(insAligned0, oldKeys, keyCols,
+                  "left_anti")
                 .withColumn("_change_type", lit("insert")))
           })
         if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
@@ -1269,6 +1285,20 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * generated columns, dropped deletion vectors, logically-named
     * files, an incomplete change feed). Reading never consults it.
     */
+  /** Null-safe keyed join (`<=>` per key, SQL's IS NOT DISTINCT FROM):
+    * a NULL key value matches a NULL key value. The right side's key
+    * columns are renamed before joining, so semi/anti/left outputs
+    * never carry ambiguous names; a left join's borrowed key copies are
+    * dropped on the way out. */
+  private def nullSafeKeyJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], how: String): DataFrame = {
+    val r = right.select(right.columns.map(c =>
+      if (keys.contains(c)) col(c).as(s"__ns_$c") else col(c))
+      .toIndexedSeq: _*)
+    left.join(r, keys.map(k => col(k) <=> col(s"__ns_$k")).reduce(_ && _), how)
+      .drop(keys.map(k => s"__ns_$k"): _*)
+  }
+
   private def gateWriter(meta: Meta): Unit = {
     val alien = meta.writerFeats.filterNot(TxLog.supportedWriterFeatures)
     require(alien.isEmpty,

@@ -957,6 +957,41 @@ class IvmSpec extends SparkSpec {
     assert(state.read().count() === 0L)
   }
 
+  test("NULL group keys fold like any group: state probe, upsert and " +
+      "min/max retraction all match null-safely") {
+    // GROUP BY keeps a null-keyed group; the state machinery must too
+    val base = new TxTable(spark, freshRoot("nullbase"))
+    base.create(Seq((Option.empty[String], 1L, 5L),
+      (Option.empty[String], 2L, 9L), (Some("a"), 3L, 7L))
+      .toDF("k", "id", "v"), enableChangeDataFeed = true)
+    val state = new TxTable(spark, freshRoot("nullstate"))
+    state.create(base.read().groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"),
+        min($"v").as("mn"), max($"v").as("mx")))
+    // retract the null group's MIN: the recompute must find 9 — with
+    // plain equality the probe would miss and write mn/mx = null while
+    // n stays 1 (a silent desync)
+    val v1 = base.deleteWhere($"id" === 1L)
+    graft.ext.Ivm.foldCountSumMinMax(state, base, v1,
+      base.readChanges(v1, v1).select($"k", $"v", $"_change_type"),
+      Seq("k"), "v", "n", "s", "mn", "mx")
+    val got = state.read().select($"k", $"n", $"s", $"mn", $"mx")
+      .as[(Option[String], Long, Long, Long, Long)].collect()
+      .sortBy(_._1.getOrElse("")).toSeq
+    assert(got === Seq((None, 1L, 9L, 9L, 9L), (Some("a"), 1L, 7L, 7L, 7L)))
+    // and an insert-only fold onto the EXISTING null group updates it
+    // in place (no recompute — inserts only tighten extrema) instead
+    // of duplicating it
+    graft.ext.Ivm.foldCountSumMinMax(state, base, v1,
+      Seq((Option.empty[String], 2L, "insert")).toDF("k", "v", "_change_type"),
+      Seq("k"), "v", "n", "s", "mn", "mx")
+    val nullRows = state.read().where($"k".isNull)
+      .select($"n", $"s", $"mn", $"mx")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(nullRows === Seq((2L, 11L, 2L, 9L)),
+      "the null-keyed group must update, not duplicate")
+  }
+
   test("a malformed change type fails loudly, never silently skips") {
     val state = new TxTable(spark, freshRoot("bad"))
     state.create(Seq(("a", 1L, 10L)).toDF("k", "n_rows", "sum_v"))

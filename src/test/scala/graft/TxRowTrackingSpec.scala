@@ -89,6 +89,24 @@ class TxRowTrackingSpec extends SparkSpec {
         "inserted rows must not reuse existing ids"))
   }
 
+  test("MERGE on a duplicate-keyed target: one row out, smallest id inherited — no fanout") {
+    val tab = new TxTable(spark, freshRoot("dupkey"))
+    tab.create(docs(5).coalesce(1), enableRowTracking = true)
+    // a duplicate-keyed target is legal: the same key appended twice
+    tab.append(docs(1, from = 2L).withColumn("text", lit("dup")).coalesce(1))
+    assert(tab.read().where($"id" === 2L).count() === 2)
+    val dupIds = tab.readWithRowIds().where($"id" === 2L)
+      .select($"_row_id").as[Long].collect().sorted.toSeq
+    tab.merge(Seq((2L, "MERGED")).toDF("id", "text"), Seq("id"))
+    // the contract: source replaces ALL current rows sharing its key —
+    // exactly one staged row, not one per pre-existing duplicate
+    val rows = tab.readWithRowIds().where($"id" === 2L)
+      .select($"text", $"_row_id").as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("MERGED", dupIds.head)),
+      "one merged row, inheriting the smallest duplicate's id")
+    assert(tab.read().count() === 5)
+  }
+
   test("applyChanges: upserts inherit the replaced row's id — re-applied slices are id-idempotent") {
     val tab = new TxTable(spark, freshRoot("apply"))
     tab.create(docs(10).coalesce(1), enableRowTracking = true)
