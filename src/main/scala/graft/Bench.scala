@@ -15,16 +15,18 @@ import org.apache.spark.sql.SparkSession
   *     write jobs of shared lineage — which made those entries amplify
   *     host-load noise ~13×. The lineage build cost is still reported,
   *     attributably, as per-node seconds under "lineage".
-  *   - (round 4, re-anchored round 9) contention self-healing: after
-  *     the full pass, outliers are re-measured once (slowest first,
-  *     capped at 15) and the MIN is reported. The outlier cut is
-  *     anchored to each query's OWN committed-record time
-  *     (BENCH_SELF.json): > max(1 s, 3× its record). The earlier
-  *     run-median cut let a uniformly loaded host inflate the median
-  *     and mask 5–7× phantom regressions on sub-second queries
-  *     (BENCH_r08). Queries without a committed record (new this
-  *     round) keep the median cut. Re-measured names are listed under
-  *     "remeasured" for attributability.
+  *   - (round 4, re-anchored rounds 9/10) contention self-healing:
+  *     after the full pass, outliers are re-measured once (slowest
+  *     first, capped at 30) and the MIN is reported. The outlier cut
+  *     is anchored to each query's OWN committed-record time
+  *     (BENCH_SELF.json) scaled by the run's sentinel host factor:
+  *     > max(1 s, 1.5× record × host factor) — the SAME threshold
+  *     tools/bench_diff.py flags at, so the artifact and the
+  *     cross-round guard agree on what counts as signal (the earlier
+  *     3× cut shipped 1.5–2.8× phantom spikes every driver run,
+  *     BENCH_r09). Queries without a committed record (new this
+  *     round) keep the 3×-median cut. Re-measured names are listed
+  *     under "remeasured", the host factor as "host_factor".
   *   - (round 9) host-drift sentinels: the bench line carries a
   *     "sentinels" object — measured/record ratios for four queries
   *     whose code path is stable across rounds (q25_jdbc_scan,
@@ -126,15 +128,35 @@ object Bench {
           .nextOption().getOrElse(Map.empty)
       }.getOrElse(Map.empty)
     }
-    // outliers: > max(1s, 3× the query's OWN committed record) when a
-    // record exists (a loaded host cannot mask per-query regressions by
-    // inflating the run median); median-anchored for record-less queries
+    // sentinel host factor, from PASS-1 times: the run's own
+    // measured/record ratio over queries whose code path is stable
+    // across rounds — how fast THIS host is relative to the record's.
+    // Median of the available ratios; 1.0 when no record exists yet.
+    val sentinelNames = Seq("q25_jdbc_scan", "ext_knn_cosine_brute",
+      "ext_ks_drift", "q15_order_vs_customer_total")
+    val pass1ByName = pass1.map(r => r._1 -> r).toMap
+    val hostRatios = sentinelNames.flatMap { n =>
+      (pass1ByName.get(n), record.get(n)) match {
+        case (Some((_, v, true)), Some(r)) if r > 0 => Some(v / r)
+        case _ => None
+      }
+    }.sorted
+    val hostFactor =
+      if (hostRatios.isEmpty) 1.0 else hostRatios(hostRatios.size / 2)
+    // outliers: > max(1s, 1.5× the query's OWN committed record × the
+    // run's sentinel host factor) when a record exists — the SAME
+    // threshold tools/bench_diff.py flags at, so the committed artifact
+    // and the cross-round guard agree on what counts as signal (the
+    // earlier 3× cut shipped 1.5–2.8× phantom spikes every driver run);
+    // median-anchored for record-less queries
     val okTimes = pass1.collect { case (_, v, true) => v }.sorted
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
-    def cutFor(n: String): Double =
-      math.max(1.0, 3.0 * record.getOrElse(n, median))
+    def cutFor(n: String): Double = record.get(n) match {
+      case Some(r) => math.max(1.0, 1.5 * r * hostFactor)
+      case None    => math.max(1.0, 3.0 * median)
+    }
     val suspects = pass1.collect { case (n, v, true) if v > cutFor(n) => (n, v) }
-      .sortBy(-_._2).take(15)
+      .sortBy(-_._2).take(30)
     // slowest first, as documented: the worst outlier gets its second
     // sample at the maximum time-shift from its first
     val remeasured = suspects.map { case (n, v1) =>
@@ -161,8 +183,6 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     // host-drift sentinels: measured/record ratios for queries whose
     // code path is stable across rounds — machine-readable host factor
-    val sentinelNames = Seq("q25_jdbc_scan", "ext_knn_cosine_brute",
-      "ext_ks_drift", "q15_order_vs_customer_total")
     val byName = results.map(r => r._1 -> r).toMap
     val sentinels = sentinelNames.flatMap { n =>
       (byName.get(n), record.get(n)) match {
@@ -177,7 +197,7 @@ object Bench {
     // silently masquerade as the committed solo record in BASELINE.md
     val prov = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROVENANCE",
       "unattributed")
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","provenance":"$prov","queries":$qs,"failed":$failed,"remeasured":$rem,"sentinels":$sentinels,"lineage":$lin,"lineage_total":${f(lakeSec)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","provenance":"$prov","host_factor":${f(hostFactor)},"queries":$qs,"failed":$failed,"remeasured":$rem,"sentinels":$sentinels,"lineage":$lin,"lineage_total":${f(lakeSec)},"sf":"$sfDir"}"""
     println(line)
     // the detail line above is ~4 KB and consumers that capture a
     // bounded log tail truncate it mid-object (four rounds of
@@ -196,9 +216,20 @@ object Bench {
     // driver-host run cannot clobber the committed solo record
     val defaultOut =
       if (prov == "solo") "BENCH_SELF.json" else "BENCH_LAST.json"
+    // refuse even an EXPLICIT non-solo write to the committed record
+    // file: the r8 record carried "provenance":"unattributed" because
+    // nothing stopped an OUT override from targeting it
+    val requestedOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
+    val outPath =
+      if (prov != "solo" && java.nio.file.Paths.get(requestedOut)
+          .getFileName.toString == "BENCH_SELF.json") {
+        System.err.println("[bench] refusing to write BENCH_SELF.json " +
+          s"with provenance '$prov' (solo runs only); writing " +
+          "BENCH_LAST.json instead")
+        "BENCH_LAST.json"
+      } else requestedOut
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)),
+      java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] artifact write failed: $e") }
