@@ -452,6 +452,119 @@ object TxLog {
     def get(): (Long, Boolean) = tl.get()
   }
 
+  /** File count above which [[prunedSnapshot]] refuses to fold the live
+    * set on the driver and filters it DISTRIBUTED over the parquet
+    * checkpoint instead. Below it, an in-memory fold of a few thousand
+    * entries is cheaper than any Spark job. Conf-overridable per
+    * session (tests; deployments with small drivers). */
+  val driverSnapshotMaxFilesDefault = 100000L
+  val driverSnapshotMaxFilesKey = "spark.graft.lake.driverSnapshotMaxFiles"
+  private def driverSnapshotMaxFiles: Long =
+    activeSession.flatMap(_.conf.getOption(driverSnapshotMaxFilesKey))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(driverSnapshotMaxFilesDefault)
+
+  /** Observable behind the bounded-driver contract: (resolution mode,
+    * Add entries collected on the driver) for this thread's last
+    * [[prunedSnapshot]] call — "driver-fold" (full in-memory replay) or
+    * "distributed-prune" (checkpoint filtered as a DataFrame, only
+    * matches collected). Thread-local like [[lastReplay]]. */
+  object lastResolve {
+    private val tl = new ThreadLocal[(String, Long)] {
+      override def initialValue(): (String, Long) = ("", 0L)
+    }
+    private[lake] def set(v: (String, Long)): Unit = tl.set(v)
+    def get(): (String, Long) = tl.get()
+  }
+
+  private lazy val addEncoder: org.apache.spark.sql.Encoder[Add] =
+    org.apache.spark.sql.Encoders.product[Add]
+  private lazy val metaEncoder: org.apache.spark.sql.Encoder[Meta] =
+    org.apache.spark.sql.Encoders.product[Meta]
+
+  /** [[snapshot]] for PLANNING under a file-skipping predicate: returns
+    * the state at `asOf` with `adds` restricted to the entries surviving
+    * `keep` (a Column over the flattened [[Add]] fields — `path`,
+    * `rows`, `partitionValues`, `stats`, ... — built against the
+    * resolved [[Meta]]). The contract that bounds the driver at a
+    * million-file table: when the live set is LARGE (the
+    * `_last_checkpoint` pointer's entry count is at or above
+    * [[driverSnapshotMaxFilesKey]], and the checkpoint is readable
+    * parquet), the filter runs DISTRIBUTED — checkpoint parquet scanned
+    * as a DataFrame, the ≤[[checkpointInterval]] tail commits folded on
+    * the driver as a small overlay (their adds/removes are single-commit
+    * bounded, Delta's shape too), and ONLY matched entries are ever
+    * collected. Below the threshold (or sessionless, or time-travelling
+    * behind the pointer) it is the ordinary in-memory fold — correct and
+    * cheaper at that size — and the caller's own driver-side prune does
+    * the filtering. `keep` must be CONSERVATIVE (a kept non-match is a
+    * wasted read; a dropped match is a wrong answer), and the returned
+    * snapshot is for planning only: `txns` carries just the tail
+    * overlay's watermarks on the distributed path.
+    */
+  def prunedSnapshot(fs: FileSystem, root: Path, asOf: Option[Long],
+      keep: Meta => org.apache.spark.sql.Column): Snapshot = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val latest = latestVersion(fs, root)
+    require(latest >= 0, s"no transaction log at $root")
+    val target = asOf.getOrElse(latest)
+    val ptr = readLastCheckpoint(fs, root)
+    val big = ptr.exists(p => p.version <= target &&
+      p.entries.exists(_ >= driverSnapshotMaxFiles) &&
+      parquetCheckpointReadable(fs, root, p.version))
+    if (!big) {
+      val s = snapshot(fs, root, asOf)
+      lastResolve.set(("driver-fold", s.adds.size.toLong))
+      return s
+    }
+    val spark = activeSession.get
+    val ckptV = ptr.get.version
+    // tail overlay, folded on the driver in commit order: net-new adds,
+    // paths dead since the checkpoint (a removed-then-re-added path is
+    // live under its newest entry)
+    var tailMeta: Option[Meta] = None
+    val tailLive = scala.collection.mutable.LinkedHashMap[String, Add]()
+    val dead = scala.collection.mutable.HashSet[String]()
+    val txns = scala.collection.mutable.HashMap[String, Long]()
+    ((ckptV + 1) to target).foreach { v =>
+      val p = commitFile(root, v)
+      require(fs.exists(p), s"missing commit $v at $root (vacuumed?)")
+      parse(readString(fs, p)).foreach { e =>
+        e.meta.foreach(m => tailMeta = Some(m))
+        e.add.foreach { a => tailLive(a.path) = a; dead -= a.path }
+        e.remove.foreach { r => tailLive.remove(r.path); dead += r.path }
+        e.txn.foreach(t => txns(t.appId) =
+          math.max(txns.getOrElse(t.appId, Long.MinValue), t.version))
+      }
+    }
+    val pq = checkpointParquetDir(root, ckptV).toString
+    val entriesDF = spark.read.schema(logEntryEncoder.schema).parquet(pq)
+    val meta = tailMeta.getOrElse {
+      // one small columnar job: the meta column of the checkpoint only
+      entriesDF.where(col("meta").isNotNull).select(col("meta.*"))
+        .as(metaEncoder).head()
+    }
+    val alien = meta.features.filterNot(supportedReaderFeatures)
+    require(alien.isEmpty,
+      s"table at $root (v$target) requires reader feature(s) " +
+        s"${alien.mkString(", ")} this client does not implement")
+    val ckptAdds = entriesDF.where(col("add").isNotNull).select(col("add.*"))
+    val excluded = (dead ++ tailLive.keys).toSeq
+    val base =
+      if (excluded.isEmpty) ckptAdds
+      else ckptAdds.join(
+        broadcast(spark.createDataset(excluded)(
+          org.apache.spark.sql.Encoders.STRING).toDF("path")),
+        Seq("path"), "left_anti")
+    val live =
+      if (tailLive.isEmpty) base
+      else base.unionByName(
+        spark.createDataset(tailLive.values.toSeq)(addEncoder).toDF())
+    val matched = live.where(keep(meta)).as(addEncoder).collect().toVector
+    lastResolve.set(("distributed-prune", matched.size.toLong))
+    Snapshot(target, meta, matched, txns.toMap)
+  }
+
   def snapshot(fs: FileSystem, root: Path, asOf: Option[Long] = None): Snapshot = {
     val latest = latestVersion(fs, root)
     require(latest >= 0, s"no transaction log at $root")

@@ -1585,7 +1585,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     */
   def readBetween(colName: String, lo: Any, hi: Any,
       asOf: Option[Long] = None): DataFrame = {
-    val snap = TxLog.snapshot(fs, root, asOf)
+    val snap = planningSnapshot(asOf, colName, lo, hi)
     val keep = candidateFiles(snap, colName, lo, hi)
     val c = col(colName)
     readFiles(snap, keep.map(_.path))
@@ -1601,7 +1601,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     */
   def readEquals(colName: String, value: Any,
       asOf: Option[Long] = None): DataFrame = {
-    val snap = TxLog.snapshot(fs, root, asOf)
+    val snap = planningSnapshot(asOf, colName, value, value)
     val keep = bloomCandidateFiles(snap, colName, value)
     readFiles(snap, keep.map(_.path)).where(col(colName) === lit(value))
   }
@@ -1617,7 +1617,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     */
   def readEqualsAny(colName: String, values: Seq[Any],
       asOf: Option[Long] = None): DataFrame = {
-    val snap = TxLog.snapshot(fs, root, asOf)
+    // a big live set prunes distributed on the OR of per-value keeps
+    // (capped: past 256 values the predicate itself is the bottleneck —
+    // fall back to collecting the live set and pruning driver-side)
+    val snap =
+      if (values.isEmpty || values.size > 256) TxLog.snapshot(fs, root, asOf)
+      else TxLog.prunedSnapshot(fs, root, asOf,
+        m => values.map(v => candidateKeep(m, colName, v, v))
+          .reduce(_ || _))
     if (values.isEmpty)
       return readFiles(snap, Nil)
     val keep = values.iterator
@@ -1696,6 +1703,49 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   private def toD(v: Any): Double = v match {
     case n: Number => n.doubleValue(); case s: String => s.toDouble
   }
+
+  /** The Column twin of [[candidateFiles]] — the same skipping decision
+    * expressed over the flattened Add fields (`stats`,
+    * `partitionValues`), so [[graft.lake.TxLog.prunedSnapshot]] can run
+    * it DISTRIBUTED over a large checkpoint instead of folding a
+    * million Add entries on the driver. Identical conservatism: missing
+    * stats fall to the partition value, an unparseable partition value
+    * keeps the file. */
+  private def candidateKeep(meta: Meta, colName: String, lo: Any,
+      hi: Any): Column = {
+    val st = col("stats").getItem(meta.physicalOf(colName))
+    val pv = col("partitionValues").getItem(colName)
+    val kind = st.getField("kind")
+    val stKeep =
+      when(kind === "l",
+        st.getField("max").cast("long") >= lit(toL(lo)) &&
+          st.getField("min").cast("long") <= lit(toL(hi)))
+      .when(kind === "d",
+        st.getField("max").cast("double") >= lit(toD(lo)) &&
+          st.getField("min").cast("double") <= lit(toD(hi)))
+      .otherwise(st.getField("max") >= lit(lo.toString) &&
+        st.getField("min") <= lit(hi.toString))
+    val pvKeep = (lo, hi) match {
+      case (l: Number, h: Number) =>
+        coalesce(pv.cast("double") >= lit(l.doubleValue) &&
+          pv.cast("double") <= lit(h.doubleValue), lit(true))
+      case _ => pv >= lit(lo.toString) && pv <= lit(hi.toString)
+    }
+    when(st.isNotNull, stKeep)
+      .otherwise(when(pv.isNotNull &&
+        pv =!= "__HIVE_DEFAULT_PARTITION__", pvKeep).otherwise(lit(true)))
+  }
+
+  /** Planning snapshot for a range/point read on `colName`: resolved
+    * through [[graft.lake.TxLog.prunedSnapshot]], so a million-file
+    * table filters its live set distributed and only the candidate
+    * Adds reach the driver; small tables fold in memory as before (the
+    * caller's [[candidateFiles]]/bloom prune then does the exact same
+    * filtering driver-side — idempotent on the pre-filtered set). */
+  private def planningSnapshot(asOf: Option[Long], colName: String,
+      lo: Any, hi: Any): Snapshot =
+    TxLog.prunedSnapshot(fs, root, asOf,
+      m => candidateKeep(m, colName, lo, hi))
 
   private def readSnapshot(snap: Snapshot): DataFrame =
     readFiles(snap, snap.adds.map(_.path))

@@ -1346,3 +1346,106 @@ class PartitionEvolutionSpec extends SparkSpec {
     intercept[IllegalArgumentException](tab.repartitionBy(Seq("body")))
   }
 }
+
+/** Bounded-driver snapshot resolution ([[graft.lake.TxLog
+  * .prunedSnapshot]]): above the live-set threshold, planning filters
+  * the checkpoint DISTRIBUTED and only matched Add entries ever reach
+  * the driver; below it, the ordinary in-memory fold serves. The
+  * checkpoint here is fabricated (5000 entries, no data files) — the
+  * contract under test is metadata resolution, not data IO.
+  */
+class LazySnapshotSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.{col, lit}
+  import graft.lake.TxLog.{Add, LogEntry, Stat}
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"lazy_$tag")
+      .resolve("tbl").toString
+
+  private def idKeep(lo: Long, hi: Long): org.apache.spark.sql.Column = {
+    val st = col("stats").getItem("id")
+    st.isNull ||
+      (st.getField("max").cast("long") >= lit(lo) &&
+        st.getField("min").cast("long") <= lit(hi))
+  }
+
+  test("above the threshold planning prunes distributed — full Add list " +
+      "never materializes on the driver; tail overlay applies") {
+    import spark.implicits._
+    val root = freshRoot("big")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(40L, 61L).toDF("id"))
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val real = TxLog.snapshot(fs, rootP)
+    // fabricate a v0 parquet checkpoint: the real state + 5000 fake
+    // files, each covering id range [i*100, i*100+99]
+    val fakes = (0 until 5000).map(i => Add(s"fake/f$i.parquet", 10L,
+      Map.empty, Map("id" -> Stat("l", (i * 100).toString,
+        (i * 100 + 99).toString)), bytes = Some(1L)))
+    val entries = (LogEntry(meta = Some(real.meta)) +:
+      (real.adds ++ fakes).map(a => LogEntry(add = Some(a)))).toSeq
+    val enc = org.apache.spark.sql.Encoders.product[LogEntry]
+    val ckptDir = new Path(rootP, f"_txlog/${0L}%020d.checkpoint.parquet")
+    spark.createDataset(entries)(enc).write.mode("overwrite")
+      .parquet(ckptDir.toString)
+    assert(fs.exists(new Path(ckptDir, "_SUCCESS")))
+    def put(p: Path, s: String): Unit = {
+      val o = fs.create(p, true)
+      try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    put(new Path(rootP, "_txlog/_last_checkpoint"),
+      s"""{"version":0,"entries":${entries.size}}""")
+    spark.conf.set(TxLog.driverSnapshotMaxFilesKey, "1000")
+    try {
+      // [250, 310] overlaps fake f2 (200-299) and f3 (300-399) only
+      val snap = TxLog.prunedSnapshot(fs, rootP, None, _ => idKeep(250L, 310L))
+      assert(TxLog.lastResolve.get()._1 === "distributed-prune",
+        "a 5000-file live set must not fold on the driver")
+      assert(TxLog.lastResolve.get()._2 === snap.adds.size.toLong)
+      assert(snap.adds.size < 10, "only candidates may reach the driver")
+      // exact agreement with the driver-side filter over the full fold
+      val full = TxLog.snapshot(fs, rootP)
+      assert(full.adds.size === real.adds.size + 5000)
+      val driverMatched = full.adds.filter(a =>
+        a.stats.get("id").exists(s =>
+          s.max.toLong >= 250L && s.min.toLong <= 310L)).map(_.path).toSet
+      assert(snap.adds.map(_.path).toSet === driverMatched)
+      assert(snap.meta === real.meta, "meta resolves from the checkpoint")
+
+      // tail overlay: commit v1 removes a matched file and adds another
+      implicit val fmts: org.json4s.Formats =
+        org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+      val v1 = Seq(
+        LogEntry(remove = Some(TxLog.Remove("fake/f2.parquet"))),
+        LogEntry(add = Some(Add("fake/g0.parquet", 5L, Map.empty,
+          Map("id" -> Stat("l", "260", "270")), bytes = Some(1L)))),
+        LogEntry(info = Some(TxLog.Info("FAKE", 0L))))
+        .map(org.json4s.jackson.Serialization.write(_)).mkString("\n")
+      put(new Path(rootP, f"_txlog/${1L}%020d.json"), v1)
+      val snap2 = TxLog.prunedSnapshot(fs, rootP, None, _ => idKeep(250L, 310L))
+      assert(TxLog.lastResolve.get()._1 === "distributed-prune")
+      assert(snap2.version === 1L)
+      val paths2 = snap2.adds.map(_.path).toSet
+      assert(!paths2.contains("fake/f2.parquet"), "tail remove applies")
+      assert(paths2.contains("fake/g0.parquet"), "tail add applies")
+      assert(paths2.contains("fake/f3.parquet"))
+    } finally spark.conf.unset(TxLog.driverSnapshotMaxFilesKey)
+  }
+
+  test("below the threshold (and on real read paths) the driver fold serves") {
+    import spark.implicits._
+    val root = freshRoot("small")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(0L, 100L).toDF("id").repartition(4))
+    (1 to 10).foreach(i =>
+      tab.append(spark.range(i * 100L, i * 100L + 100L).toDF("id")
+        .repartition(2)))
+    // readBetween resolves through prunedSnapshot; a small table folds
+    // in memory and the driver-side candidateFiles prune still skips
+    val got = tab.readBetween("id", 250L, 310L).orderBy($"id")
+      .as[Long].collect().toSeq
+    assert(TxLog.lastResolve.get()._1 === "driver-fold")
+    assert(got === (250L to 310L).toSeq)
+  }
+}
