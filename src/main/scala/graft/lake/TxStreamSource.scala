@@ -48,10 +48,14 @@ import org.apache.spark.sql.types.StructType
 final class TxStreamSource(spark: SparkSession, rootStr: String,
     startingVersion: Long, ignoreChanges: Boolean,
     readChangeFeed: Boolean = false,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    withRowIds: Boolean = false) extends Source {
 
   maxVersionsPerTrigger.foreach(n =>
     require(n >= 1L, s"maxVersionsPerTrigger must be >= 1, got $n"))
+  require(!withRowIds || readChangeFeed,
+    "withRowIds streams the id-carrying CHANGE FEED — set " +
+      "readChangeFeed=true too")
 
   private val root = new Path(rootStr)
   private val fs =
@@ -60,7 +64,7 @@ final class TxStreamSource(spark: SparkSession, rootStr: String,
 
   override val schema: StructType =
     TxStreamSource.sourceSchema(
-      TxLog.snapshot(fs, root).meta.schema, readChangeFeed)
+      TxLog.snapshot(fs, root).meta.schema, readChangeFeed, withRowIds)
 
   /** Rate-limit watermark: the highest version exposed through
     * getOffset/getBatch in this process. Delta's maxFilesPerTrigger
@@ -111,7 +115,7 @@ final class TxStreamSource(spark: SparkSession, rootStr: String,
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             schema)
         else {
-          val df = tab.readChanges(from, to)
+          val df = tab.readChanges(from, to, withRowIds = withRowIds)
           df.select(schema.fieldNames.map { n =>
             if (df.columns.contains(n)) col(n)
             else lit(null).cast(schema(n).dataType).as(n)
@@ -166,12 +170,17 @@ object TxStreamSource {
 
   /** The stream's resolved schema: the table schema, plus the change
     * feed's `_change_type`/`_commit_version` tags in CDF mode (the
-    * exact columns [[TxTable.readChanges]] emits). */
+    * exact columns [[TxTable.readChanges]] emits), plus `_row_id` when
+    * the id-carrying feed was requested (row-tracked tables only). */
   private[lake] def sourceSchema(table: StructType,
-      readChangeFeed: Boolean): StructType = {
+      readChangeFeed: Boolean, withRowIds: Boolean = false): StructType = {
     val base = nullable(table)
     if (!readChangeFeed) base
-    else StructType(base.fields :+
+    else StructType(base.fields ++
+      (if (withRowIds)
+        Seq(org.apache.spark.sql.types.StructField("_row_id",
+          org.apache.spark.sql.types.LongType, nullable = true))
+      else Nil) :+
       org.apache.spark.sql.types.StructField("_change_type",
         org.apache.spark.sql.types.StringType, nullable = true) :+
       org.apache.spark.sql.types.StructField("_commit_version",
@@ -192,7 +201,11 @@ object TxStreamSource {
   * delete/insert pairs instead of refusing), `maxVersionsPerTrigger`
   * (unset = unbounded — at most this many commit versions per
   * micro-batch, so a backfill over a long history paces itself instead
-  * of planning the whole backlog as one batch). */
+  * of planning the whole backlog as one batch), `withRowIds` (default
+  * false; requires `readChangeFeed` and a row-tracked table — each
+  * change row carries its stable `_row_id`, so a downstream
+  * [[TxTable.applyChangesById]] loop replicates with no key
+  * argument). */
 class TxLogStreamProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -210,7 +223,8 @@ class TxLogStreamProvider extends StreamSourceProvider
       sqlContext.sparkSession.sparkContext.hadoopConfiguration)
     (shortName(), TxStreamSource.sourceSchema(
       TxLog.snapshot(fs, root).meta.schema,
-      parameters.get("readChangeFeed").exists(_.toBoolean)))
+      parameters.get("readChangeFeed").exists(_.toBoolean),
+      parameters.get("withRowIds").exists(_.toBoolean)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -224,5 +238,6 @@ class TxLogStreamProvider extends StreamSourceProvider
       readChangeFeed = parameters.get("readChangeFeed")
         .exists(_.toBoolean),
       maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
-        .map(_.toLong))
+        .map(_.toLong),
+      withRowIds = parameters.get("withRowIds").exists(_.toBoolean))
 }

@@ -189,7 +189,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     while (true) {
       val snap = TxLog.snapshot(fs, root)
       gateWriter(snap.meta)
-      val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
+      // a tracked table's capture carries each deleted row's _row_id —
+      // identity-based CDF consumption needs the retracted identity
+      val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true,
+        withRowId = snap.meta.tracksRows && snap.meta.cdf)
       val hit = cur.where(cond)
         .select(col(FileCol).as("f")).distinct()
         .collect().map(r => relPath(r.getString(0))).toSet
@@ -238,7 +241,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       gateWriter(snap.meta)
       val addByPath = snap.adds.map(a => a.path -> a).toMap
       val cur = readFiles(snap, snap.adds.map(_.path),
-        withFileCol = true, withPos = true)
+        withFileCol = true, withPos = true,
+        withRowId = snap.meta.tracksRows && snap.meta.cdf)
       val hits = cur.where(cond)
         .groupBy(col(FileCol))
         .agg(collect_list(col(PosCol)).as("pos"))
@@ -329,7 +333,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
             "(the derived value would silently diverge from its source)")
       }
       val matched = coalesce(cond, lit(false))
-      val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
+      val tracks = snap.meta.tracksRows
+      val idFeed = tracks && snap.meta.cdf
+      val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true,
+        withRowId = idFeed)
       val hit = cur.where(matched)
         .select(col(FileCol).as("f")).distinct()
         .collect().map(r => relPath(r.getString(0))).toSet
@@ -338,7 +345,6 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // the match flag is computed on the OLD row, before any SET lands
       // (a SET that flips its own predicate must not re-evaluate)
       val flag = "__txlog_upd"
-      val tracks = snap.meta.tracksRows
       val rewritten = readFiles(snap, affected.map(_.path),
           withRowId = tracks)
         .withColumn(flag, matched)
@@ -358,13 +364,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // (Delta's four change types — downstream consumers can tell an
       // update from a coincidental delete+insert of the same key in one
       // commit); both sides already in hand (old = the match scan, new
-      // = the transformed half of the rewrite)
+      // = the transformed half of the rewrite). On a tracked CDF table
+      // both images carry the row's _row_id — UPDATE preserves identity,
+      // so the pair is id-joinable with no key assumptions.
       val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
         adds.map(a => LogEntry(add = Some(a))) ++
         captureTail(snap.meta, "UPDATE", snap.version,
           cur.where(matched).drop(FileCol)
             .withColumn("_change_type", lit("update_preimage"))
-            .unionAll(rewritten.where(col(flag)).drop(flag, RowIdCol)
+            .unionByName(rewritten.where(col(flag))
+              .drop((flag +: (if (idFeed) Nil else Seq(RowIdCol))): _*)
               .withColumn("_change_type", lit("update_postimage"))))
       if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
         return snap.version + 1
@@ -437,6 +446,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
             (if (df.columns.contains(RowIdCol)) Seq(col(RowIdCol))
              else Nil): _*)
         val tracks = snap.meta.tracksRows
+        val idFeed = tracks && snap.meta.cdf
         val tgt = readFiles(snap, affected.map(_.path), withRowId = tracks)
         val survivors = aligned(tgt.join(keys, keyCols, "left_anti"))
         val srcAligned0 = src.select(meta.schema.fieldNames.map(col): _*)
@@ -458,6 +468,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
             .withColumn(RowIdCol, coalesce(col("__old_rid"),
               lit(snap.meta.nextRowId) + monotonically_increasing_id()))
             .drop("__old_rid")
+        // an id-carrying feed must record the SAME fresh ids the write
+        // lands: materialize the id assignment once (cache + force), so
+        // the staged union and the capture job read identical values
+        // instead of re-evaluating monotonically_increasing_id under
+        // different physical partition ordinals
+        if (idFeed) { srcAligned.cache(); srcAligned.count(): Unit }
         val adds = stageWrite(survivors.unionByName(srcAligned), meta)
         val newMeta = if (tracks) bumpWatermark(meta, adds) else meta
         val metaEntry =
@@ -474,18 +490,24 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           txn.map { case (app, tv) =>
             LogEntry(txn = Some(Txn(app, tv))) }.toSeq ++
           captureTail(meta, "MERGE", snap.version, {
-            // the feed carries table columns only — row ids stay out
-            val tgtF = readFiles(snap, affected.map(_.path))
+            // on a tracked CDF table every image carries its _row_id
+            // (preimages from the files, postimages/inserts from the
+            // materialized assignment above); untracked feeds carry
+            // table columns only
+            val tgtF = readFiles(snap, affected.map(_.path),
+              withRowId = idFeed)
             val tgtKeys = tgtF.select(keyCols.map(col): _*)
+            val srcCap = if (idFeed) srcAligned else srcAligned0
             aligned(tgtF.join(keys, keyCols, "left_semi"))
               .withColumn("_change_type", lit("update_preimage"))
-              .unionAll(srcAligned0.join(tgtKeys, keyCols, "left_semi")
+              .unionByName(srcCap.join(tgtKeys, keyCols, "left_semi")
                 .withColumn("_change_type", lit("update_postimage")))
-              .unionAll(srcAligned0.join(tgtKeys, keyCols, "left_anti")
+              .unionByName(srcCap.join(tgtKeys, keyCols, "left_anti")
                 .withColumn("_change_type", lit("insert")))
           })
-        if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
-          return snap.version + 1
+        val committed = TxLog.tryCommit(fs, root, snap.version + 1, entries)
+        if (idFeed) srcAligned.unpersist()
+        if (committed) return snap.version + 1
         attempt += 1
         require(attempt < maxRetries, s"merge into $root lost $maxRetries races")
       }
@@ -714,6 +736,25 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     */
   def applyChanges(changes: DataFrame, keyCols: Seq[String]): Long = {
     require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    applyChangesCore(changes, keyCols, byId = false)
+  }
+
+  /** [[applyChanges]] keyed by ROW IDENTITY instead of caller-supplied
+    * key columns — the keyless replica primitive row tracking exists
+    * for: the slice is [[readChanges]]`(withRowIds = true)` output (or
+    * any frame carrying `_row_id`), deletes/preimages retract their
+    * ids, inserts/postimages land under their EXPLICIT ids (the replica
+    * stores the upstream's identities verbatim — re-applying a slice is
+    * id-idempotent by construction, and no uniqueness assumption about
+    * data columns is ever needed). This table must itself be
+    * row-tracked; the id watermark advances past the highest applied id
+    * so local appends never collide with replicated identities.
+    */
+  def applyChangesById(changes: DataFrame): Long =
+    applyChangesCore(changes, Seq(RowIdCol), byId = true)
+
+  private def applyChangesCore(changes: DataFrame, keyCols: Seq[String],
+      byId: Boolean): Long = {
     val slice = changes.cache()
     try {
       // generated columns are create-time-fixed: a slice lacking one is
@@ -721,6 +762,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // via the feed upholds the same invariant as append/merge
       val first = TxLog.snapshot(fs, root)
       gateWriter(first.meta)
+      require(!byId || first.meta.tracksRows,
+        s"applyChangesById needs row tracking on $root " +
+          "(create(enableRowTracking))")
       val ins = applyGenerated(
         slice.where(col("_change_type").isin("insert", "update_postimage"))
           .drop("_change_type", "_commit_version"), first.meta)
@@ -736,21 +780,27 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         enforceConstraints(ins.select(
           snap.meta.schema.fieldNames.filter(ins.columns.contains).map(col): _*),
           snap.meta)
-        val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
+        val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true,
+          withRowId = byId)
         val hit = nullSafeKeyJoin(cur, touched, keyCols, "left_semi")
           .select(col(FileCol).as("f")).distinct()
           .collect().map(r => relPath(r.getString(0))).toSet
         val affected = snap.adds.filter(a => hit(a.path))
         val tracks = snap.meta.tracksRows
+        val idFeed = tracks && snap.meta.cdf
         val oldRows = readFiles(snap, affected.map(_.path),
           withRowId = tracks)
         val survivors = nullSafeKeyJoin(oldRows, touched, keyCols, "left_anti")
         val insAligned0 = ins.select(snap.meta.schema.fieldNames.map(col): _*)
-        // an upsert replacing a key INHERITS that row's id (idempotent
-        // replica maintenance without key assumptions — re-applying a
-        // slice reproduces the same ids); brand-new keys draw fresh ids
+        // keyed mode: an upsert replacing a key INHERITS that row's id
+        // (idempotent replica maintenance — re-applying a slice
+        // reproduces the same ids), brand-new keys draw fresh ids.
+        // id mode: the slice's OWN ids land verbatim — identity is the
+        // key, so there is nothing to look up.
         val insAligned =
-          if (!tracks) insAligned0
+          if (byId) ins.select((snap.meta.schema.fieldNames.toSeq :+
+            RowIdCol).map(col): _*)
+          else if (!tracks) insAligned0
           else nullSafeKeyJoin(insAligned0,
             oldRows.groupBy(keyCols.map(col): _*)
               .agg(min(col(RowIdCol)).as("__old_rid")),
@@ -758,6 +808,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
             .withColumn(RowIdCol, coalesce(col("__old_rid"),
               lit(snap.meta.nextRowId) + monotonically_increasing_id()))
             .drop("__old_rid")
+        // an id-carrying feed must record the SAME fresh ids the write
+        // lands — materialize the keyed-mode assignment once so capture
+        // and staging agree (byId slices carry explicit ids: already
+        // deterministic)
+        if (idFeed && !byId) { insAligned.cache(); insAligned.count(): Unit }
         val adds = stageWrite(survivors.unionByName(insAligned), snap.meta)
         val newMeta =
           if (tracks) bumpWatermark(snap.meta, adds) else snap.meta
@@ -769,24 +824,29 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           captureTail(snap.meta, "APPLY_CHANGES", snap.version, {
             // this table's OWN feed keeps the four-type fidelity: a key
             // both removed and upserted is an update pair, a key only
-            // removed a delete, a key with no prior row an insert
-            val old = nullSafeKeyJoin(readFiles(snap, affected.map(_.path)),
+            // removed a delete, a key with no prior row an insert. On a
+            // tracked CDF table every image carries its _row_id.
+            val old = nullSafeKeyJoin(
+              readFiles(snap, affected.map(_.path), withRowId = idFeed),
               touched, keyCols, "left_semi")
+            val insCap = if (idFeed) insAligned else insAligned0
             val insKeys = ins.select(keyCols.map(col): _*).distinct()
             val oldKeys = old.select(keyCols.map(col): _*).distinct()
             nullSafeKeyJoin(old, insKeys, keyCols, "left_semi")
               .withColumn("_change_type", lit("update_preimage"))
-              .unionAll(nullSafeKeyJoin(old, insKeys, keyCols, "left_anti")
+              .unionByName(nullSafeKeyJoin(old, insKeys, keyCols,
+                  "left_anti")
                 .withColumn("_change_type", lit("delete")))
-              .unionAll(nullSafeKeyJoin(insAligned0, oldKeys, keyCols,
+              .unionByName(nullSafeKeyJoin(insCap, oldKeys, keyCols,
                   "left_semi")
                 .withColumn("_change_type", lit("update_postimage")))
-              .unionAll(nullSafeKeyJoin(insAligned0, oldKeys, keyCols,
+              .unionByName(nullSafeKeyJoin(insCap, oldKeys, keyCols,
                   "left_anti")
                 .withColumn("_change_type", lit("insert")))
           })
-        if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
-          return snap.version + 1
+        val committed = TxLog.tryCommit(fs, root, snap.version + 1, entries)
+        if (idFeed && !byId) insAligned.unpersist()
+        if (committed) return snap.version + 1
         attempt += 1
         require(attempt < maxRetries,
           s"applyChanges on $root lost $maxRetries races")
@@ -1505,12 +1565,27 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * vacuumed refuse loudly: the change horizon is the vacuum horizon,
     * Delta's rule too.
     */
-  def readChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+  /** `withRowIds = true` (row-tracked tables only) projects each change
+    * row's stable `_row_id` into the feed — identity-based lineage for
+    * CDF consumers (Delta's motivation for row tracking): an update's
+    * pre/postimage pair joins on id with zero key assumptions, and
+    * [[applyChangesById]] maintains a replica from the feed alone.
+    * Captured commits read ids from their `_change_data` files (staged
+    * id-carrying since capture+tracking coexisted; older captures
+    * surface null ids), file-backed fallbacks read the physical
+    * `_row_id` column — which also makes the copy-on-write survivor
+    * cancellation exact per identity. */
+  def readChanges(fromVersion: Long, toVersion: Long,
+      withRowIds: Boolean = false): DataFrame = {
     val latest = version
     require(latest >= 0, s"no transaction log at $root")
     require(0 <= fromVersion && fromVersion <= toVersion && toVersion <= latest,
       s"change range [$fromVersion, $toVersion] outside [0, $latest] at $root")
     val head = TxLog.snapshot(fs, root, Some(toVersion))
+    require(!withRowIds || head.meta.tracksRows,
+      s"row tracking is not enabled on $root (create(enableRowTracking))")
+    val idExtra =
+      if (withRowIds) Seq(col(RowIdCol)) else Nil
     // column identity across versions is the PHYSICAL name: a version's
     // frame (logical names of ITS meta) maps onto the head's logical
     // names through physicalOf on both sides, so a feed range crossing a
@@ -1542,27 +1617,39 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           // change-data files store physical names directly
           val df = spark.read.parquet(
             cdfFiles.map(c => new Path(root, c.path).toString): _*)
+          val idCol =
+            if (!withRowIds) Nil
+            else if (df.columns.contains(RowIdCol)) Seq(col(RowIdCol))
+            else Seq(lit(null).cast("long").as(RowIdCol))
           val aligned = df.select(head.meta.schema.fields.map { f =>
             val p = head.meta.physicalOf(f.name)
             if (df.columns.contains(p)) col(p).as(f.name)
             else lit(null).cast(f.dataType).as(f.name)
-          }.toIndexedSeq :+ col("_change_type"): _*)
+          }.toIndexedSeq ++ idCol :+ col("_change_type"): _*)
           Some(stamp(aligned))
         }
       } else if (addedPaths.isEmpty && removedPaths.isEmpty) None
       else if (removedPaths.isEmpty) {
         val snapV = TxLog.snapshot(fs, root, Some(v))
-        Some(stamp(alignFrom(readFiles(snapV, addedPaths), snapV.meta)
+        Some(stamp(alignFrom(
+          readFiles(snapV, addedPaths, withRowId = withRowIds),
+          snapV.meta, idExtra)
           .withColumn("_change_type", lit("insert"))))
       } else if (addedPaths.isEmpty) {
         val snapP = TxLog.snapshot(fs, root, Some(v - 1))
-        Some(stamp(alignFrom(readFiles(snapP, removedPaths), snapP.meta)
+        Some(stamp(alignFrom(
+          readFiles(snapP, removedPaths, withRowId = withRowIds),
+          snapP.meta, idExtra)
           .withColumn("_change_type", lit("delete"))))
       } else {
         val snapV = TxLog.snapshot(fs, root, Some(v))
         val snapP = TxLog.snapshot(fs, root, Some(v - 1))
-        val added = alignFrom(readFiles(snapV, addedPaths), snapV.meta)
-        val removed = alignFrom(readFiles(snapP, removedPaths), snapP.meta)
+        val added = alignFrom(
+          readFiles(snapV, addedPaths, withRowId = withRowIds),
+          snapV.meta, idExtra)
+        val removed = alignFrom(
+          readFiles(snapP, removedPaths, withRowId = withRowIds),
+          snapP.meta, idExtra)
         val ins = added.exceptAll(removed)
           .withColumn("_change_type", lit("insert"))
         val del = removed.exceptAll(added)
@@ -1571,7 +1658,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       }
     }
     if (perCommit.nonEmpty) perCommit.reduce(_ unionAll _)
-    else alignFrom(readFiles(head, Nil), head.meta)
+    else alignFrom(readFiles(head, Nil, withRowId = withRowIds),
+        head.meta, idExtra)
       .withColumn("_change_type", lit(""))
       .withColumn("_commit_version", lit(0L))
       .limit(0)

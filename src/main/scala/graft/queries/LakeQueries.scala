@@ -1417,6 +1417,72 @@ object LakeQueries {
            |WHERE o_orderkey % 3 <> 0
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** ROW IDS THROUGH THE CHANGE FEED ([[graft.lake.TxTable
+    * .readChanges]]`(withRowIds)` + [[graft.lake.TxTable
+    * .applyChangesById]], Delta's row-tracking × CDF integration): on a
+    * tracked CDF table every captured image carries its stable
+    * `_row_id`, so (a) an update's pre/postimage pair joins BY ID
+    * ALONE — zero key assumptions — and (b) a replica maintains itself
+    * from the feed with no key argument at all, storing the upstream's
+    * identities verbatim. The query scripts update → optimize (pure
+    * rewrite: REQUIREd empty feed) → delete, drives a keyless replica
+    * over every version slice, REQUIREs replica ≡ upstream INCLUDING
+    * ids, and emits the id-joined update pairs plus the deleted rows —
+    * a broken id on either side of a pair breaks the join and the
+    * hash.
+    */
+  val extLakeCdfRowIds = Q(
+    "ext_lake_cdf_row_ids",
+    (s, dir) => {
+      import s.implicits._
+      val region = t(s, dir, "region").select($"r_regionkey", $"r_name")
+      val up = new TxTable(s, scratch("lake_cdf_rid", dir))
+      up.create(region.repartition(3), enableChangeDataFeed = true,
+        enableRowTracking = true)                              // v0
+      val vUpd = up.update($"r_regionkey" % 2 === 0,
+        Map("r_name" -> concat($"r_name", lit("_V2"))))        // v1
+      val vOpt = up.optimize()                                 // v2: churn
+      require(vOpt > vUpd, "optimize must have compacted something")
+      val vDel = up.deleteWhere($"r_regionkey" === 1)          // v3
+      require(up.readChanges(vOpt, vOpt).limit(1).count() == 0,
+        "OPTIMIZE is a pure rewrite: its feed slice must be empty")
+      // keyless replica: fold each version's id-carrying slice in
+      val replica = new TxTable(s, scratch("lake_cdf_rid_rep", dir))
+      replica.create(region.limit(0), enableRowTracking = true)
+      (0L to up.version).foreach { v =>
+        val slice = up.readChanges(v, v, withRowIds = true)
+        if (slice.limit(1).count() > 0) replica.applyChangesById(slice)
+      }
+      val a = up.readWithRowIds()
+        .select($"r_regionkey", $"r_name", $"_row_id")
+      val b = replica.readWithRowIds()
+        .select($"r_regionkey", $"r_name", $"_row_id")
+      require(a.exceptAll(b).limit(1).count() == 0 &&
+        b.exceptAll(a).limit(1).count() == 0,
+        "keyless replica must equal the upstream INCLUDING row ids")
+      val feed1 = up.readChanges(vUpd, vUpd, withRowIds = true)
+      val pre = feed1.where($"_change_type" === "update_preimage")
+        .select($"_row_id", $"r_regionkey", $"r_name".as("old_name"))
+      val post = feed1.where($"_change_type" === "update_postimage")
+        .select($"_row_id", $"r_name".as("new_name"))
+      val pairs = pre.join(post, "_row_id")
+        .select(lit("update").as("kind"), $"r_regionkey", $"old_name",
+          $"new_name")
+      val dels = up.readChanges(vDel, vDel, withRowIds = true)
+        .where($"_change_type" === "delete")
+        .select(lit("delete").as("kind"), $"r_regionkey",
+          $"r_name".as("old_name"),
+          lit(null).cast("string").as("new_name"))
+      pairs.unionByName(dels).orderBy($"kind", $"r_regionkey")
+    },
+    Some("""SELECT 'delete' AS kind, r_regionkey, r_name AS old_name,
+           |       CAST(NULL AS VARCHAR) AS new_name
+           |FROM region WHERE r_regionkey = 1
+           |UNION ALL
+           |SELECT 'update', r_regionkey, r_name, r_name || '_V2'
+           |FROM region WHERE r_regionkey % 2 = 0
+           |ORDER BY kind, r_regionkey""".stripMargin))
+
   /** DROP COLUMN + re-add under column mapping
     * ([[graft.lake.TxTable.dropColumn]]): o_custkey is dropped
     * metadata-only (the query REQUIREs no data file changed), then a
@@ -1655,6 +1721,7 @@ object LakeQueries {
     extLakeBloomLookup, extLakePartitionEvolution, extLakeGeneratedCol,
     extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,
-    extLakeHistory, extLakeDetail, extLakeRowTracking, extLakeZorderScan,
+    extLakeHistory, extLakeDetail, extLakeRowTracking, extLakeCdfRowIds,
+    extLakeZorderScan,
     extLakeClone, extLakeRestore, extLakeConstraint, extLakeUpdate)
 }

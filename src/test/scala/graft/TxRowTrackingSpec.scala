@@ -125,6 +125,84 @@ class TxRowTrackingSpec extends SparkSpec {
     assert(idsByKey(tab) === after)
   }
 
+  test("the change feed carries row ids: update pairs id-join, capture " +
+      "ids equal the table's written ids") {
+    val tab = new TxTable(spark, freshRoot("feed"))
+    tab.create(docs(10).coalesce(2), enableChangeDataFeed = true,
+      enableRowTracking = true)
+    val v1 = tab.update($"id" % 3 === 0L, Map("text" -> lit("EDITED")))
+    val v2 = tab.merge(docs(4, from = 8L).withColumn("text", lit("M")),
+      Seq("id")) // 8,9 match; 10,11 insert
+    val v3 = tab.deleteWhere($"id" === 5L)
+    val byKey = idsByKey(tab)
+    // update pair: pre and post share the row's id
+    val f1 = tab.readChanges(v1, v1, withRowIds = true)
+    val pre = f1.where($"_change_type" === "update_preimage")
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    val post = f1.where($"_change_type" === "update_postimage")
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(pre.keySet === Set(0L, 3L, 6L, 9L))
+    assert(pre === post, "pre/postimage must share the row's identity")
+    // merge feed: matched pairs keep ids, INSERT ids equal the ids the
+    // write actually landed (the materialized-assignment contract)
+    val f2 = tab.readChanges(v2, v2, withRowIds = true)
+    val insIds = f2.where($"_change_type" === "insert")
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(insIds.keySet === Set(10L, 11L))
+    insIds.foreach { case (k, rid) =>
+      assert(rid === byKey(k),
+        s"feed insert id $rid for key $k != written id ${byKey(k)}")
+    }
+    // delete feed: the retracted identity rides along
+    val delIds = tab.readChanges(v3, v3, withRowIds = true)
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toSeq
+    assert(delIds.map(_._1) === Seq(5L))
+    // plain readChanges keeps its schema (no _row_id column)
+    assert(!tab.readChanges(v1, v1).columns.contains("_row_id"))
+    // an untracked table refuses the id-carrying feed
+    val plain = new TxTable(spark, freshRoot("feedplain"))
+    plain.create(docs(3), enableChangeDataFeed = true)
+    intercept[IllegalArgumentException](
+      plain.readChanges(0L, 0L, withRowIds = true))
+  }
+
+  test("streamed keyless replica: CDF stream withRowIds + applyChangesById " +
+      "reproduces content AND identities") {
+    val upDir = freshRoot("streamup")
+    val up = new TxTable(spark, upDir)
+    up.create(docs(8).coalesce(2), enableChangeDataFeed = true,
+      enableRowTracking = true)
+    val replica = new TxTable(spark, freshRoot("streamrep"))
+    replica.create(docs(0).coalesce(1), enableRowTracking = true)
+    val q = spark.readStream.format("graft.lake.TxLogStreamProvider")
+      .option("path", upDir).option("readChangeFeed", "true")
+      .option("withRowIds", "true").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cached = batch.cache()
+        try {
+          val versions = cached.select($"_commit_version").distinct()
+            .as[Long].collect().sorted
+          versions.foreach { v =>
+            // NO key argument: identity is the key
+            replica.applyChangesById(
+              cached.where($"_commit_version" === v)): Unit
+          }
+        } finally { cached.unpersist(); () }
+      }.start()
+    try {
+      q.processAllAvailable()
+      up.update($"id" % 2 === 0L, Map("text" -> lit("U")))
+      up.deleteWhere($"id" === 3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    val a = up.readWithRowIds().select($"id", $"text", $"_row_id")
+      .as[(Long, String, Long)].collect().toSet
+    val b = replica.readWithRowIds().select($"id", $"text", $"_row_id")
+      .as[(Long, String, Long)].collect().toSet
+    assert(a === b, "replica must equal upstream including identities")
+  }
+
   test("concurrent tracked appends never duplicate an id") {
     val tab = new TxTable(spark, freshRoot("conc"))
     tab.create(docs(10), enableRowTracking = true)
