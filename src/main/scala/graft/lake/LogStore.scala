@@ -78,6 +78,53 @@ object LogStore {
       mutex.synchronized { !fs.exists(dst) && fs.rename(tmp, dst) }
   }
 
+  /** CROSS-PROCESS claim via an external COORDINATOR filesystem — the
+    * S3DynamoDBLogStore shape with a lock-table DIRECTORY instead of a
+    * DynamoDB table: to publish `dst` on a store whose own primitives
+    * cannot refuse an existing key, a writer first claims a marker file
+    * (named by the SHA-256 of dst's URI) in `coordDir` through the
+    * coordinator's OWN atomic claim ([[claimFor]]: hard link on POSIX,
+    * no-overwrite rename on HDFS) — exactly one claimer across any
+    * number of JVMs/processes ever wins the marker, and ONLY the winner
+    * PUTs tmp → dst, so the non-atomic store's last-writer-wins rename
+    * is never racing anyone. Deployment: point every writer at the same
+    * coordinator directory (a shared POSIX or HDFS mount), e.g.
+    * `LogStore.register("s3a", new LogStore.CoordinatedClaim(lockFs,
+    * lockDir))`.
+    *
+    * Caveat (Delta's incomplete-entry problem, documented there too): a
+    * winner that crashes between marker and PUT leaves the version
+    * claimed-but-unpublished; readers fail loudly on the missing commit
+    * and an operator removes the orphaned marker after verifying `dst`
+    * is absent. Delta's DynamoDB store automates that recovery with
+    * entry-complete flags; a lock-dir deployment handles it
+    * operationally. The marker's CONTENT records the dst URI it locks,
+    * for exactly that triage.
+    */
+  final class CoordinatedClaim(coordFs: FileSystem, coordDir: Path)
+      extends Claim {
+    def claim(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
+      coordFs.mkdirs(coordDir)
+      val key = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dst.toUri.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val marker = new Path(coordDir, key + ".lock")
+      val ticket = new Path(coordDir,
+        s".claim-${java.util.UUID.randomUUID}")
+      val out = coordFs.create(ticket, true)
+      try out.write(dst.toUri.toString.getBytes("UTF-8"))
+      finally out.close()
+      val won =
+        try claimFor(coordFs).claim(coordFs, ticket, marker)
+        finally {
+          if (coordFs.exists(ticket)) coordFs.delete(ticket, false): Unit
+        }
+      // single winner: the data-store PUT races nobody, plain rename
+      // (or write) is now sound even where the store cannot refuse keys
+      won && fs.rename(tmp, dst)
+    }
+  }
+
   /** Schemes where [[RenameClaim]] is known sound: HDFS and its proxies
     * implement rename-refuses-existing atomically server-side. */
   private val renameAtomicSchemes = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")

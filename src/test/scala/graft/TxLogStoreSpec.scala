@@ -112,6 +112,82 @@ class TxLogStoreSpec extends SparkSpec {
     } finally LogStore.unregister("mocks3")
   }
 
+  test("CoordinatedClaim: two independent claim instances (two 'JVMs') " +
+      "racing through the non-atomic store — exactly one winner") {
+    val fs = mockFs()
+    val root = freshRoot("coord")
+    fs.mkdirs(root)
+    val coordDir = new Path(Files.createTempDirectory("coord_lock").toString)
+    val coordFs = coordDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // two SEPARATE instances: no shared JVM state may decide the race —
+    // only the coordinator directory's atomic primitive does
+    val claimA = new LogStore.CoordinatedClaim(coordFs, coordDir)
+    val claimB = new LogStore.CoordinatedClaim(coordFs, coordDir)
+    val dst = new Path(root, "00000000000000000000.json")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val barrier = new java.util.concurrent.CyclicBarrier(8)
+      val wins = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence((0 until 8).map { i =>
+          scala.concurrent.Future {
+            val tmp = new Path(root, s"tmp_$i")
+            val out = fs.create(tmp, true)
+            try out.write(s"writer-$i".getBytes("UTF-8"))
+            finally out.close()
+            barrier.await()
+            (if (i % 2 == 0) claimA else claimB).claim(fs, tmp, dst)
+          }
+        }),
+        scala.concurrent.duration.Duration(60, "s"))
+      assert(wins.count(identity) === 1,
+        s"expected exactly one winning coordinated claim, got $wins")
+      val winner = wins.indexOf(true)
+      val in = fs.open(dst)
+      val buf = new Array[Byte](64)
+      val n = in.read(buf); in.close()
+      assert(new String(buf, 0, n, "UTF-8") === s"writer-$winner",
+        "the winner's content must survive intact — no overwrite")
+    } finally pool.shutdown()
+  }
+
+  test("CoordinatedClaim registered for the scheme: full tryCommit race, " +
+      "one winner, losers retry cleanly") {
+    val coordDir = new Path(Files.createTempDirectory("coord_lock2").toString)
+    val coordFs = coordDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    LogStore.register("mocks3",
+      new LogStore.CoordinatedClaim(coordFs, coordDir))
+    try {
+      val fs = mockFs()
+      val root = freshRoot("coordrace")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val barrier = new java.util.concurrent.CyclicBarrier(8)
+        val wins = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence((0 until 8).map { i =>
+            scala.concurrent.Future {
+              barrier.await()
+              TxLog.tryCommit(fs, root, 0L, entriesFor(s"CREATE_$i"))
+            }
+          }),
+          scala.concurrent.duration.Duration(60, "s"))
+        assert(wins.count(identity) === 1,
+          s"expected exactly one winning claim, got $wins")
+        assert(TxLog.latestVersion(fs, root) === 0L)
+        val ops = TxLog.commitInfo(fs, root, 0L).map(_.op).toSeq
+        assert(ops.size === 1 && ops.head.startsWith("CREATE_"))
+        // and the NEXT version claims cleanly (fresh marker per dst)
+        assert(TxLog.tryCommit(fs, root, 1L, entriesFor("APPEND")))
+        assert(TxLog.latestVersion(fs, root) === 1L)
+      } finally pool.shutdown()
+    } finally LogStore.unregister("mocks3")
+  }
+
   test("explicit single-writer acknowledgment unlocks plain rename commits") {
     val fs = mockFs(LogStore.unsafeSingleWriterKey -> "true")
     val root = freshRoot("single")
