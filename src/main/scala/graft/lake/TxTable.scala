@@ -1434,12 +1434,23 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val snap = TxLog.snapshot(fs, root, asOf)
     val bytes = snap.adds.map(a => a.bytes.getOrElse(
       fs.getFileStatus(new Path(root, a.path)).getLen)).sum
+    // change-feed footprint at this version: the staged _change_data of
+    // commits 0..version that still exist on disk (vacuum reclaims the
+    // expired ones with their commits' files — the feed horizon IS the
+    // vacuum horizon). Log + fs metadata only, no data file opened.
+    val feedPaths = (0L to snap.version).flatMap(v =>
+      TxLog.commitEntries(fs, root, v).flatMap(_.cdf).map(_.path))
+    val feedStatus = feedPaths.flatMap { rel =>
+      val p = new Path(root, rel)
+      if (fs.exists(p)) Some(fs.getFileStatus(p).getLen) else None
+    }
     val row = Row(rootStr, snap.version, snap.adds.size.toLong,
       snap.adds.map(_.rows).sum, bytes,
       snap.adds.map(_.dvSize).sum,
       snap.meta.partitionCols, snap.meta.features, snap.meta.writerFeats,
       snap.meta.generated, snap.meta.cdf,
-      snap.meta.checkExprs.size.toLong)
+      snap.meta.checkExprs.size.toLong,
+      feedStatus.size.toLong, feedStatus.sum)
     spark.createDataFrame(Seq(row).asJava, StructType(Seq(
       StructField("location", StringType, nullable = false),
       StructField("version", LongType, nullable = false),
@@ -1453,7 +1464,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       StructField("generated_columns", MapType(StringType, StringType),
         nullable = false),
       StructField("cdf_enabled", BooleanType, nullable = false),
-      StructField("num_constraints", LongType, nullable = false))))
+      StructField("num_constraints", LongType, nullable = false),
+      StructField("cdf_feed_files", LongType, nullable = false),
+      StructField("cdf_feed_bytes", LongType, nullable = false))))
   }
 
   // ---- reads ----

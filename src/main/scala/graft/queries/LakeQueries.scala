@@ -1351,7 +1351,11 @@ object LakeQueries {
           array_join($"writer_features", ",").as("writer_feats"),
           array_join(sort_array(map_keys($"generated_columns")), ",")
             .as("generated_cols"),
-          $"cdf_enabled", $"num_constraints")
+          $"cdf_enabled", $"num_constraints",
+          // feed bytes are layout-dependent; the PRESENCE of staged
+          // change data at each version is deterministic (v2's DV
+          // delete captured, v0 clean)
+          ($"cdf_feed_files" > 0).as("has_feed"))
       slim(tab.detail(), "head")
         .unionAll(slim(tab.detail(asOf = Some(0L)), "v0"))
         .orderBy($"snap")
@@ -1366,12 +1370,13 @@ object LakeQueries {
            |       'changeDataFeed,checkConstraints,deletionVectors,generatedColumns'
            |         AS writer_feats,
            |       'o_year' AS generated_cols,
-           |       TRUE AS cdf_enabled, CAST(1 AS BIGINT) AS num_constraints
+           |       TRUE AS cdf_enabled, CAST(1 AS BIGINT) AS num_constraints,
+           |       TRUE AS has_feed
            |UNION ALL
            |SELECT 'v0', CAST(0 AS BIGINT),
            |       (SELECT COUNT(*) FROM orders), CAST(0 AS BIGINT),
            |       'o_year', '', 'changeDataFeed,generatedColumns', 'o_year',
-           |       TRUE, CAST(0 AS BIGINT)
+           |       TRUE, CAST(0 AS BIGINT), FALSE
            |ORDER BY snap""".stripMargin))
 
   /** ROW TRACKING ([[graft.lake.TxTable.readWithRowIds]], Delta's row

@@ -222,6 +222,36 @@ class TxLogSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("vacuum reclaims expired _change_data with its commits' files; " +
+      "kept feed slices stay readable; detail reports the footprint") {
+    val root = freshRoot("vaccdf")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(20).coalesce(1), enableChangeDataFeed = true)  // v0
+    tab.update($"id" < 5L, Map("text" -> lit("A")))                // v1
+    tab.deleteWhere($"id" === 7L)                                  // v2
+    tab.append(docs(3).withColumn("id", $"id" + 100L).coalesce(1)) // v3
+    tab.update($"id" === 101L, Map("text" -> lit("B")))            // v4
+    val before = tab.detail().select("cdf_feed_files", "cdf_feed_bytes")
+      .as[(Long, Long)].collect().head
+    assert(before._1 >= 3 && before._2 > 0,
+      "v1/v2/v4 must each have staged change data")
+    // keep the last two versions: v1/v2's feed (and data) expire
+    val removed = tab.vacuum(keepVersions = 2)
+    assert(removed.exists(_.startsWith("_change_data/")),
+      "expired _change_data must be reclaimed together with data files")
+    // expired slices refuse loudly — the feed horizon IS the vacuum
+    // horizon (Delta's rule)
+    val err = intercept[Exception](tab.readChanges(1L, 1L).count())
+    assert(err.getMessage.contains("vacuum"))
+    // kept slices read exactly as before
+    assert(tab.readChanges(4L, 4L)
+      .where($"_change_type" === "update_postimage").count() === 1L)
+    val after = tab.detail().select("cdf_feed_files", "cdf_feed_bytes")
+      .as[(Long, Long)].collect().head
+    assert(after._1 < before._1 && after._2 < before._2,
+      "detail must reflect the reclaimed feed footprint")
+  }
+
   test("vacuum's age guard protects young (possibly in-flight) files") {
     val tab = new TxTable(spark, freshRoot("age"))
     tab.create(docs(20))
