@@ -94,7 +94,9 @@ object TxLog {
       generatedColumns: Option[Map[String, String]] = None,
       writerFeatures: Option[List[String]] = None,
       rowTracking: Option[Boolean] = None,
-      rowIdWatermark: Option[Long] = None) {
+      rowIdWatermark: Option[Long] = None,
+      identityColumns: Option[Map[String, Long]] = None,
+      defaultValues: Option[Map[String, String]] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def checkExprs: List[String] = constraints.getOrElse(Nil)
     def cdf: Boolean = cdfEnabled.getOrElse(false)
@@ -137,6 +139,19 @@ object TxLog {
       * allocation may leave gaps — only uniqueness and stability are
       * promised, Delta's contract too). */
     def nextRowId: Long = rowIdWatermark.getOrElse(0L)
+    /** IDENTITY columns (Delta's GENERATED ALWAYS AS IDENTITY, start 1
+      * step 1): logical column name → next unallocated value. Ingest
+      * paths ALLOCATE the column when absent (monotonic from the
+      * watermark, gaps allowed — Delta's contract) and REFUSE an
+      * explicitly supplied value; the watermark bumps past each write's
+      * own staged max, riding the same stats the skipping scan uses. */
+    def identities: Map[String, Long] = identityColumns.getOrElse(Map.empty)
+    /** DEFAULT values: logical column name → SQL expression, fixed at
+      * CREATE. An ingest frame LACKING the column gets the expression
+      * (cast to the column's type) instead of the null that plain
+      * schema alignment would write; a frame carrying the column keeps
+      * its explicit values (SQL DEFAULT semantics). */
+    def defaults: Map[String, String] = defaultValues.getOrElse(Map.empty)
   }
   /** `path` is relative to the table root; data files are immutable.
     * `rows` counts LIVE rows (physical rows minus the deletion vector).
@@ -267,7 +282,8 @@ object TxLog {
     * consult this set. */
   val supportedWriterFeatures: Set[String] =
     Set("checkConstraints", "generatedColumns", "deletionVectors",
-      "columnMapping", "changeDataFeed", "rowTracking")
+      "columnMapping", "changeDataFeed", "rowTracking",
+      "identityColumns", "defaultValues")
 
   /** Entry count at which a checkpoint is written as PARQUET instead of
     * single-string JSON. Below it, the distributed write/read is pure

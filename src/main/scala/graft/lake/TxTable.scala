@@ -65,16 +65,45 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * stable `_row_id`, preserved through every rewrite — see
     * [[TxLog.Meta.tracksRows]] and [[readWithRowIds]]. Create-time
     * opt-in only, like the CDF flag. */
+  /** `identityColumns` declares GENERATED ALWAYS AS IDENTITY columns
+    * (start 1, step 1): the create frame must NOT carry them (always
+    * generated, never supplied — Delta's rule); every append-style
+    * ingest allocates monotonically from the logged watermark. Gaps are
+    * allowed; uniqueness and monotonic allocation are the contract.
+    * `defaultValues` declares per-column DEFAULT SQL expressions; the
+    * column must exist in the create frame (it fixes the type), later
+    * ingest frames LACKING it get the expression instead of null. Both
+    * stamp writer features — a version-skewed writer refuses instead of
+    * landing duplicate identities or null-filled defaults. */
   def create(df: DataFrame, partitionCols: Seq[String] = Nil,
       enableChangeDataFeed: Boolean = false,
       generatedColumns: Map[String, String] = Map.empty,
-      enableRowTracking: Boolean = false): Long = {
+      enableRowTracking: Boolean = false,
+      identityColumns: Seq[String] = Nil,
+      defaultValues: Map[String, String] = Map.empty): Long = {
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
+    identityColumns.foreach { c =>
+      require(!df.columns.contains(c),
+        s"identity column $c is GENERATED ALWAYS — the create frame " +
+          "must not supply it")
+      require(!partitionCols.contains(c) && !generatedColumns.contains(c) &&
+        !defaultValues.contains(c),
+        s"identity column $c cannot also be a partition/generated/" +
+          "defaulted column")
+    }
+    defaultValues.keys.foreach(c => require(df.columns.contains(c),
+      s"DEFAULT column $c must exist in the create frame (it fixes the " +
+        "column's type)"))
     val gen =
       if (generatedColumns.isEmpty) None else Some(generatedColumns)
-    val df2 = applyGenerated(df,
-      Meta(df.schema.json, Nil, generatedColumns = gen))
+    val idents =
+      if (identityColumns.isEmpty) None
+      else Some(identityColumns.map(_ -> 1L).toMap)
+    val dfIdent = identityColumns.foldLeft(df)((d, c) =>
+      d.withColumn(c, lit(1L) + monotonically_increasing_id()))
+    val df2 = applyGenerated(dfIdent,
+      Meta(dfIdent.schema.json, Nil, generatedColumns = gen))
     val df3 = if (enableRowTracking) assignRowIds(df2, 0L) else df2
     // features a naive writer would break are stamped from birth: a
     // version-skewed writer refuses instead of landing diverging
@@ -83,14 +112,20 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val meta = (Seq(
       if (enableChangeDataFeed) Some("changeDataFeed") else None,
       if (gen.isDefined) Some("generatedColumns") else None,
-      if (enableRowTracking) Some("rowTracking") else None).flatten)
+      if (enableRowTracking) Some("rowTracking") else None,
+      if (idents.isDefined) Some("identityColumns") else None,
+      if (defaultValues.nonEmpty) Some("defaultValues") else None).flatten)
       .foldLeft(Meta(df2.schema.json, partitionCols.toList,
         cdfEnabled = if (enableChangeDataFeed) Some(true) else None,
         generatedColumns = gen,
-        rowTracking = if (enableRowTracking) Some(true) else None))(
+        rowTracking = if (enableRowTracking) Some(true) else None,
+        identityColumns = idents,
+        defaultValues =
+          if (defaultValues.isEmpty) None else Some(defaultValues)))(
         _ withWriterFeature _)
     val adds = stageWrite(df3, meta)
-    val entries = LogEntry(meta = Some(bumpWatermark(meta, adds))) +:
+    val entries = LogEntry(meta =
+      Some(bumpIdentities(bumpWatermark(meta, adds), adds))) +:
       adds.map(a => LogEntry(add = Some(a))) :+
       LogEntry(info = Some(Info("CREATE", -1L)))
     require(TxLog.tryCommit(fs, root, 0L, entries),
@@ -126,9 +161,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       if (first.txns.get(t.appId).exists(_ >= t.version))
         return first.version
     }
-    // generated columns are fixed at CREATE, so the first snapshot's
-    // set is authoritative for the whole retry loop
-    val df = applyGenerated(df0, first.meta)
+    // defaults fill absent columns, then generated columns compute —
+    // both fixed at CREATE, so the first snapshot's sets are
+    // authoritative for the whole retry loop. Explicit identity values
+    // refuse up front (GENERATED ALWAYS).
+    first.meta.identities.keys.foreach(c => require(!df0.columns.contains(c),
+      s"identity column $c is GENERATED ALWAYS — writers must not " +
+        "supply it"))
+    val df = applyGenerated(applyDefaults(df0, first.meta), first.meta)
     enforceConstraints(df, first.meta)
     var checked = first.meta.checkExprs.toSet
     // the staged files are written under THIS meta's physical names; any
@@ -136,12 +176,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // would mint new physical names for re-added (post-drop) columns and
     // commit metadata pointing at columns the staged files don't carry
     val stagedMeta = evolve(first.meta, df.schema)
-    // a TRACKED append stages per attempt instead: its physical row ids
-    // come from the attempt's watermark, and a lost race to another
-    // tracked writer would otherwise duplicate ids
+    // a TRACKED (or identity-bearing) append stages per attempt
+    // instead: its physical row ids / identity values come from the
+    // attempt's watermark, and a lost race to another such writer would
+    // otherwise duplicate them
     val tracks = first.meta.tracksRows
+    val perAttempt = tracks || first.meta.identities.nonEmpty
     val stagedOnce =
-      if (tracks) Vector.empty[Add] else stageWrite(df, stagedMeta)
+      if (perAttempt) Vector.empty[Add] else stageWrite(df, stagedMeta)
     var attempt = 0
     while (attempt < maxRetries) {
       val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
@@ -164,9 +206,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val merged = evolve(snap.meta, df.schema,
         preassigned = stagedMeta.columnMapping.getOrElse(Map.empty))
       val adds =
-        if (tracks) stageWrite(assignRowIds(df, snap.meta.nextRowId), merged)
-        else stagedOnce
-      val newMeta = if (tracks) bumpWatermark(merged, adds) else merged
+        if (perAttempt) {
+          val withIds =
+            if (tracks) assignRowIds(df, snap.meta.nextRowId) else df
+          stageWrite(applyIdentities(withIds, snap.meta), merged)
+        } else stagedOnce
+      val newMeta = bumpIdentities(
+        if (tracks) bumpWatermark(merged, adds) else merged, adds)
       val metaEntry =
         if (newMeta != snap.meta) Seq(LogEntry(meta = Some(newMeta)))
         else Nil
@@ -331,6 +377,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         require(!generatedTouches(snap.meta, c),
           s"cannot UPDATE $c: it is a generated column or read by one " +
             "(the derived value would silently diverge from its source)")
+        require(!snap.meta.identities.contains(c),
+          s"cannot UPDATE identity column $c (GENERATED ALWAYS)")
       }
       val matched = coalesce(cond, lit(false))
       val tracks = snap.meta.tracksRows
@@ -409,7 +457,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // merge replays the log exactly once
     val first = TxLog.snapshot(fs, root)
     gateWriter(first.meta)
-    val src = applyGenerated(source, first.meta).cache()
+    require(first.meta.identities.isEmpty,
+      s"MERGE into $root: identity-column tables do not support keyed " +
+        "upserts (allocation for a replaced row is ambiguous) — use " +
+        "append/overwritePartition")
+    val src = applyGenerated(applyDefaults(source, first.meta),
+      first.meta).cache()
     try {
       val dups = src.groupBy(keyCols.map(col): _*)
         .count().where(col("count") > 1).limit(1).count()
@@ -586,6 +639,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         while (true) {
           val snap = TxLog.snapshot(fs, root)
           gateWriter(snap.meta)
+          require(snap.meta.identities.isEmpty,
+            s"MERGE into $root: identity-column tables do not support " +
+              "keyed upserts — use append/overwritePartition")
           val fields = snap.meta.schema.fields.toSeq
           // files holding a source key are loaded even for insert-only
           // merges: a source row matching an existing key must classify
@@ -765,9 +821,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       require(!byId || first.meta.tracksRows,
         s"applyChangesById needs row tracking on $root " +
           "(create(enableRowTracking))")
-      val ins = applyGenerated(
+      require(first.meta.identities.isEmpty,
+        s"applyChanges on $root: identity-column tables do not support " +
+          "keyed upserts (allocation for a replaced row is ambiguous)")
+      val ins = applyGenerated(applyDefaults(
         slice.where(col("_change_type").isin("insert", "update_postimage"))
-          .drop("_change_type", "_commit_version"), first.meta)
+          .drop("_change_type", "_commit_version"), first.meta), first.meta)
       val dups = ins.groupBy(keyCols.map(col): _*)
         .count().where(col("count") > 1).limit(1).count()
       require(dups == 0,
@@ -869,7 +928,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // compute it before the stray check can even look at it
     val first = TxLog.snapshot(fs, root)
     gateWriter(first.meta)
-    val df = applyGenerated(df0, first.meta)
+    first.meta.identities.keys.foreach(c => require(!df0.columns.contains(c),
+      s"identity column $c is GENERATED ALWAYS — writers must not " +
+        "supply it"))
+    val df = applyGenerated(applyDefaults(df0, first.meta), first.meta)
     val stray = df.where(col(partCol).cast("string") =!= value).limit(1).count()
     require(stray == 0, s"overwritePartition($partCol=$value) got rows outside the partition")
     var attempt = 0
@@ -888,11 +950,19 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       enforceConstraints(df, snap.meta)
       val merged = evolve(snap.meta, df.schema)
       val doomed = snap.adds.filter(_.partitionValues.get(partCol).contains(value))
-      // a whole-partition replacement is new data — fresh row ids
+      // a whole-partition replacement is new data — fresh row ids and
+      // fresh identity values, from the attempt's watermarks. A CDF
+      // identity table materializes the allocation once so the feed
+      // records the same values the write lands.
       val tracks = snap.meta.tracksRows
-      val adds = stageWrite(
-        if (tracks) assignRowIds(df, snap.meta.nextRowId) else df, merged)
-      val newMeta = if (tracks) bumpWatermark(merged, adds) else merged
+      val staged = applyIdentities(
+        if (tracks) assignRowIds(df, snap.meta.nextRowId) else df,
+        snap.meta)
+      val identCdf = snap.meta.cdf && snap.meta.identities.nonEmpty
+      if (identCdf) { staged.cache(); staged.count(): Unit }
+      val adds = stageWrite(staged, merged)
+      val newMeta = bumpIdentities(
+        if (tracks) bumpWatermark(merged, adds) else merged, adds)
       val metaEntry =
         if (newMeta != snap.meta) Seq(LogEntry(meta = Some(newMeta)))
         else Nil
@@ -908,11 +978,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
           aligned(readFiles(snap, doomed.map(_.path)))
             .withColumn("_change_type", lit("delete"))
-            .unionAll(aligned(df)
+            .unionAll(aligned(staged)
               .withColumn("_change_type", lit("insert")))
         })
-      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
-        return snap.version + 1
+      val committed = TxLog.tryCommit(fs, root, snap.version + 1, entries)
+      if (identCdf) staged.unpersist()
+      if (committed) return snap.version + 1
       attempt += 1
       require(attempt < maxRetries, s"overwrite in $root lost $maxRetries races")
     }
@@ -1113,6 +1184,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       require(!generatedTouches(snap.meta, oldName),
         s"RENAME: $oldName is a generated column or read by one — its " +
           "expression text would dangle under the new name")
+      require(!snap.meta.identities.contains(oldName) &&
+        !snap.meta.defaults.contains(oldName),
+        s"RENAME: $oldName is an identity/DEFAULT column — its " +
+          "declaration would dangle under the new name")
       val renamed = StructType(schema.fields.map(f =>
         if (f.name == oldName) f.copy(name = newName) else f))
       val mapping = snap.meta.columnMapping.getOrElse(Map.empty) -
@@ -1162,6 +1237,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       require(!generatedTouches(snap.meta, name),
         s"DROP: $name is a generated column or read by one — drop " +
           "would orphan the expression")
+      require(!snap.meta.identities.contains(name) &&
+        !snap.meta.defaults.contains(name),
+        s"DROP: $name is an identity/DEFAULT column — drop would " +
+          "orphan its declaration")
       val dropped = StructType(schema.fields.filterNot(_.name == name))
       val meta = snap.meta.copy(schemaJson = dropped.json,
         columnMapping = snap.meta.columnMapping.map(_ - name),
@@ -1879,6 +1958,42 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     else meta.copy(rowIdWatermark =
       Some(math.max(meta.nextRowId, hi.max + 1L)))
   }
+
+  /** Post-write identity watermarks: each identity column's next value
+    * moves past the write's own staged max — read from the files' stats
+    * like the row-id watermark, no extra pass. */
+  private def bumpIdentities(meta: Meta, adds: Seq[Add]): Meta =
+    if (meta.identities.isEmpty) meta
+    else {
+      val upd = meta.identities.map { case (c, next) =>
+        val hi = adds.flatMap(_.stats.get(meta.physicalOf(c)))
+          .map(_.max.toLong)
+        c -> (if (hi.isEmpty) next else math.max(next, hi.max + 1L))
+      }
+      if (upd == meta.identities) meta
+      else meta.copy(identityColumns = Some(upd))
+    }
+
+  /** Allocate absent identity columns from their watermarks; REFUSE a
+    * frame that supplies one (GENERATED ALWAYS, Delta's rule — an
+    * explicit value would silently break the uniqueness the declaration
+    * promises). */
+  private def applyIdentities(df: DataFrame, meta: Meta): DataFrame =
+    meta.identities.foldLeft(df) { case (d, (c, next)) =>
+      require(!d.columns.contains(c),
+        s"identity column $c is GENERATED ALWAYS — writers must not " +
+          "supply it")
+      d.withColumn(c, lit(next) + monotonically_increasing_id())
+    }
+
+  /** Fill absent DEFAULT columns with their expressions (cast to the
+    * declared type); explicit values win — SQL DEFAULT semantics. */
+  private def applyDefaults(df: DataFrame, meta: Meta): DataFrame =
+    meta.defaults.foldLeft(df) { case (d, (c, sql)) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c,
+        expr(sql).cast(meta.schema(c).dataType))
+    }
 
   private def readFiles(snap: Snapshot, rels: Seq[String],
       withFileCol: Boolean = false, withPos: Boolean = false,

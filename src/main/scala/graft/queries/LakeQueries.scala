@@ -1488,6 +1488,52 @@ object LakeQueries {
            |FROM region WHERE r_regionkey % 2 = 0
            |ORDER BY kind, r_regionkey""".stripMargin))
 
+  /** IDENTITY COLUMNS + DEFAULT VALUES ([[graft.lake.TxTable.create]]'s
+    * `identityColumns`/`defaultValues` — Delta's GENERATED ALWAYS AS
+    * IDENTITY and column DEFAULTs): `order_sn` is allocated by the
+    * table (monotonic from the logged watermark; the create frame and
+    * every append must NOT supply it), `status` defaults to 'NEW' when
+    * an ingest frame lacks it and keeps explicit values otherwise.
+    * Single-partition writes make the allocation contiguous, so the
+    * REQUIREs pin uniqueness and the exact [1, n] range across three
+    * commits; the oracle pins the per-status relational surface (a
+    * null-filled default or a skipped allocation breaks either). Both
+    * declarations stamp writer features; refusal behavior (explicit
+    * identity, UPDATE/MERGE/RENAME/DROP) is TxIdentityDefaultSpec's.
+    */
+  val extLakeIdentityDefault = Q(
+    "ext_lake_identity_default",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_ident", dir))
+      tab.create(orders.where($"o_orderkey" % 3 === 0)
+        .withColumn("status", lit("SEED")).coalesce(1),
+        identityColumns = Seq("order_sn"),
+        defaultValues = Map("status" -> "'NEW'"))                // v0
+      tab.append(orders.where($"o_orderkey" % 3 === 1).coalesce(1)) // v1
+      tab.append(orders.where($"o_orderkey" % 3 === 2)
+        .withColumn("status", lit("EXPLICIT")).coalesce(1))      // v2
+      val g = tab.read()
+      val n = g.count()
+      require(g.select($"order_sn").distinct().count() == n,
+        "identity values must be unique across commits")
+      val mm = g.agg(min($"order_sn"), max($"order_sn")).collect().head
+      require(mm.getLong(0) == 1L && mm.getLong(1) == n,
+        "single-partition writes must allocate contiguously from 1")
+      g.groupBy($"status")
+        .agg(count(lit(1)).as("n_rows"),
+          sum($"o_orderkey").as("sum_key"))
+        .orderBy($"status")
+    },
+    Some("""SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'SEED'
+           |            WHEN o_orderkey % 3 = 1 THEN 'NEW'
+           |            ELSE 'EXPLICIT' END AS status,
+           |       COUNT(*) AS n_rows,
+           |       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+           |FROM orders GROUP BY 1 ORDER BY status""".stripMargin))
+
   /** DROP COLUMN + re-add under column mapping
     * ([[graft.lake.TxTable.dropColumn]]): o_custkey is dropped
     * metadata-only (the query REQUIREs no data file changed), then a
@@ -1727,6 +1773,6 @@ object LakeQueries {
     extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,
     extLakeHistory, extLakeDetail, extLakeRowTracking, extLakeCdfRowIds,
-    extLakeZorderScan,
+    extLakeIdentityDefault, extLakeZorderScan,
     extLakeClone, extLakeRestore, extLakeConstraint, extLakeUpdate)
 }
