@@ -1816,8 +1816,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   /** The bloom + stats skipping decision, exposed for tests: candidate
     * files for `colName == value` after BOTH prunes. Files without a
     * sidecar for the column are kept (conservative). Sidecar loads are
-    * driver-side and bounded by the stats-surviving count; a production
-    * engine caches the deserialized filters across lookups.
+    * driver-side and bounded by the stats-surviving count, and the
+    * DESERIALIZED filters are cached process-wide ([[TxTable
+    * .bloomCache]]): sidecars are immutable UUID-named files, so a
+    * cached entry can never go stale, and a multi-key lookup
+    * ([[readEqualsAny]] — the IVM retraction's N probes against the
+    * same surviving files) pays each sidecar's IO + deserialization
+    * once instead of once per key.
     */
   def bloomCandidateFiles(snap: Snapshot, colName: String, value: Any)
       : Vector[Add] = {
@@ -1831,11 +1836,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           a.bloom.flatMap(_.get(phys)) match {
             case None => true
             case Some(rel) =>
-              val in = fs.open(new Path(root, rel))
-              val bf =
+              TxTable.bloomCache.get(new Path(root, rel).toString, () => {
+                val in = fs.open(new Path(root, rel))
                 try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
                 finally in.close()
-              bf.mightContainLong(h)
+              }).mightContainLong(h)
           }
         }
     }
@@ -2402,5 +2407,31 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+}
+
+object TxTable {
+  /** Process-wide LRU of deserialized bloom sidecars, keyed by absolute
+    * sidecar path. Safe because sidecars are IMMUTABLE UUID-named files
+    * (a new index writes a new file; vacuum deletes, never rewrites) —
+    * an entry can go unreachable, never stale. Bounded so a long-lived
+    * driver over many tables cannot grow without limit; one filter is
+    * a few hundred KB at the default fpp, so 256 entries is tens of MB.
+    */
+  private[lake] val bloomCache =
+    new SidecarCache[org.apache.spark.util.sketch.BloomFilter](256)
+
+  private[lake] final class SidecarCache[V](maxEntries: Int) {
+    private val map =
+      new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, V]): Boolean =
+          size() > maxEntries
+      }
+    def get(key: String, load: () => V): V = map.synchronized {
+      val hit = map.get(key)
+      if (hit != null) hit
+      else { val v = load(); map.put(key, v); v }
+    }
   }
 }
