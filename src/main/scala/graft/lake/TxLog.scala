@@ -520,6 +520,28 @@ object TxLog {
     */
   def prunedSnapshot(fs: FileSystem, root: Path, asOf: Option[Long],
       keep: Meta => org.apache.spark.sql.Column): Snapshot = {
+    liveAddsFrame(fs, root, asOf) match {
+      case None =>
+        val s = snapshot(fs, root, asOf)
+        lastResolve.set(("driver-fold", s.adds.size.toLong))
+        s
+      case Some((live, meta, target, txns)) =>
+        val matched = live.where(keep(meta)).as(addEncoder)
+          .collect().toVector
+        lastResolve.set(("distributed-prune", matched.size.toLong))
+        Snapshot(target, meta, matched, txns)
+    }
+  }
+
+  /** The live Add set at `asOf` AS A DATAFRAME (flattened [[Add]]
+    * columns) — Some only on the distributed path ([[prunedSnapshot]]'s
+    * gate: large pointer entry count, readable parquet checkpoint,
+    * active session). Callers aggregate or filter it in Catalyst before
+    * collecting anything; None means "fold in memory, it's cheaper". */
+  private[lake] def liveAddsFrame(fs: FileSystem, root: Path,
+      asOf: Option[Long])
+      : Option[(org.apache.spark.sql.DataFrame, Meta, Long,
+        Map[String, Long])] = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val latest = latestVersion(fs, root)
     require(latest >= 0, s"no transaction log at $root")
@@ -528,11 +550,7 @@ object TxLog {
     val big = ptr.exists(p => p.version <= target &&
       p.entries.exists(_ >= driverSnapshotMaxFiles) &&
       parquetCheckpointReadable(fs, root, p.version))
-    if (!big) {
-      val s = snapshot(fs, root, asOf)
-      lastResolve.set(("driver-fold", s.adds.size.toLong))
-      return s
-    }
+    if (!big) return None
     val spark = activeSession.get
     val ckptV = ptr.get.version
     // tail overlay, folded on the driver in commit order: net-new adds,
@@ -576,9 +594,7 @@ object TxLog {
       if (tailLive.isEmpty) base
       else base.unionByName(
         spark.createDataset(tailLive.values.toSeq)(addEncoder).toDF())
-    val matched = live.where(keep(meta)).as(addEncoder).collect().toVector
-    lastResolve.set(("distributed-prune", matched.size.toLong))
-    Snapshot(target, meta, matched, txns.toMap)
+    Some((live, meta, target, txns.toMap))
   }
 
   def snapshot(fs: FileSystem, root: Path, asOf: Option[Long] = None): Snapshot = {

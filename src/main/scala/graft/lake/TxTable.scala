@@ -1612,14 +1612,39 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * when the column has no decoded values (empty table / all-null
     * loads).
     */
+  /** Above the driver threshold the max and the matched file list both
+    * resolve DISTRIBUTED over the checkpoint (one small agg job + one
+    * pruned collection, pinned to the same version) — the medallion's
+    * hottest read stays bounded on a million-file table. Files without
+    * a decoded partition value for the column (pre-evolution layout:
+    * the column is data bytes there) are conservatively kept; the row
+    * filter stays on for exactness either way. */
   def readLatestPartition(colName: String): DataFrame = {
-    val snap = TxLog.snapshot(fs, root)
-    snap.adds.flatMap(_.partitionValues.get(colName))
-      .filterNot(_ == "__HIVE_DEFAULT_PARTITION__").maxOption match {
-      case Some(latest) =>
-        readSnapshot(snap)
-          .where(col(colName).cast("string") === lit(latest))
-      case None => readSnapshot(snap)
+    TxLog.liveAddsFrame(fs, root, None) match {
+      case Some((live, _, target, _)) =>
+        val pv = col("partitionValues").getItem(colName)
+        val latestRow = live
+          .where(pv.isNotNull && pv =!= "__HIVE_DEFAULT_PARTITION__")
+          .agg(max(pv)).collect().head
+        if (latestRow.isNullAt(0)) read(asOf = Some(target))
+        else {
+          val latest = latestRow.getString(0)
+          val snap = TxLog.prunedSnapshot(fs, root, Some(target), _ => {
+            val p = col("partitionValues").getItem(colName)
+            p.isNull || p === lit(latest)
+          })
+          readFiles(snap, snap.adds.map(_.path))
+            .where(col(colName).cast("string") === lit(latest))
+        }
+      case None =>
+        val snap = TxLog.snapshot(fs, root)
+        snap.adds.flatMap(_.partitionValues.get(colName))
+          .filterNot(_ == "__HIVE_DEFAULT_PARTITION__").maxOption match {
+          case Some(latest) =>
+            readSnapshot(snap)
+              .where(col(colName).cast("string") === lit(latest))
+          case None => readSnapshot(snap)
+        }
     }
   }
 

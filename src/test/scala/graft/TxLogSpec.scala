@@ -1463,6 +1463,47 @@ class LazySnapshotSpec extends SparkSpec {
     } finally spark.conf.unset(TxLog.driverSnapshotMaxFilesKey)
   }
 
+  test("partition-value keeps prune distributed too (latest-partition " +
+      "planning shape)") {
+    import spark.implicits._
+    val root = freshRoot("pv")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(0L, 5L).toDF("id"))
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val real = TxLog.snapshot(fs, rootP)
+    // 3000 fake files across 30 daily loads; 100 per day
+    val fakes = (0 until 3000).map(i => Add(s"fake/p$i.parquet", 10L,
+      Map("load" -> f"2026-03-${i % 30 + 1}%02d"), Map.empty,
+      bytes = Some(1L)))
+    val entries = (LogEntry(meta = Some(real.meta)) +:
+      (real.adds ++ fakes).map(a => LogEntry(add = Some(a)))).toSeq
+    val enc = org.apache.spark.sql.Encoders.product[LogEntry]
+    val ckptDir = new Path(rootP, f"_txlog/${0L}%020d.checkpoint.parquet")
+    spark.createDataset(entries)(enc).write.mode("overwrite")
+      .parquet(ckptDir.toString)
+    def put(p: Path, s: String): Unit = {
+      val o = fs.create(p, true)
+      try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    put(new Path(rootP, "_txlog/_last_checkpoint"),
+      s"""{"version":0,"entries":${entries.size}}""")
+    spark.conf.set(TxLog.driverSnapshotMaxFilesKey, "1000")
+    try {
+      // the latest-partition planning shape: keep = no decoded value
+      // (conservative — pre-evolution files) OR the pinned value
+      val pv = col("partitionValues").getItem("load")
+      val snap = TxLog.prunedSnapshot(fs, rootP, None,
+        _ => pv.isNull || pv === lit("2026-03-30"))
+      assert(TxLog.lastResolve.get()._1 === "distributed-prune")
+      val paths = snap.adds.map(_.path).toSet
+      assert(snap.adds.count(_.partitionValues.nonEmpty) === 100,
+        "exactly the pinned day's 100 files survive the pv prune")
+      assert(real.adds.map(_.path).forall(paths),
+        "files without a decoded value are conservatively kept")
+    } finally spark.conf.unset(TxLog.driverSnapshotMaxFilesKey)
+  }
+
   test("below the threshold (and on real read paths) the driver fold serves") {
     import spark.implicits._
     val root = freshRoot("small")
