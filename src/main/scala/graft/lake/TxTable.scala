@@ -482,8 +482,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           snap.meta)
         val meta =
           if (schemaEvolution) evolve(snap.meta, src.schema) else snap.meta
-        val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true)
         val keys = src.select(keyCols.map(col): _*)
+        val cur = readFiles(snap,
+          keyScanPaths(snap, keyCols, keys, nullSafe = false),
+          withFileCol = true)
         val hit = cur.join(keys, keyCols, "left_semi")
           .select(col(FileCol).as("f")).distinct()
           .collect().map(r => relPath(r.getString(0))).toSet
@@ -650,10 +652,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           val affected =
             if (bySourceCls.nonEmpty) snap.adds
             else {
-              val cur = readFiles(snap, snap.adds.map(_.path),
+              val srcKeys = src0.select(keyCols.map(col): _*)
+              val cur = readFiles(snap,
+                keyScanPaths(snap, keyCols, srcKeys, nullSafe = false),
                 withFileCol = true)
               val hit = cur
-                .join(src0.select(keyCols.map(col): _*), keyCols, "left_semi")
+                .join(srcKeys, keyCols, "left_semi")
                 .select(col(FileCol).as("f")).distinct()
                 .collect().map(r => relPath(r.getString(0))).toSet
               snap.adds.filter(a => hit(a.path))
@@ -839,8 +843,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         enforceConstraints(ins.select(
           snap.meta.schema.fieldNames.filter(ins.columns.contains).map(col): _*),
           snap.meta)
-        val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true,
-          withRowId = byId)
+        val cur = readFiles(snap,
+          keyScanPaths(snap, keyCols, touched, nullSafe = true),
+          withFileCol = true, withRowId = byId)
         val hit = nullSafeKeyJoin(cur, touched, keyCols, "left_semi")
           .select(col(FileCol).as("f")).distinct()
           .collect().map(r => relPath(r.getString(0))).toSet
@@ -1424,6 +1429,32 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * generated columns, dropped deletion vectors, logically-named
     * files, an incomplete change feed). Reading never consults it.
     */
+  /** Candidate live paths for a KEYED mutation's match scan: the files
+    * whose stats cannot exclude the key frame's [min, max] on the
+    * LEADING key column — a file outside the range cannot hold any
+    * matching key, so merge/applyChanges read only the overlap instead
+    * of scanning the whole table to find affected files (at 100 TB the
+    * difference between a bounded upsert and a full-table scan per
+    * merge; on a clustered/z-ordered table the overlap is tiny).
+    * One tiny agg job on the (cached) key frame decides the range.
+    * Conservative fallbacks keep everything: a non-prunable key type,
+    * an all-null key set — and, under null-SAFE matching, ANY null key
+    * in the frame (stats say nothing about nulls, and a null-keyed row
+    * may live in a file the range excludes).
+    */
+  private def keyScanPaths(snap: Snapshot, keyCols: Seq[String],
+      keys: DataFrame, nullSafe: Boolean): Seq[String] = {
+    val k = keyCols.head
+    val prunable = snap.meta.schema.find(_.name == k).map(_.dataType)
+      .exists(t => t.isInstanceOf[NumericType] || t == StringType)
+    if (!prunable) return snap.adds.map(_.path)
+    val r = keys.agg(min(col(k)), max(col(k)),
+      sum(when(col(k).isNull, 1L).otherwise(0L))).collect().head
+    if (r.isNullAt(0) || (nullSafe && !r.isNullAt(2) && r.getLong(2) > 0))
+      snap.adds.map(_.path)
+    else candidateFiles(snap, k, r.get(0), r.get(1)).map(_.path)
+  }
+
   /** Null-safe keyed join (`<=>` per key, SQL's IS NOT DISTINCT FROM):
     * a NULL key value matches a NULL key value. The right side's key
     * columns are renamed before joining, so semi/anti/left outputs

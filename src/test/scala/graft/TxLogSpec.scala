@@ -252,6 +252,40 @@ class TxLogSpec extends SparkSpec {
       "detail must reflect the reclaimed feed footprint")
   }
 
+  test("keyed mutations scan only stats-overlapping files (merge/" +
+      "applyChanges match scan is range-pruned)") {
+    val root = freshRoot("keyscan")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(100L).select($"id",
+      concat(lit("d-"), $"id").as("text"))
+      .repartitionByRange(4, $"id"))
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // physically remove the file(s) covering the TOP of the id range:
+    // a scan that still plans them fails loudly, so success below IS
+    // the proof the match scan pruned them out
+    val snap = TxLog.snapshot(fs, new Path(root))
+    val doomed = snap.adds.filter(
+      _.stats.get("id").exists(_.min.toLong >= 75L))
+    assert(doomed.nonEmpty, "range layout must isolate the top files")
+    doomed.foreach(a => fs.delete(new Path(new Path(root), a.path), false))
+    // keys far below the missing range: merge + applyChanges succeed
+    tab.merge(Seq((3L, "M")).toDF("id", "text"), Seq("id"))
+    tab.applyChanges(Seq((5L, "A", "insert")).toDF("id", "text",
+      "_change_type"), Seq("id"))
+    assert(tab.readBetween("id", 0L, 10L).where($"id".isin(3L, 5L))
+      .select($"text").as[String].collect().toSet === Set("M", "A"))
+    // keys in the missing range force the scan there — loud failure,
+    // never a silent skip
+    intercept[Exception](
+      tab.merge(Seq((90L, "X")).toDF("id", "text"), Seq("id")))
+    // a null key under null-safe matching disables the prune (stats say
+    // nothing about nulls) — the full scan hits the hole and fails
+    intercept[Exception](
+      tab.applyChanges(Seq((Option.empty[java.lang.Long], "N", "insert"))
+        .toDF("id", "text", "_change_type"), Seq("id")))
+  }
+
   test("vacuum's age guard protects young (possibly in-flight) files") {
     val tab = new TxTable(spark, freshRoot("age"))
     tab.create(docs(20))
