@@ -1445,6 +1445,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   private def keyScanPaths(snap: Snapshot, keyCols: Seq[String],
       keys: DataFrame, nullSafe: Boolean): Seq[String] = {
     val k = keyCols.head
+    // below a handful of files the range-agg job costs more than the
+    // scan it could save — engage only where pruning can matter (the
+    // checkpoint-format lesson: scale-right designs must not tax toy
+    // tables with fixed Spark jobs)
+    if (snap.adds.size < 16) return snap.adds.map(_.path)
     val prunable = snap.meta.schema.find(_.name == k).map(_.dataType)
       .exists(t => t.isInstanceOf[NumericType] || t == StringType)
     if (!prunable) return snap.adds.map(_.path)

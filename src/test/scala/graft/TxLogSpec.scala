@@ -256,17 +256,19 @@ class TxLogSpec extends SparkSpec {
       "applyChanges match scan is range-pruned)") {
     val root = freshRoot("keyscan")
     val tab = new TxTable(spark, root)
-    tab.create(spark.range(100L).select($"id",
+    // 20 files (above the prune's engage threshold), disjoint id ranges
+    tab.create(spark.range(200L).select($"id",
       concat(lit("d-"), $"id").as("text"))
-      .repartitionByRange(4, $"id"))
+      .repartitionByRange(20, $"id"))
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // physically remove the file(s) covering the TOP of the id range:
     // a scan that still plans them fails loudly, so success below IS
     // the proof the match scan pruned them out
     val snap = TxLog.snapshot(fs, new Path(root))
+    assert(snap.adds.size >= 16, "enough files to engage the prune")
     val doomed = snap.adds.filter(
-      _.stats.get("id").exists(_.min.toLong >= 75L))
+      _.stats.get("id").exists(_.min.toLong >= 150L))
     assert(doomed.nonEmpty, "range layout must isolate the top files")
     doomed.foreach(a => fs.delete(new Path(new Path(root), a.path), false))
     // keys far below the missing range: merge + applyChanges succeed
@@ -278,7 +280,7 @@ class TxLogSpec extends SparkSpec {
     // keys in the missing range force the scan there — loud failure,
     // never a silent skip
     intercept[Exception](
-      tab.merge(Seq((90L, "X")).toDF("id", "text"), Seq("id")))
+      tab.merge(Seq((190L, "X")).toDF("id", "text"), Seq("id")))
     // a null key under null-safe matching disables the prune (stats say
     // nothing about nulls) — the full scan hits the hole and fails
     intercept[Exception](
