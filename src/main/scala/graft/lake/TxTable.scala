@@ -236,8 +236,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val snap = TxLog.snapshot(fs, root)
       gateWriter(snap.meta)
       // a tracked table's capture carries each deleted row's _row_id —
-      // identity-based CDF consumption needs the retracted identity
-      val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true,
+      // identity-based CDF consumption needs the retracted identity.
+      // The match scan reads only stats-candidate files for the
+      // predicate ([[predScanPaths]]); a pruned file provably holds no
+      // matching row, so hits/capture/rewrite are identical.
+      val cur = readFiles(snap, predScanPaths(snap, cond), withFileCol = true,
         withRowId = snap.meta.tracksRows && snap.meta.cdf)
       val hit = cur.where(cond)
         .select(col(FileCol).as("f")).distinct()
@@ -286,7 +289,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val snap = TxLog.snapshot(fs, root)
       gateWriter(snap.meta)
       val addByPath = snap.adds.map(a => a.path -> a).toMap
-      val cur = readFiles(snap, snap.adds.map(_.path),
+      // predicate data skipping like [[deleteWhere]]; row positions are
+      // per-file (`_metadata.row_index`), so a subset scan keeps them
+      val cur = readFiles(snap, predScanPaths(snap, cond),
         withFileCol = true, withPos = true,
         withRowId = snap.meta.tracksRows && snap.meta.cdf)
       val hits = cur.where(cond)
@@ -383,7 +388,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val matched = coalesce(cond, lit(false))
       val tracks = snap.meta.tracksRows
       val idFeed = tracks && snap.meta.cdf
-      val cur = readFiles(snap, snap.adds.map(_.path), withFileCol = true,
+      // predicate data skipping like [[deleteWhere]]
+      val cur = readFiles(snap, predScanPaths(snap, cond), withFileCol = true,
         withRowId = idFeed)
       val hit = cur.where(matched)
         .select(col(FileCol).as("f")).distinct()
@@ -1460,6 +1466,160 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     else candidateFiles(snap, k, r.get(0), r.get(1)).map(_.path)
   }
 
+  /** Candidate live paths for a PREDICATE mutation's match scan
+    * (`update` / `deleteWhere` / merge-on-read delete): data skipping on
+    * the user's own WHERE clause, Delta's model. The analyzed predicate
+    * is split into top-level conjuncts; every conjunct of a recognized
+    * shape (`col <op> literal`, `IN`, both orientations, numeric or
+    * string, casts from type coercion unwrapped) narrows the candidate
+    * set via per-file stats — a matching row must satisfy EVERY
+    * conjunct, so the keeps intersect. Point-equality conjuncts probe
+    * the bloom sidecars too. Everything else is conservative: an
+    * unrecognized conjunct (OR, UDF, null tests, date/decimal types,
+    * cross-type compares where stat order ≠ predicate order) constrains
+    * nothing, an analysis failure or stats-parse failure keeps the
+    * file, and integer-stat bounds from fractional literals truncate
+    * toward keeping. At 100 TB this turns `UPDATE ... WHERE day = X`
+    * from a full-table scan into a scan of the overlapping files only.
+    */
+  private def predScanPaths(snap: Snapshot, cond: Column): Seq[String] = {
+    val all = snap.adds.map(_.path)
+    // same toy-scale gate as keyScanPaths: below a handful of files the
+    // analysis + stats walk saves nothing
+    if (snap.adds.size < 16) return all
+    val cs = scala.util.Try(condConstraints(snap, cond)).getOrElse(Nil)
+    if (cs.isEmpty) return all
+    var keep = snap.adds
+    cs.foreach { case (name, lo, hi) =>
+      keep = keep.filter(a => keepByStats(snap, a, name, lo, hi))
+      (lo, hi) match {
+        case (Some(l), Some(h)) if l == h && keep.nonEmpty =>
+          val b = bloomCandidateFiles(snap, name, l).map(_.path).toSet
+          keep = keep.filter(a => b(a.path))
+        case _ =>
+      }
+    }
+    keep.map(_.path)
+  }
+
+  /** Conjunct range constraints `(column, lo, hi)` mined from an
+    * analyzed predicate — `None` = unbounded on that side. Only shapes
+    * whose stat-domain order provably matches the predicate's order
+    * qualify: integral/floating attribute with a numeric literal,
+    * string attribute with a string literal. Resolution runs against an
+    * EMPTY frame with the table schema (no scan is planned). */
+  private def condConstraints(snap: Snapshot, cond: Column)
+      : Seq[(String, Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression,
+      GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val analyzed =
+      readFiles(snap, Nil).where(cond).queryExecution.analyzed
+    val top = analyzed.collectFirst { case f: LFilter => f.condition }
+      .getOrElse(return Nil)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x         => Seq(x)
+    }
+    val numeric: Set[DataType] = Set(ByteType, ShortType, IntegerType,
+      LongType, FloatType, DoubleType)
+    // unwrap type-coercion casts; the value-type check below rejects
+    // the unsafe cross-domain cases (string attr vs numeric literal)
+    def attrOf(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case Cast(a: AttributeReference, _, _, _) => Some(a)
+      case _ => None
+    }
+    def valOf(a: AttributeReference, l: Literal): Option[Any] =
+      l.value match {
+        case null => None
+        case n: java.lang.Number if numeric(a.dataType) => Some(n)
+        case s: org.apache.spark.unsafe.types.UTF8String
+            if a.dataType == StringType => Some(s.toString)
+        case _ => None
+      }
+    conjuncts(top).flatMap {
+      case EqualTo(e, l: Literal) =>
+        for (a <- attrOf(e); v <- valOf(a, l)) yield (a.name, Some(v): Option[Any], Some(v): Option[Any])
+      case EqualTo(l: Literal, e) =>
+        for (a <- attrOf(e); v <- valOf(a, l)) yield (a.name, Some(v): Option[Any], Some(v): Option[Any])
+      case EqualNullSafe(e, l: Literal) if l.value != null =>
+        for (a <- attrOf(e); v <- valOf(a, l)) yield (a.name, Some(v): Option[Any], Some(v): Option[Any])
+      case EqualNullSafe(l: Literal, e) if l.value != null =>
+        for (a <- attrOf(e); v <- valOf(a, l)) yield (a.name, Some(v): Option[Any], Some(v): Option[Any])
+      case GreaterThan(e, l: Literal) =>
+        for (a <- attrOf(e); v <- valOf(a, l)) yield (a.name, Some(v): Option[Any], None: Option[Any])
+      case GreaterThanOrEqual(e, l: Literal) =>
+        for (a <- attrOf(e); v <- valOf(a, l)) yield (a.name, Some(v): Option[Any], None: Option[Any])
+      case LessThan(e, l: Literal) =>
+        for (a <- attrOf(e); v <- valOf(a, l)) yield (a.name, None: Option[Any], Some(v): Option[Any])
+      case LessThanOrEqual(e, l: Literal) =>
+        for (a <- attrOf(e); v <- valOf(a, l)) yield (a.name, None: Option[Any], Some(v): Option[Any])
+      case GreaterThan(l: Literal, e) => // lit > col  ==  col < lit
+        for (a <- attrOf(e); v <- valOf(a, l)) yield (a.name, None: Option[Any], Some(v): Option[Any])
+      case GreaterThanOrEqual(l: Literal, e) =>
+        for (a <- attrOf(e); v <- valOf(a, l)) yield (a.name, None: Option[Any], Some(v): Option[Any])
+      case LessThan(l: Literal, e) => // lit < col  ==  col > lit
+        for (a <- attrOf(e); v <- valOf(a, l)) yield (a.name, Some(v): Option[Any], None: Option[Any])
+      case LessThanOrEqual(l: Literal, e) =>
+        for (a <- attrOf(e); v <- valOf(a, l)) yield (a.name, Some(v): Option[Any], None: Option[Any])
+      case In(e, elems) if elems.nonEmpty &&
+          elems.forall(x => x.isInstanceOf[Literal] &&
+            x.asInstanceOf[Literal].value != null) =>
+        attrOf(e).flatMap { a =>
+          val vs = elems.flatMap(x => valOf(a, x.asInstanceOf[Literal]))
+          if (vs.size != elems.size) None
+          else vs.head match {
+            case _: java.lang.Number =>
+              val ds = vs.map(_.asInstanceOf[java.lang.Number].doubleValue)
+              Some((a.name,
+                Some(vs(ds.indexOf(ds.min))): Option[Any],
+                Some(vs(ds.indexOf(ds.max))): Option[Any]))
+            case _: String =>
+              val ss = vs.map(_.asInstanceOf[String])
+              Some((a.name, Some(ss.min): Option[Any], Some(ss.max): Option[Any]))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+  }
+
+  /** Open-range generalization of [[candidateFiles]]'s keep decision:
+    * can file `a` hold a row with `colName` in [lo, hi] (either side
+    * optionally unbounded)? Missing stats fall to the partition value;
+    * missing both, or ANY parse/type mismatch, keeps the file. */
+  private def keepByStats(snap: Snapshot, a: Add, colName: String,
+      lo: Option[Any], hi: Option[Any]): Boolean =
+    a.stats.get(snap.meta.physicalOf(colName)) match {
+      case Some(st) => scala.util.Try {
+        st.kind match {
+          case "l" =>
+            lo.forall(l => st.max.toLong >= toL(l)) &&
+              hi.forall(h => st.min.toLong <= toL(h))
+          case "d" =>
+            lo.forall(l => st.max.toDouble >= toD(l)) &&
+              hi.forall(h => st.min.toDouble <= toD(h))
+          case _ =>
+            lo.forall(l => st.max >= l.toString) &&
+              hi.forall(h => st.min <= h.toString)
+        }
+      }.getOrElse(true)
+      case None => a.partitionValues.get(colName) match {
+        case Some(v) if v != "__HIVE_DEFAULT_PARTITION__" =>
+          scala.util.Try {
+            if (lo.orElse(hi).exists(_.isInstanceOf[Number])) {
+              val d = v.toDouble
+              lo.forall(l => d >= toD(l)) && hi.forall(h => d <= toD(h))
+            } else
+              lo.forall(l => v >= l.toString) &&
+                hi.forall(h => v <= h.toString)
+          }.getOrElse(true)
+        case _ => true
+      }
+    }
+
   /** Null-safe keyed join (`<=>` per key, SQL's IS NOT DISTINCT FROM):
     * a NULL key value matches a NULL key value. The right side's key
     * columns are renamed before joining, so semi/anti/left outputs
@@ -1924,25 +2084,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * Partition columns carry no per-file stats — their single value
     * rides in partitionValues and prunes exactly. */
   def candidateFiles(snap: Snapshot, colName: String, lo: Any, hi: Any): Vector[Add] =
-    snap.adds.filter { a =>
-      a.stats.get(snap.meta.physicalOf(colName)) match {
-        case Some(st) => st.kind match {
-          case "l" => st.max.toLong >= toL(lo) && st.min.toLong <= toL(hi)
-          case "d" => st.max.toDouble >= toD(lo) && st.min.toDouble <= toD(hi)
-          case _   => st.max >= lo.toString && st.min <= hi.toString
-        }
-        case None => a.partitionValues.get(colName) match {
-          case Some(v) if v != "__HIVE_DEFAULT_PARTITION__" =>
-            (lo, hi) match {
-              case (l: Number, h: Number) =>
-                scala.util.Try(v.toDouble).toOption
-                  .forall(d => d >= l.doubleValue && d <= h.doubleValue)
-              case _ => v >= lo.toString && v <= hi.toString
-            }
-          case _ => true
-        }
-      }
-    }
+    snap.adds.filter(a => keepByStats(snap, a, colName, Some(lo), Some(hi)))
   private def toL(v: Any): Long = v match {
     case n: Number => n.longValue(); case s: String => s.toLong
   }

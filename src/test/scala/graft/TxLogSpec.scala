@@ -288,6 +288,42 @@ class TxLogSpec extends SparkSpec {
         .toDF("id", "text", "_change_type"), Seq("id")))
   }
 
+  test("predicate mutations scan only stats-overlapping files (update/" +
+      "deleteWhere data skipping on the WHERE clause)") {
+    val root = freshRoot("predscan")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(200L).select($"id",
+      concat(lit("d-"), $"id").as("text"))
+      .repartitionByRange(20, $"id"))
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val snap = TxLog.snapshot(fs, new Path(root))
+    assert(snap.adds.size >= 16, "enough files to engage the prune")
+    // physically remove the files covering the TOP of the id range: a
+    // scan that still plans them fails loudly, so success IS the proof
+    // the predicate pruned them out of the match scan
+    val doomed = snap.adds.filter(
+      _.stats.get("id").exists(_.min.toLong >= 150L))
+    assert(doomed.nonEmpty)
+    doomed.foreach(a => fs.delete(new Path(new Path(root), a.path), false))
+    // conjunct shapes far below the hole all prune past it
+    tab.update($"id" === 3L, Map("text" -> lit("U")))
+    tab.update($"id" >= 2L && $"id" < 10L && $"text".isNotNull,
+      Map("text" -> concat($"text", lit("!"))))
+    tab.deleteWhere($"id".isin(5L, 7L))
+    tab.deleteWhereMergeOnRead(lit(8L) === $"id")
+    assert(tab.readBetween("id", 0L, 10L).where($"id" === 3L)
+      .select($"text").as[String].collect().toSet === Set("U!"))
+    assert(tab.readBetween("id", 0L, 10L)
+      .where($"id".isin(5L, 7L, 8L)).count() === 0L)
+    // a predicate reaching into the hole plans the missing file — loud
+    // failure, never a silent skip
+    intercept[Exception](tab.update($"id" === 190L, Map("text" -> lit("X"))))
+    // an unprunable predicate (no recognizable conjunct) scans the full
+    // table — conservative, so it too hits the hole
+    intercept[Exception](tab.deleteWhere(length($"text") < lit(0)))
+  }
+
   test("vacuum's age guard protects young (possibly in-flight) files") {
     val tab = new TxTable(spark, freshRoot("age"))
     tab.create(docs(20))
