@@ -233,7 +233,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def deleteWhere(cond: Column): Long = {
     var attempt = 0
     while (true) {
-      val snap = TxLog.snapshot(fs, root)
+      val snap = mutationSnapshot(cond)
       gateWriter(snap.meta)
       // a tracked table's capture carries each deleted row's _row_id —
       // identity-based CDF consumption needs the retracted identity.
@@ -286,7 +286,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       maxPositionsPerFile: Int = 10000): Long = {
     var attempt = 0
     while (true) {
-      val snap = TxLog.snapshot(fs, root)
+      val snap = mutationSnapshot(cond)
       gateWriter(snap.meta)
       val addByPath = snap.adds.map(a => a.path -> a).toMap
       // predicate data skipping like [[deleteWhere]]; row positions are
@@ -372,7 +372,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     require(set.nonEmpty, "update needs at least one SET column")
     var attempt = 0
     while (true) {
-      val snap = TxLog.snapshot(fs, root)
+      val snap = mutationSnapshot(cond)
       gateWriter(snap.meta)
       val schema = snap.meta.schema
       set.keys.foreach { c =>
@@ -1487,7 +1487,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // same toy-scale gate as keyScanPaths: below a handful of files the
     // analysis + stats walk saves nothing
     if (snap.adds.size < 16) return all
-    val cs = scala.util.Try(condConstraints(snap, cond)).getOrElse(Nil)
+    val cs = scala.util.Try(condConstraints(snap.meta, cond)).getOrElse(Nil)
     if (cs.isEmpty) return all
     var keep = snap.adds
     cs.foreach { case (name, lo, hi) =>
@@ -1502,20 +1502,38 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     keep.map(_.path)
   }
 
+  /** Planning snapshot for a PREDICATE mutation, the open-range twin of
+    * [[planningSnapshot]]: resolved through
+    * [[graft.lake.TxLog.prunedSnapshot]] with the WHERE clause's mined
+    * constraints as the keep Column, so a million-file table plans an
+    * `UPDATE ... WHERE day = X` distributed over the checkpoint and
+    * only stats-candidate Adds ever reach the driver. Small tables (or
+    * an unminable predicate) fold in memory exactly as before;
+    * [[predScanPaths]] then applies the same keeps (plus blooms)
+    * driver-side — idempotent on the pre-filtered set. */
+  private def mutationSnapshot(cond: Column): Snapshot =
+    TxLog.prunedSnapshot(fs, root, None, m => {
+      val cs = scala.util.Try(condConstraints(m, cond)).getOrElse(Nil)
+      if (cs.isEmpty) lit(true)
+      else cs.map { case (n, lo, hi) => candidateKeepOpen(m, n, lo, hi) }
+        .reduce(_ && _)
+    })
+
   /** Conjunct range constraints `(column, lo, hi)` mined from an
     * analyzed predicate — `None` = unbounded on that side. Only shapes
     * whose stat-domain order provably matches the predicate's order
     * qualify: integral/floating attribute with a numeric literal,
     * string attribute with a string literal. Resolution runs against an
     * EMPTY frame with the table schema (no scan is planned). */
-  private def condConstraints(snap: Snapshot, cond: Column)
+  private def condConstraints(meta: Meta, cond: Column)
       : Seq[(String, Option[Any], Option[Any])] = {
     import org.apache.spark.sql.catalyst.expressions.{
       And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression,
       GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
-    val analyzed =
-      readFiles(snap, Nil).where(cond).queryExecution.analyzed
+    val analyzed = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), StructType(meta.schema.fields))
+      .where(cond).queryExecution.analyzed
     val top = analyzed.collectFirst { case f: LFilter => f.condition }
       .getOrElse(return Nil)
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -2122,6 +2140,37 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     when(st.isNotNull, stKeep)
       .otherwise(when(pv.isNotNull &&
         pv =!= "__HIVE_DEFAULT_PARTITION__", pvKeep).otherwise(lit(true)))
+  }
+
+  /** Open-range extension of [[candidateKeep]]: the distributed keep
+    * for a one- or no-sided bound. Same conservatism; a fully
+    * unbounded constraint keeps everything. */
+  private def candidateKeepOpen(meta: Meta, colName: String,
+      lo: Option[Any], hi: Option[Any]): Column = (lo, hi) match {
+    case (Some(l), Some(h)) => candidateKeep(meta, colName, l, h)
+    case (None, None)       => lit(true)
+    case _ =>
+      val v = lo.orElse(hi).get
+      val isLo = lo.isDefined
+      val st = col("stats").getItem(meta.physicalOf(colName))
+      val pv = col("partitionValues").getItem(colName)
+      val kind = st.getField("kind")
+      // a lower bound can only be excluded by the file's MAX, an upper
+      // bound by its MIN
+      val stat = if (isLo) st.getField("max") else st.getField("min")
+      def cmp(a: Column, b: Column): Column = if (isLo) a >= b else a <= b
+      val stKeep =
+        when(kind === "l", cmp(stat.cast("long"), lit(toL(v))))
+          .when(kind === "d", cmp(stat.cast("double"), lit(toD(v))))
+          .otherwise(cmp(stat, lit(v.toString)))
+      val pvKeep = v match {
+        case _: Number =>
+          coalesce(cmp(pv.cast("double"), lit(toD(v))), lit(true))
+        case _ => cmp(pv, lit(v.toString))
+      }
+      when(st.isNotNull, stKeep)
+        .otherwise(when(pv.isNotNull &&
+          pv =!= "__HIVE_DEFAULT_PARTITION__", pvKeep).otherwise(lit(true)))
   }
 
   /** Planning snapshot for a range/point read on `colName`: resolved

@@ -1576,6 +1576,49 @@ class LazySnapshotSpec extends SparkSpec {
     } finally spark.conf.unset(TxLog.driverSnapshotMaxFilesKey)
   }
 
+  test("predicate mutations plan distributed above the threshold — " +
+      "UPDATE/DELETE never materialize the full Add list") {
+    import spark.implicits._
+    val root = freshRoot("mut")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(40L, 61L).toDF("id"))
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val real = TxLog.snapshot(fs, rootP)
+    // 5000 fake files, all FAR above the real id range: a mutation that
+    // plans them would fail reading nonexistent parquet, so success IS
+    // the proof only stats-candidates were planned
+    val fakes = (0 until 5000).map(i => Add(s"fake/f$i.parquet", 10L,
+      Map.empty, Map("id" -> Stat("l", (100000L + i * 100).toString,
+        (100000L + i * 100 + 99).toString)), bytes = Some(1L)))
+    val entries = (LogEntry(meta = Some(real.meta)) +:
+      (real.adds ++ fakes).map(a => LogEntry(add = Some(a)))).toSeq
+    val enc = org.apache.spark.sql.Encoders.product[LogEntry]
+    val ckptDir = new Path(rootP, f"_txlog/${0L}%020d.checkpoint.parquet")
+    spark.createDataset(entries)(enc).write.mode("overwrite")
+      .parquet(ckptDir.toString)
+    def put(p: Path, s: String): Unit = {
+      val o = fs.create(p, true)
+      try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    put(new Path(rootP, "_txlog/_last_checkpoint"),
+      s"""{"version":0,"entries":${entries.size}}""")
+    spark.conf.set(TxLog.driverSnapshotMaxFilesKey, "1000")
+    try {
+      tab.update($"id" === 50L, Map("id" -> lit(-50L)))
+      assert(TxLog.lastResolve.get()._1 === "distributed-prune",
+        "the mutation's planning snapshot must not fold on the driver")
+      assert(TxLog.lastResolve.get()._2 < 100L,
+        "only stats-candidate Adds may reach the driver")
+      tab.deleteWhere($"id" >= 58L && $"id" <= 60L)
+      assert(TxLog.lastResolve.get()._1 === "distributed-prune")
+      // read back through the pruned range path (a full read would plan
+      // the fake files): the update landed, the delete landed
+      val got = tab.readBetween("id", -60L, 70L).as[Long].collect().toSet
+      assert(got === ((40L to 57L).toSet - 50L + -50L))
+    } finally spark.conf.unset(TxLog.driverSnapshotMaxFilesKey)
+  }
+
   test("below the threshold (and on real read paths) the driver fold serves") {
     import spark.implicits._
     val root = freshRoot("small")
