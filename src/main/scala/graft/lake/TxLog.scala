@@ -514,9 +514,9 @@ object TxLog {
     * behind the pointer) it is the ordinary in-memory fold — correct and
     * cheaper at that size — and the caller's own driver-side prune does
     * the filtering. `keep` must be CONSERVATIVE (a kept non-match is a
-    * wasted read; a dropped match is a wrong answer), and the returned
-    * snapshot is for planning only: `txns` carries just the tail
-    * overlay's watermarks on the distributed path.
+    * wasted read; a dropped match is a wrong answer). `txns` is
+    * complete on both paths (checkpoint watermarks + tail overlay), so
+    * idempotence checks may rely on it.
     */
   def prunedSnapshot(fs: FileSystem, root: Path, asOf: Option[Long],
       keep: Meta => org.apache.spark.sql.Column): Snapshot = {
@@ -582,6 +582,16 @@ object TxLog {
     require(alien.isEmpty,
       s"table at $root (v$target) requires reader feature(s) " +
         s"${alien.mkString(", ")} this client does not implement")
+    // checkpoint txn watermarks (one small columnar job — the txn rows
+    // are one per writer app): without them a distributed-planning
+    // mutation's idempotence check would miss watermarks recorded
+    // before the checkpoint and replay an absorbed batch
+    entriesDF.where(col("txn").isNotNull)
+      .select(col("txn.appId"), col("txn.version"))
+      .collect().foreach { r =>
+        val app = r.getString(0)
+        txns(app) = math.max(txns.getOrElse(app, Long.MinValue), r.getLong(1))
+      }
     val ckptAdds = entriesDF.where(col("add").isNotNull).select(col("add.*"))
     val excluded = (dead ++ tailLive.keys).toSeq
     val base =

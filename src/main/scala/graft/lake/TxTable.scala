@@ -460,8 +460,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // generated columns are create-time-fixed: compute/validate them on
     // the source once, against the FIRST snapshot — which then also
     // serves attempt 0 of the retry loop, so the common no-conflict
-    // merge replays the log exactly once
-    val first = TxLog.snapshot(fs, root)
+    // merge replays the log exactly once. Above the driver threshold
+    // that first resolution collects NO Adds (meta/version/txns only)
+    // and each attempt plans its candidates distributed.
+    val (first, firstComplete) = metaSnapshot()
     gateWriter(first.meta)
     require(first.meta.identities.isEmpty,
       s"MERGE into $root: identity-column tables do not support keyed " +
@@ -475,11 +477,15 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       require(dups == 0, s"merge source has duplicate keys on ${keyCols.mkString(",")}")
       var attempt = 0
       while (true) {
-        val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
+        val snap =
+          if (attempt == 0 && firstComplete) first
+          else keyedMutationSnapshot(keyCols,
+            src.select(keyCols.map(col): _*), nullSafe = false)
         gateWriter(snap.meta)
         // idempotence watermark (foreachBatch exactly-once): an already
         // absorbed (appId, version) skips — checked per attempt, so a
         // concurrent duplicate that wins the race is honored
+        // (snap.txns is complete on BOTH resolution paths)
         txn.foreach { case (app, tv) =>
           if (snap.txns.get(app).exists(_ >= tv)) return snap.version
         }
@@ -645,7 +651,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           s"merge source has duplicate keys on ${keyCols.mkString(",")}")
         var attempt = 0
         while (true) {
-          val snap = TxLog.snapshot(fs, root)
+          // a by-source clause touches EVERY target row, so only the
+          // keyed shape can plan its candidates distributed
+          val snap =
+            if (bySourceCls.nonEmpty) TxLog.snapshot(fs, root)
+            else keyedMutationSnapshot(keyCols,
+              src0.select(keyCols.map(col): _*), nullSafe = false)
           gateWriter(snap.meta)
           require(snap.meta.identities.isEmpty,
             s"MERGE into $root: identity-column tables do not support " +
@@ -826,7 +837,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // generated columns are create-time-fixed: a slice lacking one is
       // COMPUTED, a slice carrying a diverging value is REFUSED — ingest
       // via the feed upholds the same invariant as append/merge
-      val first = TxLog.snapshot(fs, root)
+      val (first, firstComplete) = metaSnapshot()
       gateWriter(first.meta)
       require(!byId || first.meta.tracksRows,
         s"applyChangesById needs row tracking on $root " +
@@ -844,7 +855,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val touched = slice.select(keyCols.map(col): _*).distinct()
       var attempt = 0
       while (true) {
-        val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
+        val snap =
+          if (attempt == 0 && firstComplete) first
+          else keyedMutationSnapshot(keyCols, touched, nullSafe = true)
         gateWriter(snap.meta)
         enforceConstraints(ins.select(
           snap.meta.schema.fieldNames.filter(ins.columns.contains).map(col): _*),
@@ -1456,15 +1469,61 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // checkpoint-format lesson: scale-right designs must not tax toy
     // tables with fixed Spark jobs)
     if (snap.adds.size < 16) return snap.adds.map(_.path)
-    val prunable = snap.meta.schema.find(_.name == k).map(_.dataType)
+    if (!keyPrunable(snap.meta, k)) return snap.adds.map(_.path)
+    keyRange(keys, k, nullSafe) match {
+      case None           => snap.adds.map(_.path)
+      case Some((lo, hi)) => candidateFiles(snap, k, lo, hi).map(_.path)
+    }
+  }
+
+  /** Can the leading key column's stats order a range prune? `_row_id`
+    * is not in the logical schema but carries long stats like any data
+    * column, so id-keyed mutations (applyChangesById's replica loop)
+    * prune too. */
+  private def keyPrunable(meta: Meta, k: String): Boolean =
+    (if (k == RowIdCol) Some(LongType: DataType)
+     else meta.schema.find(_.name == k).map(_.dataType))
       .exists(t => t.isInstanceOf[NumericType] || t == StringType)
-    if (!prunable) return snap.adds.map(_.path)
+
+  /** The key frame's [min, max] — None when no prune is sound (empty /
+    * all-null keys; under null-SAFE matching, ANY null key: stats say
+    * nothing about nulls). One tiny agg job on the (cached) frame. */
+  private def keyRange(keys: DataFrame, k: String,
+      nullSafe: Boolean): Option[(Any, Any)] = {
     val r = keys.agg(min(col(k)), max(col(k)),
       sum(when(col(k).isNull, 1L).otherwise(0L))).collect().head
     if (r.isNullAt(0) || (nullSafe && !r.isNullAt(2) && r.getLong(2) > 0))
-      snap.adds.map(_.path)
-    else candidateFiles(snap, k, r.get(0), r.get(1)).map(_.path)
+      None
+    else Some((r.get(0), r.get(1)))
   }
+
+  /** Cheapest snapshot still carrying meta/version/txns, for code that
+    * must inspect the table BEFORE it can name its candidate files: on
+    * the distributed path no Add entries are collected (`adds` empty,
+    * `_2 = false`); below the threshold it is the ordinary full fold
+    * (`_2 = true`) and serves as the mutation's own snapshot. */
+  private def metaSnapshot(): (Snapshot, Boolean) = {
+    val s = TxLog.prunedSnapshot(fs, root, None, _ => lit(false))
+    (s, TxLog.lastResolve.get()._1 == "driver-fold")
+  }
+
+  /** Planning snapshot for a KEYED mutation — the distributed twin of
+    * [[keyScanPaths]]: above the driver threshold the key frame's
+    * [min, max] agg runs first and the checkpoint is filtered
+    * DISTRIBUTED on the leading key's stats, so merge/applyChanges on a
+    * million-file table collect only the candidate Adds; below it the
+    * full fold serves and [[keyScanPaths]] prunes driver-side exactly
+    * as before (same conservatism, same null-safety fallbacks). */
+  private def keyedMutationSnapshot(keyCols: Seq[String], keys: DataFrame,
+      nullSafe: Boolean): Snapshot =
+    TxLog.prunedSnapshot(fs, root, None, m => {
+      val k = keyCols.head
+      if (!keyPrunable(m, k)) lit(true)
+      else keyRange(keys, k, nullSafe) match {
+        case None           => lit(true)
+        case Some((lo, hi)) => candidateKeep(m, k, lo, hi)
+      }
+    })
 
   /** Candidate live paths for a PREDICATE mutation's match scan
     * (`update` / `deleteWhere` / merge-on-read delete): data skipping on

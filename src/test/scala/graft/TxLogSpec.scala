@@ -1612,10 +1612,20 @@ class LazySnapshotSpec extends SparkSpec {
         "only stats-candidate Adds may reach the driver")
       tab.deleteWhere($"id" >= 58L && $"id" <= 60L)
       assert(TxLog.lastResolve.get()._1 === "distributed-prune")
+      // keyed mutations plan distributed too: the key frame's range
+      // agg feeds the checkpoint filter
+      tab.merge(Seq(44L, 61L).toDF("id"), Seq("id"))
+      assert(TxLog.lastResolve.get()._1 === "distributed-prune",
+        "merge must not fold the full Add list")
+      assert(TxLog.lastResolve.get()._2 < 100L)
+      tab.applyChanges(
+        Seq((45L, "delete"), (62L, "insert")).toDF("id", "_change_type"),
+        Seq("id"))
+      assert(TxLog.lastResolve.get()._1 === "distributed-prune")
       // read back through the pruned range path (a full read would plan
-      // the fake files): the update landed, the delete landed
+      // the fake files): every mutation landed
       val got = tab.readBetween("id", -60L, 70L).as[Long].collect().toSet
-      assert(got === ((40L to 57L).toSet - 50L + -50L))
+      assert(got === ((40L to 57L).toSet - 50L + -50L - 45L + 61L + 62L))
     } finally spark.conf.unset(TxLog.driverSnapshotMaxFilesKey)
   }
 
