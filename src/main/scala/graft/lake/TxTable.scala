@@ -154,8 +154,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   private def appendCore(df0: DataFrame, txn: Option[Txn]): Long = {
     // Stage ONCE — data files are commit-independent; only the version
     // claim (and the schema check, against whatever landed meanwhile)
-    // repeats on a lost race.
-    val first = TxLog.snapshot(fs, root)
+    // repeats on a lost race. An append never names existing files, so
+    // its snapshots carry NO Add entries above the driver threshold —
+    // a blind append to a million-file table is O(tail) on the driver.
+    val first = metaSnapshot()._1
     gateWriter(first.meta)
     txn.foreach { t =>
       if (first.txns.get(t.appId).exists(_ >= t.version))
@@ -186,7 +188,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       if (perAttempt) Vector.empty[Add] else stageWrite(df, stagedMeta)
     var attempt = 0
     while (attempt < maxRetries) {
-      val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
+      val snap = if (attempt == 0) first else metaSnapshot()._1
       gateWriter(snap.meta)
       // the duplicate check re-runs against every fresh snapshot: a
       // concurrent twin that won the race turns this attempt into the
@@ -950,7 +952,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // meta is authoritative): the headline use case partitions BY a
     // generated column, so the load may legitimately arrive without it —
     // compute it before the stray check can even look at it
-    val first = TxLog.snapshot(fs, root)
+    val (first, firstComplete) = metaSnapshot()
     gateWriter(first.meta)
     first.meta.identities.keys.foreach(c => require(!df0.columns.contains(c),
       s"identity column $c is GENERATED ALWAYS — writers must not " +
@@ -960,13 +962,20 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     require(stray == 0, s"overwritePartition($partCol=$value) got rows outside the partition")
     var attempt = 0
     while (true) {
-      val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
+      // above the driver threshold only the target value's files (plus
+      // any layout-mismatched file — the refusal below must see them)
+      // are collected; untouched partitions never reach the driver
+      val snap =
+        if (attempt == 0 && firstComplete) first
+        else partitionOverwriteSnapshot(partCol, value)
       gateWriter(snap.meta)
       require(snap.meta.partitionCols.contains(partCol),
         s"$partCol is not a partition column of $root")
       // after a partition evolution, a value's rows can sit in
       // old-layout files this operation would not replace — refuse
-      // until repartitionRewrite() (or OPTIMIZE churn) homogenizes
+      // until repartitionRewrite() (or OPTIMIZE churn) homogenizes.
+      // (Exact on the pruned subset too: every layout-mismatched file
+      // is collected by construction.)
       val pset = snap.meta.partitionCols.toSet
       require(snap.adds.forall(_.partitionValues.keySet == pset),
         s"mixed partition layouts in $root — run repartitionRewrite() " +
@@ -1193,7 +1202,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def renameColumn(oldName: String, newName: String): Long = {
     var attempt = 0
     while (true) {
-      val snap = TxLog.snapshot(fs, root)
+      val snap = metaSnapshot()._1 // metadata-only commit
       gateWriter(snap.meta)
       val schema = snap.meta.schema
       require(schema.fieldNames.contains(oldName),
@@ -1246,7 +1255,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def dropColumn(name: String): Long = {
     var attempt = 0
     while (true) {
-      val snap = TxLog.snapshot(fs, root)
+      val snap = metaSnapshot()._1 // metadata-only commit
       gateWriter(snap.meta)
       val schema = snap.meta.schema
       require(schema.fieldNames.contains(name),
@@ -1305,7 +1314,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def repartitionBy(newPartitionCols: Seq[String]): Long = {
     var attempt = 0
     while (true) {
-      val snap = TxLog.snapshot(fs, root)
+      val snap = metaSnapshot()._1 // metadata-only commit
       gateWriter(snap.meta)
       newPartitionCols.foreach { c =>
         require(snap.meta.schema.fieldNames.contains(c),
@@ -1424,7 +1433,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def enableChangeDataFeed(): Long = {
     var attempt = 0
     while (true) {
-      val snap = TxLog.snapshot(fs, root)
+      val snap = metaSnapshot()._1 // metadata-only commit
       gateWriter(snap.meta)
       if (snap.meta.cdf) return snap.version // already on, no commit
       val entries = Seq(
@@ -1506,6 +1515,19 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val s = TxLog.prunedSnapshot(fs, root, None, _ => lit(false))
     (s, TxLog.lastResolve.get()._1 == "driver-fold")
   }
+
+  /** Planning snapshot for a PARTITION OVERWRITE: keeps the target
+    * value's files AND any file whose decoded layout differs from the
+    * current partition spec, so both the mixed-layout refusal and the
+    * doomed set are exact on the collected subset — an overwrite of
+    * one partition in a million-file table collects one partition. */
+  private def partitionOverwriteSnapshot(partCol: String,
+      value: String): Snapshot =
+    TxLog.prunedSnapshot(fs, root, None, m => {
+      val expect = array(m.partitionCols.sorted.map(lit): _*)
+      (sort_array(map_keys(col("partitionValues"))) =!= expect) ||
+        col("partitionValues").getItem(partCol) === lit(value)
+    })
 
   /** Planning snapshot for a KEYED mutation — the distributed twin of
     * [[keyScanPaths]]: above the driver threshold the key frame's
@@ -2181,15 +2203,25 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val st = col("stats").getItem(meta.physicalOf(colName))
     val pv = col("partitionValues").getItem(colName)
     val kind = st.getField("kind")
-    val stKeep =
-      when(kind === "l",
-        st.getField("max").cast("long") >= lit(toL(lo)) &&
-          st.getField("min").cast("long") <= lit(toL(hi)))
-      .when(kind === "d",
-        st.getField("max").cast("double") >= lit(toD(lo)) &&
-          st.getField("min").cast("double") <= lit(toD(hi)))
-      .otherwise(st.getField("max") >= lit(lo.toString) &&
-        st.getField("min") <= lit(hi.toString))
+    // cross-domain probes (a string value against numeric-kind stats)
+    // cannot order — that branch keeps the file, like the driver twin's
+    // Try fallback
+    val numKeep = scala.util.Try((toL(lo), toL(hi), toD(lo), toD(hi)))
+    val stKeep = numKeep match {
+      case scala.util.Success((ll, lh, dl, dh)) =>
+        when(kind === "l",
+          st.getField("max").cast("long") >= lit(ll) &&
+            st.getField("min").cast("long") <= lit(lh))
+        .when(kind === "d",
+          st.getField("max").cast("double") >= lit(dl) &&
+            st.getField("min").cast("double") <= lit(dh))
+        .otherwise(st.getField("max") >= lit(lo.toString) &&
+          st.getField("min") <= lit(hi.toString))
+      case _ =>
+        when(kind === "l" || kind === "d", lit(true))
+          .otherwise(st.getField("max") >= lit(lo.toString) &&
+            st.getField("min") <= lit(hi.toString))
+    }
     val pvKeep = (lo, hi) match {
       case (l: Number, h: Number) =>
         coalesce(pv.cast("double") >= lit(l.doubleValue) &&
@@ -2218,10 +2250,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // bound by its MIN
       val stat = if (isLo) st.getField("max") else st.getField("min")
       def cmp(a: Column, b: Column): Column = if (isLo) a >= b else a <= b
-      val stKeep =
-        when(kind === "l", cmp(stat.cast("long"), lit(toL(v))))
-          .when(kind === "d", cmp(stat.cast("double"), lit(toD(v))))
-          .otherwise(cmp(stat, lit(v.toString)))
+      // cross-domain probes keep (same rule as candidateKeep)
+      val stKeep = scala.util.Try((toL(v), toD(v))) match {
+        case scala.util.Success((l, d)) =>
+          when(kind === "l", cmp(stat.cast("long"), lit(l)))
+            .when(kind === "d", cmp(stat.cast("double"), lit(d)))
+            .otherwise(cmp(stat, lit(v.toString)))
+        case _ =>
+          when(kind === "l" || kind === "d", lit(true))
+            .otherwise(cmp(stat, lit(v.toString)))
+      }
       val pvKeep = v match {
         case _: Number =>
           coalesce(cmp(pv.cast("double"), lit(toD(v))), lit(true))

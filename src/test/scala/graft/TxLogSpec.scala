@@ -1622,10 +1622,51 @@ class LazySnapshotSpec extends SparkSpec {
         Seq((45L, "delete"), (62L, "insert")).toDF("id", "_change_type"),
         Seq("id"))
       assert(TxLog.lastResolve.get()._1 === "distributed-prune")
+      // a blind append collects NO Add entries at all
+      tab.append(Seq(63L).toDF("id"))
+      assert(TxLog.lastResolve.get() === ("distributed-prune", 0L),
+        "append must not collect any Add entry")
       // read back through the pruned range path (a full read would plan
       // the fake files): every mutation landed
       val got = tab.readBetween("id", -60L, 70L).as[Long].collect().toSet
-      assert(got === ((40L to 57L).toSet - 50L + -50L - 45L + 61L + 62L))
+      assert(got === ((40L to 57L).toSet - 50L + -50L - 45L + 61L + 62L + 63L))
+    } finally spark.conf.unset(TxLog.driverSnapshotMaxFilesKey)
+  }
+
+  test("partition overwrite plans distributed — one partition's files " +
+      "collected, never the table's") {
+    import spark.implicits._
+    val root = freshRoot("ow")
+    val tab = new TxTable(spark, root)
+    tab.create(Seq((1L, "a"), (2L, "b")).toDF("id", "load"),
+      partitionCols = Seq("load"))
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val real = TxLog.snapshot(fs, rootP)
+    // 3000 fake files across OTHER partition values, correct layout —
+    // an overwrite of load=a must never plan (or collect) them
+    val fakes = (0 until 3000).map(i => Add(s"fake/p$i.parquet", 10L,
+      Map("load" -> s"z$i"), Map.empty, bytes = Some(1L)))
+    val entries = (LogEntry(meta = Some(real.meta)) +:
+      (real.adds ++ fakes).map(a => LogEntry(add = Some(a)))).toSeq
+    val enc = org.apache.spark.sql.Encoders.product[LogEntry]
+    spark.createDataset(entries)(enc).write.mode("overwrite")
+      .parquet(new Path(rootP, f"_txlog/${0L}%020d.checkpoint.parquet")
+        .toString)
+    val o = fs.create(new Path(rootP, "_txlog/_last_checkpoint"), true)
+    try o.write(
+      s"""{"version":0,"entries":${entries.size}}""".getBytes("UTF-8"))
+    finally o.close()
+    spark.conf.set(TxLog.driverSnapshotMaxFilesKey, "1000")
+    try {
+      tab.overwritePartition("load", "a",
+        Seq((10L, "a"), (11L, "a")).toDF("id", "load"))
+      assert(TxLog.lastResolve.get()._1 === "distributed-prune",
+        "the overwrite's planning snapshot must not fold on the driver")
+      assert(TxLog.lastResolve.get()._2 < 100L,
+        "only the target partition's files may reach the driver")
+      assert(tab.readEquals("load", "a").select($"id").as[Long]
+        .collect().toSet === Set(10L, 11L))
     } finally spark.conf.unset(TxLog.driverSnapshotMaxFilesKey)
   }
 
