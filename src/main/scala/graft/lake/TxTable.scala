@@ -44,11 +44,18 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * order lexically = chronologically, so this IS the latest-load
     * lookup for etl_inserted-partitioned tables.
     */
-  def partitionValueMax(colName: String): Option[String] = {
-    val snap = TxLog.snapshot(fs, root)
-    snap.adds.flatMap(_.partitionValues.get(colName))
-      .filterNot(_ == "__HIVE_DEFAULT_PARTITION__").maxOption
-  }
+  def partitionValueMax(colName: String): Option[String] =
+    TxLog.liveAddsFrame(fs, root, None) match {
+      case Some((live, _, _, _)) => // one small agg, no Add collection
+        val pv = col("partitionValues").getItem(colName)
+        val r = live.where(pv.isNotNull &&
+          pv =!= "__HIVE_DEFAULT_PARTITION__").agg(max(pv)).collect().head
+        if (r.isNullAt(0)) None else Some(r.getString(0))
+      case None =>
+        TxLog.snapshot(fs, root).adds
+          .flatMap(_.partitionValues.get(colName))
+          .filterNot(_ == "__HIVE_DEFAULT_PARTITION__").maxOption
+    }
 
   // ---- writes ----
 
@@ -1049,7 +1056,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       dvFraction: Double = graft.ScaleConfig.dvRewriteFraction): Long = {
     var attempt = 0
     while (true) {
-      val snap = TxLog.snapshot(fs, root)
+      // bin-packing plans only files that could possibly be doomed
+      // (small, or vector-carrying) — a routine OPTIMIZE of a mostly
+      // compact million-file table collects its stragglers, not its
+      // live set; Z-ORDER is a global re-cluster and reads everything
+      val snap = zorderBy match {
+        case Some(_) => TxLog.snapshot(fs, root)
+        case None => TxLog.prunedSnapshot(fs, root, None, _ =>
+          col("rows") < lit(minRows) ||
+            col("dvFile").isNotNull || col("dv").isNotNull)
+      }
       gateWriter(snap.meta)
       val doomed = zorderBy match {
         case Some(_) => snap.adds // global re-cluster
@@ -1347,7 +1363,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def repartitionRewrite(): Long = {
     var attempt = 0
     while (true) {
-      val snap = TxLog.snapshot(fs, root)
+      // only stale-layout files are candidates — collected exactly
+      val snap = TxLog.prunedSnapshot(fs, root, None, m =>
+        sort_array(map_keys(col("partitionValues"))) =!=
+          array(m.partitionCols.sorted.map(lit): _*))
       gateWriter(snap.meta)
       val target = snap.meta.partitionCols.toSet
       val stale = snap.adds.filter(_.partitionValues.keySet != target)
@@ -1897,7 +1916,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   /** Highest application-level version committed under `appId`
     * ([[appendIdempotent]] / [[merge]]'s txn watermark), if any. */
   def latestTxnVersion(appId: String): Option[Long] =
-    TxLog.snapshot(fs, root).txns.get(appId)
+    metaSnapshot()._1.txns.get(appId) // no Add entries needed
 
   /** Latest-partition read in ONE log resolution: the max of `colName`
     * across the live files' partitionValues picks the newest load, and
