@@ -101,10 +101,19 @@ object ZOrderLayout {
     * arithmetic — no UDF.
     */
   def mortonCode(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    mortonCodeN(Seq(a, b), bits)
+
+  /** N-column Morton interleave: output bit `n*i + j` is column j's
+    * bit i — the 2-column code generalized to any dimension count.
+    * Pure codegen'd arithmetic, no UDF. `n * bits` must fit a long. */
+  def mortonCodeN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1 && n * bits <= 62,
+      s"morton interleave of $n columns x $bits bits overflows a long")
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), n * i + j))
+      .reduce(_ bitwiseOR _)
+  }
 
   /** Range-partition + sort by the Morton code of (ca, cb), then drop
     * the helper column on write. Both columns are first min-max scaled
@@ -121,17 +130,28 @@ object ZOrderLayout {
     * ACID table's OPTIMIZE ZORDER ([[graft.lake.TxTable.optimize]]).
     */
   def zOrdered(df: DataFrame, ca: String, cb: String,
-      bits: Int, partitions: Int): DataFrame = {
-    val r = df.agg(min(col(ca)), max(col(ca)), min(col(cb)), max(col(cb)))
-      .first()
-    if (r.isNullAt(0) || r.isNullAt(2)) return df
+      bits: Int, partitions: Int): DataFrame =
+    zOrderedN(df, Seq(ca, cb), bits, partitions)
+
+  /** [[zOrdered]] over any number of numeric key columns (Delta's
+    * multi-column OPTIMIZE ZORDER / clustering keys): each column
+    * min-max scales onto the common [0, 2^bits) grid, the N-way Morton
+    * code clusters them, and file-level min/max stats prune on EVERY
+    * dimension. Returns `df` unchanged if any key column is empty /
+    * all-null (no range to scale onto). */
+  def zOrderedN(df: DataFrame, cs: Seq[String], bits: Int,
+      partitions: Int): DataFrame = {
+    require(cs.nonEmpty, "zOrderedN needs at least one column")
+    val aggs = cs.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val r = df.agg(aggs.head, aggs.tail: _*).first()
+    if (cs.indices.exists(j => r.isNullAt(2 * j))) return df
     def b(i: Int): Long = r.getAs[Number](i).longValue
     def scaled(c: String, lo: Long, hi: Long): Column =
       ((col(c) - lit(lo)).cast("long") * lit(1L << bits)
         / lit(math.max(hi - lo + 1, 1L))).cast("long")
-    df.withColumn("__z", mortonCode(
-        scaled(ca, b(0), b(1)),
-        scaled(cb, b(2), b(3)), bits))
+    df.withColumn("__z", mortonCodeN(
+        cs.zipWithIndex.map { case (c, j) => scaled(c, b(2 * j), b(2 * j + 1)) },
+        bits))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

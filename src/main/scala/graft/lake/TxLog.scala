@@ -96,7 +96,8 @@ object TxLog {
       rowTracking: Option[Boolean] = None,
       rowIdWatermark: Option[Long] = None,
       identityColumns: Option[Map[String, Long]] = None,
-      defaultValues: Option[Map[String, String]] = None) {
+      defaultValues: Option[Map[String, String]] = None,
+      clusteringColumns: Option[List[String]] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def checkExprs: List[String] = constraints.getOrElse(Nil)
     def cdf: Boolean = cdfEnabled.getOrElse(false)
@@ -152,6 +153,13 @@ object TxLog {
       * schema alignment would write; a frame carrying the column keeps
       * its explicit values (SQL DEFAULT semantics). */
     def defaults: Map[String, String] = defaultValues.getOrElse(Map.empty)
+    /** CLUSTER BY columns (Delta's liquid-clustering shape): fixed at
+      * CREATE; [[graft.lake.TxTable.optimize]] re-clusters every live
+      * file along their N-way Morton curve, so min/max file skipping
+      * prunes on EVERY clustered dimension. Best-effort between
+      * OPTIMIZE runs — appends land as written (no writer gate: an
+      * unclustered file is slower to prune, never wrong). */
+    def clusterCols: List[String] = clusteringColumns.getOrElse(Nil)
   }
   /** `path` is relative to the table root; data files are immutable.
     * `rows` counts LIVE rows (physical rows minus the deletion vector).

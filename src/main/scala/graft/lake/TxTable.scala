@@ -87,9 +87,19 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       generatedColumns: Map[String, String] = Map.empty,
       enableRowTracking: Boolean = false,
       identityColumns: Seq[String] = Nil,
-      defaultValues: Map[String, String] = Map.empty): Long = {
+      defaultValues: Map[String, String] = Map.empty,
+      clusterBy: Seq[String] = Nil): Long = {
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
+    clusterBy.foreach { c =>
+      require(df.columns.contains(c), s"CLUSTER BY: no column $c")
+      require(!partitionCols.contains(c),
+        s"CLUSTER BY: $c is a partition column — its single value " +
+          "prunes exactly already")
+      require(df.schema(c).dataType.isInstanceOf[NumericType],
+        s"CLUSTER BY: $c must be numeric (the Morton curve scales " +
+          "min-max ranges; use a partition or bloom index for strings)")
+    }
     identityColumns.foreach { c =>
       require(!df.columns.contains(c),
         s"identity column $c is GENERATED ALWAYS — the create frame " +
@@ -128,9 +138,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         rowTracking = if (enableRowTracking) Some(true) else None,
         identityColumns = idents,
         defaultValues =
-          if (defaultValues.isEmpty) None else Some(defaultValues)))(
+          if (defaultValues.isEmpty) None else Some(defaultValues),
+        clusteringColumns =
+          if (clusterBy.isEmpty) None else Some(clusterBy.toList)))(
         _ withWriterFeature _)
-    val adds = stageWrite(df3, meta)
+    // the create frame itself lands clustered (appends are best-effort
+    // until the next OPTIMIZE — Delta's trade)
+    val df4 =
+      if (clusterBy.isEmpty) df3
+      else graft.ext.ZOrderLayout.zOrderedN(df3, clusterBy, 10, 8)
+    val adds = stageWrite(df4, meta)
     val entries = LogEntry(meta =
       Some(bumpIdentities(bumpWatermark(meta, adds), adds))) +:
       adds.map(a => LogEntry(add = Some(a))) :+
@@ -1059,15 +1076,21 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // bin-packing plans only files that could possibly be doomed
       // (small, or vector-carrying) — a routine OPTIMIZE of a mostly
       // compact million-file table collects its stragglers, not its
-      // live set; Z-ORDER is a global re-cluster and reads everything
-      val snap = zorderBy match {
-        case Some(_) => TxLog.snapshot(fs, root)
-        case None => TxLog.prunedSnapshot(fs, root, None, _ =>
+      // live set. Z-ORDER (explicit, or implied by the table's stored
+      // CLUSTER BY columns) is a global re-cluster and reads everything.
+      val (mSnap, complete) = metaSnapshot()
+      gateWriter(mSnap.meta)
+      val zCols: Option[Seq[String]] =
+        zorderBy.map(t => Seq(t._1, t._2))
+          .orElse(Some(mSnap.meta.clusterCols).filter(_.nonEmpty))
+      val snap =
+        if (complete) mSnap
+        else if (zCols.isDefined) TxLog.snapshot(fs, root)
+        else TxLog.prunedSnapshot(fs, root, None, _ =>
           col("rows") < lit(minRows) ||
             col("dvFile").isNotNull || col("dv").isNotNull)
-      }
       gateWriter(snap.meta)
-      val doomed = zorderBy match {
+      val doomed = zCols match {
         case Some(_) => snap.adds // global re-cluster
         case None =>
           val small = snap.adds
@@ -1081,10 +1104,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       }
       if (doomed.isEmpty) return snap.version // already compact
       // a pure rewrite must carry row identity through verbatim
-      val packed = zorderBy match {
-        case Some((a, b)) => graft.ext.ZOrderLayout.zOrdered(
+      val packed = zCols match {
+        case Some(cs) => graft.ext.ZOrderLayout.zOrderedN(
           readFiles(snap, doomed.map(_.path),
-            withRowId = snap.meta.tracksRows), a, b, zBits, zPartitions)
+            withRowId = snap.meta.tracksRows), cs, zBits, zPartitions)
         case None => readFiles(snap, doomed.map(_.path),
           withRowId = snap.meta.tracksRows).hint("rebalance")
       }
@@ -1840,7 +1863,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val row = Row(rootStr, snap.version, snap.adds.size.toLong,
       snap.adds.map(_.rows).sum, bytes,
       snap.adds.map(_.dvSize).sum,
-      snap.meta.partitionCols, snap.meta.features, snap.meta.writerFeats,
+      snap.meta.partitionCols, snap.meta.clusterCols,
+      snap.meta.features, snap.meta.writerFeats,
       snap.meta.generated, snap.meta.cdf,
       snap.meta.checkExprs.size.toLong,
       feedStatus.size.toLong, feedStatus.sum)
@@ -1852,6 +1876,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       StructField("size_bytes", LongType, nullable = false),
       StructField("dv_shadowed_rows", LongType, nullable = false),
       StructField("partition_columns", ArrayType(StringType), nullable = false),
+      StructField("clustering_columns", ArrayType(StringType), nullable = false),
       StructField("reader_features", ArrayType(StringType), nullable = false),
       StructField("writer_features", ArrayType(StringType), nullable = false),
       StructField("generated_columns", MapType(StringType, StringType),

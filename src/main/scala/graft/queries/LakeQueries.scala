@@ -1760,6 +1760,68 @@ object LakeQueries {
     Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** CLUSTER BY (Delta's liquid-clustering shape: [[graft.lake.TxTable
+    * .create]]`(clusterBy)` + [[graft.lake.TxTable.optimize]]'s
+    * automatic N-way Morton re-cluster): clustering columns are fixed
+    * at CREATE and ride the log's Meta; the create frame lands
+    * clustered, appends land as written (best-effort), and a plain
+    * OPTIMIZE — no arguments — re-clusters every live file along the
+    * stored columns' curve. The payoff is multi-dimensional file
+    * skipping: in-query REQUIREs pin that a narrow range on EITHER
+    * clustered column excludes files after OPTIMIZE, and that DESCRIBE
+    * DETAIL reports the clustering spec; the emitted rows are the two
+    * range reads themselves, oracle-checked against plain SQL.
+    */
+  val extLakeClusterBy = Q(
+    "ext_lake_cluster_by",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity")
+      val tab = new TxTable(s, scratch("lake_cluster", dir))
+      tab.create(li.where($"l_orderkey" % 2 === 0),
+        clusterBy = Seq("l_orderkey", "l_partkey"))      // v0 clustered
+      tab.append(li.where($"l_orderkey" % 2 =!= 0))      // v1 as-written
+      tab.optimize()                                     // v2 re-cluster
+      val clusterSpec = tab.detail()
+        .select(array_join($"clustering_columns", ",")).as[String].head()
+      require(clusterSpec == "l_orderkey,l_partkey",
+        s"DESCRIBE DETAIL must report the clustering spec, got $clusterSpec")
+      // a 1/8-of-range box on EITHER dimension must exclude files — the
+      // observable multi-dim locality the curve exists for
+      val fs = new org.apache.hadoop.fs.Path(scratch("lake_cluster", dir))
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val snap = graft.lake.TxLog.snapshot(fs,
+        new org.apache.hadoop.fs.Path(scratch("lake_cluster", dir)))
+      val r = li.agg(min($"l_orderkey"), max($"l_orderkey"),
+        min($"l_partkey"), max($"l_partkey")).as[(Long, Long, Long, Long)]
+        .head()
+      val (okLo, okHi) = (r._1, r._1 + (r._2 - r._1) / 8)
+      val (pkLo, pkHi) = (r._3, r._3 + (r._4 - r._3) / 8)
+      Seq("l_orderkey" -> (okLo, okHi), "l_partkey" -> (pkLo, pkHi))
+        .foreach { case (c, (lo, hi)) =>
+          require(tab.candidateFiles(snap, c, lo, hi).size < snap.adds.size,
+            s"a narrow $c range must skip files on the clustered layout") }
+      tab.readBetween("l_orderkey", okLo, okHi)
+        .withColumn("dim", lit("l_orderkey"))
+        .unionByName(tab.readBetween("l_partkey", pkLo, pkHi)
+          .withColumn("dim", lit("l_partkey")))
+        .orderBy($"dim", $"l_orderkey", $"l_partkey", $"l_linenumber")
+    },
+    Some("""WITH b AS (SELECT MIN(l_orderkey) AS oklo,
+           |                  MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey)) // 8 AS okhi,
+           |                  MIN(l_partkey) AS pklo,
+           |                  MIN(l_partkey) + (MAX(l_partkey) - MIN(l_partkey)) // 8 AS pkhi
+           |           FROM lineitem)
+           |SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+           |       'l_orderkey' AS dim
+           |FROM lineitem, b WHERE l_orderkey BETWEEN oklo AND okhi
+           |UNION ALL
+           |SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+           |       'l_partkey' AS dim
+           |FROM lineitem, b WHERE l_partkey BETWEEN pklo AND pkhi
+           |ORDER BY dim, l_orderkey, l_partkey, l_linenumber""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
     extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg,
     extLakeIvmMinMax, extLakeVacuum,
@@ -1773,6 +1835,6 @@ object LakeQueries {
     extStreamLakeIngest, pipelineLakeMedallion,
     extLakeOptimize,
     extLakeHistory, extLakeDetail, extLakeRowTracking, extLakeCdfRowIds,
-    extLakeIdentityDefault, extLakeZorderScan,
+    extLakeIdentityDefault, extLakeZorderScan, extLakeClusterBy,
     extLakeClone, extLakeRestore, extLakeConstraint, extLakeUpdate)
 }

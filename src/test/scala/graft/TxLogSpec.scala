@@ -324,6 +324,38 @@ class TxLogSpec extends SparkSpec {
     intercept[Exception](tab.deleteWhere(length($"text") < lit(0)))
   }
 
+  test("CLUSTER BY: stored at create, OPTIMIZE re-clusters, both " +
+      "dimensions skip") {
+    val root = freshRoot("cluster")
+    val tab = new TxTable(spark, root)
+    val df = spark.range(0L, 1024L).select($"id",
+      ($"id" * 7 % 1024).as("score"), concat(lit("d"), $"id").as("text"))
+    // refusals: unknown / non-numeric / partition-overlapping columns
+    intercept[IllegalArgumentException](
+      tab.create(df, clusterBy = Seq("nope")))
+    intercept[IllegalArgumentException](
+      tab.create(df, clusterBy = Seq("text")))
+    intercept[IllegalArgumentException](
+      tab.create(df, partitionCols = Seq("id"), clusterBy = Seq("id")))
+    tab.create(df, clusterBy = Seq("id", "score"))
+    tab.append(df.select(($"id" + 1024L).as("id"),
+      ($"id" * 7 % 1024).as("score"), $"text"))
+    tab.optimize() // no args: re-clusters along the STORED columns
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val snap = TxLog.snapshot(fs, new Path(root))
+    assert(snap.meta.clusterCols === List("id", "score"))
+    assert(snap.adds.size > 2, "re-cluster must produce several files")
+    // a narrow box on EITHER dimension excludes files
+    assert(tab.candidateFiles(snap, "id", 0L, 100L).size < snap.adds.size)
+    assert(tab.candidateFiles(snap, "score", 0L, 100L).size < snap.adds.size)
+    // and the rows are exactly the ones written
+    assert(tab.read().count() === 2048L)
+    assert(tab.readBetween("score", 0L, 6L).select($"id")
+      .as[Long].collect().toSet ===
+      (0L until 2048L).filter(i => (i % 1024) * 7 % 1024 <= 6).toSet)
+  }
+
   test("vacuum's age guard protects young (possibly in-flight) files") {
     val tab = new TxTable(spark, freshRoot("age"))
     tab.create(docs(20))
