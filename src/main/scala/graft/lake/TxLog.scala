@@ -782,17 +782,27 @@ object TxLog {
     val latest = latestVersion(fs, root)
     require(latest >= 0, s"no transaction log at $root")
     val floor = math.max(0L, latest - keepVersions + 1)
-    // change-data files of KEPT commits stay readable (their feed slices
-    // must keep resolving); older commits' change data is reclaimable —
-    // the change horizon is the vacuum horizon, like time travel itself
-    val referenced = (floor to latest).flatMap { v =>
-      val adds = snapshot(fs, root, Some(v)).adds
-      adds.map(_.path) ++ adds.flatMap(_.dvFile) ++
-        adds.flatMap(_.bloom.map(_.values).getOrElse(Nil)) ++
-        commitEntries(fs, root, v).flatMap(_.cdf).map(_.path)
-    }.toSet
+    // A file live at ANY kept version is either live at the FLOOR
+    // snapshot or added by a kept commit — one snapshot resolution plus
+    // O(keepVersions) single-commit reads, never a snapshot per kept
+    // version (at K kept versions of an F-file table that was K x F
+    // driver folds). Change-data files of KEPT commits stay readable
+    // (their feed slices must keep resolving); older commits' change
+    // data is reclaimable — the change horizon is the vacuum horizon,
+    // like time travel itself.
+    def refsOf(adds: Iterable[Add]): Iterable[String] =
+      adds.flatMap(a => a.path +: (a.dvFile.toSeq ++
+        a.bloom.map(_.values.toSeq).getOrElse(Nil)))
+    val floorAdds = snapshot(fs, root, Some(floor)).adds
+    val referenced = (refsOf(floorAdds) ++
+      ((floor + 1) to latest).flatMap(v =>
+        refsOf(commitEntries(fs, root, v).flatMap(_.add))) ++
+      (floor to latest).flatMap(v =>
+        commitEntries(fs, root, v).flatMap(_.cdf).map(_.path))).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val all = scala.collection.mutable.ArrayBuffer[String]()
+    // deletions stream off the listing iterator — the only buffered
+    // state is the referenced set and the reclaimed names
+    val doomed = scala.collection.mutable.ArrayBuffer[String]()
     val it = fs.listFiles(root, true)
     val rootUri = root.toUri.getPath.stripSuffix("/")
     while (it.hasNext) {
@@ -802,10 +812,11 @@ object TxLog {
         ((rel.startsWith("_dv/") || rel.startsWith("_bloom/")) &&
           rel.endsWith(".bin"))
       if (!rel.startsWith("_txlog") && reclaimable &&
-          f.getModificationTime <= cutoff) all += rel
+          f.getModificationTime <= cutoff && !referenced(rel)) {
+        fs.delete(new Path(root, rel), false)
+        doomed += rel
+      }
     }
-    val doomed = all.filterNot(referenced)
-    doomed.foreach(rel => fs.delete(new Path(root, rel), false))
     doomed.toSeq
   }
 }
