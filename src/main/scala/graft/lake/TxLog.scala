@@ -193,7 +193,8 @@ object TxLog {
       dv: Option[List[Long]] = None, dvFile: Option[String] = None,
       dvCount: Option[Long] = None,
       bloom: Option[Map[String, String]] = None,
-      bytes: Option[Long] = None) {
+      bytes: Option[Long] = None,
+      zcube: Option[String] = None) {
     /** Inline positions only — sidecar vectors resolve through
       * [[TxTable]]'s fs-aware decode. */
     def dvPositions: List[Long] = dv.getOrElse(Nil)

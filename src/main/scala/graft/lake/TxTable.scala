@@ -143,11 +143,15 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           if (clusterBy.isEmpty) None else Some(clusterBy.toList)))(
         _ withWriterFeature _)
     // the create frame itself lands clustered (appends are best-effort
-    // until the next OPTIMIZE — Delta's trade)
-    val df4 =
-      if (clusterBy.isEmpty) df3
-      else graft.ext.ZOrderLayout.zOrderedN(df3, clusterBy, 10, 8)
-    val adds = stageWrite(df4, meta)
+    // until the next OPTIMIZE — Delta's trade) and carries a ZCube
+    // stamp, so routine OPTIMIZE leaves it alone
+    val adds =
+      if (clusterBy.isEmpty) stageWrite(df3, meta)
+      else {
+        val cube = java.util.UUID.randomUUID.toString.take(8)
+        stageWrite(graft.ext.ZOrderLayout.zOrderedN(df3, clusterBy, 10, 8),
+          meta).map(_.copy(zcube = Some(cube)))
+      }
     val entries = LogEntry(meta =
       Some(bumpIdentities(bumpWatermark(meta, adds), adds))) +:
       adds.map(a => LogEntry(add = Some(a))) :+
@@ -1061,6 +1065,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * file carries a TIGHT min/max box on BOTH columns and
     * [[readBetween]]/[[candidateFiles]] prune on either dimension —
     * Delta's OPTIMIZE ZORDER, driven entirely by the log's stats.
+    *
+    * On a table created with `clusterBy`, a plain no-argument OPTIMIZE
+    * clusters INCREMENTALLY (Delta's ZCube model): files written by a
+    * clustering pass carry a cube stamp in their Add entry, and
+    * routine maintenance re-clusters only the UNSTAMPED files (plus
+    * heavily vector-shadowed ones — vector purge keeps working) into a
+    * fresh cube —
+    * new data joins the layout without rewriting the old cubes, so the
+    * cost of keeping a 100 TB table clustered is proportional to the
+    * data added since the last pass, not to the table.
     */
   /** `dvFraction`: files whose deletion vector covers more than this
     * fraction of their physical rows are rewritten too (alone if need
@@ -1083,25 +1097,36 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val zCols: Option[Seq[String]] =
         zorderBy.map(t => Seq(t._1, t._2))
           .orElse(Some(mSnap.meta.clusterCols).filter(_.nonEmpty))
+      // stored-cluster maintenance is INCREMENTAL: only unstamped /
+      // vector-carrying / small files are candidates, so its planning
+      // snapshot prunes distributed too; an explicit ZORDER BY is the
+      // global re-cluster and reads everything
+      val incremental = zorderBy.isEmpty && zCols.isDefined
       val snap =
         if (complete) mSnap
+        else if (incremental) TxLog.prunedSnapshot(fs, root, None, _ =>
+          col("zcube").isNull ||
+            col("dvFile").isNotNull || col("dv").isNotNull)
         else if (zCols.isDefined) TxLog.snapshot(fs, root)
         else TxLog.prunedSnapshot(fs, root, None, _ =>
           col("rows") < lit(minRows) ||
             col("dvFile").isNotNull || col("dv").isNotNull)
       gateWriter(snap.meta)
-      val doomed = zCols match {
-        case Some(_) => snap.adds // global re-cluster
-        case None =>
-          val small = snap.adds
-            .filter(_.rows < minRows)
-            .groupBy(_.partitionValues)
-            .filter(_._2.size >= 2)
-            .values.flatten
-          val dvHeavy = snap.adds.filter(a => a.hasDv &&
-            a.dvSize.toDouble / (a.rows + a.dvSize) > dvFraction)
-          (small ++ dvHeavy).toVector.distinctBy(_.path)
-      }
+      val doomed =
+        if (incremental) snap.adds.filter(a => a.zcube.isEmpty ||
+          (a.hasDv && a.dvSize.toDouble / (a.rows + a.dvSize) > dvFraction))
+        else zCols match {
+          case Some(_) => snap.adds // global re-cluster
+          case None =>
+            val small = snap.adds
+              .filter(_.rows < minRows)
+              .groupBy(_.partitionValues)
+              .filter(_._2.size >= 2)
+              .values.flatten
+            val dvHeavy = snap.adds.filter(a => a.hasDv &&
+              a.dvSize.toDouble / (a.rows + a.dvSize) > dvFraction)
+            (small ++ dvHeavy).toVector.distinctBy(_.path)
+        }
       if (doomed.isEmpty) return snap.version // already compact
       // a pure rewrite must carry row identity through verbatim
       val packed = zCols match {
@@ -1111,7 +1136,15 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         case None => readFiles(snap, doomed.map(_.path),
           withRowId = snap.meta.tracksRows).hint("rebalance")
       }
-      val adds = stageWrite(packed, snap.meta)
+      val adds0 = stageWrite(packed, snap.meta)
+      // a stored-cluster pass stamps its outputs so the NEXT pass
+      // leaves them alone; ad-hoc ZORDER BY columns may differ from the
+      // stored spec, so those outputs stay unstamped
+      val adds =
+        if (incremental) {
+          val cube = java.util.UUID.randomUUID.toString.take(8)
+          adds0.map(_.copy(zcube = Some(cube)))
+        } else adds0
       // a pure rewrite changes no row: an EMPTY capture (marked in the
       // Info line) tells readChanges to emit nothing for this commit
       // instead of diffing the whole rewritten file set

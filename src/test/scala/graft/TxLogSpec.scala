@@ -354,6 +354,22 @@ class TxLogSpec extends SparkSpec {
     assert(tab.readBetween("score", 0L, 6L).select($"id")
       .as[Long].collect().toSet ===
       (0L until 2048L).filter(i => (i % 1024) * 7 % 1024 <= 6).toSet)
+    // INCREMENTAL (ZCube): a further append + optimize clusters only
+    // the new data — the existing cubes' files survive untouched
+    val before = snap.adds.map(_.path).toSet
+    assert(snap.adds.forall(_.zcube.isDefined),
+      "clustering passes must stamp their outputs")
+    tab.append(df.select(($"id" + 2048L).as("id"), $"score", $"text"))
+    tab.optimize()
+    val after = TxLog.snapshot(fs, new Path(root))
+    assert(before.subsetOf(after.adds.map(_.path).toSet),
+      "routine OPTIMIZE must not rewrite already-clustered cubes")
+    assert(after.adds.count(a => !before(a.path)) > 0)
+    assert(after.adds.forall(_.zcube.isDefined))
+    assert(tab.read().count() === 3072L)
+    // a second no-op maintenance pass commits nothing
+    val v = tab.version
+    assert(tab.optimize() === v, "nothing unclustered -> no commit")
   }
 
   test("vacuum's age guard protects young (possibly in-flight) files") {
