@@ -45,6 +45,15 @@ object LogStore {
     */
   trait Claim {
     def claim(fs: FileSystem, tmp: Path, dst: Path): Boolean
+
+    /** Void any claim state held for commits under `logDir` — called by
+      * a DESTRUCTIVE table re-create (which deletes the whole table
+      * directory first), so a coordinator-backed claim does not keep
+      * refusing versions the dead incarnation once claimed. No-op for
+      * claims whose only state is the dst file itself. NOT a recovery
+      * path for a crashed winner (that stays operational triage — an
+      * automatic reclaim would race the pre-PUT winner). */
+    def invalidateTable(logDir: Path): Unit = ()
   }
 
   /** POSIX hard link: atomic, fails-if-exists, local filesystems. */
@@ -103,12 +112,19 @@ object LogStore {
     */
   final class CoordinatedClaim(coordFs: FileSystem, coordDir: Path)
       extends Claim {
+    // marker = sha(parent dir URI) + "-" + commit file name: claims of
+    // one table share an enumerable prefix, so a destructive re-create
+    // can void the dead incarnation's markers (invalidateTable) without
+    // being able to touch any other table's
+    private def tableKey(dir: Path): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.toUri.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+
     def claim(fs: FileSystem, tmp: Path, dst: Path): Boolean = {
       coordFs.mkdirs(coordDir)
-      val key = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(dst.toUri.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val marker = new Path(coordDir, key + ".lock")
+      val marker = new Path(coordDir,
+        tableKey(dst.getParent) + "-" + dst.getName + ".lock")
       val ticket = new Path(coordDir,
         s".claim-${java.util.UUID.randomUUID}")
       val out = coordFs.create(ticket, true)
@@ -122,6 +138,16 @@ object LogStore {
       // single winner: the data-store PUT races nobody, plain rename
       // (or write) is now sound even where the store cannot refuse keys
       won && fs.rename(tmp, dst)
+    }
+
+    override def invalidateTable(logDir: Path): Unit = {
+      if (!coordFs.exists(coordDir)) return
+      val prefix = tableKey(logDir) + "-"
+      coordFs.listStatus(coordDir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) && n.endsWith(".lock"))
+          coordFs.delete(st.getPath, false): Unit
+      }
     }
   }
 

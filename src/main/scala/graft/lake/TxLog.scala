@@ -535,11 +535,21 @@ object TxLog {
         lastResolve.set(("driver-fold", s.adds.size.toLong))
         s
       case Some((live, meta, target, txns)) =>
-        val matched = live.where(keep(meta)).as(addEncoder)
-          .collect().toVector
-        lastResolve.set(("distributed-prune", matched.size.toLong))
-        Snapshot(target, meta, matched, txns)
+        collectPruned(live, meta, target, txns, keep(meta))
     }
+  }
+
+  /** Complete a [[liveAddsFrame]] resolution into a planning Snapshot:
+    * filter the live frame, collect ONLY matches. Lets a caller that
+    * already aggregated over the frame (e.g. the latest-partition max)
+    * finish against the SAME resolution instead of replaying the log
+    * a second time. */
+  private[lake] def collectPruned(live: org.apache.spark.sql.DataFrame,
+      meta: Meta, target: Long, txns: Map[String, Long],
+      keep: org.apache.spark.sql.Column): Snapshot = {
+    val matched = live.where(keep).as(addEncoder).collect().toVector
+    lastResolve.set(("distributed-prune", matched.size.toLong))
+    Snapshot(target, meta, matched, txns)
   }
 
   /** The live Add set at `asOf` AS A DATAFRAME (flattened [[Add]]

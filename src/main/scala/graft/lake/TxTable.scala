@@ -91,6 +91,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       clusterBy: Seq[String] = Nil): Long = {
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
+    // a re-create voids the DEAD incarnation's coordinator claim
+    // markers (the whole table directory was just deleted; without
+    // this a CoordinatedClaim would refuse every version the old
+    // table once committed). Schemes without a registered claim skip.
+    scala.util.Try(LogStore.claimFor(fs))
+      .foreach(_.invalidateTable(new Path(root, "_txlog")))
     clusterBy.foreach { c =>
       require(df.columns.contains(c), s"CLUSTER BY: no column $c")
       require(!partitionCols.contains(c),
@@ -100,6 +106,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         s"CLUSTER BY: $c must be numeric (the Morton curve scales " +
           "min-max ranges; use a partition or bloom index for strings)")
     }
+    require(clusterBy.size * 10 <= 62,
+      s"CLUSTER BY: ${clusterBy.size} columns x 10 interleave bits " +
+        "overflow a long — at most 6 clustering columns")
     identityColumns.foreach { c =>
       require(!df.columns.contains(c),
         s"identity column $c is GENERATED ALWAYS — the create frame " +
@@ -556,7 +565,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         // contract is "source replaces current rows sharing their
         // key", one row out, inheriting the smallest id (same rule as
         // applyChanges)
-        val srcAligned =
+        val srcAligned0b =
           if (!tracks) srcAligned0
           else srcAligned0.join(
             tgt.groupBy(keyCols.map(col): _*)
@@ -566,11 +575,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               lit(snap.meta.nextRowId) + monotonically_increasing_id()))
             .drop("__old_rid")
         // an id-carrying feed must record the SAME fresh ids the write
-        // lands: materialize the id assignment once (cache + force), so
-        // the staged union and the capture job read identical values
-        // instead of re-evaluating monotonically_increasing_id under
-        // different physical partition ordinals
-        if (idFeed) { srcAligned.cache(); srcAligned.count(): Unit }
+        // lands: MATERIALIZE the id assignment (localCheckpoint — a
+        // best-effort cache could silently recompute different
+        // monotonically_increasing_id values into the capture job; a
+        // lost checkpoint block fails loudly instead)
+        val srcAligned =
+          if (idFeed) srcAligned0b.localCheckpoint() else srcAligned0b
         val adds = stageWrite(survivors.unionByName(srcAligned), meta)
         val newMeta = if (tracks) bumpWatermark(meta, adds) else meta
         val metaEntry =
@@ -603,7 +613,6 @@ final class TxTable(spark: SparkSession, rootStr: String) {
                 .withColumn("_change_type", lit("insert")))
           })
         val committed = TxLog.tryCommit(fs, root, snap.version + 1, entries)
-        if (idFeed) srcAligned.unpersist()
         if (committed) return snap.version + 1
         attempt += 1
         require(attempt < maxRetries, s"merge into $root lost $maxRetries races")
@@ -910,7 +919,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         // reproduces the same ids), brand-new keys draw fresh ids.
         // id mode: the slice's OWN ids land verbatim — identity is the
         // key, so there is nothing to look up.
-        val insAligned =
+        val insAligned0b =
           if (byId) ins.select((snap.meta.schema.fieldNames.toSeq :+
             RowIdCol).map(col): _*)
           else if (!tracks) insAligned0
@@ -922,10 +931,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               lit(snap.meta.nextRowId) + monotonically_increasing_id()))
             .drop("__old_rid")
         // an id-carrying feed must record the SAME fresh ids the write
-        // lands — materialize the keyed-mode assignment once so capture
-        // and staging agree (byId slices carry explicit ids: already
-        // deterministic)
-        if (idFeed && !byId) { insAligned.cache(); insAligned.count(): Unit }
+        // lands — MATERIALIZE the keyed-mode assignment
+        // (localCheckpoint, not best-effort cache: a recompute would
+        // land different ids in the feed than the files; byId slices
+        // carry explicit ids and are already deterministic)
+        val insAligned =
+          if (idFeed && !byId) insAligned0b.localCheckpoint()
+          else insAligned0b
         val adds = stageWrite(survivors.unionByName(insAligned), snap.meta)
         val newMeta =
           if (tracks) bumpWatermark(snap.meta, adds) else snap.meta
@@ -958,7 +970,6 @@ final class TxTable(spark: SparkSession, rootStr: String) {
                 .withColumn("_change_type", lit("insert")))
           })
         val committed = TxLog.tryCommit(fs, root, snap.version + 1, entries)
-        if (idFeed && !byId) insAligned.unpersist()
         if (committed) return snap.version + 1
         attempt += 1
         require(attempt < maxRetries,
@@ -1012,15 +1023,21 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val merged = evolve(snap.meta, df.schema)
       val doomed = snap.adds.filter(_.partitionValues.get(partCol).contains(value))
       // a whole-partition replacement is new data — fresh row ids and
-      // fresh identity values, from the attempt's watermarks. A CDF
-      // identity table materializes the allocation once so the feed
-      // records the same values the write lands.
+      // fresh identity values, from the attempt's watermarks. Under CDF
+      // the nondeterministic assignment is MATERIALIZED
+      // (localCheckpoint) so the staged files and the captured feed
+      // record identical values — unlike a best-effort cache, a lost
+      // block fails the job instead of recomputing different ids into
+      // the feed.
       val tracks = snap.meta.tracksRows
-      val staged = applyIdentities(
+      val idFeed = tracks && snap.meta.cdf
+      val staged0 = applyIdentities(
         if (tracks) assignRowIds(df, snap.meta.nextRowId) else df,
         snap.meta)
-      val identCdf = snap.meta.cdf && snap.meta.identities.nonEmpty
-      if (identCdf) { staged.cache(); staged.count(): Unit }
+      val staged =
+        if (snap.meta.cdf && (tracks || snap.meta.identities.nonEmpty))
+          staged0.localCheckpoint()
+        else staged0
       val adds = stageWrite(staged, merged)
       val newMeta = bumpIdentities(
         if (tracks) bumpWatermark(merged, adds) else merged, adds)
@@ -1032,18 +1049,20 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         adds.map(a => LogEntry(add = Some(a))) ++
         captureTail(merged, "OVERWRITE_PARTITION", snap.version, {
           // both capture sides under the MERGED schema: the doomed files
-          // may predate an evolution this very load introduces
+          // may predate an evolution this very load introduces. On a
+          // tracked CDF table both sides carry _row_id — the retracted
+          // rows' identities and the landed rows' fresh ones.
           def aligned(d: DataFrame) =
             d.select(merged.schema.fields.map(f =>
               if (d.columns.contains(f.name)) col(f.name)
-              else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-          aligned(readFiles(snap, doomed.map(_.path)))
+              else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq ++
+              (if (idFeed) Seq(col(RowIdCol)) else Nil): _*)
+          aligned(readFiles(snap, doomed.map(_.path), withRowId = idFeed))
             .withColumn("_change_type", lit("delete"))
             .unionAll(aligned(staged)
               .withColumn("_change_type", lit("insert")))
         })
       val committed = TxLog.tryCommit(fs, root, snap.version + 1, entries)
-      if (identCdf) staged.unpersist()
       if (committed) return snap.version + 1
       attempt += 1
       require(attempt < maxRetries, s"overwrite in $root lost $maxRetries races")
@@ -1698,11 +1717,21 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     }
     val numeric: Set[DataType] = Set(ByteType, ShortType, IntegerType,
       LongType, FloatType, DoubleType)
-    // unwrap type-coercion casts; the value-type check below rejects
-    // the unsafe cross-domain cases (string attr vs numeric literal)
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    // Unwrap ONLY value-preserving widening casts of integral columns
+    // (the analyzer's own coercions, e.g. int column vs long literal).
+    // A narrowing or lossy cast must NOT be seen through: mining
+    // `$"price".cast("long") === 15` as price=[15,15] would prune a
+    // file whose stats are [15.1, 15.8] even though row 15.3 MATCHES
+    // the predicate — a silently-skipped delete. Float→double, though
+    // an up-cast, is excluded too: a float's widened value can differ
+    // from its stats string's double parse, breaking the stats order.
     def attrOf(e: Expression): Option[AttributeReference] = e match {
       case a: AttributeReference => Some(a)
-      case Cast(a: AttributeReference, _, _, _) => Some(a)
+      case Cast(a: AttributeReference, t, _, _)
+          if integral(a.dataType) && Cast.canUpCast(a.dataType, t) =>
+        Some(a)
       case _ => None
     }
     def valOf(a: AttributeReference, l: Literal): Option[Any] =
@@ -1883,15 +1912,35 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val snap = TxLog.snapshot(fs, root, asOf)
     val bytes = snap.adds.map(a => a.bytes.getOrElse(
       fs.getFileStatus(new Path(root, a.path)).getLen)).sum
-    // change-feed footprint at this version: the staged _change_data of
-    // commits 0..version that still exist on disk (vacuum reclaims the
-    // expired ones with their commits' files — the feed horizon IS the
-    // vacuum horizon). Log + fs metadata only, no data file opened.
-    val feedPaths = (0L to snap.version).flatMap(v =>
-      TxLog.commitEntries(fs, root, v).flatMap(_.cdf).map(_.path))
-    val feedStatus = feedPaths.flatMap { rel =>
-      val p = new Path(root, rel)
-      if (fs.exists(p)) Some(fs.getFileStatus(p).getLen) else None
+    // change-feed footprint: at HEAD, one recursive listing of
+    // `_change_data/` — O(feed files), never O(history); the on-disk
+    // truth, including any failed commit's orphaned staging (vacuum's
+    // to reclaim). A time-travel detail keeps the exact per-commit
+    // walk (bounded by the requested version) — replaying a long
+    // history is the point of asking about it.
+    val (feedCount, feedBytes) = asOf match {
+      case None =>
+        val dirP = new Path(root, "_change_data")
+        if (!fs.exists(dirP)) (0L, 0L)
+        else {
+          var n = 0L; var b = 0L
+          val it = fs.listFiles(dirP, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getPath.getName.endsWith(".parquet")) {
+              n += 1; b += f.getLen
+            }
+          }
+          (n, b)
+        }
+      case Some(_) =>
+        val feedPaths = (0L to snap.version).flatMap(v =>
+          TxLog.commitEntries(fs, root, v).flatMap(_.cdf).map(_.path))
+        val sizes = feedPaths.flatMap { rel =>
+          val p = new Path(root, rel)
+          if (fs.exists(p)) Some(fs.getFileStatus(p).getLen) else None
+        }
+        (sizes.size.toLong, sizes.sum)
     }
     val row = Row(rootStr, snap.version, snap.adds.size.toLong,
       snap.adds.map(_.rows).sum, bytes,
@@ -1900,7 +1949,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       snap.meta.features, snap.meta.writerFeats,
       snap.meta.generated, snap.meta.cdf,
       snap.meta.checkExprs.size.toLong,
-      feedStatus.size.toLong, feedStatus.sum)
+      feedCount, feedBytes)
     spark.createDataFrame(Seq(row).asJava, StructType(Seq(
       StructField("location", StringType, nullable = false),
       StructField("version", LongType, nullable = false),
@@ -1993,7 +2042,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * filter stays on for exactness either way. */
   def readLatestPartition(colName: String): DataFrame = {
     TxLog.liveAddsFrame(fs, root, None) match {
-      case Some((live, _, target, _)) =>
+      case Some((live, meta, target, txns)) =>
         val pv = col("partitionValues").getItem(colName)
         val latestRow = live
           .where(pv.isNotNull && pv =!= "__HIVE_DEFAULT_PARTITION__")
@@ -2001,10 +2050,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         if (latestRow.isNullAt(0)) read(asOf = Some(target))
         else {
           val latest = latestRow.getString(0)
-          val snap = TxLog.prunedSnapshot(fs, root, Some(target), _ => {
-            val p = col("partitionValues").getItem(colName)
-            p.isNull || p === lit(latest)
-          })
+          // finish against the SAME resolution (no second log replay):
+          // the max agg and the matched-file collection are pinned to
+          // one target version by construction
+          val snap = TxLog.collectPruned(live, meta, target, txns,
+            pv.isNull || pv === lit(latest))
           readFiles(snap, snap.adds.map(_.path))
             .where(col(colName).cast("string") === lit(latest))
         }

@@ -293,6 +293,7 @@ class TxLogSpec extends SparkSpec {
     val root = freshRoot("predscan")
     val tab = new TxTable(spark, root)
     tab.create(spark.range(200L).select($"id",
+      $"id".cast("int").as("si"),
       concat(lit("d-"), $"id").as("text"))
       .repartitionByRange(20, $"id"))
     val fs = new Path(root).getFileSystem(
@@ -316,12 +317,21 @@ class TxLogSpec extends SparkSpec {
       .select($"text").as[String].collect().toSet === Set("U!"))
     assert(tab.readBetween("id", 0L, 10L)
       .where($"id".isin(5L, 7L, 8L)).count() === 0L)
+    // a WIDENING coercion cast (int column vs long literal) is seen
+    // through — value-preserving, so the prune is sound and engages
+    tab.update($"si" === 4L, Map("text" -> lit("W")))
+    assert(tab.readBetween("id", 4L, 4L).select($"text")
+      .as[String].collect().toSeq === Seq("W"))
     // a predicate reaching into the hole plans the missing file — loud
     // failure, never a silent skip
     intercept[Exception](tab.update($"id" === 190L, Map("text" -> lit("X"))))
     // an unprunable predicate (no recognizable conjunct) scans the full
     // table — conservative, so it too hits the hole
     intercept[Exception](tab.deleteWhere(length($"text") < lit(0)))
+    // a NARROWING cast must NOT be seen through: mining it would prune
+    // files containing genuinely matching rows — so it full-scans (and
+    // here hits the hole) instead of silently skipping
+    intercept[Exception](tab.deleteWhere($"id".cast("int") === lit(3)))
   }
 
   test("CLUSTER BY: stored at create, OPTIMIZE re-clusters, both " +

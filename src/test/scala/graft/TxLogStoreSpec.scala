@@ -188,6 +188,35 @@ class TxLogStoreSpec extends SparkSpec {
     } finally LogStore.unregister("mocks3")
   }
 
+  test("CoordinatedClaim: a destructive re-create voids the dead " +
+      "incarnation's markers, other tables' markers survive") {
+    val coordDir = new Path(Files.createTempDirectory("coord_lock3").toString)
+    val coordFs = coordDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val claim = new LogStore.CoordinatedClaim(coordFs, coordDir)
+    LogStore.register("mocks3", claim)
+    try {
+      val fs = mockFs()
+      val root = freshRoot("recreate")
+      val other = freshRoot("bystander")
+      assert(TxLog.tryCommit(fs, root, 0L, entriesFor("CREATE")))
+      assert(TxLog.tryCommit(fs, root, 1L, entriesFor("APPEND")))
+      assert(TxLog.tryCommit(fs, other, 0L, entriesFor("CREATE")))
+      // the first incarnation's markers refuse a blind re-claim
+      assert(!TxLog.tryCommit(fs, root, 0L, entriesFor("CREATE2")))
+      // a destructive re-create (delete + invalidate, TxTable.create's
+      // sequence) claims v0 and v1 cleanly again
+      fs.delete(root, true)
+      claim.invalidateTable(new Path(root, "_txlog"))
+      assert(TxLog.tryCommit(fs, root, 0L, entriesFor("CREATE2")))
+      assert(TxLog.tryCommit(fs, root, 1L, entriesFor("APPEND2")))
+      // the bystander table's claim state is untouched: its v0 still
+      // refuses, its next version still claims
+      assert(!TxLog.tryCommit(fs, other, 0L, entriesFor("DUPE")))
+      assert(TxLog.tryCommit(fs, other, 1L, entriesFor("APPEND")))
+    } finally LogStore.unregister("mocks3")
+  }
+
   test("explicit single-writer acknowledgment unlocks plain rename commits") {
     val fs = mockFs(LogStore.unsafeSingleWriterKey -> "true")
     val root = freshRoot("single")

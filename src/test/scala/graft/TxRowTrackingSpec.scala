@@ -166,6 +166,32 @@ class TxRowTrackingSpec extends SparkSpec {
       plain.readChanges(0L, 0L, withRowIds = true))
   }
 
+  test("overwrite-partition feed carries row ids: retracted identities " +
+      "and landed fresh ids") {
+    val tab = new TxTable(spark, freshRoot("owfeed"))
+    val df = Seq((0L, "a", "x0"), (1L, "a", "x1"), (2L, "b", "x2"))
+      .toDF("id", "p", "text")
+    tab.create(df, partitionCols = Seq("p"), enableChangeDataFeed = true,
+      enableRowTracking = true)
+    val before = idsByKey(tab)
+    val v = tab.overwritePartition("p", "a",
+      Seq((10L, "a", "n0"), (11L, "a", "n1")).toDF("id", "p", "text"))
+    val after = idsByKey(tab)
+    val feed = tab.readChanges(v, v, withRowIds = true)
+    val del = feed.where($"_change_type" === "delete")
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(del.keySet === Set(0L, 1L))
+    del.foreach { case (k, rid) => assert(rid === before(k),
+      "the retracted row's identity must ride the feed") }
+    val ins = feed.where($"_change_type" === "insert")
+      .select($"id", $"_row_id").as[(Long, Long)].collect().toMap
+    assert(ins.keySet === Set(10L, 11L))
+    ins.foreach { case (k, rid) => assert(rid === after(k),
+      "the feed must record the id the write actually landed") }
+    // the untouched partition never enters the feed
+    assert(!feed.select($"id").as[Long].collect().contains(2L))
+  }
+
   test("streamed keyless replica: CDF stream withRowIds + applyChangesById " +
       "reproduces content AND identities") {
     val upDir = freshRoot("streamup")
