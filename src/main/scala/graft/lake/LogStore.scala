@@ -101,16 +101,26 @@ object LogStore {
     * `LogStore.register("s3a", new LogStore.CoordinatedClaim(lockFs,
     * lockDir))`.
     *
-    * Caveat (Delta's incomplete-entry problem, documented there too): a
-    * winner that crashes between marker and PUT leaves the version
-    * claimed-but-unpublished; readers fail loudly on the missing commit
-    * and an operator removes the orphaned marker after verifying `dst`
-    * is absent. Delta's DynamoDB store automates that recovery with
-    * entry-complete flags; a lock-dir deployment handles it
-    * operationally. The marker's CONTENT records the dst URI it locks,
-    * for exactly that triage.
+    * Crashed-winner RECOVERY (Delta's incomplete-entry problem, solved
+    * there with entry-complete flags + fixDeltaLog): a winner that dies
+    * between marker claim and data-store PUT leaves the version
+    * claimed-but-unpublished. The marker's content records BOTH the dst
+    * URI and the winner's staged tmp URI, so a later claimer of the
+    * same version that loses the marker, finds `dst` absent and the
+    * marker older than `recoveryGraceMs`, COMPLETES the crashed commit
+    * by copying the recorded tmp → dst. Completion is race-free against
+    * a merely-slow winner because the winner's own publish is a
+    * copy-with-overwrite of the SAME tmp — both writers land identical
+    * bytes. The recoverer still returns false: the version belongs to
+    * the original winner's payload, and the recoverer's own commit
+    * retries at the next version (exactly the optimistic-concurrency
+    * path a plain lost claim takes). Only when the staged tmp itself is
+    * gone with dst absent does the marker stay for operator triage —
+    * the payload is unrecoverable and fabricating a commit would be
+    * worse than refusing.
     */
-  final class CoordinatedClaim(coordFs: FileSystem, coordDir: Path)
+  class CoordinatedClaim(coordFs: FileSystem, coordDir: Path,
+      recoveryGraceMs: Long = 30000L)
       extends Claim {
     // marker = sha(parent dir URI) + "-" + commit file name: claims of
     // one table share an enumerable prefix, so a destructive re-create
@@ -128,16 +138,59 @@ object LogStore {
       val ticket = new Path(coordDir,
         s".claim-${java.util.UUID.randomUUID}")
       val out = coordFs.create(ticket, true)
-      try out.write(dst.toUri.toString.getBytes("UTF-8"))
+      try out.write(
+        (dst.toUri.toString + "\n" + tmp.toUri.toString).getBytes("UTF-8"))
       finally out.close()
       val won =
         try claimFor(coordFs).claim(coordFs, ticket, marker)
         finally {
           if (coordFs.exists(ticket)) coordFs.delete(ticket, false): Unit
         }
-      // single winner: the data-store PUT races nobody, plain rename
-      // (or write) is now sound even where the store cannot refuse keys
-      won && fs.rename(tmp, dst)
+      // single winner: the data-store PUT races nobody but a RECOVERER
+      // completing this same commit — and that writes identical bytes
+      if (won) publish(fs, tmp, dst)
+      else { maybeRecover(fs, marker, dst); false }
+    }
+
+    /** The winner's data-store PUT: a COPY with overwrite, not a
+      * rename — idempotent against a concurrent recovery completing
+      * this same commit from the recorded tmp. Overridable only so a
+      * spec can simulate a crash in the marker→PUT window. */
+    protected def publish(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+      org.apache.hadoop.fs.FileUtil.copy(fs, tmp, fs, dst,
+        false /* keep tmp: the claim contract says the caller cleans */,
+        true /* overwrite: identical-bytes race with a recoverer */,
+        fs.getConf)
+
+    /** Losing-side recovery: if the marker's winner never published and
+      * the marker is past the grace window, complete its commit from
+      * the staged tmp the marker records. */
+    private def maybeRecover(fs: FileSystem, marker: Path,
+        dst: Path): Unit = {
+      if (fs.exists(dst)) return // published: nothing to recover
+      val age =
+        try System.currentTimeMillis() -
+          coordFs.getFileStatus(marker).getModificationTime
+        catch { case _: java.io.FileNotFoundException => return }
+      if (age < recoveryGraceMs) return // winner may still be mid-PUT
+      val content = {
+        val in = coordFs.open(marker)
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          new String(bos.toByteArray, "UTF-8")
+        } finally in.close()
+      }
+      val lines = content.split('\n')
+      if (lines.length < 2) return // pre-recovery marker: operator triage
+      val staged = new Path(new java.net.URI(lines(1).trim))
+      if (fs.exists(staged))
+        org.apache.hadoop.fs.FileUtil.copy(fs, staged, fs, dst,
+          false, true, fs.getConf): Unit
+      // staged tmp gone with dst absent: unrecoverable — leave the
+      // marker for operator triage rather than fabricate a commit
     }
 
     override def invalidateTable(logDir: Path): Unit = {

@@ -217,6 +217,80 @@ class TxLogStoreSpec extends SparkSpec {
     } finally LogStore.unregister("mocks3")
   }
 
+  test("CoordinatedClaim: a crashed winner's commit is COMPLETED by the " +
+      "next claimer from the marker-recorded staged tmp") {
+    val fs = mockFs()
+    val root = freshRoot("crashed")
+    fs.mkdirs(root)
+    val coordDir = new Path(Files.createTempDirectory("coord_lock4").toString)
+    val coordFs = coordDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // a claim whose data-store PUT dies AFTER winning the marker — the
+    // incomplete-entry window (Delta's S3DynamoDBLogStore problem)
+    class CrashingClaim extends LogStore.CoordinatedClaim(
+        coordFs, coordDir, recoveryGraceMs = 0L) {
+      override protected def publish(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: Path, dst: Path): Boolean =
+        throw new RuntimeException("simulated crash: marker claimed, PUT never ran")
+    }
+    val dst = new Path(root, "00000000000000000000.json")
+    val tmpW = new Path(root, "tmp_winner")
+    val outW = fs.create(tmpW, true)
+    try outW.write("winner-payload".getBytes("UTF-8")) finally outW.close()
+    intercept[RuntimeException] { new CrashingClaim().claim(fs, tmpW, dst) }
+    // the stuck state: version claimed, commit unpublished
+    assert(!fs.exists(dst))
+    // a healthy claimer (zero grace) arrives with ITS OWN payload: it
+    // loses the marker — and completes the crashed winner's commit
+    val healthy = new LogStore.CoordinatedClaim(coordFs, coordDir, 0L)
+    val tmpL = new Path(root, "tmp_loser")
+    val outL = fs.create(tmpL, true)
+    try outL.write("loser-payload".getBytes("UTF-8")) finally outL.close()
+    assert(!healthy.claim(fs, tmpL, dst),
+      "the recoverer must NOT win the version it recovered")
+    val in = fs.open(dst)
+    val buf = new Array[Byte](64)
+    val n = in.read(buf); in.close()
+    assert(new String(buf, 0, n, "UTF-8") === "winner-payload",
+      "recovery completes the CRASHED WINNER's payload, never the recoverer's")
+    // the recoverer's normal retry at the next version claims cleanly
+    val dst1 = new Path(root, "00000000000000000001.json")
+    assert(healthy.claim(fs, tmpL, dst1))
+    val in1 = fs.open(dst1)
+    val n1 = in1.read(buf); in1.close()
+    assert(new String(buf, 0, n1, "UTF-8") === "loser-payload")
+  }
+
+  test("CoordinatedClaim: recovery respects the grace window — a fresh " +
+      "marker is treated as a live winner, not a crash") {
+    val fs = mockFs()
+    val root = freshRoot("grace")
+    fs.mkdirs(root)
+    val coordDir = new Path(Files.createTempDirectory("coord_lock5").toString)
+    val coordFs = coordDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    class CrashingClaim extends LogStore.CoordinatedClaim(
+        coordFs, coordDir, recoveryGraceMs = 3600000L) {
+      override protected def publish(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: Path, dst: Path): Boolean =
+        throw new RuntimeException("simulated crash")
+    }
+    val dst = new Path(root, "00000000000000000000.json")
+    val tmpW = new Path(root, "tmp_winner")
+    val outW = fs.create(tmpW, true)
+    try outW.write("winner-payload".getBytes("UTF-8")) finally outW.close()
+    intercept[RuntimeException] { new CrashingClaim().claim(fs, tmpW, dst) }
+    // one-hour grace: the marker is seconds old, so the loser must NOT
+    // touch it — the winner could still be mid-PUT
+    val healthy = new LogStore.CoordinatedClaim(coordFs, coordDir, 3600000L)
+    val tmpL = new Path(root, "tmp_loser")
+    val outL = fs.create(tmpL, true)
+    try outL.write("loser-payload".getBytes("UTF-8")) finally outL.close()
+    assert(!healthy.claim(fs, tmpL, dst))
+    assert(!fs.exists(dst),
+      "inside the grace window the version stays unpublished — no premature recovery")
+  }
+
   test("explicit single-writer acknowledgment unlocks plain rename commits") {
     val fs = mockFs(LogStore.unsafeSingleWriterKey -> "true")
     val root = freshRoot("single")
