@@ -61,6 +61,20 @@ object ScaleConfig {
     */
   val dvRewriteFraction = 0.10
 
+  /** Target ZCube size in ROWS for incremental clustering maintenance
+    * ([[graft.lake.TxTable.optimize]] on a CLUSTER BY table): a stamped
+    * cube whose live row total is below this merges into the next
+    * pass's cube; at or above it the cube is STABLE and never rewritten
+    * by routine maintenance again. Delta's ZCube MIN_CUBE_SIZE (100 GB)
+    * in row terms. Law: rows ≈ targetCubeBytes / avgRowBytes —
+    * INVARIANT in table size; it bounds rewrite amplification (a row is
+    * re-clustered at most log₂(minCubeRows / appendBatchRows) times
+    * before its cube goes stable) while keeping the cube COUNT — and so
+    * the per-dimension pruning quality — from degrading as small
+    * maintenance passes accumulate.
+    */
+  val minCubeRows = 1L << 22
+
   // ---- coarse quantization (IVF / SemDeDup / PQ) ----
 
   /** Cluster count for the FIXED-k IVF index demos (ext_knn_cosine_ivf

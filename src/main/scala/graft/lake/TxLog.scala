@@ -626,6 +626,27 @@ object TxLog {
     Some((live, meta, target, txns.toMap))
   }
 
+  /** ZCube ids whose LIVE row total is under `minRows` — the merge
+    * candidates for incremental clustering maintenance (Delta's ZCube
+    * size filter). O(cubes) on the driver: aggregated over the live
+    * frame in Catalyst when the table plans distributed, folded in
+    * memory otherwise (where the fold is the cheaper path anyway). */
+  def undersizedCubes(fs: FileSystem, root: Path,
+      minRows: Long): Set[String] =
+    liveAddsFrame(fs, root, None) match {
+      case Some((live, _, _, _)) =>
+        import org.apache.spark.sql.functions.{col, sum}
+        live.where(col("zcube").isNotNull).groupBy(col("zcube"))
+          .agg(sum(col("rows")).as("__rows"))
+          .where(col("__rows") < minRows)
+          .select("zcube").collect().map(_.getString(0)).toSet
+      case None =>
+        snapshot(fs, root).adds.filter(_.zcube.isDefined)
+          .groupBy(_.zcube.get)
+          .collect { case (c, as) if as.map(_.rows).sum < minRows => c }
+          .toSet
+    }
+
   def snapshot(fs: FileSystem, root: Path, asOf: Option[Long] = None): Snapshot = {
     val latest = latestVersion(fs, root)
     require(latest >= 0, s"no transaction log at $root")

@@ -1094,6 +1094,19 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * new data joins the layout without rewriting the old cubes, so the
     * cost of keeping a 100 TB table clustered is proportional to the
     * data added since the last pass, not to the table.
+    *
+    * UNDERSIZED cubes merge (Delta's ZCube size filter): a stamped cube
+    * whose live rows total under `minCubeRows` joins the pass and
+    * coalesces with the new data — without it, every small maintenance
+    * pass would mint another tiny cube and the cube count (hence the
+    * per-file pruning quality and the open-file cost of every read)
+    * would grow with the number of passes instead of the data. A cube
+    * at or above the target is STABLE: routine maintenance never
+    * rewrites it again, so rewrite amplification stays logarithmic.
+    * Convergence guard: when the pass's candidates are exactly the
+    * members of ONE undersized cube with no vectors to purge, the table
+    * is as merged as its data allows and OPTIMIZE is a no-op rather
+    * than an eternal self-rewrite of the same lone cube.
     */
   /** `dvFraction`: files whose deletion vector covers more than this
     * fraction of their physical rows are rewritten too (alone if need
@@ -1103,7 +1116,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def optimize(minRows: Long = 1L << 20,
       zorderBy: Option[(String, String)] = None,
       zPartitions: Int = 8, zBits: Int = 10,
-      dvFraction: Double = graft.ScaleConfig.dvRewriteFraction): Long = {
+      dvFraction: Double = graft.ScaleConfig.dvRewriteFraction,
+      minCubeRows: Long = graft.ScaleConfig.minCubeRows): Long = {
     var attempt = 0
     while (true) {
       // bin-packing plans only files that could possibly be doomed
@@ -1117,23 +1131,34 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         zorderBy.map(t => Seq(t._1, t._2))
           .orElse(Some(mSnap.meta.clusterCols).filter(_.nonEmpty))
       // stored-cluster maintenance is INCREMENTAL: only unstamped /
-      // vector-carrying / small files are candidates, so its planning
-      // snapshot prunes distributed too; an explicit ZORDER BY is the
-      // global re-cluster and reads everything
+      // undersized-cube / vector-carrying files are candidates, so its
+      // planning snapshot prunes distributed too; an explicit ZORDER BY
+      // is the global re-cluster and reads everything
       val incremental = zorderBy.isEmpty && zCols.isDefined
+      val smallCubes: Set[String] =
+        if (!incremental) Set.empty
+        else if (complete)
+          mSnap.adds.filter(_.zcube.isDefined).groupBy(_.zcube.get)
+            .collect { case (c, as) if as.map(_.rows).sum < minCubeRows => c }
+            .toSet
+        else TxLog.undersizedCubes(fs, root, minCubeRows)
       val snap =
         if (complete) mSnap
         else if (incremental) TxLog.prunedSnapshot(fs, root, None, _ =>
           col("zcube").isNull ||
+            (if (smallCubes.isEmpty) lit(false)
+             else col("zcube").isin(smallCubes.toSeq: _*)) ||
             col("dvFile").isNotNull || col("dv").isNotNull)
         else if (zCols.isDefined) TxLog.snapshot(fs, root)
         else TxLog.prunedSnapshot(fs, root, None, _ =>
           col("rows") < lit(minRows) ||
             col("dvFile").isNotNull || col("dv").isNotNull)
       gateWriter(snap.meta)
+      def dvHeavyAdd(a: Add): Boolean = a.hasDv &&
+        a.dvSize.toDouble / (a.rows + a.dvSize) > dvFraction
       val doomed =
         if (incremental) snap.adds.filter(a => a.zcube.isEmpty ||
-          (a.hasDv && a.dvSize.toDouble / (a.rows + a.dvSize) > dvFraction))
+          a.zcube.exists(smallCubes) || dvHeavyAdd(a))
         else zCols match {
           case Some(_) => snap.adds // global re-cluster
           case None =>
@@ -1142,11 +1167,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               .groupBy(_.partitionValues)
               .filter(_._2.size >= 2)
               .values.flatten
-            val dvHeavy = snap.adds.filter(a => a.hasDv &&
-              a.dvSize.toDouble / (a.rows + a.dvSize) > dvFraction)
+            val dvHeavy = snap.adds.filter(dvHeavyAdd)
             (small ++ dvHeavy).toVector.distinctBy(_.path)
         }
       if (doomed.isEmpty) return snap.version // already compact
+      // convergence: a lone undersized cube with nothing to merge INTO
+      // it and no vectors to purge is as merged as the data allows —
+      // rewriting it would change nothing and never terminate
+      if (incremental && doomed.forall(a => a.zcube.isDefined &&
+          !dvHeavyAdd(a)) && doomed.flatMap(_.zcube).distinct.size == 1)
+        return snap.version
       // a pure rewrite must carry row identity through verbatim
       val packed = zCols match {
         case Some(cs) => graft.ext.ZOrderLayout.zOrderedN(

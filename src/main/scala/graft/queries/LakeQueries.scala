@@ -1793,6 +1793,13 @@ object LakeQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val snap = graft.lake.TxLog.snapshot(fs,
         new org.apache.hadoop.fs.Path(scratch("lake_cluster", dir)))
+      // ZCube merging: the create pass's cube is UNDERSIZED at this
+      // scale, so the maintenance pass coalesces it with the unstamped
+      // append into ONE cube — small passes must not accrete tiny cubes
+      val cubeCount = snap.adds.flatMap(_.zcube).distinct.size
+      require(cubeCount == 1 && snap.adds.forall(_.zcube.isDefined),
+        s"undersized cubes must merge into one, got $cubeCount cubes " +
+          s"over ${snap.adds.size} files")
       val r = li.agg(min($"l_orderkey"), max($"l_orderkey"),
         min($"l_partkey"), max($"l_partkey")).as[(Long, Long, Long, Long)]
         .head()

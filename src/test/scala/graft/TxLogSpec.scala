@@ -365,21 +365,72 @@ class TxLogSpec extends SparkSpec {
       .as[Long].collect().toSet ===
       (0L until 2048L).filter(i => (i % 1024) * 7 % 1024 <= 6).toSet)
     // INCREMENTAL (ZCube): a further append + optimize clusters only
-    // the new data — the existing cubes' files survive untouched
+    // the new data — FULL cubes' files survive untouched (threshold 0:
+    // every stamped cube counts as full, pinning pure incrementality)
     val before = snap.adds.map(_.path).toSet
     assert(snap.adds.forall(_.zcube.isDefined),
       "clustering passes must stamp their outputs")
     tab.append(df.select(($"id" + 2048L).as("id"), $"score", $"text"))
-    tab.optimize()
+    tab.optimize(minCubeRows = 0L)
     val after = TxLog.snapshot(fs, new Path(root))
     assert(before.subsetOf(after.adds.map(_.path).toSet),
-      "routine OPTIMIZE must not rewrite already-clustered cubes")
+      "routine OPTIMIZE must not rewrite full cubes")
     assert(after.adds.count(a => !before(a.path)) > 0)
     assert(after.adds.forall(_.zcube.isDefined))
     assert(tab.read().count() === 3072L)
     // a second no-op maintenance pass commits nothing
     val v = tab.version
-    assert(tab.optimize() === v, "nothing unclustered -> no commit")
+    assert(tab.optimize(minCubeRows = 0L) === v,
+      "nothing unclustered -> no commit")
+  }
+
+  test("ZCube merging: undersized cubes coalesce with new data, a cube " +
+      "at target size goes stable, a lone small cube converges") {
+    val root = freshRoot("cubemerge")
+    val tab = new TxTable(spark, root)
+    def batch(lo: Long): org.apache.spark.sql.DataFrame =
+      spark.range(lo, lo + 1024L).select($"id",
+        ($"id" * 7 % 1024).as("score"), concat(lit("d"), $"id").as("text"))
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def cubes(): Map[String, Long] =
+      TxLog.snapshot(fs, new Path(root)).adds.groupBy(_.zcube.get)
+        .view.mapValues(_.map(_.rows).sum).toMap
+    tab.create(batch(0L), clusterBy = Seq("id", "score")) // cube A: 1024
+    assert(cubes().size === 1)
+    // an undersized cube MERGES with the next pass's new data instead
+    // of leaving a second tiny cube behind
+    tab.append(batch(1024L))
+    tab.optimize(minCubeRows = 3000L)
+    val afterMerge = cubes()
+    assert(afterMerge.size === 1,
+      s"small cube A must merge with the new data, got $afterMerge")
+    assert(afterMerge.values.sum === 2048L)
+    // convergence: ONE undersized cube, nothing to merge into it — a
+    // further pass must be a no-op, not an eternal self-rewrite
+    val v = tab.version
+    assert(tab.optimize(minCubeRows = 3000L) === v,
+      "a lone undersized cube with no new data must not rewrite itself")
+    // crossing the target makes the cube STABLE
+    tab.append(batch(2048L))
+    tab.optimize(minCubeRows = 3000L) // merged cube: 3072 >= 3000
+    val stable = cubes()
+    assert(stable.size === 1 && stable.values.sum === 3072L)
+    val stablePaths = TxLog.snapshot(fs, new Path(root))
+      .adds.map(_.path).toSet
+    tab.append(batch(3072L))
+    tab.optimize(minCubeRows = 3000L)
+    val finalCubes = cubes()
+    assert(finalCubes.size === 2,
+      s"a full cube stays; new data forms its own cube: $finalCubes")
+    assert(stablePaths.subsetOf(TxLog.snapshot(fs, new Path(root))
+      .adds.map(_.path).toSet),
+      "a cube at target size must never be rewritten by maintenance")
+    assert(tab.read().count() === 4096L)
+    // the merged layout still prunes on either clustered dimension
+    val snap = TxLog.snapshot(fs, new Path(root))
+    assert(tab.candidateFiles(snap, "id", 0L, 100L).size < snap.adds.size)
+    assert(tab.candidateFiles(snap, "score", 0L, 100L).size < snap.adds.size)
   }
 
   test("vacuum's age guard protects young (possibly in-flight) files") {
