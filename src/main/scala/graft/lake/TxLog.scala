@@ -570,11 +570,36 @@ object TxLog {
       p.entries.exists(_ >= driverSnapshotMaxFiles) &&
       parquetCheckpointReadable(fs, root, p.version))
     if (!big) return None
+    val (live, meta, txns) =
+      frameFromCheckpoint(fs, root, ptr.get.version, target)
+    Some((live, meta, target, txns))
+  }
+
+  /** [[liveAddsFrame]] generalized to ANY version with a readable
+    * parquet checkpoint at or before it — the distributed RESTORE
+    * diff's way of resolving the TARGET version's live set without a
+    * driver fold. None when no readable parquet checkpoint precedes
+    * `version` (a JSON checkpoint means the live set was small when
+    * written — the in-memory fold is the right path there anyway). */
+  private[lake] def addsFrameAt(fs: FileSystem, root: Path,
+      version: Long): Option[(org.apache.spark.sql.DataFrame, Meta)] =
+    newestCheckpointAtOrBefore(fs, root, version)
+      .filter(v => parquetCheckpointReadable(fs, root, v))
+      .map { ckptV =>
+        val (live, meta, _) = frameFromCheckpoint(fs, root, ckptV, version)
+        (live, meta)
+      }
+
+  /** Shared distributed-resolution core: checkpoint parquet scanned as
+    * a DataFrame, the tail commits (ckptV, target] folded on the driver
+    * as a small overlay — net-new adds appended, dead paths anti-joined
+    * away (a removed-then-re-added path is live under its newest
+    * entry). */
+  private def frameFromCheckpoint(fs: FileSystem, root: Path,
+      ckptV: Long, target: Long)
+      : (org.apache.spark.sql.DataFrame, Meta, Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     val spark = activeSession.get
-    val ckptV = ptr.get.version
-    // tail overlay, folded on the driver in commit order: net-new adds,
-    // paths dead since the checkpoint (a removed-then-re-added path is
-    // live under its newest entry)
     var tailMeta: Option[Meta] = None
     val tailLive = scala.collection.mutable.LinkedHashMap[String, Add]()
     val dead = scala.collection.mutable.HashSet[String]()
@@ -623,8 +648,28 @@ object TxLog {
       if (tailLive.isEmpty) base
       else base.unionByName(
         spark.createDataset(tailLive.values.toSeq)(addEncoder).toDF())
-    Some((live, meta, target, txns.toMap))
+    (live, meta, txns.toMap)
   }
+
+  /** Canonical single-column fingerprint of a flattened [[Add]] row,
+    * comparable across frames: map fields (which Spark refuses to
+    * equate directly) render as SORTED entry arrays inside one JSON
+    * string, scalars ride along by name. Two Adds fingerprint equal iff
+    * the case classes are equal — what the RESTORE diff joins on. */
+  private[lake] def addCanon: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    to_json(struct(
+      col("rows"), col("dv"), col("dvFile"), col("dvCount"),
+      col("bytes"), col("zcube"),
+      array_sort(map_entries(col("partitionValues"))).as("pv"),
+      array_sort(map_entries(col("stats"))).as("st"),
+      array_sort(map_entries(col("bloom"))).as("bl")))
+  }
+
+  /** Collect a frame of flattened Add rows back to case classes. */
+  private[lake] def collectAdds(
+      df: org.apache.spark.sql.DataFrame): Vector[Add] =
+    df.as(addEncoder).collect().toVector
 
   /** ZCube ids whose LIVE row total is under `minRows` — the merge
     * candidates for incremental clustering maintenance (Delta's ZCube

@@ -1245,35 +1245,79 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * history keeps every commit — the undo for a bad delete/merge that
     * is itself time-travelable. Fails clearly if vacuum already
     * reclaimed a file the old version needs.
+    *
+    * Diff by FULL Add payload, not path: a merge-on-read delete re-adds
+    * the SAME path with a different deletion vector, so a path-only
+    * diff would leave the newer vector live and the restored table
+    * would silently miss rows the target version had. Any path whose
+    * current Add differs from the target's gets remove+re-add (the
+    * remove lands first in the entry order, so replay ends on the
+    * target's payload).
+    *
+    * BOUNDED DRIVER: above the file-count threshold both versions
+    * resolve as checkpoint-backed DataFrames and the payload diff is a
+    * distributed join on canonical fingerprints — only the DIFFERING
+    * entries (which the commit must carry anyway) ever reach the
+    * driver, so undoing a few commits on a million-file table collects
+    * a few commits' worth of files, not two full live sets. The vacuum
+    * existence check runs on exactly the re-added diff for the same
+    * reason (a file live in the CURRENT version cannot have been
+    * vacuumed).
     */
   def restore(toVersion: Long): Long = {
-    val old = TxLog.snapshot(fs, root, Some(toVersion))
-    old.adds.foreach { a =>
-      require(fs.exists(new Path(root, a.path)),
-        s"cannot restore to v$toVersion: ${a.path} was vacuumed")
-    }
     var attempt = 0
     while (true) {
-      val snap = TxLog.snapshot(fs, root)
-      gateWriter(snap.meta)
-      // Diff by FULL Add payload, not path: a merge-on-read delete re-adds
-      // the SAME path with a different deletion vector, so a path-only
-      // diff would leave the newer vector live and the restored table
-      // would silently miss rows the target version had. Any path whose
-      // current Add differs from the target's gets remove+re-add (the
-      // remove lands first in the entry order, so replay ends on the
-      // target's payload).
-      val curByPath = snap.adds.map(a => a.path -> a).toMap
-      val tgtByPath = old.adds.map(a => a.path -> a).toMap
+      val resolved
+          : Option[(Long, TxLog.Meta, TxLog.Meta, Seq[String], Vector[Add])] =
+        TxLog.liveAddsFrame(fs, root, None).flatMap {
+          case (curF, curMeta, curV, _) =>
+            require(toVersion <= curV,
+              s"version $toVersion out of range [0, $curV] at $root")
+            TxLog.addsFrameAt(fs, root, toVersion).map { case (tgtF, tgtMeta) =>
+              val c = curF.withColumn("__canon", TxLog.addCanon)
+              val t = tgtF.withColumn("__canon", TxLog.addCanon)
+              val removes = c.join(
+                t.select(col("path"), col("__canon").as("__tc")),
+                Seq("path"), "left")
+                .where(col("__tc").isNull || col("__tc") =!= col("__canon"))
+                .select("path").collect().map(_.getString(0)).toSeq
+              val addsBack = TxLog.collectAdds(t.join(
+                c.select(col("path"), col("__canon").as("__cc")),
+                Seq("path"), "left")
+                .where(col("__cc").isNull || col("__cc") =!= col("__canon"))
+                .drop("__cc", "__canon"))
+              TxLog.lastResolve.set(("distributed-prune",
+                (removes.size + addsBack.size).toLong))
+              (curV, curMeta, tgtMeta, removes, addsBack)
+            }
+        }
+      val (curVersion, curMeta, tgtMeta, removedPaths, addedBack) =
+        resolved match {
+          case Some(r) => r
+          case None =>
+            val old = TxLog.snapshot(fs, root, Some(toVersion))
+            val snap = TxLog.snapshot(fs, root)
+            val curByPath = snap.adds.map(a => a.path -> a).toMap
+            val tgtByPath = old.adds.map(a => a.path -> a).toMap
+            (snap.version, snap.meta, old.meta,
+              snap.adds.filterNot(a => tgtByPath.get(a.path).contains(a))
+                .map(_.path),
+              old.adds.filterNot(a => curByPath.get(a.path).contains(a)))
+        }
+      gateWriter(curMeta)
+      // vacuum check on exactly the re-added diff: a file the current
+      // version still references cannot have been vacuumed
+      addedBack.foreach { a =>
+        require(fs.exists(new Path(root, a.path)),
+          s"cannot restore to v$toVersion: ${a.path} was vacuumed")
+      }
       val entries =
-        (if (old.meta != snap.meta) Seq(LogEntry(meta = Some(old.meta))) else Nil) ++
-        snap.adds.filterNot(a => tgtByPath.get(a.path).contains(a))
-          .map(a => LogEntry(remove = Some(Remove(a.path)))) ++
-        old.adds.filterNot(a => curByPath.get(a.path).contains(a))
-          .map(a => LogEntry(add = Some(a))) :+
-        LogEntry(info = Some(Info("RESTORE", snap.version)))
-      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
-        return snap.version + 1
+        (if (tgtMeta != curMeta) Seq(LogEntry(meta = Some(tgtMeta))) else Nil) ++
+        removedPaths.map(p => LogEntry(remove = Some(Remove(p)))) ++
+        addedBack.map(a => LogEntry(add = Some(a))) :+
+        LogEntry(info = Some(Info("RESTORE", curVersion)))
+      if (TxLog.tryCommit(fs, root, curVersion + 1, entries))
+        return curVersion + 1
       attempt += 1
       require(attempt < maxRetries, s"restore of $root lost $maxRetries races")
     }

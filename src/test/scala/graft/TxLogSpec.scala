@@ -1779,6 +1779,64 @@ class LazySnapshotSpec extends SparkSpec {
     } finally spark.conf.unset(TxLog.driverSnapshotMaxFilesKey)
   }
 
+  test("restore plans distributed above the threshold — the DIFF, not " +
+      "two full live sets, reaches the driver") {
+    import spark.implicits._
+    val root = freshRoot("restdist")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(0L, 5L).toDF("id"))
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val real = TxLog.snapshot(fs, rootP)
+    // 5000 fakes live at v0; v1 removes one and adds a new one — the
+    // restore-to-v0 diff is exactly {remove g0, re-add f2}
+    val fakes = (0 until 5000).map(i => Add(s"fake/f$i.parquet", 10L,
+      Map.empty, Map("id" -> Stat("l", (100000L + i * 100).toString,
+        (100000L + i * 100 + 99).toString)), bytes = Some(1L)))
+    val entries = (LogEntry(meta = Some(real.meta)) +:
+      (real.adds ++ fakes).map(a => LogEntry(add = Some(a)))).toSeq
+    val enc = org.apache.spark.sql.Encoders.product[LogEntry]
+    spark.createDataset(entries)(enc).write.mode("overwrite")
+      .parquet(new Path(rootP, f"_txlog/${0L}%020d.checkpoint.parquet")
+        .toString)
+    def put(p: Path, s: String): Unit = {
+      val o = fs.create(p, true)
+      try o.write(s.getBytes("UTF-8")) finally o.close()
+    }
+    put(new Path(rootP, "_txlog/_last_checkpoint"),
+      s"""{"version":0,"entries":${entries.size}}""")
+    implicit val fmts: org.json4s.Formats =
+      org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+    put(new Path(rootP, f"_txlog/${1L}%020d.json"), Seq(
+      LogEntry(remove = Some(TxLog.Remove("fake/f2.parquet"))),
+      LogEntry(add = Some(Add("fake/g0.parquet", 5L, Map.empty,
+        Map("id" -> Stat("l", "100200", "100299")), bytes = Some(1L)))),
+      LogEntry(info = Some(TxLog.Info("FAKE", 0L))))
+      .map(org.json4s.jackson.Serialization.write(_)).mkString("\n"))
+    // ONLY the diff's re-added file exists on disk: if the vacuum
+    // existence check ran over the full target live set (4999 other
+    // fakes, none on disk), the restore would refuse
+    put(new Path(rootP, "fake/f2.parquet"), "")
+    spark.conf.set(TxLog.driverSnapshotMaxFilesKey, "1000")
+    try {
+      val v = tab.restore(0L)
+      assert(TxLog.lastResolve.get()._1 === "distributed-prune",
+        "restore must not fold two live sets on the driver")
+      assert(TxLog.lastResolve.get()._2 < 10L,
+        "only the payload diff may reach the driver")
+      val committed = TxLog.commitEntries(fs, rootP, v)
+      assert(committed.flatMap(_.remove).map(_.path) ===
+        Seq("fake/g0.parquet"))
+      assert(committed.flatMap(_.add).map(_.path) ===
+        Seq("fake/f2.parquet"))
+      assert(committed.flatMap(_.meta).isEmpty,
+        "unchanged meta must not be re-committed")
+      // the restored state answers a pruned read correctly
+      assert(tab.readBetween("id", 0L, 4L).as[Long].collect().toSet ===
+        (0L until 5L).toSet)
+    } finally spark.conf.unset(TxLog.driverSnapshotMaxFilesKey)
+  }
+
   test("below the threshold (and on real read paths) the driver fold serves") {
     import spark.implicits._
     val root = freshRoot("small")
