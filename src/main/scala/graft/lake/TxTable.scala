@@ -1547,28 +1547,48 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * layout (a uuid/user-id spread across every file's full range).
     * Refused for partition columns: their single value rides in
     * partitionValues and prunes exactly already.
+    *
+    * INCREMENTAL: a re-run with the same fpp indexes only the files
+    * LACKING a sidecar for the column (appends since the last run), so
+    * routine index maintenance on a 100 TB table reads the new data,
+    * not the corpus — and its planning snapshot prunes distributed to
+    * exactly those files. A re-run with a DIFFERENT fpp rebuilds
+    * everything (the recorded spec changes, stale-fpp sidecars would
+    * silently under- or over-filter).
     */
   def addBloomIndex(colName: String, fpp: Double = 0.01): Long = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     var attempt = 0
     while (true) {
-      val snap = TxLog.snapshot(fs, root)
-      gateWriter(snap.meta)
-      require(snap.meta.schema.fieldNames.contains(colName),
+      val (mSnap, complete) = metaSnapshot()
+      gateWriter(mSnap.meta)
+      require(mSnap.meta.schema.fieldNames.contains(colName),
         s"BLOOM INDEX: no column $colName in $root")
-      require(!snap.meta.partitionCols.contains(colName),
+      require(!mSnap.meta.partitionCols.contains(colName),
         s"BLOOM INDEX: $colName is a partition column — partitionValues " +
           "prune it exactly already")
-      val phys = snap.meta.physicalOf(colName)
+      val phys = mSnap.meta.physicalOf(colName)
+      val sameSpec = mSnap.meta.bloomCols.get(colName).contains(fpp)
+      val snap =
+        if (complete) mSnap
+        else if (sameSpec) TxLog.prunedSnapshot(fs, root, None, _ =>
+          col("bloom").isNull || col("bloom").getItem(phys).isNull)
+        else TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
+      val candidates =
+        if (sameSpec) snap.adds.filter(a => !a.bloom.exists(_.contains(phys)))
+        else snap.adds
+      if (sameSpec && candidates.isEmpty)
+        return snap.version // fully indexed already — no commit
       val pcols = snap.meta.partitionCols
       val dataSchema = StructType(
         snap.meta.schema.fields.filterNot(f => pcols.contains(f.name))
           .map(f => f.copy(name = snap.meta.physicalOf(f.name))))
-      val maxRows = snap.adds.map(_.rows).maxOption.getOrElse(0L)
+      val maxRows = candidates.map(_.rows).maxOption.getOrElse(0L)
       val blooms = perFileBlooms(
-        snap.adds.map(a => new Path(root, a.path).toString),
+        candidates.map(a => new Path(root, a.path).toString),
         Some(dataSchema), phys, maxRows, fpp)
-      val updated = snap.adds.flatMap { a =>
+      val updated = candidates.flatMap { a =>
         blooms.get(a.path).map { bytes =>
           a.copy(bloom = Some(a.bloom.getOrElse(Map.empty) +
             (phys -> writeBloomSidecar(bytes))))
@@ -2045,7 +2065,17 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   // ---- reads ----
 
-  /** Snapshot read; `asOf` time-travels to an older version. */
+  /** Snapshot read; `asOf` time-travels to an older version.
+    *
+    * Driver posture: planning a FULL scan materializes the live Add
+    * list on the driver — deliberately. The collection is O(files) but
+    * so is the scan it plans; a reader about to touch every file can
+    * afford its path list (Delta's filesForScan collects AddFiles the
+    * same way). Every SELECTIVE path — [[readBetween]], [[readEquals]],
+    * partition-pinned and latest-partition reads, all mutations'
+    * planning — resolves through the pruned/distributed snapshot
+    * machinery instead and never pays this.
+    */
   def read(asOf: Option[Long] = None): DataFrame =
     readSnapshot(TxLog.snapshot(fs, root, asOf))
 

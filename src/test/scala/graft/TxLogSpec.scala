@@ -1268,6 +1268,50 @@ class BloomIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](tab.addBloomIndex("id", 2.0))
   }
 
+  test("index maintenance is incremental: a same-spec re-run is a no-op, " +
+      "a repair touches only unindexed files, a new fpp rebuilds") {
+    val root = freshRoot("incr")
+    val tab = new TxTable(spark, root)
+    tab.create(rows(0, 1000).repartition(4))
+    tab.addBloomIndex("id", 0.01)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rootP = new Path(root)
+    // same spec, fully indexed: no commit at all
+    val v1 = tab.version
+    assert(tab.addBloomIndex("id", 0.01) === v1,
+      "a fully-indexed table must not commit (let alone rebuild)")
+    // strip ONE file's sidecar reference via a raw commit — the repair
+    // must rewrite exactly that file's entry, keeping the others' bytes
+    val snap = TxLog.snapshot(fs, rootP)
+    val victim = snap.adds.head
+    val others = snap.adds.tail.map(a => a.path -> a.bloom).toMap
+    assert(TxLog.tryCommit(fs, rootP, v1 + 1, Seq(
+      TxLog.LogEntry(remove = Some(TxLog.Remove(victim.path))),
+      TxLog.LogEntry(add = Some(victim.copy(bloom = None))),
+      TxLog.LogEntry(info = Some(TxLog.Info("STRIP", v1))))))
+    val v2 = tab.addBloomIndex("id", 0.01)
+    val repaired = TxLog.snapshot(fs, rootP)
+    assert(repaired.adds.forall(_.bloom.exists(_.contains("id"))))
+    repaired.adds.filter(a => others.contains(a.path)).foreach { a =>
+      assert(a.bloom === others(a.path),
+        s"repair must not rebuild already-indexed ${a.path}") }
+    val committed = TxLog.commitEntries(fs, rootP, v2)
+    assert(committed.flatMap(_.add).map(_.path) === Seq(victim.path),
+      "the repair commit carries exactly the unindexed file")
+    assert(tab.readEquals("id", 123L).count() === 1L)
+    // a DIFFERENT fpp is a spec change: every sidecar is rebuilt
+    val before = repaired.adds
+      .map(a => a.path -> a.bloom.get("id")).toMap
+    tab.addBloomIndex("id", 0.001)
+    val rebuilt = TxLog.snapshot(fs, rootP)
+    assert(rebuilt.adds.forall(a =>
+      a.bloom.exists(_.contains("id")) &&
+        !before.get(a.path).contains(a.bloom.get("id"))),
+      "an fpp change must re-index every file")
+    assert(tab.readEquals("id", 123L).count() === 1L)
+  }
+
   test("partition columns refuse; optimize re-indexes; vacuum reclaims " +
     "orphaned sidecars and keeps referenced ones") {
     val root = freshRoot("vac")
