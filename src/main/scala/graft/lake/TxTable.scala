@@ -297,8 +297,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         captureTail(snap.meta, "DELETE", snap.version,
           cur.where(cond).drop(FileCol)
             .withColumn("_change_type", lit("delete")))
-      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
-        return snap.version + 1
+      commitRebasing(snap, entries, cond).foreach(v => return v)
       attempt += 1
       require(attempt < maxRetries, s"delete in $root lost $maxRetries races")
     }
@@ -388,8 +387,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         captureTail(snap.meta, "DELETE_DV", snap.version,
           cur.where(cond).drop(FileCol, PosCol)
             .withColumn("_change_type", lit("delete")))
-      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
-        return snap.version + 1
+      commitRebasing(snap, entries, cond).foreach(v => return v)
       attempt += 1
       require(attempt < maxRetries,
         s"merge-on-read delete in $root lost $maxRetries races")
@@ -468,8 +466,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
             .unionByName(rewritten.where(col(flag))
               .drop((flag +: (if (idFeed) Nil else Seq(RowIdCol))): _*)
               .withColumn("_change_type", lit("update_postimage"))))
-      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
-        return snap.version + 1
+      commitRebasing(snap, entries, cond).foreach(v => return v)
       attempt += 1
       require(attempt < maxRetries, s"update in $root lost $maxRetries races")
     }
@@ -1887,6 +1884,51 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * can file `a` hold a row with `colName` in [lo, hi] (either side
     * optionally unbounded)? Missing stats fall to the partition value;
     * missing both, or ANY parse/type mismatch, keeps the file. */
+  /** Conflict-checked retry for a staged PREDICATE mutation (the
+    * WriteSerializable slice of Delta's ConflictChecker): when the
+    * staged commit loses the version race, examine the WINNER instead
+    * of redoing the scan+rewrite. A winner that is a pure blind
+    * APPEND — add/info/txn entries only, no removes, no metadata
+    * change — whose EVERY added file is provably disjoint from `cond`
+    * (the same stats mining data skipping uses; at least one mined
+    * conjunct must exclude each file) cannot invalidate the staged
+    * work: rows the mutation must process cannot live in those files,
+    * and the staged removes touch none of them, so appending first or
+    * mutating first serialize to the same table. The commit REBASES
+    * one version forward with the SAME entries — a metadata-only retry
+    * where the fallback recomputes a 100 TB scan+rewrite. Anything
+    * unprovable (meta-carrying winner, any remove, unminable
+    * predicate, stats-less add, a tracked/identity append — those
+    * carry meta by construction) returns None and the caller
+    * recomputes from a fresh snapshot, exactly the old behavior.
+    * Winner commits are read one at a time — O(lost races), never a
+    * log replay.
+    */
+  private[lake] def commitRebasing(snap: Snapshot, entries: Seq[LogEntry],
+      cond: Column): Option[Long] = {
+    // a meta-carrying staged commit (none of the predicate mutations
+    // stage one) must re-gate against the head — no rebase
+    if (entries.exists(_.meta.isDefined))
+      return Some(snap.version + 1)
+        .filter(TxLog.tryCommit(fs, root, _, entries))
+    val cs = scala.util.Try(condConstraints(snap.meta, cond)).getOrElse(Nil)
+    var v = snap.version + 1
+    var rebases = 0
+    while (rebases <= maxRetries) {
+      if (TxLog.tryCommit(fs, root, v, entries)) return Some(v)
+      val winner = scala.util.Try(TxLog.commitEntries(fs, root, v))
+        .getOrElse(return None)
+      val blindAppend = winner.forall(e =>
+        e.remove.isEmpty && e.meta.isEmpty)
+      val disjoint = cs.nonEmpty && winner.flatMap(_.add).forall(a =>
+        cs.exists { case (n, lo, hi) => !keepByStats(snap, a, n, lo, hi) })
+      if (!blindAppend || !disjoint) return None
+      v += 1
+      rebases += 1
+    }
+    None
+  }
+
   private def keepByStats(snap: Snapshot, a: Add, colName: String,
       lo: Option[Any], hi: Option[Any]): Boolean =
     a.stats.get(snap.meta.physicalOf(colName)) match {
