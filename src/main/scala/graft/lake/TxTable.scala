@@ -609,8 +609,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               .unionByName(srcCap.join(tgtKeys, keyCols, "left_anti")
                 .withColumn("_change_type", lit("insert")))
           })
-        val committed = TxLog.tryCommit(fs, root, snap.version + 1, entries)
-        if (committed) return snap.version + 1
+        // lost-race rebase on the SOURCE KEY ranges: a winner blind
+        // append whose files cannot hold any source key cannot change
+        // what this merge replaces
+        commitRebasingOn(snap, entries,
+          keyCols.filter(keyPrunable(snap.meta, _)).flatMap { k =>
+            keyRange(keys, k, nullSafe = false)
+              .map { case (lo, hi) => (k, Option(lo), Option(hi)) } })
+          .foreach(v => return v)
         attempt += 1
         require(attempt < maxRetries, s"merge into $root lost $maxRetries races")
       }
@@ -816,8 +822,19 @@ final class TxTable(spark: SparkSession, rootStr: String) {
                 .withColumn("_change_type", lit("insert"))
               pre.unionAll(del).unionAll(post).unionAll(ins)
             })
-          if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
-            return snap.version + 1
+          // lost-race rebase — but NEVER with BY SOURCE clauses: those
+          // claim target rows regardless of source keys, so a winner's
+          // appended rows would be in their scope
+          (if (bySourceCls.nonEmpty) {
+             if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+               Some(snap.version + 1)
+             else None
+           } else commitRebasingOn(snap, entries,
+             keyCols.filter(keyPrunable(snap.meta, _)).flatMap { k =>
+               keyRange(src0.select(keyCols.map(col): _*), k,
+                 nullSafe = false)
+                 .map { case (lo, hi) => (k, Option(lo), Option(hi)) } }))
+            .foreach(v => return v)
           attempt += 1
           require(attempt < maxRetries,
             s"mergeInto $root lost $maxRetries races")
@@ -966,8 +983,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
                   "left_anti")
                 .withColumn("_change_type", lit("insert")))
           })
-        val committed = TxLog.tryCommit(fs, root, snap.version + 1, entries)
-        if (committed) return snap.version + 1
+        // lost-race rebase on the slice's key ranges (null-safe keyed:
+        // any null key yields no constraint and falls back to recompute)
+        commitRebasingOn(snap, entries,
+          keyCols.filter(keyPrunable(snap.meta, _)).flatMap { k =>
+            keyRange(touched, k, nullSafe = true)
+              .map { case (lo, hi) => (k, Option(lo), Option(hi)) } })
+          .foreach(v => return v)
         attempt += 1
         require(attempt < maxRetries,
           s"applyChanges on $root lost $maxRetries races")
@@ -1905,13 +1927,24 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * log replay.
     */
   private[lake] def commitRebasing(snap: Snapshot, entries: Seq[LogEntry],
-      cond: Column): Option[Long] = {
-    // a meta-carrying staged commit (none of the predicate mutations
-    // stage one) must re-gate against the head — no rebase
+      cond: Column): Option[Long] =
+    commitRebasingOn(snap, entries, condConstraints(snap.meta, cond))
+
+  /** [[commitRebasing]] on explicit range constraints — the KEYED
+    * mutations' entry (merge/applyChanges prove disjointness against
+    * their source-key ranges, not a WHERE clause). `mkConstraints` is
+    * by-name: the range aggregation runs only if a race is actually
+    * lost. */
+  private[lake] def commitRebasingOn(snap: Snapshot, entries: Seq[LogEntry],
+      mkConstraints: => Seq[(String, Option[Any], Option[Any])])
+      : Option[Long] = {
+    // a meta-carrying staged commit (schema evolution, row-id/identity
+    // watermarks, protocol stamps) must re-gate against the head — no
+    // rebase
     if (entries.exists(_.meta.isDefined))
       return Some(snap.version + 1)
         .filter(TxLog.tryCommit(fs, root, _, entries))
-    val cs = scala.util.Try(condConstraints(snap.meta, cond)).getOrElse(Nil)
+    lazy val cs = scala.util.Try(mkConstraints).getOrElse(Nil)
     var v = snap.version + 1
     var rebases = 0
     while (rebases <= maxRetries) {

@@ -138,6 +138,55 @@ class ConflictRebaseSpec extends SparkSpec {
       col("id") % 7 === 0L).isEmpty)
   }
 
+  test("keyed constraints rebase too (merge/applyChanges's entry): " +
+      "source-key range vs winner stats") {
+    val (tab, root, fs) = freshTable("keyed")
+    val snap = TxLog.snapshot(fs, root)
+    val entries = stagedDelete(tab, snap)
+    assert(TxLog.tryCommit(fs, root, snap.version + 1,
+      plantedAppend(500000L, 500099L)))
+    // the keyed form: explicit (col, lo, hi) constraints, as merge
+    // derives from its source-key range aggregation
+    assert(tab.commitRebasingOn(snap, entries,
+      Seq(("id", Some(0L), Some(50L)))) === Some(snap.version + 2))
+    // overlap through the keyed form refuses
+    val (tab2, root2, fs2) = freshTable("keyedover")
+    val snap2 = TxLog.snapshot(fs2, root2)
+    val entries2 = stagedDelete(tab2, snap2)
+    assert(TxLog.tryCommit(fs2, root2, snap2.version + 1,
+      plantedAppend(40L, 60L)))
+    assert(tab2.commitRebasingOn(snap2, entries2,
+      Seq(("id", Some(0L), Some(50L)))).isEmpty)
+    // empty constraints (null-safe keys with nulls, unprunable types)
+    // refuse — nothing provable
+    val (tab3, root3, fs3) = freshTable("keyedempty")
+    val snap3 = TxLog.snapshot(fs3, root3)
+    val entries3 = stagedDelete(tab3, snap3)
+    assert(TxLog.tryCommit(fs3, root3, snap3.version + 1,
+      plantedAppend(600000L, 600099L)))
+    assert(tab3.commitRebasingOn(snap3, entries3, Nil).isEmpty)
+  }
+
+  test("end-to-end: merge races a live blind append and both land") {
+    val (tab, root, fs) = freshTable("e2emerge")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val mrg = scala.concurrent.Future(tab.merge(
+        spark.range(0L, 50L).toDF("id"), Seq("id")))
+      val app = scala.concurrent.Future(
+        tab.append(spark.range(7000L, 7100L).toDF("id")))
+      scala.concurrent.Await.result(mrg, scala.concurrent.duration
+        .Duration(120, "s"))
+      scala.concurrent.Await.result(app, scala.concurrent.duration
+        .Duration(120, "s"))
+      val ids = tab.read().as[Long].collect().sorted
+      assert(ids === ((0L until 1000L) ++ (7000L until 7100L)).sorted,
+        "merge dedups keys 0..49 into one copy; appends all kept")
+    } finally pool.shutdown()
+  }
+
   test("end-to-end: deleteWhere races a live blind append and both land") {
     val (tab, root, fs) = freshTable("e2e")
     // run them truly concurrently a few times — whatever the interleave,
