@@ -252,9 +252,18 @@ object TxLog {
     * resolution ([[graft.lake.TxTable.versionAtTimestamp]]) needs.
     * File modification times (Delta's legacy source) are not used: they
     * change under copies/restores. */
+  /** `metrics` (Delta's operationMetrics): per-commit operation
+    * totals, stamped by [[tryCommit]] from the commit's own entries —
+    * `numAddedFiles`/`numRemovedFiles`/`numOutputRows` (sum of added
+    * files' LIVE rows)/`numAddedBytes`/`numCdfFiles`/`numCdfRows`.
+    * Derived, not caller-supplied, so every path reports consistently;
+    * absent on pre-metrics commits (history shows null). File counts
+    * depend on write parallelism; row/byte sums are layout-invariant.
+    */
   final case class Info(op: String, readVersion: Long,
       cdfCaptured: Option[Boolean] = None,
-      tsMillis: Option[Long] = None)
+      tsMillis: Option[Long] = None,
+      metrics: Option[Map[String, Long]] = None)
 
   /** Writer-transaction watermark (Delta's `txn` action): `appId`
     * identifies an idempotent writer (a streaming query, a retried
@@ -397,10 +406,25 @@ object TxLog {
         .flatMap(_.tsMillis)).toOption.flatten
     val now = System.currentTimeMillis()
     val ts = math.max(now, prevTs.map(_ + 1L).getOrElse(now))
+    // operation metrics, derived from the commit's own entries (never
+    // caller-supplied, so every path reports consistently)
+    lazy val opMetrics: Map[String, Long] = {
+      val adds = entries.flatMap(_.add)
+      val cdfs = entries.flatMap(_.cdf)
+      Map(
+        "numAddedFiles" -> adds.size.toLong,
+        "numRemovedFiles" -> entries.count(_.remove.isDefined).toLong,
+        "numOutputRows" -> adds.map(_.rows).sum,
+        "numAddedBytes" -> adds.flatMap(_.bytes).sum,
+        "numCdfFiles" -> cdfs.size.toLong,
+        "numCdfRows" -> cdfs.map(_.rows).sum)
+    }
     val stamped = entries.map { e =>
       e.info match {
-        case Some(i) if i.tsMillis.isEmpty =>
-          e.copy(info = Some(i.copy(tsMillis = Some(ts))))
+        case Some(i) =>
+          e.copy(info = Some(i.copy(
+            tsMillis = i.tsMillis.orElse(Some(ts)),
+            metrics = i.metrics.orElse(Some(opMetrics)))))
         case _ => e
       }
     }

@@ -2051,8 +2051,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       require(bad == 0, s"write violates CHECK ($c) — commit refused")
     }
 
-  /** DESCRIBE HISTORY: one row per commit — version, operation, and the
-    * snapshot version the writer based its work on. Pure log metadata.
+  /** DESCRIBE HISTORY: one row per commit — version, operation, the
+    * snapshot version the writer based its work on, and the commit's
+    * operation metrics (Delta's operationMetrics: added/removed file
+    * counts, output rows/bytes, feed footprint — stamped at commit
+    * time from the commit's own entries). Pure log metadata.
     */
   def history(): DataFrame = {
     val latest = version
@@ -2061,13 +2064,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val info = TxLog.commitInfo(fs, root, v)
       Row(v, info.map(_.op).getOrElse("UNKNOWN"),
         info.map(_.readVersion).getOrElse(-1L),
-        info.flatMap(_.tsMillis).map(Long.box).orNull)
+        info.flatMap(_.tsMillis).map(Long.box).orNull,
+        info.flatMap(_.metrics).orNull)
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("op", StringType, nullable = false),
       StructField("read_version", LongType, nullable = false),
-      StructField("timestamp_ms", LongType, nullable = true))))
+      StructField("timestamp_ms", LongType, nullable = true),
+      StructField("operation_metrics", MapType(StringType, LongType),
+        nullable = true))))
   }
 
   /** DESCRIBE DETAIL (Delta's one-row table summary), resolved purely

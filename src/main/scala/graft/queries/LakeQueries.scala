@@ -727,10 +727,14 @@ object LakeQueries {
 
   // ---- 9. DESCRIBE HISTORY ----
 
-  /** The table's commit history as data: operation sequence and each
-    * writer's base (read) version — Delta's DESCRIBE HISTORY surface,
-    * from pure log metadata. The scripted create→append→merge→delete
-    * sequence makes the expected rows a literal table.
+  /** The table's commit history as data: operation sequence, each
+    * writer's base (read) version, and the commit-stamped operation
+    * metrics (Delta's operationMetrics) — from pure log metadata. The
+    * scripted create→append→merge→delete sequence makes the expected
+    * rows a literal table; both writes land as ONE file each
+    * (repartition(1)) so the per-commit ROW totals and REMOVED-file
+    * counts are layout-pinned too (added-FILE counts track write
+    * parallelism and stay out of the oracle).
     */
   val extLakeHistory = Q(
     "ext_lake_history",
@@ -738,19 +742,28 @@ object LakeQueries {
       import s.implicits._
       val region = t(s, dir, "region")
       val tab = new TxTable(s, scratch("lake_hist", dir))
-      tab.create(region.where($"r_regionkey" < 3))
-      tab.append(region.where($"r_regionkey" >= 3))
+      tab.create(region.where($"r_regionkey" < 3).repartition(1))
+      tab.append(region.where($"r_regionkey" >= 3).repartition(1))
       tab.merge(region.where($"r_regionkey" === 0)
         .withColumn("r_name", lit("PATCHED")), Seq("r_regionkey"))
       tab.deleteWhere($"r_regionkey" === 4)
       // timestamp_ms is wall clock — real but non-reproducible, so the
       // oracle row keeps the deterministic ledger columns only
-      tab.history().drop("timestamp_ms").orderBy($"version")
+      tab.history().drop("timestamp_ms")
+        .withColumn("rows_written",
+          $"operation_metrics".getItem("numOutputRows"))
+        .withColumn("files_removed",
+          $"operation_metrics".getItem("numRemovedFiles"))
+        .drop("operation_metrics")
+        .orderBy($"version")
     },
     Some("""SELECT * FROM (VALUES
-           |  (CAST(0 AS BIGINT), 'CREATE', CAST(-1 AS BIGINT)),
-           |  (1, 'APPEND', 0), (2, 'MERGE', 1), (3, 'DELETE', 2))
-           |AS t(version, op, read_version)
+           |  (CAST(0 AS BIGINT), 'CREATE', CAST(-1 AS BIGINT),
+           |   CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+           |  (1, 'APPEND', 0, 2, 0),
+           |  (2, 'MERGE', 1, 3, 1),
+           |  (3, 'DELETE', 2, 1, 1))
+           |AS t(version, op, read_version, rows_written, files_removed)
            |ORDER BY version""".stripMargin))
 
   // ---- 10. OPTIMIZE ZORDER BY ----

@@ -656,6 +656,14 @@ class TxLogSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(h === Array((0L, "CREATE", -1L), (1L, "APPEND", 0L),
       (2L, "DELETE", 1L)))
+    // operation metrics ride every commit: row sums are layout-invariant
+    val m = tab.history().orderBy("version").collect()
+      .map(_.getAs[Map[String, Long]]("operation_metrics"))
+    assert(m.forall(_ != null))
+    assert(m(0)("numOutputRows") === 10L && m(0)("numRemovedFiles") === 0L)
+    assert(m(1)("numOutputRows") === 5L)
+    assert(m(2)("numRemovedFiles") > 0L, "the delete rewrote files")
+    assert(m.forall(_("numAddedBytes") >= 0L))
   }
 
   /** The files a plan will actually read: each native scan's FileIndex
