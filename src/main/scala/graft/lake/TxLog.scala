@@ -878,6 +878,65 @@ object TxLog {
     * than the threshold are left alone (Delta's retention-window rule —
     * production uses hours; tests that own the table may pass 0).
     */
+  /** Oldest commit file still present — 0 on an uncleaned log, the
+    * replay-floor checkpoint's version after [[cleanLog]]. One
+    * existence probe on the common path; one `_txlog` listing (bounded
+    * by the RETAINED log) otherwise. */
+  def earliestVersion(fs: FileSystem, root: Path): Long =
+    if (fs.exists(commitFile(root, 0L))) 0L
+    else {
+      val vs = fs.listStatus(logDir(root)).iterator
+        .map(_.getPath.getName)
+        .filter(_.matches("\\d{20}\\.json"))
+        .map(_.stripSuffix(".json").toLong)
+        .toSeq
+      require(vs.nonEmpty, s"no commit files in the log at $root")
+      vs.min
+    }
+
+  /** LOG retention — the metadata twin of [[vacuum]] (Delta's log
+    * cleanup): reclaim commit files and checkpoints STRICTLY BEHIND the
+    * newest checkpoint at or before `latest − keepVersions + 1`; that
+    * checkpoint stays as the replay floor, so every kept version still
+    * resolves in ≤ [[checkpointInterval]] commit reads. Without it a
+    * long-lived table's `_txlog/` grows one commit file per write and
+    * one FULL-LIVE-SET checkpoint per [[checkpointInterval]] commits —
+    * at a million files the checkpoints dwarf the data churn. Time
+    * travel, change feeds and restores BEHIND the floor stop resolving
+    * (loudly — "missing commit ... vacuumed?"), the same horizon
+    * contract as data vacuum; [[earliestVersion]]-aware surfaces
+    * (history, timestamp travel) adapt. With no checkpoint at or before
+    * the floor nothing is safely reclaimable and the call is a no-op.
+    */
+  def cleanLog(fs: FileSystem, root: Path, keepVersions: Int)
+      : Seq[String] = {
+    val latest = latestVersion(fs, root)
+    require(latest >= 0, s"no transaction log at $root")
+    require(keepVersions >= 1, "cleanLog keeps at least the head version")
+    val floor = math.max(0L, latest - keepVersions + 1)
+    newestCheckpointAtOrBefore(fs, root, floor) match {
+      case None => Nil
+      case Some(ckptV) =>
+        val doomed = scala.collection.mutable.ArrayBuffer[String]()
+        fs.listStatus(logDir(root)).foreach { st =>
+          val n = st.getPath.getName
+          val v: Option[Long] =
+            if (n.matches("\\d{20}\\.json"))
+              Some(n.stripSuffix(".json").toLong)
+            else if (n.matches("\\d{20}\\.checkpoint\\.json"))
+              Some(n.stripSuffix(".checkpoint.json").toLong)
+            else if (n.matches("\\d{20}\\.checkpoint\\.parquet"))
+              Some(n.stripSuffix(".checkpoint.parquet").toLong)
+            else None
+          if (v.exists(_ < ckptV)) {
+            fs.delete(st.getPath, true) // recursive: parquet dirs
+            doomed += n
+          }
+        }
+        doomed.toSeq
+    }
+  }
+
   def vacuum(fs: FileSystem, root: Path, keepVersions: Int,
       minAgeMs: Long = 0L): Seq[String] = {
     val latest = latestVersion(fs, root)

@@ -1231,6 +1231,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def vacuum(keepVersions: Int, minAgeMs: Long = 0L): Seq[String] =
     TxLog.vacuum(fs, root, keepVersions, minAgeMs)
 
+  /** Log retention ([[TxLog.cleanLog]]): reclaim commit files and
+    * checkpoints behind the kept versions' replay floor. */
+  def vacuumLog(keepVersions: Int): Seq[String] =
+    TxLog.cleanLog(fs, root, keepVersions)
+
   /** Shallow CLONE (Delta's CLONE ... SHALLOW): a NEW table whose log
     * REFERENCES this table's current data files by absolute path — zero
     * bytes copied, ready in O(files) metadata. Writes to the clone land
@@ -2060,7 +2065,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def history(): DataFrame = {
     val latest = version
     require(latest >= 0, s"no transaction log at $root")
-    val rows = (0L to latest).map { v =>
+    // a log-cleaned table's ledger starts at its earliest RETAINED commit
+    val rows = (TxLog.earliestVersion(fs, root) to latest).map { v =>
       val info = TxLog.commitInfo(fs, root, v)
       Row(v, info.map(_.op).getOrElse("UNKNOWN"),
         info.map(_.readVersion).getOrElse(-1L),
@@ -2185,10 +2191,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     def tsOf(v: Long): Long =
       TxLog.commitInfo(fs, root, v).flatMap(_.tsMillis)
         .getOrElse(Long.MinValue)
-    require(tsOf(0L) <= tsMillis,
-      s"timestamp $tsMillis is before the first commit of $root " +
-        s"(${tsOf(0L)})")
-    var lo = 0L
+    // a log-cleaned table resolves from its earliest retained commit
+    val earliest = TxLog.earliestVersion(fs, root)
+    require(tsOf(earliest) <= tsMillis,
+      s"timestamp $tsMillis is before the first retained commit of " +
+        s"$root (v$earliest at ${tsOf(earliest)})")
+    var lo = earliest
     var hi = latest
     while (lo < hi) { // invariant: tsOf(lo) <= tsMillis
       val mid = lo + (hi - lo + 1) / 2

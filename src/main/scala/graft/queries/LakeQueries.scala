@@ -968,6 +968,21 @@ object LakeQueries {
         val nRows = tab.read(asOf = Some(v)).count()
         (v, replayed, usedCkpt, nRows)
       }
+      // LOG RETENTION on the same scripted history: everything behind
+      // the keep-window's replay-floor checkpoint (v100) is reclaimed,
+      // kept versions still resolve through it, the horizon refuses
+      val cleaned = TxLog.cleanLog(fs, rootPath, keepVersions = 10)
+      require(cleaned.contains(f"${0L}%020d.json") &&
+        cleaned.exists(_.startsWith(f"${90L}%020d.checkpoint")),
+        s"log retention must reclaim pre-floor commits + checkpoints")
+      require(TxLog.earliestVersion(fs, rootPath) == 100L,
+        "the replay-floor checkpoint's commit is the earliest retained")
+      require(tab.read(asOf = Some(105L)).count() == probes.head._4,
+        "kept versions must still resolve after log cleanup")
+      val refused =
+        try { TxLog.snapshot(fs, rootPath, Some(9L)); false }
+        catch { case _: Exception => true }
+      require(refused, "time travel behind the retention floor must refuse")
       probes.toDF("probe_version", "commits_replayed", "used_checkpoint",
         "n_rows").orderBy($"probe_version")
     },

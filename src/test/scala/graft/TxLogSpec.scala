@@ -433,6 +433,51 @@ class TxLogSpec extends SparkSpec {
     assert(tab.candidateFiles(snap, "score", 0L, 100L).size < snap.adds.size)
   }
 
+  test("log retention: cleanLog reclaims commits and checkpoints behind " +
+      "the replay-floor checkpoint; every surface adapts") {
+    val root = freshRoot("logclean")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(10))                                 // v0
+    (1 to 24).foreach(i =>
+      tab.append(docs(1).withColumn("id", $"id" + i * 100L))) // v1..v24
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rootP = new Path(root)
+    // checkpoints exist at v10 and v20; keep 4 versions -> floor v21 ->
+    // replay floor = checkpoint v20
+    val removed = TxLog.cleanLog(fs, rootP, keepVersions = 4)
+    assert(removed.contains(f"${0L}%020d.json"))
+    assert(removed.contains(f"${19L}%020d.json"))
+    assert(removed.exists(_.startsWith(f"${10L}%020d.checkpoint")),
+      s"the superseded checkpoint must go, removed=$removed")
+    assert(!removed.exists(_.startsWith(f"${20L}%020d")),
+      "the replay-floor checkpoint and its commit must stay")
+    assert(!removed.contains(f"${21L}%020d.json"))
+    // head and kept versions still resolve; behind the floor refuses
+    // loudly
+    assert(tab.read().count() === 34L)
+    assert(tab.read(asOf = Some(21L)).count() === 31L)
+    val err = intercept[IllegalArgumentException](tab.read(asOf = Some(5L)))
+    assert(err.getMessage.contains("missing commit"))
+    // the ledger starts at the earliest retained commit
+    assert(TxLog.earliestVersion(fs, rootP) === 20L)
+    val hv = tab.history().orderBy("version")
+      .select("version").as[Long].collect()
+    assert(hv.head === 20L && hv.last === 24L)
+    // timestamp travel works over the retained range, refuses before it
+    val ts24 = tab.commitTimestamp(24L).get
+    assert(tab.versionAtTimestamp(ts24 + 3600000L) === 24L)
+    val ts20 = tab.commitTimestamp(20L).get
+    assert(tab.versionAtTimestamp(ts20) === 20L)
+    intercept[IllegalArgumentException](tab.versionAtTimestamp(ts20 - 1))
+    // the table keeps working: append, checkpoint, clean again
+    tab.append(docs(1).withColumn("id", $"id" + 9999L))  // v25
+    assert(tab.read().count() === 35L)
+    // no checkpoint at-or-before the floor -> nothing reclaimable
+    val none = TxLog.cleanLog(fs, rootP, keepVersions = 25)
+    assert(none.isEmpty)
+  }
+
   test("vacuum's age guard protects young (possibly in-flight) files") {
     val tab = new TxTable(spark, freshRoot("age"))
     tab.create(docs(20))
