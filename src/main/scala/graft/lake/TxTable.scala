@@ -1220,8 +1220,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         adds.map(a => LogEntry(add = Some(a))) :+
         LogEntry(info = Some(Info("OPTIMIZE", snap.version,
           cdfCaptured = if (snap.meta.cdf) Some(true) else None)))
-      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
-        return snap.version + 1
+      // pure rewrite: ANY pure blind append rebases — the new files
+      // simply stay candidates for the next maintenance pass
+      commitRebasingWhere(snap, entries, _ => true).foreach(v => return v)
       attempt += 1
       require(attempt < maxRetries, s"optimize of $root lost $maxRetries races")
     }
@@ -1550,8 +1551,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         adds.map(a => LogEntry(add = Some(a))) :+
         LogEntry(info = Some(Info("REPARTITION_REWRITE", snap.version,
           cdfCaptured = if (snap.meta.cdf) Some(true) else None)))
-      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
-        return snap.version + 1
+      // pure rewrite — but homogeneity is this op's POST-CONDITION, so
+      // only a winner already in the current layout may rebase; an
+      // old-layout straggler forces the recompute that sweeps it up
+      commitRebasingWhere(snap, entries,
+        _.partitionValues.keySet == snap.meta.partitionCols.toSet)
+        .foreach(v => return v)
       attempt += 1
       require(attempt < maxRetries,
         s"repartitionRewrite on $root lost $maxRetries races")
@@ -1622,14 +1627,20 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         bloomIndex = Some(snap.meta.bloomCols + (colName -> fpp)))
       // remove-then-re-add per path (replay ends on the new payload);
       // under CDF the marker says "pure rewrite, no logical change" so
-      // feed readers skip this commit instead of diffing it
-      val entries = (LogEntry(meta = Some(meta)) +:
+      // feed readers skip this commit instead of diffing it. The meta
+      // entry rides only when the recorded spec actually changes — an
+      // incremental repair is then meta-free and can rebase
+      val metaEntry =
+        if (meta != snap.meta) Seq(LogEntry(meta = Some(meta))) else Nil
+      val entries = metaEntry ++
         (updated.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
-          updated.map(a => LogEntry(add = Some(a))))) :+
+          updated.map(a => LogEntry(add = Some(a)))) :+
         LogEntry(info = Some(Info("ADD_BLOOM_INDEX", snap.version,
           cdfCaptured = if (snap.meta.cdf) Some(true) else None)))
-      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
-        return snap.version + 1
+      // pure rewrite: a winner blind append rebases — on an indexed
+      // table its files carry sidecars from stageWrite already, and any
+      // that do not are the NEXT incremental run's candidates
+      commitRebasingWhere(snap, entries, _ => true).foreach(v => return v)
       attempt += 1
       require(attempt < maxRetries,
         s"addBloomIndex on $root lost $maxRetries races")
@@ -1943,13 +1954,27 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   private[lake] def commitRebasingOn(snap: Snapshot, entries: Seq[LogEntry],
       mkConstraints: => Seq[(String, Option[Any], Option[Any])])
       : Option[Long] = {
+    lazy val cs = scala.util.Try(mkConstraints).getOrElse(Nil)
+    commitRebasingWhere(snap, entries, a =>
+      cs.nonEmpty &&
+        cs.exists { case (n, lo, hi) => !keepByStats(snap, a, n, lo, hi) })
+  }
+
+  /** The rebase core: `safeAdd` decides whether one winner-added file
+    * provably cannot affect the staged work. Predicate/keyed mutations
+    * prove stats disjointness; PURE REWRITES (optimize,
+    * repartitionRewrite, bloom backfill — content-preserving, their
+    * correctness never depends on having seen every live file) pass
+    * `_ => true`: any pure blind append is safe, the new files simply
+    * stay candidates for the NEXT maintenance pass. */
+  private[lake] def commitRebasingWhere(snap: Snapshot,
+      entries: Seq[LogEntry], safeAdd: Add => Boolean): Option[Long] = {
     // a meta-carrying staged commit (schema evolution, row-id/identity
     // watermarks, protocol stamps) must re-gate against the head — no
     // rebase
     if (entries.exists(_.meta.isDefined))
       return Some(snap.version + 1)
         .filter(TxLog.tryCommit(fs, root, _, entries))
-    lazy val cs = scala.util.Try(mkConstraints).getOrElse(Nil)
     var v = snap.version + 1
     var rebases = 0
     while (rebases <= maxRetries) {
@@ -1958,9 +1983,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         .getOrElse(return None)
       val blindAppend = winner.forall(e =>
         e.remove.isEmpty && e.meta.isEmpty)
-      val disjoint = cs.nonEmpty && winner.flatMap(_.add).forall(a =>
-        cs.exists { case (n, lo, hi) => !keepByStats(snap, a, n, lo, hi) })
-      if (!blindAppend || !disjoint) return None
+      if (!blindAppend || !winner.flatMap(_.add).forall(a =>
+          scala.util.Try(safeAdd(a)).getOrElse(false)))
+        return None
       v += 1
       rebases += 1
     }

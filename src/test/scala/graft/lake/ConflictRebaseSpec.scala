@@ -167,6 +167,45 @@ class ConflictRebaseSpec extends SparkSpec {
     assert(tab3.commitRebasingOn(snap3, entries3, Nil).isEmpty)
   }
 
+  test("pure rewrites rebase past ANY blind append, overlap included — " +
+      "content preservation needs no disjointness proof") {
+    val (tab, root, fs) = freshTable("pure")
+    val snap = TxLog.snapshot(fs, root)
+    val entries = stagedDelete(tab, snap)
+    // stats overlap would refuse a predicate mutation; a pure rewrite
+    // (optimize/repartitionRewrite/bloom backfill) takes it
+    assert(TxLog.tryCommit(fs, root, snap.version + 1,
+      plantedAppend(0L, 999L)))
+    assert(tab.commitRebasingWhere(snap, entries, _ => true) ===
+      Some(snap.version + 2))
+    // a remove-carrying winner still refuses even for pure rewrites
+    val (tab2, root2, fs2) = freshTable("pureunsafe")
+    val snap2 = TxLog.snapshot(fs2, root2)
+    val entries2 = stagedDelete(tab2, snap2)
+    assert(TxLog.tryCommit(fs2, root2, snap2.version + 1, Seq(
+      LogEntry(remove = Some(TxLog.Remove(snap2.adds.last.path))),
+      LogEntry(info = Some(TxLog.Info("DELETE", snap2.version))))))
+    assert(tab2.commitRebasingWhere(snap2, entries2, _ => true).isEmpty)
+  }
+
+  test("end-to-end: optimize races a live blind append and both land") {
+    val (tab, root, fs) = freshTable("e2eopt")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val opt = scala.concurrent.Future(tab.optimize())
+      val app = scala.concurrent.Future(
+        tab.append(spark.range(8000L, 8100L).toDF("id")))
+      scala.concurrent.Await.result(opt, scala.concurrent.duration
+        .Duration(120, "s"))
+      scala.concurrent.Await.result(app, scala.concurrent.duration
+        .Duration(120, "s"))
+      val ids = tab.read().as[Long].collect().toSet
+      assert(ids === ((0L until 1000L) ++ (8000L until 8100L)).toSet)
+    } finally pool.shutdown()
+  }
+
   test("end-to-end: merge races a live blind append and both land") {
     val (tab, root, fs) = freshTable("e2emerge")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
