@@ -1238,16 +1238,18 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     TxLog.cleanLog(fs, root, keepVersions)
 
   /** Shallow CLONE (Delta's CLONE ... SHALLOW): a NEW table whose log
-    * REFERENCES this table's current data files by absolute path — zero
-    * bytes copied, ready in O(files) metadata. Writes to the clone land
-    * in the clone's own directory (copy-on-write rewrites reference
-    * nothing from the source), so source and clone diverge freely; the
-    * standard dev/test-against-production workflow. Caveat (Delta's
-    * too): the clone's referenced files live under the SOURCE — a
-    * source-side vacuum past the cloned version breaks the clone.
+    * REFERENCES this table's data files by absolute path — zero bytes
+    * copied, ready in O(files) metadata. `asOf` clones an OLDER version
+    * (Delta's CLONE ... VERSION AS OF — branch a dev table off
+    * yesterday's state). Writes to the clone land in the clone's own
+    * directory (copy-on-write rewrites reference nothing from the
+    * source), so source and clone diverge freely; the standard
+    * dev/test-against-production workflow. Caveat (Delta's too): the
+    * clone's referenced files live under the SOURCE — a source-side
+    * vacuum past the cloned version breaks the clone.
     */
-  def cloneTo(destRoot: String): TxTable = {
-    val snap = TxLog.snapshot(fs, root)
+  def cloneTo(destRoot: String, asOf: Option[Long] = None): TxTable = {
+    val snap = TxLog.snapshot(fs, root, asOf)
     val dest = new Path(destRoot)
     val dfs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (dfs.exists(dest)) dfs.delete(dest, true)

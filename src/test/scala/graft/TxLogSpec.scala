@@ -620,6 +620,10 @@ class TxLogSpec extends SparkSpec {
     tab.append(docs(5).withColumn("id", $"id" + 500))
     assert(tab.read().count() === 35)
     assert(clone.read().count() === 20, "clone unaffected by source append")
+    // CLONE ... VERSION AS OF: branch a table off an OLDER state
+    val old = tab.cloneTo(freshRoot("cldold"), asOf = Some(0L))
+    assert(old.read().count() === 30, "the v0 state, pre-append")
+    assert(old.read().where($"id" >= 500).count() === 0)
   }
 
   test("restore rewinds the live set as a new commit; vacuumed targets refuse") {
