@@ -293,7 +293,7 @@ object TxLog {
     * [[Meta.readerFeatures]]. A future feature name stamped by a newer
     * writer makes every [[snapshot]] here fail loudly. */
   val supportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping")
+    Set("deletionVectors", "columnMapping", "typeWidening")
 
   /** Writer features THIS client implements — the refusal set every
     * [[TxTable]] mutating path checks before committing. Reads never
@@ -301,7 +301,7 @@ object TxLog {
   val supportedWriterFeatures: Set[String] =
     Set("checkConstraints", "generatedColumns", "deletionVectors",
       "columnMapping", "changeDataFeed", "rowTracking",
-      "identityColumns", "defaultValues")
+      "identityColumns", "defaultValues", "typeWidening")
 
   /** Entry count at which a checkpoint is written as PARQUET instead of
     * single-string JSON. Below it, the distributed write/read is pure

@@ -2513,14 +2513,29 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     }
   }
 
-  /** Driver-side twin of the build path's `xxhash64(col)`: the probe
-    * value casts to the COLUMN's type first (an Int probe against a
-    * BIGINT column must hash as a long, or nothing would ever match). */
+  /** Bloom hashing is WIDTH-NORMALIZED on both build and probe sides:
+    * integral values hash as LONG, floats as DOUBLE — `xxhash64` of
+    * int 5 and long 5 differ, so without the normalization a
+    * metadata-only TYPE WIDENING (int→long) would turn every
+    * pre-widening sidecar into a false-negative machine: files wrongly
+    * skipped, rows silently missing. With it, sidecars survive
+    * widening untouched. */
+  private def bloomNormType(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType | DoubleType => DoubleType
+    case other => other
+  }
+
+  /** Driver-side twin of the build path's normalized `xxhash64`: the
+    * probe value casts to the column's WIDTH-NORMALIZED type first (an
+    * Int probe against a BIGINT column must hash as a long, or nothing
+    * would ever match). */
   private def hashForBloom(dt: DataType, value: Any): Long = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
     val lit0 = Literal(value)
+    val norm = bloomNormType(dt)
     val casted: org.apache.spark.sql.catalyst.expressions.Expression =
-      if (lit0.dataType == dt) lit0 else Cast(lit0, dt, Some("UTC"))
+      if (lit0.dataType == norm) lit0 else Cast(lit0, norm, Some("UTC"))
     // seed 42 = the default the `xxhash64` SQL function builds with
     XxHash64(Seq(casted), 42L).eval(null).asInstanceOf[Long]
   }
@@ -2836,18 +2851,55 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   // ---- write plumbing ----
 
+  /** TYPE WIDENING (Delta's typeWidening feature): an incoming column
+    * STRICTLY WIDER than the table's — within the integral chain
+    * byte→short→int→long, or float→double — evolves the schema IN
+    * PLACE, metadata-only: not one old file is rewritten, because
+    * Spark's parquet reader natively upcasts a narrower physical
+    * column into the wider declared type (probed, and spec-pinned).
+    * Stats keep working unchanged (integrals share stat kind "l",
+    * floats "d"); bloom sidecars keep working because hashing is
+    * width-normalized ([[bloomNormType]]). Both protocol halves are
+    * stamped — an old READER given the widened schema must upcast and
+    * an old WRITER must not land narrow files after a second widening
+    * it does not understand, so version-skewed clients refuse loudly.
+    * Any non-widening type change still refuses.
+    */
+  private def widensTo(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
   private def evolve(meta: Meta, incoming: StructType,
       preassigned: Map[String, String] = Map.empty): Meta = {
     val cur = meta.schema
     val curNames = cur.fieldNames.toSet
-    incoming.fields.filter(f => curNames(f.name)).foreach { f =>
-      val have = cur(f.name).dataType
-      require(have == f.dataType,
-        s"column ${f.name}: incoming ${f.dataType} != table $have")
+    var widened = List.empty[String]
+    val updatedFields = cur.fields.map { cf =>
+      incoming.fields.find(_.name == cf.name) match {
+        case Some(f) if f.dataType == cf.dataType => cf
+        case Some(f) if widensTo(cf.dataType, f.dataType) =>
+          widened ::= cf.name
+          cf.copy(dataType = f.dataType)
+        case Some(f) =>
+          throw new IllegalArgumentException(
+            s"column ${cf.name}: incoming ${f.dataType} != table " +
+              s"${cf.dataType} (only WIDENING changes — byte→short→int→" +
+              "long, float→double — evolve in place)")
+        case None => cf
+      }
     }
     val added = incoming.fields.filterNot(f => curNames(f.name))
-    if (added.isEmpty) meta
-    else {
+    if (added.isEmpty && widened.isEmpty) meta
+    else if (added.isEmpty) {
+      meta.copy(schemaJson = StructType(updatedFields).json)
+        .withReaderFeature("typeWidening")
+        .withWriterFeature("typeWidening")
+    } else {
       // a re-added column whose identity physical name was RETIRED by a
       // DROP gets a fresh physical name: old files' bytes for the
       // dropped column must read as NULL in the new column, never
@@ -2858,11 +2910,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         f.name -> preassigned.getOrElse(f.name, f.name + "_r" +
           java.util.UUID.randomUUID.toString.take(8)))
       val mapping = meta.columnMapping.getOrElse(Map.empty) ++ remapped
-      meta.copy(
+      val m2 = meta.copy(
         schemaJson =
-          StructType(cur.fields ++ added.map(_.copy(nullable = true))).json,
+          StructType(updatedFields ++ added.map(_.copy(nullable = true))).json,
         columnMapping =
           if (mapping.isEmpty) meta.columnMapping else Some(mapping))
+      if (widened.isEmpty) m2
+      else m2.withReaderFeature("typeWidening")
+        .withWriterFeature("typeWidening")
     }
   }
 
@@ -2974,9 +3029,15 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val bits = org.apache.spark.util.sketch.BloomFilter
       .create(items, fpp).bitSize()
     val reader = schemaOpt.fold(spark.read)(s => spark.read.schema(s))
-    reader.parquet(absPaths: _*)
+    val pdf = reader.parquet(absPaths: _*)
+    // width-normalized hash (see [[bloomNormType]]): sidecars stay
+    // valid across a type widening
+    val hashCol = pdf.schema.find(_.name == phys)
+      .map(f => col(phys).cast(bloomNormType(f.dataType)))
+      .getOrElse(col(phys))
+    pdf
       .select(col("_metadata.file_path").as("__f"),
-        xxhash64(col(phys)).as("__h"))
+        xxhash64(hashCol).as("__h"))
       .groupBy(col("__f"))
       .agg(expr(s"bloom_filter_agg(__h, CAST($items AS BIGINT), " +
         s"CAST($bits AS BIGINT))").as("__b"))

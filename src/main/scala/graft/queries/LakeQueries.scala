@@ -1190,6 +1190,57 @@ object LakeQueries {
            |       END AS price_cents
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** TYPE WIDENING (Delta's typeWidening): the table is created with
+    * INT keys and FLOAT prices; an append carrying LONG keys past the
+    * int range and DOUBLE prices widens both columns IN PLACE —
+    * in-query REQUIREs pin that not one old file was rewritten and
+    * that both protocol halves stamped the feature. The whole-table
+    * read then mixes physically-narrow old files (upcast natively by
+    * the parquet reader) with wide new ones; the oracle reconstructs
+    * the same values relationally — DuckDB's REAL→DOUBLE widening is
+    * the same IEEE-exact upcast, so a single drifted bit breaks the
+    * hash.
+    */
+  val extLakeTypeWidening = Q(
+    "ext_lake_type_widening",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_widen", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0)
+        .select($"o_orderkey".cast("int").as("o_orderkey"),
+          $"o_totalprice".cast("float").as("price_f")))
+      val fs = new org.apache.hadoop.fs.Path(scratch("lake_widen", dir))
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val rootP = new org.apache.hadoop.fs.Path(scratch("lake_widen", dir))
+      val before = graft.lake.TxLog.snapshot(fs, rootP)
+        .adds.map(_.path).toSet
+      tab.append(orders.where($"o_orderkey" % 2 === 1)
+        .select(($"o_orderkey" + 10000000000L).as("o_orderkey"),
+          $"o_totalprice".as("price_f")))
+      val snap = graft.lake.TxLog.snapshot(fs, rootP)
+      require(before.subsetOf(snap.adds.map(_.path).toSet),
+        "type widening must be metadata-only — no old file rewritten")
+      require(snap.meta.schema("o_orderkey").dataType ==
+        org.apache.spark.sql.types.LongType &&
+        snap.meta.schema("price_f").dataType ==
+        org.apache.spark.sql.types.DoubleType,
+        "both columns must widen in place")
+      require(snap.meta.features.contains("typeWidening") &&
+        snap.meta.writerFeats.contains("typeWidening"),
+        "typeWidening must stamp both protocol halves")
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           |       CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price_f
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |UNION ALL
+           |SELECT o_orderkey + 10000000000,
+           |       o_totalprice
+           |FROM orders WHERE o_orderkey % 2 = 1
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** Column-mapping RENAME (Delta's RENAME COLUMN): o_totalprice becomes
     * price_usd in a METADATA-ONLY commit — the query REQUIREs that not
     * one data file changed — then an append arrives under the NEW
@@ -1861,6 +1912,7 @@ object LakeQueries {
     extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg,
     extLakeIvmMinMax, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
+    extLakeTypeWidening,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeMergeEvolution,

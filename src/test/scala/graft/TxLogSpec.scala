@@ -488,6 +488,50 @@ class TxLogSpec extends SparkSpec {
     assert(tab.vacuum(keepVersions = 1).nonEmpty, "age 0 reclaims them")
   }
 
+  test("type widening: int→long / float→double evolve METADATA-ONLY; " +
+      "blooms survive via width-normalized hashing; narrowing refuses") {
+    val root = freshRoot("widen")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(0L, 100L)
+      .select($"id".cast("int").as("k"), ($"id" * 1.5f).cast("float").as("x"))
+      .repartition(4))
+    tab.addBloomIndex("k")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val before = TxLog.snapshot(fs, new Path(root)).adds.map(_.path).toSet
+    // the widening append: long keys past int range, double x
+    tab.append(spark.range(3000000000L, 3000000010L)
+      .select($"id".as("k"), ($"id" / 2.0).as("x")))
+    val snap = TxLog.snapshot(fs, new Path(root))
+    assert(before.subsetOf(snap.adds.map(_.path).toSet),
+      "widening must rewrite NOTHING — metadata-only evolution")
+    assert(snap.meta.schema("k").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(snap.meta.schema("x").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(snap.meta.features.contains("typeWidening") &&
+      snap.meta.writerFeats.contains("typeWidening"),
+      "both protocol halves must stamp — version-skewed clients refuse")
+    // old narrow files upcast natively under the wide schema
+    assert(tab.read().count() === 110L)
+    assert(tab.read().where($"k" === 42L).select($"x").as[Double]
+      .head() === 63.0)
+    // bloom sidecars built PRE-widening still answer: the hash is
+    // width-normalized, so int-era sidecars match long-era probes
+    assert(tab.readEquals("k", 42L).count() === 1L)
+    assert(tab.readEquals("k", 3000000005L).count() === 1L)
+    assert(tab.readEquals("k", 555L).count() === 0L)
+    // stats prune across the mixed widths (shared stat kind "l")
+    assert(tab.readBetween("k", 0L, 50L).count() === 51L)
+    // a NARROWING (or unrelated) type change still refuses
+    intercept[IllegalArgumentException](tab.append(
+      spark.range(0L, 5L).select($"id".cast("int").as("k"),
+        lit(1.0d).as("x"))))
+    intercept[IllegalArgumentException](tab.append(
+      spark.range(0L, 5L).select(concat(lit("s"), $"id").as("k"),
+        lit(1.0d).as("x"))))
+  }
+
   test("additive schema evolution: old files read back with nulls") {
     val tab = new TxTable(spark, freshRoot("evo"))
     tab.create(docs(5))
