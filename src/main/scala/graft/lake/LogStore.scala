@@ -201,6 +201,24 @@ object LogStore {
         if (n.startsWith(prefix) && n.endsWith(".lock"))
           coordFs.delete(st.getPath, false): Unit
       }
+      sweepStaleTickets()
+    }
+
+    /** Maintenance: reclaim `.claim-*` TICKETS orphaned by claimers
+      * that died before reaching the marker claim (their `finally`
+      * never ran). Tickets hold no claim state — the marker does — so
+      * any ticket past the grace window is garbage. O(coordinator
+      * listing); run it from table maintenance (vacuum), not per
+      * commit. */
+    def sweepStaleTickets(): Unit = {
+      if (!coordFs.exists(coordDir)) return
+      val cutoff = System.currentTimeMillis() -
+        math.max(recoveryGraceMs, 60000L)
+      coordFs.listStatus(coordDir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".claim-") && st.getModificationTime < cutoff)
+          coordFs.delete(st.getPath, false): Unit
+      }
     }
   }
 

@@ -291,6 +291,34 @@ class TxLogStoreSpec extends SparkSpec {
       "inside the grace window the version stays unpublished — no premature recovery")
   }
 
+  test("CoordinatedClaim: stale tickets (claimer died pre-marker) are " +
+      "swept; markers and fresh tickets survive") {
+    val coordDir = new Path(Files.createTempDirectory("coord_lock6").toString)
+    val coordFs = coordDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val claim = new LogStore.CoordinatedClaim(coordFs, coordDir, 0L)
+    val fs = mockFs()
+    val root = freshRoot("sweep")
+    fs.mkdirs(root)
+    val tmp = new Path(root, "tmp_w")
+    val out = fs.create(tmp, true)
+    try out.write("w".getBytes("UTF-8")) finally out.close()
+    assert(claim.claim(fs, tmp, new Path(root, "00000000000000000000.json")))
+    // a ticket from a claimer that died before the marker claim
+    val stale = new Path(coordDir, ".claim-deadbeef")
+    val o2 = coordFs.create(stale, true)
+    try o2.write("x".getBytes("UTF-8")) finally o2.close()
+    coordFs.setTimes(stale, System.currentTimeMillis() - 7200000L, -1)
+    val fresh = new Path(coordDir, ".claim-fresh")
+    val o3 = coordFs.create(fresh, true)
+    try o3.write("y".getBytes("UTF-8")) finally o3.close()
+    claim.sweepStaleTickets()
+    assert(!coordFs.exists(stale), "aged orphan ticket must be reclaimed")
+    assert(coordFs.exists(fresh), "a fresh ticket may belong to a live claimer")
+    assert(coordFs.listStatus(coordDir).exists(_.getPath.getName
+      .endsWith(".lock")), "markers are claim state and must survive")
+  }
+
   test("explicit single-writer acknowledgment unlocks plain rename commits") {
     val fs = mockFs(LogStore.unsafeSingleWriterKey -> "true")
     val root = freshRoot("single")
