@@ -402,7 +402,7 @@ object TxLog {
     // touched (restores/replays keep whatever they carry)
     val prevTs =
       if (version <= 0) None
-      else scala.util.Try(commitInfo(fs, root, version - 1)
+      else scala.util.Try(commitInfoFast(fs, root, version - 1)
         .flatMap(_.tsMillis)).toOption.flatten
     val now = System.currentTimeMillis()
     val ts = math.max(now, prevTs.map(_ + 1L).getOrElse(now))
@@ -772,6 +772,40 @@ object TxLog {
     val p = commitFile(root, version)
     require(fs.exists(p), s"missing commit $version at $root")
     parse(readString(fs, p)).flatMap(_.info).headOption
+  }
+
+  /** [[commitInfo]] in O(64 KB) instead of O(commit size): every
+    * writer appends its Info line LAST, so a bounded TAIL read finds it
+    * without parsing the possibly-massive Add list before it — the
+    * in-commit-timestamp stamp, TIMESTAMP AS OF's binary-search probes
+    * and DESCRIBE HISTORY's per-version walk all stop re-reading a
+    * 100 MB overwrite commit to learn one line. A seek can tear the
+    * first tail line (skipped by the per-line parse guard); if no info
+    * parses from the tail and the tail was partial, the full read
+    * decides.
+    */
+  private[lake] def commitInfoFast(fs: FileSystem, root: Path,
+      version: Long): Option[Info] = {
+    val p = commitFile(root, version)
+    require(fs.exists(p), s"missing commit $version at $root")
+    val len = fs.getFileStatus(p).getLen
+    val start = math.max(0L, len - 65536L)
+    val in = fs.open(p)
+    val tail =
+      try {
+        in.seek(start)
+        val n = (len - start).toInt
+        val buf = new Array[Byte](n)
+        in.readFully(buf)
+        new String(buf, "UTF-8")
+      } finally in.close()
+    val found = tail.split('\n').reverseIterator
+      .map(_.trim).filter(_.nonEmpty)
+      .flatMap(l => scala.util.Try(Serialization.read[LogEntry](l))
+        .toOption.flatMap(_.info))
+      .nextOption()
+    if (found.isDefined || start == 0L) found
+    else commitInfo(fs, root, version) // info not in the tail: full read
   }
 
   /** A parquet checkpoint is usable only once its `_SUCCESS` marker

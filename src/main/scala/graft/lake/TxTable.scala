@@ -2094,7 +2094,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     require(latest >= 0, s"no transaction log at $root")
     // a log-cleaned table's ledger starts at its earliest RETAINED commit
     val rows = (TxLog.earliestVersion(fs, root) to latest).map { v =>
-      val info = TxLog.commitInfo(fs, root, v)
+      val info = TxLog.commitInfoFast(fs, root, v)
       Row(v, info.map(_.op).getOrElse("UNKNOWN"),
         info.map(_.readVersion).getOrElse(-1L),
         info.flatMap(_.tsMillis).map(Long.box).orNull,
@@ -2216,7 +2216,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val latest = version
     require(latest >= 0, s"no transaction log at $root")
     def tsOf(v: Long): Long =
-      TxLog.commitInfo(fs, root, v).flatMap(_.tsMillis)
+      TxLog.commitInfoFast(fs, root, v).flatMap(_.tsMillis)
         .getOrElse(Long.MinValue)
     // a log-cleaned table resolves from its earliest retained commit
     val earliest = TxLog.earliestVersion(fs, root)
@@ -2238,7 +2238,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   /** The in-commit timestamp of one version, if stamped. */
   def commitTimestamp(v: Long): Option[Long] =
-    TxLog.commitInfo(fs, root, v).flatMap(_.tsMillis)
+    TxLog.commitInfoFast(fs, root, v).flatMap(_.tsMillis)
 
   /** Highest application-level version committed under `appId`
     * ([[appendIdempotent]] / [[merge]]'s txn watermark), if any. */
