@@ -975,7 +975,13 @@ object TxLog {
       minAgeMs: Long = 0L): Seq[String] = {
     val latest = latestVersion(fs, root)
     require(latest >= 0, s"no transaction log at $root")
-    val floor = math.max(0L, latest - keepVersions + 1)
+    // clamp to the earliest RETAINED commit: on a log-cleaned table a
+    // keep window wider than the log would try to resolve a version
+    // cleanLog already reclaimed — the unresolvable prefix holds no
+    // additional referenced files (anything still live is in the
+    // clamped floor snapshot)
+    val floor = math.max(earliestVersion(fs, root),
+      math.max(0L, latest - keepVersions + 1))
     // A file live at ANY kept version is either live at the FLOOR
     // snapshot or added by a kept commit — one snapshot resolution plus
     // O(keepVersions) single-commit reads, never a snapshot per kept

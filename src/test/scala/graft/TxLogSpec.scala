@@ -476,6 +476,14 @@ class TxLogSpec extends SparkSpec {
     // no checkpoint at-or-before the floor -> nothing reclaimable
     val none = TxLog.cleanLog(fs, rootP, keepVersions = 25)
     assert(none.isEmpty)
+    // DATA vacuum with a keep window WIDER than the retained log clamps
+    // to the earliest retained commit instead of failing on a version
+    // cleanLog reclaimed — and still only reclaims unreferenced files
+    val reclaimed = TxLog.vacuum(fs, rootP, keepVersions = 100)
+    assert(tab.read().count() === 35L, "live data survives the clamped vacuum")
+    assert(tab.read(asOf = Some(21L)).count() === 31L,
+      "kept versions stay readable")
+    assert(reclaimed.forall(_.endsWith(".parquet")))
   }
 
   test("vacuum's age guard protects young (possibly in-flight) files") {
