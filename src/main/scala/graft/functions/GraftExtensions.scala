@@ -3,6 +3,28 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Delegating parser: the lake-maintenance statement shapes
+  * ([[graft.lake.LakeSql]]) plan here; every other statement goes to
+  * Spark's own parser verbatim — `spark.sql("OPTIMIZE '<path>'")`
+  * works and nothing else changes. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    graft.lake.LakeSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parseExpression(s: String) = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String) =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String) =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String) =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String) = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String) = delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String) = delegate.parseTableSchema(s)
+  override def parseDataType(s: String) = delegate.parseDataType(s)
+}
 
 /** Session-extension entry point registering graft's native Catalyst
   * expressions, so a deployment can enable them cluster-wide with
@@ -18,6 +40,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

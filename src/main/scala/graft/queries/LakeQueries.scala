@@ -1190,6 +1190,49 @@ object LakeQueries {
            |       END AS price_cents
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** The SQL MAINTENANCE surface ([[graft.lake.LakeSql]], wired into
+    * `spark.sql` by [[graft.functions.GraftExtensions]]'s injected
+    * parser; driven here through the session-independent
+    * `LakeSql.run`): a scripted create→append→delete history is then
+    * administered ENTIRELY in SQL — OPTIMIZE bin-packs (REQUIREd
+    * version), DESCRIBE HISTORY returns the full ledger (REQUIREd
+    * operation sequence), RESTORE ... TO VERSION AS OF undoes the
+    * delete, VACUUM ... RETAIN 1 VERSIONS reclaims the dead era's
+    * files (REQUIREd non-empty). The emitted rows are the
+    * SQL-restored table — a restore that missed a file, resurrected a
+    * deleted row, or a vacuum that reclaimed a live file breaks the
+    * relational oracle.
+    */
+  val extLakeSqlMaintenance = Q(
+    "ext_lake_sql_maintenance",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val root = scratch("lake_sqlmaint", dir)
+      val tab = new TxTable(s, root)
+      tab.create(orders.where($"o_orderkey" % 2 === 0).repartition(2))
+      tab.append(orders.where($"o_orderkey" % 2 === 1).repartition(2))
+      tab.deleteWhere($"o_totalprice" < 150000.0)
+      val vOpt = graft.lake.LakeSql.run(s, s"OPTIMIZE '$root'")
+        .as[Long].head()
+      require(vOpt == 3L, s"SQL OPTIMIZE must commit v3, got $vOpt")
+      val ops = graft.lake.LakeSql.run(s, s"DESCRIBE HISTORY '$root'")
+        .orderBy($"version").select($"op").as[String].collect().toSeq
+      require(ops == Seq("CREATE", "APPEND", "DELETE", "OPTIMIZE"),
+        s"SQL DESCRIBE HISTORY ledger mismatch: $ops")
+      val vRest = graft.lake.LakeSql
+        .run(s, s"RESTORE '$root' TO VERSION AS OF 1").as[Long].head()
+      require(vRest == 4L, s"SQL RESTORE must commit v4, got $vRest")
+      val removed = graft.lake.LakeSql
+        .run(s, s"VACUUM '$root' RETAIN 1 VERSIONS").as[String].collect()
+      require(removed.nonEmpty,
+        "SQL VACUUM must reclaim the delete/optimize era's files")
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   /** TYPE WIDENING (Delta's typeWidening): the table is created with
     * INT keys and FLOAT prices; an append carrying LONG keys past the
     * int range and DOUBLE prices widens both columns IN PLACE —
@@ -1912,7 +1955,7 @@ object LakeQueries {
     extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg,
     extLakeIvmMinMax, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
-    extLakeTypeWidening,
+    extLakeTypeWidening, extLakeSqlMaintenance,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeMergeEvolution,
