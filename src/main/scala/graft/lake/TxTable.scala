@@ -1977,6 +1977,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     if (entries.exists(_.meta.isDefined))
       return Some(snap.version + 1)
         .filter(TxLog.tryCommit(fs, root, _, entries))
+    val ourApps = entries.flatMap(_.txn).map(_.appId).toSet
     var v = snap.version + 1
     var rebases = 0
     while (rebases <= maxRetries) {
@@ -1985,7 +1986,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         .getOrElse(return None)
       val blindAppend = winner.forall(e =>
         e.remove.isEmpty && e.meta.isEmpty)
-      if (!blindAppend || !winner.flatMap(_.add).forall(a =>
+      // a winner advancing OUR app's idempotence watermark may be this
+      // very batch's duplicate (a streaming retry racing itself — an
+      // insert-only twin looks exactly like a disjoint blind append);
+      // rebasing past it would apply the batch TWICE. Fall back to the
+      // recompute, whose fresh snapshot sees the watermark and skips.
+      val txnClash = winner.flatMap(_.txn).exists(t => ourApps(t.appId))
+      if (!blindAppend || txnClash || !winner.flatMap(_.add).forall(a =>
           scala.util.Try(safeAdd(a)).getOrElse(false)))
         return None
       v += 1

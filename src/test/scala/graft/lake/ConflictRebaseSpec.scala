@@ -167,6 +167,43 @@ class ConflictRebaseSpec extends SparkSpec {
     assert(tab3.commitRebasingOn(snap3, entries3, Nil).isEmpty)
   }
 
+  test("a winner advancing OUR app's txn watermark refuses the rebase — " +
+      "a streaming retry racing itself must not double-apply its batch") {
+    val (tab, root, fs) = freshTable("txnclash")
+    val snap = TxLog.snapshot(fs, root)
+    // our staged commit carries the idempotence watermark (app, 7) —
+    // an appendIdempotent/merge-shaped commit
+    val entries = Seq(
+      LogEntry(add = Some(Add("fake/ours.parquet", 10L, Map.empty,
+        Map("id" -> Stat("l", "900000", "900009")), bytes = Some(1L)))),
+      LogEntry(txn = Some(TxLog.Txn("app", 7L))),
+      LogEntry(info = Some(TxLog.Info("APPEND", snap.version))))
+    // the winner is OUR OWN batch's duplicate: same watermark, add-only,
+    // stats disjoint from anything — it would pass every other check
+    assert(TxLog.tryCommit(fs, root, snap.version + 1, Seq(
+      LogEntry(add = Some(Add("fake/dup.parquet", 10L, Map.empty,
+        Map("id" -> Stat("l", "900000", "900009")), bytes = Some(1L)))),
+      LogEntry(txn = Some(TxLog.Txn("app", 7L))),
+      LogEntry(info = Some(TxLog.Info("APPEND", snap.version))))))
+    assert(tab.commitRebasingWhere(snap, entries, _ => true).isEmpty,
+      "rebasing past our own duplicate would apply the batch twice")
+    // a DIFFERENT app's watermark is someone else's stream — safe
+    val (tab2, root2, fs2) = freshTable("otherapp")
+    val snap2 = TxLog.snapshot(fs2, root2)
+    assert(TxLog.tryCommit(fs2, root2, snap2.version + 1, Seq(
+      LogEntry(add = Some(Add("fake/other.parquet", 10L, Map.empty,
+        Map("id" -> Stat("l", "800000", "800009")), bytes = Some(1L)))),
+      LogEntry(txn = Some(TxLog.Txn("otherapp", 3L))),
+      LogEntry(info = Some(TxLog.Info("APPEND", snap2.version))))))
+    val entries2 = Seq(
+      LogEntry(add = Some(Add("fake/ours2.parquet", 10L, Map.empty,
+        Map("id" -> Stat("l", "900000", "900009")), bytes = Some(1L)))),
+      LogEntry(txn = Some(TxLog.Txn("app", 7L))),
+      LogEntry(info = Some(TxLog.Info("APPEND", snap2.version))))
+    assert(tab2.commitRebasingWhere(snap2, entries2, _ => true) ===
+      Some(snap2.version + 2))
+  }
+
   test("pure rewrites rebase past ANY blind append, overlap included — " +
       "content preservation needs no disjointness proof") {
     val (tab, root, fs) = freshTable("pure")
