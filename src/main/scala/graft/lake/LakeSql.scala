@@ -8,9 +8,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types._
 
-/** SQL surface for lake MAINTENANCE — the statement family Delta
-  * exposes through its parser extension (OPTIMIZE / VACUUM / DESCRIBE
-  * HISTORY / RESTORE), re-expressed over [[TxTable]]:
+/** SQL surface for lake MAINTENANCE and DML — the statement families
+  * Delta exposes through its parser extension, re-expressed over
+  * [[TxTable]]:
   *
   *   - `OPTIMIZE '<path>'` — bin-pack / incremental re-cluster
   *   - `OPTIMIZE '<path>' ZORDER BY (a, b)` — global 2-D re-cluster
@@ -21,6 +21,20 @@ import org.apache.spark.sql.types._
   *   - `DESCRIBE HISTORY '<path>'` — the commit ledger with operation
   *     metrics
   *   - `RESTORE '<path>' TO VERSION AS OF <v>` — rewind as a new commit
+  *   - `DELETE FROM '<path>' WHERE <pred>` — copy-on-write delete
+  *   - `UPDATE '<path>' SET a = <e> [, ...] [WHERE <pred>]`
+  *   - `MERGE INTO '<path>' [AS] t USING <source> [AS] s ON t.k = s.k
+  *     [AND ...] WHEN MATCHED [AND <c>] THEN UPDATE SET <assigns>|* |
+  *     DELETE | WHEN NOT MATCHED [AND <c>] THEN INSERT * | WHEN NOT
+  *     MATCHED BY SOURCE [AND <c>] THEN UPDATE SET <assigns> | DELETE`
+  *     — `<source>` is a quoted lake path, a registered view/table
+  *     name, or a parenthesized subquery; the two sides MUST be
+  *     aliased `t` and `s` (that is how clause expressions reference
+  *     them, mirroring [[TxTable.MergeInto]]'s contract)
+  *
+  * DML statements only claim a statement whose target is a QUOTED
+  * PATH right after the keyword — `DELETE FROM catalog_table` still
+  * reaches Spark's own parser untouched.
   *
   * Two routes to the same commands: `spark.sql(...)` on a session built
   * with [[graft.functions.GraftExtensions]] (injectParser delegates
@@ -41,7 +55,13 @@ object LakeSql {
   private val Rest =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
 
-  /** One of the maintenance statement shapes, or None — the caller
+  private val Del =
+    """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*""".r
+  private val UpdHead = """(?is)\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*""".r
+  private val MergeHead =
+    """(?is)\s*MERGE\s+INTO\s+'([^']+)'(?:\s+(?:AS\s+)?t)?\s+USING\s+(.+?)\s*""".r
+
+  /** One of the maintenance/DML statement shapes, or None — the caller
     * (the injected parser) delegates None to Spark's own parser. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case OptZ(p, a, b) => Some(OptimizeCommand(p, Some((a, b))))
@@ -52,7 +72,185 @@ object LakeSql {
       Some(VacuumCommand(p, Option(n).map(_.toInt).getOrElse(1)))
     case Hist(p)       => Some(HistoryCommand(p))
     case Rest(p, v)    => Some(RestoreCommand(p, v.toLong))
+    case Del(p, w)     => Some(DeleteCommand(p, w))
+    case UpdHead(p, rest) =>
+      val (sets, where) = topIndex(rest, "WHERE") match {
+        case -1 => (rest, None)
+        case i  => (rest.substring(0, i).trim,
+                    Some(rest.substring(i + 5).trim))
+      }
+      Some(UpdateCommand(p, parseAssignments(sets), where))
+    case MergeHead(p, rest) => Some(parseMerge(p, rest))
     case _             => None
+  }
+
+  // ---- top-level-aware text scanning (never matches inside a
+  // single-quoted string or inside parentheses — a subquery source or
+  // a string literal containing WHERE/AND/WHEN cannot derail parsing) --
+
+  private def isWordChar(c: Char) =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** Index of the first word-bounded, case-insensitive occurrence of
+    * `kw` at paren-depth 0 outside string literals, or -1. */
+  private def topIndex(s: String, kw: String, from: Int = 0): Int = {
+    var i = from; var depth = 0; var inStr = false
+    val n = s.length; val k = kw.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, kw, 0, k) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + k >= n || !isWordChar(s.charAt(i + k))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** All top-level occurrence indexes of `kw`, in order. */
+  private def topIndexes(s: String, kw: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var i = topIndex(s, kw)
+    while (i >= 0) { out += i; i = topIndex(s, kw, i + kw.length) }
+    out.result()
+  }
+
+  /** Split on top-level commas. */
+  private def splitCommas(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var start = 0; var i = 0; var depth = 0; var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '('  => depth += 1
+        case ')'  => depth -= 1
+        case ','  => if (depth == 0) { out += s.substring(start, i); start = i + 1 }
+        case _    =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `a = <expr>, b = <expr>` → ordered (name, expr-text) pairs; the
+    * assignment `=` is the first top-level `=` that is not part of a
+    * comparison (`<= >= != == <=>`). A `t.` prefix on the target name
+    * is accepted and stripped. */
+  private def parseAssignments(s: String): Seq[(String, String)] =
+    splitCommas(s).map { a =>
+      var i = 0; var split = -1; var inStr = false; var depth = 0
+      while (i < a.length && split < 0) {
+        val c = a.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '('  => depth += 1
+          case ')'  => depth -= 1
+          case '=' if depth == 0 =>
+            val prevCmp = i > 0 && "<>!=".indexOf(a.charAt(i - 1)) >= 0
+            val nextEq = i + 1 < a.length && a.charAt(i + 1) == '='
+            if (!prevCmp && !nextEq) split = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(split > 0, s"not an assignment: $a")
+      val name0 = a.substring(0, split).trim
+      val name = if (name0.toLowerCase.startsWith("t."))
+        name0.substring(2) else name0
+      require(name.nonEmpty && name.forall(isWordChar),
+        s"bad assignment target: $name0")
+      (name, a.substring(split + 1).trim)
+    }
+
+  // ---- MERGE INTO parsing ----
+
+  /** A parsed merge clause, in statement order. `matchKind` is
+    * matched / notMatched / bySource; `sets` None means DELETE (or
+    * INSERT for notMatched); `Some(Nil)` means `UPDATE SET *`. */
+  case class MergeClause(matchKind: String,
+      cond: Option[String], sets: Option[Seq[(String, String)]])
+
+  private def parseMerge(path: String, rest: String): MergeIntoCommand = {
+    val onAt = topIndex(rest, "ON")
+    require(onAt > 0, "MERGE needs an ON clause")
+    var src = rest.substring(0, onAt).trim
+    // strip the mandatory-by-contract source alias if written
+    val al = """(?is)(.*?)\s+(?:AS\s+)?s\s*""".r
+    src = src match { case al(body) => body.trim; case _ => src }
+    val afterOn = rest.substring(onAt + 2)
+    val whens = topIndexes(afterOn, "WHEN")
+    require(whens.nonEmpty, "MERGE needs at least one WHEN clause")
+    val onCond = afterOn.substring(0, whens.head).trim
+    val keyCols = {
+      val Eq = """(?is)\s*(?:t\.(\w+)\s*=\s*s\.(\w+)|s\.(\w+)\s*=\s*t\.(\w+))\s*""".r
+      splitOnAnd(onCond).map {
+        case Eq(a, b, c, d) =>
+          val (tk, sk) = if (a != null) (a, b) else (d, c)
+          require(tk.equalsIgnoreCase(sk),
+            s"MERGE ON must equate the same column on both sides, got t.$tk = s.$sk")
+          tk
+        case other => sys.error(
+          s"MERGE ON supports only t.<k> = s.<k> conjunctions, got: $other")
+      }
+    }
+    val clauses = (whens :+ afterOn.length).sliding(2).map { w =>
+      parseMergeClause(afterOn.substring(w(0) + 4, w(1)).trim)
+    }.toSeq
+    MergeIntoCommand(path, src, keyCols, clauses)
+  }
+
+  private def splitOnAnd(s: String): Seq[String] = {
+    val cuts = topIndexes(s, "AND")
+    ((-3 +: cuts) :+ s.length).sliding(2).map { w =>
+      s.substring(w(0) + 3, w(1)).trim
+    }.toSeq.filter(_.nonEmpty)
+  }
+
+  private def parseMergeClause(c: String): MergeClause = {
+    val thenAt = topIndex(c, "THEN")
+    require(thenAt > 0, s"MERGE clause needs THEN: $c")
+    val head = c.substring(0, thenAt).trim
+    val action = c.substring(thenAt + 4).trim
+    val H =
+      """(?is)(MATCHED|NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED)(?:\s+AND\s+(.+?))?\s*""".r
+    val (kind, cond) = head match {
+      case H(k, cnd) =>
+        val kk = k.toUpperCase.replaceAll("\\s+", " ") match {
+          case "MATCHED"               => "matched"
+          case "NOT MATCHED"           => "notMatched"
+          case "NOT MATCHED BY SOURCE" => "bySource"
+        }
+        (kk, Option(cnd).map(_.trim))
+      case _ => sys.error(s"bad MERGE clause head: $head")
+    }
+    val Upd = """(?is)UPDATE\s+SET\s+(.+)""".r
+    val sets = action match {
+      case Upd(a) if a.trim == "*" =>
+        require(kind == "matched", "UPDATE SET * is a MATCHED action")
+        Some(Nil)
+      case Upd(a) =>
+        require(kind != "notMatched", "NOT MATCHED supports only INSERT *")
+        Some(parseAssignments(a))
+      case d if d.equalsIgnoreCase("DELETE") =>
+        require(kind != "notMatched", "NOT MATCHED supports only INSERT *")
+        None
+      case ins if ins.replaceAll("\\s+", " ").equalsIgnoreCase("INSERT *") =>
+        require(kind == "notMatched", "INSERT is a NOT MATCHED action")
+        None
+      case other => sys.error(s"bad MERGE action: $other")
+    }
+    MergeClause(kind, cond, sets)
   }
 
   /** Parse-and-execute on an arbitrary session (no parser injection
@@ -112,5 +310,68 @@ object LakeSql {
     override val output: Seq[Attribute] = Seq(attr("version", LongType))
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(new TxTable(spark, path).restore(toVersion)))
+  }
+
+  // ---- DML commands: predicate / SET / clause texts are carried as
+  // STRINGS and compiled with functions.expr at execution, so parsing
+  // stays cheap and the expressions resolve against the table (or the
+  // t/s join MergeInto builds) exactly as the API route would ----
+
+  case class DeleteCommand(path: String, where: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(new TxTable(spark, path)
+        .deleteWhere(org.apache.spark.sql.functions.expr(where))))
+  }
+
+  case class UpdateCommand(path: String, sets: Seq[(String, String)],
+      where: Option[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{expr, lit}
+      Seq(Row(new TxTable(spark, path).update(
+        where.map(expr).getOrElse(lit(true)),
+        sets.map { case (n, e) => n -> expr(e) }.toMap)))
+    }
+  }
+
+  case class MergeIntoCommand(path: String, source: String,
+      keyCols: Seq[String], clauses: Seq[MergeClause])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{col, expr}
+      val src =
+        if (source.startsWith("'") && source.endsWith("'"))
+          new TxTable(spark, source.substring(1, source.length - 1)).read()
+        else if (source.startsWith("("))
+          spark.sql(source.substring(1, source.length - 1))
+        else spark.table(source)
+      val tab = new TxTable(spark, path)
+      val m = tab.mergeInto(src, keyCols)
+      clauses.foreach { c =>
+        val cond = c.cond.map(expr)
+        (c.matchKind, c.sets) match {
+          case ("matched", Some(Nil)) =>
+            // UPDATE SET * — every target column the source carries
+            val names = tab.read().schema.fieldNames
+              .filter(src.columns.contains)
+            m.whenMatchedUpdate(
+              names.map(n => n -> col(s"s.$n")).toMap, cond)
+          case ("matched", Some(as)) =>
+            m.whenMatchedUpdate(
+              as.map { case (n, e) => n -> expr(e) }.toMap, cond)
+          case ("matched", None)    => m.whenMatchedDelete(cond)
+          case ("notMatched", _)    => m.whenNotMatchedInsert(cond)
+          case ("bySource", Some(as)) =>
+            m.whenNotMatchedBySourceUpdate(
+              as.map { case (n, e) => n -> expr(e) }.toMap, cond)
+          case ("bySource", None)   => m.whenNotMatchedBySourceDelete(cond)
+          case other => sys.error(s"unreachable clause: $other")
+        }
+      }
+      Seq(Row(m.execute()))
+    }
   }
 }

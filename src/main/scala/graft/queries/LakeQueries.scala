@@ -1233,6 +1233,90 @@ object LakeQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** SQL DML surface ([[graft.lake.LakeSql]] DELETE / UPDATE / MERGE
+    * INTO): a scripted history is mutated ENTIRELY in SQL — DELETE
+    * culls a key residue class, UPDATE shifts custkeys above a price
+    * bar, and a three-clause MERGE (conditional DELETE, UPDATE from
+    * the source, INSERT *) folds in a view mixing overlapping and
+    * brand-new keys. In-query REQUIREs pin the committed versions and
+    * the ledger op sequence; the emitted rows are the final table,
+    * reconstructed relationally by the oracle — a clause misfiring,
+    * matching the wrong rows, or the parser mangling an expression
+    * breaks the hash. All arithmetic is int64 (IEEE-exact copies for
+    * the double column), so the comparison is bit-exact.
+    */
+  val extLakeSqlDml = Q(
+    "ext_lake_sql_dml",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val root = scratch("lake_sqldml", dir)
+      val tab = new TxTable(s, root)
+      tab.create(orders.repartition(4))                             // v0
+      val vDel = graft.lake.LakeSql
+        .run(s, s"DELETE FROM '$root' WHERE o_orderkey % 7 = 3")
+        .as[Long].head()
+      require(vDel == 1L, s"SQL DELETE must commit v1, got $vDel")
+      val vUpd = graft.lake.LakeSql.run(s,
+        s"UPDATE '$root' SET o_custkey = o_custkey + 1000000 " +
+          "WHERE o_totalprice > 200000.0").as[Long].head()
+      require(vUpd == 2L, s"SQL UPDATE must commit v2, got $vUpd")
+      orders.where($"o_orderkey" % 5 === 0)
+        .select($"o_orderkey", lit(-1L).as("o_custkey"), $"o_totalprice")
+        .unionAll(orders.where($"o_orderkey" % 5 === 1)
+          .select(($"o_orderkey" + 30000000L).as("o_orderkey"),
+            $"o_custkey", $"o_totalprice"))
+        .createOrReplaceTempView("lake_sqldml_src")
+      val vM = graft.lake.LakeSql.run(s,
+        s"""MERGE INTO '$root' AS t
+           |USING lake_sqldml_src AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND t.o_totalprice < 100000.0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_custkey = s.o_custkey
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+          .replace('\n', ' ')).as[Long].head()
+      require(vM == 3L, s"SQL MERGE must commit v3, got $vM")
+      val ops = tab.history().orderBy($"version")
+        .select($"op").as[String].collect().toSeq
+      require(ops == Seq("CREATE", "DELETE", "UPDATE", "MERGE_INTO"),
+        s"SQL DML ledger mismatch: $ops")
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""WITH after_del AS (
+           |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           |  WHERE o_orderkey % 7 <> 3
+           |), after_upd AS (
+           |  SELECT o_orderkey,
+           |         CASE WHEN o_totalprice > 200000.0
+           |              THEN o_custkey + 1000000 ELSE o_custkey
+           |         END AS o_custkey,
+           |         o_totalprice
+           |  FROM after_del
+           |), src AS (
+           |  SELECT o_orderkey, CAST(-1 AS BIGINT) AS o_custkey,
+           |         o_totalprice
+           |  FROM orders WHERE o_orderkey % 5 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey + 30000000, o_custkey, o_totalprice
+           |  FROM orders WHERE o_orderkey % 5 = 1
+           |), kept AS (
+           |  SELECT t.o_orderkey,
+           |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey
+           |              ELSE t.o_custkey END AS o_custkey,
+           |         t.o_totalprice
+           |  FROM after_upd t LEFT JOIN src s
+           |    ON t.o_orderkey = s.o_orderkey
+           |  WHERE NOT (s.o_orderkey IS NOT NULL
+           |             AND t.o_totalprice < 100000.0)
+           |), ins AS (
+           |  SELECT s.o_orderkey, s.o_custkey, s.o_totalprice FROM src s
+           |  WHERE s.o_orderkey NOT IN
+           |        (SELECT o_orderkey FROM after_upd)
+           |)
+           |SELECT * FROM kept UNION ALL SELECT * FROM ins
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** TYPE WIDENING (Delta's typeWidening): the table is created with
     * INT keys and FLOAT prices; an append carrying LONG keys past the
     * int range and DOUBLE prices widens both columns IN PLACE —
@@ -1955,7 +2039,7 @@ object LakeQueries {
     extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg,
     extLakeIvmMinMax, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
-    extLakeTypeWidening, extLakeSqlMaintenance,
+    extLakeTypeWidening, extLakeSqlMaintenance, extLakeSqlDml,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeMergeEvolution,

@@ -59,6 +59,105 @@ class LakeSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](LakeSql.run(spark, "SELECT 1"))
   }
 
+  test("DML parsing: quoted-path shapes are ours, identifiers delegate, " +
+      "keywords inside string literals and subqueries don't derail") {
+    assert(LakeSql.parse("DELETE FROM '/t/x' WHERE id < 5").isDefined)
+    assert(LakeSql.parse("DELETE FROM tbl WHERE id < 5").isEmpty)
+    assert(LakeSql.parse("UPDATE '/t/x' SET a = 1, b = a + 2 WHERE c = 'x'")
+      .isDefined)
+    assert(LakeSql.parse("UPDATE tbl SET a = 1").isEmpty)
+    assert(LakeSql.parse("MERGE INTO tbl USING s ON t.k = s.k " +
+      "WHEN MATCHED THEN DELETE").isEmpty)
+    // a WHERE inside a string literal stays part of the SET expression
+    val u = LakeSql.parse("UPDATE '/t/x' SET a = ' WHERE ' WHERE b = 1")
+    assert(u.exists {
+      case LakeSql.UpdateCommand(_, sets, where) =>
+        sets == Seq("a" -> "' WHERE '") && where.contains("b = 1")
+      case _ => false
+    })
+    // comparison operators never split an assignment
+    val u2 = LakeSql.parse("UPDATE '/t/x' SET a = b <= 3")
+    assert(u2.exists {
+      case LakeSql.UpdateCommand(_, sets, None) =>
+        sets == Seq("a" -> "b <= 3")
+      case _ => false
+    })
+    val m = LakeSql.parse(
+      """MERGE INTO '/t/x' AS t
+        |USING (SELECT k, v FROM src WHERE note = ' WHEN MATCHED ') AS s
+        |ON t.k = s.k AND t.k2 = s.k2
+        |WHEN MATCHED AND t.v < s.v THEN UPDATE SET v = s.v
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin
+        .replace('\n', ' '))
+    assert(m.exists {
+      case LakeSql.MergeIntoCommand(_, src, keys, cls) =>
+        src.startsWith("(") && keys == Seq("k", "k2") &&
+          cls.map(_.matchKind) ==
+            Seq("matched", "matched", "notMatched", "bySource") &&
+          cls.head.cond.contains("t.v < s.v") &&
+          cls.head.sets.contains(Seq("v" -> "s.v"))
+      case _ => false
+    })
+    // ON must equate the SAME column both sides
+    intercept[RuntimeException](LakeSql.parse(
+      "MERGE INTO '/t/x' USING src ON t.a = s.b " +
+        "WHEN MATCHED THEN DELETE"))
+    intercept[IllegalArgumentException](LakeSql.parse(
+      "MERGE INTO '/t/x' USING src ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN UPDATE SET a = 1"))
+  }
+
+  test("SQL DML drives a real table: DELETE, UPDATE, MERGE with " +
+      "conditional clauses, SET *, and a subquery source") {
+    val root = freshRoot("dml")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(0L, 100L)
+      .select($"id", ($"id" % 10).as("grp"), lit(1L).as("v"))
+      .repartition(2))                                            // v0
+    val vDel = LakeSql.run(spark, s"DELETE FROM '$root' WHERE id >= 90")
+      .as[Long].head()
+    assert(vDel === 1L && tab.read().count() === 90L)
+    val vUpd = LakeSql.run(spark,
+      s"UPDATE '$root' SET v = v + grp WHERE grp >= 8").as[Long].head()
+    assert(vUpd === 2L)
+    assert(tab.read().where($"grp" === 9L).agg(sum($"v")).as[Long].head()
+      === 9L * 10L, "v = 1 + 9 on the nine-group's 9 surviving rows")
+    // merge: source updates evens' v, inserts beyond-range keys,
+    // deletes multiples of 30; UPDATE SET * exercises schema alignment
+    spark.range(0L, 120L, 2L)
+      .select($"id", ($"id" % 10).as("grp"), lit(100L).as("v"))
+      .createOrReplaceTempView("lakesql_dml_src")
+    val vM = LakeSql.run(spark,
+      s"""MERGE INTO '$root' AS t
+         |USING (SELECT id, grp, v FROM lakesql_dml_src) AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.id % 30 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+        .replace('\n', ' ')).as[Long].head()
+    assert(vM === 3L)
+    val got = tab.read()
+    assert(got.where($"id" % 30 === 0 && $"id" < 90).count() === 0L,
+      "matched multiples of 30 deleted (90 re-arrives as an insert)")
+    assert(got.where($"id" === 88L).select($"v").as[Long].head() === 100L,
+      "matched even updated via SET *")
+    assert(got.where($"id" >= 90L && $"id" % 2 === 0).count() === 15L,
+      "90..118 evens inserted")
+    assert(got.where($"id" === 9L).select($"v").as[Long].head() === 10L,
+      "odd rows untouched by the merge")
+    // by-source clause through SQL: source is the table itself filtered
+    val vB = LakeSql.run(spark,
+      s"""MERGE INTO '$root' AS t USING
+         |(SELECT id FROM lakesql_dml_src WHERE 1=0) AS s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND t.id > 110 THEN DELETE"""
+        .stripMargin.replace('\n', ' ')).as[Long].head()
+    assert(vB === 4L)
+    assert(tab.read().agg(max($"id")).as[Long].head() <= 110L)
+  }
+
   test("spark.sql drives the same statements through the injected " +
       "parser; non-maintenance SQL delegates verbatim") {
     val root = freshRoot("inj")
