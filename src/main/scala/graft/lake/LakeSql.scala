@@ -21,6 +21,8 @@ import org.apache.spark.sql.types._
   *   - `DESCRIBE HISTORY '<path>'` — the commit ledger with operation
   *     metrics
   *   - `RESTORE '<path>' TO VERSION AS OF <v>` — rewind as a new commit
+  *   - `REORG [TABLE] '<path>' APPLY (PURGE)` — materialize deletion
+  *     vectors ([[TxTable.reorgPurge]])
   *   - `DELETE FROM '<path>' WHERE <pred>` — copy-on-write delete
   *   - `UPDATE '<path>' SET a = <e> [, ...] [WHERE <pred>]`
   *   - `MERGE INTO '<path>' [AS] t USING <source> [AS] s ON t.k = s.k
@@ -54,6 +56,8 @@ object LakeSql {
   private val Hist = """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
   private val Rest =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  private val Reorg =
+    """(?is)\s*REORG\s+(?:TABLE\s+)?'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
 
   private val Del =
     """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*""".r
@@ -72,6 +76,7 @@ object LakeSql {
       Some(VacuumCommand(p, Option(n).map(_.toInt).getOrElse(1)))
     case Hist(p)       => Some(HistoryCommand(p))
     case Rest(p, v)    => Some(RestoreCommand(p, v.toLong))
+    case Reorg(p)      => Some(ReorgPurgeCommand(p))
     case Del(p, w)     => Some(DeleteCommand(p, w))
     case UpdHead(p, rest) =>
       val (sets, where) = topIndex(rest, "WHERE") match {
@@ -310,6 +315,13 @@ object LakeSql {
     override val output: Seq[Attribute] = Seq(attr("version", LongType))
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(new TxTable(spark, path).restore(toVersion)))
+  }
+
+  case class ReorgPurgeCommand(path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(new TxTable(spark, path).reorgPurge()))
   }
 
   // ---- DML commands: predicate / SET / clause texts are carried as

@@ -1229,6 +1229,43 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     sys.error("unreachable")
   }
 
+  /** REORG ... APPLY (PURGE) (Delta's REORG TABLE): materialize
+    * deletion vectors — rewrite EXACTLY the DV-carrying files to their
+    * survivor rows (row ids carried through verbatim) and drop the
+    * vectors, leaving every clean file untouched. [[optimize]] only
+    * rewrites files whose vector is HEAVY (past `dvRewriteFraction`);
+    * PURGE is the explicit "no vectors remain at all" maintenance pass
+    * a user runs before vacuuming DV sidecars away or handing the table
+    * to a reader without DV support. Planning resolves pruned to the
+    * vector-carrying files (O(affected) on the driver); a no-vector
+    * table no-ops without a commit. Pure rewrite: content-preserving,
+    * so a lost race against ANY blind append rebases, and the change
+    * feed records nothing.
+    */
+  def reorgPurge(): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.prunedSnapshot(fs, root, None, _ =>
+        col("dvFile").isNotNull || col("dv").isNotNull)
+      gateWriter(snap.meta)
+      val doomed = snap.adds.filter(_.hasDv)
+      if (doomed.isEmpty) return snap.version // nothing shadowed
+      val survivors = readFiles(snap, doomed.map(_.path),
+        withRowId = snap.meta.tracksRows)
+      val adds = stageWrite(survivors, snap.meta)
+      val entries =
+        doomed.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        adds.map(a => LogEntry(add = Some(a))) :+
+        LogEntry(info = Some(Info("REORG_PURGE", snap.version,
+          cdfCaptured = if (snap.meta.cdf) Some(true) else None)))
+      commitRebasingWhere(snap, entries, _ => true).foreach(v => return v)
+      attempt += 1
+      require(attempt < maxRetries,
+        s"reorgPurge of $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
   def vacuum(keepVersions: Int, minAgeMs: Long = 0L): Seq[String] =
     TxLog.vacuum(fs, root, keepVersions, minAgeMs)
 

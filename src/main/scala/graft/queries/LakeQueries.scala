@@ -1317,6 +1317,52 @@ object LakeQueries {
            |SELECT * FROM kept UNION ALL SELECT * FROM ins
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** REORG APPLY (PURGE) (Delta's REORG TABLE): a merge-on-read delete
+    * leaves deletion vectors shadowing rows in place; the SQL PURGE
+    * pass materializes them — in-query REQUIREs pin that afterwards NO
+    * vector remains, that every clean file survived untouched (purge
+    * must not become a full rewrite), and that every shadowed file was
+    * replaced. The emitted rows are the purged table — resurrecting a
+    * shadowed row or dropping a survivor breaks the relational oracle.
+    */
+  val extLakeReorgPurge = Q(
+    "ext_lake_reorg_purge",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val root = scratch("lake_reorg", dir)
+      val tab = new TxTable(s, root)
+      tab.create(orders.repartitionByRange(4, $"o_orderkey"))     // v0
+      // keys are dense 0..n-1 at every scale: shadow only the lower
+      // half so the upper range-files stay clean at any SF
+      val half = orders.count() / 2
+      tab.deleteWhereMergeOnRead($"o_orderkey" % 10 === 0 &&
+        $"o_orderkey" < lit(half))                                // v1
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val s1 = graft.lake.TxLog.snapshot(fs, rootP)
+      val dvPaths = s1.adds.filter(_.hasDv).map(_.path).toSet
+      val clean = s1.adds.filterNot(_.hasDv).map(_.path).toSet
+      require(dvPaths.nonEmpty && clean.nonEmpty,
+        "the range layout must leave both shadowed and clean files")
+      val v = graft.lake.LakeSql
+        .run(s, s"REORG TABLE '$root' APPLY (PURGE)").as[Long].head()
+      require(v == 2L, s"PURGE must commit v2, got $v")
+      val s2 = graft.lake.TxLog.snapshot(fs, rootP)
+      require(s2.adds.forall(!_.hasDv), "no vector may survive PURGE")
+      require(clean.subsetOf(s2.adds.map(_.path).toSet),
+        "PURGE must not touch a clean file")
+      require(s2.adds.map(_.path).toSet.intersect(dvPaths).isEmpty,
+        "every shadowed file must be replaced")
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           |WHERE NOT (o_orderkey % 10 = 0
+           |           AND o_orderkey < (SELECT COUNT(*) // 2 FROM orders))
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** TYPE WIDENING (Delta's typeWidening): the table is created with
     * INT keys and FLOAT prices; an append carrying LONG keys past the
     * int range and DOUBLE prices widens both columns IN PLACE —
@@ -2040,6 +2086,7 @@ object LakeQueries {
     extLakeIvmMinMax, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeTypeWidening, extLakeSqlMaintenance, extLakeSqlDml,
+    extLakeReorgPurge,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeMergeEvolution,

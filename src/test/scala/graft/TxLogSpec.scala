@@ -847,6 +847,35 @@ class TxLogSpec extends SparkSpec {
     assert(tab.read().where($"id" % 100L === 0L || $"id" === 1L).count() === 0)
   }
 
+  test("REORG APPLY (PURGE) rewrites exactly the vector-carrying files " +
+    "and leaves clean files untouched; a vector-free table no-ops") {
+    val root = freshRoot("reorg")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(400).repartitionByRange(4, $"id"))        // v0
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snap() = TxLog.snapshot(fs, new Path(root))
+    tab.deleteWhereMergeOnRead($"id" < 10L)                   // v1: DVs
+    val s1 = snap()
+    val dvPaths = s1.adds.filter(_.hasDv).map(_.path).toSet
+    val cleanPaths = s1.adds.filterNot(_.hasDv).map(_.path).toSet
+    assert(dvPaths.nonEmpty && cleanPaths.nonEmpty,
+      "range layout must leave both shadowed and clean files")
+    val v = graft.lake.LakeSql
+      .run(spark, s"REORG TABLE '$root' APPLY (PURGE)")
+      .as[Long].head()
+    assert(v === 2L)
+    val s2 = snap()
+    assert(s2.adds.forall(!_.hasDv), "no vectors may remain")
+    assert(cleanPaths.subsetOf(s2.adds.map(_.path).toSet),
+      "PURGE must not touch a clean file")
+    assert(s2.adds.map(_.path).toSet.intersect(dvPaths).isEmpty,
+      "every shadowed file must be replaced")
+    assert(tab.read().count() === 390)
+    assert(tab.read().where($"id" < 10L).count() === 0)
+    assert(tab.reorgPurge() === 2L,
+      "a vector-free table no-ops without a commit")
+  }
+
   test("readLatestPartition scans only the newest load's files, " +
     "one log resolution") {
     val tab = new TxTable(spark, freshRoot("rlp"))
