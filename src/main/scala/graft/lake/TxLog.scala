@@ -231,7 +231,12 @@ object TxLog {
     var prev = 0L
     (0L until n).map { _ => prev += varint(); prev }
   }
-  final case class Remove(path: String)
+  /** `rows`/`bytes` echo the removed Add's stats so the per-commit
+    * checksum ([[Crc]]) stays derivable from a commit's own entries;
+    * absent on legacy entries (the chain re-seeds at the next
+    * checkpoint). */
+  final case class Remove(path: String, rows: Option[Long] = None,
+      bytes: Option[Long] = None)
   /** One commit-time change-data file (Delta's `cdc` action): `path` is
     * a parquet file under `_change_data/` holding the commit's changed
     * rows, table schema + `_change_type` ('insert' | 'delete' |
@@ -431,8 +436,61 @@ object TxLog {
     writeString(fs, tmp, render(stamped))
     val won = LogStore.claimFor(fs).claim(fs, tmp, dst)
     if (fs.exists(tmp)) fs.delete(tmp, false)
-    if (won) maybeCheckpoint(fs, root, version)
+    if (won) {
+      writeCrcIncremental(fs, root, version, stamped)
+      maybeCheckpoint(fs, root, version)
+    }
     won
+  }
+
+  /** Per-commit table-state checksum (Delta's VersionChecksum `.crc`
+    * files): live file count, live row total and live byte total AFTER
+    * the commit. Written best-effort by the commit winner as `<v>.crc`,
+    * derived INCREMENTALLY from the predecessor's checksum plus this
+    * commit's own entries (removes echo their stats) — the commit path
+    * stays O(entries), never O(files). A broken chain (legacy
+    * stats-less remove, a winner that died before writing) self-heals
+    * at the next checkpoint, which re-seeds from the authoritative live
+    * set. [[graft.lake.TxTable.verifyChecksum]] compares a fully
+    * resolved snapshot against the stored value — end-to-end corruption
+    * detection for replay/checkpoint/vacuum bugs and hand-edited logs.
+    */
+  final case class Crc(version: Long, numFiles: Long, totalRows: Long,
+      totalBytes: Long)
+
+  def crcFile(root: Path, v: Long): Path =
+    new Path(logDir(root), f"$v%020d.crc")
+
+  def readCrc(fs: FileSystem, root: Path, v: Long): Option[Crc] =
+    scala.util.Try(
+      Serialization.read[Crc](readString(fs, crcFile(root, v)))).toOption
+
+  /** The checksum a resolved snapshot implies (files without a
+    * recorded byte size count 0 bytes — the same convention the
+    * incremental writer uses, so legacy adds stay consistent). */
+  def crcOf(snap: Snapshot): Crc = Crc(snap.version,
+    snap.adds.size.toLong, snap.adds.map(_.rows).sum,
+    snap.adds.flatMap(_.bytes).sum)
+
+  private def writeCrcIncremental(fs: FileSystem, root: Path, v: Long,
+      entries: Seq[LogEntry]): Unit = {
+    val prev =
+      if (v == 0L) Some(Crc(-1L, 0L, 0L, 0L))
+      else readCrc(fs, root, v - 1)
+    prev.foreach { p =>
+      val adds = entries.flatMap(_.add)
+      val rems = entries.flatMap(_.remove)
+      // a stats-less remove (legacy writer) makes the delta unknowable:
+      // write nothing and let the next checkpoint re-seed
+      if (rems.forall(r => r.rows.isDefined && r.bytes.isDefined))
+        scala.util.Try(writeString(fs, crcFile(root, v),
+          Serialization.write(Crc(v,
+            p.numFiles + adds.size - rems.size,
+            p.totalRows + adds.map(_.rows).sum - rems.flatMap(_.rows).sum,
+            p.totalBytes + adds.flatMap(_.bytes).sum -
+              rems.flatMap(_.bytes).sum))))
+      ()
+    }
   }
 
   /** Highest committed version, or −1 for a nonexistent/empty log.
@@ -896,6 +954,10 @@ object TxLog {
         case _ =>
           writeString(fs, checkpointFile(root, version), render(entries))
       }
+      // re-seed the checksum chain from the authoritative live set:
+      // heals any gap a crashed winner or legacy commit left behind
+      scala.util.Try(writeString(fs, crcFile(root, version),
+        Serialization.write(crcOf(snap))))
       writeString(fs, lastCheckpointFile(root), Serialization.write(
         CkptPointer(version, Some(entries.size.toLong))))
     }
@@ -961,6 +1023,8 @@ object TxLog {
               Some(n.stripSuffix(".checkpoint.json").toLong)
             else if (n.matches("\\d{20}\\.checkpoint\\.parquet"))
               Some(n.stripSuffix(".checkpoint.parquet").toLong)
+            else if (n.matches("\\d{20}\\.crc"))
+              Some(n.stripSuffix(".crc").toLong)
             else None
           if (v.exists(_ < ckptV)) {
             fs.delete(st.getPath, true) // recursive: parquet dirs

@@ -292,7 +292,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           withRowId = snap.meta.tracksRows)
         .where(!coalesce(cond, lit(false)))
       val adds = stageWrite(survivors, snap.meta)
-      val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+      val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
         adds.map(a => LogEntry(add = Some(a))) ++
         captureTail(snap.meta, "DELETE", snap.version,
           cur.where(cond).drop(FileCol)
@@ -350,7 +350,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val dvEntries = dvHits.toSeq.flatMap { case (p, pos) =>
         val a = addByPath(p)
         val live = a.rows - pos.size
-        val rm = LogEntry(remove = Some(Remove(p)))
+        val rm = LogEntry(remove = Some(Remove(p, Some(a.rows), a.bytes)))
         if (live <= 0) Seq(rm) // vector would cover the whole file
         else {
           // merged vector into a NEW immutable sidecar; the log entry
@@ -382,7 +382,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               .withWriterFeature("deletionVectors"))))
         else Nil
       val entries = protocol ++ dvEntries ++
-        cowAffected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        cowAffected.map(a => LogEntry(remove = Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
         cowAdds.map(a => LogEntry(add = Some(a))) ++
         captureTail(snap.meta, "DELETE_DV", snap.version,
           cur.where(cond).drop(FileCol, PosCol)
@@ -458,7 +458,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // = the transformed half of the rewrite). On a tracked CDF table
       // both images carry the row's _row_id — UPDATE preserves identity,
       // so the pair is id-joinable with no key assumptions.
-      val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+      val entries = affected.map(a => LogEntry(remove = Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
         adds.map(a => LogEntry(add = Some(a))) ++
         captureTail(snap.meta, "UPDATE", snap.version,
           cur.where(matched).drop(FileCol)
@@ -589,7 +589,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         // Delta's behavior); source rows with no matched key are plain
         // inserts
         val entries = metaEntry ++
-          affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+          affected.map(a => LogEntry(remove = Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
           adds.map(a => LogEntry(add = Some(a))) ++
           txn.map { case (app, tv) =>
             LogEntry(txn = Some(Txn(app, tv))) }.toSeq ++
@@ -794,7 +794,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           val entries =
             (if (newMeta != snap.meta) Seq(LogEntry(meta = Some(newMeta)))
              else Nil) ++
-            affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+            affected.map(a => LogEntry(remove = Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
             adds.map(a => LogEntry(add = Some(a))) ++
             captureTail(snap.meta, "MERGE_INTO", snap.version, {
               // feed, Delta's four change types: an update clause emits
@@ -958,7 +958,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         val entries =
           (if (newMeta != snap.meta) Seq(LogEntry(meta = Some(newMeta)))
            else Nil) ++
-          affected.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+          affected.map(a => LogEntry(remove = Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
           adds.map(a => LogEntry(add = Some(a))) ++
           captureTail(snap.meta, "APPLY_CHANGES", snap.version, {
             // this table's OWN feed keeps the four-type fidelity: a key
@@ -1064,7 +1064,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         if (newMeta != snap.meta) Seq(LogEntry(meta = Some(newMeta)))
         else Nil
       val entries = metaEntry ++
-        doomed.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        doomed.map(a => LogEntry(remove = Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
         adds.map(a => LogEntry(add = Some(a))) ++
         captureTail(merged, "OVERWRITE_PARTITION", snap.version, {
           // both capture sides under the MERGED schema: the doomed files
@@ -1216,7 +1216,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // a pure rewrite changes no row: an EMPTY capture (marked in the
       // Info line) tells readChanges to emit nothing for this commit
       // instead of diffing the whole rewritten file set
-      val entries = doomed.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+      val entries = doomed.map(a => LogEntry(remove = Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
         adds.map(a => LogEntry(add = Some(a))) :+
         LogEntry(info = Some(Info("OPTIMIZE", snap.version,
           cdfCaptured = if (snap.meta.cdf) Some(true) else None)))
@@ -1254,7 +1254,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         withRowId = snap.meta.tracksRows)
       val adds = stageWrite(survivors, snap.meta)
       val entries =
-        doomed.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        doomed.map(a => LogEntry(remove = Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
         adds.map(a => LogEntry(add = Some(a))) :+
         LogEntry(info = Some(Info("REORG_PURGE", snap.version,
           cdfCaptured = if (snap.meta.cdf) Some(true) else None)))
@@ -1264,6 +1264,27 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         s"reorgPurge of $root lost $maxRetries races")
     }
     sys.error("unreachable")
+  }
+
+  /** Validate table state against the commit's stored checksum
+    * ([[TxLog.Crc]], Delta's `.crc` VersionChecksum). Resolves the full
+    * snapshot (deliberately O(files) — this IS the validation pass) and
+    * compares live file count / row total / byte total. Returns false
+    * when no checksum exists for the version (pre-checksum history, or
+    * a chain gap awaiting its checkpoint re-seed); throws when one
+    * exists and the snapshot disagrees — replay corruption, a torn
+    * checkpoint, a vacuumed live file, or a hand-edited log. */
+  def verifyChecksum(asOf: Option[Long] = None): Boolean = {
+    val snap = TxLog.snapshot(fs, root, asOf)
+    TxLog.readCrc(fs, root, snap.version) match {
+      case None => false
+      case Some(crc) =>
+        val got = TxLog.crcOf(snap)
+        if (got != crc) throw new IllegalStateException(
+          s"checksum mismatch at $root v${snap.version}: " +
+            s"stored $crc, resolved $got")
+        true
+    }
   }
 
   def vacuum(keepVersions: Int, minAgeMs: Long = 0L): Seq[String] =
@@ -1332,7 +1353,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     var attempt = 0
     while (true) {
       val resolved
-          : Option[(Long, TxLog.Meta, TxLog.Meta, Seq[String], Vector[Add])] =
+          : Option[(Long, TxLog.Meta, TxLog.Meta, Seq[TxLog.Remove], Vector[Add])] =
         TxLog.liveAddsFrame(fs, root, None).flatMap {
           case (curF, curMeta, curV, _) =>
             require(toVersion <= curV,
@@ -1344,7 +1365,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
                 t.select(col("path"), col("__canon").as("__tc")),
                 Seq("path"), "left")
                 .where(col("__tc").isNull || col("__tc") =!= col("__canon"))
-                .select("path").collect().map(_.getString(0)).toSeq
+                .select("path", "rows", "bytes").collect().map(r =>
+                  TxLog.Remove(r.getString(0), Some(r.getLong(1)),
+                    if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
               val addsBack = TxLog.collectAdds(t.join(
                 c.select(col("path"), col("__canon").as("__cc")),
                 Seq("path"), "left")
@@ -1355,7 +1378,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               (curV, curMeta, tgtMeta, removes, addsBack)
             }
         }
-      val (curVersion, curMeta, tgtMeta, removedPaths, addedBack) =
+      val (curVersion, curMeta, tgtMeta, removed, addedBack) =
         resolved match {
           case Some(r) => r
           case None =>
@@ -1365,7 +1388,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
             val tgtByPath = old.adds.map(a => a.path -> a).toMap
             (snap.version, snap.meta, old.meta,
               snap.adds.filterNot(a => tgtByPath.get(a.path).contains(a))
-                .map(_.path),
+                .map(a => TxLog.Remove(a.path, Some(a.rows), a.bytes)),
               old.adds.filterNot(a => curByPath.get(a.path).contains(a)))
         }
       gateWriter(curMeta)
@@ -1377,7 +1400,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       }
       val entries =
         (if (tgtMeta != curMeta) Seq(LogEntry(meta = Some(tgtMeta))) else Nil) ++
-        removedPaths.map(p => LogEntry(remove = Some(Remove(p)))) ++
+        removed.map(r => LogEntry(remove = Some(r))) ++
         addedBack.map(a => LogEntry(add = Some(a))) :+
         LogEntry(info = Some(Info("RESTORE", curVersion)))
       if (TxLog.tryCommit(fs, root, curVersion + 1, entries))
@@ -1586,7 +1609,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       if (stale.isEmpty) return snap.version
       val adds = stageWrite(readFiles(snap, stale.map(_.path),
         withRowId = snap.meta.tracksRows), snap.meta)
-      val entries = stale.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+      val entries = stale.map(a => LogEntry(remove = Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
         adds.map(a => LogEntry(add = Some(a))) :+
         LogEntry(info = Some(Info("REPARTITION_REWRITE", snap.version,
           cdfCaptured = if (snap.meta.cdf) Some(true) else None)))
@@ -1672,7 +1695,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val metaEntry =
         if (meta != snap.meta) Seq(LogEntry(meta = Some(meta))) else Nil
       val entries = metaEntry ++
-        (updated.map(a => LogEntry(remove = Some(Remove(a.path)))) ++
+        (updated.map(a => LogEntry(remove = Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
           updated.map(a => LogEntry(add = Some(a)))) :+
         LogEntry(info = Some(Info("ADD_BLOOM_INDEX", snap.version,
           cdfCaptured = if (snap.meta.cdf) Some(true) else None)))

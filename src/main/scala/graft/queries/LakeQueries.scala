@@ -1363,6 +1363,42 @@ object LakeQueries {
            |           AND o_orderkey < (SELECT COUNT(*) // 2 FROM orders))
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** Per-commit CHECKSUMS (Delta's `.crc` VersionChecksum): a scripted
+    * history covering every mutation shape — append, copy-on-write
+    * delete, merge-on-read delete (a remove+re-add of the SAME path
+    * with fewer live rows), update, restore — writes an incremental
+    * checksum per commit; the query REQUIREs that EVERY version's
+    * stored checksum matches its independently resolved snapshot
+    * (count/rows/bytes). A remove that echoed wrong stats, a replay
+    * that dropped a file, or a restore diff that missed a vector would
+    * surface here before the relational oracle even runs.
+    */
+  val extLakeChecksum = Q(
+    "ext_lake_checksum",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val root = scratch("lake_crc", dir)
+      val tab = new TxTable(s, root)
+      tab.create(orders.where($"o_orderkey" % 2 === 0)
+        .repartitionByRange(2, $"o_orderkey"))                    // v0
+      tab.append(orders.where($"o_orderkey" % 2 === 1))           // v1
+      tab.deleteWhere($"o_totalprice" < 50000.0)                  // v2
+      tab.deleteWhereMergeOnRead($"o_orderkey" % 97 === 0)        // v3
+      tab.update($"o_totalprice" > 400000.0,
+        Map("o_custkey" -> ($"o_custkey" + 1000000L)))            // v4
+      tab.restore(2L)                                             // v5
+      (0L to 5L).foreach { v =>
+        require(tab.verifyChecksum(Some(v)),
+          s"v$v must carry a checksum matching its resolved snapshot")
+      }
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           |WHERE o_totalprice >= 50000
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** TYPE WIDENING (Delta's typeWidening): the table is created with
     * INT keys and FLOAT prices; an append carrying LONG keys past the
     * int range and DOUBLE prices widens both columns IN PLACE —
@@ -2086,7 +2122,7 @@ object LakeQueries {
     extLakeIvmMinMax, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeTypeWidening, extLakeSqlMaintenance, extLakeSqlDml,
-    extLakeReorgPurge,
+    extLakeReorgPurge, extLakeChecksum,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeMergeEvolution,

@@ -847,6 +847,51 @@ class TxLogSpec extends SparkSpec {
     assert(tab.read().where($"id" % 100L === 0L || $"id" === 1L).count() === 0)
   }
 
+  test("per-commit checksums: the chain tracks every mutation shape and " +
+    "verifies at every version; a gap heals at the checkpoint; a " +
+    "tampered checksum fails loudly") {
+    val root = freshRoot("crc")
+    val rootP = new Path(root)
+    val tab = new TxTable(spark, root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tab.create(docs(100).repartitionByRange(2, $"id"))          // v0
+    assert(tab.verifyChecksum(), "create seeds the chain")
+    tab.append(docs(50).withColumn("id", $"id" + 100L))          // v1
+    tab.deleteWhere($"id" < 10L)                                 // v2 CoW
+    tab.deleteWhereMergeOnRead($"id" === 20L)                    // v3 DV
+    tab.restore(1L)                                              // v4
+    (0L to 4L).foreach { v =>
+      assert(tab.verifyChecksum(Some(v)),
+        s"v$v must carry a checksum that matches its snapshot")
+    }
+    // a chain gap: kill the head's crc — the NEXT commits can't extend
+    // the chain (verify=false, not a lie), until a checkpoint re-seeds
+    // from the authoritative live set
+    assert(fs.delete(TxLog.crcFile(rootP, 4L), false))
+    var v = 4L
+    while (v < TxLog.checkpointInterval) {
+      v = tab.append(docs(1).withColumn("id", $"id" + 1000L + v))
+      if (v < TxLog.checkpointInterval)
+        assert(!tab.verifyChecksum(Some(v)),
+          s"v$v is inside the gap — no checksum may exist")
+    }
+    assert(v === TxLog.checkpointInterval)
+    assert(tab.verifyChecksum(), "the checkpoint re-seeded the chain")
+    v = tab.append(docs(1).withColumn("id", $"id" + 5000L))
+    assert(tab.verifyChecksum(Some(v)),
+      "incremental writing resumes after the re-seed")
+    // tamper: a stored checksum that disagrees with the snapshot throws
+    val bad = TxLog.Crc(v, 999L, 999L, 999L)
+    val out = fs.create(TxLog.crcFile(rootP, v), true)
+    out.write(
+      s"""{"version":$v,"numFiles":999,"totalRows":999,"totalBytes":999}"""
+        .getBytes("UTF-8"))
+    out.close()
+    val ex = intercept[IllegalStateException](tab.verifyChecksum(Some(v)))
+    assert(ex.getMessage.contains("checksum mismatch") &&
+      ex.getMessage.contains(bad.numFiles.toString))
+  }
+
   test("REORG APPLY (PURGE) rewrites exactly the vector-carrying files " +
     "and leaves clean files untouched; a vector-free table no-ops") {
     val root = freshRoot("reorg")
