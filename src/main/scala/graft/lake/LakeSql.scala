@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
   *
   *   - `OPTIMIZE '<path>'` — bin-pack / incremental re-cluster
   *   - `OPTIMIZE '<path>' ZORDER BY (a, b)` — global 2-D re-cluster
-  *   - `VACUUM '<path>' [RETAIN <n> VERSIONS]` — reclaim unreferenced
-  *     data/sidecar files (version-based retention; default 1)
+  *   - `VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]` — reclaim
+  *     unreferenced data/sidecar files (version-based retention;
+  *     default 1); DRY RUN reports without deleting
   *   - `VACUUM LOG '<path>' [RETAIN <n> VERSIONS]` — log retention
   *     ([[TxLog.cleanLog]]; default 10)
   *   - `DESCRIBE HISTORY '<path>'` — the commit ledger with operation
@@ -23,6 +24,8 @@ import org.apache.spark.sql.types._
   *   - `RESTORE '<path>' TO VERSION AS OF <v>` — rewind as a new commit
   *   - `REORG [TABLE] '<path>' APPLY (PURGE)` — materialize deletion
   *     vectors ([[TxTable.reorgPurge]])
+  *   - `CONVERT '<path>' [PARTITIONED BY (a, b)]` — adopt a plain
+  *     parquet directory in place ([[TxTable.convertInPlace]])
   *   - `DELETE FROM '<path>' WHERE <pred>` — copy-on-write delete
   *   - `UPDATE '<path>' SET a = <e> [, ...] [WHERE <pred>]`
   *   - `MERGE INTO '<path>' [AS] t USING <source> [AS] s ON t.k = s.k
@@ -52,12 +55,14 @@ object LakeSql {
   private val VacLog =
     """(?is)\s*VACUUM\s+LOG\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
   private val Vac =
-    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
+    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*""".r
   private val Hist = """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
   private val Rest =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
   private val Reorg =
     """(?is)\s*REORG\s+(?:TABLE\s+)?'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
+  private val Convert =
+    """(?is)\s*CONVERT\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*""".r
 
   private val Del =
     """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*""".r
@@ -72,11 +77,15 @@ object LakeSql {
     case Opt(p)        => Some(OptimizeCommand(p, None))
     case VacLog(p, n)  =>
       Some(VacuumLogCommand(p, Option(n).map(_.toInt).getOrElse(10)))
-    case Vac(p, n)     =>
-      Some(VacuumCommand(p, Option(n).map(_.toInt).getOrElse(1)))
+    case Vac(p, n, dry) =>
+      Some(VacuumCommand(p, Option(n).map(_.toInt).getOrElse(1),
+        dryRun = dry != null))
     case Hist(p)       => Some(HistoryCommand(p))
     case Rest(p, v)    => Some(RestoreCommand(p, v.toLong))
     case Reorg(p)      => Some(ReorgPurgeCommand(p))
+    case Convert(p, cols) => Some(ConvertCommand(p,
+      Option(cols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)))
     case Del(p, w)     => Some(DeleteCommand(p, w))
     case UpdHead(p, rest) =>
       val (sets, where) = topIndex(rest, "WHERE") match {
@@ -283,12 +292,13 @@ object LakeSql {
       Seq(Row(new TxTable(spark, path).optimize(zorderBy = zorder)))
   }
 
-  case class VacuumCommand(path: String, keepVersions: Int)
-      extends LeafRunnableCommand {
+  case class VacuumCommand(path: String, keepVersions: Int,
+      dryRun: Boolean = false) extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(attr("removed_path", StringType))
     override def run(spark: SparkSession): Seq[Row] =
-      new TxTable(spark, path).vacuum(keepVersions).map(Row(_))
+      new TxTable(spark, path)
+        .vacuum(keepVersions, dryRun = dryRun).map(Row(_))
   }
 
   case class VacuumLogCommand(path: String, keepVersions: Int)
@@ -322,6 +332,13 @@ object LakeSql {
     override val output: Seq[Attribute] = Seq(attr("version", LongType))
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(new TxTable(spark, path).reorgPurge()))
+  }
+
+  case class ConvertCommand(path: String, partitionCols: Seq[String])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(new TxTable(spark, path).convertInPlace(partitionCols)))
   }
 
   // ---- DML commands: predicate / SET / clause texts are carried as

@@ -1035,8 +1035,11 @@ object TxLog {
     }
   }
 
+  /** `dryRun = true` (Delta's VACUUM ... DRY RUN) reports exactly the
+    * paths a real run would reclaim, deleting nothing — same snapshot
+    * resolution, same referenced-set math, same age guard. */
   def vacuum(fs: FileSystem, root: Path, keepVersions: Int,
-      minAgeMs: Long = 0L): Seq[String] = {
+      minAgeMs: Long = 0L, dryRun: Boolean = false): Seq[String] = {
     val latest = latestVersion(fs, root)
     require(latest >= 0, s"no transaction log at $root")
     // clamp to the earliest RETAINED commit: on a log-cleaned table a
@@ -1077,7 +1080,7 @@ object TxLog {
           rel.endsWith(".bin"))
       if (!rel.startsWith("_txlog") && reclaimable &&
           f.getModificationTime <= cutoff && !referenced(rel)) {
-        fs.delete(new Path(root, rel), false)
+        if (!dryRun) fs.delete(new Path(root, rel), false)
         doomed += rel
       }
     }

@@ -170,6 +170,62 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     0L
   }
 
+  /** CONVERT (Delta's CONVERT TO DELTA): adopt an existing plain
+    * parquet directory IN PLACE as version 0 of a transaction log —
+    * not a byte of data is rewritten; the commit catalogs the files
+    * that are already there, with freshly computed per-file stats
+    * (rows, min/max, size), so data skipping works from the first
+    * read. Hive-layout partition directories (`col=value/`) become the
+    * table's partition columns. The stats pass is ONE distributed scan
+    * of the directory — the explicit, one-time cost of adoption
+    * (Delta's convert pays the same footprint collecting its file
+    * manifest + stats); file sizes ride the same pass via `_metadata`,
+    * no per-file driver RPCs. Refuses a directory that already has a
+    * log; every subsequent append/mutation/optimize treats the adopted
+    * files like any staged write.
+    */
+  def convertInPlace(partitionCols: Seq[String] = Nil): Long = {
+    require(TxLog.latestVersion(fs, root) < 0,
+      s"$root already has a transaction log")
+    val df = spark.read.parquet(rootStr)
+    partitionCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c not discovered under $root (hive layout " +
+        "col=value directories required)"))
+    val meta = Meta(df.schema.json, partitionCols.toList)
+    val statCols = meta.schema.fields.toSeq
+      .filterNot(f => partitionCols.contains(f.name))
+      .filter(f => statKind(f.dataType).isDefined)
+      .map(f => f.name -> f.dataType)
+    val aggs = count(lit(1L)).as("__rows") +:
+      first(col("_metadata.file_size")).as("__bytes") +:
+      statCols.flatMap { case (p, _) =>
+        Seq(min(col(p)).cast("string").as(s"__min_$p"),
+          max(col(p)).cast("string").as(s"__max_$p"))
+      }
+    val adds = df
+      .groupBy(col("_metadata.file_path").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val rel = relPath(r.getAs[String]("__f"))
+        val stats = statCols.flatMap { case (p, dt) =>
+          val mn = r.getAs[String](s"__min_$p")
+          val mx = r.getAs[String](s"__max_$p")
+          if (mn == null || mx == null) None
+          else Some(p -> Stat(statKind(dt).get, mn, mx))
+        }.toMap
+        Add(rel, r.getAs[Long]("__rows"), partValues(rel), stats,
+          bytes = Some(r.getAs[Long]("__bytes")))
+      }.toVector
+    require(adds.nonEmpty, s"no parquet files under $root to convert")
+    val entries = LogEntry(meta = Some(meta)) +:
+      adds.map(a => LogEntry(add = Some(a))) :+
+      LogEntry(info = Some(Info("CONVERT", -1L)))
+    require(TxLog.tryCommit(fs, root, 0L, entries),
+      s"convert of $root lost a race — another writer created a log")
+    0L
+  }
+
   /** Append rows. Additive schema evolution (new columns) is accepted:
     * the merged schema lands in the same commit and old files read back
     * with nulls in the new columns. Appends conflict with nothing —
@@ -1287,8 +1343,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     }
   }
 
-  def vacuum(keepVersions: Int, minAgeMs: Long = 0L): Seq[String] =
-    TxLog.vacuum(fs, root, keepVersions, minAgeMs)
+  def vacuum(keepVersions: Int, minAgeMs: Long = 0L,
+      dryRun: Boolean = false): Seq[String] =
+    TxLog.vacuum(fs, root, keepVersions, minAgeMs, dryRun)
 
   /** Log retention ([[TxLog.cleanLog]]): reclaim commit files and
     * checkpoints behind the kept versions' replay floor. */

@@ -1363,6 +1363,63 @@ object LakeQueries {
            |           AND o_orderkey < (SELECT COUNT(*) // 2 FROM orders))
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** CONVERT (Delta's CONVERT TO DELTA): a "foreign" plain-parquet
+    * directory — written by ordinary `df.write.partitionBy(...)`, no
+    * log anywhere — is adopted IN PLACE as v0 of a transaction log.
+    * In-query REQUIREs pin that not one data file was touched
+    * (path+mtime identical), that every adopted Add carries partition
+    * values, byte size and min/max stats (skipping works from the
+    * first read), and that the checksum chain seeds at v0. A delete
+    * then mutates the adopted files like any staged write; the emitted
+    * rows are the post-delete table against the relational oracle.
+    */
+  val extLakeConvert = Q(
+    "ext_lake_convert",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          $"o_orderpriority")
+      val root = scratch("lake_convert", dir)
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootP)) fs.delete(rootP, true)
+      orders.write.partitionBy("o_orderpriority").parquet(root)
+      def files(): Map[String, Long] = {
+        val out = Map.newBuilder[String, Long]
+        val it = fs.listFiles(rootP, true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet") &&
+              !f.getPath.toString.contains("_txlog"))
+            out += f.getPath.toString -> f.getModificationTime
+        }
+        out.result()
+      }
+      val before = files()
+      val tab = new TxTable(s, root)
+      val v = graft.lake.LakeSql.run(s,
+        s"CONVERT '$root' PARTITIONED BY (o_orderpriority)")
+        .as[Long].head()
+      require(v == 0L, s"CONVERT must commit v0, got $v")
+      require(files() == before, "CONVERT must not rewrite a byte")
+      val snap = graft.lake.TxLog.snapshot(fs, rootP)
+      require(snap.adds.nonEmpty && snap.adds.forall(a =>
+        a.partitionValues.contains("o_orderpriority") &&
+          a.bytes.isDefined && a.stats.contains("o_orderkey")),
+        "adopted files must carry partition values, sizes and stats")
+      require(tab.verifyChecksum(),
+        "convert must seed the checksum chain")
+      tab.deleteWhere($"o_totalprice" < 100000.0)                 // v1
+      tab.read()
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          $"o_orderpriority")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+           |FROM orders WHERE o_totalprice >= 100000
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** Per-commit CHECKSUMS (Delta's `.crc` VersionChecksum): a scripted
     * history covering every mutation shape — append, copy-on-write
     * delete, merge-on-read delete (a remove+re-add of the SAME path
@@ -2122,7 +2179,7 @@ object LakeQueries {
     extLakeIvmMinMax, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeTypeWidening, extLakeSqlMaintenance, extLakeSqlDml,
-    extLakeReorgPurge, extLakeChecksum,
+    extLakeReorgPurge, extLakeChecksum, extLakeConvert,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeMergeEvolution,

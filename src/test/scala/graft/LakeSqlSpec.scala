@@ -52,9 +52,18 @@ class LakeSqlSpec extends SparkSpec {
       .as[Long].head()
     assert(vRest === 4L)
     assert(tab.read().count() === 200L, "the SQL restore undid the delete")
+    val preview = LakeSql
+      .run(spark, s"VACUUM '$root' RETAIN 1 VERSIONS DRY RUN")
+      .as[String].collect()
+    assert(preview.nonEmpty)
+    assert(preview.forall(p =>
+        new java.io.File(root, p).exists()),
+      "DRY RUN must delete nothing")
     val removed = LakeSql.run(spark, s"VACUUM '$root' RETAIN 1 VERSIONS")
       .as[String].collect()
     assert(removed.nonEmpty, "the delete/optimize era files are unreferenced")
+    assert(removed.sorted.toSeq === preview.sorted.toSeq,
+      "the dry run previewed exactly the real run's reclaim set")
     assert(tab.read().count() === 200L, "vacuum never touches live files")
     intercept[IllegalArgumentException](LakeSql.run(spark, "SELECT 1"))
   }

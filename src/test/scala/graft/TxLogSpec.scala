@@ -847,6 +847,51 @@ class TxLogSpec extends SparkSpec {
     assert(tab.read().where($"id" % 100L === 0L || $"id" === 1L).count() === 0)
   }
 
+  test("CONVERT adopts a plain parquet directory in place: no data file " +
+    "rewritten, hive partitions become partition columns, stats power " +
+    "pruning, and mutations work from the first commit on") {
+    val root = freshRoot("convert")
+    val rootP = new Path(root)
+    // a foreign writer laid the data down — plain hive-partitioned
+    // parquet, no log anywhere
+    docs(300).write.partitionBy("lang").parquet(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, Long] = {
+      val out = Map.newBuilder[String, Long]
+      val it = fs.listFiles(rootP, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.toString.contains("_txlog"))
+          out += f.getPath.toString -> f.getModificationTime
+      }
+      out.result()
+    }
+    val before = dataFiles()
+    val tab = new TxTable(spark, root)
+    val v = graft.lake.LakeSql
+      .run(spark, s"CONVERT '$root' PARTITIONED BY (lang)")
+      .as[Long].head()
+    assert(v === 0L)
+    assert(dataFiles() === before, "CONVERT must not rewrite a byte")
+    assert(tab.read().count() === 300)
+    val snap = TxLog.snapshot(fs, rootP)
+    assert(snap.meta.partitionCols === List("lang"))
+    assert(snap.adds.forall(a => a.partitionValues.contains("lang") &&
+      a.bytes.isDefined && a.stats.contains("id")),
+      "adopted files must carry partition values, sizes and stats")
+    assert(tab.verifyChecksum(), "convert seeds the checksum chain")
+    // partition pruning works off the adopted log
+    val one = tab.read().where($"lang" === 1)
+    assert(scannedFiles(one).forall(_.contains("lang=1")))
+    // the adopted table mutates like any other
+    tab.deleteWhere($"id" < 50L)
+    assert(tab.read().count() === 250)
+    assert(tab.verifyChecksum())
+    // converting a directory that already has a log refuses
+    intercept[IllegalArgumentException](tab.convertInPlace(Seq("lang")))
+  }
+
   test("per-commit checksums: the chain tracks every mutation shape and " +
     "verifies at every version; a gap heals at the checkpoint; a " +
     "tampered checksum fails loudly") {
