@@ -2976,11 +2976,15 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   // ---- write plumbing ----
 
   /** TYPE WIDENING (Delta's typeWidening feature): an incoming column
-    * STRICTLY WIDER than the table's — within the integral chain
-    * byte→short→int→long, or float→double — evolves the schema IN
-    * PLACE, metadata-only: not one old file is rewritten, because
-    * Spark's parquet reader natively upcasts a narrower physical
-    * column into the wider declared type (probed, and spec-pinned).
+    * STRICTLY WIDER than the table's — the integral chain
+    * byte→short→int→long, float→double, {byte,short,int}→double
+    * (exactly representable in a 52-bit mantissa; long is NOT),
+    * integral→decimal with room for every source digit,
+    * decimal→wider decimal (scale and integer digits never shrink),
+    * date→timestamp_ntz — evolves the schema IN PLACE, metadata-only:
+    * not one old file is rewritten, because Spark's parquet reader
+    * natively upcasts a narrower physical column into the wider
+    * declared type (probed, and spec-pinned).
     * Stats keep working unchanged (integrals share stat kind "l",
     * floats "d"); bloom sidecars keep working because hashing is
     * width-normalized ([[bloomNormType]]). Both protocol halves are
@@ -2995,6 +2999,21 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      // a double's 52-bit mantissa holds any int exactly; longs do
+      // NOT qualify (values past 2^53 would silently round)
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      // integral → decimal with room for every digit of the source
+      case (ByteType, d: DecimalType)    => d.precision - d.scale >= 3
+      case (ShortType, d: DecimalType)   => d.precision - d.scale >= 5
+      case (IntegerType, d: DecimalType) => d.precision - d.scale >= 10
+      case (LongType, d: DecimalType)    => d.precision - d.scale >= 20
+      // wider decimal: the scale never shrinks and the integer digits
+      // never shrink — every old value re-reads exactly
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale &&
+          (t.precision > f.precision || t.scale > f.scale)
+      case (DateType, TimestampNTZType) => true
       case _ => false
     }
 
@@ -3007,13 +3026,25 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       incoming.fields.find(_.name == cf.name) match {
         case Some(f) if f.dataType == cf.dataType => cf
         case Some(f) if widensTo(cf.dataType, f.dataType) =>
+          // a widening that changes the bloom hash FAMILY (int→double,
+          // int→decimal, decimal→wider-decimal, date→timestamp) would
+          // turn every pre-widening sidecar into a false-negative
+          // machine — the width normalization only spans one family
+          require(!meta.bloomCols.contains(cf.name) ||
+              bloomNormType(cf.dataType) == bloomNormType(f.dataType),
+            s"column ${cf.name}: widening ${cf.dataType.simpleString} → " +
+              s"${f.dataType.simpleString} crosses the bloom hash " +
+              "family and would invalidate its index sidecars — drop " +
+              "the bloom index, widen, then re-index")
           widened ::= cf.name
           cf.copy(dataType = f.dataType)
         case Some(f) =>
           throw new IllegalArgumentException(
             s"column ${cf.name}: incoming ${f.dataType} != table " +
               s"${cf.dataType} (only WIDENING changes — byte→short→int→" +
-              "long, float→double — evolve in place)")
+              "long, float→double, {byte,short,int}→double, " +
+              "integral→decimal with room, decimal→wider decimal, " +
+              "date→timestamp_ntz — evolve in place)")
         case None => cf
       }
     }

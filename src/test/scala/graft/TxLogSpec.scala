@@ -540,6 +540,63 @@ class TxLogSpec extends SparkSpec {
         lit(1.0d).as("x"))))
   }
 
+  test("type widening, extended lattice: int→double, int→decimal, " +
+      "decimal→wider-decimal, date→timestamp_ntz — all metadata-only; " +
+      "insufficient decimal room and cross-family bloom widening refuse") {
+    val root = freshRoot("widen2")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(0L, 50L).select(
+      $"id".cast("int").as("a"),
+      $"id".cast("int").as("b"),
+      $"id".cast("decimal(5,2)").as("d"),
+      to_date(lit("2026-01-01")).as("dt")).repartition(2))
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val before = TxLog.snapshot(fs, new Path(root)).adds.map(_.path).toSet
+    tab.append(spark.range(50L, 60L).select(
+      $"id".cast("double").as("a"),
+      $"id".cast("decimal(12,0)").as("b"),
+      $"id".cast("decimal(12,4)").as("d"),
+      lit("2026-02-01 12:00:00").cast("timestamp_ntz").as("dt")))
+    val snap = TxLog.snapshot(fs, new Path(root))
+    assert(before.subsetOf(snap.adds.map(_.path).toSet),
+      "every widening must be metadata-only")
+    import org.apache.spark.sql.types._
+    assert(snap.meta.schema("a").dataType === DoubleType)
+    assert(snap.meta.schema("b").dataType === DecimalType(12, 0))
+    assert(snap.meta.schema("d").dataType === DecimalType(12, 4))
+    assert(snap.meta.schema("dt").dataType === TimestampNTZType)
+    assert(snap.meta.features.contains("typeWidening"))
+    // old narrow files upcast natively under the wide schema
+    assert(tab.read().count() === 60L)
+    val r42 = tab.read().where($"b" === 42).select($"a", $"d", $"dt")
+      .head()
+    assert(r42.getDouble(0) === 42.0)
+    assert(r42.getDecimal(1) === new java.math.BigDecimal("42.0000"))
+    assert(r42.getAs[java.time.LocalDateTime](2) ===
+      java.time.LocalDate.parse("2026-01-01").atStartOfDay())
+    // stats still prune conservatively across the l→d kind mix
+    assert(tab.readBetween("a", 0L, 10L).count() === 11L)
+    // a decimal without room for every int digit refuses
+    intercept[IllegalArgumentException](tab.append(
+      spark.range(0L, 3L).select($"id".cast("double").as("a"),
+        $"id".cast("decimal(9,0)").as("b"),
+        $"id".cast("decimal(12,4)").as("d"),
+        lit("2026-02-01 12:00:00").cast("timestamp_ntz").as("dt"))))
+    // a bloom-indexed column refuses a widening that crosses the hash
+    // family (the sidecars would become false-negative machines)
+    val t2 = new TxTable(spark, freshRoot("widenbloom"))
+    t2.create(spark.range(0L, 50L)
+      .select($"id".cast("int").as("k")).repartition(2))
+    t2.addBloomIndex("k")
+    val ex = intercept[IllegalArgumentException](t2.append(
+      spark.range(0L, 3L).select($"id".cast("double").as("k"))))
+    assert(ex.getMessage.contains("bloom hash family"))
+    // ...while the SAME-family widening int→long sails through
+    t2.append(spark.range(60L, 63L).select($"id".as("k")))
+    assert(t2.readEquals("k", 42L).count() === 1L)
+  }
+
   test("additive schema evolution: old files read back with nulls") {
     val tab = new TxTable(spark, freshRoot("evo"))
     tab.create(docs(5))
