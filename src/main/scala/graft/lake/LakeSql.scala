@@ -26,6 +26,9 @@ import org.apache.spark.sql.types._
   *     vectors ([[TxTable.reorgPurge]])
   *   - `CONVERT '<path>' [PARTITIONED BY (a, b)]` — adopt a plain
   *     parquet directory in place ([[TxTable.convertInPlace]])
+  *   - `CLONE '<src>' TO '<dst>' [DEEP] [VERSION AS OF <v> |
+  *     TIMESTAMP AS OF <millis>]` — shallow (reference) or deep (copy)
+  *     clone, optionally of an older version ([[TxTable.cloneTo]])
   *   - `DELETE FROM '<path>' WHERE <pred>` — copy-on-write delete
   *   - `UPDATE '<path>' SET a = <e> [, ...] [WHERE <pred>]`
   *   - `MERGE INTO '<path>' [AS] t USING <source> [AS] s ON t.k = s.k
@@ -63,6 +66,8 @@ object LakeSql {
     """(?is)\s*REORG\s+(?:TABLE\s+)?'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val Convert =
     """(?is)\s*CONVERT\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(\s+DEEP)?(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+(\d+))?\s*""".r
 
   private val Del =
     """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*""".r
@@ -86,6 +91,9 @@ object LakeSql {
     case Convert(p, cols) => Some(ConvertCommand(p,
       Option(cols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)))
+    case CloneRe(src, dst, deep, v, ts) => Some(CloneCommand(src, dst,
+      deep = deep != null, version = Option(v).map(_.toLong),
+      tsMillis = Option(ts).map(_.toLong)))
     case Del(p, w)     => Some(DeleteCommand(p, w))
     case UpdHead(p, rest) =>
       val (sets, where) = topIndex(rest, "WHERE") match {
@@ -339,6 +347,19 @@ object LakeSql {
     override val output: Seq[Attribute] = Seq(attr("version", LongType))
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(new TxTable(spark, path).convertInPlace(partitionCols)))
+  }
+
+  case class CloneCommand(src: String, dst: String, deep: Boolean,
+      version: Option[Long], tsMillis: Option[Long])
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(attr("source_version", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val tab = new TxTable(spark, src)
+      val asOf = version.orElse(tsMillis.map(tab.versionAtTimestamp))
+      tab.cloneTo(dst, asOf, deep)
+      Seq(Row(asOf.getOrElse(tab.version)))
+    }
   }
 
   // ---- DML commands: predicate / SET / clause texts are carried as

@@ -1363,20 +1363,84 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * clone's referenced files live under the SOURCE — a source-side
     * vacuum past the cloned version breaks the clone.
     */
-  def cloneTo(destRoot: String, asOf: Option[Long] = None): TxTable = {
+  /** `deep = true` (Delta's default CLONE): every referenced byte —
+    * data files, deletion-vector and bloom sidecars — is COPIED into
+    * the clone's own directory under the same relative paths, so the
+    * clone survives source-side vacuum or drop. The copy is
+    * DISTRIBUTED: one Spark job streams the files executor-side
+    * (FileUtil.copy per file, Hadoop conf rebuilt from a broadcast —
+    * no bytes through the driver), then the log lands as one commit
+    * whose Adds are the source's verbatim (stats, vectors, cubes, row
+    * ids all carry over; zero recompute). A source Add that is itself
+    * an absolute reference (a shallow clone being deep-cloned) is
+    * materialized under a fresh `data/deep/` name. */
+  def cloneTo(destRoot: String, asOf: Option[Long] = None,
+      deep: Boolean = false): TxTable = {
     val snap = TxLog.snapshot(fs, root, asOf)
     val dest = new Path(destRoot)
     val dfs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (dfs.exists(dest)) dfs.delete(dest, true)
     dfs.mkdirs(dest)
-    val absAdds = snap.adds.map(a => a.copy(
-      path = new Path(root, a.path).toUri.getPath,
-      dvFile = a.dvFile.map(r => new Path(root, r).toUri.getPath),
-      bloom = a.bloom.map(_.map { case (c, r) =>
-        c -> new Path(root, r).toUri.getPath })))
+    val cloneAdds: Vector[Add] =
+      if (!deep)
+        snap.adds.map(a => a.copy(
+          path = new Path(root, a.path).toUri.getPath,
+          dvFile = a.dvFile.map(r => new Path(root, r).toUri.getPath),
+          bloom = a.bloom.map(_.map { case (c, r) =>
+            c -> new Path(root, r).toUri.getPath })))
+      else {
+        // relative refs keep their path; absolute ones (shallow-clone
+        // inheritance) get a fresh local home
+        def local(ref: String, kind: String): String =
+          if (!ref.startsWith("/")) ref
+          else s"data/deep/${kind}_" +
+            java.util.UUID.randomUUID.toString.take(8) + "_" +
+            new Path(ref).getName
+        val mapped = snap.adds.map { a =>
+          val pairs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+          def m(ref: String, kind: String): String = {
+            val to = local(ref, kind)
+            val from = if (ref.startsWith("/")) ref
+              else new Path(root, ref).toUri.getPath
+            pairs += from -> to
+            to
+          }
+          val a2 = a.copy(
+            path = m(a.path, "d"),
+            dvFile = a.dvFile.map(m(_, "dv")),
+            bloom = a.bloom.map(_.map { case (c, r) => c -> m(r, "b") }))
+          (a2, pairs.toSeq)
+        }
+        val copies = mapped.flatMap(_._2)
+        val destStr = dest.toUri.getPath
+        val confMap = {
+          val b = Map.newBuilder[String, String]
+          val it = spark.sparkContext.hadoopConfiguration.iterator()
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+          b.result()
+        }
+        val bcConf = spark.sparkContext.broadcast(confMap)
+        spark.sparkContext
+          .parallelize(copies, math.max(1, math.min(copies.size, 64)))
+          .foreachPartition { it =>
+            val conf = new org.apache.hadoop.conf.Configuration()
+            bcConf.value.foreach { case (k, v) => conf.set(k, v) }
+            it.foreach { case (from, to) =>
+              val src = new Path(from)
+              val dst = new Path(destStr, to)
+              val sfs = src.getFileSystem(conf)
+              val tfs = dst.getFileSystem(conf)
+              org.apache.hadoop.fs.FileUtil.copy(sfs, src, tfs, dst,
+                false, true, conf)
+              ()
+            }
+          }
+        mapped.map(_._1)
+      }
     val entries = LogEntry(meta = Some(snap.meta)) +:
-      absAdds.map(a => LogEntry(add = Some(a))) :+
-      LogEntry(info = Some(Info("CLONE", snap.version)))
+      cloneAdds.map(a => LogEntry(add = Some(a))) :+
+      LogEntry(info = Some(Info(if (deep) "CLONE_DEEP" else "CLONE",
+        snap.version)))
     require(TxLog.tryCommit(dfs, dest, 0L, entries),
       s"clone target $destRoot already has a log")
     new TxTable(spark, destRoot)

@@ -1363,6 +1363,45 @@ object LakeQueries {
            |           AND o_orderkey < (SELECT COUNT(*) // 2 FROM orders))
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** DEEP CLONE (Delta's CLONE without SHALLOW): every referenced byte
+    * is copied distributed into the clone's directory, Adds carried
+    * VERBATIM (stats, vectors — zero recompute). The query REQUIREs
+    * the clone references only its own directory, then DELETES THE
+    * ENTIRE SOURCE TABLE and reads the clone — a clone that still
+    * leaned on a source byte, or a copy that dropped a deletion
+    * vector (the source holds one), breaks rows against the oracle.
+    */
+  val extLakeCloneDeep = Q(
+    "ext_lake_clone_deep",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val srcRoot = scratch("lake_deepclone_src", dir)
+      val dstRoot = scratch("lake_deepclone_dst", dir)
+      val src = new TxTable(s, srcRoot)
+      src.create(orders.repartitionByRange(3, $"o_orderkey"))     // v0
+      src.deleteWhereMergeOnRead($"o_orderkey" % 11 === 0)        // v1 DV
+      val out = graft.lake.LakeSql
+        .run(s, s"CLONE '$srcRoot' TO '$dstRoot' DEEP").as[Long].head()
+      require(out == 1L, s"deep clone must report source v1, got $out")
+      val fs = new org.apache.hadoop.fs.Path(dstRoot)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val snap = graft.lake.TxLog.snapshot(fs,
+        new org.apache.hadoop.fs.Path(dstRoot))
+      require(snap.adds.nonEmpty &&
+        snap.adds.forall(a => !a.path.startsWith("/")),
+        "a deep clone references only its own directory")
+      require(snap.adds.exists(_.hasDv),
+        "the source's deletion vector must carry into the clone")
+      // the ultimate independence proof: the source is GONE
+      fs.delete(new org.apache.hadoop.fs.Path(srcRoot), true)
+      new TxTable(s, dstRoot).read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           |WHERE o_orderkey % 11 <> 0
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** CONVERT (Delta's CONVERT TO DELTA): a "foreign" plain-parquet
     * directory — written by ordinary `df.write.partitionBy(...)`, no
     * log anywhere — is adopted IN PLACE as v0 of a transaction log.
@@ -2180,6 +2219,7 @@ object LakeQueries {
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeTypeWidening, extLakeSqlMaintenance, extLakeSqlDml,
     extLakeReorgPurge, extLakeChecksum, extLakeConvert,
+    extLakeCloneDeep,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeMergeEvolution,

@@ -904,6 +904,46 @@ class TxLogSpec extends SparkSpec {
     assert(tab.read().where($"id" % 100L === 0L || $"id" === 1L).count() === 0)
   }
 
+  test("DEEP CLONE copies every referenced byte — the clone survives " +
+    "source vacuum AND deletion; stats/vectors carry verbatim; a " +
+    "shallow clone deep-clones into a materialized table") {
+    val srcRoot = freshRoot("deepsrc")
+    val src = new TxTable(spark, srcRoot)
+    src.create(docs(200).repartitionByRange(2, $"id"))           // v0
+    src.deleteWhereMergeOnRead($"id" % 50L === 0L)               // v1: DVs
+    src.addBloomIndex("id")                                      // v2
+    val fs = new Path(srcRoot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // shallow references, deep copies
+    val shRoot = freshRoot("deepsh"); val dpRoot = freshRoot("deepdst")
+    src.cloneTo(shRoot)
+    val dp = graft.lake.LakeSql
+      .run(spark, s"CLONE '$srcRoot' TO '$dpRoot' DEEP")
+    assert(dp.collect().head.getLong(0) === 2L)
+    val dpTab = new TxTable(spark, dpRoot)
+    val dpSnap = TxLog.snapshot(fs, new Path(dpRoot))
+    assert(dpSnap.adds.forall(a => !a.path.startsWith("/")),
+      "deep clone must reference its OWN directory, not the source")
+    assert(dpSnap.adds.exists(_.hasDv) &&
+      dpSnap.adds.forall(_.stats.nonEmpty),
+      "vectors and stats carry verbatim — zero recompute")
+    assert(dpTab.read().count() === 196L)
+    // a deep clone OF the shallow clone materializes its absolute refs
+    val dp2Root = freshRoot("deepofsh")
+    new TxTable(spark, shRoot).cloneTo(dp2Root, deep = true)
+    assert(TxLog.snapshot(fs, new Path(dp2Root)).adds
+      .forall(a => !a.path.startsWith("/")))
+    // kill the source wholesale: deep clones keep answering, the
+    // shallow one is now broken (Delta's documented caveat)
+    fs.delete(new Path(srcRoot), true)
+    assert(dpTab.read().count() === 196L)
+    assert(new TxTable(spark, dp2Root).read().count() === 196L)
+    assert(dpTab.readEquals("id", 42L).count() === 1L,
+      "bloom sidecars answer from the copied location")
+    intercept[Exception](
+      new TxTable(spark, shRoot).read().count())
+  }
+
   test("CONVERT adopts a plain parquet directory in place: no data file " +
     "rewritten, hive partitions become partition columns, stats power " +
     "pruning, and mutations work from the first commit on") {
