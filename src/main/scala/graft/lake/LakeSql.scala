@@ -29,6 +29,8 @@ import org.apache.spark.sql.types._
   *   - `CLONE '<src>' TO '<dst>' [DEEP] [VERSION AS OF <v> |
   *     TIMESTAMP AS OF <millis>]` — shallow (reference) or deep (copy)
   *     clone, optionally of an older version ([[TxTable.cloneTo]])
+  *   - `ALTER '<path>' ALTER COLUMN <c> SET|DROP NOT NULL` — column
+  *     invariant ([[TxTable.addNotNull]]/[[TxTable.dropNotNull]])
   *   - `DELETE FROM '<path>' WHERE <pred>` — copy-on-write delete
   *   - `UPDATE '<path>' SET a = <e> [, ...] [WHERE <pred>]`
   *   - `MERGE INTO '<path>' [AS] t USING <source> [AS] s ON t.k = s.k
@@ -68,6 +70,8 @@ object LakeSql {
     """(?is)\s*CONVERT\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*""".r
   private val CloneRe =
     """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(\s+DEEP)?(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+(\d+))?\s*""".r
+  private val NotNull =
+    """(?is)\s*ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+(SET|DROP)\s+NOT\s+NULL\s*""".r
 
   private val Del =
     """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*""".r
@@ -94,6 +98,8 @@ object LakeSql {
     case CloneRe(src, dst, deep, v, ts) => Some(CloneCommand(src, dst,
       deep = deep != null, version = Option(v).map(_.toLong),
       tsMillis = Option(ts).map(_.toLong)))
+    case NotNull(p, c, mode) =>
+      Some(NotNullCommand(p, c, set = mode.equalsIgnoreCase("SET")))
     case Del(p, w)     => Some(DeleteCommand(p, w))
     case UpdHead(p, rest) =>
       val (sets, where) = topIndex(rest, "WHERE") match {
@@ -347,6 +353,15 @@ object LakeSql {
     override val output: Seq[Attribute] = Seq(attr("version", LongType))
     override def run(spark: SparkSession): Seq[Row] =
       Seq(Row(new TxTable(spark, path).convertInPlace(partitionCols)))
+  }
+
+  case class NotNullCommand(path: String, column: String, set: Boolean)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val tab = new TxTable(spark, path)
+      Seq(Row(if (set) tab.addNotNull(column) else tab.dropNotNull(column)))
+    }
   }
 
   case class CloneCommand(src: String, dst: String, deep: Boolean,

@@ -97,9 +97,13 @@ object TxLog {
       rowIdWatermark: Option[Long] = None,
       identityColumns: Option[Map[String, Long]] = None,
       defaultValues: Option[Map[String, String]] = None,
-      clusteringColumns: Option[List[String]] = None) {
+      clusteringColumns: Option[List[String]] = None,
+      notNullCols: Option[List[String]] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     def checkExprs: List[String] = constraints.getOrElse(Nil)
+    /** Columns under a NOT NULL constraint (Delta's column invariant —
+      * CHECK cannot express it, SQL's CHECK rule passes NULL). */
+    def requiredCols: List[String] = notNullCols.getOrElse(Nil)
     def cdf: Boolean = cdfEnabled.getOrElse(false)
     def features: List[String] = readerFeatures.getOrElse(Nil)
     def writerFeats: List[String] = writerFeatures.getOrElse(Nil)
@@ -306,7 +310,8 @@ object TxLog {
   val supportedWriterFeatures: Set[String] =
     Set("checkConstraints", "generatedColumns", "deletionVectors",
       "columnMapping", "changeDataFeed", "rowTracking",
-      "identityColumns", "defaultValues", "typeWidening")
+      "identityColumns", "defaultValues", "typeWidening",
+      "notNullConstraints")
 
   /** Entry count at which a checkpoint is written as PARQUET instead of
     * single-string JSON. Below it, the distributed write/read is pure

@@ -1561,6 +1561,60 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     sys.error("unreachable")
   }
 
+  /** NOT NULL constraint (Delta's column invariant): every future
+    * write must carry the column, non-null in every row — the one
+    * constraint CHECK cannot express (SQL's CHECK rule passes NULL).
+    * Existing rows validate first, like [[addConstraint]]; the
+    * `notNullConstraints` WRITER feature stamps so a version-skewed
+    * writer that doesn't know to refuse nulls refuses the table
+    * instead. Idempotent. */
+  def addNotNull(colName: String): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
+      require(snap.meta.schema.fieldNames.contains(colName),
+        s"no column $colName in $root")
+      if (snap.meta.requiredCols.contains(colName)) return snap.version
+      val bad = readSnapshot(snap).where(col(colName).isNull)
+        .limit(1).count()
+      require(bad == 0,
+        s"existing rows hold NULL in $colName — NOT NULL refused")
+      val meta = snap.meta.copy(
+        notNullCols = Some(snap.meta.requiredCols :+ colName))
+        .withWriterFeature("notNullConstraints")
+      val entries = Seq(LogEntry(meta = Some(meta)),
+        LogEntry(info = Some(Info("ADD_NOT_NULL", snap.version))))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"addNotNull on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** Lift a NOT NULL constraint — metadata-only, idempotent. */
+  def dropNotNull(colName: String): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
+      if (!snap.meta.requiredCols.contains(colName)) return snap.version
+      val left = snap.meta.requiredCols.filterNot(_ == colName)
+      val meta = snap.meta.copy(
+        notNullCols = if (left.isEmpty) None else Some(left))
+      val entries = Seq(LogEntry(meta = Some(meta)),
+        LogEntry(info = Some(Info("DROP_NOT_NULL", snap.version))))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"dropNotNull on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
   /** RENAME COLUMN — a METADATA-ONLY commit (Delta's column-mapping
     * rename): the logical schema name changes, the physical parquet
     * column keeps its first-write name forever, and the log's
@@ -1599,7 +1653,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val mapping = snap.meta.columnMapping.getOrElse(Map.empty) -
         oldName + (newName -> snap.meta.physicalOf(oldName))
       val meta = snap.meta.copy(schemaJson = renamed.json,
-        columnMapping = Some(mapping))
+        columnMapping = Some(mapping),
+        // a NOT NULL constraint follows its column through the rename
+        notNullCols = snap.meta.notNullCols.map(_.map(c =>
+          if (c == oldName) newName else c)))
         .withReaderFeature("columnMapping")
         .withWriterFeature("columnMapping")
       val entries = Seq(LogEntry(meta = Some(meta)),
@@ -1648,7 +1705,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         s"DROP: $name is an identity/DEFAULT column — drop would " +
           "orphan its declaration")
       val dropped = StructType(schema.fields.filterNot(_.name == name))
-      val meta = snap.meta.copy(schemaJson = dropped.json,
+      val meta = snap.meta.copy(
+        notNullCols = snap.meta.notNullCols
+          .map(_.filterNot(_ == name)).filter(_.nonEmpty),
+        schemaJson = dropped.json,
         columnMapping = snap.meta.columnMapping.map(_ - name),
         retiredPhysical =
           Some((snap.meta.retired :+ snap.meta.physicalOf(name)).distinct))
@@ -2265,11 +2325,26 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   /** Fail (BEFORE any file is staged) if a row of `df` violates a table
     * CHECK constraint. One limit-1 probe per constraint over the new
     * rows only. */
-  private def enforceConstraints(df: DataFrame, meta: Meta): Unit =
+  private def enforceConstraints(df: DataFrame, meta: Meta): Unit = {
+    // NOT NULL first: a frame that OMITS a required column would land
+    // nulls through additive evolution — refuse before any scan
+    val required = meta.requiredCols
+    required.foreach { c =>
+      require(df.columns.contains(c),
+        s"write omits NOT NULL column $c — commit refused")
+    }
+    val present = required.filter(df.columns.contains)
+    if (present.nonEmpty) {
+      val anyNull = present.map(col(_).isNull).reduce(_ || _)
+      require(df.where(anyNull).limit(1).count() == 0,
+        s"write carries NULL in NOT NULL column(s) " +
+          s"${present.mkString(",")} — commit refused")
+    }
     meta.checkExprs.foreach { c =>
       val bad = df.where(!coalesce(expr(c), lit(true))).limit(1).count()
       require(bad == 0, s"write violates CHECK ($c) — commit refused")
     }
+  }
 
   /** DESCRIBE HISTORY: one row per commit — version, operation, the
     * snapshot version the writer based its work on, and the commit's

@@ -904,6 +904,53 @@ class TxLogSpec extends SparkSpec {
     assert(tab.read().where($"id" % 100L === 0L || $"id" === 1L).count() === 0)
   }
 
+  test("NOT NULL constraint: nulls refuse on every ingest shape, an " +
+    "omitting frame refuses, the constraint follows a rename and " +
+    "lifts on drop; a pre-existing null refuses the ALTER") {
+    val nnRoot = freshRoot("notnull")
+    val tab = new TxTable(spark, nnRoot)
+    tab.create(docs(20))
+    // a column currently holding nulls refuses the constraint
+    tab.append(docs(3).withColumn("id", $"id" + 100)
+      .withColumn("extra", lit(null).cast("string")))
+    intercept[IllegalArgumentException](tab.addNotNull("extra"))
+    val v = graft.lake.LakeSql.run(spark,
+      s"ALTER '$nnRoot' ALTER COLUMN text SET NOT NULL")
+      .collect().head.getLong(0)
+    assert(v === 2L)
+    assert(tab.addNotNull("text") === 2L, "idempotent — no new commit")
+    // a null value refuses; a frame OMITTING the column refuses
+    intercept[IllegalArgumentException](tab.append(docs(2)
+      .withColumn("id", $"id" + 200)
+      .withColumn("text", lit(null).cast("string"))))
+    intercept[IllegalArgumentException](tab.append(docs(2)
+      .withColumn("id", $"id" + 200).drop("text")))
+    // an UPDATE landing null refuses too (the rewrite path enforces)
+    intercept[IllegalArgumentException](tab.update($"id" === 5L,
+      Map("text" -> lit(null).cast("string"))))
+    // valid writes pass
+    tab.append(docs(2).withColumn("id", $"id" + 300))
+    // the constraint follows its column through a rename
+    tab.renameColumn("text", "body")
+    val fs = new Path(nnRoot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val snap = TxLog.snapshot(fs, new Path(nnRoot))
+    assert(snap.meta.requiredCols === List("body"))
+    assert(snap.meta.writerFeats.contains("notNullConstraints"),
+      "a version-skewed writer must refuse, not land nulls")
+    intercept[IllegalArgumentException](tab.append(docs(1)
+      .withColumn("id", $"id" + 400)
+      .withColumnRenamed("text", "body")
+      .withColumn("body", lit(null).cast("string"))))
+    // DROP lifts it
+    graft.lake.LakeSql.run(spark,
+      s"ALTER '$nnRoot' ALTER COLUMN body DROP NOT NULL")
+    tab.append(docs(1).withColumn("id", $"id" + 500)
+      .withColumnRenamed("text", "body")
+      .withColumn("body", lit(null).cast("string")))
+    assert(tab.read().where($"body".isNull && $"id" >= 500).count() === 1L)
+  }
+
   test("DEEP CLONE copies every referenced byte — the clone survives " +
     "source vacuum AND deletion; stats/vectors carry verbatim; a " +
     "shallow clone deep-clones into a materialized table") {
