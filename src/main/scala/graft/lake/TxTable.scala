@@ -2597,6 +2597,29 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * surface null ids), file-backed fallbacks read the physical
     * `_row_id` column — which also makes the copy-on-write survivor
     * cancellation exact per identity. */
+  /** Change feed by WALL-CLOCK range (Delta's table_changes with
+    * timestamps): endpoints resolve through the in-commit timestamps —
+    * `from` maps to the first commit AT OR AFTER it (its changes
+    * happened after the instant), `to` to the last commit at or before
+    * ([[versionAtTimestamp]]'s snapshot rule). An empty instant range
+    * (from past the head's stamp) refuses like an out-of-range
+    * version. */
+  def readChangesBetweenTimestamps(fromMillis: Long, toMillis: Long,
+      withRowIds: Boolean = false): DataFrame = {
+    require(fromMillis <= toMillis,
+      s"timestamp range [$fromMillis, $toMillis] is inverted")
+    val hi = versionAtTimestamp(toMillis)
+    // first version whose stamp is >= fromMillis: one bounded walk
+    // down from hi (commitTimestamp is an O(1) tail read per version)
+    var lo = hi
+    while (lo > 0 &&
+        commitTimestamp(lo - 1).forall(_ >= fromMillis)) lo -= 1
+    if (commitTimestamp(lo).exists(_ < fromMillis)) lo = hi + 1
+    require(lo <= hi,
+      s"no commit stamped inside [$fromMillis, $toMillis] at $root")
+    readChanges(lo, hi, withRowIds)
+  }
+
   def readChanges(fromVersion: Long, toVersion: Long,
       withRowIds: Boolean = false): DataFrame = {
     val latest = version

@@ -904,6 +904,22 @@ class TxLogSpec extends SparkSpec {
     assert(tab.read().where($"id" % 100L === 0L || $"id" === 1L).count() === 0)
   }
 
+  test("readChangesBetweenTimestamps slices the feed by in-commit stamps") {
+    val tab = new TxTable(spark, freshRoot("cdfts"))
+    tab.create(docs(5), enableChangeDataFeed = true)            // v0
+    tab.append(docs(3).withColumn("id", $"id" + 10L))           // v1
+    tab.append(docs(2).withColumn("id", $"id" + 20L))           // v2
+    val t0 = tab.commitTimestamp(0L).get
+    val t1 = tab.commitTimestamp(1L).get
+    val t2 = tab.commitTimestamp(2L).get
+    val mid = tab.readChangesBetweenTimestamps(t1, t1)
+    assert(mid.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(10L, 11L, 12L), "the instant range picks exactly v1")
+    assert(tab.readChangesBetweenTimestamps(t0, t2).count() === 10L)
+    intercept[IllegalArgumentException](
+      tab.readChangesBetweenTimestamps(t2 + 1000L, t2 + 2000L))
+  }
+
   test("NOT NULL constraint: nulls refuse on every ingest shape, an " +
     "omitting frame refuses, the constraint follows a rename and " +
     "lifts on drop; a pre-existing null refuses the ALTER") {
