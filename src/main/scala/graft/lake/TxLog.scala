@@ -338,6 +338,11 @@ object TxLog {
     * bare version long; both parse. */
   final case class CkptPointer(version: Long, entries: Option[Long] = None)
 
+  /** The `_last_checkpoint` pointer, if readable — public so tests and
+    * tooling can pin what the writer published. */
+  def readLastCheckpointPublic(fs: FileSystem, root: Path): Option[CkptPointer] =
+    readLastCheckpoint(fs, root)
+
   private[lake] def readLastCheckpoint(fs: FileSystem,
       root: Path): Option[CkptPointer] = {
     val p = lastCheckpointFile(root)
@@ -929,42 +934,105 @@ object TxLog {
     }
   }
 
+  /** Observable behind the bounded-driver CHECKPOINT-WRITE contract:
+    * (mode, Add entries materialized on the driver) for this thread's
+    * last [[maybeCheckpoint]] that actually wrote one — "distributed"
+    * (previous checkpoint frame + tail overlay written straight back to
+    * parquet, ZERO Adds through the driver) or "driver-fold" (in-memory
+    * replay, the small-table path). Thread-local like [[lastResolve]]. */
+  object lastCheckpointWrite {
+    private val tl = new ThreadLocal[(String, Long)] {
+      override def initialValue(): (String, Long) = ("", 0L)
+    }
+    private[lake] def set(v: (String, Long)): Unit = tl.set(v)
+    def get(): (String, Long) = tl.get()
+  }
+
   private def maybeCheckpoint(fs: FileSystem, root: Path, version: Long): Unit =
     if (version > 0 && version % checkpointInterval == 0) {
-      val snap = snapshot(fs, root, Some(version))
-      val entries = (LogEntry(meta = Some(snap.meta)) +:
-        snap.adds.map(a => LogEntry(add = Some(a)))) ++
-        snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-          LogEntry(txn = Some(Txn(app, v))) }
-      // Only the version's winning committer checkpoints it, so plain
-      // overwriting writes suffice. FORMAT BY LIVE-SET SIZE: below
-      // [[checkpointParquetMinEntries]] the checkpoint is single-string
-      // JSON — a driver-side write measured in microseconds, so
-      // commit-heavy small tables never pay a Spark job every
-      // checkpointInterval commits (round-9's 2–2.7× regression on
-      // ext_lake_replay_depth/history/optimize). Above it — the tables
-      // where the JSON string IS the driver OOM path — the checkpoint
-      // is PARQUET (Delta's design: splittable, columnar, ordinary
-      // distributed Spark IO), published by its `_SUCCESS` marker so a
-      // concurrent reader never bases a snapshot on a partial write.
-      activeSession match {
-        case Some(spark) if entries.size >= checkpointParquetMinEntries =>
+      // DISTRIBUTED WRITE PATH — the commit path's last O(files) driver
+      // surface, closed: when a readable PARQUET checkpoint precedes
+      // this version and its pointer says the live set is at or above
+      // [[checkpointParquetMinEntries]], the new checkpoint is composed
+      // from the previous checkpoint frame + the ≤[[checkpointInterval]]
+      // tail commits (the exact [[prunedSnapshot]] machinery) and
+      // written back to parquet WITHOUT ever collecting an Add to the
+      // driver. Pointer count + checksum re-seed come from ONE columnar
+      // aggregate over the just-written checkpoint.
+      val distributed = activeSession.flatMap { spark =>
+        readLastCheckpoint(fs, root)
+          .filter(p => p.version < version &&
+            p.entries.exists(_ >= checkpointParquetMinEntries) &&
+            parquetCheckpointReadable(fs, root, p.version))
+          .map(p => (spark, frameFromCheckpoint(fs, root, p.version, version)))
+      }
+      distributed match {
+        case Some((spark, (live, meta, txns))) =>
+          import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
           val pq = checkpointParquetDir(root, version)
-          spark.createDataset(entries)(logEntryEncoder)
+          val head = LogEntry(meta = Some(meta)) +:
+            txns.toSeq.sortBy(_._1).map { case (app, v) =>
+              LogEntry(txn = Some(Txn(app, v))) }
+          val addEntries = live.as(addEncoder)
+            .map(a => LogEntry(add = Some(a)))(logEntryEncoder).toDF()
+          spark.createDataset(head)(logEntryEncoder).toDF()
+            .unionByName(addEntries)
             .write.mode("overwrite").parquet(pq.toString)
-          // the job committer writes _SUCCESS by default; a deployment
-          // that disabled the marker still needs the publish signal
           val marker = new Path(pq, "_SUCCESS")
           if (!fs.exists(marker)) writeString(fs, marker, "")
-        case _ =>
-          writeString(fs, checkpointFile(root, version), render(entries))
+          val agg = spark.read.schema(logEntryEncoder.schema)
+            .parquet(pq.toString).agg(
+              count(lit(1)).as("n"),
+              sum(when(col("add").isNotNull, 1L).otherwise(0L)).as("files"),
+              sum(when(col("add").isNotNull, col("add.rows"))
+                .otherwise(0L)).as("rows"),
+              sum(when(col("add").isNotNull, coalesce(col("add.bytes"),
+                lit(0L))).otherwise(0L)).as("bytes")).head()
+          scala.util.Try(writeString(fs, crcFile(root, version),
+            Serialization.write(Crc(version, agg.getLong(1), agg.getLong(2),
+              agg.getLong(3)))))
+          writeString(fs, lastCheckpointFile(root), Serialization.write(
+            CkptPointer(version, Some(agg.getLong(0)))))
+          lastCheckpointWrite.set(("distributed", 0L))
+        case None =>
+          val snap = snapshot(fs, root, Some(version))
+          val entries = (LogEntry(meta = Some(snap.meta)) +:
+            snap.adds.map(a => LogEntry(add = Some(a)))) ++
+            snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+              LogEntry(txn = Some(Txn(app, v))) }
+          // Only the version's winning committer checkpoints it, so plain
+          // overwriting writes suffice. FORMAT BY LIVE-SET SIZE: below
+          // [[checkpointParquetMinEntries]] the checkpoint is single-string
+          // JSON — a driver-side write measured in microseconds, so
+          // commit-heavy small tables never pay a Spark job every
+          // checkpointInterval commits (round-9's 2–2.7× regression on
+          // ext_lake_replay_depth/history/optimize). Above it — the tables
+          // where the JSON string IS the driver OOM path — the checkpoint
+          // is PARQUET (Delta's design: splittable, columnar, ordinary
+          // distributed Spark IO), published by its `_SUCCESS` marker so a
+          // concurrent reader never bases a snapshot on a partial write.
+          // (A table's FIRST parquet checkpoint takes this fold once;
+          // every later one composes distributed above.)
+          activeSession match {
+            case Some(spark) if entries.size >= checkpointParquetMinEntries =>
+              val pq = checkpointParquetDir(root, version)
+              spark.createDataset(entries)(logEntryEncoder)
+                .write.mode("overwrite").parquet(pq.toString)
+              // the job committer writes _SUCCESS by default; a deployment
+              // that disabled the marker still needs the publish signal
+              val marker = new Path(pq, "_SUCCESS")
+              if (!fs.exists(marker)) writeString(fs, marker, "")
+            case _ =>
+              writeString(fs, checkpointFile(root, version), render(entries))
+          }
+          // re-seed the checksum chain from the authoritative live set:
+          // heals any gap a crashed winner or legacy commit left behind
+          scala.util.Try(writeString(fs, crcFile(root, version),
+            Serialization.write(crcOf(snap))))
+          writeString(fs, lastCheckpointFile(root), Serialization.write(
+            CkptPointer(version, Some(entries.size.toLong))))
+          lastCheckpointWrite.set(("driver-fold", snap.adds.size.toLong))
       }
-      // re-seed the checksum chain from the authoritative live set:
-      // heals any gap a crashed winner or legacy commit left behind
-      scala.util.Try(writeString(fs, crcFile(root, version),
-        Serialization.write(crcOf(snap))))
-      writeString(fs, lastCheckpointFile(root), Serialization.write(
-        CkptPointer(version, Some(entries.size.toLong))))
     }
 
   /** Delete data files no longer referenced by any snapshot newer than

@@ -173,6 +173,63 @@ class TxLogSpec extends SparkSpec {
       "txn watermark rides both checkpoint formats")
   }
 
+  test("checkpoint WRITE composes distributed past the first parquet " +
+      "checkpoint — zero Adds materialized on the driver") {
+    val root = freshRoot("ckdist")
+    val tab = new TxTable(spark, root)
+    spark.conf.set(TxLog.checkpointParquetMinEntriesKey, "1")
+    try {
+      tab.create(docs(20)) // v0
+      (1 to 10).foreach(i => tab.append(docs(2).withColumn("id", $"id" + i * 100)))
+      // v10: the table's FIRST parquet checkpoint — no prior frame to
+      // compose from, so the one-time driver fold is the correct path
+      assert(TxLog.lastCheckpointWrite.get()._1 === "driver-fold",
+        "first parquet checkpoint has no prior frame: driver fold expected")
+      // overlay content for the next checkpoint: removes (merge-on-read
+      // DV), a txn watermark, plain adds
+      tab.deleteWhereMergeOnRead($"id" === 2L) // v11
+      tab.appendIdempotent(docs(1).withColumn("id", $"id" + 900), "appB", 7L) // v12
+      (1 to 8).foreach(i => tab.append(docs(2).withColumn("id", $"id" + 2000 + i * 100)))
+      // v20: composed from the v10 checkpoint frame + tail overlay
+      assert(TxLog.lastCheckpointWrite.get() === ("distributed", 0L),
+        "second parquet checkpoint must compose distributed with zero " +
+          s"driver-side Adds, got ${TxLog.lastCheckpointWrite.get()}")
+    } finally spark.conf.unset(TxLog.checkpointParquetMinEntriesKey)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootP = new Path(root)
+    val ckptPq = new Path(rootP, f"_txlog/${20L}%020d.checkpoint.parquet")
+    assert(fs.exists(new Path(ckptPq, "_SUCCESS")),
+      "distributed checkpoint must carry its publish marker")
+
+    // the distributed compose resolves the SAME state as a full replay
+    def snapKey(s: TxLog.Snapshot) =
+      (s.version, s.meta, s.adds.toSet, s.txns)
+    val viaCkpt = TxLog.snapshot(fs, rootP)
+    assert(TxLog.lastReplay.get()._2, "v20 checkpoint must seed the snapshot")
+    assert(viaCkpt.txns.get("appB") === Some(7L),
+      "txn watermark rides the distributed compose")
+    assert(viaCkpt.adds.exists(_.hasDv),
+      "the merge-on-read DV add survives the distributed compose")
+    // pointer count + re-seeded checksum came from the columnar
+    // aggregate — they must match the authoritative live set exactly
+    val ptr = TxLog.readLastCheckpointPublic(fs, rootP)
+    val hidden = new Path(rootP, "ckpt_hidden")
+    fs.rename(ckptPq, hidden)
+    fs.delete(new Path(rootP, "_txlog/_last_checkpoint"), false)
+    // resolution now seeds from the v10 checkpoint + commits 11..20 —
+    // an independent replay path the distributed compose must agree with
+    val viaReplay = TxLog.snapshot(fs, rootP)
+    assert(snapKey(viaCkpt) === snapKey(viaReplay),
+      "distributed checkpoint and replay-from-v10 must resolve the same state")
+    fs.rename(hidden, ckptPq)
+    assert(ptr.map(_.version) === Some(20L))
+    assert(ptr.flatMap(_.entries) ===
+      Some(1L + viaReplay.adds.size.toLong + viaReplay.txns.size.toLong))
+    assert(TxLog.readCrc(fs, rootP, 20L) === Some(TxLog.crcOf(viaReplay)))
+    // Add.rows is LIVE rows (post-DV) — the read must total exactly it
+    assert(tab.read().count() === viaReplay.adds.map(_.rows).sum)
+  }
+
   test("a parquet checkpoint without _SUCCESS is invisible — partial " +
       "writes never seed a snapshot") {
     val root = freshRoot("cksucc")
