@@ -14,9 +14,12 @@ import org.apache.spark.sql.types._
   *
   *   - `OPTIMIZE '<path>'` — bin-pack / incremental re-cluster
   *   - `OPTIMIZE '<path>' ZORDER BY (a, b)` — global 2-D re-cluster
-  *   - `VACUUM '<path>' [RETAIN <n> VERSIONS] [DRY RUN]` — reclaim
-  *     unreferenced data/sidecar files (version-based retention;
-  *     default 1); DRY RUN reports without deleting
+  *   - `VACUUM '<path>' [RETAIN <n> VERSIONS] [RETAIN <h> HOURS]
+  *     [DRY RUN]` — reclaim unreferenced data/sidecar files
+  *     (version-based retention, default 1; age guard default 168
+  *     hours — an HOURS window under the floor needs the
+  *     [[TxLog.retentionDurationCheckKey]] opt-out, Delta's
+  *     retentionDurationCheck rule); DRY RUN reports without deleting
   *   - `VACUUM LOG '<path>' [RETAIN <n> VERSIONS]` — log retention
   *     ([[TxLog.cleanLog]]; default 10)
   *   - `DESCRIBE HISTORY '<path>'` — the commit ledger with operation
@@ -60,7 +63,7 @@ object LakeSql {
   private val VacLog =
     """(?is)\s*VACUUM\s+LOG\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*""".r
   private val Vac =
-    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?\s*""".r
+    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val Hist = """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
   private val Rest =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
@@ -86,8 +89,10 @@ object LakeSql {
     case Opt(p)        => Some(OptimizeCommand(p, None))
     case VacLog(p, n)  =>
       Some(VacuumLogCommand(p, Option(n).map(_.toInt).getOrElse(10)))
-    case Vac(p, n, dry) =>
+    case Vac(p, n, hrs, dry) =>
       Some(VacuumCommand(p, Option(n).map(_.toInt).getOrElse(1),
+        minAgeMs = Option(hrs).map(_.toLong * 3600 * 1000)
+          .getOrElse(graft.lake.TxLog.vacuumDefaultMinAgeMs),
         dryRun = dry != null))
     case Hist(p)       => Some(HistoryCommand(p))
     case Rest(p, v)    => Some(RestoreCommand(p, v.toLong))
@@ -119,6 +124,21 @@ object LakeSql {
   private def isWordChar(c: Char) =
     Character.isLetterOrDigit(c) || c == '_'
 
+  /** In-string scanner step, matching what the compiled `expr()` will
+    * accept: at `s(i)` inside a single-quoted literal, returns the
+    * number of EXTRA chars to skip (0 or 1) and whether the literal
+    * closed. `\x` skips the escaped char; `''` is an escaped quote, not
+    * a close — without these a literal containing `\'` plus a top-level
+    * keyword/comma desyncs the scanner into wrong clause text. */
+  private def inStrStep(s: String, i: Int): (Int, Boolean) = {
+    val c = s.charAt(i)
+    if (c == '\\' && i + 1 < s.length) (1, false)
+    else if (c == '\'')
+      if (i + 1 < s.length && s.charAt(i + 1) == '\'') (1, false)
+      else (0, true)
+    else (0, false)
+  }
+
   /** Index of the first word-bounded, case-insensitive occurrence of
     * `kw` at paren-depth 0 outside string literals, or -1. */
   private def topIndex(s: String, kw: String, from: Int = 0): Int = {
@@ -126,7 +146,10 @@ object LakeSql {
     val n = s.length; val k = kw.length
     while (i < n) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inStr) {
+        val (skip, closed) = inStrStep(s, i)
+        i += skip; if (closed) inStr = false
+      }
       else c match {
         case '\'' => inStr = true
         case '('  => depth += 1
@@ -156,7 +179,10 @@ object LakeSql {
     var start = 0; var i = 0; var depth = 0; var inStr = false
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
+      if (inStr) {
+        val (skip, closed) = inStrStep(s, i)
+        i += skip; if (closed) inStr = false
+      }
       else c match {
         case '\'' => inStr = true
         case '('  => depth += 1
@@ -179,7 +205,10 @@ object LakeSql {
       var i = 0; var split = -1; var inStr = false; var depth = 0
       while (i < a.length && split < 0) {
         val c = a.charAt(i)
-        if (inStr) { if (c == '\'') inStr = false }
+        if (inStr) {
+          val (skip, closed) = inStrStep(a, i)
+          i += skip; if (closed) inStr = false
+        }
         else c match {
           case '\'' => inStr = true
           case '('  => depth += 1
@@ -307,12 +336,13 @@ object LakeSql {
   }
 
   case class VacuumCommand(path: String, keepVersions: Int,
+      minAgeMs: Long = graft.lake.TxLog.vacuumDefaultMinAgeMs,
       dryRun: Boolean = false) extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(attr("removed_path", StringType))
     override def run(spark: SparkSession): Seq[Row] =
       new TxTable(spark, path)
-        .vacuum(keepVersions, dryRun = dryRun).map(Row(_))
+        .vacuum(keepVersions, minAgeMs = minAgeMs, dryRun = dryRun).map(Row(_))
   }
 
   case class VacuumLogCommand(path: String, keepVersions: Int)

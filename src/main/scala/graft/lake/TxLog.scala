@@ -1108,11 +1108,34 @@ object TxLog {
     }
   }
 
+  /** Default vacuum age guard: 168 hours, Delta's retention default.
+    * Data/CDF/sidecar files are staged to the table directory BEFORE a
+    * commit claims its version — a vacuum racing an in-flight writer
+    * sees those staged files as unreferenced, and only the age guard
+    * keeps it from deleting them out from under the commit. */
+  val vacuumDefaultMinAgeMs: Long = 168L * 3600 * 1000
+
+  /** Conf gate (Delta's `retentionDurationCheck.enabled`): while true
+    * (the default), [[vacuum]] refuses a `minAgeMs` below
+    * [[vacuumDefaultMinAgeMs]] — an explicit `false` is the opt-out a
+    * test or a table-owning maintenance job uses for instant reclaim. */
+  val retentionDurationCheckKey = "spark.graft.lake.retentionDurationCheck"
+  private def retentionDurationCheck: Boolean =
+    activeSession.flatMap(_.conf.getOption(retentionDurationCheckKey))
+      .forall(_.toBoolean)
+
   /** `dryRun = true` (Delta's VACUUM ... DRY RUN) reports exactly the
     * paths a real run would reclaim, deleting nothing — same snapshot
     * resolution, same referenced-set math, same age guard. */
   def vacuum(fs: FileSystem, root: Path, keepVersions: Int,
-      minAgeMs: Long = 0L, dryRun: Boolean = false): Seq[String] = {
+      minAgeMs: Long = vacuumDefaultMinAgeMs,
+      dryRun: Boolean = false): Seq[String] = {
+    require(minAgeMs >= vacuumDefaultMinAgeMs || !retentionDurationCheck,
+      s"vacuum minAgeMs ${minAgeMs}ms is below the " +
+        s"${vacuumDefaultMinAgeMs}ms retention floor; files staged by " +
+        "in-flight commits would be reclaimed (silent corruption). Set " +
+        s"$retentionDurationCheckKey=false to accept a shorter window " +
+        "on a table this process exclusively owns.")
     val latest = latestVersion(fs, root)
     require(latest >= 0, s"no transaction log at $root")
     // clamp to the earliest RETAINED commit: on a log-cleaned table a

@@ -1343,7 +1343,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     }
   }
 
-  def vacuum(keepVersions: Int, minAgeMs: Long = 0L,
+  def vacuum(keepVersions: Int,
+      minAgeMs: Long = TxLog.vacuumDefaultMinAgeMs,
       dryRun: Boolean = false): Seq[String] =
     TxLog.vacuum(fs, root, keepVersions, minAgeMs, dryRun)
 
@@ -2147,10 +2148,27 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           if (vs.size != elems.size) None
           else vs.head match {
             case _: java.lang.Number =>
-              val ds = vs.map(_.asInstanceOf[java.lang.Number].doubleValue)
+              // integral literals compare EXACT via longValue: distinct
+              // longs above 2^53 collapse to equal doubles, and a
+              // double-picked endpoint could tighten [lo, hi] past a
+              // true match — a silently skipped mutation row. Doubles
+              // only order genuinely fractional literal sets.
+              val integral = vs.forall {
+                case _: java.lang.Long | _: java.lang.Integer |
+                     _: java.lang.Short | _: java.lang.Byte => true
+                case _ => false
+              }
+              val ds: Seq[Double] =
+                if (integral) Nil
+                else vs.map(_.asInstanceOf[java.lang.Number].doubleValue)
+              val (iMin, iMax) =
+                if (integral) {
+                  val ls = vs.map(_.asInstanceOf[java.lang.Number].longValue)
+                  (ls.indexOf(ls.min), ls.indexOf(ls.max))
+                } else (ds.indexOf(ds.min), ds.indexOf(ds.max))
               Some((a.name,
-                Some(vs(ds.indexOf(ds.min))): Option[Any],
-                Some(vs(ds.indexOf(ds.max))): Option[Any]))
+                Some(vs(iMin)): Option[Any],
+                Some(vs(iMax)): Option[Any]))
             case _: String =>
               val ss = vs.map(_.asInstanceOf[String])
               Some((a.name, Some(ss.min): Option[Any], Some(ss.max): Option[Any]))
@@ -2610,11 +2628,24 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       s"timestamp range [$fromMillis, $toMillis] is inverted")
     val hi = versionAtTimestamp(toMillis)
     // first version whose stamp is >= fromMillis: one bounded walk
-    // down from hi (commitTimestamp is an O(1) tail read per version)
+    // down from hi (commitTimestamp is an O(1) tail read per version).
+    // The walk stops at the log-retention floor (commits behind it were
+    // cleaned — probing them would fail on a missing file), and an
+    // UNSTAMPED legacy commit stops it too: a commit with no provable
+    // instant is excluded explicitly, never pulled into the range by a
+    // vacuous comparison.
+    val floor = TxLog.earliestVersion(fs, root)
     var lo = hi
-    while (lo > 0 &&
-        commitTimestamp(lo - 1).forall(_ >= fromMillis)) lo -= 1
-    if (commitTimestamp(lo).exists(_ < fromMillis)) lo = hi + 1
+    while (lo > floor &&
+        commitTimestamp(lo - 1).exists(_ >= fromMillis)) lo -= 1
+    if (lo == floor && floor > 0 &&
+        commitTimestamp(floor).exists(_ >= fromMillis))
+      throw new IllegalArgumentException(
+        s"timestamp $fromMillis reaches behind the retention horizon " +
+          s"at $root: commits before v$floor were log-cleaned, so the " +
+          "range start cannot be resolved; earliest retained instant " +
+          s"is ${commitTimestamp(floor).get}")
+    if (commitTimestamp(lo).forall(_ < fromMillis)) lo = hi + 1
     require(lo <= hi,
       s"no commit stamped inside [$fromMillis, $toMillis] at $root")
     readChanges(lo, hi, withRowIds)

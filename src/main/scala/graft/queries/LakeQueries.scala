@@ -1153,7 +1153,18 @@ object LakeQueries {
       val tab = new TxTable(s, scratch("lake_vac", dir))
       tab.create(orders.repartitionByRange(4, $"o_orderkey"))
       tab.deleteWhere($"o_totalprice" < 150000.0)
-      val removed = tab.vacuum(keepVersions = 1)
+      // the retention guard (Delta's retentionDurationCheck): instant
+      // reclaim must REFUSE until explicitly opted out — the age floor
+      // is what shields files staged by in-flight commits
+      val guarded =
+        try { tab.vacuum(keepVersions = 1, minAgeMs = 0L); false }
+        catch { case _: IllegalArgumentException => true }
+      require(guarded, "sub-floor minAgeMs must refuse without the opt-out")
+      val removed =
+        try {
+          s.conf.set(graft.lake.TxLog.retentionDurationCheckKey, "false")
+          tab.vacuum(keepVersions = 1, minAgeMs = 0L)
+        } finally s.conf.unset(graft.lake.TxLog.retentionDurationCheckKey)
       require(removed.nonEmpty, "vacuum must reclaim the rewritten v0 files")
       val refused =
         try { tab.read(asOf = Some(0L)).count(); false }
@@ -1224,8 +1235,23 @@ object LakeQueries {
       val vRest = graft.lake.LakeSql
         .run(s, s"RESTORE '$root' TO VERSION AS OF 1").as[Long].head()
       require(vRest == 4L, s"SQL RESTORE must commit v4, got $vRest")
-      val removed = graft.lake.LakeSql
-        .run(s, s"VACUUM '$root' RETAIN 1 VERSIONS").as[String].collect()
+      // RETAIN 0 HOURS under the retention guard must refuse; with the
+      // explicit opt-out it reclaims instantly (the query owns the table)
+      val sqlGuarded =
+        try {
+          graft.lake.LakeSql.run(s,
+            s"VACUUM '$root' RETAIN 1 VERSIONS RETAIN 0 HOURS")
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(sqlGuarded,
+        "SQL VACUUM RETAIN 0 HOURS must refuse without the opt-out")
+      val removed =
+        try {
+          s.conf.set(graft.lake.TxLog.retentionDurationCheckKey, "false")
+          graft.lake.LakeSql.run(s,
+            s"VACUUM '$root' RETAIN 1 VERSIONS RETAIN 0 HOURS")
+            .as[String].collect()
+        } finally s.conf.unset(graft.lake.TxLog.retentionDurationCheckKey)
       require(removed.nonEmpty,
         "SQL VACUUM must reclaim the delete/optimize era's files")
       tab.read().orderBy($"o_orderkey")

@@ -34,6 +34,42 @@ class LakeSqlSpec extends SparkSpec {
       "only quoted-path form is ours; bare identifiers delegate")
   }
 
+  test("string literals with escaped quotes never desync the scanner") {
+    import graft.lake.LakeSql.{DeleteCommand, UpdateCommand}
+    // backslash escape: the WHERE inside the literal must not split
+    LakeSql.parse(
+      raw"UPDATE '/t/x' SET note = 'it\'s not a WHERE, honest' WHERE id = 1") match {
+      case Some(UpdateCommand(p, sets, where)) =>
+        assert(p === "/t/x")
+        assert(sets === Seq(("note", raw"'it\'s not a WHERE, honest'")))
+        assert(where === Some("id = 1"))
+      case other => fail(s"expected UpdateCommand, got $other")
+    }
+    // doubled-quote escape, with a top-level comma after the literal
+    LakeSql.parse(
+      "UPDATE '/t/x' SET a = 'o''brien, esq', b = 2 WHERE b = 'x'") match {
+      case Some(UpdateCommand(_, sets, where)) =>
+        assert(sets === Seq(("a", "'o''brien, esq'"), ("b", "2")))
+        assert(where === Some("b = 'x'"))
+      case other => fail(s"expected UpdateCommand, got $other")
+    }
+    // DELETE predicate carrying both escape forms parses whole
+    LakeSql.parse(
+      raw"DELETE FROM '/t/x' WHERE name = 'a\'b' AND alt = 'c''d'") match {
+      case Some(DeleteCommand(_, where)) =>
+        assert(where === raw"name = 'a\'b' AND alt = 'c''d'")
+      case other => fail(s"expected DeleteCommand, got $other")
+    }
+    // and the executed form round-trips through Spark's expr()
+    val root = freshRoot("esc")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.createDataFrame(Seq((1L, "keep"), (2L, "it's"))).toDF("id", "note"))
+    LakeSql.run(spark, raw"DELETE FROM '$root' WHERE note = 'it\'s'")
+    assert(tab.read().select("note").as[String].collect().toSeq === Seq("keep"))
+    LakeSql.run(spark, raw"UPDATE '$root' SET note = 'o''k, fine' WHERE id = 1")
+    assert(tab.read().select("note").as[String].head() === "o'k, fine")
+  }
+
   test("the command family drives a real table end-to-end") {
     val root = freshRoot("e2e")
     val tab = new TxTable(spark, root)
@@ -53,13 +89,13 @@ class LakeSqlSpec extends SparkSpec {
     assert(vRest === 4L)
     assert(tab.read().count() === 200L, "the SQL restore undid the delete")
     val preview = LakeSql
-      .run(spark, s"VACUUM '$root' RETAIN 1 VERSIONS DRY RUN")
+      .run(spark, s"VACUUM '$root' RETAIN 1 VERSIONS RETAIN 0 HOURS DRY RUN")
       .as[String].collect()
     assert(preview.nonEmpty)
     assert(preview.forall(p =>
         new java.io.File(root, p).exists()),
       "DRY RUN must delete nothing")
-    val removed = LakeSql.run(spark, s"VACUUM '$root' RETAIN 1 VERSIONS")
+    val removed = LakeSql.run(spark, s"VACUUM '$root' RETAIN 1 VERSIONS RETAIN 0 HOURS")
       .as[String].collect()
     assert(removed.nonEmpty, "the delete/optimize era files are unreferenced")
     assert(removed.sorted.toSeq === preview.sorted.toSeq,

@@ -22,6 +22,9 @@ object SparkSpec {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
+      // suites own every table they vacuum and want instant reclaim;
+      // the retention guard's own spec re-enables the check explicitly
+      .config("spark.graft.lake.retentionDurationCheck", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

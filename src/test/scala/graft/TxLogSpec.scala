@@ -272,7 +272,7 @@ class TxLogSpec extends SparkSpec {
     tab.deleteWhere($"id" >= 10)
     assert(tab.read().count() === 10)
     assert(tab.read(asOf = Some(0L)).count() === 20, "v0 still resolvable")
-    val removed = tab.vacuum(keepVersions = 1)
+    val removed = tab.vacuum(keepVersions = 1, minAgeMs = 0L)
     assert(removed.nonEmpty, "the rewritten v0 files must be reclaimed")
     assert(tab.read().count() === 10, "head unaffected by vacuum")
     val err = intercept[Exception](tab.read(asOf = Some(0L)).count())
@@ -293,7 +293,7 @@ class TxLogSpec extends SparkSpec {
     assert(before._1 >= 3 && before._2 > 0,
       "v1/v2/v4 must each have staged change data")
     // keep the last two versions: v1/v2's feed (and data) expire
-    val removed = tab.vacuum(keepVersions = 2)
+    val removed = tab.vacuum(keepVersions = 2, minAgeMs = 0L)
     assert(removed.exists(_.startsWith("_change_data/")),
       "expired _change_data must be reclaimed together with data files")
     // expired slices refuse loudly — the feed horizon IS the vacuum
@@ -536,7 +536,7 @@ class TxLogSpec extends SparkSpec {
     // DATA vacuum with a keep window WIDER than the retained log clamps
     // to the earliest retained commit instead of failing on a version
     // cleanLog reclaimed — and still only reclaims unreferenced files
-    val reclaimed = TxLog.vacuum(fs, rootP, keepVersions = 100)
+    val reclaimed = TxLog.vacuum(fs, rootP, keepVersions = 100, minAgeMs = 0L)
     assert(tab.read().count() === 35L, "live data survives the clamped vacuum")
     assert(tab.read(asOf = Some(21L)).count() === 31L,
       "kept versions stay readable")
@@ -550,7 +550,30 @@ class TxLogSpec extends SparkSpec {
     assert(tab.vacuum(keepVersions = 1, minAgeMs = 3600L * 1000).isEmpty,
       "files younger than the retention window must survive")
     assert(tab.read(asOf = Some(0L)).count() === 20, "v0 untouched")
-    assert(tab.vacuum(keepVersions = 1).nonEmpty, "age 0 reclaims them")
+    assert(tab.vacuum(keepVersions = 1, minAgeMs = 0L).nonEmpty, "age 0 reclaims them")
+  }
+
+  test("retention guard: sub-floor minAgeMs refuses without the explicit " +
+      "opt-out (Delta's retentionDurationCheck)") {
+    val root = freshRoot("guard")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(10))
+    tab.deleteWhere($"id" >= 5)
+    spark.conf.set(TxLog.retentionDurationCheckKey, "true")
+    try {
+      val e = intercept[IllegalArgumentException](
+        tab.vacuum(keepVersions = 1, minAgeMs = 0L))
+      assert(e.getMessage.contains("retention floor"))
+      // the default window passes the check — and shields young files
+      assert(tab.vacuum(keepVersions = 1).isEmpty,
+        "168h default must reclaim nothing this young")
+      // SQL RETAIN 0 HOURS goes through the same guard
+      intercept[IllegalArgumentException](graft.lake.LakeSql.run(spark,
+        s"VACUUM '$root' RETAIN 1 VERSIONS RETAIN 0 HOURS"))
+    } finally
+      spark.conf.set(TxLog.retentionDurationCheckKey, "false")
+    // with the opt-out back on, instant reclaim works
+    assert(tab.vacuum(keepVersions = 1, minAgeMs = 0L).nonEmpty)
   }
 
   test("type widening: int→long / float→double evolve METADATA-ONLY; " +
@@ -804,7 +827,7 @@ class TxLogSpec extends SparkSpec {
     val h = tab.history().collect().map(_.getString(1))
     assert(h.last === "RESTORE")
     tab.deleteWhere($"id" >= 10)
-    tab.vacuum(keepVersions = 1)
+    tab.vacuum(keepVersions = 1, minAgeMs = 0L)
     intercept[IllegalArgumentException](tab.restore(0L))
   }
 
@@ -1252,7 +1275,7 @@ class TxLogSpec extends SparkSpec {
     tab.addConstraint("id IS NOT NULL")                   // v6
     assert(tab.readChanges(6L, 6L).count() === 0)
     // vacuum kills the old files the early range needs → loud refusal
-    tab.vacuum(keepVersions = 1)
+    tab.vacuum(keepVersions = 1, minAgeMs = 0L)
     intercept[Exception](tab.readChanges(0L, 5L).count())
   }
 
@@ -1310,7 +1333,7 @@ class TxLogSpec extends SparkSpec {
     assert(tab2.read().count() === 999 - 100 - 1)
     // after a full purge + vacuum, no sidecar survives
     tab2.optimize(minRows = 0, dvFraction = 0.0)
-    tab2.vacuum(keepVersions = 1)
+    tab2.vacuum(keepVersions = 1, minAgeMs = 0L)
     val leftover = {
       val it = fs2.listFiles(new Path(t2root), true)
       var found = List.empty[String]
@@ -1447,7 +1470,7 @@ class TxLogSpec extends SparkSpec {
       .forall(_.contains("_change_data")))
     // vacuumed change data refuses loudly
     (1 to 3).foreach(_ => tab.append(docs(1).withColumn("id", $"id" + 9000)))
-    tab.vacuum(keepVersions = 1)
+    tab.vacuum(keepVersions = 1, minAgeMs = 0L)
     intercept[Exception](tab.readChanges(vDel, vDel).count())
   }
 
@@ -1773,7 +1796,7 @@ class BloomIndexSpec extends SparkSpec {
     val snap = TxLog.snapshot(fs, new Path(root))
     assert(snap.adds.forall(_.bloom.exists(_.contains("id"))))
     assert(tab.readEquals("id", 250L).count() === 1L)
-    val removed = tab.vacuum(keepVersions = 1)
+    val removed = tab.vacuum(keepVersions = 1, minAgeMs = 0L)
     assert(removed.exists(_.startsWith("_bloom/")),
       s"vacuum must reclaim pre-optimize sidecars, removed=$removed")
     // referenced sidecars survive: lookups still skip and still answer
