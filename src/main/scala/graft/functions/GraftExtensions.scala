@@ -12,7 +12,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * works and nothing else changes. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    graft.lake.LakeSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    graft.lake.LakeSql.parse(sqlText)
+      .orElse(graft.lake.LakeSql.selectPlan(sqlText, delegate.parsePlan))
+      .getOrElse(delegate.parsePlan(sqlText))
   override def parseExpression(s: String) = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String) =
     delegate.parseTableIdentifier(s)

@@ -45,6 +45,18 @@ import org.apache.spark.sql.types._
   *     aliased `t` and `s` (that is how clause expressions reference
   *     them, mirroring [[TxTable.MergeInto]]'s contract)
   *
+  * Read and DDL surfaces:
+  *
+  *   - `SELECT ... FROM '<path>' [VERSION AS OF <v> | TIMESTAMP AS OF
+  *     <ms>]` (also `JOIN '<path>'`, WITH/VALUES heads, any mix of
+  *     path and catalog sources) — each path source resolves through
+  *     [[TxTable.read]]/[[TxTable.readAsOfTimestamp]] as a temp view
+  *     and Spark plans the rewritten statement
+  *   - `CREATE TABLE '<path>' [PARTITIONED BY (...)] AS <query>`
+  *   - `INSERT INTO '<path>' [(cols)] <query|VALUES ...>`
+  *   - `ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)`
+  *   - `ALTER '<path>' ADD COLUMN <name> <type>` (metadata-only)
+  *
   * DML statements only claim a statement whose target is a QUOTED
   * PATH right after the keyword — `DELETE FROM catalog_table` still
   * reaches Spark's own parser untouched.
@@ -75,6 +87,14 @@ object LakeSql {
     """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(\s+DEEP)?(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+(\d+))?\s*""".r
   private val NotNull =
     """(?is)\s*ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+(SET|DROP)\s+NOT\s+NULL\s*""".r
+  private val Ctas =
+    """(?is)\s*CREATE\s+TABLE\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s+AS\s+(.+)""".r
+  private val Ins =
+    """(?is)\s*INSERT\s+INTO\s+'([^']+)'(?:\s*\(\s*([\w\s,]+?)\s*\)\s+)?\s*(.+)""".r
+  private val AddCons =
+    """(?is)\s*ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
+  private val AddCol =
+    """(?is)\s*ALTER\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)\s*""".r
 
   private val Del =
     """(?is)\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*""".r
@@ -105,6 +125,22 @@ object LakeSql {
       tsMillis = Option(ts).map(_.toLong)))
     case NotNull(p, c, mode) =>
       Some(NotNullCommand(p, c, set = mode.equalsIgnoreCase("SET")))
+    case Ctas(p, cols, query) => Some(CreateTableAsSelectCommand(p,
+      Option(cols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil), query))
+    case Ins(p, cols, query)
+        // a parenthesized/inline query can LOOK like a column list
+        // ("(SELECT a, b FROM x)" is all word chars, spaces, commas) —
+        // only a list that is NOT a query head is one
+        if Option(cols).forall(c => !c.trim.toUpperCase.matches(
+          "(SELECT|VALUES|WITH|TABLE)\\b.*")) =>
+      Some(InsertIntoPathCommand(p,
+        Option(cols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil), query))
+    case Ins(p, cols, query) => // cols was really the head of the query
+      Some(InsertIntoPathCommand(p, Nil, s"($cols) $query"))
+    case AddCons(p, name, check) => Some(AddConstraintCommand(p, name, check))
+    case AddCol(p, c, ddl) => Some(AddColumnCommand(p, c, ddl))
     case Del(p, w)     => Some(DeleteCommand(p, w))
     case UpdHead(p, rest) =>
       val (sets, where) = topIndex(rest, "WHERE") match {
@@ -314,7 +350,7 @@ object LakeSql {
     * needed): the same command objects `spark.sql` would plan. Refuses
     * non-maintenance SQL — that belongs to `spark.sql` itself. */
   def run(spark: SparkSession, sqlText: String): DataFrame =
-    parse(sqlText) match {
+    selectOverPaths(spark, sqlText).getOrElse(parse(sqlText) match {
       case Some(cmd: LeafRunnableCommand) =>
         spark.createDataFrame(
           cmd.run(spark).asJava,
@@ -322,7 +358,137 @@ object LakeSql {
             StructField(a.name, a.dataType, a.nullable))))
       case _ => throw new IllegalArgumentException(
         s"not a lake maintenance statement: $sqlText")
+    })
+
+  // ---- SELECT over quoted lake paths -------------------------------
+
+  /** One `FROM`/`JOIN` source that is a quoted lake path, optionally
+    * time-traveled. Its temp-view name is content-addressed so repeat
+    * queries re-register (fresh snapshot) instead of piling up views. */
+  final case class PathSrc(path: String, version: Option[Long],
+      tsMillis: Option[Long]) {
+    def viewName: String = "graft_path_" +
+      (scala.util.hashing.MurmurHash3.productHash(
+        (path, version, tsMillis)) & 0x7fffffff).toHexString
+  }
+
+  private val AsOfTail =
+    """(?is)^\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)""".r
+
+  private def isQueryHead(s: String): Boolean = {
+    val h = s.trim.toUpperCase
+    h.startsWith("SELECT") || h.startsWith("WITH") ||
+      h.startsWith("VALUES") || h.startsWith("(")
+  }
+
+  /** Rewrite every `FROM|JOIN '<path>' [VERSION AS OF v | TIMESTAMP AS
+    * OF ms]` source to a stable temp-view name, using the same
+    * escape-aware quote-state scan as the DML splitter (a literal
+    * containing "from 'x'" cannot misfire). None when the statement
+    * has no path sources. */
+  private[lake] def rewritePathSources(
+      s: String): Option[(String, Seq[PathSrc])] = {
+    val out = new java.lang.StringBuilder
+    val srcs = scala.collection.mutable.ArrayBuffer[PathSrc]()
+    var i = 0; var inStr = false
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inStr) {
+        val (skip, closed) = inStrStep(s, i)
+        out.append(s, i, i + 1 + skip)
+        i += 1 + skip
+        if (closed) inStr = false
+      } else {
+        val kw = Seq("FROM", "JOIN").find(k =>
+          s.regionMatches(true, i, k, 0, k.length) &&
+            (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+            (i + k.length >= n || !isWordChar(s.charAt(i + k.length))))
+        val pathAt = kw.flatMap { k =>
+          var j = i + k.length
+          while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
+          if (j < n && s.charAt(j) == '\'') Some((k, j)) else None
+        }
+        pathAt match {
+          case Some((k, j0)) =>
+            // scan the quoted path with the same escape rules
+            var j = j0 + 1
+            val path = new java.lang.StringBuilder
+            var open = true
+            while (open && j < n) {
+              val (skip, closed) = inStrStep(s, j)
+              if (closed) open = false
+              else { path.append(s, j, j + 1 + skip); j += 1 + skip }
+            }
+            require(!open, s"unterminated path literal in: $s")
+            j += 1 // past the closing quote
+            val (ver, ts, consumed) = AsOfTail.findPrefixMatchOf(
+              s.subSequence(j, n)) match {
+              case Some(m) if m.group(1).equalsIgnoreCase("VERSION") =>
+                (Some(m.group(2).toLong), None, m.end)
+              case Some(m) =>
+                (None, Some(m.group(2).toLong), m.end)
+              case None => (None, None, 0)
+            }
+            val src = PathSrc(path.toString, ver, ts)
+            srcs += src
+            out.append(s, i, i + k.length).append(' ').append(src.viewName)
+            i = j + consumed
+          case None =>
+            if (c == '\'') inStr = true
+            out.append(c)
+            i += 1
+        }
+      }
     }
+    if (srcs.isEmpty) None else Some((out.toString, srcs.toSeq))
+  }
+
+  private def registerPathViews(spark: SparkSession,
+      srcs: Seq[PathSrc]): Unit =
+    srcs.foreach { src =>
+      val tab = new TxTable(spark, src.path)
+      val df = src.tsMillis match {
+        case Some(ts) => tab.readAsOfTimestamp(ts)
+        case None     => tab.read(asOf = src.version)
+      }
+      df.createOrReplaceTempView(src.viewName)
+    }
+
+  /** `SELECT ... FROM '<path>' [VERSION|TIMESTAMP AS OF]` (and WITH /
+    * VALUES / parenthesized forms, any mix of path and catalog
+    * sources): resolve each path through [[TxTable.read]] /
+    * [[TxTable.readAsOfTimestamp]] as a temp view and hand the
+    * rewritten statement to Spark. None when the statement is not a
+    * query or references no quoted path. */
+  def selectOverPaths(spark: SparkSession,
+      sqlText: String): Option[DataFrame] =
+    if (!isQueryHead(sqlText)) None
+    else rewritePathSources(sqlText).map { case (rw, srcs) =>
+      registerPathViews(spark, srcs)
+      spark.sql(rw)
+    }
+
+  /** The injected-parser twin of [[selectOverPaths]]: same rewrite,
+    * views registered on the ACTIVE session (the one inside whose
+    * `spark.sql` call parsing runs), plan produced by the delegate
+    * parser over the rewritten text. */
+  def selectPlan(sqlText: String,
+      delegateParse: String => LogicalPlan): Option[LogicalPlan] =
+    if (!isQueryHead(sqlText)) None
+    else rewritePathSources(sqlText).map { case (rw, srcs) =>
+      val spark = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalStateException(
+          "lake path SELECT needs an active SparkSession"))
+      registerPathViews(spark, srcs)
+      delegateParse(rw)
+    }
+
+  /** Resolve a query that may itself read quoted lake paths — what
+    * CTAS and INSERT INTO use for their source. */
+  private def dfOf(spark: SparkSession, query: String): DataFrame =
+    selectOverPaths(spark, query).getOrElse(spark.sql(query))
 
   private def attr(name: String, dt: DataType,
       nullable: Boolean = false): Attribute =
@@ -411,6 +577,66 @@ object LakeSql {
   // STRINGS and compiled with functions.expr at execution, so parsing
   // stays cheap and the expressions resolve against the table (or the
   // t/s join MergeInto builds) exactly as the API route would ----
+
+  /** `CREATE TABLE '<path>' [PARTITIONED BY (...)] AS <query>` — the
+    * query may itself read quoted lake paths (time-traveled or not). */
+  case class CreateTableAsSelectCommand(path: String,
+      partitionCols: Seq[String], query: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(new TxTable(spark, path)
+        .create(dfOf(spark, query), partitionCols = partitionCols)))
+  }
+
+  /** `INSERT INTO '<path>' [(cols)] <query|VALUES ...>` — positional
+    * alignment like SQL INSERT: an explicit column list renames the
+    * query output onto it; without one, a query whose names already
+    * match the table passes through, otherwise equal arity maps by
+    * position. Appends through [[TxTable.append]] (constraints,
+    * defaults, identity, row tracking all apply). */
+  case class InsertIntoPathCommand(path: String, cols: Seq[String],
+      query: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val tab = new TxTable(spark, path)
+      val df0 = dfOf(spark, query)
+      val target = tab.logicalSchema.fieldNames.toSeq
+      val df =
+        if (cols.nonEmpty) {
+          require(df0.columns.length == cols.length,
+            s"INSERT column list (${cols.size}) does not match query " +
+              s"output (${df0.columns.length})")
+          df0.toDF(cols: _*)
+        } else if (df0.columns.forall(target.contains)) df0
+        else {
+          require(df0.columns.length == target.length,
+            s"INSERT arity ${df0.columns.length} != table arity " +
+              s"${target.length} at $path (name-match failed too)")
+          df0.toDF(target: _*)
+        }
+      Seq(Row(tab.append(df)))
+    }
+  }
+
+  /** `ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)` — the name
+    * is accepted for Delta-syntax compatibility; enforcement keys on
+    * the expression ([[TxTable.addConstraint]]). */
+  case class AddConstraintCommand(path: String, name: String,
+      check: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(new TxTable(spark, path).addConstraint(check)))
+  }
+
+  /** `ALTER '<path>' ADD COLUMN <name> <type>` — metadata-only
+    * additive evolution ([[TxTable.addColumn]]). */
+  case class AddColumnCommand(path: String, col: String,
+      typeDdl: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(new TxTable(spark, path).addColumn(col, typeDdl)))
+  }
 
   case class DeleteCommand(path: String, where: String)
       extends LeafRunnableCommand {

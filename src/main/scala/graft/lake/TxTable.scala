@@ -36,6 +36,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   def version: Long = TxLog.latestVersion(fs, root)
 
+  /** The current LOGICAL schema, from a bounded metadata resolution —
+    * no Add entries collected (what SQL INSERT alignment needs). */
+  def logicalSchema: StructType = metaSnapshot()._1.meta.schema
+
   /** True once a transaction log exists at the root. */
   def exists: Boolean = version >= 0L
 
@@ -1558,6 +1562,32 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         return snap.version + 1
       attempt += 1
       require(attempt < maxRetries, s"addConstraint on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** ALTER ... ADD COLUMN (Delta's additive evolution as an explicit
+    * DDL commit): METADATA-ONLY — the new nullable column lands in the
+    * log through the same [[evolve]] path appends use (fresh physical
+    * name if the identity name was retired by a DROP), and existing
+    * files null-fill on read. Zero data IO at any table size. */
+  def addColumn(colName: String, typeDdl: String): Long = {
+    val dt = DataType.fromDDL(typeDdl)
+    var attempt = 0
+    while (true) {
+      val snap = metaSnapshot()._1
+      gateWriter(snap.meta)
+      require(!snap.meta.schema.fieldNames.contains(colName),
+        s"column $colName already exists on $root")
+      val meta = evolve(snap.meta, StructType(snap.meta.schema.fields :+
+        StructField(colName, dt, nullable = true)))
+      val entries = Seq(LogEntry(meta = Some(meta)),
+        LogEntry(info = Some(Info("ADD_COLUMN", snap.version))))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"addColumn on $root lost $maxRetries races")
     }
     sys.error("unreachable")
   }

@@ -1343,6 +1343,102 @@ object LakeQueries {
            |SELECT * FROM kept UNION ALL SELECT * FROM ins
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** SQL READ surface ([[graft.lake.LakeSql.selectOverPaths]] — the
+    * statement a Delta migrant runs first): a two-commit history is
+    * read ENTIRELY in SQL, the head path LEFT-joined against its own
+    * `VERSION AS OF 0` slice to flag which rows existed at v0. In-query
+    * REQUIREs pin that `TIMESTAMP AS OF` (in-commit stamps, binary
+    * searched) resolves the same v0 slice. Oracle = orders with the
+    * even-key provenance flag — a path source resolving the wrong
+    * version flips flags or row counts.
+    */
+  val extLakeSqlSelect = Q(
+    "ext_lake_sql_select",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val root = scratch("lake_sqlsel", dir)
+      val tab = new TxTable(s, root)
+      tab.create(orders.where($"o_orderkey" % 2 === 0).repartition(2)) // v0
+      tab.append(orders.where($"o_orderkey" % 2 === 1).repartition(2)) // v1
+      val ts0 = tab.commitTimestamp(0L).get
+      val v0Count = graft.lake.LakeSql.run(s,
+        s"SELECT COUNT(*) AS c FROM '$root' VERSION AS OF 0")
+        .as[Long].head()
+      val ts0Count = graft.lake.LakeSql.run(s,
+        s"SELECT COUNT(*) AS c FROM '$root' TIMESTAMP AS OF $ts0")
+        .as[Long].head()
+      require(v0Count > 0 && v0Count == ts0Count,
+        s"TIMESTAMP AS OF $ts0 must resolve the v0 slice " +
+          s"($v0Count rows), got $ts0Count")
+      graft.lake.LakeSql.run(s,
+        s"""SELECT h.o_orderkey, h.o_custkey, h.o_totalprice,
+           |       v.o_orderkey IS NOT NULL AS in_v0
+           |FROM '$root' h LEFT JOIN '$root' VERSION AS OF 0 v
+           |  ON h.o_orderkey = v.o_orderkey
+           |ORDER BY h.o_orderkey""".stripMargin.replace('\n', ' '))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+           |       (o_orderkey % 2 = 0) AS in_v0
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** SQL DDL surface: CREATE TABLE AS SELECT → INSERT INTO (named
+    * query and positional VALUES) → ALTER ADD COLUMN (metadata-only
+    * evolution) → ALTER ADD CONSTRAINT, administered ENTIRELY in SQL —
+    * the full ledger pinned via history, a CHECK-violating INSERT
+    * REQUIREd to refuse, the final state read back through the SQL
+    * path-SELECT. Oracle = orders plus the one manual row, note
+    * null-filled on pre-evolution rows.
+    */
+  val extLakeSqlDdl = Q(
+    "ext_lake_sql_ddl",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      orders.createOrReplaceTempView("lake_ddl_src")
+      val root = scratch("lake_sqlddl", dir)
+      def runV(sql: String): Long =
+        graft.lake.LakeSql.run(s, sql).as[Long].head()
+      val v0 = runV(s"CREATE TABLE '$root' AS SELECT o_orderkey, " +
+        "o_custkey, o_totalprice FROM lake_ddl_src WHERE o_orderkey % 2 = 0")
+      require(v0 == 0L, s"CTAS must commit v0, got $v0")
+      val v1 = runV(s"INSERT INTO '$root' SELECT o_orderkey, o_custkey, " +
+        "o_totalprice FROM lake_ddl_src WHERE o_orderkey % 2 = 1")
+      require(v1 == 1L, s"INSERT must commit v1, got $v1")
+      val v2 = runV(s"ALTER '$root' ADD COLUMN note string")
+      require(v2 == 2L, s"ADD COLUMN must commit v2, got $v2")
+      val v3 = runV(s"INSERT INTO '$root' VALUES " +
+        "(CAST(30000001 AS BIGINT), CAST(-5 AS BIGINT), " +
+        "CAST(42.5 AS DOUBLE), 'manual')")
+      require(v3 == 3L, s"INSERT VALUES must commit v3, got $v3")
+      val v4 = runV(s"ALTER '$root' ADD CONSTRAINT price_pos " +
+        "CHECK (o_totalprice >= 0)")
+      require(v4 == 4L, s"ADD CONSTRAINT must commit v4, got $v4")
+      val refused =
+        try {
+          runV(s"INSERT INTO '$root' VALUES " +
+            "(CAST(30000002 AS BIGINT), CAST(-6 AS BIGINT), " +
+            "CAST(-1.0 AS DOUBLE), 'bad')")
+          false
+        } catch { case _: Exception => true }
+      require(refused, "a CHECK-violating INSERT must refuse")
+      val ops = new TxTable(s, root).history().orderBy($"version")
+        .select($"op").as[String].collect().toSeq
+      require(ops == Seq("CREATE", "APPEND", "ADD_COLUMN", "APPEND",
+        "ADD_CONSTRAINT"), s"SQL DDL ledger mismatch: $ops")
+      graft.lake.LakeSql.run(s, s"SELECT o_orderkey, o_custkey, " +
+        s"o_totalprice, note FROM '$root' ORDER BY o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+           |       CAST(NULL AS VARCHAR) AS note
+           |FROM orders
+           |UNION ALL
+           |SELECT CAST(30000001 AS BIGINT), CAST(-5 AS BIGINT),
+           |       CAST(42.5 AS DOUBLE), 'manual'
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** REORG APPLY (PURGE) (Delta's REORG TABLE): a merge-on-read delete
     * leaves deletion vectors shadowing rows in place; the SQL PURGE
     * pass materializes them — in-query REQUIREs pin that afterwards NO
@@ -2244,6 +2340,7 @@ object LakeQueries {
     extLakeIvmMinMax, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeTypeWidening, extLakeSqlMaintenance, extLakeSqlDml,
+    extLakeSqlSelect, extLakeSqlDdl,
     extLakeReorgPurge, extLakeChecksum, extLakeConvert,
     extLakeCloneDeep,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,

@@ -203,6 +203,66 @@ class LakeSqlSpec extends SparkSpec {
     assert(tab.read().agg(max($"id")).as[Long].head() <= 110L)
   }
 
+  test("SELECT over quoted paths: time travel by version and timestamp, " +
+      "self-join of two slices, literals never misfire the scanner") {
+    val root = freshRoot("sel")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(0L, 50L).toDF("id"))
+    tab.append(spark.range(50L, 80L).toDF("id"))
+    assert(LakeSql.run(spark,
+      s"SELECT COUNT(*) AS c FROM '$root'").as[Long].head() === 80L)
+    assert(LakeSql.run(spark,
+      s"SELECT COUNT(*) AS c FROM '$root' VERSION AS OF 0")
+      .as[Long].head() === 50L)
+    val ts = tab.commitTimestamp(0L).get
+    assert(LakeSql.run(spark,
+      s"SELECT COUNT(*) AS c FROM '$root' TIMESTAMP AS OF $ts")
+      .as[Long].head() === 50L)
+    // head slice joined to the v0 slice; a string literal containing
+    // "from 'x'" must not derail the path scan
+    assert(LakeSql.run(spark,
+      s"SELECT COUNT(*) AS c FROM '$root' h JOIN '$root' VERSION AS OF 0 v " +
+        "ON h.id = v.id WHERE 'from ''q''' <> ''").as[Long].head() === 50L)
+    // a non-query or path-free statement is not claimed
+    assert(LakeSql.selectOverPaths(spark, "SELECT 1 + 1").isEmpty)
+    intercept[IllegalArgumentException](
+      LakeSql.run(spark, "EXPLAIN SELECT 1"))
+  }
+
+  test("SQL DDL: CTAS, INSERT INTO (named + positional VALUES), " +
+      "ADD COLUMN, ADD CONSTRAINT") {
+    val root = freshRoot("ddl")
+    spark.range(0L, 40L).toDF("id").createOrReplaceTempView("ddl_src40")
+    assert(LakeSql.run(spark,
+      s"CREATE TABLE '$root' AS SELECT id FROM ddl_src40 WHERE id < 30")
+      .as[Long].head() === 0L)
+    assert(LakeSql.run(spark,
+      s"INSERT INTO '$root' SELECT id FROM ddl_src40 WHERE id >= 30")
+      .as[Long].head() === 1L)
+    assert(LakeSql.run(spark,
+      s"ALTER '$root' ADD COLUMN tag string").as[Long].head() === 2L)
+    assert(LakeSql.run(spark,
+      s"INSERT INTO '$root' VALUES (CAST(100 AS BIGINT), 'x')")
+      .as[Long].head() === 3L)
+    assert(LakeSql.run(spark,
+      s"ALTER '$root' ADD CONSTRAINT small CHECK (id <= 100)")
+      .as[Long].head() === 4L)
+    intercept[Exception](LakeSql.run(spark,
+      s"INSERT INTO '$root' VALUES (CAST(999 AS BIGINT), 'bad')"))
+    val tab = new TxTable(spark, root)
+    assert(tab.read().count() === 41L)
+    assert(tab.read().where($"tag" === "x").select("id").as[Long]
+      .collect().toSeq === Seq(100L))
+    assert(tab.read().where($"id" < 100).select("tag").distinct()
+      .collect().map(_.getString(0)).toSeq === Seq(null))
+    // explicit column list maps by name order given
+    assert(LakeSql.run(spark,
+      s"INSERT INTO '$root' (tag, id) VALUES ('y', CAST(99 AS BIGINT))")
+      .as[Long].head() === 5L)
+    assert(tab.read().where($"tag" === "y").select("id").as[Long]
+      .collect().toSeq === Seq(99L))
+  }
+
   test("spark.sql drives the same statements through the injected " +
       "parser; non-maintenance SQL delegates verbatim") {
     val root = freshRoot("inj")
@@ -231,6 +291,11 @@ class LakeSqlSpec extends SparkSpec {
       assert(ops === Seq("CREATE", "APPEND", "OPTIMIZE"))
       // delegation: ordinary SQL still parses and runs
       assert(s2.sql("SELECT 1 + 1").collect().head.getInt(0) === 2)
+      // the SELECT-over-path surface rides the injected parser too
+      assert(s2.sql(s"SELECT COUNT(*) AS c FROM '$root' VERSION AS OF 0")
+        .collect().head.getLong(0) === 60L)
+      assert(s2.sql(s"SELECT MAX(id) AS m FROM '$root'")
+        .collect().head.getLong(0) === 119L)
       // and the injected native functions resolve by name
       assert(s2.sql("SELECT poly_hash('a', 31, 7)").collect().nonEmpty)
     } finally {
