@@ -195,7 +195,12 @@ object TxStreamSource {
 
 /** `spark.readStream.format("graft.lake.TxLogStreamProvider")
   * .option("path", tableRoot).load()`. Options: `startingVersion`
-  * (default 0 — the CREATE commit's rows included), `ignoreChanges`
+  * (default 0 — the CREATE commit's rows included),
+  * `startingTimestamp` (wall-clock millis, mutually exclusive with
+  * `startingVersion` — resolves to the first commit stamped at or
+  * after the instant via [[TxTable.versionAtOrAfterTimestamp]];
+  * refuses a future instant or one behind the retention horizon),
+  * `ignoreChanges`
   * (default false), `readChangeFeed` (default false — stream the
   * change feed instead of appended rows; mutating commits stream their
   * delete/insert pairs instead of refusing), `maxVersionsPerTrigger`
@@ -231,8 +236,21 @@ class TxLogStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new TxStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      startingVersion = parameters.get("startingVersion")
-        .map(_.toLong).getOrElse(0L),
+      startingVersion =
+        (parameters.get("startingVersion"),
+          parameters.get("startingTimestamp")) match {
+          case (Some(_), Some(_)) => sys.error(
+            "txlog-stream: set either startingVersion or " +
+              "startingTimestamp, not both")
+          case (Some(v), None) => v.toLong
+          case (None, Some(ts)) =>
+            // wall-clock start (Delta's startingTimestamp): the first
+            // commit stamped at or after the instant, resolved ONCE at
+            // source creation by the in-commit-timestamp binary search
+            new TxTable(sqlContext.sparkSession, pathOf(parameters))
+              .versionAtOrAfterTimestamp(ts.toLong)
+          case (None, None) => 0L
+        },
       ignoreChanges = parameters.get("ignoreChanges")
         .exists(_.toBoolean),
       readChangeFeed = parameters.get("readChangeFeed")

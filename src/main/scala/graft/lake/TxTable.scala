@@ -2547,6 +2547,39 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def readAsOfTimestamp(tsMillis: Long): DataFrame =
     read(asOf = Some(versionAtTimestamp(tsMillis)))
 
+  /** First commit whose in-commit stamp is AT OR AFTER `tsMillis` —
+    * what a stream's `startingTimestamp` means: the returned version's
+    * rows happened after the instant (Delta's startingTimestamp rule).
+    * Binary search over the same monotonic stamps as
+    * [[versionAtTimestamp]]. Refuses an instant PAST the newest
+    * commit's stamp (Delta refuses too — "future start" would silently
+    * deliver nothing), and an instant at or before a log-cleaned
+    * table's retention floor (the true start is unresolvable; on a
+    * full log an instant before v0 simply starts at 0). */
+  def versionAtOrAfterTimestamp(tsMillis: Long): Long = {
+    val latest = version
+    require(latest >= 0, s"no transaction log at $root")
+    def tsOf(v: Long): Long =
+      TxLog.commitInfoFast(fs, root, v).flatMap(_.tsMillis)
+        .getOrElse(Long.MinValue)
+    require(tsOf(latest) >= tsMillis,
+      s"startingTimestamp $tsMillis is after the newest commit of " +
+        s"$root (v$latest at ${tsOf(latest)}) — nothing to start from")
+    val earliest = TxLog.earliestVersion(fs, root)
+    if (earliest > 0 && tsOf(earliest) >= tsMillis)
+      throw new IllegalArgumentException(
+        s"startingTimestamp $tsMillis reaches behind the retention " +
+          s"horizon of $root: commits before v$earliest were " +
+          s"log-cleaned (earliest retained instant ${tsOf(earliest)})")
+    var lo = earliest
+    var hi = latest
+    while (lo < hi) { // invariant: tsOf(hi) >= tsMillis
+      val mid = lo + (hi - lo) / 2
+      if (tsOf(mid) >= tsMillis) hi = mid else lo = mid + 1
+    }
+    hi
+  }
+
   /** The in-commit timestamp of one version, if stamped. */
   def commitTimestamp(v: Long): Option[Long] =
     TxLog.commitInfoFast(fs, root, v).flatMap(_.tsMillis)

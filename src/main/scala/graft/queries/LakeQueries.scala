@@ -1048,6 +1048,98 @@ object LakeQueries {
            |FROM upd3
            |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin))
 
+  /** Change feed by WALL-CLOCK range
+    * ([[graft.lake.TxTable.readChangesBetweenTimestamps]] — Delta's
+    * table_changes with timestamps, resolved through in-commit stamps):
+    * the scripted create→append→delete→update history is sliced by the
+    * commits' OWN stamps — `[ts1, ts2]` must emit exactly the v1
+    * inserts and v2 deletes (the v3 update pairs excluded), which the
+    * oracle reconstructs relationally. In-query REQUIREs pin the
+    * head-only slice `[ts3, ts3]` to exactly the update pairs and that
+    * an instant range holding no commit refuses loudly.
+    */
+  val extLakeCdfByTimestamp = Q(
+    "ext_lake_cdf_by_timestamp",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val tab = new TxTable(s, scratch("lake_cdfts", dir))
+      tab.create(orders.where($"o_orderkey" % 2 === 0)
+        .repartitionByRange(4, $"o_orderkey"), enableChangeDataFeed = true)
+      tab.append(orders.where($"o_orderkey" % 2 === 1))             // v1
+      tab.deleteWhere($"o_totalprice" < 100000.0)                   // v2
+      tab.update($"o_totalprice" > 300000.0,
+        Map("o_custkey" -> lit(-1L)))                               // v3
+      val ts1 = tab.commitTimestamp(1L).get
+      val ts2 = tab.commitTimestamp(2L).get
+      val ts3 = tab.commitTimestamp(3L).get
+      val headTypes = tab.readChangesBetweenTimestamps(ts3, ts3)
+        .select($"_change_type").distinct().as[String].collect().toSet
+      require(headTypes == Set("update_preimage", "update_postimage"),
+        s"[ts3, ts3] must hold exactly the update pairs, got $headTypes")
+      val emptyRefused =
+        try { tab.readChangesBetweenTimestamps(ts3 + 1000L, ts3 + 2000L)
+              false }
+        catch { case _: IllegalArgumentException => true }
+      require(emptyRefused,
+        "an instant range holding no commit must refuse")
+      tab.readChangesBetweenTimestamps(ts1, ts2)
+        .orderBy($"_commit_version", $"_change_type", $"o_orderkey")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+           |         o_totalprice
+           |  FROM orders),
+           |del2 AS (SELECT * FROM base WHERE o_totalprice < 100000)
+           |SELECT o_orderkey, o_custkey, o_totalprice,
+           |       'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+           |FROM base WHERE o_orderkey % 2 = 1
+           |UNION ALL
+           |SELECT o_orderkey, o_custkey, o_totalprice, 'delete', 2 FROM del2
+           |ORDER BY _commit_version, _change_type, o_orderkey""".stripMargin))
+
+  /** `startingTimestamp` on the streaming source
+    * ([[graft.lake.TxStreamSource]] — Delta's wall-clock stream start):
+    * a four-commit backlog is streamed from v1's in-commit stamp, so
+    * the sink must hold EXACTLY the three appends — v0's rows predate
+    * the instant and never stream. In-query REQUIRE pins that a future
+    * instant refuses loudly instead of silently idling
+    * ([[graft.lake.TxTable.versionAtOrAfterTimestamp]]).
+    */
+  val extStreamLakeStartingTs = Q(
+    "ext_stream_lake_starting_ts",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val root = scratch("lake_sts", dir)
+      val tab = new TxTable(s, root)
+      tab.create(orders.where($"o_orderkey" % 4 === 0))             // v0
+      tab.append(orders.where($"o_orderkey" % 4 === 1))             // v1
+      tab.append(orders.where($"o_orderkey" % 4 === 2))             // v2
+      tab.append(orders.where($"o_orderkey" % 4 === 3))             // v3
+      val refused =
+        try { tab.versionAtOrAfterTimestamp(
+                tab.commitTimestamp(3L).get + 3600L * 1000)
+              false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "a future startingTimestamp must refuse")
+      val name = "stream_lake_sts_" + math.abs(dir.hashCode).toString
+      val q = s.readStream.format("graft.lake.TxLogStreamProvider")
+        .option("path", root)
+        .option("startingTimestamp",
+          tab.commitTimestamp(1L).get.toString).load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM orders WHERE o_orderkey % 4 <> 0
+           |ORDER BY o_orderkey""".stripMargin))
+
   // ---- 16. merge-on-read deletion vectors ----
 
   /** [[graft.lake.TxTable.deleteWhereMergeOnRead]] (Delta's deletion
@@ -2336,6 +2428,7 @@ object LakeQueries {
            |ORDER BY dim, l_orderkey, l_partkey, l_linenumber""".stripMargin))
 
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
+    extLakeCdfByTimestamp, extStreamLakeStartingTs,
     extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg,
     extLakeIvmMinMax, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,

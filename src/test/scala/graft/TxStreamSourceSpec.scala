@@ -223,6 +223,53 @@ class TxStreamSourceSpec extends SparkSpec {
     assert(got.count(_ >= 100L) === 6)
   }
 
+  test("startingTimestamp resolves the first commit at or after the " +
+      "instant; future and behind-horizon instants refuse") {
+    val root = freshRoot("ts")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(5))                       // v0
+    tab.append(docs(5, from = 100L))          // v1
+    tab.append(docs(5, from = 200L))          // v2
+    val ts1 = tab.commitTimestamp(1L).get
+    val q = spark.readStream.format("graft.lake.TxLogStreamProvider")
+      .option("path", root)
+      .option("startingTimestamp", ts1.toString).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txsrc_ts").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("txsrc_ts").select($"id").as[Long]
+        .collect().sorted
+      // v0's rows predate the instant and must not stream
+      assert(got.length === 10)
+      assert(got.forall(_ >= 100L))
+    } finally q.stop()
+    // pre-v0 instant on a FULL log starts at 0 (nothing cleaned)
+    assert(tab.versionAtOrAfterTimestamp(
+      tab.commitTimestamp(0L).get - 10000L) === 0L)
+    // a FUTURE instant refuses loudly instead of silently idling
+    intercept[IllegalArgumentException](
+      tab.versionAtOrAfterTimestamp(
+        tab.commitTimestamp(2L).get + 3600L * 1000))
+    // both start options at once refuse
+    val both = intercept[Exception] {
+      spark.readStream.format("graft.lake.TxLogStreamProvider")
+        .option("path", root)
+        .option("startingVersion", "1")
+        .option("startingTimestamp", ts1.toString).load()
+        .writeStream.format("memory").queryName("txsrc_ts_both").start()
+        .processAllAvailable()
+    }
+    assert(both.toString.contains("not both") ||
+      Option(both.getCause).exists(_.toString.contains("not both")))
+    // behind-horizon: clean the log past v0, then ask for its instant
+    (1 to 10).foreach(i => tab.append(docs(1, from = 1000L + i)))
+    tab.vacuumLog(keepVersions = 2)
+    val horizon = intercept[IllegalArgumentException](
+      tab.versionAtOrAfterTimestamp(ts1 - 1L))
+    assert(horizon.getMessage.contains("retention horizon"))
+  }
+
   test("lost-race orphan data files are invisible to the stream") {
     val root = freshRoot("orph")
     val tab = new TxTable(spark, root)
