@@ -319,6 +319,82 @@ class TxLogStoreSpec extends SparkSpec {
       .endsWith(".lock")), "markers are claim state and must survive")
   }
 
+  test("vacuum during a crashed-winner recovery window: the retention " +
+      "age guard shields the completing commit's staged files; the " +
+      "opt-out demonstrably does not") {
+    import org.apache.spark.sql.functions._
+    import graft.lake.TxTable
+    import spark.implicits._
+    def docs(n: Int, from: Long = 0L) =
+      spark.range(from, from + n).select($"id",
+        concat(lit("doc-"), $"id").as("text"))
+    val coordDir = new Path(Files.createTempDirectory("coord_vac").toString)
+    val coordFs = coordDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    class CrashingClaim extends LogStore.CoordinatedClaim(
+        coordFs, coordDir, recoveryGraceMs = 0L) {
+      override protected def publish(fs: org.apache.hadoop.fs.FileSystem,
+          tmp: Path, dst: Path): Boolean =
+        throw new RuntimeException("simulated crash: marker won, PUT never ran")
+    }
+    // build the crash window on a REAL table: v1's payload staged (data
+    // files on disk, commit json recorded in the marker) but the
+    // version claim unpublished
+    def crashWindow(tag: String): (TxTable, org.apache.hadoop.fs.FileSystem,
+        Path, Path) = {
+      val rootStr = Files.createTempDirectory(s"vacrec_$tag")
+        .resolve("tbl").toString
+      val tab = new TxTable(spark, rootStr)
+      tab.create(docs(20))                 // v0
+      tab.append(docs(10, from = 100L))    // v1 (to be "crashed")
+      val root = new Path(rootStr)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val commit1 = new Path(root, f"_txlog/${1L}%020d.json")
+      val staged = new Path(root, "_txlog/.recovery_staged_tmp")
+      org.apache.hadoop.fs.FileUtil.copy(fs, commit1, fs, staged,
+        false, true, fs.getConf)
+      fs.delete(commit1, false)
+      // the crashing winner claims the marker for v1 and dies pre-PUT
+      intercept[RuntimeException](
+        new CrashingClaim().claim(fs, staged, commit1))
+      assert(!fs.exists(commit1), "crash window: v1 unpublished")
+      assert(TxLog.latestVersion(fs, root) === 0L)
+      (tab, fs, root, commit1)
+    }
+    def recover(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+        commit1: Path): Unit = {
+      val healthy = new LogStore.CoordinatedClaim(coordFs, coordDir, 0L)
+      val tmpL = new Path(root, "_txlog/.loser_tmp")
+      val out = fs.create(tmpL, true)
+      try out.write("loser".getBytes("UTF-8")) finally out.close()
+      assert(!healthy.claim(fs, tmpL, commit1),
+        "the recoverer completes, never wins")
+      assert(fs.exists(commit1), "recovery must publish the crashed commit")
+    }
+
+    // 1) GUARDED vacuum mid-window: v1's staged data files are
+    //    unreferenced by any resolvable snapshot, but YOUNG — the
+    //    default age floor keeps them; recovery then lands a fully
+    //    intact commit
+    val (tabA, fsA, rootA, commit1A) = crashWindow("guarded")
+    assert(tabA.vacuum(keepVersions = 5).isEmpty,
+      "the age guard must shield the in-flight commit's staged files")
+    recover(fsA, rootA, commit1A)
+    assert(tabA.version === 1L)
+    assert(tabA.verifyChecksum(),
+      "post-recovery table must verify against its stored checksum")
+    assert(tabA.read().count() === 30L)
+
+    // 2) the OPT-OUT mid-window reclaims those same staged files — the
+    //    exact corruption the floor exists to prevent: recovery then
+    //    lands a commit referencing missing data
+    val (tabB, fsB, rootB, commit1B) = crashWindow("optout")
+    assert(tabB.vacuum(keepVersions = 5, minAgeMs = 0L).nonEmpty,
+      "opt-out vacuum sees the staged files as unreferenced garbage")
+    recover(fsB, rootB, commit1B)
+    intercept[Exception] { tabB.read().count() } // data files are gone
+  }
+
   test("explicit single-writer acknowledgment unlocks plain rename commits") {
     val fs = mockFs(LogStore.unsafeSingleWriterKey -> "true")
     val root = freshRoot("single")
