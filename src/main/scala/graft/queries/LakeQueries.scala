@@ -1247,16 +1247,25 @@ object LakeQueries {
       tab.deleteWhere($"o_totalprice" < 150000.0)
       // the retention guard (Delta's retentionDurationCheck): instant
       // reclaim must REFUSE until explicitly opted out — the age floor
-      // is what shields files staged by in-flight commits
+      // is what shields files staged by in-flight commits. The check
+      // conf is pinned on/off around each phase and restored exactly
+      // (a hosting session may run with its own setting).
+      val ckKey = graft.lake.TxLog.retentionDurationCheckKey
+      val prevCk = s.conf.getOption(ckKey)
+      def restoreCk(): Unit = prevCk match {
+        case Some(v) => s.conf.set(ckKey, v)
+        case None    => s.conf.unset(ckKey)
+      }
       val guarded =
-        try { tab.vacuum(keepVersions = 1, minAgeMs = 0L); false }
+        try { s.conf.set(ckKey, "true")
+              tab.vacuum(keepVersions = 1, minAgeMs = 0L); false }
         catch { case _: IllegalArgumentException => true }
       require(guarded, "sub-floor minAgeMs must refuse without the opt-out")
       val removed =
         try {
-          s.conf.set(graft.lake.TxLog.retentionDurationCheckKey, "false")
+          s.conf.set(ckKey, "false")
           tab.vacuum(keepVersions = 1, minAgeMs = 0L)
-        } finally s.conf.unset(graft.lake.TxLog.retentionDurationCheckKey)
+        } finally restoreCk()
       require(removed.nonEmpty, "vacuum must reclaim the rewritten v0 files")
       val refused =
         try { tab.read(asOf = Some(0L)).count(); false }
@@ -1328,9 +1337,17 @@ object LakeQueries {
         .run(s, s"RESTORE '$root' TO VERSION AS OF 1").as[Long].head()
       require(vRest == 4L, s"SQL RESTORE must commit v4, got $vRest")
       // RETAIN 0 HOURS under the retention guard must refuse; with the
-      // explicit opt-out it reclaims instantly (the query owns the table)
+      // explicit opt-out it reclaims instantly (the query owns the
+      // table). Check conf pinned per phase and restored exactly.
+      val ckKey = graft.lake.TxLog.retentionDurationCheckKey
+      val prevCk = s.conf.getOption(ckKey)
+      def restoreCk(): Unit = prevCk match {
+        case Some(v) => s.conf.set(ckKey, v)
+        case None    => s.conf.unset(ckKey)
+      }
       val sqlGuarded =
         try {
+          s.conf.set(ckKey, "true")
           graft.lake.LakeSql.run(s,
             s"VACUUM '$root' RETAIN 1 VERSIONS RETAIN 0 HOURS")
           false
@@ -1339,11 +1356,11 @@ object LakeQueries {
         "SQL VACUUM RETAIN 0 HOURS must refuse without the opt-out")
       val removed =
         try {
-          s.conf.set(graft.lake.TxLog.retentionDurationCheckKey, "false")
+          s.conf.set(ckKey, "false")
           graft.lake.LakeSql.run(s,
             s"VACUUM '$root' RETAIN 1 VERSIONS RETAIN 0 HOURS")
             .as[String].collect()
-        } finally s.conf.unset(graft.lake.TxLog.retentionDurationCheckKey)
+        } finally restoreCk()
       require(removed.nonEmpty,
         "SQL VACUUM must reclaim the delete/optimize era's files")
       tab.read().orderBy($"o_orderkey")
