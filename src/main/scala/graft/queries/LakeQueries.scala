@@ -1160,7 +1160,13 @@ object LakeQueries {
       val tab = new TxTable(s, scratch("lake_dv", dir))
       tab.create(orders.repartitionByRange(8, $"o_orderkey"))
       val before = tab.read().inputFiles.toSet
-      tab.deleteWhereMergeOnRead($"o_orderkey" % 97L === 0L)
+      // the per-file position cap is a DENSITY knob, so pin the
+      // vectors-only semantics with an explicit row-proportional cap —
+      // at 100× data the same 1/97 predicate is ~100× positions per
+      // file, and the DEFAULT cap's CoW fallback (its own REQUIRE
+      // below) would otherwise fire here
+      tab.deleteWhereMergeOnRead($"o_orderkey" % 97L === 0L,
+        maxPositionsPerFile = Int.MaxValue)
       require(tab.read().inputFiles.toSet == before,
         "a sparse merge-on-read delete must not rewrite any data file")
       tab.deleteWhereMergeOnRead($"o_totalprice" > 450000.0,
@@ -2408,13 +2414,23 @@ object LakeQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val snap = graft.lake.TxLog.snapshot(fs,
         new org.apache.hadoop.fs.Path(scratch("lake_cluster", dir)))
-      // ZCube merging: the create pass's cube is UNDERSIZED at this
-      // scale, so the maintenance pass coalesces it with the unstamped
-      // append into ONE cube — small passes must not accrete tiny cubes
-      val cubeCount = snap.adds.flatMap(_.zcube).distinct.size
-      require(cubeCount == 1 && snap.adds.forall(_.zcube.isDefined),
-        s"undersized cubes must merge into one, got $cubeCount cubes " +
-          s"over ${snap.adds.size} files")
+      // ZCube merging, pinned SCALE-INVARIANTLY: after OPTIMIZE every
+      // live file is cube-stamped and AT MOST ONE undersized cube may
+      // remain (the merge invariant — small passes must not accrete
+      // tiny cubes). At gate scales the create-era cube is undersized,
+      // so that collapses to exactly ONE cube; at 10×+ scales both
+      // eras exceed minCubeRows and correctly stay separate cubes.
+      require(snap.adds.forall(_.zcube.isDefined),
+        "every live file must be cube-stamped after OPTIMIZE")
+      val cubeRows = snap.adds.groupBy(_.zcube.get)
+        .map { case (_, as) => as.map(_.rows).sum }
+      require(cubeRows.count(_ < graft.ScaleConfig.minCubeRows) <= 1,
+        s"small cubes accreted: ${cubeRows.toSeq.sorted} vs " +
+          s"minCubeRows ${graft.ScaleConfig.minCubeRows}")
+      if (snap.adds.map(_.rows).sum < graft.ScaleConfig.minCubeRows)
+        require(cubeRows.size == 1,
+          s"undersized cubes must merge into one, got ${cubeRows.size} " +
+            s"cubes over ${snap.adds.size} files")
       val r = li.agg(min($"l_orderkey"), max($"l_orderkey"),
         min($"l_partkey"), max($"l_partkey")).as[(Long, Long, Long, Long)]
         .head()
