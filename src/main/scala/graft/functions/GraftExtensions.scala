@@ -14,6 +14,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     graft.lake.LakeSql.parse(sqlText)
       .orElse(graft.lake.LakeSql.selectPlan(sqlText, delegate.parsePlan))
+      .orElse(graft.lake.LakeSql.detailPlan(sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
   override def parseExpression(s: String) = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String) =

@@ -24,7 +24,11 @@ import org.apache.spark.sql.types._
   *     ([[TxLog.cleanLog]]; default 10)
   *   - `DESCRIBE HISTORY '<path>'` — the commit ledger with operation
   *     metrics
-  *   - `RESTORE '<path>' TO VERSION AS OF <v>` — rewind as a new commit
+  *   - `DESCRIBE DETAIL '<path>' [VERSION AS OF <v>]` — table detail
+  *     ([[TxTable.detail]])
+  *   - `RESTORE '<path>' TO VERSION AS OF <v> | TO TIMESTAMP AS OF
+  *     <ms>` — rewind as a new commit (wall-clock form via in-commit
+  *     stamps)
   *   - `REORG [TABLE] '<path>' APPLY (PURGE)` — materialize deletion
   *     vectors ([[TxTable.reorgPurge]])
   *   - `CONVERT '<path>' [PARTITIONED BY (a, b)]` — adopt a plain
@@ -52,6 +56,10 @@ import org.apache.spark.sql.types._
   *     path and catalog sources) — each path source resolves through
   *     [[TxTable.read]]/[[TxTable.readAsOfTimestamp]] as a temp view
   *     and Spark plans the rewritten statement
+  *   - `SELECT ... FROM TABLE_CHANGES('<path>', <from>, <to>)` —
+  *     Delta's CDF table-valued function: the source is a
+  *     [[TxTable.readChanges]] slice (`_change_type` /
+  *     `_commit_version` tagged)
   *   - `CREATE TABLE '<path>' [PARTITIONED BY (...)] AS <query>`
   *   - `INSERT INTO '<path>' [(cols)] <query|VALUES ...>`
   *   - `ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)`
@@ -78,7 +86,7 @@ object LakeSql {
     """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val Hist = """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
   private val Rest =
-    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+(\d+))\s*""".r
   private val Reorg =
     """(?is)\s*REORG\s+(?:TABLE\s+)?'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val Convert =
@@ -115,7 +123,8 @@ object LakeSql {
           .getOrElse(graft.lake.TxLog.vacuumDefaultMinAgeMs),
         dryRun = dry != null))
     case Hist(p)       => Some(HistoryCommand(p))
-    case Rest(p, v)    => Some(RestoreCommand(p, v.toLong))
+    case Rest(p, v, ts) => Some(RestoreCommand(p,
+      Option(v).map(_.toLong), Option(ts).map(_.toLong)))
     case Reorg(p)      => Some(ReorgPurgeCommand(p))
     case Convert(p, cols) => Some(ConvertCommand(p,
       Option(cols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -350,7 +359,9 @@ object LakeSql {
     * needed): the same command objects `spark.sql` would plan. Refuses
     * non-maintenance SQL — that belongs to `spark.sql` itself. */
   def run(spark: SparkSession, sqlText: String): DataFrame =
-    selectOverPaths(spark, sqlText).getOrElse(parse(sqlText) match {
+    selectOverPaths(spark, sqlText)
+      .orElse(detailOverPath(spark, sqlText))
+      .getOrElse(parse(sqlText) match {
       case Some(cmd: LeafRunnableCommand) =>
         spark.createDataFrame(
           cmd.run(spark).asJava,
@@ -363,17 +374,21 @@ object LakeSql {
   // ---- SELECT over quoted lake paths -------------------------------
 
   /** One `FROM`/`JOIN` source that is a quoted lake path, optionally
-    * time-traveled. Its temp-view name is content-addressed so repeat
-    * queries re-register (fresh snapshot) instead of piling up views. */
+    * time-traveled — or a `TABLE_CHANGES('<path>', from, to)` change
+    * feed slice (Delta's CDF table-valued function). Its temp-view
+    * name is content-addressed so repeat queries re-register (fresh
+    * snapshot) instead of piling up views. */
   final case class PathSrc(path: String, version: Option[Long],
-      tsMillis: Option[Long]) {
+      tsMillis: Option[Long], changes: Option[(Long, Long)] = None) {
     def viewName: String = "graft_path_" +
       (scala.util.hashing.MurmurHash3.productHash(
-        (path, version, tsMillis)) & 0x7fffffff).toHexString
+        (path, version, tsMillis, changes)) & 0x7fffffff).toHexString
   }
 
   private val AsOfTail =
     """(?is)^\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)""".r
+  private val TvfHead =
+    """(?is)^TABLE_CHANGES\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
   private def isQueryHead(s: String): Boolean = {
     val h = s.trim.toUpperCase
@@ -404,11 +419,27 @@ object LakeSql {
           s.regionMatches(true, i, k, 0, k.length) &&
             (i == 0 || !isWordChar(s.charAt(i - 1))) &&
             (i + k.length >= n || !isWordChar(s.charAt(i + k.length))))
-        val pathAt = kw.flatMap { k =>
+        // after FROM/JOIN: a quoted path, or the TABLE_CHANGES TVF
+        val afterKw = kw.map { k =>
           var j = i + k.length
           while (j < n && Character.isWhitespace(s.charAt(j))) j += 1
-          if (j < n && s.charAt(j) == '\'') Some((k, j)) else None
+          (k, j)
         }
+        val tvfAt = afterKw.flatMap { case (k, j) =>
+          TvfHead.findPrefixMatchOf(s.subSequence(j, n))
+            .map(m => (k, j, m))
+        }
+        val pathAt = afterKw.filter { case (_, j) =>
+          tvfAt.isEmpty && j < n && s.charAt(j) == '\''
+        }
+        tvfAt match {
+          case Some((k, j, m)) =>
+            val src = PathSrc(m.group(1), None, None,
+              changes = Some((m.group(2).toLong, m.group(3).toLong)))
+            srcs += src
+            out.append(s, i, i + k.length).append(' ').append(src.viewName)
+            i = j + m.end
+          case None =>
         pathAt match {
           case Some((k, j0)) =>
             // scan the quoted path with the same escape rules
@@ -439,6 +470,7 @@ object LakeSql {
             out.append(c)
             i += 1
         }
+        }
       }
     }
     if (srcs.isEmpty) None else Some((out.toString, srcs.toSeq))
@@ -448,9 +480,10 @@ object LakeSql {
       srcs: Seq[PathSrc]): Unit =
     srcs.foreach { src =>
       val tab = new TxTable(spark, src.path)
-      val df = src.tsMillis match {
-        case Some(ts) => tab.readAsOfTimestamp(ts)
-        case None     => tab.read(asOf = src.version)
+      val df = (src.changes, src.tsMillis) match {
+        case (Some((from, to)), _) => tab.readChanges(from, to)
+        case (None, Some(ts))      => tab.readAsOfTimestamp(ts)
+        case (None, None)          => tab.read(asOf = src.version)
       }
       df.createOrReplaceTempView(src.viewName)
     }
@@ -489,6 +522,30 @@ object LakeSql {
     * CTAS and INSERT INTO use for their source. */
   private def dfOf(spark: SparkSession, query: String): DataFrame =
     selectOverPaths(spark, query).getOrElse(spark.sql(query))
+
+  private val DetailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
+
+  /** `DESCRIBE DETAIL '<path>' [VERSION AS OF v]` — the rich
+    * [[TxTable.detail]] frame (schema too wide/dynamic for a
+    * fixed-output command, so it resolves as a DataFrame directly). */
+  def detailOverPath(spark: SparkSession,
+      sqlText: String): Option[DataFrame] = sqlText match {
+    case DetailRe(p, v) =>
+      Some(new TxTable(spark, p).detail(Option(v).map(_.toLong)))
+    case _ => None
+  }
+
+  /** Injected-parser twin of [[detailOverPath]] — the resolved frame's
+    * own logical plan (public API: `queryExecution.logical` on the
+    * classic Dataset, the same surface `df.explain` prints). */
+  def detailPlan(sqlText: String): Option[LogicalPlan] =
+    if (!sqlText.trim.toUpperCase.startsWith("DESCRIBE")) None
+    else SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .flatMap(s => detailOverPath(s, sqlText))
+      .map(_.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+        .queryExecution.logical)
 
   private def attr(name: String, dt: DataType,
       nullable: Boolean = false): Attribute =
@@ -530,11 +587,17 @@ object LakeSql {
       new TxTable(spark, path).history().collect().toSeq
   }
 
-  case class RestoreCommand(path: String, toVersion: Long)
-      extends LeafRunnableCommand {
+  /** `RESTORE ... TO VERSION AS OF v` or `... TO TIMESTAMP AS OF ms`
+    * (the wall-clock form resolves through the in-commit stamps,
+    * [[TxTable.versionAtTimestamp]]). */
+  case class RestoreCommand(path: String, toVersion: Option[Long],
+      tsMillis: Option[Long] = None) extends LeafRunnableCommand {
     override val output: Seq[Attribute] = Seq(attr("version", LongType))
-    override def run(spark: SparkSession): Seq[Row] =
-      Seq(Row(new TxTable(spark, path).restore(toVersion)))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val tab = new TxTable(spark, path)
+      val v = toVersion.getOrElse(tab.versionAtTimestamp(tsMillis.get))
+      Seq(Row(tab.restore(v)))
+    }
   }
 
   case class ReorgPurgeCommand(path: String)

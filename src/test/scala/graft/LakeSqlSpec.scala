@@ -263,6 +263,34 @@ class LakeSqlSpec extends SparkSpec {
       .collect().toSeq === Seq(99L))
   }
 
+  test("TABLE_CHANGES TVF, DESCRIBE DETAIL, RESTORE TIMESTAMP AS OF") {
+    val root = freshRoot("tvf")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(0L, 30L).toDF("id"),
+      enableChangeDataFeed = true)                       // v0
+    tab.append(spark.range(30L, 40L).toDF("id"))         // v1
+    tab.deleteWhere($"id" < 5L)                          // v2
+    // the CDF slice as a SQL source, filtered and aggregated by Spark
+    val byType = LakeSql.run(spark,
+      s"SELECT _change_type AS t, COUNT(*) AS n FROM " +
+        s"TABLE_CHANGES('$root', 1, 2) GROUP BY _change_type ORDER BY t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(byType === Seq(("delete", 5L), ("insert", 10L)))
+    // DESCRIBE DETAIL through run(): rich frame, current version
+    val det = LakeSql.run(spark, s"DESCRIBE DETAIL '$root'")
+    assert(det.select("version").as[Long].head() === 2L)
+    assert(det.select("num_rows").as[Long].head() === 35L)
+    // time-traveled detail
+    assert(LakeSql.run(spark, s"DESCRIBE DETAIL '$root' VERSION AS OF 0")
+      .select("num_rows").as[Long].head() === 30L)
+    // RESTORE by wall-clock instant: rewind to v1's stamp
+    val ts1 = tab.commitTimestamp(1L).get
+    val vRest = LakeSql.run(spark,
+      s"RESTORE '$root' TO TIMESTAMP AS OF $ts1").as[Long].head()
+    assert(vRest === 3L)
+    assert(tab.read().count() === 40L, "the delete is undone")
+  }
+
   test("spark.sql drives the same statements through the injected " +
       "parser; non-maintenance SQL delegates verbatim") {
     val root = freshRoot("inj")
@@ -296,6 +324,9 @@ class LakeSqlSpec extends SparkSpec {
         .collect().head.getLong(0) === 60L)
       assert(s2.sql(s"SELECT MAX(id) AS m FROM '$root'")
         .collect().head.getLong(0) === 119L)
+      // ... and DESCRIBE DETAIL does
+      assert(s2.sql(s"DESCRIBE DETAIL '$root'")
+        .select("num_rows").collect().head.getLong(0) === 120L)
       // and the injected native functions resolve by name
       assert(s2.sql("SELECT poly_hash('a', 31, 7)").collect().nonEmpty)
     } finally {
