@@ -2,11 +2,13 @@ package graft.lake
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{
   LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{
+  DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** The txlog table as a Structured Streaming SOURCE (Delta's streaming
@@ -193,6 +195,45 @@ object TxStreamSource {
     Set("OPTIMIZE", "REPARTITION_REWRITE", "ADD_BLOOM_INDEX")
 }
 
+/** The txlog table as a Structured Streaming SINK (Delta's DeltaSink
+  * shape): every micro-batch lands as ONE atomic append commit under
+  * the writer-transaction watermark (appId, batchId), so a replayed
+  * batch after a restart is a log-enforced NO-OP — exactly-once
+  * without sink-layout conventions. A missing table is created on
+  * first batch with the stream's schema (and the writeStream's
+  * partitionBy columns); later batches evolve additively like any
+  * append. Append mode only: Complete/Update would need a
+  * rewrite-the-table commit the log models as RESTORE/overwrite,
+  * not a streaming sink — refuse loudly rather than diverge.
+  *
+  * The batch frame crosses into the append through
+  * [[org.apache.spark.sql.graft.GraftSqlBridge.asBatch]] (the
+  * micro-batch's already-planned incremental execution re-wrapped as a
+  * batch frame): a fresh action on `data` itself re-analyzes the
+  * STREAMING logical plan and refuses, and `data.write` would re-plan
+  * and double-read the sources — the classic V1-sink bug.
+  */
+final class TxStreamSink(spark: SparkSession, rootStr: String,
+    partitionCols: Seq[String], appId: String) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graft.GraftSqlBridge.asBatch(data)
+    val tab = new TxTable(spark, rootStr)
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (TxLog.latestVersion(fs, root) < 0) {
+      // first contact: create EMPTY at v0 (replay-safe — a replayed
+      // batch 0 must not wipe the table), then append under the txn
+      tab.create(spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        data.schema), partitionCols = partitionCols)
+    }
+    tab.appendIdempotent(batch, appId, batchId): Unit
+  }
+
+  override def toString: String = s"TxStreamSink[$rootStr]"
+}
+
 /** `spark.readStream.format("graft.lake.TxLogStreamProvider")
   * .option("path", tableRoot).load()`. Options: `startingVersion`
   * (default 0 — the CREATE commit's rows included),
@@ -212,9 +253,27 @@ object TxStreamSource {
   * [[TxTable.applyChangesById]] loop replicates with no key
   * argument). */
 class TxLogStreamProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "txlog-stream"
+
+  /** Sink options: `path` (the table root), `appId` (the idempotence
+    * key — defaults to the query's checkpointLocation so a restarted
+    * query keeps its watermark and a DIFFERENT query gets its own). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"txlog-stream sink supports Append output only, got $outputMode " +
+        "(Complete/Update need a table rewrite — use foreachBatch with " +
+        "merge/applyChanges for update semantics)")
+    val path = pathOf(parameters)
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(s"txlog-sink:$path")
+    new TxStreamSink(sqlContext.sparkSession, path, partitionColumns,
+      appId)
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",

@@ -303,6 +303,51 @@ object LakeQueries {
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** The lake as a STREAMING SINK ([[graft.lake.TxStreamSink]] —
+    * Delta's DeltaSink shape): a lake-to-lake copy wired PURELY
+    * through formats (`readStream.format("txlog-stream")` →
+    * `writeStream.format("txlog-stream")`), no foreachBatch — every
+    * micro-batch lands as one atomic append commit under the
+    * (appId, batchId) writer-transaction watermark, so replays are
+    * log-enforced no-ops. The query scripts create + append with a
+    * drain between, then compares the DESTINATION table against the
+    * source's relational content: a duplicated batch (broken
+    * watermark), dropped commit, or partial batch breaks the hash.
+    */
+  val extStreamLakeSink = Q(
+    "ext_stream_lake_sink",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val srcRoot = scratch("lake_sink_src", dir)
+      val dstRoot = scratch("lake_sink_dst", dir)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_sink_ckpt").toString
+      // the checkpoint is per-run but the scratch DESTINATION persists
+      // across runs — wipe it so the sink's first batch creates fresh
+      val dstP = new org.apache.hadoop.fs.Path(dstRoot)
+      dstP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(dstP, true)
+      val src = new TxTable(s, srcRoot)
+      src.create(orders.where($"o_orderkey" % 2 === 0))
+      val q = s.readStream.format("graft.lake.TxLogStreamProvider")
+        .option("path", srcRoot).load()
+        .writeStream.format("graft.lake.TxLogStreamProvider")
+        .option("path", dstRoot)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        src.append(orders.where($"o_orderkey" % 2 === 1))
+        q.processAllAvailable()
+      } finally q.stop()
+      new TxTable(s, dstRoot).read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   /** LAKE→LAKE STREAMING MEDALLION: bronze TxTable as the streaming
     * SOURCE ([[graft.lake.TxStreamSource]]), a per-customer running
     * aggregate maintained INCREMENTALLY in foreachBatch, MERGEd into a
@@ -2473,6 +2518,7 @@ object LakeQueries {
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeMergeEvolution,
     extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
+    extStreamLakeSink,
     extStreamLakeToLake, extStreamCdf, extStreamCdfApply,
     extLakeBloomLookup, extLakePartitionEvolution, extLakeGeneratedCol,
     extStreamLakeIngest, pipelineLakeMedallion,

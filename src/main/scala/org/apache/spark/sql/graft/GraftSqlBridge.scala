@@ -6,12 +6,22 @@ import org.apache.spark.sql.classic.{DataFrame => ClassicDataFrame}
 /** The ONE `private[sql]` bridge this library uses, isolated in its own
   * `org.apache.spark.sql` subpackage — the same access route the
   * public Delta Lake connector takes (delta-io ships its whole source
-  * under `org.apache.spark.sql.delta` for exactly this reason): a
-  * custom v1 streaming [[org.apache.spark.sql.execution.streaming
-  * .Source]] MUST return `getBatch` frames tagged `isStreaming = true`
-  * (MicroBatchExecution asserts it), and the only constructor for such
-  * a frame is `SparkSession.internalCreateDataFrame`, which is
-  * `private[sql]`. Nothing else in the repo reaches private API.
+  * under `org.apache.spark.sql.delta` for exactly this reason): the v1
+  * streaming API forces `SparkSession.internalCreateDataFrame`
+  * (`private[sql]`) on BOTH of its custom endpoints —
+  *
+  *   - a [[org.apache.spark.sql.execution.streaming.Source]] MUST
+  *     return `getBatch` frames tagged `isStreaming = true`
+  *     (MicroBatchExecution asserts it), and
+  *   - a [[org.apache.spark.sql.execution.streaming.Sink]] receives an
+  *     `addBatch` frame still CARRYING the streaming logical plan —
+  *     any fresh action on it re-analyzes and refuses ("Queries with
+  *     streaming sources must be executed with writeStream.start()");
+  *     the already-planned incremental execution's `toRdd` re-wrapped
+  *     as a batch frame is the one correct consumption (DeltaSink's
+  *     route too).
+  *
+  * Nothing else in the repo reaches private API.
   */
 object GraftSqlBridge {
 
@@ -22,5 +32,15 @@ object GraftSqlBridge {
     val classic = df.asInstanceOf[ClassicDataFrame]
     classic.sparkSession.internalCreateDataFrame(
       classic.queryExecution.toRdd, classic.schema, isStreaming = true)
+  }
+
+  /** The sink-side twin: a Sink.addBatch frame re-wrapped as a PLAIN
+    * batch frame over its own already-planned incremental execution —
+    * no re-analysis, no double-read of the sources, rows stay
+    * executor-side. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[ClassicDataFrame]
+    classic.sparkSession.internalCreateDataFrame(
+      classic.queryExecution.toRdd, classic.schema, isStreaming = false)
   }
 }

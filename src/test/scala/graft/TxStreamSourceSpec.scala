@@ -270,6 +270,78 @@ class TxStreamSourceSpec extends SparkSpec {
     assert(horizon.getMessage.contains("retention horizon"))
   }
 
+  test("txlog SINK: format-to-format lake copy — atomic commit per " +
+      "batch, exactly-once across restart, Append only") {
+    val src = freshRoot("sinksrc")
+    val dst = freshRoot("sinkdst")
+    val ckpt = Files.createTempDirectory("sink_ckpt").toString
+    val tabS = new TxTable(spark, src)
+    tabS.create(docs(10))
+    def start() = spark.readStream
+      .format("graft.lake.TxLogStreamProvider").option("path", src).load()
+      .writeStream.format("graft.lake.TxLogStreamProvider")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val tabD = new TxTable(spark, dst)
+    assert(tabD.read().count() === 10)
+    // restart from the checkpoint: the replayed batch is a log-enforced
+    // no-op (txn watermark), new source commits flow through
+    tabS.append(docs(5, from = 100L))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(tabD.read().select($"id").as[Long].collect().sorted.toSeq ===
+      ((0L until 10L) ++ (100L until 105L)))
+    // the sink's ledger: one CREATE (empty) + one APPEND per delivered
+    // batch — a duplicate APPEND would mean the watermark failed
+    val ops = tabD.history().select($"op").as[String].collect()
+    assert(ops.count(_ == "CREATE") === 1)
+    // complete mode refuses loudly
+    val err = intercept[Exception] {
+      spark.readStream.format("graft.lake.TxLogStreamProvider")
+        .option("path", src).load()
+        .groupBy($"id" % 2).count()
+        .writeStream.format("graft.lake.TxLogStreamProvider")
+        .option("path", freshRoot("sinkbad"))
+        .option("checkpointLocation",
+          Files.createTempDirectory("sink_ckpt_bad").toString)
+        .outputMode("complete").start()
+        .processAllAvailable()
+    }
+    assert(err.toString.contains("Append output only") ||
+      Option(err.getCause).exists(_.toString.contains("Append output only")))
+  }
+
+  test("txlog SINK: partitionBy lands partition columns in the created " +
+      "table's log") {
+    val src = freshRoot("sinkpsrc")
+    val dst = freshRoot("sinkpdst")
+    val tabS = new TxTable(spark, src)
+    tabS.create(docs(30)) // lang column = id % 3 via docs()? no — add one
+    val q = spark.readStream
+      .format("graft.lake.TxLogStreamProvider").option("path", src).load()
+      .withColumn("bucket", ($"id" % 3L).cast("string"))
+      .writeStream.format("graft.lake.TxLogStreamProvider")
+      .option("path", dst)
+      .option("checkpointLocation",
+        Files.createTempDirectory("sinkp_ckpt").toString)
+      .partitionBy("bucket")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val tabD = new TxTable(spark, dst)
+    assert(tabD.read().count() === 30)
+    // partition-pinned read resolves from log partitionValues
+    assert(tabD.read().where($"bucket" === "1").count() === 10)
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = graft.lake.TxLog.snapshot(fs,
+      new org.apache.hadoop.fs.Path(dst))
+    assert(snap.meta.partitionCols === List("bucket"))
+    assert(snap.adds.forall(_.partitionValues.contains("bucket")))
+  }
+
   test("lost-race orphan data files are invisible to the stream") {
     val root = freshRoot("orph")
     val tab = new TxTable(spark, root)
