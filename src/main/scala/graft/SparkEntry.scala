@@ -8,7 +8,7 @@ object SparkEntry {
     ParityQueries.all ++ CoreQueries.all ++ ExtQueries.all ++
       CurationQueries.all ++ ProfileQueries.all ++ PipelineQueries.all ++
       ScaleQueries.all ++ CorpusQueries.all ++ SemanticQueries.all ++
-      LakeQueries.all
+      LakeQueries.all ++ CatalogQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The daily-order-report slice (SURVEY.md §7.2).

@@ -111,8 +111,71 @@ object LakeSql {
     """(?is)\s*MERGE\s+INTO\s+'([^']+)'(?:\s+(?:AS\s+)?t)?\s+USING\s+(.+?)\s*""".r
 
   /** One of the maintenance/DML statement shapes, or None — the caller
-    * (the injected parser) delegates None to Spark's own parser. */
-  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    * (the injected parser) delegates None to Spark's own parser.
+    *
+    * Targets may be quoted paths OR catalog identifiers: `DESCRIBE
+    * HISTORY lake.db.t`, `OPTIMIZE db.t`, `MERGE INTO db.t t USING ...`
+    * resolve the name through a registered [[graft.lake.catalog
+    * .TxCatalog]] or a session-catalog `USING txlog` entry
+    * ([[identPath]]) and re-parse with the resolved path spliced in —
+    * claimed ONLY when the name resolves to a lake table, so every
+    * other identifier statement reaches Spark's parser untouched
+    * (native catalogs handle their own DELETE/time travel). */
+  def parse(sqlText: String): Option[LogicalPlan] =
+    parseQuoted(sqlText).orElse(sqlText match {
+      case IdentTarget(head, id, rest) =>
+        identPath(id).flatMap(p =>
+          parseQuoted(s"${normalizeHead(head)}'$p'$rest"))
+      case _ => None
+    })
+
+  /** Statement families that take a table target, with an IDENTIFIER in
+    * target position (the quoted-path form was already tried). */
+  private val IdentTarget = {
+    val id = """(?:[A-Za-z_]\w*\.){0,2}[A-Za-z_]\w*"""
+    ("""(?is)^(\s*(?:OPTIMIZE|VACUUM\s+LOG|VACUUM|DESCRIBE\s+HISTORY|""" +
+      """RESTORE|REORG(?:\s+TABLE)?|ALTER(?:\s+TABLE)?|DELETE\s+FROM|""" +
+      """UPDATE|MERGE\s+INTO)\s+)(""" + id + """)\b(.*)$""").r
+  }
+
+  /** The quoted-path grammar says `ALTER '<p>'` / `REORG '<p>'` — strip
+    * the optional TABLE keyword the identifier forms naturally carry. */
+  private def normalizeHead(head: String): String =
+    head.trim.replaceAll("(?i)^(ALTER|REORG)\\s+TABLE$", "$1") + " "
+
+  /** Resolve a dotted identifier to a lake-table root: a registered
+    * [[graft.lake.catalog.TxCatalog]] name first, then the session
+    * catalog's metastore (`provider = txlog` entries, optionally
+    * `spark_catalog.`-qualified). None for anything else — the caller
+    * must fall through to Spark. */
+  private[lake] def identPath(id: String): Option[String] = {
+    val parts = id.split('.').toSeq.map(_.trim)
+    if (parts.exists(p => p.isEmpty || !p.forall(isWordChar))) None
+    else graft.lake.catalog.TxCatalog.resolve(parts).orElse {
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .flatMap { spark =>
+          val dbTbl = parts match {
+            case Seq(t) => Some((Option.empty[String], t))
+            case Seq(d, t) => Some((Some(d), t))
+            case Seq(c, d, t) if c.equalsIgnoreCase("spark_catalog") =>
+              Some((Some(d), t))
+            case _ => None
+          }
+          dbTbl.flatMap { case (db, tbl) =>
+            scala.util.Try {
+              val meta = spark.sessionState.catalog.getTableMetadata(
+                org.apache.spark.sql.catalyst.TableIdentifier(tbl, db))
+              if (meta.provider.exists(_.equalsIgnoreCase("txlog")))
+                Some(meta.location.toString)
+              else None
+            }.toOption.flatten
+          }
+        }
+    }
+  }
+
+  private def parseQuoted(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
     case OptZ(p, a, b) => Some(OptimizeCommand(p, Some((a, b))))
     case Opt(p)        => Some(OptimizeCommand(p, None))
     case VacLog(p, n)  =>
@@ -140,9 +203,10 @@ object LakeSql {
     case Ins(p, cols, query)
         // a parenthesized/inline query can LOOK like a column list
         // ("(SELECT a, b FROM x)" is all word chars, spaces, commas) —
-        // only a list that is NOT a query head is one
+        // only a list that is NOT a query head is one ((?s): the head
+        // may span lines)
         if Option(cols).forall(c => !c.trim.toUpperCase.matches(
-          "(SELECT|VALUES|WITH|TABLE)\\b.*")) =>
+          "(?s)(SELECT|VALUES|WITH|TABLE)\\b.*")) =>
       Some(InsertIntoPathCommand(p,
         Option(cols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil), query))
@@ -388,7 +452,7 @@ object LakeSql {
   private val AsOfTail =
     """(?is)^\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+(\d+)""".r
   private val TvfHead =
-    """(?is)^TABLE_CHANGES\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    """(?is)^TABLE_CHANGES\s*\(\s*(?:'([^']+)'|([A-Za-z_][\w.]*))\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
   private def isQueryHead(s: String): Boolean = {
     val h = s.trim.toUpperCase
@@ -414,6 +478,35 @@ object LakeSql {
         out.append(s, i, i + 1 + skip)
         i += 1 + skip
         if (closed) inStr = false
+      } else if (c == '"' || c == '`') {
+        // double-quoted literal / backticked identifier: copy verbatim
+        // to the closing delimiter (backslash escapes inside "...",
+        // doubling escapes both) — a "from 'x'" inside either must not
+        // be rewritten
+        val q = c
+        out.append(c); i += 1
+        var open = true
+        while (open && i < n) {
+          val ch = s.charAt(i)
+          if (ch == '\\' && q == '"' && i + 1 < n) {
+            out.append(s, i, i + 2); i += 2
+          } else if (ch == q && i + 1 < n && s.charAt(i + 1) == q) {
+            out.append(s, i, i + 2); i += 2
+          } else {
+            out.append(ch); i += 1
+            if (ch == q) open = false
+          }
+        }
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        // line comment: verbatim to end of line
+        val e = s.indexOf('\n', i)
+        val stop = if (e < 0) n else e + 1
+        out.append(s, i, stop); i = stop
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        // block comment: verbatim to the closing */
+        val e = s.indexOf("*/", i + 2)
+        val stop = if (e < 0) n else e + 2
+        out.append(s, i, stop); i = stop
       } else {
         val kw = Seq("FROM", "JOIN").find(k =>
           s.regionMatches(true, i, k, 0, k.length) &&
@@ -434,8 +527,11 @@ object LakeSql {
         }
         tvfAt match {
           case Some((k, j, m)) =>
-            val src = PathSrc(m.group(1), None, None,
-              changes = Some((m.group(2).toLong, m.group(3).toLong)))
+            val target = Option(m.group(1)).orElse(
+              identPath(m.group(2))).getOrElse(sys.error(
+              s"TABLE_CHANGES: ${m.group(2)} is not a lake table"))
+            val src = PathSrc(target, None, None,
+              changes = Some((m.group(3).toLong, m.group(4).toLong)))
             srcs += src
             out.append(s, i, i + k.length).append(' ').append(src.viewName)
             i = j + m.end
@@ -529,10 +625,15 @@ object LakeSql {
   /** `DESCRIBE DETAIL '<path>' [VERSION AS OF v]` — the rich
     * [[TxTable.detail]] frame (schema too wide/dynamic for a
     * fixed-output command, so it resolves as a DataFrame directly). */
+  private val DetailIdRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][\w.]*)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
+
   def detailOverPath(spark: SparkSession,
       sqlText: String): Option[DataFrame] = sqlText match {
     case DetailRe(p, v) =>
       Some(new TxTable(spark, p).detail(Option(v).map(_.toLong)))
+    case DetailIdRe(id, v) => identPath(id).map(p =>
+      new TxTable(spark, p).detail(Option(v).map(_.toLong)))
     case _ => None
   }
 
@@ -671,12 +772,17 @@ object LakeSql {
             s"INSERT column list (${cols.size}) does not match query " +
               s"output (${df0.columns.length})")
           df0.toDF(cols: _*)
-        } else if (df0.columns.forall(target.contains)) df0
-        else {
+        } else {
+          // no column list → the query must supply EVERY table column
+          // (standard SQL; a silent null-fill of a subset is how typos
+          // land null columns) — name-matched or positional
           require(df0.columns.length == target.length,
-            s"INSERT arity ${df0.columns.length} != table arity " +
-              s"${target.length} at $path (name-match failed too)")
-          df0.toDF(target: _*)
+            s"INSERT without a column list must supply all " +
+              s"${target.length} columns of $path, got " +
+              s"${df0.columns.length} — use INSERT INTO (col, ...) " +
+              "for a subset")
+          if (df0.columns.forall(target.contains)) df0
+          else df0.toDF(target: _*)
         }
       Seq(Row(tab.append(df)))
     }

@@ -357,8 +357,28 @@ object TxLog {
   private def logDir(root: Path) = new Path(root, "_txlog")
   private def commitFile(root: Path, v: Long) =
     new Path(logDir(root), f"$v%020d.json")
+  /** FULL checkpoints rewrite the whole live set; on a LARGE table the
+    * write path throttles them to every `checkpointInterval *`
+    * [[fullCheckpointMultiple]] commits and fills the intervals with
+    * COMPACTED RANGE files instead ([[writeCompacted]]) — per-interval
+    * log bytes become ∝ the interval's churn, not the live-set size
+    * (Delta's log-compaction design, PROTOCOL.md "Log Compaction
+    * Files"). Small tables (below [[checkpointParquetMinEntries]]) keep
+    * the microsecond JSON checkpoint every interval — their "full"
+    * state IS tail-sized. */
+  val fullCheckpointMultipleDefault = 10L
+  val fullCheckpointMultipleKey = "spark.graft.lake.fullCheckpointMultiple"
+  private def fullCheckpointMultiple: Long =
+    activeSession.flatMap(_.conf.getOption(fullCheckpointMultipleKey))
+      .map(_.toLong).getOrElse(fullCheckpointMultipleDefault)
+
   private def checkpointFile(root: Path, v: Long) =
     new Path(logDir(root), f"$v%020d.checkpoint.json")
+
+  /** Delta's minor-compaction file name: `{start}.{end}.compacted.json`
+    * holding the NET entries of commits start..end. */
+  private def compactedFile(root: Path, start: Long, end: Long) =
+    new Path(logDir(root), f"$start%020d.$end%020d.compacted.json")
   private def checkpointParquetDir(root: Path, v: Long) =
     new Path(logDir(root), f"$v%020d.checkpoint.parquet")
   private def lastCheckpointFile(root: Path) =
@@ -542,7 +562,8 @@ object TxLog {
     val dir = logDir(root)
     if (!fs.exists(dir)) return -1L
     fs.listStatus(dir).iterator.map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
+      .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json") &&
+        !n.endsWith(".compacted.json"))
       .map(_.stripSuffix(".json").toLong)
       .foldLeft(-1L)(math.max)
   }
@@ -696,17 +717,13 @@ object TxLog {
     val tailLive = scala.collection.mutable.LinkedHashMap[String, Add]()
     val dead = scala.collection.mutable.HashSet[String]()
     val txns = scala.collection.mutable.HashMap[String, Long]()
-    ((ckptV + 1) to target).foreach { v =>
-      val p = commitFile(root, v)
-      require(fs.exists(p), s"missing commit $v at $root (vacuumed?)")
-      parse(readString(fs, p)).foreach { e =>
-        e.meta.foreach(m => tailMeta = Some(m))
-        e.add.foreach { a => tailLive(a.path) = a; dead -= a.path }
-        e.remove.foreach { r => tailLive.remove(r.path); dead += r.path }
-        e.txn.foreach(t => txns(t.appId) =
-          math.max(txns.getOrElse(t.appId, Long.MinValue), t.version))
-      }
-    }
+    tailBatches(fs, root, ckptV + 1, target).foreach(_.foreach { e =>
+      e.meta.foreach(m => tailMeta = Some(m))
+      e.add.foreach { a => tailLive(a.path) = a; dead -= a.path }
+      e.remove.foreach { r => tailLive.remove(r.path); dead += r.path }
+      e.txn.foreach(t => txns(t.appId) =
+        math.max(txns.getOrElse(t.appId, Long.MinValue), t.version))
+    })
     val pq = checkpointParquetDir(root, ckptV).toString
     val entriesDF = spark.read.schema(logEntryEncoder.schema).parquet(pq)
     val meta = tailMeta.getOrElse {
@@ -808,11 +825,8 @@ object TxLog {
         v + 1
       case None => 0L
     }
-    (start to target).foreach { v =>
-      val p = commitFile(root, v)
-      require(fs.exists(p), s"missing commit $v at $root (vacuumed?)")
-      parse(readString(fs, p)).foreach(fold(_, withRemoves = true))
-    }
+    tailBatches(fs, root, start, target)
+      .foreach(_.foreach(fold(_, withRemoves = true)))
     lastReplay.set((target - start + 1, ckpt.isDefined))
     val m = meta.getOrElse(sys.error(s"no metaData in log at $root"))
     // protocol gate: refuse, at THIS version's meta, any reader feature
@@ -913,6 +927,79 @@ object TxLog {
         parquetCheckpointReadable(fs, root, v))
   }
 
+  /** Fold-order entry batches covering commits [start..target]: where
+    * an ALIGNED compacted range file covers the next
+    * [[checkpointInterval]] versions entirely within the target it is
+    * read INSTEAD of its member commits (one file in place of ten);
+    * everything else reads per-commit. Folding a compacted batch with
+    * the ordinary withRemoves fold is equivalent to folding its member
+    * commits in order ([[writeCompacted]] preserves carried removes and
+    * cancels only range-internal add/remove pairs). An unreadable or
+    * torn compacted file falls back to the per-commit reads — always
+    * correct, just slower. */
+  private def tailBatches(fs: FileSystem, root: Path, start: Long,
+      target: Long): Seq[Seq[LogEntry]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Seq[LogEntry]]()
+    var v = start
+    while (v <= target) {
+      val end = v + checkpointInterval - 1
+      val compacted =
+        if ((v - 1) % checkpointInterval == 0 && end <= target)
+          scala.util.Try {
+            val f = compactedFile(root, v, end)
+            if (fs.exists(f)) Some(parse(readString(fs, f))) else None
+          }.toOption.flatten
+        else None
+      compacted match {
+        case Some(es) => out += es; v = end + 1
+        case None =>
+          val p = commitFile(root, v)
+          require(fs.exists(p), s"missing commit $v at $root (vacuumed?)")
+          out += parse(readString(fs, p))
+          v += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Log compaction (Delta's `{start}.{end}.compacted.json`): ONE file
+    * holding the net effect of commits start..end — the latest meta,
+    * per-app max txn watermarks, removes carried for files that predate
+    * the range, and the range's net-new adds; add/remove pairs internal
+    * to the range cancel. Written opportunistically (a failure or a
+    * lost race leaves the per-commit path intact); deterministic
+    * content, so concurrent writers of the same range write identical
+    * bytes. Returns the entry count, or -1 when a member commit is
+    * already gone. */
+  private def writeCompacted(fs: FileSystem, root: Path, start: Long,
+      end: Long): Long = {
+    var meta: Option[Meta] = None
+    val live = scala.collection.mutable.LinkedHashMap[String, Add]()
+    val dead = scala.collection.mutable.LinkedHashMap[String, Remove]()
+    val txns = scala.collection.mutable.HashMap[String, Long]()
+    var v = start
+    while (v <= end) {
+      val p = commitFile(root, v)
+      if (!fs.exists(p)) return -1L
+      parse(readString(fs, p)).foreach { e =>
+        e.meta.foreach(m => meta = Some(m))
+        e.add.foreach { a => live(a.path) = a; dead.remove(a.path) }
+        e.remove.foreach { r => live.remove(r.path); dead(r.path) = r }
+        e.txn.foreach(t => txns(t.appId) =
+          math.max(txns.getOrElse(t.appId, Long.MinValue), t.version))
+      }
+      v += 1
+    }
+    val entries = meta.map(m => LogEntry(meta = Some(m))).toSeq ++
+      txns.toSeq.sortBy(_._1).map { case (app, tv) =>
+        LogEntry(txn = Some(Txn(app, tv))) } ++
+      dead.values.map(r => LogEntry(remove = Some(r))) ++
+      live.values.map(a => LogEntry(add = Some(a)))
+    scala.util.Try(writeString(fs, compactedFile(root, start, end),
+      entries.map(e => Serialization.write(e)).mkString("\n")))
+    entries.size.toLong
+  }
+
   /** One checkpoint's entries, either format. JSON is preferred when
     * present — a driver-side string parse with zero Spark jobs, which
     * is how every checkpoint below [[checkpointParquetMinEntries]] is
@@ -950,6 +1037,26 @@ object TxLog {
 
   private def maybeCheckpoint(fs: FileSystem, root: Path, version: Long): Unit =
     if (version > 0 && version % checkpointInterval == 0) {
+      // LOG COMPACTION in place of most full checkpoints on LARGE
+      // tables: when the previous checkpoint says the live set is big
+      // (≥ checkpointParquetMinEntries, readable parquet) and this is
+      // not a fullCheckpointMultiple boundary, write ONE compacted
+      // range file for the interval's commits instead of rewriting the
+      // whole live set — per-interval log bytes ∝ churn. Replay stays
+      // bounded: ≤ fullCheckpointMultiple compacted files + interval
+      // tail past the last full checkpoint.
+      val compactInstead =
+        version % (checkpointInterval * fullCheckpointMultiple) != 0L &&
+          readLastCheckpoint(fs, root).exists(p =>
+            p.entries.exists(_ >= checkpointParquetMinEntries) &&
+              parquetCheckpointReadable(fs, root, p.version))
+      if (compactInstead) {
+        val n = writeCompacted(fs, root,
+          version - checkpointInterval + 1, version)
+        if (n >= 0) { lastCheckpointWrite.set(("compacted", n)); return }
+        // a member commit already vacuumed: fall through to the full
+        // checkpoint, which replays from the previous one
+      }
       // DISTRIBUTED WRITE PATH — the commit path's last O(files) driver
       // surface, closed: when a readable PARQUET checkpoint precedes
       // this version and its pointer says the live set is at or above
@@ -984,8 +1091,10 @@ object TxLog {
             .parquet(pq.toString).agg(
               count(lit(1)).as("n"),
               sum(when(col("add").isNotNull, 1L).otherwise(0L)).as("files"),
-              sum(when(col("add").isNotNull, col("add.rows"))
-                .otherwise(0L)).as("rows"),
+              // coalesce like bytes: a stats-less legacy Add counts as
+              // 0 rows instead of nulling the whole sum
+              sum(when(col("add").isNotNull, coalesce(col("add.rows"),
+                lit(0L))).otherwise(0L)).as("rows"),
               sum(when(col("add").isNotNull, coalesce(col("add.bytes"),
                 lit(0L))).otherwise(0L)).as("bytes")).head()
           scala.util.Try(writeString(fs, crcFile(root, version),
@@ -1098,6 +1207,9 @@ object TxLog {
               Some(n.stripSuffix(".checkpoint.parquet").toLong)
             else if (n.matches("\\d{20}\\.crc"))
               Some(n.stripSuffix(".crc").toLong)
+            else if (n.matches("\\d{20}\\.\\d{20}\\.compacted\\.json"))
+              // reclaim when the whole RANGE is behind the floor
+              Some(n.split('.')(1).toLong)
             else None
           if (v.exists(_ < ckptV)) {
             fs.delete(st.getPath, true) // recursive: parquet dirs

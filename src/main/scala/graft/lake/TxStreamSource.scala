@@ -214,7 +214,49 @@ object TxStreamSource {
   * and double-read the sources — the classic V1-sink bug.
   */
 final class TxStreamSink(spark: SparkSession, rootStr: String,
-    partitionCols: Seq[String], appId: String) extends Sink {
+    partitionCols: Seq[String], explicitAppId: Option[String],
+    checkpointLoc: Option[String]) extends Sink {
+
+  /** The writer-transaction idempotence key. Resolution order:
+    *
+    *   1. an explicit `appId` sink option — the caller owns replays;
+    *   2. a UUID MARKER FILE inside the query's checkpoint directory
+    *      (`<checkpointLocation>/_txlog_sink_id`, created atomically on
+    *      first contact): the key then lives and DIES with the
+    *      checkpoint — a user who wipes the checkpoint to reprocess
+    *      gets a fresh appId, so the restarted batch 0 lands instead of
+    *      silently no-opping against the dead incarnation's watermark
+    *      (keying on the checkpoint PATH STRING had exactly that bug);
+    *   3. no checkpointLocation in the sink options (conf-level default
+    *      checkpoint dir) — REFUSE loudly: two such queries would share
+    *      whatever fallback key existed and drop each other's batches.
+    */
+  private lazy val appId: String = explicitAppId.getOrElse {
+    val loc = checkpointLoc.getOrElse(sys.error(
+      s"txlog-stream sink at $rootStr: cannot derive an idempotence " +
+        "key — pass .option(\"checkpointLocation\", dir) on the " +
+        "writeStream (the key is stored inside it) or an explicit " +
+        ".option(\"appId\", key). A session-default checkpoint dir is " +
+        "not visible to the sink, and a shared fallback key would " +
+        "silently drop batches across queries."))
+    val marker = new Path(loc, "_txlog_sink_id")
+    val mfs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readMarker(): String = {
+      val in = mfs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    if (mfs.exists(marker)) readMarker()
+    else {
+      mfs.mkdirs(marker.getParent)
+      val fresh = java.util.UUID.randomUUID.toString
+      try {
+        val out = mfs.create(marker, false) // atomic no-overwrite claim
+        try out.write(fresh.getBytes("UTF-8")) finally out.close()
+        fresh
+      } catch { case _: java.io.IOException => readMarker() }
+    }
+  }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = org.apache.spark.sql.graft.GraftSqlBridge.asBatch(data)
@@ -222,11 +264,11 @@ final class TxStreamSink(spark: SparkSession, rootStr: String,
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (TxLog.latestVersion(fs, root) < 0) {
-      // first contact: create EMPTY at v0 (replay-safe — a replayed
-      // batch 0 must not wipe the table), then append under the txn
-      tab.create(spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        data.schema), partitionCols = partitionCols)
+      // first contact: claim an EMPTY v0 atomically ([[TxTable
+      // .createIfAbsent]] — never a delete+recreate, so two queries
+      // racing first contact on the same new root cannot wipe each
+      // other's committed batches; the loser simply attaches)
+      tab.createIfAbsent(data.schema, partitionCols): Unit
     }
     tab.appendIdempotent(batch, appId, batchId): Unit
   }
@@ -257,9 +299,12 @@ class TxLogStreamProvider extends StreamSourceProvider
 
   override def shortName(): String = "txlog-stream"
 
-  /** Sink options: `path` (the table root), `appId` (the idempotence
-    * key — defaults to the query's checkpointLocation so a restarted
-    * query keeps its watermark and a DIFFERENT query gets its own). */
+  /** Sink options: `path` (the table root), `appId` (an explicit
+    * idempotence key — otherwise the key is a UUID stored INSIDE the
+    * query's checkpoint directory, so it survives restarts and dies
+    * with a wiped checkpoint; with neither appId nor a sink-level
+    * checkpointLocation the sink refuses — see [[TxStreamSink.appId]]).
+    */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: OutputMode): Sink = {
@@ -267,12 +312,9 @@ class TxLogStreamProvider extends StreamSourceProvider
       s"txlog-stream sink supports Append output only, got $outputMode " +
         "(Complete/Update need a table rewrite — use foreachBatch with " +
         "merge/applyChanges for update semantics)")
-    val path = pathOf(parameters)
-    val appId = parameters.get("appId")
-      .orElse(parameters.get("checkpointLocation"))
-      .getOrElse(s"txlog-sink:$path")
-    new TxStreamSink(sqlContext.sparkSession, path, partitionColumns,
-      appId)
+    new TxStreamSink(sqlContext.sparkSession, pathOf(parameters),
+      partitionColumns, parameters.get("appId"),
+      parameters.get("checkpointLocation"))
   }
 
   private def pathOf(parameters: Map[String, String]): String =

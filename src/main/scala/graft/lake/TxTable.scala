@@ -174,6 +174,100 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     0L
   }
 
+  /** CREATE-IF-ABSENT: claim version 0 of a NEW (possibly empty-dir)
+    * table atomically, WITHOUT ever deleting an existing directory —
+    * the first-contact path concurrent writers (two streaming sinks
+    * racing on the same new table root) must take. [[create]] is an
+    * overwrite-create: it wipes the root first, so the loser of a
+    * first-contact race would destroy the winner's committed v0.
+    * Here the only claim is the v0 commit file itself
+    * ([[TxLog.tryCommit]]'s atomic no-overwrite write): the winner
+    * creates, the loser observes `false` and ATTACHES to the winner's
+    * table (its own later appends evolve/refuse through the normal
+    * schema gate). No data files are staged — v0 is an empty table
+    * with `schema` and `partitionCols`. Returns true iff THIS call
+    * created the table. */
+  def createIfAbsent(schema: StructType,
+      partitionCols: Seq[String] = Nil): Boolean = {
+    if (TxLog.latestVersion(fs, root) >= 0) return false
+    fs.mkdirs(root)
+    partitionCols.foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"createIfAbsent: partition column $c not in schema"))
+    val meta = Meta(schema.json, partitionCols.toList)
+    TxLog.tryCommit(fs, root, 0L,
+      Seq(LogEntry(meta = Some(meta)),
+        LogEntry(info = Some(Info("CREATE", -1L)))))
+  }
+
+  /** Full-table overwrite (SQL `INSERT OVERWRITE` / `TRUNCATE` +
+    * reload) as ONE atomic commit: every live file is removed and the
+    * new frame's staged files added in the same version — readers
+    * never observe an empty or half-replaced table, and the previous
+    * state still time-travels. Schema may evolve additively like any
+    * append; constraints, generated/default/identity columns and row
+    * tracking all apply to the incoming frame (fresh row ids — a
+    * replaced table is new data, Delta's rule). Under CDF the commit
+    * captures the full retraction (every prior live row as `delete`)
+    * plus the new rows as `insert`. O(live files) driver work for the
+    * Remove list — the same cost Delta's overwrite commit pays. */
+  def overwrite(df0: DataFrame): Long = {
+    val first = TxLog.snapshot(fs, root)
+    gateWriter(first.meta)
+    first.meta.identities.keys.foreach(c =>
+      require(!df0.columns.contains(c),
+        s"identity column $c is GENERATED ALWAYS — writers must not " +
+          "supply it"))
+    val df = applyGenerated(applyDefaults(df0, first.meta), first.meta)
+    var attempt = 0
+    while (true) {
+      val snap = if (attempt == 0) first else TxLog.snapshot(fs, root)
+      gateWriter(snap.meta)
+      enforceConstraints(df, snap.meta)
+      val merged = evolve(snap.meta, df.schema)
+      val doomed = snap.adds
+      val tracks = snap.meta.tracksRows
+      val idFeed = tracks && snap.meta.cdf
+      // fresh ids/identities are per-attempt (watermark-dependent);
+      // under CDF the nondeterministic assignment is materialized so
+      // the staged files and captured feed record identical values
+      val staged0 = applyIdentities(
+        if (tracks) assignRowIds(df, snap.meta.nextRowId) else df,
+        snap.meta)
+      val staged =
+        if (snap.meta.cdf && (tracks || snap.meta.identities.nonEmpty))
+          staged0.localCheckpoint()
+        else staged0
+      val adds = stageWrite(staged, merged)
+      val newMeta = bumpIdentities(
+        if (tracks) bumpWatermark(merged, adds) else merged, adds)
+      val metaEntry =
+        if (newMeta != snap.meta) Seq(LogEntry(meta = Some(newMeta)))
+        else Nil
+      val entries = metaEntry ++
+        doomed.map(a => LogEntry(remove =
+          Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
+        adds.map(a => LogEntry(add = Some(a))) ++
+        captureTail(merged, "OVERWRITE", snap.version, {
+          def aligned(d: DataFrame) =
+            d.select(merged.schema.fields.map(f =>
+              if (d.columns.contains(f.name)) col(f.name)
+              else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq ++
+              (if (idFeed) Seq(col(RowIdCol)) else Nil): _*)
+          aligned(readFiles(snap, doomed.map(_.path), withRowId = idFeed))
+            .withColumn("_change_type", lit("delete"))
+            .unionAll(aligned(staged)
+              .withColumn("_change_type", lit("insert")))
+        })
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"overwrite of $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
   /** CONVERT (Delta's CONVERT TO DELTA): adopt an existing plain
     * parquet directory IN PLACE as version 0 of a transaction log —
     * not a byte of data is rewritten; the commit catalogs the files
@@ -2559,13 +2653,28 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def versionAtOrAfterTimestamp(tsMillis: Long): Long = {
     val latest = version
     require(latest >= 0, s"no transaction log at $root")
-    def tsOf(v: Long): Long =
-      TxLog.commitInfoFast(fs, root, v).flatMap(_.tsMillis)
-        .getOrElse(Long.MinValue)
-    require(tsOf(latest) >= tsMillis,
-      s"startingTimestamp $tsMillis is after the newest commit of " +
-        s"$root (v$latest at ${tsOf(latest)}) — nothing to start from")
     val earliest = TxLog.earliestVersion(fs, root)
+    // UNSTAMPED (pre-feature legacy) commits carry their nearest
+    // EARLIER stamped commit's instant forward — the same rule the
+    // readChangesBetweenTimestamps walk applies — so a legacy commit
+    // between stamped ones keeps the sequence monotone (a raw
+    // MinValue in the middle would break the binary-search invariant
+    // and return a wrong start), and an unstamped NEWEST commit no
+    // longer makes the future-instant guard refuse instants that
+    // earlier stamped commits satisfy.
+    def tsOf(v: Long): Long = {
+      var x = v
+      while (x >= earliest) {
+        TxLog.commitInfoFast(fs, root, x).flatMap(_.tsMillis) match {
+          case Some(t) => return t
+          case None => x -= 1
+        }
+      }
+      Long.MinValue
+    }
+    require(tsOf(latest) >= tsMillis,
+      s"startingTimestamp $tsMillis is after the newest stamped commit " +
+        s"of $root (v$latest at ${tsOf(latest)}) — nothing to start from")
     if (earliest > 0 && tsOf(earliest) >= tsMillis)
       throw new IllegalArgumentException(
         s"startingTimestamp $tsMillis reaches behind the retention " +

@@ -1,0 +1,210 @@
+package graft.lake.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{
+  SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{
+  Scan, ScanBuilder, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{
+  LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write,
+  WriteBuilder}
+import org.apache.spark.sql.sources.{
+  AlwaysTrue, BaseRelation, EqualTo, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.lake.{FilterSql, TxLog, TxRelation, TxTable}
+
+/** A txlog lake table as a DataSource V2 [[Table]] — what
+  * [[TxCatalog]] / [[TxSessionCatalog]] hand Spark's analyzer when a
+  * table NAME resolves to a transaction-log directory, mirroring the
+  * reference deployment's DeltaCatalog default
+  * (reference spark/conf/spark-defaults.conf:9 routes
+  * `spark.sql.catalog.spark_catalog` through Delta so `db.tbl`
+  * identifiers hit the lake; etl/utils/base_table.py:49 names tables
+  * by `database` + `name`).
+  *
+  * The scan and write surfaces take Spark's OWN V1-fallback contracts
+  * ([[V1Scan]], [[V1Write]] — public connector API, the JDBC v2
+  * source's route), so a bare identifier works on a completely vanilla
+  * session while the physical plan stays the native log-backed
+  * [[graft.lake.TxFileIndex]] scan: pushed filters and pruned columns
+  * flow into an ordinary snapshot read (partition pruning + min/max
+  * file skipping at plan time), and the relation hands back the
+  * already-planned InternalRow RDD (`needConversion = false` semantics
+  * — no per-row conversion tax).
+  *
+  * Row-level surfaces: DELETE by identifier is native
+  * ([[SupportsDelete]] — exact-translation filters only, refusing
+  * rather than over-deleting). UPDATE/MERGE SQL routes through the
+  * lake's own statement parser exactly as Delta routes them through
+  * its extension parser rather than Spark's group-based rewrite
+  * framework.
+  */
+final class TxLakeTable(val path: String, val asOf: Option[Long],
+    ident: String, providedSchema: Option[StructType] = None,
+    providedPartitioning: Seq[String] = Nil) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+  private def tx: TxTable = new TxTable(spark, path)
+
+  /** Resolution must be SIDE-EFFECT-FREE (Delta's DeltaTableV2 rule):
+    * a catalog-registered table may not have a log yet (registered on
+    * a session without the lake catalog extension — metadata only).
+    * Such a table reads as its declared schema, scans EMPTY, and the
+    * first write claims v0 ([[TxTable.createIfAbsent]]). */
+  private def exists: Boolean = tx.exists
+
+  private lazy val snapMeta = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    TxLog.snapshot(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p, asOf).meta
+  }
+
+  override def name(): String = ident
+
+  override def schema(): StructType =
+    if (exists) snapMeta.schema
+    else providedSchema.getOrElse(
+      sys.error(s"no transaction log at $path and no declared schema"))
+
+  private def partitionColumnNames: Seq[String] =
+    if (exists) snapMeta.partitionCols else providedPartitioning
+
+  override def partitioning(): Array[Transform] =
+    partitionColumnNames.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] =
+    (Map("provider" -> "txlog", "location" -> path) ++
+      asOf.map("versionAsOf" -> _.toString)).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  // ---- read: ScanBuilder with exact pushdown → V1Scan fallback ----
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxScanBuilder(path, asOf, schema(), exists)
+
+  // ---- write: V1Write fallback over append/overwrite commits ----
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, s"cannot write to a time-travel read of $path")
+    new TxWriteBuilder(path, partitionColumnNames)
+  }
+
+  // ---- row-level DELETE by identifier ----
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(FilterSql.translatable)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty, s"cannot delete from a time-travel read of $path")
+    val cond = filters.flatMap(FilterSql.column)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    tx.deleteWhere(cond): Unit
+  }
+
+  override def toString: String = s"TxLakeTable($ident -> $path)"
+}
+
+private[catalog] final class TxScanBuilder(path: String,
+    asOf: Option[Long], full: StructType,
+    exists: Boolean) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Exact-translation filters are pushed (they prune partitions and
+    * skip files inside the FileIndex); EVERY filter is also returned
+    * as residual — pushed filters are re-checked by the inner scan's
+    * own Filter node anyway, so correctness never rests on the stats. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(FilterSql.translatable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new TxV1ScanRelation(context, path, asOf, required, pushed, exists)
+        .asInstanceOf[T]
+    override def description(): String =
+      s"txlog $path${asOf.map(v => s" @v$v").getOrElse("")}"
+  }
+}
+
+/** The V1 endpoint of the DSv2 scan: already pruned and filtered by the
+  * builder, so plain [[TableScan]] suffices. Hands Spark the planned
+  * InternalRow RDD (`needConversion = false`). */
+private[catalog] final class TxV1ScanRelation(ctx: SQLContext,
+    path: String, asOf: Option[Long], required: StructType,
+    pushed: Array[Filter], exists: Boolean)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = required
+  override def needConversion: Boolean = false
+  override def buildScan(): org.apache.spark.rdd.RDD[
+      org.apache.spark.sql.Row] =
+    if (!exists) // registered, never written: an empty table
+      ctx.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+    else TxRelation.scanRdd(ctx.sparkSession, path, asOf,
+      required.fieldNames.toIndexedSeq, pushed.toIndexedSeq)
+}
+
+private[catalog] final class TxWriteBuilder(path: String,
+    partitionCols: Seq[String]) extends WriteBuilder
+    with SupportsTruncate with SupportsOverwrite {
+
+  // None = append; Some(filters) = overwrite scoped by the filters
+  private var overwriteBy: Option[Array[Filter]] = None
+
+  override def truncate(): WriteBuilder = {
+    overwriteBy = Some(Array(AlwaysTrue))
+    this
+  }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteBy = Some(filters)
+    this
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          val tab = new TxTable(data.sparkSession, path)
+          if (!tab.exists) // first write claims v0 (never a wipe)
+            tab.createIfAbsent(data.schema, partitionCols): Unit
+          overwriteBy match {
+            case None => tab.append(data): Unit
+            case Some(Array(AlwaysTrue())) | Some(Array()) =>
+              tab.overwrite(data): Unit
+            case Some(Array(EqualTo(c, v))) if partitionCols.contains(c) =>
+              // INSERT OVERWRITE ... PARTITION (c = v), static mode
+              tab.overwritePartition(c, String.valueOf(v), data): Unit
+            case Some(other) => sys.error(
+              s"txlog overwrite supports full-table or single " +
+                s"partition-equality scopes, got ${other.mkString(", ")}")
+          }
+        }
+      }
+  }
+}

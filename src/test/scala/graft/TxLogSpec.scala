@@ -178,6 +178,9 @@ class TxLogSpec extends SparkSpec {
     val root = freshRoot("ckdist")
     val tab = new TxTable(spark, root)
     spark.conf.set(TxLog.checkpointParquetMinEntriesKey, "1")
+    // v20 must be a FULL checkpoint for this test (the default cadence
+    // writes a compacted range there instead — TxCompactionSpec's job)
+    spark.conf.set(TxLog.fullCheckpointMultipleKey, "2")
     try {
       tab.create(docs(20)) // v0
       (1 to 10).foreach(i => tab.append(docs(2).withColumn("id", $"id" + i * 100)))
@@ -194,7 +197,10 @@ class TxLogSpec extends SparkSpec {
       assert(TxLog.lastCheckpointWrite.get() === ("distributed", 0L),
         "second parquet checkpoint must compose distributed with zero " +
           s"driver-side Adds, got ${TxLog.lastCheckpointWrite.get()}")
-    } finally spark.conf.unset(TxLog.checkpointParquetMinEntriesKey)
+    } finally {
+      spark.conf.unset(TxLog.checkpointParquetMinEntriesKey)
+      spark.conf.unset(TxLog.fullCheckpointMultipleKey)
+    }
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootP = new Path(root)
     val ckptPq = new Path(rootP, f"_txlog/${20L}%020d.checkpoint.parquet")
