@@ -331,6 +331,34 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     */
   def append(df: DataFrame): Long = appendCore(df, None)
 
+  /** Post-commit AUTO-COMPACTION (Delta's autoOptimize.autoCompact):
+    * when `spark.graft.lake.autoCompact = true`, every append-path
+    * commit is followed by a best-effort check — if any partition group
+    * holds at least `spark.graft.lake.autoCompact.minFiles` (default 8)
+    * undersized files, the ordinary [[optimize]] bin-pack runs as its
+    * own commit. The streaming sink's per-batch commits are the
+    * motivating churn: file counts converge WITHOUT a manual OPTIMIZE,
+    * and because it IS optimize, clustered tables keep their ZCube
+    * model (new data joins a fresh cube, stable cubes untouched).
+    * Best-effort by design: a compaction failure or lost race never
+    * fails the append that triggered it. OFF by default — the check
+    * costs one log resolution per commit, which only churn-heavy
+    * writers should pay. */
+  private def maybeAutoCompact(): Unit = {
+    val conf = spark.conf
+    if (conf.getOption(TxTable.autoCompactKey).exists(_.toBoolean))
+      scala.util.Try {
+        val minFiles = conf.getOption(TxTable.autoCompactMinFilesKey)
+          .map(_.toInt).getOrElse(8)
+        val minRows = conf.getOption(TxTable.autoCompactMinRowsKey)
+          .map(_.toLong).getOrElse(1L << 20)
+        val snap = TxLog.snapshot(fs, root)
+        val churned = snap.adds.groupBy(_.partitionValues)
+          .exists(_._2.count(_.rows < minRows) >= minFiles)
+        if (churned) optimize(minRows = minRows): Unit
+      }: Unit
+  }
+
   /** [[append]] under a writer-transaction watermark: a call whose
     * (appId, txnVersion) the log has already absorbed is a NO-OP
     * returning the current version — exactly-once for retried batch
@@ -413,7 +441,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         txn.map(t => LogEntry(txn = Some(t))).toSeq :+
         LogEntry(info = Some(Info("APPEND", snap.version)))
       val v = snap.version + 1
-      if (TxLog.tryCommit(fs, root, v, entries)) return v
+      if (TxLog.tryCommit(fs, root, v, entries)) {
+        maybeAutoCompact()
+        return v
+      }
       attempt += 1
     }
     sys.error(s"append to $root lost $maxRetries races")
@@ -3688,6 +3719,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 }
 
 object TxTable {
+  /** Auto-compaction conf keys — see [[TxTable.maybeAutoCompact]]. */
+  val autoCompactKey = "spark.graft.lake.autoCompact"
+  val autoCompactMinFilesKey = "spark.graft.lake.autoCompact.minFiles"
+  val autoCompactMinRowsKey = "spark.graft.lake.autoCompact.minRows"
+
   /** Process-wide LRU of deserialized bloom sidecars, keyed by absolute
     * sidecar path. Safe because sidecars are IMMUTABLE UUID-named files
     * (a new index writes a new file; vacuum deletes, never rewrites) —

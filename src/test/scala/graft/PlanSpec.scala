@@ -159,6 +159,7 @@ class PlanSpec extends SparkSpec {
       "ext_dedup_edit_distance" -> "cap-filter", // lshBucketCap on blocks
       "ext_dedup_components" -> "cap-filter", // capped jaccard edges
       "ext_dedup_incremental" -> "bloom-exact-key", // bloom + exact fp join
+      "ext_dedup_incremental_near" -> "cap-filter", // lshBucketCap on stored index
       "ext_dedup_semantic" -> "cap-filter", // semanticClusterCap + scaled k
       "ext_dedup_embedding_cosine" -> "cap-filter") // lshBucketCap on buckets
     val family = SparkEntry.queries.keys
@@ -170,6 +171,7 @@ class PlanSpec extends SparkSpec {
           "bound — cap its blocking key (the lshBucketCap pattern, " +
           "replicated in the oracle) and register the mechanism here")
     val capped = Seq(ExtQueries.extDedupNgramJaccard,
+      ExtQueries.extDedupIncrementalNear,
       ExtQueries.extDedupMinhashLsh, ExtQueries.extDedupSimhash,
       CurationQueries.extDedupChunk,
       graft.queries.CorpusQueries.extDedupEditDistance,
