@@ -1,0 +1,393 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.read.{
+  InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{
+  CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit,
+  ReadMaxBytes, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl,
+  SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.{
+  FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+import TxLog.{Add, Meta}
+
+/** Commit-version offset of the DSv2 lake stream. Serializes as the
+  * bare version number — byte-identical to the V1 source's LongOffset
+  * JSON, so a checkpoint written by `format("txlog-stream")` resumes
+  * under the DSv2 `format("txlog")` read and vice versa. */
+case class TxVersionOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** The txlog table as a DataSource V2 [[MicroBatchStream]] — the lake's
+  * PUBLIC-API streaming read (no `private[sql]` bridge on this path):
+  * commit versions are the offsets, each micro-batch is the rows the
+  * versions in `(start, end]` APPENDED, and the batch is planned as
+  * native [[FilePartition]]s straight from the log — executors read the
+  * committed parquet through Spark's own vectorized parquet reader
+  * factory, the driver handles only O(new commits) metadata per
+  * trigger, and rows never pass through the driver.
+  *
+  * Admission control ([[SupportsAdmissionControl]]) is log-metadata
+  * arithmetic: `maxFilesPerTrigger` / `maxRowsPerTrigger` /
+  * `maxBytesPerTrigger` (and `Trigger.AvailableNow`'s implicit limits)
+  * walk the candidate versions' Add entries — counts, rows and bytes
+  * all come from the commit JSON, zero filesystem stats — and admit
+  * whole versions until the budget is spent (always at least one, so a
+  * single oversized commit still progresses). `maxVersionsPerTrigger`
+  * caps the version count itself, the V1 source's pacing knob.
+  * [[SupportsTriggerAvailableNow]] pins the backlog end at prepare
+  * time: the query drains `(start, target]` under the per-batch limits
+  * and stops, Delta's AvailableNow contract.
+  *
+  * Semantics match the V1 source exactly: non-append commits REFUSE by
+  * default (`ignoreChanges=true` re-emits rewritten files' rows —
+  * documented at-least-once for touched files), pure rewrites
+  * (OPTIMIZE and friends, Delta's `dataChange=false`) are skipped,
+  * the schema is pinned at stream start and later additive evolution
+  * null-fills (parquet's missing-column read), and renamed columns
+  * stay coherent because files are addressed by PHYSICAL name.
+  * Change-feed mode stays on the V1 `txlog-stream` source: its mixed
+  * commits are a relational diff (`exceptAll`), not a file read.
+  */
+final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
+    required: StructType, pushed: Array[sources.Filter],
+    startingVersion: Long, ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Long],
+    defaultLimit: ReadLimit) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  maxVersionsPerTrigger.foreach(n =>
+    require(n >= 1L, s"maxVersionsPerTrigger must be >= 1, got $n"))
+
+  private val root = new Path(rootStr)
+  private val fs =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Pinned at stream start (the V1 source's rule): physical names are
+    * resolved against THIS meta for the life of the stream — physical
+    * names never change, so later renames don't shift the columns, and
+    * later-added columns simply aren't requested. */
+  private val pinned: Meta = TxLog.snapshot(fs, root).meta
+
+  /** Committed floor for the per-trigger probe — keeps latestOffset
+    * O(new commits), never O(history). */
+  @volatile private var lastSeen: Long = -1L
+
+  /** Backlog end pinned by Trigger.AvailableNow; None = unbounded. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def initialOffset(): Offset =
+    TxVersionOffset(startingVersion - 1L)
+
+  override def deserializeOffset(json: String): Offset =
+    TxVersionOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit = defaultLimit
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val v = TxLog.latestVersionFrom(fs, root, lastSeen)
+    if (v >= 0) lastSeen = v
+    availableNowTarget = Some(v)
+  }
+
+  override def reportLatestOffset(): Offset = {
+    val v = TxLog.latestVersionFrom(fs, root, lastSeen)
+    if (v >= 0) { lastSeen = v; TxVersionOffset(v) } else null
+  }
+
+  /** MicroBatchStream's unlimited face — routed through the limited one
+    * so the pacing rules live in one place. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[TxVersionOffset].version
+    val probed = TxLog.latestVersionFrom(fs, root, lastSeen)
+    if (probed >= 0) lastSeen = probed
+    val target = availableNowTarget.fold(probed)(math.min(probed, _))
+    if (target <= from) return start
+    val versionCapped = maxVersionsPerTrigger match {
+      case Some(n) => math.min(target, from + n)
+      case None => target
+    }
+    TxVersionOffset(admit(from, versionCapped, limit))
+  }
+
+  /** Walk `(from, hi]` admitting whole versions under `limit` — file /
+    * row / byte budgets accumulated from the commits' own Add entries
+    * (log metadata only). Always admits at least one version past
+    * `from`: a single commit larger than the budget must still flow, or
+    * the stream wedges (FileStreamSource's rule). */
+  private def admit(from: Long, hi: Long, limit: ReadLimit): Long = {
+    def caps(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(caps)
+      case _: ReadAllAvailable => Nil
+      case other => Seq(other)
+    }
+    val active = caps(limit)
+    if (active.isEmpty) return hi
+    var files = 0L; var rows = 0L; var bytes = 0L
+    var admitted = from
+    var v = from + 1
+    var full = false
+    while (v <= hi && !full) {
+      val adds = TxLog.commitEntries(fs, root, v).flatMap(_.add)
+      files += adds.size
+      rows += adds.map(_.rows).sum
+      bytes += adds.flatMap(_.bytes).sum
+      val over = active.exists {
+        case f: ReadMaxFiles => files > f.maxFiles
+        case r: ReadMaxRows => rows > r.maxRows
+        case b: ReadMaxBytes => bytes > b.maxBytes
+        case _ => false
+      }
+      if (over && admitted > from) full = true
+      else { admitted = v; v += 1; if (over) full = true }
+    }
+    admitted
+  }
+
+  // ---- batch planning: versions (start, end] as FilePartitions ----
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[TxVersionOffset].version + 1
+    val to = end.asInstanceOf[TxVersionOffset].version
+    if (to >= lastSeen) lastSeen = math.max(lastSeen, to)
+    if (from > to) return Array.empty
+
+    // one slice per (partition-layout keyset) across the range: files
+    // from different layouts (partition evolution mid-stream) read
+    // under their OWN directory-value columns
+    val adds = (from to to).flatMap { v =>
+      val entries = TxLog.commitEntries(fs, root, v)
+      val removed = entries.flatMap(_.remove)
+      val op = entries.flatMap(_.info).headOption.map(_.op).getOrElse("?")
+      val pureRewrite = TxStreamSource.pureRewriteOps(op)
+      if (removed.nonEmpty && !pureRewrite && !ignoreChanges)
+        sys.error(s"txlog stream at $root: commit $v ($op) rewrites " +
+          "or removes data files — a streaming read of a non-append " +
+          "table diverges silently. Use ignoreChanges=true to accept " +
+          "re-emitted rows (at-least-once for touched files), or " +
+          "stream the change feed (format(\"txlog-stream\"), " +
+          "readChangeFeed=true) instead.")
+      if (pureRewrite) Nil else entries.flatMap(_.add)
+    }
+    adds.find(_.hasDv).foreach(a => sys.error(
+      s"txlog stream at $root: ${a.path} carries a deletion vector — " +
+        "its physical rows are not all live. Stream the change feed " +
+        "(format(\"txlog-stream\"), readChangeFeed=true) instead."))
+    if (adds.isEmpty) return Array.empty
+
+    val sqlConf = spark.sessionState.conf
+    val baseConf = spark.sessionState.newHadoopConf()
+    val maxSplit = sqlConf.filesMaxPartitionBytes
+
+    val slices = adds.groupBy(_.partitionValues.keySet).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+    val descs = Vector.newBuilder[TxSliceReaders]
+    val partitions = Vector.newBuilder[InputPartition]
+    slices.zipWithIndex.foreach { case ((pset, sliceAdds), i) =>
+      val dataFields = required.fields.filterNot(f => pset.contains(f.name))
+        .map(f => f.copy(name = pinned.physicalOf(f.name), nullable = true))
+      val partFields = required.fields.filter(f => pset.contains(f.name))
+        .map(_.copy(nullable = true))
+      val readDataSchema = StructType(dataFields)
+      val partitionSchema = StructType(partFields)
+      // reader output order is data-then-partition; restore the pinned
+      // (required) order positionally
+      val outOrder: Array[Int] = {
+        val dataNames = required.fields.filterNot(f => pset.contains(f.name))
+          .map(_.name)
+        val partNames = partFields.map(_.name)
+        val pos = (dataNames ++ partNames).zipWithIndex.toMap
+        required.fields.map(f => pos(f.name))
+      }
+      val physFilters = pushed.flatMap(
+        TxMicroBatchStream.renameFilter(_, n => pinned.physicalOf(n)))
+      // the requested-schema keys ParquetScan bakes into its broadcast
+      // conf — per slice, because each slice reads its own projection
+      val conf = new org.apache.hadoop.conf.Configuration(baseConf)
+      conf.set(
+        org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[org.apache.spark.sql.execution.datasources.parquet
+          .ParquetReadSupport].getName)
+      conf.set(org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+        readDataSchema.json)
+      org.apache.spark.sql.execution.datasources.parquet
+        .ParquetWriteSupport.setSchema(readDataSchema, conf)
+      conf.set(org.apache.spark.sql.internal.SQLConf
+        .SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+      conf.setBoolean(org.apache.spark.sql.internal.SQLConf
+        .NESTED_SCHEMA_PRUNING_ENABLED.key,
+        sqlConf.nestedSchemaPruningEnabled)
+      conf.setBoolean(org.apache.spark.sql.internal.SQLConf
+        .CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+      conf.setBoolean(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_BINARY_AS_STRING.key, sqlConf.isParquetBinaryAsString)
+      conf.setBoolean(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_INT96_AS_TIMESTAMP.key,
+        sqlConf.isParquetINT96AsTimestamp)
+      conf.setBoolean(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+        sqlConf.parquetInferTimestampNTZEnabled)
+      conf.setBoolean(org.apache.spark.sql.internal.SQLConf
+        .LEGACY_PARQUET_NANOS_AS_LONG.key,
+        sqlConf.legacyParquetNanosAsLong)
+      val broadcastConf: Broadcast[SerializableConfiguration] =
+        spark.sparkContext.broadcast(new SerializableConfiguration(conf))
+      val factory = ParquetPartitionReaderFactory(
+        sqlConf, broadcastConf,
+        dataSchema = StructType(pinned.schema.fields
+          .filterNot(f => pset.contains(f.name))
+          .map(f => f.copy(name = pinned.physicalOf(f.name),
+            nullable = true))),
+        readDataSchema = readDataSchema,
+        partitionSchema = partitionSchema,
+        filters = physFilters,
+        aggregation = None,
+        options = new ParquetOptions(
+          Map.empty[String, String], sqlConf))
+      descs += TxSliceReaders(factory,
+        (readDataSchema.fields ++ partitionSchema.fields).map(_.dataType),
+        outOrder)
+      val pfs = sliceAdds.flatMap { a =>
+        val abs = new Path(root, a.path)
+        val qualified = fs.makeQualified(abs)
+        val len = a.bytes.getOrElse(fs.getFileStatus(qualified).getLen)
+        val tuple = TxMicroBatchStream.partitionTuple(
+          spark, partFields.toIndexedSeq, a.partitionValues)
+        (0L until len by maxSplit).map { off =>
+          new PartitionedFile(tuple,
+            org.apache.spark.paths.SparkPath.fromPath(qualified),
+            off, math.min(maxSplit, len - off), Array.empty[String],
+            0L, len, Map.empty)
+        }
+      }
+      FilePartition.getFilePartitions(
+        spark, pfs.sortBy(-_.length).toIndexedSeq, maxSplit).foreach { fp =>
+        partitions += TxStreamInputPartition(i, fp)
+      }
+    }
+    sliceReaders = descs.result().toArray
+    partitions.result().toArray
+  }
+
+  // handed to createReaderFactory right after planInputPartitions (the
+  // contract: plan then createReaderFactory, per batch)
+  @volatile private var sliceReaders: Array[TxSliceReaders] = Array.empty
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TxStreamReaderFactory(sliceReaders)
+
+  override def toString: String = s"TxMicroBatchStream[$rootStr]"
+}
+
+object TxMicroBatchStream {
+
+  /** A partition tuple's directory values as an InternalRow under
+    * `partFields` — decoded with Catalyst's own Cast, null for
+    * missing / default-partition keys (the [[TxFileIndex]] rule). */
+  private[lake] def partitionTuple(spark: SparkSession,
+      partFields: Seq[StructField],
+      pv: Map[String, String]): InternalRow =
+    InternalRow.fromSeq(partFields.map { f =>
+      pv.get(f.name).filterNot(_ == "__HIVE_DEFAULT_PARTITION__") match {
+        case Some(v) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(v),
+              org.apache.spark.sql.types.StringType),
+            f.dataType,
+            Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+        case None => null
+      }
+    })
+
+  /** `sources.Filter` with attribute names rewritten (logical →
+    * physical) — only shapes that translate exactly; anything else is
+    * dropped rather than mispushed (row-group pruning is an
+    * optimization, the stream's own semantics never depend on it). */
+  private[lake] def renameFilter(f: sources.Filter,
+      phys: String => String): Option[sources.Filter] = f match {
+    case sources.EqualTo(a, v) => Some(sources.EqualTo(phys(a), v))
+    case sources.EqualNullSafe(a, v) =>
+      Some(sources.EqualNullSafe(phys(a), v))
+    case sources.GreaterThan(a, v) =>
+      Some(sources.GreaterThan(phys(a), v))
+    case sources.GreaterThanOrEqual(a, v) =>
+      Some(sources.GreaterThanOrEqual(phys(a), v))
+    case sources.LessThan(a, v) => Some(sources.LessThan(phys(a), v))
+    case sources.LessThanOrEqual(a, v) =>
+      Some(sources.LessThanOrEqual(phys(a), v))
+    case sources.In(a, vs) => Some(sources.In(phys(a), vs))
+    case sources.IsNull(a) => Some(sources.IsNull(phys(a)))
+    case sources.IsNotNull(a) => Some(sources.IsNotNull(phys(a)))
+    case sources.StringStartsWith(a, v) =>
+      Some(sources.StringStartsWith(phys(a), v))
+    case sources.StringEndsWith(a, v) =>
+      Some(sources.StringEndsWith(phys(a), v))
+    case sources.StringContains(a, v) =>
+      Some(sources.StringContains(phys(a), v))
+    case sources.And(l, r) => for {
+      lf <- renameFilter(l, phys); rf <- renameFilter(r, phys)
+    } yield sources.And(lf, rf)
+    case sources.Or(l, r) => for {
+      lf <- renameFilter(l, phys); rf <- renameFilter(r, phys)
+    } yield sources.Or(lf, rf)
+    case sources.Not(c) => renameFilter(c, phys).map(sources.Not)
+    case _ => None
+  }
+}
+
+/** One partition-layout slice's executor kit: the delegate parquet
+  * reader factory plus the positional projection restoring the pinned
+  * column order (reader output is data-then-partition). */
+final case class TxSliceReaders(
+    factory: ParquetPartitionReaderFactory,
+    readerTypes: Array[DataType],
+    outOrder: Array[Int]) extends Serializable
+
+final case class TxStreamInputPartition(sliceIdx: Int,
+    filePartition: FilePartition) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    filePartition.preferredLocations()
+}
+
+final class TxStreamReaderFactory(slices: Array[TxSliceReaders])
+    extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TxStreamInputPartition]
+    val slice = slices(p.sliceIdx)
+    val inner = slice.factory.createReader(p.filePartition)
+    if (slice.outOrder.zipWithIndex.forall { case (o, i) => o == i })
+      inner
+    else new PartitionReader[InternalRow] {
+      private val proj = UnsafeProjection.create(
+        slice.outOrder.toIndexedSeq.map(i =>
+          BoundReference(i, slice.readerTypes(i), nullable = true)))
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = proj(inner.get())
+      override def close(): Unit = inner.close()
+    }
+  }
+}

@@ -3500,24 +3500,36 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       found
     }
     if (!anyFile) return Vector.empty
+    stagedAdds(Seq(stagePath.toString), meta, df.schema.fieldNames.toSet)
+  }
 
-    // stats are computed over — and keyed by — PHYSICAL names: the
-    // physical name never changes, so a file's stats stay addressable
-    // through any sequence of renames (candidateFiles translates).
-    // `_row_id` (never renamed, not in the logical schema) rides along
-    // when present — its max feeds the watermark bump, its min/max
-    // prune row-id point lookups.
+  /** Add actions for already-staged parquet (a staging DIRECTORY from
+    * [[stageWrite]], or the explicit leaf files a DSv2 streaming-write
+    * task landed): row count, bytes, per-column min/max and bloom
+    * sidecars collected with ONE aggregation over just the new files.
+    *
+    * Stats are computed over — and keyed by — PHYSICAL names: the
+    * physical name never changes, so a file's stats stay addressable
+    * through any sequence of renames (candidateFiles translates).
+    * `_row_id` (never renamed, not in the logical schema) rides along
+    * when present — its max feeds the watermark bump, its min/max
+    * prune row-id point lookups. `present` is the set of LOGICAL (plus
+    * `_row_id`) column names the staged data actually carries — absent
+    * columns get no stats rather than an all-null aggregate.
+    */
+  private[lake] def stagedAdds(paths: Seq[String], meta: Meta,
+      present: Set[String]): Vector[Add] = {
     val statCols = meta.schema.fields.toSeq
       .filterNot(f => meta.partitionCols.contains(f.name))
       .filter(f => statKind(f.dataType).isDefined)
-      .filter(f => df.schema.fieldNames.contains(f.name))
+      .filter(f => present.contains(f.name))
       .map(f => meta.physicalOf(f.name) -> f.dataType) ++
-      (if (df.schema.fieldNames.contains(RowIdCol))
+      (if (present.contains(RowIdCol))
         Seq(RowIdCol -> (LongType: DataType)) else Nil)
-    // Plain read of the single staged dir: partition discovery is
+    // Plain read of the staged dir/files: partition discovery is
     // consistent within one staging root (and only data columns feed
     // the stats anyway).
-    val staged = spark.read.parquet(stagePath.toString)
+    val staged = spark.read.parquet(paths: _*)
     val aggs = count(lit(1L)).as("__rows") +:
       first(col("_metadata.file_size")).as("__bytes") +:
       statCols.flatMap { case (p, _) =>
@@ -3543,7 +3555,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // column this load carries, sidecars attached before the commit —
     // new files are indexed the moment they are live
     val indexed = meta.bloomCols.filter { case (c, _) =>
-      df.schema.fieldNames.contains(c) && !meta.partitionCols.contains(c)
+      present.contains(c) && !meta.partitionCols.contains(c)
     }
     if (indexed.isEmpty || baseAdds.isEmpty) baseAdds
     else {
@@ -3559,6 +3571,56 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         })
       }
     }
+  }
+
+  /** Commit already-staged files as one atomic APPEND under a
+    * writer-transaction watermark — the DSv2 streaming sink's commit
+    * half ([[graft.lake.TxStreamingWrite]]): executors landed the
+    * parquet, the driver turns the file list into Add actions
+    * ([[stagedAdds]]) and claims the version. Same optimistic loop as
+    * [[append]]: a replayed (appId, txnVersion) is a log-enforced
+    * no-op, a lost race re-checks against the fresh snapshot, staged
+    * orphans of an abandoned attempt are vacuum's to reclaim.
+    *
+    * `stagedSchema` carries the staged data's LOGICAL names — additive
+    * columns evolve the schema exactly like a DataFrame append. The
+    * caller is responsible for having refused tables whose ingest
+    * gates need the row-level DataFrame path (constraints, generated /
+    * identity / default columns, row tracking) BEFORE any file was
+    * staged.
+    */
+  private[lake] def commitStagedAppend(stagedSchema: StructType,
+      adds: Vector[Add], txn: Txn): Long = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val snap = metaSnapshot()._1
+      gateWriter(snap.meta)
+      if (snap.txns.get(txn.appId).exists(_ >= txn.version))
+        return snap.version
+      stagedSchema.fields
+        .filterNot(f => snap.meta.schema.fieldNames.contains(f.name))
+        .foreach { f =>
+          require(!snap.meta.retired.contains(f.name),
+            s"column ${f.name} was dropped and re-added — the staged " +
+              "stream files carry it under its identity name, which a " +
+              "re-add must not resurrect; use the txlog-stream V1 " +
+              "sink, which re-stages per batch under a fresh mapping")
+        }
+      val merged = evolve(snap.meta, stagedSchema)
+      val metaEntry =
+        if (merged != snap.meta) Seq(LogEntry(meta = Some(merged)))
+        else Nil
+      val entries = metaEntry ++ adds.map(a => LogEntry(add = Some(a))) :+
+        LogEntry(txn = Some(txn)) :+
+        LogEntry(info = Some(Info("STREAMING UPDATE", snap.version)))
+      val v = snap.version + 1
+      if (TxLog.tryCommit(fs, root, v, entries)) {
+        maybeAutoCompact()
+        return v
+      }
+      attempt += 1
+    }
+    sys.error(s"streaming append to $root lost $maxRetries races")
   }
 
   /** Per-file bloom filters in ONE distributed aggregation: hash the

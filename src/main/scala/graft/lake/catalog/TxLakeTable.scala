@@ -87,20 +87,22 @@ final class TxLakeTable(val path: String, val asOf: Option[Long],
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
 
   // ---- read: ScanBuilder with exact pushdown → V1Scan fallback ----
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxScanBuilder(path, asOf, schema(), exists)
+    new TxScanBuilder(path, asOf, schema(), exists, options)
 
   // ---- write: V1Write fallback over append/overwrite commits ----
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to a time-travel read of $path")
-    new TxWriteBuilder(path, partitionColumnNames)
+    new TxWriteBuilder(path, partitionColumnNames, info)
   }
 
   // ---- row-level DELETE by identifier ----
@@ -121,7 +123,9 @@ final class TxLakeTable(val path: String, val asOf: Option[Long],
 
 private[catalog] final class TxScanBuilder(path: String,
     asOf: Option[Long], full: StructType,
-    exists: Boolean) extends ScanBuilder
+    exists: Boolean,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
@@ -140,12 +144,66 @@ private[catalog] final class TxScanBuilder(path: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** One Scan, two faces: the batch side is the V1 fallback over the
+    * native FileIndex read; the streaming side is the pure-public DSv2
+    * [[graft.lake.TxMicroBatchStream]] (admission-controlled
+    * append-mode micro-batches planned straight from the log) — so
+    * `spark.readStream.table("cat.db.t")` and
+    * `readStream.format("txlog")` stream a lake table BY NAME with no
+    * further setup. */
   override def build(): Scan = new V1Scan {
     override def readSchema(): StructType = required
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
       new TxV1ScanRelation(context, path, asOf, required, pushed, exists)
         .asInstanceOf[T]
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+      require(asOf.isEmpty,
+        s"cannot stream a time-travel read of $path — use " +
+          "startingVersion to begin a stream at a past version")
+      require(!Option(options.get("readChangeFeed")).exists(_.toBoolean),
+        "change-feed streaming reads go through the V1 source: " +
+          "spark.readStream.format(\"txlog-stream\")" +
+          ".option(\"readChangeFeed\", true) — mixed commits are a " +
+          "relational diff, not a file read")
+      val spark = SparkSession.active
+      val startingVersion =
+        (Option(options.get("startingVersion")),
+          Option(options.get("startingTimestamp"))) match {
+          case (Some(_), Some(_)) => sys.error(
+            "txlog: set either startingVersion or startingTimestamp, " +
+              "not both")
+          case (Some(v), None) => v.toLong
+          case (None, Some(ts)) =>
+            new TxTable(spark, path).versionAtOrAfterTimestamp(ts.toLong)
+          case (None, None) => 0L
+        }
+      val perTrigger = Seq(
+        Option(options.get("maxFilesPerTrigger")).map(n =>
+          org.apache.spark.sql.connector.read.streaming.ReadLimit
+            .maxFiles(n.toInt)),
+        Option(options.get("maxRowsPerTrigger")).map(n =>
+          org.apache.spark.sql.connector.read.streaming.ReadLimit
+            .maxRows(n.toLong)),
+        Option(options.get("maxBytesPerTrigger")).map(n =>
+          org.apache.spark.sql.connector.read.streaming.ReadLimit
+            .maxBytes(n.toLong))).flatten
+      val defaultLimit =
+        if (perTrigger.isEmpty)
+          org.apache.spark.sql.connector.read.streaming.ReadLimit
+            .allAvailable()
+        else if (perTrigger.size == 1) perTrigger.head
+        else org.apache.spark.sql.connector.read.streaming.ReadLimit
+          .compositeLimit(perTrigger.toArray)
+      new graft.lake.TxMicroBatchStream(spark, path, required, pushed,
+        startingVersion = startingVersion,
+        ignoreChanges =
+          Option(options.get("ignoreChanges")).exists(_.toBoolean),
+        maxVersionsPerTrigger =
+          Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+        defaultLimit = defaultLimit)
+    }
     override def description(): String =
       s"txlog $path${asOf.map(v => s" @v$v").getOrElse("")}"
   }
@@ -170,7 +228,8 @@ private[catalog] final class TxV1ScanRelation(ctx: SQLContext,
 }
 
 private[catalog] final class TxWriteBuilder(path: String,
-    partitionCols: Seq[String]) extends WriteBuilder
+    partitionCols: Seq[String],
+    info: LogicalWriteInfo = null) extends WriteBuilder
     with SupportsTruncate with SupportsOverwrite {
 
   // None = append; Some(filters) = overwrite scoped by the filters
@@ -186,7 +245,23 @@ private[catalog] final class TxWriteBuilder(path: String,
     this
   }
 
+  /** One Write, two faces (the read side's mirror): batch goes through
+    * the V1 fallback's full DataFrame append/overwrite, streaming
+    * through the pure-public DSv2 [[graft.lake.TxStreamingWrite]]
+    * (executors stage parquet, the driver commits atomically under the
+    * (queryId, epochId) watermark) — so
+    * `writeStream.toTable("cat.db.t")` lands exactly-once with no
+    * further setup. */
   override def build(): Write = new V1Write {
+    override def toStreaming: org.apache.spark.sql.connector.write
+        .streaming.StreamingWrite = {
+      require(overwriteBy.isEmpty,
+        s"txlog streaming write to $path supports Append output only " +
+          "(Complete/Update need a table rewrite — use foreachBatch " +
+          "with merge/applyChanges for update semantics)")
+      new graft.lake.TxStreamingWrite(path, partitionCols,
+        info.schema(), info.queryId())
+    }
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit = {

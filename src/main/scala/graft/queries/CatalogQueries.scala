@@ -204,6 +204,52 @@ object CatalogQueries {
            |       CAST(5.5 AS DOUBLE)
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** STREAMING BY TABLE NAME (`spark.readStream.table("cat.ns.t")`) —
+    * the catalog resolution and the DSv2 streaming read composed: the
+    * analyzer resolves the identifier through [[graft.lake.catalog
+    * .TxCatalog]], the table's MICRO_BATCH_READ capability routes the
+    * stream through [[graft.lake.TxMicroBatchStream]] (public API,
+    * file-level planning from the log), and the feed is grown with
+    * ordinary `INSERT INTO ... VALUES`-free SQL over the SAME name —
+    * no path appears anywhere. This is the reference deployment's
+    * shape (DeltaCatalog default + streaming reads of registered
+    * tables). Content parity proves name-resolution hands the stream
+    * the same log the path route reads.
+    */
+  val extStreamTableByName = Q(
+    "ext_stream_table_by_name",
+    (s, dir) => {
+      import s.implicits._
+      val cat = catalogFor(s, "stream", dir)
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .createOrReplaceTempView("stream_by_name_feed")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.str")
+      s.sql(s"CREATE TABLE $cat.str.orders " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE) " +
+        "USING txlog")
+      s.sql(s"INSERT INTO $cat.str.orders " +
+        "SELECT * FROM stream_by_name_feed WHERE o_orderkey % 3 = 0")
+      val name = "stream_by_name_" + math.abs(dir.hashCode).toString
+      val q = s.readStream.table(s"$cat.str.orders")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        s.sql(s"INSERT INTO $cat.str.orders " +
+          "SELECT * FROM stream_by_name_feed WHERE o_orderkey % 3 = 1")
+        q.processAllAvailable()
+        s.sql(s"INSERT INTO $cat.str.orders " +
+          "SELECT * FROM stream_by_name_feed WHERE o_orderkey % 3 = 2")
+        q.processAllAvailable()
+        require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+          "each INSERT must arrive as its own micro-batch")
+      } finally q.stop()
+      s.table(name).orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[Q] = Seq(extCatalogNamedTable, extCatalogSessionDefault,
-    extCatalogMaintenanceIdent)
+    extCatalogMaintenanceIdent, extStreamTableByName)
 }

@@ -303,6 +303,143 @@ object LakeQueries {
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** The DSv2 STREAMING READ ([[graft.lake.TxMicroBatchStream]] —
+    * round-12 verdict item 2): the same commit-version tailing as
+    * `ext_stream_lake_source`, but through the PUBLIC connector API —
+    * `readStream.format("txlog")` resolves the lake table's
+    * MICRO_BATCH_READ capability, each batch is planned as native
+    * FilePartitions straight from the log, and executors read the
+    * committed parquet through Spark's own vectorized reader. No
+    * `private[sql]` bridge anywhere on this path. Offsets are
+    * byte-compatible with the V1 source (TxMicroBatchSpec pins the
+    * checkpoint handover); content parity with the oracle proves the
+    * file-level planning delivers exactly the appended rows.
+    */
+  val extStreamDsv2Source = Q(
+    "ext_stream_dsv2_source",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val root = scratch("dsv2_src", dir)
+      val tab = new TxTable(s, root)
+      tab.create(orders.where($"o_orderkey" % 4 === 0))
+      val name = "stream_dsv2_src_" + math.abs(dir.hashCode).toString
+      val q = s.readStream.format("txlog")
+        .option("path", root).load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable() // batch 1: the CREATE commit's rows
+        tab.append(orders.where($"o_orderkey" % 4 === 1))
+        q.processAllAvailable() // batch 2: one append
+        tab.append(orders.where($"o_orderkey" % 4 === 2))
+        tab.append(orders.where($"o_orderkey" % 4 === 3))
+        q.processAllAvailable() // batch 3: two versions, one range
+        require(q.recentProgress.count(_.numInputRows > 0) >= 3,
+          "the drains must arrive as separate micro-batches")
+      } finally q.stop()
+      s.table(name).orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** ADMISSION CONTROL + Trigger.AvailableNow on the DSv2 stream
+    * ([[graft.lake.TxMicroBatchStream]] as SupportsAdmissionControl /
+    * SupportsTriggerAvailableNow): a five-version backlog drained
+    * under `maxVersionsPerTrigger = 1` — the budget walk is pure log
+    * metadata (Add counts, zero filesystem stats), AvailableNow pins
+    * the backlog end at prepare time, the query PACES itself through
+    * ≥5 batches (REQUIREd from query progress) and terminates on its
+    * own. At scale this is the difference between a new stream over a
+    * long-lived table planning its entire history as one unbounded
+    * batch and a paced, memory-bounded backfill. Content parity with
+    * the oracle proves pacing loses and duplicates nothing.
+    */
+  val extStreamDsv2Paced = Q(
+    "ext_stream_dsv2_paced",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val root = scratch("dsv2_paced", dir)
+      val tab = new TxTable(s, root)
+      tab.create(orders.where($"o_orderkey" % 5 === 0))
+      (1 to 4).foreach(i =>
+        tab.append(orders.where($"o_orderkey" % 5 === i)))
+      val name = "stream_dsv2_paced_" + math.abs(dir.hashCode).toString
+      val q = s.readStream.format("txlog")
+        .option("path", root)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      require(q.awaitTermination(300000),
+        "AvailableNow must drain the pinned backlog and terminate")
+      require(q.recentProgress.count(_.numInputRows > 0) >= 5,
+        "one version per trigger: the backlog must arrive as >= 5 " +
+          "paced batches, not one catch-all")
+      s.table(name).orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
+  /** DSv2 lake-to-lake: BOTH streaming endpoints on the public
+    * connector API ([[graft.lake.TxMicroBatchStream]] source →
+    * [[graft.lake.TxStreamingWrite]] sink). Executors stage each
+    * micro-batch's parquet directly (rows never touch the driver); the
+    * driver's commit turns the task-reported file list into Add
+    * actions — stats and all, one aggregation over just the new
+    * files — under the (queryId, epochId) writer transaction, so a
+    * replayed epoch is a log-enforced no-op. The destination is
+    * pre-created (schema fixed), the copy runs across a drain +
+    * append + drain; a duplicated epoch, dropped commit, partial
+    * batch, or stats-less add breaks the hash or the REQUIRE.
+    */
+  val extStreamDsv2Sink = Q(
+    "ext_stream_dsv2_sink",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val srcRoot = scratch("dsv2_sink_src", dir)
+      val dstRoot = scratch("dsv2_sink_dst", dir)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_dsv2_sink_ckpt").toString
+      val src = new TxTable(s, srcRoot)
+      src.create(orders.where($"o_orderkey" % 2 === 0))
+      val dst = new TxTable(s, dstRoot)
+      dst.create(orders.limit(0)) // fixed schema, empty v0
+      val q = s.readStream.format("txlog")
+        .option("path", srcRoot).load()
+        .writeStream.format("txlog")
+        .option("path", dstRoot)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        src.append(orders.where($"o_orderkey" % 2 === 1))
+        q.processAllAvailable()
+      } finally q.stop()
+      val fs = new org.apache.hadoop.fs.Path(dstRoot).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val snap = graft.lake.TxLog.snapshot(fs,
+        new org.apache.hadoop.fs.Path(dstRoot))
+      require(snap.txns.keys.exists(_.startsWith("dsv2:")),
+        "the destination's commits must carry the DSv2 " +
+          "(queryId, epochId) writer transaction")
+      require(snap.adds.forall(a =>
+          a.stats.nonEmpty && a.bytes.exists(_ > 0L)),
+        "executor-staged files must land with full stats/bytes — " +
+          "file skipping on a streamed-into table must work like any " +
+          "other")
+      dst.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   /** The lake as a STREAMING SINK ([[graft.lake.TxStreamSink]] —
     * Delta's DeltaSink shape): a lake-to-lake copy wired PURELY
     * through formats (`readStream.format("txlog-stream")` →
@@ -2518,6 +2655,7 @@ object LakeQueries {
     extLakeConcurrentAppend, extLakeMerge, extLakeMergeConditional,
     extLakeMergeEvolution,
     extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
+    extStreamDsv2Source, extStreamDsv2Paced, extStreamDsv2Sink,
     extStreamLakeSink,
     extStreamLakeToLake, extStreamCdf, extStreamCdfApply,
     extLakeBloomLookup, extLakePartitionEvolution, extLakeGeneratedCol,

@@ -21,7 +21,18 @@ import org.apache.spark.sql.classic.{DataFrame => ClassicDataFrame}
   *     as a batch frame is the one correct consumption (DeltaSink's
   *     route too).
   *
-  * Nothing else in the repo reaches private API.
+  * SCOPE (narrowed in round 12): the DEFAULT streaming paths are pure
+  * public DSv2 and never touch this object — append-mode reads go
+  * through [[graft.lake.TxMicroBatchStream]]
+  * (`readStream.format("txlog")` / `readStream.table`), writes through
+  * [[graft.lake.TxStreamingWrite]] (`writeStream.toTable` /
+  * `format("txlog")`). The bridge remains ONLY behind the V1
+  * `txlog-stream` faces, which exist for the semantics DSv2 file-level
+  * planning cannot express: the CHANGE-FEED stream (mixed commits are
+  * a relational diff, not a file read) and the DataFrame-path sink for
+  * row-feature tables (constraints, generated/identity/default
+  * columns, row tracking). Delta keeps the same V1 endpoints for the
+  * same reasons. Nothing else in the repo reaches private API.
   */
 object GraftSqlBridge {
 
