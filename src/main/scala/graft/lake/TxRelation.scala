@@ -55,6 +55,24 @@ object FilterSql {
 
 object TxRelation {
 
+  /** Table size and row count from the LOG (Add.bytes / Add.rows —
+    * zero filesystem RPCs): the numbers Catalyst's join strategy
+    * reads. Without this every V1-faced lake relation reports
+    * `spark.sql.defaultSizeInBytes` (≈ infinite), so a join against a
+    * small NAME-ADDRESSED dimension would sort-merge instead of
+    * broadcast — at 100 TB that is a full shuffle of the fact side
+    * paid for no reason. Legacy byte-less adds estimate at 128 B/row
+    * (overestimating keeps the decision conservative). */
+  def logStats(spark: SparkSession, path: String,
+      asOf: Option[Long]): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val snap = TxLog.snapshot(
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      root, asOf)
+    val bytes = snap.adds.map(a => a.bytes.getOrElse(a.rows * 128L)).sum
+    (math.max(bytes, 1L), snap.adds.map(_.rows).sum)
+  }
+
   /** The shared scan: snapshot read → exact pushed filters (file
     * skipping + partition pruning inside [[TxFileIndex]]) → column
     * pruning → the already-planned InternalRow RDD. `needConversion =
@@ -97,6 +115,11 @@ final class TxBaseRelation(ctx: SQLContext, path: String,
 
   // buildScan returns the planned InternalRow RDD directly
   override def needConversion: Boolean = false
+
+  // log-derived size (not the default "infinite"): small lake tables
+  // broadcast in joins like any parquet table would
+  override lazy val sizeInBytes: Long =
+    TxRelation.logStats(ctx.sparkSession, path, asOf)._1
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filterNot(FilterSql.translatable)

@@ -151,8 +151,27 @@ private[catalog] final class TxScanBuilder(path: String,
     * `spark.readStream.table("cat.db.t")` and
     * `readStream.format("txlog")` stream a lake table BY NAME with no
     * further setup. */
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def readSchema(): StructType = required
+    /** Log-derived size/rows (`Add.bytes`/`Add.rows`, zero filesystem
+      * RPCs) — what Catalyst's join strategy reads. Without it a
+      * name-addressed scan reports the "infinite" default and a join
+      * against a small catalog dimension sort-merges instead of
+      * broadcasting: at scale, a full shuffle of the fact side paid
+      * for nothing. */
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics = {
+      val (bytes, rows) =
+        if (!exists) (1L, 0L)
+        else TxRelation.logStats(SparkSession.active, path, asOf)
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(bytes)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(rows)
+      }
+    }
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
       new TxV1ScanRelation(context, path, asOf, required, pushed, exists)
@@ -219,6 +238,11 @@ private[catalog] final class TxV1ScanRelation(ctx: SQLContext,
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
   override def needConversion: Boolean = false
+  // same log-derived size the Scan reports — whichever surface
+  // Catalyst consults, a small lake table reads small
+  override lazy val sizeInBytes: Long =
+    if (!exists) 1L
+    else TxRelation.logStats(ctx.sparkSession, path, asOf)._1
   override def buildScan(): org.apache.spark.rdd.RDD[
       org.apache.spark.sql.Row] =
     if (!exists) // registered, never written: an empty table

@@ -440,6 +440,67 @@ object LakeQueries {
     Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** The production composition: WATERMARKED WINDOWED AGGREGATION →
+    * DSv2 LAKE SINK. A file-fed event stream folds into tumbling
+    * 5-minute per-type windows (1-hour watermark, append mode — only
+    * FINALIZED windows ever emit), and each emission lands as one
+    * atomic txlog commit through [[graft.lake.TxStreamingWrite]] —
+    * stateful streaming (Spark's own state store) fused with the
+    * lake's exactly-once commit protocol, the events→aggregates→table
+    * loop a training-data pipeline runs continuously. Rows go executor
+    * state-store → executor parquet; the driver commits metadata. The
+    * oracle reproduces the finalized-window set relationally
+    * (time_bucket + the watermark cutoff).
+    */
+  val extStreamWindowLakeSink = Q(
+    "ext_stream_window_lake_sink",
+    (s, dir) => {
+      import s.implicits._
+      val root = scratch("window_lake_sink", dir)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_wls_ckpt").toString
+      // destination pre-created with the windowed schema (the DSv2
+      // write's contract — the table IS the schema authority)
+      val dst = new TxTable(s, root)
+      dst.create(s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("window_start",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("window_end",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_events",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_value",
+            org.apache.spark.sql.types.DoubleType)))))
+      val result = graft.streaming.StreamOps.runToLakeSink(
+        s, ExtQueries.streamSourceDir(dir, "lakewindow"),
+        ExtQueries.eventsStreamSchema(s, dir),
+        df => graft.streaming.StreamOps.windowedEventCounts(
+            ExtQueries.normalizeStreamTs(df), "5 minutes", "1 hour")
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("event_type"), col("n_events"),
+            col("sum_value").cast("double").as("sum_value")),
+        root, ckpt, statePartitions = Some(8))
+      result.orderBy($"window_start", $"event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+           |  FROM events),
+           |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM ev)
+           |SELECT window_start, window_start + INTERVAL 5 MINUTE AS window_end,
+           |       event_type, n_events, sum_value
+           |FROM (
+           |  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+           |         event_type, COUNT(*) AS n_events,
+           |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           |  FROM ev GROUP BY 1, 2)
+           |WHERE window_start + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
+           |ORDER BY window_start, event_type""".stripMargin))
+
   /** The lake as a STREAMING SINK ([[graft.lake.TxStreamSink]] —
     * Delta's DeltaSink shape): a lake-to-lake copy wired PURELY
     * through formats (`readStream.format("txlog-stream")` →
@@ -2656,6 +2717,7 @@ object LakeQueries {
     extLakeMergeEvolution,
     extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
     extStreamDsv2Source, extStreamDsv2Paced, extStreamDsv2Sink,
+    extStreamWindowLakeSink,
     extStreamLakeSink,
     extStreamLakeToLake, extStreamCdf, extStreamCdfApply,
     extLakeBloomLookup, extLakePartitionEvolution, extLakeGeneratedCol,

@@ -285,6 +285,35 @@ object StreamOps {
     spark.read.parquet(outDir)
   }
 
+  /** [[runToFileSink]]'s LAKE twin: the append-mode stream lands in a
+    * txlog table through the DSv2 streaming write
+    * ([[graft.lake.TxStreamingWrite]]) — each micro-batch one atomic
+    * commit under the (queryId, epochId) writer transaction, rows
+    * executor-staged, stats on every add. The destination table must
+    * exist (its schema is the contract); the committed table content
+    * is read back through the ordinary snapshot read. */
+  def runToLakeSink(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      transform: DataFrame => DataFrame,
+      tableRoot: String, checkpointDir: String,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try {
+      val stream = spark.readStream.schema(schema).parquet(sourceDir)
+      val q = transform(stream).writeStream
+        .outputMode(OutputMode.Append)
+        .format("txlog")
+        .option("path", tableRoot)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
+    spark.read.format("txlog").load(tableRoot)
+  }
+
   /** Checkpoint RESTART RECOVERY: run `transform` as TWO consecutive
     * query incarnations over the SAME checkpoint and append-mode
     * parquet sink — the first drains `stagesBeforeRestart` and STOPS
