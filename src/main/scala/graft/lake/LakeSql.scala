@@ -525,11 +525,17 @@ object LakeSql {
         val pathAt = afterKw.filter { case (_, j) =>
           tvfAt.isEmpty && j < n && s.charAt(j) == '\''
         }
-        tvfAt match {
-          case Some((k, j, m)) =>
-            val target = Option(m.group(1)).orElse(
-              identPath(m.group(2))).getOrElse(sys.error(
-              s"TABLE_CHANGES: ${m.group(2)} is not a lake table"))
+        // claimed ONLY when the TVF argument is a quoted path or an
+        // identifier that resolves to a lake table — anything else
+        // (a user TVF that happens to be named table_changes, a typo'd
+        // name) falls through verbatim to Spark's parser, the same
+        // contract every other rewrite here honors
+        val tvfResolved = tvfAt.flatMap { case (k, j, m) =>
+          Option(m.group(1)).orElse(identPath(m.group(2)))
+            .map(target => (k, j, m, target))
+        }
+        tvfResolved match {
+          case Some((k, j, m, target)) =>
             val src = PathSrc(target, None, None,
               changes = Some((m.group(3).toLong, m.group(4).toLong)))
             srcs += src

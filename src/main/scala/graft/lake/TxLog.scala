@@ -995,8 +995,23 @@ object TxLog {
         LogEntry(txn = Some(Txn(app, tv))) } ++
       dead.values.map(r => LogEntry(remove = Some(r))) ++
       live.values.map(a => LogEntry(add = Some(a)))
-    scala.util.Try(writeString(fs, compactedFile(root, start, end),
-      entries.map(e => Serialization.write(e)).mkString("\n")))
+    // ATOMIC publication (temp + claim, tryCommit's convention): a
+    // compacted file torn on a line boundary would PARSE clean and
+    // silently drop the missing range actions from every later replay
+    // (tailBatches prefers it over the still-present member commits),
+    // so a partially-written file must never become visible under the
+    // compacted name. Concurrent writers produce identical bytes; the
+    // claim loser's temp is simply discarded.
+    scala.util.Try {
+      val tmpDir = new Path(logDir(root), ".tmp")
+      fs.mkdirs(tmpDir)
+      val tmp = new Path(tmpDir,
+        java.util.UUID.randomUUID.toString + ".compacted.json")
+      writeString(fs, tmp,
+        entries.map(e => Serialization.write(e)).mkString("\n"))
+      LogStore.claimFor(fs).claim(fs, tmp, compactedFile(root, start, end))
+      if (fs.exists(tmp)) fs.delete(tmp, false)
+    }
     entries.size.toLong
   }
 

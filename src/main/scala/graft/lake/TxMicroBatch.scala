@@ -87,6 +87,37 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
   /** Backlog end pinned by Trigger.AvailableNow; None = unbounded. */
   @volatile private var availableNowTarget: Option[Long] = None
 
+  /** Commit-entry cache: [[admit]] reads a version's entries to price
+    * it and [[planInputPartitions]] reads the SAME entries to plan it
+    * in the same trigger — one parse, not two. Bounded LRU (a trigger
+    * touches only its admitted range; 256 versions ≫ any sane
+    * per-trigger admission). */
+  private val entryCache =
+    new java.util.LinkedHashMap[Long, Seq[TxLog.LogEntry]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Seq[TxLog.LogEntry]]): Boolean =
+        size() > 256
+    }
+  private def commitEntriesCached(v: Long): Seq[TxLog.LogEntry] =
+    entryCache.synchronized {
+      val hit = entryCache.get(v)
+      if (hit != null) hit
+      else {
+        val es = TxLog.commitEntries(fs, root, v)
+        entryCache.put(v, es)
+        es
+      }
+    }
+
+  /** Per-layout reader kit, cached for the STREAM's life: the pinned
+    * schema, pushed filters, and session conf never change mid-stream,
+    * so the Hadoop conf build, its SparkContext broadcast, and the
+    * parquet reader factory are built once per partition-layout keyset
+    * — not once per slice per micro-batch (broadcast churn at a 1 s
+    * trigger cadence). */
+  private val sliceKitCache =
+    scala.collection.concurrent.TrieMap.empty[Set[String], TxSliceReaders]
+
   override def initialOffset(): Offset =
     TxVersionOffset(startingVersion - 1L)
 
@@ -147,7 +178,7 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
     var v = from + 1
     var full = false
     while (v <= hi && !full) {
-      val adds = TxLog.commitEntries(fs, root, v).flatMap(_.add)
+      val adds = commitEntriesCached(v).flatMap(_.add)
       files += adds.size
       rows += adds.map(_.rows).sum
       bytes += adds.flatMap(_.bytes).sum
@@ -176,7 +207,7 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
     // from different layouts (partition evolution mid-stream) read
     // under their OWN directory-value columns
     val adds = (from to to).flatMap { v =>
-      val entries = TxLog.commitEntries(fs, root, v)
+      val entries = commitEntriesCached(v)
       val removed = entries.flatMap(_.remove)
       val op = entries.flatMap(_.info).headOption.map(_.op).getOrElse("?")
       val pureRewrite = TxStreamSource.pureRewriteOps(op)
@@ -204,10 +235,11 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
     val descs = Vector.newBuilder[TxSliceReaders]
     val partitions = Vector.newBuilder[InputPartition]
     slices.zipWithIndex.foreach { case ((pset, sliceAdds), i) =>
-      val dataFields = required.fields.filterNot(f => pset.contains(f.name))
-        .map(f => f.copy(name = pinned.physicalOf(f.name), nullable = true))
       val partFields = required.fields.filter(f => pset.contains(f.name))
         .map(_.copy(nullable = true))
+      val kit = sliceKitCache.getOrElseUpdate(pset, {
+      val dataFields = required.fields.filterNot(f => pset.contains(f.name))
+        .map(f => f.copy(name = pinned.physicalOf(f.name), nullable = true))
       val readDataSchema = StructType(dataFields)
       val partitionSchema = StructType(partFields)
       // reader output order is data-then-partition; restore the pinned
@@ -222,7 +254,8 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
       val physFilters = pushed.flatMap(
         TxMicroBatchStream.renameFilter(_, n => pinned.physicalOf(n)))
       // the requested-schema keys ParquetScan bakes into its broadcast
-      // conf — per slice, because each slice reads its own projection
+      // conf — per LAYOUT (each layout reads its own projection),
+      // cached for the stream's life via sliceKitCache above
       val conf = new org.apache.hadoop.conf.Configuration(baseConf)
       conf.set(
         org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
@@ -265,9 +298,11 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
         aggregation = None,
         options = new ParquetOptions(
           Map.empty[String, String], sqlConf))
-      descs += TxSliceReaders(factory,
+      TxSliceReaders(factory,
         (readDataSchema.fields ++ partitionSchema.fields).map(_.dataType),
         outOrder)
+      })
+      descs += kit
       val pfs = sliceAdds.flatMap { a =>
         val abs = new Path(root, a.path)
         val qualified = fs.makeQualified(abs)

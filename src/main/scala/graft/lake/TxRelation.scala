@@ -66,9 +66,14 @@ object TxRelation {
   def logStats(spark: SparkSession, path: String,
       asOf: Option[Long]): (Long, Long) = {
     val root = new org.apache.hadoop.fs.Path(path)
-    val snap = TxLog.snapshot(
+    statsOf(TxLog.snapshot(
       root.getFileSystem(spark.sparkContext.hadoopConfiguration),
-      root, asOf)
+      root, asOf))
+  }
+
+  /** Same numbers from an already-resolved snapshot (no extra log
+    * replay). */
+  def statsOf(snap: TxLog.Snapshot): (Long, Long) = {
     val bytes = snap.adds.map(a => a.bytes.getOrElse(a.rows * 128L)).sum
     (math.max(bytes, 1L), snap.adds.map(_.rows).sum)
   }
@@ -80,8 +85,15 @@ object TxRelation {
     * own pattern), so no per-row Row⇄InternalRow conversion is paid —
     * the rows never leave Tungsten format. */
   def scanRdd(spark: SparkSession, path: String, asOf: Option[Long],
+      requiredColumns: Seq[String], filters: Seq[Filter]): RDD[Row] =
+    scanRdd(spark, path,
+      new TxTable(spark, path).read(asOf), requiredColumns, filters)
+
+  /** Scan from a pre-resolved snapshot read — the shared-snapshot
+    * surfaces ([[TxBaseRelation]], the catalog scan) resolve the log
+    * once and pass the base read here. */
+  def scanRdd(spark: SparkSession, path: String, base: DataFrame,
       requiredColumns: Seq[String], filters: Seq[Filter]): RDD[Row] = {
-    val base = new TxTable(spark, path).read(asOf)
     val filtered = filters.flatMap(FilterSql.column)
       .foldLeft(base)(_ filter _)
     val pruned =
@@ -110,23 +122,33 @@ final class TxBaseRelation(ctx: SQLContext, path: String,
 
   override def sqlContext: SQLContext = ctx
 
-  override val schema: StructType =
-    new TxTable(ctx.sparkSession, path).read(asOf).schema
+  // ONE log resolution for the relation's life: schema, statistics,
+  // and the scan all read the SAME pinned snapshot — one replay per
+  // query instead of three, and snapshot isolation between a query's
+  // analysis and its execution for free
+  private val table = new TxTable(ctx.sparkSession, path)
+  private val snap: TxLog.Snapshot = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    TxLog.snapshot(root.getFileSystem(
+      ctx.sparkSession.sparkContext.hadoopConfiguration), root, asOf)
+  }
+  private lazy val baseRead: DataFrame = table.readAt(snap)
+
+  override val schema: StructType = baseRead.schema
 
   // buildScan returns the planned InternalRow RDD directly
   override def needConversion: Boolean = false
 
   // log-derived size (not the default "infinite"): small lake tables
   // broadcast in joins like any parquet table would
-  override lazy val sizeInBytes: Long =
-    TxRelation.logStats(ctx.sparkSession, path, asOf)._1
+  override lazy val sizeInBytes: Long = TxRelation.statsOf(snap)._1
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters.filterNot(FilterSql.translatable)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] =
-    TxRelation.scanRdd(ctx.sparkSession, path, asOf,
+    TxRelation.scanRdd(ctx.sparkSession, path, baseRead,
       requiredColumns.toIndexedSeq, filters.toIndexedSeq)
 
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {

@@ -346,7 +346,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * writers should pay. */
   private def maybeAutoCompact(): Unit = {
     val conf = spark.conf
-    if (conf.getOption(TxTable.autoCompactKey).exists(_.toBoolean))
+    // the gate parse sits INSIDE the Try envelope too: the commit that
+    // triggered this hook has already landed, so a malformed conf value
+    // ("yes", "1") must degrade to no-compaction, not make a durable
+    // append report failure (a retry would duplicate every row)
+    if (scala.util.Try(conf.getOption(TxTable.autoCompactKey)
+        .exists(_.toBoolean)).getOrElse(false))
       scala.util.Try {
         val minFiles = conf.getOption(TxTable.autoCompactMinFilesKey)
           .map(_.toInt).getOrElse(8)
@@ -2693,15 +2698,30 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // and return a wrong start), and an unstamped NEWEST commit no
     // longer makes the future-instant guard refuse instants that
     // earlier stamped commits satisfy.
-    def tsOf(v: Long): Long = {
-      var x = v
-      while (x >= earliest) {
-        TxLog.commitInfoFast(fs, root, x).flatMap(_.tsMillis) match {
-          case Some(t) => return t
-          case None => x -= 1
+    // per-call memo of raw stamps: the carry-forward walk revisits the
+    // same versions across binary-search probes — without it a long
+    // unstamped legacy prefix costs O(n log n) commit reads; memoized,
+    // each version's stamp is read at most ONCE (O(n) worst case, the
+    // usual O(log n) when commits are stamped)
+    val rawMemo = scala.collection.mutable.HashMap.empty[Long, Option[Long]]
+    def rawTs(v: Long): Option[Long] = rawMemo.getOrElseUpdate(v,
+      TxLog.commitInfoFast(fs, root, v).flatMap(_.tsMillis))
+    val tsMemo = scala.collection.mutable.HashMap.empty[Long, Long]
+    def tsOf(v: Long): Long = tsMemo.get(v) match {
+      case Some(t) => t
+      case None =>
+        var x = v
+        var found = Long.MinValue
+        var looking = true
+        while (looking && x >= earliest) {
+          tsMemo.get(x).orElse(rawTs(x)) match {
+            case Some(t) => found = t; looking = false
+            case None => x -= 1
+          }
         }
-      }
-      Long.MinValue
+        // every version the walk crossed shares the carried stamp
+        (x.max(earliest) to v).foreach(tsMemo(_) = found)
+        found
     }
     require(tsOf(latest) >= tsMillis,
       s"startingTimestamp $tsMillis is after the newest stamped commit " +
@@ -3165,6 +3185,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 
   private def readSnapshot(snap: Snapshot): DataFrame =
     readFiles(snap, snap.adds.map(_.path))
+
+  /** Read from an ALREADY-RESOLVED snapshot — the relation/scan
+    * surfaces resolve the log once and share the result across schema,
+    * statistics, and the scan itself (one replay per query instead of
+    * three, and snapshot isolation for free). */
+  private[lake] def readAt(snap: Snapshot): DataFrame = readSnapshot(snap)
 
   /** Delta's read model: data files hold only the DATA columns;
     * partition columns are attached from the log's partitionValues, not

@@ -67,47 +67,86 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
     require(wh != null && wh.nonEmpty,
       s"catalog $name needs spark.sql.catalog.$name.warehouse")
     warehouse = new Path(wh)
-    TxCatalog.instances.put(name, this): Unit
+    // session-scoped registration: two sessions in one JVM may bind the
+    // same catalog NAME to different warehouses (multi-tenant notebook
+    // server) — a name-keyed global would let one session's maintenance
+    // SQL resolve through the other's warehouse
+    TxCatalog.instances.put(
+      (TxCatalog.sessionKey(spark), name), this): Unit
   }
 
   override def name(): String = catName
 
-  /** `<warehouse>/<ns...>/<table>` — the one name→path rule. */
+  /** `<warehouse>/<ns...>/<table>` — the one name→path rule for
+    * MANAGED tables; external tables (explicit LOCATION) keep this
+    * directory too, holding only the `_location` pointer file. */
   def pathOf(ident: Identifier): String =
     (ident.namespace() :+ ident.name())
       .foldLeft(warehouse)(new Path(_, _)).toString
 
+  /** The table's actual transaction-log root: the warehouse directory
+    * itself (managed), or the target of its persisted `_location`
+    * pointer (external — CREATE TABLE ... LOCATION). The pointer lives
+    * IN the filesystem metastore, so external tables survive restarts
+    * and are visible to every session on the warehouse. */
+  def resolvedPath(ident: Identifier): String = {
+    val p = new Path(pathOf(ident))
+    externalTarget(p).getOrElse(p.toString)
+  }
+
+  private def externalTarget(dir: Path): Option[String] = {
+    val ptr = new Path(dir, TxCatalog.LocationPointer)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
   private def isTable(p: Path): Boolean =
     TxLog.latestVersion(fs, p) >= 0
+
+  /** A warehouse entry counts as a table when it IS a log root or
+    * POINTS at one. */
+  private def isTableDir(p: Path): Boolean =
+    isTable(p) || externalTarget(p).exists(t => isTable(new Path(t)))
 
   // ---- tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = namespace.foldLeft(warehouse)(new Path(_, _))
-    if (!fs.exists(dir)) throw new NoSuchNamespaceException(namespace)
+    if (!fs.exists(dir)) {
+      // the root namespace exists by definition (namespaceExists agrees)
+      // even before the first CREATE materializes the warehouse dir
+      if (namespace.isEmpty) return Array.empty
+      throw new NoSuchNamespaceException(namespace)
+    }
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
-      .filter(isTable).map(p => Identifier.of(namespace, p.getName))
+      .filter(isTableDir).map(p => Identifier.of(namespace, p.getName))
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTable(new Path(pathOf(ident)))
+    isTable(new Path(resolvedPath(ident)))
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new TxLakeTable(pathOf(ident), None, fullName(ident))
+    new TxLakeTable(resolvedPath(ident), None, fullName(ident))
   }
 
   /** `VERSION AS OF <v>` (Spark passes the literal as a string). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new TxLakeTable(pathOf(ident), Some(version.toLong), fullName(ident))
+    new TxLakeTable(resolvedPath(ident), Some(version.toLong),
+      fullName(ident))
   }
 
   /** `TIMESTAMP AS OF <t>` — Spark hands MICROseconds; the log's
     * in-commit stamps are millis. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val path = pathOf(ident)
+    val path = resolvedPath(ident)
     val v = new TxTable(spark, path)
       .versionAtTimestamp(timestampMicros / 1000L)
     new TxLakeTable(path, Some(v), fullName(ident))
@@ -120,17 +159,44 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
     val provider = Option(properties.get("provider"))
     require(provider.forall(_.equalsIgnoreCase("txlog")),
       s"catalog $catName stores txlog tables; got USING ${provider.get}")
-    val path = Option(properties.get("location")).getOrElse(pathOf(ident))
-    val partCols = partitions.map(TxCatalog.identityColumn).toSeq
-    require(new TxTable(spark, path).createIfAbsent(schema, partCols),
-      s"createTable($ident) lost a race at $path")
-    new TxLakeTable(path, None, fullName(ident))
+    val managed = new Path(pathOf(ident))
+    val external = Option(properties.get("location"))
+      .filter(loc => new Path(loc) != managed)
+    external match {
+      case Some(loc) =>
+        // external table: persist the name→location pointer in the
+        // warehouse, then create the log (or ATTACH to one already
+        // there — the re-registration flow after metastore loss; the
+        // declared schema must then match the stored one)
+        val tab = new TxTable(spark, loc)
+        if (isTable(new Path(loc))) {
+          val stored = tab.read().schema
+          require(schema.isEmpty ||
+              TxCatalog.sameColumns(schema, stored),
+            s"createTable($ident): $loc already holds a table whose " +
+              s"schema differs from the declared one (stored: " +
+              s"${stored.simpleString})")
+        } else {
+          require(tab.createIfAbsent(schema,
+              partitions.map(TxCatalog.identityColumn).toSeq),
+            s"createTable($ident) lost a race at $loc")
+        }
+        fs.mkdirs(managed)
+        val out = fs.create(new Path(managed, TxCatalog.LocationPointer),
+          true)
+        try out.write(loc.getBytes("UTF-8")) finally out.close()
+      case None =>
+        require(new TxTable(spark, managed.toString).createIfAbsent(
+            schema, partitions.map(TxCatalog.identityColumn).toSeq),
+          s"createTable($ident) lost a race at $managed")
+    }
+    new TxLakeTable(resolvedPath(ident), None, fullName(ident))
   }
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
-    val tab = new TxTable(spark, pathOf(ident))
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val tab = new TxTable(spark, resolvedPath(ident))
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -155,7 +221,11 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(pathOf(ident))
-    if (!isTable(p)) false
+    if (externalTarget(p).isDefined)
+      // external table: DROP unregisters the name (deletes the pointer
+      // directory) and leaves the data in place — Delta's semantics
+      fs.delete(p, true)
+    else if (!isTable(p)) false
     else fs.delete(p, true)
   }
 
@@ -177,7 +247,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(): Array[Array[String]] =
     if (!fs.exists(warehouse)) Array.empty
     else fs.listStatus(warehouse).filter(_.isDirectory).map(_.getPath)
-      .filterNot(isTable).map(p => Array(p.getName))
+      .filterNot(isTableDir).map(p => Array(p.getName))
 
   override def listNamespaces(
       namespace: Array[String]): Array[Array[String]] = {
@@ -190,7 +260,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || {
       val dir = namespace.foldLeft(warehouse)(new Path(_, _))
-      fs.exists(dir) && !isTable(dir)
+      fs.exists(dir) && !isTableDir(dir)
     }
 
   override def loadNamespaceMetadata(
@@ -227,10 +297,34 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object TxCatalog {
-  /** Live instances by catalog name — how the lake's SQL statement
-    * parser resolves `DESCRIBE HISTORY cat.db.t`-style identifier
-    * targets to table roots without private catalog-manager API. */
-  private[graft] val instances = TrieMap.empty[String, TxCatalog]
+  /** The pointer file a CREATE TABLE ... LOCATION leaves at the
+    * table's warehouse directory: its content is the external log
+    * root. Underscore-prefixed, so data readers ignore it. */
+  private[catalog] val LocationPointer = "_location"
+
+  /** Live instances keyed by (owning session, catalog name) — how the
+    * lake's SQL statement parser resolves `DESCRIBE HISTORY cat.db.t`-
+    * style identifier targets to table roots without private
+    * catalog-manager API. Session-scoped because catalog conf is:
+    * the same name may bind different warehouses in different sessions
+    * of one JVM. */
+  private[graft] val instances =
+    TrieMap.empty[(String, String), TxCatalog]
+
+  private[catalog] def sessionKey(s: SparkSession): String =
+    // identity, not equality: each session object is one catalog scope
+    // (the public API exposes no session UUID)
+    Integer.toHexString(System.identityHashCode(s))
+
+  /** Column-shape equality for ATTACH (re-registering an existing
+    * external table): same names (case-insensitive) and types in
+    * order; nullability is the stored schema's business. */
+  private[catalog] def sameColumns(declared: StructType,
+      stored: StructType): Boolean =
+    declared.length == stored.length &&
+      declared.fields.zip(stored.fields).forall { case (a, b) =>
+        a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
+      }
 
   private[lake] def identityColumn(t: Transform): String = {
     require(t.name == "identity",
@@ -239,16 +333,19 @@ object TxCatalog {
   }
 
   /** Resolve a dotted identifier (`cat.ns.table`, `cat.table`) through
-    * a registered [[TxCatalog]] to its table root, if the leading part
-    * names one and the table exists. */
+    * a [[TxCatalog]] registered by the ACTIVE session to its table
+    * root, if the leading part names one and the table exists. */
   private[graft] def resolve(parts: Seq[String]): Option[String] =
     parts match {
       case cat +: rest if rest.nonEmpty =>
-        instances.get(cat).flatMap { c =>
-          val ident =
-            Identifier.of(rest.init.toArray, rest.last)
-          if (c.tableExists(ident)) Some(c.pathOf(ident)) else None
-        }
+        scala.util.Try(SparkSession.active).toOption
+          .flatMap(s => instances.get((sessionKey(s), cat)))
+          .flatMap { c =>
+            val ident =
+              Identifier.of(rest.init.toArray, rest.last)
+            if (c.tableExists(ident)) Some(c.resolvedPath(ident))
+            else None
+          }
       case _ => None
     }
 }

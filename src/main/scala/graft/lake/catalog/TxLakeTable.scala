@@ -60,13 +60,22 @@ final class TxLakeTable(val path: String, val asOf: Option[Long],
     * a session without the lake catalog extension — metadata only).
     * Such a table reads as its declared schema, scans EMPTY, and the
     * first write claims v0 ([[TxTable.createIfAbsent]]). */
-  private def exists: Boolean = tx.exists
+  private def exists: Boolean = resolvedSnap.isDefined
 
-  private lazy val snapMeta = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    TxLog.snapshot(
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p, asOf).meta
-  }
+  /** ONE log resolution per table object (and the catalog hands out a
+    * fresh object per resolution): schema, partitioning, scan
+    * statistics, and the batch scan all share THIS snapshot — one
+    * replay per query instead of four. None = registered but never
+    * written (resolution is side-effect-free; first write claims v0). */
+  private[catalog] lazy val resolvedSnap: Option[TxLog.Snapshot] =
+    if (!tx.exists) None
+    else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      Some(TxLog.snapshot(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p, asOf))
+    }
+
+  private def snapMeta = resolvedSnap.get.meta
 
   override def name(): String = ident
 
@@ -96,7 +105,7 @@ final class TxLakeTable(val path: String, val asOf: Option[Long],
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxScanBuilder(path, asOf, schema(), exists, options)
+    new TxScanBuilder(path, asOf, schema(), resolvedSnap, options)
 
   // ---- write: V1Write fallback over append/overwrite commits ----
 
@@ -123,10 +132,12 @@ final class TxLakeTable(val path: String, val asOf: Option[Long],
 
 private[catalog] final class TxScanBuilder(path: String,
     asOf: Option[Long], full: StructType,
-    exists: Boolean,
+    snap: Option[TxLog.Snapshot],
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private def exists: Boolean = snap.isDefined
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
@@ -163,8 +174,7 @@ private[catalog] final class TxScanBuilder(path: String,
     override def estimateStatistics()
         : org.apache.spark.sql.connector.read.Statistics = {
       val (bytes, rows) =
-        if (!exists) (1L, 0L)
-        else TxRelation.logStats(SparkSession.active, path, asOf)
+        snap.fold((1L, 0L))(TxRelation.statsOf)
       new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(bytes)
@@ -174,7 +184,7 @@ private[catalog] final class TxScanBuilder(path: String,
     }
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
-      new TxV1ScanRelation(context, path, asOf, required, pushed, exists)
+      new TxV1ScanRelation(context, path, required, pushed, snap)
         .asInstanceOf[T]
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -232,23 +242,27 @@ private[catalog] final class TxScanBuilder(path: String,
   * builder, so plain [[TableScan]] suffices. Hands Spark the planned
   * InternalRow RDD (`needConversion = false`). */
 private[catalog] final class TxV1ScanRelation(ctx: SQLContext,
-    path: String, asOf: Option[Long], required: StructType,
-    pushed: Array[Filter], exists: Boolean)
+    path: String, required: StructType,
+    pushed: Array[Filter], snap: Option[TxLog.Snapshot])
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
   override def needConversion: Boolean = false
-  // same log-derived size the Scan reports — whichever surface
-  // Catalyst consults, a small lake table reads small
+  // same log-derived size the Scan reports (same shared snapshot, no
+  // extra replay) — whichever surface Catalyst consults, a small lake
+  // table reads small
   override lazy val sizeInBytes: Long =
-    if (!exists) 1L
-    else TxRelation.logStats(ctx.sparkSession, path, asOf)._1
+    snap.fold(1L)(TxRelation.statsOf(_)._1)
   override def buildScan(): org.apache.spark.rdd.RDD[
       org.apache.spark.sql.Row] =
-    if (!exists) // registered, never written: an empty table
-      ctx.sparkContext.emptyRDD[org.apache.spark.sql.Row]
-    else TxRelation.scanRdd(ctx.sparkSession, path, asOf,
-      required.fieldNames.toIndexedSeq, pushed.toIndexedSeq)
+    snap match {
+      case None => // registered, never written: an empty table
+        ctx.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+      case Some(s) =>
+        TxRelation.scanRdd(ctx.sparkSession, path,
+          new TxTable(ctx.sparkSession, path).readAt(s),
+          required.fieldNames.toIndexedSeq, pushed.toIndexedSeq)
+    }
 }
 
 private[catalog] final class TxWriteBuilder(path: String,

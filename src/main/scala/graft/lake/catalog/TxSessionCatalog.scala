@@ -100,19 +100,53 @@ class TxSessionCatalog extends DelegatingCatalogExtension {
     val provider = properties.get("provider")
     if (provider == null || !provider.equalsIgnoreCase("txlog"))
       return super.createTable(ident, schema, partitions, properties)
-    // initialize the transaction log FIRST (at the explicit location or
-    // the metastore's default table path), then register the name —
-    // reads through either resolution route work from the next statement
-    val path = Option(properties.get("location")).getOrElse(
+    // name availability FIRST: claiming the log before a doomed
+    // metastore registration would orphan a v0 at the default table
+    // path and poison every retry of the same CREATE
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val explicitLoc = Option(properties.get("location"))
+    val path = explicitLoc.getOrElse(
       spark.sessionState.catalog.defaultTablePath(TableIdentifier(
         ident.name(),
         ident.namespace().headOption.orElse(Some("default")))).toString)
     val partCols = partitions.map(TxCatalog.identityColumn).toSeq
-    require(new TxTable(spark, path).createIfAbsent(schema, partCols),
-      s"createTable($ident): $path already holds a transaction log")
+    val tab = new TxTable(spark, path)
+    val preExisting = tab.exists
+    if (preExisting) {
+      // an explicit LOCATION over an existing log ATTACHES (the
+      // re-registration flow after metastore loss — Delta's standard
+      // CREATE-over-existing-location behavior); the declared schema,
+      // when given, must match the stored one. A pre-existing log at
+      // the DEFAULT path is refused: nothing registered it, so it is
+      // debris from a dropped-name race, not a table to adopt silently.
+      require(explicitLoc.isDefined,
+        s"createTable($ident): default table path $path already holds " +
+          "a transaction log — register it with an explicit LOCATION " +
+          "or remove it")
+      val stored = tab.read().schema
+      require(schema.isEmpty || TxCatalog.sameColumns(schema, stored),
+        s"createTable($ident): $path already holds a table whose " +
+          s"schema differs from the declared one (stored: " +
+          s"${stored.simpleString})")
+    } else {
+      require(tab.createIfAbsent(schema, partCols),
+        s"createTable($ident) lost a race at $path")
+    }
     val withLoc = new util.HashMap[String, String](properties)
     withLoc.put("location", path)
-    super.createTable(ident, schema, partitions, withLoc)
+    try super.createTable(ident, schema, partitions, withLoc)
+    catch {
+      case e: Throwable =>
+        // roll back only a log WE just created — never attached data
+        if (!preExisting) scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+        throw e
+    }
     loadTable(ident)
   }
 }

@@ -41,6 +41,22 @@ class LakeSqlScannerSpec extends AnyFunSuite {
     assert(!rw.contains("'/tmp/x'"))
   }
 
+  test("TABLE_CHANGES over an unresolvable identifier falls through " +
+      "to Spark (never claimed, never an error at parse time)") {
+    // a user TVF named table_changes / a typo'd name: the scanner must
+    // leave the statement verbatim for Spark's parser, exactly like
+    // every other unclaimed identifier
+    assert(LakeSql.rewritePathSources(
+      "SELECT * FROM table_changes(not_a_lake_table, 0, 1)").isEmpty)
+    // mixed: the quoted-path source still rewrites, the unresolvable
+    // TVF stays
+    val Some((rw, srcs)) = LakeSql.rewritePathSources(
+      "SELECT * FROM '/tmp/x' JOIN table_changes(nope, 0, 1)"
+    ): @unchecked
+    assert(srcs.map(_.path) === Seq("/tmp/x"))
+    assert(rw.contains("table_changes(nope, 0, 1)"))
+  }
+
   test("multi-line parenthesized INSERT head is a query, not a column " +
       "list") {
     val cmd = LakeSql.parse("INSERT INTO '/tmp/t' (SELECT\n a FROM x)")

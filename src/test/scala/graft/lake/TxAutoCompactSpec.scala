@@ -90,4 +90,20 @@ class TxAutoCompactSpec extends SparkSpec {
     assert(!new TxTable(spark, root).history().select("op").as[String]
       .collect().contains("OPTIMIZE"))
   }
+
+  test("a malformed autoCompact conf value degrades to no-compaction " +
+      "— the durable append must never report failure") {
+    val root = fresh("badconf")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(1).selectExpr("id AS k").toDF())
+    spark.conf.set("spark.graft.lake.autoCompact", "yes") // not a boolean
+    try {
+      // the commit lands and the call returns normally (a thrown parse
+      // error AFTER the durable commit would push callers to retry a
+      // non-idempotent append — duplicating every row)
+      val v = tab.append(spark.range(1, 2).selectExpr("id AS k").toDF())
+      assert(v === 1L)
+      assert(tab.read().count() === 2)
+    } finally spark.conf.unset("spark.graft.lake.autoCompact")
+  }
 }

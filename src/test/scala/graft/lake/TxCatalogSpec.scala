@@ -190,6 +190,96 @@ class TxCatalogSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("external LOCATION tables: resolvable by name, DROP keeps the " +
+      "data, re-CREATE attaches") {
+    registerCatalog()
+    val ext = Files.createTempDirectory("graft_ext_loc").toString + "/t"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.extns")
+    spark.sql("CREATE TABLE tcat.extns.ev (k BIGINT, v STRING) " +
+      s"USING txlog LOCATION '$ext'")
+    spark.sql("INSERT INTO tcat.extns.ev VALUES (1, 'a'), (2, 'b')")
+    // the name resolves THROUGH the persisted pointer
+    assert(spark.sql("SELECT count(*) FROM tcat.extns.ev")
+      .head.getLong(0) === 2)
+    assert(spark.sql("SHOW TABLES IN tcat.extns").collect()
+      .map(_.getString(1)).contains("ev"))
+    // DROP unregisters the name; the external data survives
+    spark.sql("DROP TABLE tcat.extns.ev")
+    assert(spark.sql("SHOW TABLES IN tcat.extns").isEmpty)
+    assert(new TxTable(spark, ext).read().count() === 2)
+    // re-CREATE over the surviving log ATTACHES (metastore-loss
+    // re-registration); a mismatched schema refuses
+    spark.sql("CREATE TABLE tcat.extns.ev (k BIGINT, v STRING) " +
+      s"USING txlog LOCATION '$ext'")
+    assert(spark.sql("SELECT count(*) FROM tcat.extns.ev")
+      .head.getLong(0) === 2)
+    spark.sql("DROP TABLE tcat.extns.ev")
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE tcat.extns.ev (wrong DOUBLE) " +
+        s"USING txlog LOCATION '$ext'"))
+    assert(e.getMessage.contains("schema differs"))
+  }
+
+  test("SHOW TABLES on a fresh warehouse root returns empty, not an " +
+      "error") {
+    val wh2 = Files.createTempDirectory("graft_txcat_fresh").toString +
+      "/not_yet_created"
+    spark.conf.set("spark.sql.catalog.tfresh",
+      "graft.lake.catalog.TxCatalog")
+    spark.conf.set("spark.sql.catalog.tfresh.warehouse", wh2)
+    assert(spark.sql("SHOW TABLES IN tfresh").isEmpty)
+  }
+
+  test("catalog instances are SESSION-scoped: the same name bound to " +
+      "two warehouses never cross-resolves") {
+    import org.apache.spark.sql.SparkSession
+    val s2 = spark.newSession()
+    val s3 = spark.newSession()
+    val wh2 = Files.createTempDirectory("graft_dup_wh2").toString
+    val wh3 = Files.createTempDirectory("graft_dup_wh3").toString
+    s2.conf.set("spark.sql.catalog.dupcat", "graft.lake.catalog.TxCatalog")
+    s2.conf.set("spark.sql.catalog.dupcat.warehouse", wh2)
+    s3.conf.set("spark.sql.catalog.dupcat", "graft.lake.catalog.TxCatalog")
+    s3.conf.set("spark.sql.catalog.dupcat.warehouse", wh3)
+    s2.sql("CREATE NAMESPACE dupcat.ns")
+    s2.sql("CREATE TABLE dupcat.ns.t (k BIGINT) USING txlog")
+    s2.sql("INSERT INTO dupcat.ns.t VALUES (1)")
+    s3.sql("CREATE NAMESPACE dupcat.ns") // same name, OTHER warehouse
+    // identifier resolution (LakeSql's route) follows the ACTIVE session
+    SparkSession.setActiveSession(s2)
+    assert(graft.lake.catalog.TxCatalog.resolve(Seq("dupcat", "ns", "t"))
+      .exists(_.startsWith(wh2)))
+    SparkSession.setActiveSession(s3)
+    // session 3's dupcat has no such table — it must NOT see wh2's
+    assert(graft.lake.catalog.TxCatalog.resolve(Seq("dupcat", "ns", "t"))
+      .isEmpty)
+    SparkSession.setActiveSession(spark)
+  }
+
+  test("TxSessionCatalog CREATE: name-taken refuses BEFORE claiming a " +
+      "log; explicit-LOCATION over an existing log attaches") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.spark_catalog",
+      "graft.lake.catalog.TxSessionCatalog")
+    s2.sql("CREATE DATABASE IF NOT EXISTS attachdb")
+    val loc = Files.createTempDirectory("graft_attach").toString + "/t"
+    s2.sql("CREATE TABLE attachdb.t (k BIGINT, v STRING) " +
+      s"USING txlog LOCATION '$loc'")
+    s2.sql("INSERT INTO attachdb.t VALUES (1, 'a')")
+    // name taken: the duplicate CREATE refuses up front and leaves the
+    // existing table untouched
+    intercept[Exception](s2.sql(
+      s"CREATE TABLE attachdb.t (k BIGINT) USING txlog"))
+    assert(s2.sql("SELECT count(*) FROM attachdb.t").head.getLong(0) === 1)
+    // metastore-loss flow: drop the REGISTRATION (data survives at the
+    // external location), then re-CREATE with the same LOCATION attaches
+    s2.sql("DROP TABLE attachdb.t")
+    assert(new TxTable(s2, loc).read().count() === 1)
+    s2.sql("CREATE TABLE attachdb.t (k BIGINT, v STRING) " +
+      s"USING txlog LOCATION '$loc'")
+    assert(s2.sql("SELECT count(*) FROM attachdb.t").head.getLong(0) === 1)
+  }
+
   test("createIfAbsent never deletes an existing table (sink race)") {
     val root = Files.createTempDirectory("graft_race").toString + "/t"
     val tab = new TxTable(spark, root)
