@@ -64,6 +64,9 @@ import org.apache.spark.sql.types._
   *   - `INSERT INTO '<path>' [(cols)] <query|VALUES ...>`
   *   - `ALTER '<path>' ADD CONSTRAINT <name> CHECK (<expr>)`
   *   - `ALTER '<path>' ADD COLUMN <name> <type>` (metadata-only)
+  *   - `ALTER '<path>' SET TBLPROPERTIES ('k'='v', ...)` /
+  *     `UNSET TBLPROPERTIES ('k', ...)` — persisted table properties
+  *     ([[graft.lake.TxLog.Meta.config]]; `txlog.*` keys validate)
   *
   * DML statements only claim a statement whose target is a QUOTED
   * PATH right after the keyword — `DELETE FROM catalog_table` still
@@ -95,6 +98,15 @@ object LakeSql {
     """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(\s+DEEP)?(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+(\d+))?\s*""".r
   private val NotNull =
     """(?is)\s*ALTER\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+(SET|DROP)\s+NOT\s+NULL\s*""".r
+  private val SetProps =
+    """(?is)\s*ALTER\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*""".r
+  private val UnsetProps =
+    """(?is)\s*ALTER\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*""".r
+  /** One `'key' = 'value'` pair of a TBLPROPERTIES list ('' escapes a
+    * literal quote, Spark's string-literal rule). */
+  private val PropPair = """'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'""".r
+  private val PropKey = """'((?:[^']|'')*)'""".r
+  private def unq(s: String): String = s.replace("''", "'")
   private val Ctas =
     """(?is)\s*CREATE\s+TABLE\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s+AS\s+(.+)""".r
   private val Ins =
@@ -181,9 +193,10 @@ object LakeSql {
     case VacLog(p, n)  =>
       Some(VacuumLogCommand(p, Option(n).map(_.toInt).getOrElse(10)))
     case Vac(p, n, hrs, dry) =>
+      // no RETAIN HOURS → -1: TxTable resolves the table-level
+      // txlog.retention.hours property, else the 168 h default
       Some(VacuumCommand(p, Option(n).map(_.toInt).getOrElse(1),
-        minAgeMs = Option(hrs).map(_.toLong * 3600 * 1000)
-          .getOrElse(graft.lake.TxLog.vacuumDefaultMinAgeMs),
+        minAgeMs = Option(hrs).map(_.toLong * 3600 * 1000).getOrElse(-1L),
         dryRun = dry != null))
     case Hist(p)       => Some(HistoryCommand(p))
     case Rest(p, v, ts) => Some(RestoreCommand(p,
@@ -197,6 +210,16 @@ object LakeSql {
       tsMillis = Option(ts).map(_.toLong)))
     case NotNull(p, c, mode) =>
       Some(NotNullCommand(p, c, set = mode.equalsIgnoreCase("SET")))
+    case SetProps(p, list) =>
+      val pairs = PropPair.findAllMatchIn(list)
+        .map(m => unq(m.group(1)) -> unq(m.group(2))).toMap
+      if (pairs.isEmpty) None // malformed list → Spark's parser errors
+      else Some(SetTblPropertiesCommand(p, pairs))
+    case UnsetProps(p, list) if !list.contains("=") =>
+      val keys = PropKey.findAllMatchIn(list)
+        .map(m => unq(m.group(1))).toSeq
+      if (keys.isEmpty) None
+      else Some(UnsetTblPropertiesCommand(p, keys))
     case Ctas(p, cols, query) => Some(CreateTableAsSelectCommand(p,
       Option(cols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil), query))
@@ -666,13 +689,27 @@ object LakeSql {
   }
 
   case class VacuumCommand(path: String, keepVersions: Int,
-      minAgeMs: Long = graft.lake.TxLog.vacuumDefaultMinAgeMs,
+      minAgeMs: Long = -1L, // < 0: table property, else 168 h default
       dryRun: Boolean = false) extends LeafRunnableCommand {
     override val output: Seq[Attribute] =
       Seq(attr("removed_path", StringType))
     override def run(spark: SparkSession): Seq[Row] =
       new TxTable(spark, path)
         .vacuum(keepVersions, minAgeMs = minAgeMs, dryRun = dryRun).map(Row(_))
+  }
+
+  case class SetTblPropertiesCommand(path: String,
+      props: Map[String, String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(new TxTable(spark, path).setTblProperties(props)))
+  }
+
+  case class UnsetTblPropertiesCommand(path: String,
+      keys: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(attr("version", LongType))
+    override def run(spark: SparkSession): Seq[Row] =
+      Seq(Row(new TxTable(spark, path).unsetTblProperties(keys)))
   }
 
   case class VacuumLogCommand(path: String, keepVersions: Int)

@@ -98,8 +98,22 @@ object TxLog {
       identityColumns: Option[Map[String, Long]] = None,
       defaultValues: Option[Map[String, String]] = None,
       clusteringColumns: Option[List[String]] = None,
-      notNullCols: Option[List[String]] = None) {
+      notNullCols: Option[List[String]] = None,
+      configuration: Option[Map[String, String]] = None) {
     def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    /** TABLE PROPERTIES (Delta's `Metadata.configuration`): free-form
+      * key→value pairs persisted in the log, time-travel visible like
+      * any other metadata. Keys under the `txlog.` prefix carry
+      * engine semantics ([[TxTable.setTblProperties]] validates them);
+      * anything else is user metadata (comments, owners, pipeline
+      * tags) stored verbatim. */
+    def config: Map[String, String] = configuration.getOrElse(Map.empty)
+    /** `txlog.appendOnly = true` (Delta's `delta.appendOnly`): the
+      * table refuses every row-removing mutation — DELETE, UPDATE,
+      * MERGE, overwrite, RESTORE. File-preserving maintenance
+      * (OPTIMIZE / CLUSTER / auto-compaction) stays allowed. */
+    def appendOnly: Boolean =
+      config.get(TxLog.propAppendOnly).exists(_.trim.toBoolean)
     def checkExprs: List[String] = constraints.getOrElse(Nil)
     /** Columns under a NOT NULL constraint (Delta's column invariant —
       * CHECK cannot express it, SQL's CHECK rule passes NULL). */
@@ -311,7 +325,32 @@ object TxLog {
     Set("checkConstraints", "generatedColumns", "deletionVectors",
       "columnMapping", "changeDataFeed", "rowTracking",
       "identityColumns", "defaultValues", "typeWidening",
-      "notNullConstraints")
+      "notNullConstraints", "appendOnly")
+
+  /** Engine-semantic table-property keys (the `txlog.` namespace —
+    * Delta's `delta.*` convention). Unknown `txlog.*` keys REFUSE at
+    * SET time: a typo'd semantic key must not silently become inert
+    * user metadata. */
+  val propAppendOnly = "txlog.appendOnly"
+  /** Table-level vacuum retention default (hours) — the per-table
+    * authority Delta keeps in `delta.deletedFileRetentionDuration`.
+    * An explicit RETAIN on the command still wins. */
+  val propRetentionHours = "txlog.retention.hours"
+  /** Table-level auto-compaction switch + thresholds; the session
+    * confs ([[TxTable.autoCompactKey]] family) override when set. */
+  val propAutoCompact = "txlog.autoCompact"
+  val propAutoCompactMinFiles = "txlog.autoCompact.minFiles"
+  val propAutoCompactMinRows = "txlog.autoCompact.minRows"
+  /** `SET TBLPROPERTIES` route into [[TxTable.enableChangeDataFeed]]
+    * (Delta's `delta.enableChangeDataFeed` — the property IS how Delta
+    * users turn CDF on): `true` folds `cdfEnabled` into the same
+    * metadata commit. Turning it back off via property is refused,
+    * like Delta's (a feed consumers already tail must not silently
+    * stop). */
+  val propEnableCdf = "txlog.enableChangeFeed"
+  val semanticProps: Set[String] =
+    Set(propAppendOnly, propRetentionHours, propAutoCompact,
+      propAutoCompactMinFiles, propAutoCompactMinRows, propEnableCdf)
 
   /** Entry count at which a checkpoint is written as PARQUET instead of
     * single-string JSON. Below it, the distributed write/read is pure
@@ -1256,13 +1295,15 @@ object TxLog {
     * resolution, same referenced-set math, same age guard. */
   def vacuum(fs: FileSystem, root: Path, keepVersions: Int,
       minAgeMs: Long = vacuumDefaultMinAgeMs,
-      dryRun: Boolean = false): Seq[String] = {
-    require(minAgeMs >= vacuumDefaultMinAgeMs || !retentionDurationCheck,
+      dryRun: Boolean = false,
+      floorMs: Long = vacuumDefaultMinAgeMs): Seq[String] = {
+    require(minAgeMs >= floorMs || !retentionDurationCheck,
       s"vacuum minAgeMs ${minAgeMs}ms is below the " +
-        s"${vacuumDefaultMinAgeMs}ms retention floor; files staged by " +
-        "in-flight commits would be reclaimed (silent corruption). Set " +
-        s"$retentionDurationCheckKey=false to accept a shorter window " +
-        "on a table this process exclusively owns.")
+        s"${floorMs}ms retention floor (the table-level " +
+        s"${propRetentionHours} when set, else the 168 h default); " +
+        "files staged by in-flight commits would be reclaimed (silent " +
+        s"corruption). Set $retentionDurationCheckKey=false to accept " +
+        "a shorter window on a table this process exclusively owns.")
     val latest = latestVersion(fs, root)
     require(latest >= 0, s"no transaction log at $root")
     // clamp to the earliest RETAINED commit: on a log-cleaned table a

@@ -317,9 +317,23 @@ class TxLogStreamProvider extends StreamSourceProvider
       parameters.get("checkpointLocation"))
   }
 
+  /** Target resolution: `path` (the table root) or `table` (a catalog
+    * identifier — a registered [[graft.lake.catalog.TxCatalog]] name
+    * or a session-catalog `USING txlog` entry, the same resolution the
+    * SQL surface uses). The `table` form is how a BY-NAME consumer
+    * reaches the V1-only faces — CDF streaming
+    * (`option("readChangeFeed", true)`) and the row-feature-table
+    * sink — which the DSv2 `readStream.table()` route deliberately
+    * refuses toward here. */
   private def pathOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      sys.error("txlog-stream needs .option(\"path\", <tableRoot>)"))
+    parameters.get("path")
+      .orElse(parameters.get("table").map(id =>
+        LakeSql.identPath(id).getOrElse(sys.error(
+          s"txlog-stream: '$id' does not resolve to a lake table " +
+            "through any registered catalog"))))
+      .getOrElse(sys.error(
+        "txlog-stream needs .option(\"path\", <tableRoot>) or " +
+          ".option(\"table\", <catalog identifier>)"))
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,

@@ -214,6 +214,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
   def overwrite(df0: DataFrame): Long = {
     val first = TxLog.snapshot(fs, root)
     gateWriter(first.meta)
+    gateAppendOnly(first.meta, "overwrite")
     first.meta.identities.keys.foreach(c =>
       require(!df0.columns.contains(c),
         s"identity column $c is GENERATED ALWAYS — writers must not " +
@@ -344,19 +345,26 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * fails the append that triggered it. OFF by default — the check
     * costs one log resolution per commit, which only churn-heavy
     * writers should pay. */
-  private def maybeAutoCompact(): Unit = {
+  private def maybeAutoCompact(meta: Meta): Unit = {
     val conf = spark.conf
     // the gate parse sits INSIDE the Try envelope too: the commit that
     // triggered this hook has already landed, so a malformed conf value
     // ("yes", "1") must degrade to no-compaction, not make a durable
-    // append report failure (a retry would duplicate every row)
-    if (scala.util.Try(conf.getOption(TxTable.autoCompactKey)
+    // append report failure (a retry would duplicate every row).
+    // Precedence (Delta's): a SET session conf overrides the table's
+    // own txlog.autoCompact property; the property (validated at SET
+    // TBLPROPERTIES time) lets a churn-heavy table opt in persistently
+    // with zero per-session wiring — the committed meta is already in
+    // hand, so consulting it costs nothing.
+    def gate(confKey: String, propKey: String): Option[String] =
+      conf.getOption(confKey).orElse(meta.config.get(propKey))
+    if (scala.util.Try(gate(TxTable.autoCompactKey, TxLog.propAutoCompact)
         .exists(_.toBoolean)).getOrElse(false))
       scala.util.Try {
-        val minFiles = conf.getOption(TxTable.autoCompactMinFilesKey)
-          .map(_.toInt).getOrElse(8)
-        val minRows = conf.getOption(TxTable.autoCompactMinRowsKey)
-          .map(_.toLong).getOrElse(1L << 20)
+        val minFiles = gate(TxTable.autoCompactMinFilesKey,
+          TxLog.propAutoCompactMinFiles).map(_.toInt).getOrElse(8)
+        val minRows = gate(TxTable.autoCompactMinRowsKey,
+          TxLog.propAutoCompactMinRows).map(_.toLong).getOrElse(1L << 20)
         val snap = TxLog.snapshot(fs, root)
         val churned = snap.adds.groupBy(_.partitionValues)
           .exists(_._2.count(_.rows < minRows) >= minFiles)
@@ -447,7 +455,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         LogEntry(info = Some(Info("APPEND", snap.version)))
       val v = snap.version + 1
       if (TxLog.tryCommit(fs, root, v, entries)) {
-        maybeAutoCompact()
+        maybeAutoCompact(newMeta)
         return v
       }
       attempt += 1
@@ -464,6 +472,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     while (true) {
       val snap = mutationSnapshot(cond)
       gateWriter(snap.meta)
+      gateAppendOnly(snap.meta, "DELETE")
       // a tracked table's capture carries each deleted row's _row_id —
       // identity-based CDF consumption needs the retracted identity.
       // The match scan reads only stats-candidate files for the
@@ -516,6 +525,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     while (true) {
       val snap = mutationSnapshot(cond)
       gateWriter(snap.meta)
+      gateAppendOnly(snap.meta, "DELETE (merge-on-read)")
       val addByPath = snap.adds.map(a => a.path -> a).toMap
       // predicate data skipping like [[deleteWhere]]; row positions are
       // per-file (`_metadata.row_index`), so a subset scan keeps them
@@ -601,6 +611,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     while (true) {
       val snap = mutationSnapshot(cond)
       gateWriter(snap.meta)
+      gateAppendOnly(snap.meta, "UPDATE")
       val schema = snap.meta.schema
       set.keys.foreach { c =>
         require(schema.fieldNames.contains(c), s"SET column $c not in table schema")
@@ -728,6 +739,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           .select(col(FileCol).as("f")).distinct()
           .collect().map(r => relPath(r.getString(0))).toSet
         val affected = snap.adds.filter(a => hit(a.path))
+        if (affected.nonEmpty) gateAppendOnly(snap.meta, "MERGE")
         // survivors: rows of affected files whose key is NOT in source.
         // Staged together with the source rows — one write job + one
         // stats pass instead of two of each. Under evolution both sides
@@ -911,6 +923,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
                 .collect().map(r => relPath(r.getString(0))).toSet
               snap.adds.filter(a => hit(a.path))
             }
+          if (affected.nonEmpty) gateAppendOnly(snap.meta, "MERGE INTO")
           val tracks = snap.meta.tracksRows
           val t = readFiles(snap, affected.map(_.path), withRowId = tracks)
             .withColumn("__t_ex", lit(true)).alias("t")
@@ -1082,6 +1095,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       // via the feed upholds the same invariant as append/merge
       val (first, firstComplete) = metaSnapshot()
       gateWriter(first.meta)
+      gateAppendOnly(first.meta, "applyChanges")
       require(!byId || first.meta.tracksRows,
         s"applyChangesById needs row tracking on $root " +
           "(create(enableRowTracking))")
@@ -1202,6 +1216,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     // compute it before the stray check can even look at it
     val (first, firstComplete) = metaSnapshot()
     gateWriter(first.meta)
+    gateAppendOnly(first.meta, "overwritePartition")
     first.meta.identities.keys.foreach(c => require(!df0.columns.contains(c),
       s"identity column $c is GENERATED ALWAYS — writers must not " +
         "supply it"))
@@ -1477,10 +1492,21 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     }
   }
 
+  /** `minAgeMs < 0` (the default) resolves the age guard from the
+    * table's own `txlog.retention.hours` property when set (Delta's
+    * `delta.deletedFileRetentionDuration` — the table owner's
+    * persisted, auditable opt-in, so a short window needs no session
+    * conf), else the 168 h global default. An EXPLICIT `minAgeMs`
+    * still wins, checked against the table-level floor. */
   def vacuum(keepVersions: Int,
-      minAgeMs: Long = TxLog.vacuumDefaultMinAgeMs,
-      dryRun: Boolean = false): Seq[String] =
-    TxLog.vacuum(fs, root, keepVersions, minAgeMs, dryRun)
+      minAgeMs: Long = -1L,
+      dryRun: Boolean = false): Seq[String] = {
+    val propMs = metaSnapshot()._1.meta.config
+      .get(TxLog.propRetentionHours).map(_.trim.toLong * 3600000L)
+    val floor = propMs.getOrElse(TxLog.vacuumDefaultMinAgeMs)
+    val resolved = if (minAgeMs >= 0) minAgeMs else floor
+    TxLog.vacuum(fs, root, keepVersions, resolved, dryRun, floorMs = floor)
+  }
 
   /** Log retention ([[TxLog.cleanLog]]): reclaim commit files and
     * checkpoints behind the kept versions' replay floor. */
@@ -1648,6 +1674,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               old.adds.filterNot(a => curByPath.get(a.path).contains(a)))
         }
       gateWriter(curMeta)
+      gateAppendOnly(curMeta, "RESTORE")
       // vacuum check on exactly the re-added diff: a file the current
       // version still references cannot have been vacuumed
       addedBack.foreach { a =>
@@ -1772,6 +1799,106 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       attempt += 1
       require(attempt < maxRetries,
         s"dropNotNull on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** TABLE PROPERTIES (Delta's `ALTER TABLE ... SET TBLPROPERTIES` /
+    * `Metadata.configuration`): a METADATA-ONLY commit merging `props`
+    * into the table's persisted configuration. Keys under the
+    * `txlog.` namespace carry engine semantics and VALIDATE here —
+    * `txlog.appendOnly` (boolean; `true` stamps the `appendOnly`
+    * writer feature so a version-skewed writer that doesn't know to
+    * refuse deletes refuses the whole table instead),
+    * `txlog.retention.hours` (non-negative — the table-level vacuum
+    * default), `txlog.autoCompact[.minFiles|.minRows]` (the post-
+    * commit hook's table-level switch). An UNKNOWN `txlog.*` key
+    * refuses: a typo'd semantic key must not silently become inert
+    * user metadata. Everything else (comments, owners, pipeline tags)
+    * stores verbatim. Time travel serves each version's own
+    * configuration, like any other metadata. */
+  def setTblProperties(props: Map[String, String]): Long = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    props.foreach { case (k, v) =>
+      if (k.startsWith("txlog.")) {
+        require(TxLog.semanticProps.contains(k),
+          s"unknown txlog.* property $k (engine keys: " +
+            s"${TxLog.semanticProps.toSeq.sorted.mkString(", ")}) — " +
+            "user metadata must not squat the semantic namespace")
+        k match {
+          case TxLog.propAppendOnly | TxLog.propAutoCompact =>
+            require(v.trim.equalsIgnoreCase("true") ||
+                v.trim.equalsIgnoreCase("false"),
+              s"$k must be true or false, got '$v'")
+          case TxLog.propEnableCdf =>
+            require(v.trim.equalsIgnoreCase("true"),
+              s"$k accepts only 'true': a feed consumers already " +
+                "tail must not silently stop (Delta refuses the " +
+                "downgrade too)")
+          case TxLog.propRetentionHours =>
+            require(scala.util.Try(v.trim.toLong).toOption.exists(_ >= 0),
+              s"$k must be a non-negative hour count, got '$v'")
+          case _ => // minFiles / minRows
+            require(scala.util.Try(v.trim.toLong).toOption.exists(_ > 0),
+              s"$k must be a positive count, got '$v'")
+        }
+      }
+    }
+    val wantsAppendOnly = props.get(TxLog.propAppendOnly)
+      .exists(_.trim.toBoolean)
+    val wantsCdf = props.get(TxLog.propEnableCdf)
+      .exists(_.trim.toBoolean)
+    var attempt = 0
+    while (true) {
+      val snap = metaSnapshot()._1
+      gateWriter(snap.meta)
+      val merged = snap.meta.config ++ props
+      val base0 = snap.meta.copy(configuration =
+        if (merged.isEmpty) None else Some(merged))
+      val base =
+        if (wantsCdf && !base0.cdf)
+          base0.copy(cdfEnabled = Some(true))
+            .withWriterFeature("changeDataFeed")
+        else base0
+      val meta =
+        if (wantsAppendOnly) base.withWriterFeature("appendOnly") else base
+      if (meta == snap.meta) return snap.version // idempotent no-op
+      val entries = Seq(LogEntry(meta = Some(meta)),
+        LogEntry(info = Some(Info("SET_TBLPROPERTIES", snap.version))))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"setTblProperties on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** Remove table properties — metadata-only, idempotent. Absent keys
+    * are ignored (Spark's UNSET IF EXISTS semantics; refusing would
+    * make concurrent unsets racy for no benefit). The `appendOnly`
+    * WRITER FEATURE stamp survives an unset of `txlog.appendOnly`
+    * (this client and any peer that understands the stamp re-reads
+    * the configuration and allows mutation again; a pre-feature
+    * writer keeps refusing — exactly the protection the stamp is
+    * for). */
+  def unsetTblProperties(keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    var attempt = 0
+    while (true) {
+      val snap = metaSnapshot()._1
+      gateWriter(snap.meta)
+      val left = snap.meta.config -- keys
+      if (left == snap.meta.config) return snap.version
+      val meta = snap.meta.copy(configuration =
+        if (left.isEmpty) None else Some(left))
+      val entries = Seq(LogEntry(meta = Some(meta)),
+        LogEntry(info = Some(Info("UNSET_TBLPROPERTIES", snap.version))))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"unsetTblProperties on $root lost $maxRetries races")
     }
     sys.error("unreachable")
   }
@@ -2473,6 +2600,20 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           .mkString(", ")}) — upgrade the writer; reads are unaffected")
   }
 
+  /** `txlog.appendOnly` (Delta's `delta.appendOnly`) enforcement:
+    * row-removing mutations refuse. DELETE/UPDATE/overwrite/RESTORE
+    * refuse up front (Delta's assertRemovable); MERGE refuses only
+    * when it would actually rewrite target files (an insert-only
+    * merge hitting no keys is a pure append — allowed, Delta's
+    * commit-time rule). OPTIMIZE/CLUSTER/auto-compaction never call
+    * this: they preserve every live row. */
+  private def gateAppendOnly(meta: Meta, op: String): Unit =
+    require(!meta.appendOnly,
+      s"$op on $root refused: ${TxLog.propAppendOnly} = true — the " +
+        "table accepts appends and file-preserving maintenance only " +
+        s"(ALTER ... UNSET TBLPROPERTIES ('${TxLog.propAppendOnly}') " +
+        "to lift)")
+
   /** GENERATED ALWAYS AS maintenance on an ingest frame: an absent
     * generated column is COMPUTED from its expression; a present one is
     * VALIDATED against it (null-safe equality, one limit-1 probe per
@@ -2598,7 +2739,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       snap.meta.features, snap.meta.writerFeats,
       snap.meta.generated, snap.meta.cdf,
       snap.meta.checkExprs.size.toLong,
-      feedCount, feedBytes)
+      feedCount, feedBytes, snap.meta.config)
     spark.createDataFrame(Seq(row).asJava, StructType(Seq(
       StructField("location", StringType, nullable = false),
       StructField("version", LongType, nullable = false),
@@ -2615,7 +2756,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       StructField("cdf_enabled", BooleanType, nullable = false),
       StructField("num_constraints", LongType, nullable = false),
       StructField("cdf_feed_files", LongType, nullable = false),
-      StructField("cdf_feed_bytes", LongType, nullable = false))))
+      StructField("cdf_feed_bytes", LongType, nullable = false),
+      StructField("properties", MapType(StringType, StringType),
+        nullable = false))))
   }
 
   // ---- reads ----
@@ -3641,7 +3784,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         LogEntry(info = Some(Info("STREAMING UPDATE", snap.version)))
       val v = snap.version + 1
       if (TxLog.tryCommit(fs, root, v, entries)) {
-        maybeAutoCompact()
+        maybeAutoCompact(merged)
         return v
       }
       attempt += 1

@@ -190,32 +190,22 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
             schema, partitions.map(TxCatalog.identityColumn).toSeq),
           s"createTable($ident) lost a race at $managed")
     }
+    // CREATE TABLE ... TBLPROPERTIES persists to the LOG (the catalog
+    // has no metadata store of its own); Spark's reserved/engine keys
+    // stay out of the table's configuration
+    val userProps = properties.asScala.toMap --
+      TxCatalog.reservedTableProps
+    if (userProps.nonEmpty)
+      new TxTable(spark, resolvedPath(ident))
+        .setTblProperties(userProps): Unit
     new TxLakeTable(resolvedPath(ident), None, fullName(ident))
   }
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val tab = new TxTable(spark, resolvedPath(ident))
-    changes.foreach {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "txlog ALTER supports top-level columns only")
-        tab.addColumn(a.fieldNames()(0), a.dataType().sql): Unit
-      case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1,
-          "txlog ALTER supports top-level columns only")
-        tab.renameColumn(r.fieldNames()(0), r.newName): Unit
-      case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1,
-          "txlog ALTER supports top-level columns only")
-        tab.dropColumn(d.fieldNames()(0)): Unit
-      case u: TableChange.UpdateColumnNullability =>
-        if (u.nullable) tab.dropNotNull(u.fieldNames()(0))
-        else tab.addNotNull(u.fieldNames()(0)): Unit
-      case other => throw new UnsupportedOperationException(
-        s"txlog catalog cannot apply $other")
-    }
+    TxCatalog.applyTableChanges(
+      new TxTable(spark, resolvedPath(ident)), changes)
     loadTable(ident)
   }
 
@@ -302,6 +292,44 @@ object TxCatalog {
     * root. Underscore-prefixed, so data readers ignore it. */
   private[catalog] val LocationPointer = "_location"
 
+  /** Keys Spark itself stuffs into a CREATE TABLE's property map —
+    * engine bookkeeping, not user TBLPROPERTIES; they stay out of the
+    * log's configuration. */
+  private[catalog] val reservedTableProps: Set[String] =
+    Set("provider", "location", "owner", "external", "comment",
+      "is_managed_location", "option.path", "path")
+
+  /** The DSv2 `TableChange` → log-commit translation both catalog
+    * faces share ([[TxCatalog.alterTable]] and the session catalog's
+    * override for `USING txlog` tables): each change lands as its own
+    * metadata commit through the ordinary [[TxTable]] surface —
+    * optimistic-concurrency, history-visible, time-travel correct. */
+  private[catalog] def applyTableChanges(tab: TxTable,
+      changes: Seq[TableChange]): Unit =
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "txlog ALTER supports top-level columns only")
+        tab.addColumn(a.fieldNames()(0), a.dataType().sql): Unit
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "txlog ALTER supports top-level columns only")
+        tab.renameColumn(r.fieldNames()(0), r.newName): Unit
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "txlog ALTER supports top-level columns only")
+        tab.dropColumn(d.fieldNames()(0)): Unit
+      case u: TableChange.UpdateColumnNullability =>
+        if (u.nullable) tab.dropNotNull(u.fieldNames()(0))
+        else tab.addNotNull(u.fieldNames()(0)): Unit
+      case p: TableChange.SetProperty =>
+        tab.setTblProperties(Map(p.property -> p.value)): Unit
+      case p: TableChange.RemoveProperty =>
+        tab.unsetTblProperties(Seq(p.property)): Unit
+      case other => throw new UnsupportedOperationException(
+        s"txlog catalog cannot apply $other")
+    }
+
   /** Live instances keyed by (owning session, catalog name) — how the
     * lake's SQL statement parser resolves `DESCRIBE HISTORY cat.db.t`-
     * style identifier targets to table roots without private
@@ -334,12 +362,20 @@ object TxCatalog {
 
   /** Resolve a dotted identifier (`cat.ns.table`, `cat.table`) through
     * a [[TxCatalog]] registered by the ACTIVE session to its table
-    * root, if the leading part names one and the table exists. */
+    * root, if the leading part names one and the table exists. When no
+    * INSTANCE is registered for this session, fall back to the
+    * session's own `spark.sql.catalog.<cat>` conf — a streaming query
+    * runs on a CLONED session (fresh identity, inherited conf), so the
+    * stream-thread resolution must come from conf, not from the
+    * parent's instance registration. The fallback instantiates and
+    * initializes through the normal path, so it self-registers for
+    * the clone and stays session-scoped. */
   private[graft] def resolve(parts: Seq[String]): Option[String] =
     parts match {
       case cat +: rest if rest.nonEmpty =>
         scala.util.Try(SparkSession.active).toOption
-          .flatMap(s => instances.get((sessionKey(s), cat)))
+          .flatMap(s => instances.get((sessionKey(s), cat))
+            .orElse(fromConf(s, cat)))
           .flatMap { c =>
             val ident =
               Identifier.of(rest.init.toArray, rest.last)
@@ -348,4 +384,20 @@ object TxCatalog {
           }
       case _ => None
     }
+
+  private def fromConf(s: SparkSession, cat: String): Option[TxCatalog] =
+    scala.util.Try(s.conf.get(s"spark.sql.catalog.$cat")).toOption
+      .filter(_ == classOf[TxCatalog].getName)
+      .flatMap { _ =>
+        val prefix = s"spark.sql.catalog.$cat."
+        val opts = s.conf.getAll.collect {
+          case (k, v) if k.startsWith(prefix) =>
+            k.stripPrefix(prefix) -> v
+        }
+        scala.util.Try {
+          val c = new TxCatalog
+          c.initialize(cat, new CaseInsensitiveStringMap(opts.asJava))
+          c
+        }.toOption
+      }
 }

@@ -91,7 +91,11 @@ final class TxLakeTable(val path: String, val asOf: Option[Long],
     partitionColumnNames.map(Expressions.identity).toArray
 
   override def properties(): util.Map[String, String] =
-    (Map("provider" -> "txlog", "location" -> path) ++
+    // table properties from the log metadata first, so SHOW
+    // TBLPROPERTIES / DESCRIBE EXTENDED by name surface them; the
+    // engine-reserved keys win on (pathological) collision
+    ((if (exists) snapMeta.config else Map.empty[String, String]) ++
+      Map("provider" -> "txlog", "location" -> path) ++
       asOf.map("versionAsOf" -> _.toString)).asJava
 
   override def capabilities(): util.Set[TableCapability] =
@@ -194,8 +198,9 @@ private[catalog] final class TxScanBuilder(path: String,
       require(!Option(options.get("readChangeFeed")).exists(_.toBoolean),
         "change-feed streaming reads go through the V1 source: " +
           "spark.readStream.format(\"txlog-stream\")" +
-          ".option(\"readChangeFeed\", true) — mixed commits are a " +
-          "relational diff, not a file read")
+          ".option(\"readChangeFeed\", true) with .option(\"path\", " +
+          "<root>) or .option(\"table\", <identifier>) — mixed " +
+          "commits are a relational diff, not a file read")
       val spark = SparkSession.active
       val startingVersion =
         (Option(options.get("startingVersion")),

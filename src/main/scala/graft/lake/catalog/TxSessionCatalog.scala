@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.connector.catalog.{
-  DelegatingCatalogExtension, Identifier, Table}
+  DelegatingCatalogExtension, Identifier, Table, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 
@@ -80,6 +80,27 @@ class TxSessionCatalog extends DelegatingCatalogExtension {
   /** Spark's CreateTableExec calls the `Column[]` variant, which
     * [[DelegatingCatalogExtension]] forwards STRAIGHT to the delegate —
     * intercept it here and route through the StructType logic below. */
+  /** `ALTER TABLE db.t ...` on a `USING txlog` table routes to the
+    * LOG (each change is its own metadata commit — history-visible,
+    * time-travel correct, and the source of truth every path-route
+    * reader resolves), not to the delegate's metastore entry alone;
+    * anything else delegates untouched. SET/UNSET TBLPROPERTIES is
+    * ALSO mirrored to the delegate so `SHOW TBLPROPERTIES` (answered
+    * by the metastore) agrees with the log. */
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val t = super.loadTable(ident)
+    if (!isTx(t)) return super.alterTable(ident, changes: _*)
+    TxCatalog.applyTableChanges(
+      new TxTable(spark, locationOf(t, ident)), changes)
+    val propChanges = changes.filter(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (propChanges.nonEmpty)
+      scala.util.Try(super.alterTable(ident, propChanges: _*)): Unit
+    loadTable(ident)
+  }
+
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform],

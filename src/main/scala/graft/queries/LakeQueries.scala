@@ -375,7 +375,11 @@ object LakeQueries {
         .writeStream.outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .format("memory").queryName(name).start()
-      require(q.awaitTermination(300000),
+      // scale-invariant ceiling (round-11 lesson: REQUIREs must not
+      // encode toy-scale expectations): the drain is 5 paced memory-
+      // sink batches — seconds at sf0.1, ~6 min at sf10 (measured) —
+      // so the bound only catches a HUNG stream, not a big corpus
+      require(q.awaitTermination(1800000),
         "AvailableNow must drain the pinned backlog and terminate")
       require(q.recentProgress.count(_.numInputRows > 0) >= 5,
         "one version per trigger: the backlog must arrive as >= 5 " +
@@ -1617,6 +1621,90 @@ object LakeQueries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** TABLE PROPERTIES end-to-end ([[graft.lake.TxTable
+    * .setTblProperties]], Delta's `Metadata.configuration` /
+    * `delta.appendOnly` / `delta.deletedFileRetentionDuration`): the
+    * governance loop a production table runs — SET `txlog.appendOnly`
+    * freezes the table against row-removing mutations (REQUIREd: a
+    * DELETE and an UPDATE both refuse, an append and an OPTIMIZE both
+    * land), UNSET lifts it, a table-level `txlog.retention.hours = 0`
+    * lets the DEFAULT vacuum (no RETAIN clause, no session conf)
+    * reclaim the rewrite debris, and DESCRIBE DETAIL + the history
+    * ledger pin every property commit. All through the SQL surface
+    * over the quoted path. The emitted rows are the final state,
+    * reconstructed relationally by the oracle — enforcement misfiring
+    * on either side (a refused mutation landing, or the lifted gate
+    * still refusing) breaks the hash or a REQUIRE.
+    */
+  val extLakeTblProperties = Q(
+    "ext_lake_tblproperties",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val root = scratch("lake_props", dir)
+      val tab = new TxTable(s, root)
+      tab.create(orders.where($"o_orderkey" % 3 === 0).repartition(2)) // v0
+      val vSet = graft.lake.LakeSql.run(s, s"ALTER '$root' " +
+        "SET TBLPROPERTIES ('owner' = 'training-data', " +
+        s"'${graft.lake.TxLog.propAppendOnly}' = 'true')").as[Long].head()
+      require(vSet == 1L, s"SET TBLPROPERTIES must commit v1, got $vSet")
+      // appends stay open under appendOnly
+      tab.append(orders.where($"o_orderkey" % 3 === 1).repartition(2)) // v2
+      // row-removing mutations refuse — BOTH the programmatic and the
+      // SQL route hit the same gate
+      val delRefused =
+        try { tab.deleteWhere($"o_orderkey" % 5 === 0); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("appendOnly") }
+      require(delRefused, "DELETE on an appendOnly table must refuse")
+      val updRefused =
+        try {
+          graft.lake.LakeSql.run(s,
+            s"UPDATE '$root' SET o_custkey = 0 WHERE o_orderkey = 3")
+          false
+        } catch { case e: Exception =>
+          // the gate's message may ride a wrapping layer's cause chain
+          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+            .take(5).exists(t => Option(t.getMessage)
+              .exists(_.contains("appendOnly"))) }
+      require(updRefused, "SQL UPDATE on an appendOnly table must refuse")
+      // file-preserving maintenance is allowed
+      tab.optimize()                                                 // v3
+      // DESCRIBE DETAIL surfaces the configuration
+      val props = graft.lake.LakeSql.run(s, s"DESCRIBE DETAIL '$root'")
+        .select($"properties").collect().head.getMap[String, String](0)
+      require(props.get("owner").contains("training-data") &&
+          props.get(graft.lake.TxLog.propAppendOnly).contains("true"),
+        s"DESCRIBE DETAIL must surface the set properties, got $props")
+      // lift the freeze; opt the TABLE (not the session) into instant
+      // retention — the persisted, auditable form of the vacuum opt-out
+      graft.lake.LakeSql.run(s, s"ALTER '$root' UNSET TBLPROPERTIES " +
+        s"('${graft.lake.TxLog.propAppendOnly}')")                   // v4
+      graft.lake.LakeSql.run(s, s"ALTER '$root' SET TBLPROPERTIES " +
+        s"('${graft.lake.TxLog.propRetentionHours}' = '0')")         // v5
+      graft.lake.LakeSql.run(s,
+        s"DELETE FROM '$root' WHERE o_orderkey % 5 = 0")             // v6
+      // a bare VACUUM (no RETAIN HOURS, no session conf) honors the
+      // table-level retention and reclaims the pre-delete rewrites
+      val removed = graft.lake.LakeSql.run(s,
+        s"VACUUM '$root' RETAIN 1 VERSIONS").as[String].collect()
+      require(removed.nonEmpty,
+        "table-level retention.hours=0 must let the default VACUUM " +
+          "reclaim the delete era's rewritten files")
+      val ops = tab.history().orderBy($"version")
+        .select($"op").as[String].collect().toSeq
+      require(ops == Seq("CREATE", "SET_TBLPROPERTIES", "APPEND",
+          "OPTIMIZE", "UNSET_TBLPROPERTIES", "SET_TBLPROPERTIES",
+          "DELETE"),
+        s"property ledger mismatch: $ops")
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice
+           |FROM orders
+           |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** SQL DML surface ([[graft.lake.LakeSql]] DELETE / UPDATE / MERGE
     * INTO): a scripted history is mutated ENTIRELY in SQL — DELETE
     * culls a key residue class, UPDATE shifts custkeys above a price
@@ -2709,7 +2797,7 @@ object LakeQueries {
     extLakeIvmMinMax, extLakeVacuum,
     extLakeSchemaEvolution, extLakeSchemaRename, extLakeSchemaDrop,
     extLakeTypeWidening, extLakeSqlMaintenance, extLakeSqlDml,
-    extLakeSqlSelect, extLakeSqlDdl,
+    extLakeSqlSelect, extLakeSqlDdl, extLakeTblProperties,
     extLakeReorgPurge, extLakeChecksum, extLakeConvert,
     extLakeCloneDeep,
     extLakeAcid, extLakeTimeTravel, extLakeTimeTravelTs,

@@ -290,4 +290,82 @@ class TxCatalogSpec extends SparkSpec {
     assert(!new TxTable(spark, root).createIfAbsent(schema))
     assert(tab.read().count() === 3)
   }
+
+  test("ALTER ... SET/UNSET TBLPROPERTIES by identifier lands in the " +
+      "LOG through both catalog faces; loadTable surfaces the map") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.props")
+    spark.sql("CREATE TABLE tcat.props.t (k BIGINT) USING txlog")
+    spark.sql("ALTER TABLE tcat.props.t SET TBLPROPERTIES " +
+      "('team' = 'ml', 'txlog.retention.hours' = '48')")
+    // the properties live in the LOG (path-route read agrees)
+    val rows = spark.sql("SHOW TBLPROPERTIES tcat.props.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.get("team").contains("ml"))
+    assert(rows.get("txlog.retention.hours").contains("48"))
+    spark.sql("ALTER TABLE tcat.props.t UNSET TBLPROPERTIES ('team')")
+    val after = spark.sql("SHOW TBLPROPERTIES tcat.props.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!after.contains("team"))
+    // an unknown semantic key refuses through the SQL route too
+    intercept[Exception] {
+      spark.sql("ALTER TABLE tcat.props.t SET TBLPROPERTIES " +
+        "('txlog.nonsense' = '1')")
+    }
+    // session-catalog face: USING txlog table routes to the log
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.spark_catalog",
+      "graft.lake.catalog.TxSessionCatalog")
+    val loc = Files.createTempDirectory("graft_props_sess")
+      .toString + "/t"
+    s2.sql("CREATE DATABASE IF NOT EXISTS propsdb")
+    s2.sql(s"CREATE TABLE propsdb.t (k BIGINT) USING txlog " +
+      s"LOCATION '$loc'")
+    s2.sql("ALTER TABLE propsdb.t SET TBLPROPERTIES " +
+      "('txlog.appendOnly' = 'true')")
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val meta = TxLog.snapshot(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p).meta
+    assert(meta.appendOnly, "the property must land in the LOG, not " +
+      "only the metastore entry")
+    intercept[Exception] {
+      s2.sql("INSERT OVERWRITE propsdb.t VALUES (9)")
+    }
+  }
+
+  test("by-name CDF streaming through option(\"table\"): the V1 " +
+      "source resolves catalog identifiers") {
+    import spark.implicits._
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.cdfs")
+    spark.sql("CREATE TABLE tcat.cdfs.t (k BIGINT, v STRING) " +
+      "USING txlog TBLPROPERTIES ('x' = 'y')")
+    val root = graft.lake.catalog.TxCatalog
+      .resolve(Seq("tcat", "cdfs", "t")).get
+    val tab = new TxTable(spark, root)
+    // CDF on, then a scripted history: insert / delete
+    tab.enableChangeDataFeed()
+    spark.sql("INSERT INTO tcat.cdfs.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("DELETE FROM tcat.cdfs.t WHERE k = 1")
+    val q = spark.readStream.format("txlog-stream")
+      .option("table", "tcat.cdfs.t")
+      .option("readChangeFeed", "true").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdf_by_name").start()
+    try q.processAllAvailable() finally q.stop()
+    val types = spark.table("cdf_by_name")
+      .select($"k", $"_change_type").as[(Long, String)]
+      .collect().toSet
+    assert(types.contains((1L, "insert")))
+    assert(types.contains((2L, "insert")))
+    assert(types.contains((1L, "delete")),
+      s"the delete must surface in the by-name change stream: $types")
+    // an unresolvable identifier refuses loudly
+    val err = intercept[Exception] {
+      spark.readStream.format("txlog-stream")
+        .option("table", "tcat.cdfs.missing")
+        .option("readChangeFeed", "true").load()
+    }
+    assert(err.getMessage.contains("does not resolve"))
+  }
 }
