@@ -36,13 +36,18 @@ import TxLog.Txn
   * restarts, never shared across queries (the exact contract the V1
   * sink derives from its checkpoint-dir marker).
   *
-  * Scope: tables whose ingest gates are pure metadata. Tables whose
-  * gates rewrite or validate ROWS on the way in — CHECK / NOT NULL
-  * constraints, GENERATED / IDENTITY / DEFAULT columns, row tracking —
-  * REFUSE at query start (before any file is staged) and point at the
+  * Scope: CHECK / NOT NULL constraints ENFORCE here, executor-side —
+  * they validate rows without rewriting them, so each expression is
+  * name-bound against the stream schema once at query start (an
+  * unbindable constraint fails `.start()`) and compiled to a codegen
+  * predicate per task; a violating row fails its task and the epoch
+  * never commits. Features that must REWRITE rows on the way in —
+  * GENERATED / IDENTITY / DEFAULT columns, row tracking — still
+  * refuse at query start (before any file is staged) and point at the
   * V1 `txlog-stream` sink, which routes every batch through the full
   * DataFrame append path. Delta draws the same line: its DSv2 sink
-  * delegates row-feature tables to the transactional write command.
+  * checks invariants in the writer and delegates row-rewriting
+  * features to the transactional write command.
   */
 final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
     streamSchema: StructType, queryId: String) extends StreamingWrite {
@@ -52,7 +57,7 @@ final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
   // resolved ONCE at query start, driver-side: physical mapping and
   // gate refusals (failure locality: a refused table fails .start(),
   // not the Nth micro-batch)
-  private val (physSchema, partCols) = {
+  private val (physSchema, partCols, checkRows, notNullOrdinals) = {
     val tx = new TxTable(spark, rootStr)
     val metaOpt =
       if (tx.exists) {
@@ -67,13 +72,50 @@ final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
           "use the V1 sink (writeStream.format(\"txlog-stream\")) " +
           "or foreachBatch, which route through the full DataFrame " +
           "append path")
-      if (m.checkExprs.nonEmpty) refuse("CHECK constraints")
-      if (m.requiredCols.nonEmpty) refuse("NOT NULL constraints")
       if (m.generated.nonEmpty) refuse("generated columns")
       if (m.identities.nonEmpty) refuse("identity columns")
       if (m.defaultValues.exists(_.nonEmpty)) refuse("column defaults")
       if (m.tracksRows) refuse("row tracking")
     }
+    // CHECK / NOT NULL are pure VALIDATION (no row rewriting), so the
+    // DSv2 sink enforces them EXECUTOR-SIDE instead of refusing toward
+    // V1: each constraint expression is parsed and name-bound against
+    // the stream schema ONCE here (failure locality — an unbindable
+    // constraint fails .start(), not the Nth batch), shipped bound,
+    // and compiled to a codegen predicate per task. NULL passes a
+    // CHECK (SQL's rule, the batch path's semantics); a violating row
+    // fails its task — the epoch never commits, staged files are
+    // vacuum-reclaimable orphans, exactly the abort contract every
+    // other failure has.
+    val checks: Seq[(String, org.apache.spark.sql.catalyst.expressions
+        .Expression)] =
+      metaOpt.map(_.checkExprs.map { sql =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+        val bound = parsed.transformUp {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute =>
+            val name = a.nameParts.mkString(".")
+            val idx = streamSchema.fields.indexWhere(
+              _.name.equalsIgnoreCase(name))
+            require(idx >= 0,
+              s"CHECK ($sql) references $name, which is not in the " +
+                s"stream schema (${streamSchema.fieldNames
+                  .mkString(", ")})")
+            BoundReference(idx, streamSchema.fields(idx).dataType,
+              nullable = true)
+        }
+        (sql, org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+          bound,
+          org.apache.spark.sql.catalyst.expressions.Literal(true)))
+          : org.apache.spark.sql.catalyst.expressions.Expression)
+      }).getOrElse(Nil)
+    val requiredOrds: Seq[(String, Int)] =
+      metaOpt.map(_.requiredCols.map { c =>
+        val idx = streamSchema.fieldNames.indexOf(c)
+        require(idx >= 0,
+          s"stream omits NOT NULL column $c — refused at query start")
+        (c, idx)
+      }).getOrElse(Nil)
     val parts = metaOpt.map(_.partitionCols.toSeq).getOrElse(partitionCols)
     parts.foreach(c => require(streamSchema.fieldNames.contains(c),
       s"partition column $c is not in the stream schema " +
@@ -83,7 +125,7 @@ final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
       .map(f => f.copy(
         name = metaOpt.map(_.physicalOf(f.name)).getOrElse(f.name),
         nullable = true)))
-    (phys, parts)
+    (phys, parts, checks.toArray, requiredOrds.toArray)
   }
 
   /** Per-query staging root under the table's own data/ convention —
@@ -108,7 +150,8 @@ final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
       new SerializableConfiguration(job.getConfiguration),
       physSchema, partCols.toArray, partIdx, partTypes,
       dataIdx, dataTypes,
-      spark.sessionState.conf.sessionLocalTimeZone)
+      spark.sessionState.conf.sessionLocalTimeZone,
+      checkRows, notNullOrdinals)
   }
 
   override def commit(epochId: Long,
@@ -158,7 +201,12 @@ final case class TxStreamWriterFactory(stageAbs: String,
     physSchema: StructType, partCols: Array[String],
     partIdx: Array[Int], partTypes: Array[DataType],
     dataIdx: Array[Int], dataTypes: Array[DataType],
-    zoneId: String) extends StreamingDataWriterFactory {
+    zoneId: String,
+    checks: Array[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Array.empty,
+    notNull: Array[(String, Int)] = Array.empty)
+    extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -214,7 +262,36 @@ final class TxStreamDataWriter(f: TxStreamWriterFactory,
     }.mkString("/")
   }
 
+  // constraint predicates compiled ONCE per task from the bound
+  // expressions the driver resolved at query start: NOT NULL is a
+  // null probe at a fixed ordinal, CHECK a codegen'd predicate whose
+  // NULL result passes (SQL's rule — the driver wrapped each in
+  // COALESCE(expr, true), so eval() == false IS a violation)
+  private lazy val checkPreds = f.checks.map { case (sql, e) =>
+    val p = org.apache.spark.sql.catalyst.expressions.Predicate.create(e)
+    p.initialize(partitionId)
+    (sql, p)
+  }
+
+  private def validate(row: InternalRow): Unit = {
+    var i = 0
+    while (i < f.notNull.length) {
+      if (row.isNullAt(f.notNull(i)._2))
+        sys.error(s"streaming write violates NOT NULL " +
+          s"(${f.notNull(i)._1}) — batch refused, nothing committed")
+      i += 1
+    }
+    var j = 0
+    while (j < checkPreds.length) {
+      if (!checkPreds(j)._2.eval(row))
+        sys.error(s"streaming write violates CHECK " +
+          s"(${checkPreds(j)._1}) — batch refused, nothing committed")
+      j += 1
+    }
+  }
+
   override def write(row: InternalRow): Unit = {
+    validate(row)
     val frag = dirFragment(row)
     val w = open.getOrElseUpdate(frag, {
       val name = f"part-$partitionId%05d-$taskId-$fileSeq$ext"

@@ -97,12 +97,11 @@ class TxStreamingWriteSpec extends SparkSpec {
     assert(tab.read().count() === 8)
   }
 
-  test("row-feature tables refuse at query start, pointing at the V1 " +
-      "sink") {
+  test("row-REWRITING feature tables refuse at query start, pointing " +
+      "at the V1 sink") {
     val root = fresh("refuse")
     val tab = new TxTable(spark, root)
-    tab.create(feed(1))
-    tab.addConstraint("k >= 0")
+    tab.create(feed(1), generatedColumns = Map("v" -> "concat('v-', k)"))
     val srcRoot = fresh("refsrc")
     new TxTable(spark, srcRoot).create(feed(2))
     val ckpt = Files.createTempDirectory("txsw_rck").toString
@@ -119,6 +118,83 @@ class TxStreamingWriteSpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("txlog-stream")),
       s"must point at the V1 sink, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("CHECK and NOT NULL enforce EXECUTOR-SIDE: clean batches land, " +
+      "a violating row fails its epoch and nothing commits") {
+    val root = fresh("enforce")
+    val tab = new TxTable(spark, root)
+    tab.create(feed(1))
+    tab.addConstraint("k >= 0")
+    tab.addNotNull("v")
+    val srcRoot = fresh("ensrc")
+    val src = new TxTable(spark, srcRoot)
+    src.create(feed(3, from = 10L)) // k in [10,13): passes k >= 0
+    val ckpt = Files.createTempDirectory("txsw_eck").toString
+    val q = spark.readStream.format("txlog")
+      .option("path", srcRoot).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("txlog").option("path", root).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(tab.read().count() === 4, "the clean batch must land")
+    val vBefore = tab.history().count()
+    // a violating batch: k = -5 breaks CHECK (k >= 0)
+    src.append(spark.range(1).select((lit(-5L)).as("k"),
+      lit("bad").as("v")))
+    val q2 = spark.readStream.format("txlog")
+      .option("path", srcRoot).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("txlog").option("path", root).start()
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("violates CHECK")),
+      s"expected a CHECK violation, got: ${msgs(e).mkString(" | ")}")
+    assert(tab.read().count() === 4,
+      "the violating epoch must not commit a single row")
+    assert(tab.history().count() === vBefore,
+      "no commit may land for the failed epoch")
+    // NULL in a NOT NULL column refuses the same way
+    val srcRoot2 = fresh("ensrc2")
+    val src2 = new TxTable(spark, srcRoot2)
+    src2.create(spark.range(1).select($"id".as("k"),
+      lit(null).cast("string").as("v")))
+    val ckpt2 = Files.createTempDirectory("txsw_eck2").toString
+    val q3 = spark.readStream.format("txlog")
+      .option("path", srcRoot2).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt2)
+      .format("txlog").option("path", root).start()
+    val e2 = intercept[Exception] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    assert(msgs(e2).exists(_.contains("violates NOT NULL")),
+      s"expected a NOT NULL violation, got: ${msgs(e2).mkString(" | ")}")
+    assert(tab.read().count() === 4)
+    // NULL PASSES a CHECK (SQL's rule) when the column is nullable:
+    // k >= 0 over a null k admits the row
+    val tab3root = fresh("nullpass")
+    val tab3 = new TxTable(spark, tab3root)
+    tab3.create(feed(1))
+    tab3.addConstraint("k >= 0")
+    val srcRoot3 = fresh("ensrc3")
+    new TxTable(spark, srcRoot3).create(
+      spark.range(1).select(lit(null).cast("bigint").as("k"),
+        lit("ok").as("v")))
+    val ckpt3 = Files.createTempDirectory("txsw_eck3").toString
+    val q4 = spark.readStream.format("txlog")
+      .option("path", srcRoot3).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt3)
+      .format("txlog").option("path", tab3root).start()
+    try q4.processAllAvailable() finally q4.stop()
+    assert(tab3.read().where($"v" === "ok").count() === 1,
+      "a NULL check input must pass (SQL semantics, batch-path parity)")
   }
 
   test("Complete output mode refuses (append-only sink)") {
