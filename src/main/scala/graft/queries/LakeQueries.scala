@@ -505,6 +505,80 @@ object LakeQueries {
            |WHERE window_start + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
            |ORDER BY window_start, event_type""".stripMargin))
 
+  /** EXECUTOR-SIDE CONSTRAINTS on the DSv2 streaming write
+    * ([[graft.lake.TxStreamingWrite]]): the destination carries a
+    * CHECK and a NOT NULL; a clean backlog streams in (landing
+    * REQUIREd), then two poisoned feeds — a NULL in the NOT NULL
+    * column, a CHECK-violating value — each fail their epoch
+    * executor-side with ZERO rows committed (count + commit-ledger
+    * REQUIREd after each). The emitted rows are the destination, which
+    * the oracle reconstructs as exactly the clean slice — enforcement
+    * leaking a poisoned row (or refusing a clean one) breaks the hash.
+    */
+  val extStreamDsv2Constraint = Q(
+    "ext_stream_dsv2_constraint",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+      val dstRoot = scratch("dsv2_cons_dst", dir)
+      val dst = new TxTable(s, dstRoot)
+      dst.create(orders.limit(0))
+      dst.addConstraint("o_totalprice >= 0")
+      dst.addNotNull("o_orderstatus")
+      def streamIn(srcRoot: String): Unit = {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_dsv2_cons_ckpt").toString
+        val q = s.readStream.format("txlog")
+          .option("path", srcRoot).load()
+          .writeStream.format("txlog")
+          .option("path", dstRoot)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def refusedWith(srcRoot: String, needle: String): Boolean =
+        try { streamIn(srcRoot); false }
+        catch { case e: Exception =>
+          Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+            .take(8).exists(t => Option(t.getMessage)
+              .exists(_.contains(needle)))
+        }
+      // clean backlog lands
+      val cleanRoot = scratch("dsv2_cons_clean", dir)
+      new TxTable(s, cleanRoot)
+        .create(orders.where($"o_orderkey" % 2 === 0))
+      streamIn(cleanRoot)
+      val landed = dst.read().count()
+      require(landed > 0, "the clean backlog must land")
+      val commits = dst.history().count()
+      // NULL in the NOT NULL column: epoch fails, nothing commits
+      val nullRoot = scratch("dsv2_cons_null", dir)
+      new TxTable(s, nullRoot).create(
+        orders.where($"o_orderkey" % 2 === 1).limit(5)
+          .withColumn("o_orderstatus",
+            org.apache.spark.sql.functions.lit(null).cast("string")))
+      require(refusedWith(nullRoot, "violates NOT NULL"),
+        "a NULL in a NOT NULL column must fail the epoch executor-side")
+      // CHECK violation: same contract
+      val badRoot = scratch("dsv2_cons_bad", dir)
+      new TxTable(s, badRoot).create(
+        orders.where($"o_orderkey" % 2 === 1).limit(5)
+          .withColumn("o_totalprice",
+            -org.apache.spark.sql.functions.abs($"o_totalprice")))
+      require(refusedWith(badRoot, "violates CHECK"),
+        "a CHECK-violating row must fail the epoch executor-side")
+      require(dst.read().count() == landed,
+        "poisoned epochs must not land a single row")
+      require(dst.history().count() == commits,
+        "poisoned epochs must not claim a commit")
+      dst.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           |FROM orders WHERE o_orderkey % 2 = 0
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** The lake as a STREAMING SINK ([[graft.lake.TxStreamSink]] —
     * Delta's DeltaSink shape): a lake-to-lake copy wired PURELY
     * through formats (`readStream.format("txlog-stream")` →
@@ -2805,7 +2879,7 @@ object LakeQueries {
     extLakeMergeEvolution,
     extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
     extStreamDsv2Source, extStreamDsv2Paced, extStreamDsv2Sink,
-    extStreamWindowLakeSink,
+    extStreamDsv2Constraint, extStreamWindowLakeSink,
     extStreamLakeSink,
     extStreamLakeToLake, extStreamCdf, extStreamCdfApply,
     extLakeBloomLookup, extLakePartitionEvolution, extLakeGeneratedCol,
