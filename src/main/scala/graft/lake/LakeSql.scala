@@ -33,6 +33,9 @@ import org.apache.spark.sql.types._
   *     vectors ([[TxTable.reorgPurge]])
   *   - `CONVERT '<path>' [PARTITIONED BY (a, b)]` — adopt a plain
   *     parquet directory in place ([[TxTable.convertInPlace]])
+  *   - `CLONE <src> TO <dst>` — src a quoted path or catalog
+  *     identifier; dst a quoted path or a TxCatalog identifier (the
+  *     clone lands at the managed path, which IS registration)
   *   - `CLONE '<src>' TO '<dst>' [DEEP] [VERSION AS OF <v> |
   *     TIMESTAMP AS OF <millis>]` — shallow (reference) or deep (copy)
   *     clone, optionally of an older version ([[TxTable.cloneTo]])
@@ -133,13 +136,24 @@ object LakeSql {
     * claimed ONLY when the name resolves to a lake table, so every
     * other identifier statement reaches Spark's parser untouched
     * (native catalogs handle their own DELETE/time travel). */
-  def parse(sqlText: String): Option[LogicalPlan] =
-    parseQuoted(sqlText).orElse(sqlText match {
+  def parse(sqlText: String): Option[LogicalPlan] = {
+    // a CLONE destination may be an identifier too: rewrite it to the
+    // catalog's managed path BEFORE the grammar match (source first,
+    // via the shared IdentTarget splice below)
+    def destRewritten(s: String): String = s match {
+      case CloneIdentDst(head, id, rest) =>
+        graft.lake.catalog.TxCatalog
+          .pathFor(id.split('.').toSeq.map(_.trim))
+          .map(p => s"$head'$p'$rest").getOrElse(s)
+      case _ => s
+    }
+    parseQuoted(destRewritten(sqlText)).orElse(sqlText match {
       case IdentTarget(head, id, rest) =>
-        identPath(id).flatMap(p =>
-          parseQuoted(s"${normalizeHead(head)}'$p'$rest"))
+        identPath(id).flatMap(p => parseQuoted(
+          destRewritten(s"${normalizeHead(head)}'$p'$rest")))
       case _ => None
     })
+  }
 
   /** Statement families that take a table target, with an IDENTIFIER in
     * target position (the quoted-path form was already tried). */
@@ -147,7 +161,19 @@ object LakeSql {
     val id = """(?:[A-Za-z_]\w*\.){0,2}[A-Za-z_]\w*"""
     ("""(?is)^(\s*(?:OPTIMIZE|VACUUM\s+LOG|VACUUM|DESCRIBE\s+HISTORY|""" +
       """RESTORE|REORG(?:\s+TABLE)?|ALTER(?:\s+TABLE)?|DELETE\s+FROM|""" +
-      """UPDATE|MERGE\s+INTO)\s+)(""" + id + """)\b(.*)$""").r
+      """UPDATE|MERGE\s+INTO|CLONE)\s+)(""" + id + """)\b(.*)$""").r
+  }
+
+  /** `... TO <identifier>` in a CLONE's DESTINATION position: the
+    * target table does not exist yet, so this resolves through
+    * [[graft.lake.catalog.TxCatalog.pathFor]] — the catalog's
+    * name→path rule WITHOUT an existence check. Cloning into a
+    * TxCatalog warehouse path IS registration (the filesystem is the
+    * metastore), so `CLONE src TO cat.ns.t` both copies and registers
+    * in one statement. */
+  private val CloneIdentDst = {
+    val id = """(?:[A-Za-z_]\w*\.){1,2}[A-Za-z_]\w*"""
+    ("""(?is)^(\s*CLONE\s+'[^']+'\s+TO\s+)(""" + id + """)\b(.*)$""").r
   }
 
   /** The quoted-path grammar says `ALTER '<p>'` / `REORG '<p>'` — strip

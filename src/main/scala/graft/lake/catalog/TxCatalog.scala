@@ -385,6 +385,21 @@ object TxCatalog {
       case _ => None
     }
 
+  /** The MANAGED path a dotted identifier WOULD occupy in a registered
+    * [[TxCatalog]] — no existence check (a CLONE destination does not
+    * exist yet). Writing a transaction log there IS registration (the
+    * filesystem is the metastore). None when the leading part names no
+    * TxCatalog of the active session. */
+  private[graft] def pathFor(parts: Seq[String]): Option[String] =
+    parts match {
+      case cat +: rest if rest.nonEmpty =>
+        scala.util.Try(SparkSession.active).toOption
+          .flatMap(s => instances.get((sessionKey(s), cat))
+            .orElse(fromConf(s, cat)))
+          .map(_.pathOf(Identifier.of(rest.init.toArray, rest.last)))
+      case _ => None
+    }
+
   private def fromConf(s: SparkSession, cat: String): Option[TxCatalog] =
     scala.util.Try(s.conf.get(s"spark.sql.catalog.$cat")).toOption
       .filter(_ == classOf[TxCatalog].getName)

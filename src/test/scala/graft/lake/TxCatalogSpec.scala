@@ -333,6 +333,28 @@ class TxCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CLONE by identifier, both positions: source resolves through " +
+      "the catalog, an identifier destination registers by landing in " +
+      "the warehouse") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.cl")
+    spark.sql("CREATE TABLE tcat.cl.src (k BIGINT, v STRING) USING txlog")
+    spark.sql("INSERT INTO tcat.cl.src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    // identifier source → quoted-path destination
+    val outDir = Files.createTempDirectory("graft_clone_out").toString + "/t"
+    LakeSql.run(spark, s"CLONE tcat.cl.src TO '$outDir' DEEP").collect()
+    assert(new TxTable(spark, outDir).read().count() === 3)
+    // identifier source → identifier destination: the clone lands at
+    // the catalog's managed path, which IS registration
+    LakeSql.run(spark, "CLONE tcat.cl.src TO tcat.cl.dup DEEP").collect()
+    assert(spark.sql("SELECT count(*) FROM tcat.cl.dup")
+      .head.getLong(0) === 3)
+    // the clone is a real independent table: divergence stays local
+    spark.sql("INSERT INTO tcat.cl.dup VALUES (4, 'd')")
+    assert(spark.sql("SELECT count(*) FROM tcat.cl.src")
+      .head.getLong(0) === 3)
+  }
+
   test("by-name CDF streaming through option(\"table\"): the V1 " +
       "source resolves catalog identifiers") {
     import spark.implicits._
