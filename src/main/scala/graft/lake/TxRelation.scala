@@ -272,7 +272,16 @@ class TxLogProvider extends RelationProvider
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(Seq(path))
       case SaveMode.Ignore if exists => ()
-      case SaveMode.Overwrite if exists => tab.overwrite(data): Unit
+      case SaveMode.Overwrite if exists =>
+        // Delta's classic replaceWhere option: overwrite ONLY the
+        // predicate's slice, atomically — df.write.format("txlog")
+        // .mode("overwrite").option("replaceWhere", "day = '…'")
+        parameters.get("replaceWhere") match {
+          case Some(cond) =>
+            tab.replaceWhere(org.apache.spark.sql.functions.expr(cond),
+              data): Unit
+          case None => tab.overwrite(data): Unit
+        }
       case SaveMode.Append if exists => tab.append(data): Unit
       case _ => tab.create(data, partitionCols = partitionCols): Unit
     }

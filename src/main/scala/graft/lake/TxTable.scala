@@ -503,6 +503,88 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     sys.error("unreachable")
   }
 
+  /** Predicate-scoped atomic OVERWRITE (Delta's `replaceWhere`): in ONE
+    * commit, rows matching `cond` are replaced by `df0` — the
+    * idempotent-backfill primitive (re-land one day/partition/slice
+    * without touching anything else, no delete+append window where a
+    * reader sees neither). Copy-on-write like [[deleteWhere]]: only
+    * files actually holding a matching row are rewritten (stats-pruned
+    * candidates first), survivors ride through verbatim (row ids
+    * preserved on tracked tables; incoming rows draw fresh ids).
+    * Every incoming row must itself satisfy `cond` — Delta's rule; a
+    * stray row outside the scope refuses up front (the caller said
+    * "this slice", landing data elsewhere is a silent corruption).
+    * CDF: replaced rows feed as deletes, incoming rows as inserts.
+    * Ingest gates run like any append: generated/default columns
+    * computed/validated, constraints enforced, appendOnly refuses.
+    */
+  def replaceWhere(cond: Column, df0: DataFrame): Long = {
+    val first = metaSnapshot()._1
+    gateWriter(first.meta)
+    gateAppendOnly(first.meta, "replaceWhere")
+    first.meta.identities.keys.foreach(c =>
+      require(!df0.columns.contains(c),
+        s"identity column $c is GENERATED ALWAYS — writers must not " +
+          "supply it"))
+    require(first.meta.identities.isEmpty,
+      s"replaceWhere into $root: identity-column tables cannot replace " +
+        "slices (allocation for replaced rows is ambiguous) — use " +
+        "deleteWhere + append")
+    val df = applyGenerated(applyDefaults(df0, first.meta), first.meta)
+    val stray = df.where(!coalesce(cond, lit(false))).limit(1).count()
+    require(stray == 0,
+      "replaceWhere: incoming rows fall OUTSIDE the predicate scope — " +
+        "a slice overwrite must only land rows inside its slice")
+    var attempt = 0
+    while (true) {
+      val snap = mutationSnapshot(cond)
+      gateWriter(snap.meta)
+      enforceConstraints(df, snap.meta)
+      val tracks = snap.meta.tracksRows
+      val idFeed = tracks && snap.meta.cdf
+      val cur = readFiles(snap, predScanPaths(snap, cond),
+        withFileCol = true, withRowId = idFeed)
+      val hit = cur.where(cond)
+        .select(col(FileCol).as("f")).distinct()
+        .collect().map(r => relPath(r.getString(0))).toSet
+      val affected = snap.adds.filter(a => hit(a.path))
+      val survivors = readFiles(snap, affected.map(_.path),
+          withRowId = tracks)
+        .where(!coalesce(cond, lit(false)))
+      val incoming0 = df.select(
+        snap.meta.schema.fieldNames.map(col).toIndexedSeq: _*)
+      val incoming1 =
+        if (!tracks) incoming0
+        else incoming0.withColumn(RowIdCol,
+          lit(snap.meta.nextRowId) + monotonically_increasing_id())
+      // an id-carrying feed must record the SAME fresh ids the write
+      // lands — materialize the assignment (merge's rule)
+      val incoming = if (idFeed) incoming1.localCheckpoint() else incoming1
+      val adds = stageWrite(survivors.unionByName(incoming), snap.meta)
+      val newMeta = if (tracks) bumpWatermark(snap.meta, adds)
+        else snap.meta
+      val metaEntry =
+        if (newMeta != snap.meta) Seq(LogEntry(meta = Some(newMeta)))
+        else Nil
+      val entries = metaEntry ++
+        affected.map(a => LogEntry(remove =
+          Some(Remove(a.path, Some(a.rows), a.bytes)))) ++
+        adds.map(a => LogEntry(add = Some(a))) ++
+        captureTail(snap.meta, "REPLACE_WHERE", snap.version, {
+          val dels = cur.where(cond).drop(FileCol)
+            .withColumn("_change_type", lit("delete"))
+          val ins = (if (idFeed) incoming else incoming0)
+            .withColumn("_change_type", lit("insert"))
+          dels.unionByName(ins, allowMissingColumns = true)
+        })
+      commitRebasing(snap, entries, cond).foreach(v => return v)
+      attempt += 1
+      require(attempt < maxRetries,
+        s"replaceWhere in $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
   /** DELETE, merge-on-read (Delta's deletion vectors): files where the
     * matched-row count is at most `maxPositionsPerFile` get a DELETION
     * VECTOR — the physical row positions land in the log and every

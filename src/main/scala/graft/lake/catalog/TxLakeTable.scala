@@ -318,9 +318,21 @@ private[catalog] final class TxWriteBuilder(path: String,
             case Some(Array(EqualTo(c, v))) if partitionCols.contains(c) =>
               // INSERT OVERWRITE ... PARTITION (c = v), static mode
               tab.overwritePartition(c, String.valueOf(v), data): Unit
+            case Some(filters)
+                if filters.forall(graft.lake.FilterSql.translatable) =>
+              // predicate-scoped atomic overwrite (Delta's
+              // replaceWhere): df.writeTo("cat.ns.t").overwrite(expr)
+              // replaces exactly the matching slice in one commit —
+              // exact-translation filters only; anything lossy refuses
+              // below rather than over- or under-replacing
+              tab.replaceWhere(
+                filters.flatMap(graft.lake.FilterSql.column)
+                  .reduce(_ && _), data): Unit
             case Some(other) => sys.error(
-              s"txlog overwrite supports full-table or single " +
-                s"partition-equality scopes, got ${other.mkString(", ")}")
+              s"txlog overwrite supports full-table, single " +
+                s"partition-equality, or exactly-translatable " +
+                s"predicate scopes (replaceWhere), got " +
+                s"${other.mkString(", ")}")
           }
         }
       }

@@ -505,6 +505,59 @@ object LakeQueries {
            |WHERE window_start + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
            |ORDER BY window_start, event_type""".stripMargin))
 
+  /** Predicate-scoped atomic OVERWRITE ([[graft.lake.TxTable
+    * .replaceWhere]], Delta's `replaceWhere`): the idempotent-backfill
+    * primitive — one slice of the table is recomputed and replaced in
+    * ONE commit (ledger REQUIREd: exactly one REPLACE_WHERE, never a
+    * delete+append pair with a window where readers see neither), a
+    * stray row outside the slice refuses with nothing committed, and
+    * the V1 `option("replaceWhere")` write route lands a second slice.
+    * The oracle reconstructs the final table relationally: survivors
+    * verbatim, the 'O' slice re-priced ×2, the 'F' slice re-priced ×3 —
+    * a leaked old row, a lost survivor, or an out-of-scope landing
+    * breaks the hash.
+    */
+  val extLakeReplaceWhere = Q(
+    "ext_lake_replace_where",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val root = scratch("lake_rw", dir)
+      val tab = new TxTable(s, root)
+      tab.create(orders.repartition(4))
+      // programmatic route: recompute and replace the 'O' slice
+      tab.replaceWhere($"o_orderstatus" === "O",
+        orders.where($"o_orderstatus" === "O")
+          .withColumn("o_totalprice", $"o_totalprice" * 2))
+      val ops1 = tab.history().orderBy($"version")
+        .select($"op").as[String].collect().toSeq
+      require(ops1 == Seq("CREATE", "REPLACE_WHERE"),
+        s"replaceWhere must be ONE atomic commit, got $ops1")
+      // a stray row outside the slice refuses, committing nothing
+      val refused =
+        try {
+          tab.replaceWhere($"o_orderstatus" === "P",
+            orders.limit(1).withColumn("o_orderstatus", lit("F")))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(refused, "out-of-scope rows must refuse")
+      require(tab.history().count() == 2,
+        "the refused replace must commit nothing")
+      // V1 option route: re-price the 'F' slice through the writer API
+      orders.where($"o_orderstatus" === "F")
+        .withColumn("o_totalprice", $"o_totalprice" * 3)
+        .write.format("txlog").mode("overwrite")
+        .option("replaceWhere", "o_orderstatus = 'F'")
+        .option("path", root).save()
+      tab.read().orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+           |       CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+           |            WHEN o_orderstatus = 'F' THEN o_totalprice * 3
+           |            ELSE o_totalprice END AS o_totalprice
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   /** EXECUTOR-SIDE CONSTRAINTS on the DSv2 streaming write
     * ([[graft.lake.TxStreamingWrite]]): the destination carries a
     * CHECK and a NOT NULL; a clean backlog streams in (landing
@@ -2879,7 +2932,7 @@ object LakeQueries {
     extLakeMergeEvolution,
     extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
     extStreamDsv2Source, extStreamDsv2Paced, extStreamDsv2Sink,
-    extStreamDsv2Constraint, extStreamWindowLakeSink,
+    extStreamDsv2Constraint, extStreamWindowLakeSink, extLakeReplaceWhere,
     extStreamLakeSink,
     extStreamLakeToLake, extStreamCdf, extStreamCdfApply,
     extLakeBloomLookup, extLakePartitionEvolution, extLakeGeneratedCol,
