@@ -237,15 +237,19 @@ object LakeSql {
     case NotNull(p, c, mode) =>
       Some(NotNullCommand(p, c, set = mode.equalsIgnoreCase("SET")))
     case SetProps(p, list) =>
-      val pairs = PropPair.findAllMatchIn(list)
-        .map(m => unq(m.group(1)) -> unq(m.group(2))).toMap
-      if (pairs.isEmpty) None // malformed list → Spark's parser errors
-      else Some(SetTblPropertiesCommand(p, pairs))
+      // the matches (with comma separators) must reconstruct the WHOLE
+      // list: a malformed segment anywhere ('a'='1', junk) makes the
+      // statement not-ours → None → Spark's parser reports the syntax
+      // error, instead of silently committing only the valid pairs
+      val ms = PropPair.findAllMatchIn(list).toSeq
+      if (ms.isEmpty || !coversList(list, ms)) None
+      else Some(SetTblPropertiesCommand(p,
+        ms.map(m => unq(m.group(1)) -> unq(m.group(2))).toMap))
     case UnsetProps(p, list) if !list.contains("=") =>
-      val keys = PropKey.findAllMatchIn(list)
-        .map(m => unq(m.group(1))).toSeq
-      if (keys.isEmpty) None
-      else Some(UnsetTblPropertiesCommand(p, keys))
+      val ms = PropKey.findAllMatchIn(list).toSeq
+      if (ms.isEmpty || !coversList(list, ms)) None
+      else Some(UnsetTblPropertiesCommand(p,
+        ms.map(m => unq(m.group(1))).toSeq))
     case Ctas(p, cols, query) => Some(CreateTableAsSelectCommand(p,
       Option(cols).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil), query))
@@ -273,6 +277,22 @@ object LakeSql {
       Some(UpdateCommand(p, parseAssignments(sets), where))
     case MergeHead(p, rest) => Some(parseMerge(p, rest))
     case _             => None
+  }
+
+  /** True iff the matches, joined by single commas (whitespace free),
+    * reconstruct the ENTIRE list — the completeness gate that keeps a
+    * partially-valid property list from being silently half-applied. */
+  private def coversList(list: String,
+      ms: Seq[scala.util.matching.Regex.Match]): Boolean = {
+    var pos = 0
+    var i = 0
+    while (i < ms.length) {
+      val gap = list.substring(pos, ms(i).start).trim
+      if (!(if (i == 0) gap.isEmpty else gap == ",")) return false
+      pos = ms(i).end
+      i += 1
+    }
+    list.substring(pos).trim.isEmpty
   }
 
   // ---- top-level-aware text scanning (never matches inside a

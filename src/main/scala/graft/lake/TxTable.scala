@@ -185,16 +185,31 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * creates, the loser observes `false` and ATTACHES to the winner's
     * table (its own later appends evolve/refuse through the normal
     * schema gate). No data files are staged — v0 is an empty table
-    * with `schema` and `partitionCols`. Returns true iff THIS call
-    * created the table. */
+    * with `schema` and `partitionCols`. `properties` (validated
+    * first — an invalid map refuses BEFORE any directory or commit
+    * exists) folds into the same v0 commit, so `CREATE TABLE ...
+    * TBLPROPERTIES` is one atomic DDL, not create-then-configure.
+    * Returns true iff THIS call created the table. */
   def createIfAbsent(schema: StructType,
-      partitionCols: Seq[String] = Nil): Boolean = {
+      partitionCols: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Boolean = {
+    TxTable.validateTblProperties(properties)
     if (TxLog.latestVersion(fs, root) >= 0) return false
     fs.mkdirs(root)
     partitionCols.foreach(c =>
       require(schema.fieldNames.contains(c),
         s"createIfAbsent: partition column $c not in schema"))
-    val meta = Meta(schema.json, partitionCols.toList)
+    val base = Meta(schema.json, partitionCols.toList).copy(
+      configuration = if (properties.isEmpty) None else Some(properties))
+    val withCdf =
+      if (properties.get(TxLog.propEnableCdf).exists(_.trim.toBoolean))
+        base.copy(cdfEnabled = Some(true))
+          .withWriterFeature("changeDataFeed")
+      else base
+    val meta =
+      if (properties.get(TxLog.propAppendOnly).exists(_.trim.toBoolean))
+        withCdf.withWriterFeature("appendOnly")
+      else withCdf
     TxLog.tryCommit(fs, root, 0L,
       Seq(LogEntry(meta = Some(meta)),
         LogEntry(info = Some(Info("CREATE", -1L)))))
@@ -1901,31 +1916,7 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * configuration, like any other metadata. */
   def setTblProperties(props: Map[String, String]): Long = {
     require(props.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
-    props.foreach { case (k, v) =>
-      if (k.startsWith("txlog.")) {
-        require(TxLog.semanticProps.contains(k),
-          s"unknown txlog.* property $k (engine keys: " +
-            s"${TxLog.semanticProps.toSeq.sorted.mkString(", ")}) — " +
-            "user metadata must not squat the semantic namespace")
-        k match {
-          case TxLog.propAppendOnly | TxLog.propAutoCompact =>
-            require(v.trim.equalsIgnoreCase("true") ||
-                v.trim.equalsIgnoreCase("false"),
-              s"$k must be true or false, got '$v'")
-          case TxLog.propEnableCdf =>
-            require(v.trim.equalsIgnoreCase("true"),
-              s"$k accepts only 'true': a feed consumers already " +
-                "tail must not silently stop (Delta refuses the " +
-                "downgrade too)")
-          case TxLog.propRetentionHours =>
-            require(scala.util.Try(v.trim.toLong).toOption.exists(_ >= 0),
-              s"$k must be a non-negative hour count, got '$v'")
-          case _ => // minFiles / minRows
-            require(scala.util.Try(v.trim.toLong).toOption.exists(_ > 0),
-              s"$k must be a positive count, got '$v'")
-        }
-      }
-    }
+    TxTable.validateTblProperties(props)
     val wantsAppendOnly = props.get(TxLog.propAppendOnly)
       .exists(_.trim.toBoolean)
     val wantsCdf = props.get(TxLog.propEnableCdf)
@@ -3857,7 +3848,10 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               "re-add must not resurrect; use the txlog-stream V1 " +
               "sink, which re-stages per batch under a fresh mapping")
         }
-      val merged = evolve(snap.meta, stagedSchema)
+      // identity watermarks move past the staged max (from the files'
+      // own stats — the DSv2 sink allocates identity values in its
+      // writer tasks, and the NEXT epoch's factory reads this bump)
+      val merged = bumpIdentities(evolve(snap.meta, stagedSchema), adds)
       val metaEntry =
         if (merged != snap.meta) Seq(LogEntry(meta = Some(merged)))
         else Nil
@@ -4032,6 +4026,40 @@ final class TxTable(spark: SparkSession, rootStr: String) {
 }
 
 object TxTable {
+  /** Validate a TBLPROPERTIES map WITHOUT touching any table — the
+    * shared gate for `SET TBLPROPERTIES` and `CREATE TABLE ...
+    * TBLPROPERTIES` (the catalog validates BEFORE creating, so an
+    * invalid value never leaves a half-registered table behind). An
+    * unknown `txlog.*` key refuses: a typo'd semantic key must not
+    * silently become inert user metadata. Everything else (comments,
+    * owners, pipeline tags) is accepted verbatim. */
+  def validateTblProperties(props: Map[String, String]): Unit =
+    props.foreach { case (k, v) =>
+      if (k.startsWith("txlog.")) {
+        require(TxLog.semanticProps.contains(k),
+          s"unknown txlog.* property $k (engine keys: " +
+            s"${TxLog.semanticProps.toSeq.sorted.mkString(", ")}) — " +
+            "user metadata must not squat the semantic namespace")
+        k match {
+          case TxLog.propAppendOnly | TxLog.propAutoCompact =>
+            require(v.trim.equalsIgnoreCase("true") ||
+                v.trim.equalsIgnoreCase("false"),
+              s"$k must be true or false, got '$v'")
+          case TxLog.propEnableCdf =>
+            require(v.trim.equalsIgnoreCase("true"),
+              s"$k accepts only 'true': a feed consumers already " +
+                "tail must not silently stop (Delta refuses the " +
+                "downgrade too)")
+          case TxLog.propRetentionHours =>
+            require(scala.util.Try(v.trim.toLong).toOption.exists(_ >= 0),
+              s"$k must be a non-negative hour count, got '$v'")
+          case _ => // minFiles / minRows
+            require(scala.util.Try(v.trim.toLong).toOption.exists(_ > 0),
+              s"$k must be a positive count, got '$v'")
+        }
+      }
+    }
+
   /** Auto-compaction conf keys — see [[TxTable.maybeAutoCompact]]. */
   val autoCompactKey = "spark.graft.lake.autoCompact"
   val autoCompactMinFilesKey = "spark.graft.lake.autoCompact.minFiles"

@@ -162,6 +162,14 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
     val managed = new Path(pathOf(ident))
     val external = Option(properties.get("location"))
       .filter(loc => new Path(loc) != managed)
+    // TBLPROPERTIES validate FIRST and fold into the create commit
+    // itself: a typo'd txlog.* key or bad value refuses before any
+    // table is registered (a create-then-configure split would leave
+    // a half-made table a retry then trips over), and one DDL costs
+    // one log version
+    val userProps = properties.asScala.toMap --
+      TxCatalog.reservedTableProps
+    TxTable.validateTblProperties(userProps)
     external match {
       case Some(loc) =>
         // external table: persist the name→location pointer in the
@@ -176,9 +184,12 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
             s"createTable($ident): $loc already holds a table whose " +
               s"schema differs from the declared one (stored: " +
               s"${stored.simpleString})")
+          // ATTACH to an existing log: properties can't ride its v0,
+          // so they land as one configure commit (already validated)
+          if (userProps.nonEmpty) tab.setTblProperties(userProps): Unit
         } else {
           require(tab.createIfAbsent(schema,
-              partitions.map(TxCatalog.identityColumn).toSeq),
+              partitions.map(TxCatalog.identityColumn).toSeq, userProps),
             s"createTable($ident) lost a race at $loc")
         }
         fs.mkdirs(managed)
@@ -187,17 +198,10 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
         try out.write(loc.getBytes("UTF-8")) finally out.close()
       case None =>
         require(new TxTable(spark, managed.toString).createIfAbsent(
-            schema, partitions.map(TxCatalog.identityColumn).toSeq),
+            schema, partitions.map(TxCatalog.identityColumn).toSeq,
+            userProps),
           s"createTable($ident) lost a race at $managed")
     }
-    // CREATE TABLE ... TBLPROPERTIES persists to the LOG (the catalog
-    // has no metadata store of its own); Spark's reserved/engine keys
-    // stay out of the table's configuration
-    val userProps = properties.asScala.toMap --
-      TxCatalog.reservedTableProps
-    if (userProps.nonEmpty)
-      new TxTable(spark, resolvedPath(ident))
-        .setTblProperties(userProps): Unit
     new TxLakeTable(resolvedPath(ident), None, fullName(ident))
   }
 

@@ -355,6 +355,47 @@ class TxCatalogSpec extends SparkSpec {
       .head.getLong(0) === 3)
   }
 
+  test("CREATE TABLE ... TBLPROPERTIES is ONE atomic DDL: properties " +
+      "ride the v0 commit; an invalid value refuses WITHOUT " +
+      "registering the table (retry succeeds)") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.atomic")
+    // invalid txlog.* value: the create must fail AND leave nothing
+    intercept[Exception] {
+      spark.sql("CREATE TABLE tcat.atomic.t (k BIGINT) USING txlog " +
+        "TBLPROPERTIES ('txlog.retention.hours' = 'soon')")
+    }
+    intercept[Exception] { // typo'd semantic key refuses the same way
+      spark.sql("CREATE TABLE tcat.atomic.t (k BIGINT) USING txlog " +
+        "TBLPROPERTIES ('txlog.retentoin.hours' = '24')")
+    }
+    assert(spark.sql("SHOW TABLES IN tcat.atomic").count() === 0,
+      "a refused CREATE must not leave a half-registered table")
+    // the retry with a valid map succeeds (nothing squats the name)
+    spark.sql("CREATE TABLE tcat.atomic.t (k BIGINT) USING txlog " +
+      "TBLPROPERTIES ('txlog.retention.hours' = '24', 'team' = 'ml')")
+    val root = graft.lake.catalog.TxCatalog
+      .resolve(Seq("tcat", "atomic", "t")).get
+    val tab = new TxTable(spark, root)
+    // ONE log version: the properties rode the create commit
+    assert(tab.version === 0L,
+      "TBLPROPERTIES must fold into the v0 commit, not a second DDL")
+    val p = new org.apache.hadoop.fs.Path(root)
+    val meta = TxLog.snapshot(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p).meta
+    assert(meta.config("txlog.retention.hours") === "24")
+    assert(meta.config("team") === "ml")
+    // semantic feature keys activate from the create commit too
+    spark.sql("CREATE TABLE tcat.atomic.ao (k BIGINT) USING txlog " +
+      "TBLPROPERTIES ('txlog.appendOnly' = 'true')")
+    val aoRoot = graft.lake.catalog.TxCatalog
+      .resolve(Seq("tcat", "atomic", "ao")).get
+    val aoP = new org.apache.hadoop.fs.Path(aoRoot)
+    assert(TxLog.snapshot(
+      aoP.getFileSystem(spark.sparkContext.hadoopConfiguration),
+      aoP).meta.appendOnly, "appendOnly must be live from v0")
+  }
+
   test("by-name CDF streaming through option(\"table\"): the V1 " +
       "source resolves catalog identifiers") {
     import spark.implicits._

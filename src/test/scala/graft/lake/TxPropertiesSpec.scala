@@ -186,4 +186,33 @@ class TxPropertiesSpec extends SparkSpec {
     assert(tab.detail().select("properties").collect().head
       .getMap[String, String](0)("note") === "it's quoted")
   }
+
+  test("a MALFORMED property list errors whole — no partial apply") {
+    val root = fresh("malformed")
+    val tab = base(root)
+    val vBefore = tab.version
+    // a valid pair followed by junk must NOT commit the valid pair
+    intercept[Exception] {
+      LakeSql.run(spark, s"ALTER '$root' SET TBLPROPERTIES " +
+        "('a' = '1', junk)").collect()
+    }
+    intercept[Exception] { // junk first, valid pair after
+      LakeSql.run(spark, s"ALTER '$root' SET TBLPROPERTIES " +
+        "(junk, 'a' = '1')").collect()
+    }
+    intercept[Exception] { // missing separator between two pairs
+      LakeSql.run(spark, s"ALTER '$root' SET TBLPROPERTIES " +
+        "('a' = '1' 'b' = '2')").collect()
+    }
+    intercept[Exception] { // UNSET with a malformed segment
+      LakeSql.run(spark, s"ALTER '$root' UNSET TBLPROPERTIES " +
+        "('a', junk)").collect()
+    }
+    assert(tab.version === vBefore,
+      "a malformed list must not land any commit")
+    val p = new org.apache.hadoop.fs.Path(root)
+    assert(TxLog.snapshot(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      .meta.config.isEmpty, "no pair from a malformed list may apply")
+  }
 }
