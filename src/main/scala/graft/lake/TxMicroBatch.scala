@@ -410,28 +410,50 @@ final class TxStreamReaderFactory(slices: Array[TxSliceReaders])
     extends PartitionReaderFactory {
 
   /** COLUMNAR reads (the sf10 lesson: the row-based delegate read a
-    * plain backlog 1.47× slower than the V1 path): when every slice in
-    * the batch already emits the pinned column order — the common
-    * case; only a mid-history rename/partition-spec change needs the
-    * positional projection — hand Spark the parquet factory's own
-    * vectorized ColumnarBatch reader and let ColumnarToRow consume it
-    * codegen-side. Gated on ALL slices (Spark requires a scan's
-    * partitions to be homogeneously columnar or row-based), and on the
-    * delegate's own support check (vectorization conf, atomic types).
-    */
-  private val allIdentity = slices.forall(s =>
-    s.outOrder.zipWithIndex.forall { case (o, i) => o == i })
-
+    * plain backlog 1.47× slower than the V1 path): hand Spark the
+    * parquet factory's own vectorized ColumnarBatch reader and let
+    * ColumnarToRow consume it codegen-side. A slice whose reader
+    * output order differs from the pinned order (a partition column
+    * not at the schema tail, a mid-history partition-spec change)
+    * stays columnar too: the wrapper re-orders the batch's
+    * ColumnVector REFERENCES — a per-batch pointer permutation, zero
+    * data movement — so renamed/evolved layouts never fall back to
+    * the row-by-row projection. Gated on ALL slices' factories
+    * agreeing (Spark requires a scan's partitions to be homogeneously
+    * columnar or row-based — "Cannot mix row-based and columnar input
+    * partitions" — and a multi-slice batch spanning a schema change
+    * can flip one slice's vectorization support: field-count limit,
+    * nested type), in which case the whole batch degrades to
+    * row-based instead of failing planning. */
   override def supportColumnarReads(partition: InputPartition): Boolean = {
     val p = partition.asInstanceOf[TxStreamInputPartition]
-    allIdentity &&
-      slices(p.sliceIdx).factory.supportColumnarReads(p.filePartition)
+    slices.forall(_.factory.supportColumnarReads(p.filePartition))
   }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[TxStreamInputPartition]
-    slices(p.sliceIdx).factory.createColumnarReader(p.filePartition)
+    val slice = slices(p.sliceIdx)
+    val inner = slice.factory.createColumnarReader(p.filePartition)
+    if (slice.outOrder.zipWithIndex.forall { case (o, i) => o == i })
+      inner
+    else new PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = inner.next()
+      override def get()
+          : org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = inner.get()
+        // output column j IS input column outOrder(j): permute the
+        // vector references into pinned order (vectors stay owned by
+        // the inner reader — its close() frees them)
+        val cols = Array.tabulate[
+            org.apache.spark.sql.vectorized.ColumnVector](
+          slice.outOrder.length)(j => b.column(slice.outOrder(j)))
+        new org.apache.spark.sql.vectorized.ColumnarBatch(
+          cols, b.numRows())
+      }
+      override def close(): Unit = inner.close()
+    }
   }
 
   override def createReader(

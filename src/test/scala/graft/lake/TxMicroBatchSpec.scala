@@ -251,4 +251,45 @@ class TxMicroBatchSpec extends SparkSpec {
       assert(rows.forall(r => r.getString(1) == s"doc-${r.getLong(0)}"))
     } finally q.stop()
   }
+
+  test("non-identity layouts read COLUMNAR: a renamed column and a " +
+      "mid-schema partition column go through the vectorized reader " +
+      "(pointer-permuted batch), not the row fallback") {
+    val root = freshRoot("colnar")
+    val tab = new TxTable(spark, root)
+    // partition column in the MIDDLE: reader output (data, partition)
+    // order differs from the pinned order → the permuting wrapper
+    tab.create(spark.range(4).select(
+      $"id".as("k"), ($"id" % 2).cast("string").as("bucket"),
+      concat(lit("w-"), $"id").as("w")),
+      partitionCols = Seq("bucket"))
+    tab.renameColumn("w", "word") // physical name now differs too
+    val q = spark.readStream.format("txlog")
+      .option("path", root).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txmb_colnar").start()
+    try {
+      q.processAllAvailable()
+      tab.append(spark.range(10, 12).select(
+        $"id".as("k"), ($"id" % 2).cast("string").as("bucket"),
+        concat(lit("w-"), $"id").as("word")))
+      q.processAllAvailable()
+      val rows = spark.table("txmb_colnar")
+        .select($"k", $"bucket", $"word").collect()
+      assert(rows.length === 6)
+      assert(rows.forall(r => r.getString(2) == s"w-${r.getLong(0)}"))
+      assert(rows.forall(r =>
+        r.getString(1) == (r.getLong(0) % 2).toString))
+      // the LAST micro-batch's physical plan consumed a COLUMNAR scan
+      val exec = q.asInstanceOf[org.apache.spark.sql.execution
+        .streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val columnar = exec.collect {
+        case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+      }
+      assert(columnar.nonEmpty,
+        s"renamed + mid-schema-partition layout must read columnar, " +
+          s"plan was:\n$exec")
+    } finally q.stop()
+  }
 }
