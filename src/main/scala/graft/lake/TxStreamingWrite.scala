@@ -38,26 +38,66 @@ import TxLog.Txn
   *
   * Scope: CHECK / NOT NULL constraints ENFORCE here, executor-side —
   * they validate rows without rewriting them, so each expression is
-  * name-bound against the stream schema once at query start (an
-  * unbindable constraint fails `.start()`) and compiled to a codegen
-  * predicate per task; a violating row fails its task and the epoch
-  * never commits. Features that must REWRITE rows on the way in —
-  * GENERATED / IDENTITY / DEFAULT columns, row tracking — still
-  * refuse at query start (before any file is staged) and point at the
-  * V1 `txlog-stream` sink, which routes every batch through the full
-  * DataFrame append path. Delta draws the same line: its DSv2 sink
-  * checks invariants in the writer and delegates row-rewriting
-  * features to the transactional write command.
+  * ANALYZER-resolved against the stream schema once at query start
+  * (function resolution + type coercion; an unresolvable constraint
+  * fails `.start()`) and compiled to a codegen predicate per task; a
+  * violating row fails its task and the epoch never commits.
+  *
+  * Row-REWRITING features ride the same executor-side compile:
+  * GENERATED / DEFAULT columns the stream omits are analyzer-resolved
+  * value expressions appended by ONE codegen projection per task
+  * (rows never widen on the driver), a generated column the stream
+  * SUPPLIES is validated per row against its expression (null-safe
+  * equality — the batch path's rule), and IDENTITY columns allocate
+  * per EPOCH from the logged watermark: Spark wraps every micro-batch
+  * in its own `MicroBatchWrite`, so [[createStreamingWriterFactory]]
+  * runs on the driver once per epoch, re-reads the watermark, and
+  * ships `Literal(start) + MonotonicallyIncreasingID()` — the exact
+  * allocation the batch path uses — whose staged max then bumps the
+  * watermark inside the same commit
+  * ([[TxTable.commitStagedAppend]]'s identity bump, read from the
+  * files' own stats). Only ROW TRACKING still refuses toward the V1
+  * `txlog-stream` sink: its ids must land consistently with the
+  * change feed, a DataFrame-append concern.
   */
 final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
     streamSchema: StructType, queryId: String) extends StreamingWrite {
 
   private def spark: SparkSession = SparkSession.active
 
+  /** Resolve a value expression through the FULL analyzer against an
+    * empty frame of the stream schema (function resolution + implicit
+    * casts — what the batch path's expr() gets), bound to stream
+    * ordinals. Failure refuses at `.start()`, not the Nth batch. */
+  private def resolveOnStream(sql: String, what: String)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val probe = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      streamSchema)
+    val analyzed =
+      try probe.selectExpr(sql).queryExecution.analyzed
+      catch { case e: Exception => sys.error(
+        s"txlog DSv2 streaming write to $rootStr: $what ($sql) does " +
+          s"not analyze against the stream schema (" +
+          s"${streamSchema.fieldNames.mkString(", ")}): ${e.getMessage}") }
+    val proj = analyzed.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+    }.getOrElse(sys.error(s"$what ($sql): no Project in analyzed plan"))
+    val value = proj.projectList.head match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }
+    org.apache.spark.sql.catalyst.expressions.BindReferences
+      .bindReference(value,
+        org.apache.spark.sql.catalyst.expressions.AttributeSeq(
+          proj.child.output))
+  }
+
   // resolved ONCE at query start, driver-side: physical mapping and
   // gate refusals (failure locality: a refused table fails .start(),
   // not the Nth micro-batch)
-  private val (physSchema, partCols, checkRows, notNullOrdinals) = {
+  private val (physSchema, partCols, checkRows, notNullOrdinals,
+      appendedCols) = {
     val tx = new TxTable(spark, rootStr)
     val metaOpt =
       if (tx.exists) {
@@ -66,67 +106,135 @@ final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
         Some(TxLog.snapshot(fs, root).meta)
       } else None
     metaOpt.foreach { m =>
-      def refuse(what: String): Nothing = sys.error(
+      if (m.tracksRows) sys.error(
         s"txlog DSv2 streaming write to $rootStr: the table has " +
-          s"$what, which must be applied per ROW on the way in — " +
-          "use the V1 sink (writeStream.format(\"txlog-stream\")) " +
-          "or foreachBatch, which route through the full DataFrame " +
-          "append path")
-      if (m.generated.nonEmpty) refuse("generated columns")
-      if (m.identities.nonEmpty) refuse("identity columns")
-      if (m.defaultValues.exists(_.nonEmpty)) refuse("column defaults")
-      if (m.tracksRows) refuse("row tracking")
+          "row tracking, whose ids must land consistently with the " +
+          "change feed — use the V1 sink (writeStream.format(" +
+          "\"txlog-stream\")) or foreachBatch, which route through " +
+          "the full DataFrame append path")
+      m.identities.keys.foreach(c =>
+        require(!streamSchema.fieldNames.contains(c),
+          s"identity column $c is GENERATED ALWAYS — the stream " +
+            "must not supply it"))
     }
+    // columns the table REWRITES onto incoming rows that the stream
+    // omits: generated / default columns become analyzer-resolved
+    // value expressions (Some(expr)); identity columns get their
+    // per-epoch watermark expression later (None — see
+    // createStreamingWriterFactory). Appended in table-schema order
+    // after the stream's own fields → the AUGMENTED schema every
+    // downstream piece (partition routing, physical write schema,
+    // validators) is computed over.
+    val appended: Seq[(String, DataType,
+        Option[org.apache.spark.sql.catalyst.expressions.Expression])] =
+      metaOpt.toSeq.flatMap { m =>
+        m.schema.fields.toSeq
+          .filterNot(f => streamSchema.fieldNames.contains(f.name))
+          .flatMap { f =>
+            if (m.generated.contains(f.name))
+              Some((f.name, f.dataType, Some(resolveOnStream(
+                s"CAST((${m.generated(f.name)}) AS ${f.dataType.sql})",
+                s"generated column ${f.name}"))))
+            else if (m.identities.contains(f.name))
+              Some((f.name, f.dataType, None))
+            else if (m.defaults.contains(f.name))
+              Some((f.name, f.dataType, Some(resolveOnStream(
+                s"CAST((${m.defaults(f.name)}) AS ${f.dataType.sql})",
+                s"default for column ${f.name}"))))
+            else None // plain absent column: ordinary null-fill
+          }
+      }
+    val augSchema = StructType(streamSchema.fields ++
+      appended.map { case (n, dt, _) =>
+        org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
     // CHECK / NOT NULL are pure VALIDATION (no row rewriting), so the
     // DSv2 sink enforces them EXECUTOR-SIDE instead of refusing toward
-    // V1: each constraint expression is parsed and name-bound against
-    // the stream schema ONCE here (failure locality — an unbindable
-    // constraint fails .start(), not the Nth batch), shipped bound,
-    // and compiled to a codegen predicate per task. NULL passes a
-    // CHECK (SQL's rule, the batch path's semantics); a violating row
-    // fails its task — the epoch never commits, staged files are
+    // V1: each constraint is resolved through the FULL ANALYZER
+    // against an empty frame of the stream schema — the exact
+    // analysis the batch path's expr(sql) gets, so function calls
+    // resolve and implicit type coercion runs (a name-only bind would
+    // leave UnresolvedFunction / uncoerced literal comparisons that
+    // throw in every task) — then the resolved attributes bind to
+    // stream ordinals. Analysis or bind failure refuses at .start()
+    // (failure locality), not the Nth batch. NULL passes a CHECK
+    // (SQL's rule, the batch path's semantics); a violating row fails
+    // its task — the epoch never commits, staged files are
     // vacuum-reclaimable orphans, exactly the abort contract every
     // other failure has.
+    // validators bind against the AUGMENTED schema (a CHECK may
+    // reference a generated column the projection appends)
+    def bindPredicate(sql: String, what: String)
+        : org.apache.spark.sql.catalyst.expressions.Expression = {
+      val probe = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        augSchema)
+      val analyzed =
+        try probe.where(org.apache.spark.sql.functions.expr(sql))
+          .queryExecution.analyzed
+        catch { case e: Exception => sys.error(
+          s"txlog DSv2 streaming write to $rootStr: $what ($sql) " +
+            s"does not analyze against the stream schema (" +
+            s"${augSchema.fieldNames.mkString(", ")}): ${e.getMessage}") }
+      val filter = analyzed.collectFirst {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl
+      }.getOrElse(sys.error(s"$what ($sql): analyzed plan has no Filter"))
+      // the probe is a LocalRelation in augmented-schema order, so the
+      // child's output attributes ARE the joined-row ordinals
+      org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(filter.condition,
+          org.apache.spark.sql.catalyst.expressions.AttributeSeq(
+            filter.child.output))
+    }
     val checks: Seq[(String, org.apache.spark.sql.catalyst.expressions
         .Expression)] =
       metaOpt.map(_.checkExprs.map { sql =>
-        val parsed = spark.sessionState.sqlParser.parseExpression(sql)
-        val bound = parsed.transformUp {
-          case a: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedAttribute =>
-            val name = a.nameParts.mkString(".")
-            val idx = streamSchema.fields.indexWhere(
-              _.name.equalsIgnoreCase(name))
-            require(idx >= 0,
-              s"CHECK ($sql) references $name, which is not in the " +
-                s"stream schema (${streamSchema.fieldNames
-                  .mkString(", ")})")
-            BoundReference(idx, streamSchema.fields(idx).dataType,
-              nullable = true)
-        }
         (sql, org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
-          bound,
+          bindPredicate(sql, "CHECK"),
           org.apache.spark.sql.catalyst.expressions.Literal(true)))
           : org.apache.spark.sql.catalyst.expressions.Expression)
       }).getOrElse(Nil)
+    // a generated column the stream SUPPLIES is validated per row
+    // (null-safe equality against its expression — the batch path's
+    // applyGenerated rule: a writer can never land a row where the
+    // derived key lies about the row)
+    val genValidators: Seq[(String,
+        org.apache.spark.sql.catalyst.expressions.Expression)] =
+      metaOpt.toSeq.flatMap { m =>
+        m.generated.toSeq.sortBy(_._1)
+          .filter { case (c, _) => streamSchema.fieldNames.contains(c) }
+          .map { case (c, e) =>
+            val dt = m.schema(c).dataType
+            (s"generated column $c must equal ($e)",
+              bindPredicate(s"`$c` <=> CAST(($e) AS ${dt.sql})",
+                s"generated column $c"))
+          }
+      }
     val requiredOrds: Seq[(String, Int)] =
       metaOpt.map(_.requiredCols.map { c =>
-        val idx = streamSchema.fieldNames.indexOf(c)
+        val idx = augSchema.fieldNames.indexOf(c)
         require(idx >= 0,
           s"stream omits NOT NULL column $c — refused at query start")
         (c, idx)
       }).getOrElse(Nil)
     val parts = metaOpt.map(_.partitionCols.toSeq).getOrElse(partitionCols)
-    parts.foreach(c => require(streamSchema.fieldNames.contains(c),
+    parts.foreach(c => require(augSchema.fieldNames.contains(c),
       s"partition column $c is not in the stream schema " +
-        s"(${streamSchema.fieldNames.mkString(", ")})"))
-    val phys = StructType(streamSchema.fields
+        s"(${augSchema.fieldNames.mkString(", ")})"))
+    val phys = StructType(augSchema.fields
       .filterNot(f => parts.contains(f.name))
       .map(f => f.copy(
         name = metaOpt.map(_.physicalOf(f.name)).getOrElse(f.name),
         nullable = true)))
-    (phys, parts, checks.toArray, requiredOrds.toArray)
+    (phys, parts, (checks ++ genValidators).toArray,
+      requiredOrds.toArray, appended)
   }
+
+  /** The staged data's LOGICAL schema: the stream's own columns plus
+    * the appended generated/identity/default ones — what the commit
+    * evolves/validates against and computes stats over. */
+  private val augLogical = StructType(streamSchema.fields ++
+    appendedCols.map { case (n, dt, _) =>
+      org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
 
   /** Per-query staging root under the table's own data/ convention —
     * an aborted query's files are orphans vacuum reclaims. */
@@ -138,20 +246,45 @@ final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val factory = new ParquetFileFormat().prepareWrite(
       spark, job, Map.empty[String, String], physSchema)
-    val partIdx = partCols.map(c => streamSchema.fieldIndex(c)).toArray
+    // identity starts re-read HERE — Spark calls this once per epoch
+    // (each micro-batch gets its own MicroBatchWrite), so every epoch
+    // allocates past the watermark the previous commit bumped
+    val identityStarts: Map[String, Long] =
+      if (appendedCols.exists(_._3.isEmpty)) {
+        val root = new Path(rootStr)
+        val fs = root.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        TxLog.snapshot(fs, root).meta.identities
+      } else Map.empty
+    val appendExprs = appendedCols.map {
+      case (_, _, Some(e)) => e
+      case (n, dt, None) =>
+        val alloc: org.apache.spark.sql.catalyst.expressions.Expression =
+          org.apache.spark.sql.catalyst.expressions.Add(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              identityStarts.getOrElse(n, 1L)),
+            org.apache.spark.sql.catalyst.expressions
+              .MonotonicallyIncreasingID())
+        if (dt == org.apache.spark.sql.types.LongType) alloc
+        else Cast(alloc, dt)
+    }.toArray
+    val augFields = augLogical.fields
+    val partIdx = partCols.map(c => augLogical.fieldIndex(c)).toArray
     val partTypes = partCols.map(c =>
-      streamSchema(streamSchema.fieldIndex(c)).dataType).toArray
-    val dataIdx = streamSchema.fields.zipWithIndex
+      augFields(augLogical.fieldIndex(c)).dataType).toArray
+    val dataIdx = augFields.zipWithIndex
       .filterNot { case (f, _) => partCols.contains(f.name) }
       .map(_._2)
-    val dataTypes = dataIdx.map(i => streamSchema.fields(i).dataType)
+    val dataTypes = dataIdx.map(i => augFields(i).dataType)
     TxStreamWriterFactory(
       new Path(rootStr, stageRel).toString, factory,
       new SerializableConfiguration(job.getConfiguration),
       physSchema, partCols.toArray, partIdx, partTypes,
       dataIdx, dataTypes,
       spark.sessionState.conf.sessionLocalTimeZone,
-      checkRows, notNullOrdinals)
+      checkRows, notNullOrdinals,
+      TxStreamingWrite.maxOpenWriters(spark),
+      appendExprs)
   }
 
   override def commit(epochId: Long,
@@ -170,10 +303,10 @@ final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
       if (files.isEmpty) Vector.empty
       else tx.stagedAdds(
         files.map(rel => new Path(root, rel).toString).toIndexedSeq,
-        meta, streamSchema.fieldNames.toSet)
+        meta, augLogical.fieldNames.toSet)
     // empty batches still advance the watermark: a replay of this
     // epoch after a restart must no-op even if it held no rows
-    tx.commitStagedAppend(streamSchema, adds,
+    tx.commitStagedAppend(augLogical, adds,
       Txn(s"dsv2:$queryId", epochId)): Unit
   }
 
@@ -192,6 +325,29 @@ final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
   override def toString: String = s"TxStreamingWrite[$rootStr]"
 }
 
+object TxStreamingWrite {
+  /** Cap on parquet writers a task holds open at once across dynamic
+    * partition fragments. Each open writer pins a row-group buffer
+    * (~128 MB default page budget), so an epoch spanning many
+    * partition values — a date-partitioned backfill, a watermark
+    * burst — would otherwise grow per-task memory with the number of
+    * DISTINCT fragments it sees: the executor-OOM shape Spark's own
+    * `FileFormatWriter` guards with a sorted single-writer fallback.
+    * Here the guard is LRU rotation: past the cap the least-recently-
+    * written fragment's file is closed; a later row for it opens a
+    * fresh file in the same directory (multiple files per partition
+    * dir is the normal landed shape, so content is unchanged — the
+    * cost of unsorted input is file COUNT, never memory). */
+  val maxOpenWritersKey = "spark.graft.lake.streamMaxOpenWriters"
+  val maxOpenWritersDefault = 32
+
+  def maxOpenWriters(spark: SparkSession): Int =
+    spark.conf.getOption(maxOpenWritersKey)
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(maxOpenWritersDefault)
+}
+
 /** Files one task landed, root-relative (partition dirs included). */
 final case class TxStreamCommitMessage(files: Seq[String])
     extends WriterCommitMessage
@@ -205,7 +361,11 @@ final case class TxStreamWriterFactory(stageAbs: String,
     checks: Array[(String,
       org.apache.spark.sql.catalyst.expressions.Expression)] =
       Array.empty,
-    notNull: Array[(String, Int)] = Array.empty)
+    notNull: Array[(String, Int)] = Array.empty,
+    maxOpenWriters: Int = TxStreamingWrite.maxOpenWritersDefault,
+    appendExprs: Array[
+      org.apache.spark.sql.catalyst.expressions.Expression] =
+      Array.empty)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -247,8 +407,16 @@ final class TxStreamDataWriter(f: TxStreamWriterFactory,
           Some(f.zoneId))
     })
 
+  // Open writers, least-recently-WRITTEN first (re-inserted on every
+  // access so the head is always the coldest fragment). Bounded at
+  // f.maxOpenWriters: each open parquet writer pins a row-group
+  // buffer, so an unbounded map is executor-OOM when one epoch spans
+  // many partition values. Closed files accumulate in `landed` — the
+  // commit message (and abort's delete list) covers rotated files
+  // exactly like still-open ones.
   private val open = mutable.LinkedHashMap[String,
     (org.apache.spark.sql.execution.datasources.OutputWriter, String)]()
+  private val landed = mutable.ArrayBuffer[String]()
   private var fileSeq = 0
 
   private def dirFragment(row: InternalRow): String = {
@@ -290,24 +458,57 @@ final class TxStreamDataWriter(f: TxStreamWriterFactory,
     }
   }
 
-  override def write(row: InternalRow): Unit = {
+  // generated/default/identity columns appended by ONE codegen
+  // projection; the JoinedRow presents (stream ++ appended) under the
+  // augmented ordinals every other piece was bound to. Initialized
+  // per task: MonotonicallyIncreasingID (identity allocation) embeds
+  // the partition ordinal
+  private lazy val appendProj = {
+    val p = UnsafeProjection.create(f.appendExprs.toIndexedSeq)
+    p.initialize(partitionId)
+    p
+  }
+  private val joined =
+    new org.apache.spark.sql.catalyst.expressions.JoinedRow
+
+  override def write(row0: InternalRow): Unit = {
+    val row =
+      if (f.appendExprs.isEmpty) row0
+      else joined(row0, appendProj(row0))
     validate(row)
     val frag = dirFragment(row)
-    val w = open.getOrElseUpdate(frag, {
-      val name = f"part-$partitionId%05d-$taskId-$fileSeq$ext"
-      fileSeq += 1
-      val dir = if (frag.isEmpty) f.stageAbs else s"${f.stageAbs}/$frag"
-      val abs = s"$dir/$name"
-      (f.writers.newInstance(abs, f.physSchema, ctx), abs)
-    })._1
+    val w = open.remove(frag) match {
+      case Some(entry) => // touch: re-insert at the tail (most recent)
+        open.put(frag, entry): Unit
+        entry._1
+      case None =>
+        if (open.size >= f.maxOpenWriters) {
+          // rotate out the coldest fragment's writer; its file is done
+          val (coldFrag, (cw, cAbs)) = open.head
+          cw.close()
+          landed += cAbs
+          open.remove(coldFrag): Unit
+        }
+        val name = f"part-$partitionId%05d-$taskId-$fileSeq$ext"
+        fileSeq += 1
+        val dir = if (frag.isEmpty) f.stageAbs else s"${f.stageAbs}/$frag"
+        val abs = s"$dir/$name"
+        val nw = f.writers.newInstance(abs, f.physSchema, ctx)
+        open.put(frag, (nw, abs)): Unit
+        nw
+    }
     w.write(dataProj(row))
   }
 
   override def commit(): WriterCommitMessage = {
-    open.values.foreach(_._1.close())
+    open.values.foreach { case (w, abs) =>
+      w.close()
+      landed += abs
+    }
+    open.clear()
     val stageRoot = new Path(f.stageAbs).getParent.getParent // table root
     val rootPrefix = stageRoot.toUri.getPath.stripSuffix("/") + "/"
-    TxStreamCommitMessage(open.values.map { case (_, abs) =>
+    TxStreamCommitMessage(landed.map { abs =>
       val p = new Path(abs).toUri.getPath
       if (p.startsWith(rootPrefix)) p.stripPrefix(rootPrefix) else p
     }.toSeq)
@@ -316,6 +517,10 @@ final class TxStreamDataWriter(f: TxStreamWriterFactory,
   override def abort(): Unit = {
     open.values.foreach { case (w, abs) =>
       scala.util.Try(w.close()): Unit
+      landed += abs
+    }
+    open.clear()
+    landed.foreach { abs =>
       val p = new Path(abs)
       scala.util.Try(
         p.getFileSystem(f.conf.value).delete(p, false)): Unit

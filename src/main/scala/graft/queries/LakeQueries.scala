@@ -632,6 +632,76 @@ object LakeQueries {
            |FROM orders WHERE o_orderkey % 2 = 0
            |ORDER BY o_orderkey""".stripMargin))
 
+  /** ROW-REWRITING features on the DSv2 streaming write
+    * ([[graft.lake.TxStreamingWrite]]): the destination carries a
+    * GENERATED column that is also its PARTITION column, a DEFAULT
+    * column the stream never supplies, and an IDENTITY column — all
+    * applied EXECUTOR-side by one codegen'd append projection (the
+    * identity start re-read from the logged watermark each epoch).
+    * Two epochs stream in; REQUIREs pin identity uniqueness across
+    * epochs, the post-commit watermark bump, and the generated
+    * partition dirs on disk. The oracle reconstructs every
+    * deterministic column (keys, generated value, default fill) — a
+    * wrong generated value, missed default, or misrouted partition
+    * breaks the hash; identity (engine-nondeterministic by nature) is
+    * pinned by the REQUIREs instead.
+    */
+  val extStreamDsv2Rewrite = Q(
+    "ext_stream_dsv2_rewrite",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val dstRoot = scratch("dsv2_rw_dst", dir)
+      val dst = new TxTable(s, dstRoot)
+      dst.create(orders.limit(0) // empty seed fixes the default's type
+          .withColumn("status", org.apache.spark.sql.functions
+            .lit("SEED")),
+        partitionCols = Seq("bucket"),
+        generatedColumns =
+          Map("bucket" -> "CAST(o_orderkey % 4 AS STRING)"),
+        identityColumns = Seq("sn"),
+        defaultValues = Map("status" -> "'NEW'"))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_dsv2_rw_ckpt").toString
+      val srcRoot = scratch("dsv2_rw_src", dir)
+      val src = new TxTable(s, srcRoot)
+      src.create(orders.where($"o_orderkey" % 2 === 0))
+      def drain(): Unit = {
+        val q = s.readStream.format("txlog")
+          .option("path", srcRoot).load()
+          .writeStream.format("txlog")
+          .option("path", dstRoot)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      src.append(orders.where($"o_orderkey" % 2 === 1))
+      drain() // second epoch: allocates past the bumped watermark
+      val out = dst.read()
+      val sns = out.select($"sn").as[Long].collect()
+      require(sns.length == sns.distinct.length,
+        "identity values must stay unique across epochs")
+      val fs = new org.apache.hadoop.fs.Path(dstRoot).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val meta = graft.lake.TxLog.snapshot(fs,
+        new org.apache.hadoop.fs.Path(dstRoot)).meta
+      require(meta.identities("sn") > sns.max,
+        "each epoch's commit must bump the identity watermark")
+      require(graft.lake.TxLog.snapshot(fs,
+          new org.apache.hadoop.fs.Path(dstRoot)).adds
+          .map(_.partitionValues("bucket")).toSet ==
+        Set("0", "1", "2", "3"),
+        "the GENERATED partition column must route real dirs")
+      out.select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"bucket", $"status").orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+           |       CAST(o_orderkey % 4 AS VARCHAR) AS bucket,
+           |       'NEW' AS status
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   /** The lake as a STREAMING SINK ([[graft.lake.TxStreamSink]] —
     * Delta's DeltaSink shape): a lake-to-lake copy wired PURELY
     * through formats (`readStream.format("txlog-stream")` →
@@ -2932,7 +3002,8 @@ object LakeQueries {
     extLakeMergeEvolution,
     extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
     extStreamDsv2Source, extStreamDsv2Paced, extStreamDsv2Sink,
-    extStreamDsv2Constraint, extStreamWindowLakeSink, extLakeReplaceWhere,
+    extStreamDsv2Constraint, extStreamDsv2Rewrite,
+    extStreamWindowLakeSink, extLakeReplaceWhere,
     extStreamLakeSink,
     extStreamLakeToLake, extStreamCdf, extStreamCdfApply,
     extLakeBloomLookup, extLakePartitionEvolution, extLakeGeneratedCol,

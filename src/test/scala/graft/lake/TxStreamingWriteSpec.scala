@@ -97,11 +97,11 @@ class TxStreamingWriteSpec extends SparkSpec {
     assert(tab.read().count() === 8)
   }
 
-  test("row-REWRITING feature tables refuse at query start, pointing " +
-      "at the V1 sink") {
+  test("ROW TRACKING still refuses at query start, pointing at the " +
+      "V1 sink") {
     val root = fresh("refuse")
     val tab = new TxTable(spark, root)
-    tab.create(feed(1), generatedColumns = Map("v" -> "concat('v-', k)"))
+    tab.create(feed(1), enableRowTracking = true)
     val srcRoot = fresh("refsrc")
     new TxTable(spark, srcRoot).create(feed(2))
     val ckpt = Files.createTempDirectory("txsw_rck").toString
@@ -118,6 +118,134 @@ class TxStreamingWriteSpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("txlog-stream")),
       s"must point at the V1 sink, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("GENERATED / DEFAULT columns the stream omits are computed " +
+      "executor-side — a generated column even routes PARTITIONS") {
+    val root = fresh("gen")
+    val tab = new TxTable(spark, root)
+    // parity generated FROM k, and it is the PARTITION column; status
+    // has a DEFAULT the stream never supplies
+    tab.create(
+      spark.range(1).select($"id".as("k"),
+        concat(lit("v-"), $"id").as("v"))
+        .withColumn("status", lit("SEED")),
+      partitionCols = Seq("parity"),
+      generatedColumns = Map("parity" -> "CAST(k % 2 AS STRING)"),
+      defaultValues = Map("status" -> "'NEW'"))
+    val srcRoot = fresh("gensrc")
+    new TxTable(spark, srcRoot).create(feed(6, from = 10L))
+    val ckpt = Files.createTempDirectory("txsw_gck").toString
+    val q = spark.readStream.format("txlog")
+      .option("path", srcRoot).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("txlog").option("path", root).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = tab.read().where($"k" >= 10L)
+    assert(got.count() === 6)
+    assert(got.where($"parity" =!= ($"k" % 2).cast("string")).count()
+      === 0, "the generated partition value must derive from k")
+    assert(got.where($"status" =!= "NEW").count() === 0,
+      "the omitted DEFAULT column must fill")
+    // and the partition dirs are REAL (pruning-visible routing)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val snap = TxLog.snapshot(fs, new org.apache.hadoop.fs.Path(root))
+    assert(snap.adds.map(_.partitionValues("parity")).toSet
+      === Set("0", "1"))
+  }
+
+  test("IDENTITY columns allocate per epoch from the logged " +
+      "watermark: values stay unique across epochs, the commit bumps " +
+      "the watermark") {
+    val root = fresh("ident")
+    val tab = new TxTable(spark, root)
+    tab.create(feed(2), identityColumns = Seq("sn"))
+    val srcRoot = fresh("identsrc")
+    val src = new TxTable(spark, srcRoot)
+    src.create(feed(4, from = 10L))
+    val ckpt = Files.createTempDirectory("txsw_ick").toString
+    def launch() = spark.readStream.format("txlog")
+      .option("path", srcRoot).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("txlog").option("path", root).start()
+    val q = launch()
+    try q.processAllAvailable() finally q.stop()
+    src.append(feed(3, from = 50L)) // second epoch via a fresh query
+    val q2 = launch()
+    try q2.processAllAvailable() finally q2.stop()
+    val sns = tab.read().select($"sn").as[Long].collect()
+    assert(sns.length === 9, "2 seed + 4 + 3 rows")
+    assert(sns.distinct.length === 9,
+      s"identity values must be unique across epochs, got " +
+        s"${sns.sorted.mkString(",")}")
+    // the watermark in the log moved past every allocated value
+    val p = new org.apache.hadoop.fs.Path(root)
+    val meta = TxLog.snapshot(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p).meta
+    assert(meta.identities("sn") > sns.max,
+      "the commit must bump the identity watermark past the staged max")
+    // a stream SUPPLYING the identity column refuses at query start
+    val srcBad = fresh("identbad")
+    new TxTable(spark, srcBad).create(
+      feed(1).withColumn("sn", lit(999L)))
+    val ckpt2 = Files.createTempDirectory("txsw_ick2").toString
+    val e = intercept[Exception] {
+      val qb = spark.readStream.format("txlog")
+        .option("path", srcBad).load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt2)
+        .format("txlog").option("path", root).start()
+      try qb.processAllAvailable() finally qb.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("GENERATED ALWAYS")),
+      s"supplying an identity column must refuse, got: " +
+        s"${msgs(e).mkString(" | ")}")
+  }
+
+  test("a generated column the stream SUPPLIES is validated per row: " +
+      "agreeing rows land, a lying row fails its epoch") {
+    val root = fresh("genval")
+    val tab = new TxTable(spark, root)
+    tab.create(
+      spark.range(1).select($"id".as("k"),
+        concat(lit("v-"), $"id").as("v")),
+      generatedColumns = Map("v" -> "concat('v-', k)"))
+    val srcRoot = fresh("genvsrc")
+    val src = new TxTable(spark, srcRoot)
+    src.create(feed(3, from = 10L)) // v == concat('v-', k): agrees
+    val ckpt = Files.createTempDirectory("txsw_gvck").toString
+    val q = spark.readStream.format("txlog")
+      .option("path", srcRoot).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("txlog").option("path", root).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(tab.read().count() === 4, "agreeing rows must land")
+    // a row whose v disagrees with the generation expression
+    src.append(spark.range(1).select(lit(99L).as("k"),
+      lit("lies").as("v")))
+    val q2 = spark.readStream.format("txlog")
+      .option("path", srcRoot).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("txlog").option("path", root).start()
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("generated column")),
+      s"a lying generated value must refuse, got: " +
+        s"${msgs(e).mkString(" | ")}")
+    assert(tab.read().count() === 4,
+      "the violating epoch must not commit")
   }
 
   test("CHECK and NOT NULL enforce EXECUTOR-SIDE: clean batches land, " +
@@ -195,6 +323,112 @@ class TxStreamingWriteSpec extends SparkSpec {
     try q4.processAllAvailable() finally q4.stop()
     assert(tab3.read().where($"v" === "ok").count() === 1,
       "a NULL check input must pass (SQL semantics, batch-path parity)")
+  }
+
+  test("CHECK constraints run through the ANALYZER: function calls " +
+      "resolve and literals coerce (length(v) > 2, decimal >= int)") {
+    val root = fresh("anlz")
+    val tab = new TxTable(spark, root)
+    tab.create(spark.range(1).select($"id".as("k"),
+      lit("seed").as("v"), lit(BigDecimal(1)).cast("decimal(10,2)")
+        .as("price")))
+    // both shapes need the analyzer: an UnresolvedFunction and a
+    // Decimal-vs-Int comparison that only type coercion makes typed
+    tab.addConstraint("length(v) > 2")
+    tab.addConstraint("price >= 0")
+    val srcRoot = fresh("anlzsrc")
+    val src = new TxTable(spark, srcRoot)
+    src.create(spark.range(3).select($"id".as("k"),
+      concat(lit("val-"), $"id").as("v"),
+      ($"id" * 1.5).cast("decimal(10,2)").as("price")))
+    val ckpt = Files.createTempDirectory("txsw_anck").toString
+    val q = spark.readStream.format("txlog")
+      .option("path", srcRoot).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("txlog").option("path", root).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(tab.read().count() === 4,
+      "a valid stream must land through analyzed CHECKs")
+    // and the analyzed predicate still REJECTS: v too short
+    src.append(spark.range(1).select(lit(99L).as("k"),
+      lit("x").as("v"), lit(BigDecimal(5)).cast("decimal(10,2)")
+        .as("price")))
+    val q2 = spark.readStream.format("txlog")
+      .option("path", srcRoot).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("txlog").option("path", root).start()
+    val e = intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("violates CHECK")),
+      s"expected a CHECK violation, got: ${msgs(e).mkString(" | ")}")
+    assert(tab.read().count() === 4)
+    // a constraint referencing a column the stream omits refuses at
+    // query start with the analyzer's error, not mid-epoch
+    val root2 = fresh("anlz2")
+    val tab2 = new TxTable(spark, root2)
+    tab2.create(feed(1).withColumn("extra", lit(1L)))
+    tab2.addConstraint("extra > 0")
+    val srcRoot2 = fresh("anlzsrc2")
+    new TxTable(spark, srcRoot2).create(feed(1, from = 50L))
+    val ckpt2 = Files.createTempDirectory("txsw_anck2").toString
+    val e2 = intercept[Exception] {
+      val q3 = spark.readStream.format("txlog")
+        .option("path", srcRoot2).load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt2)
+        .format("txlog").option("path", root2).start()
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    assert(msgs(e2).exists(_.contains("does not analyze")),
+      s"expected an analysis refusal, got: ${msgs(e2).mkString(" | ")}")
+  }
+
+  test("dynamic-partition writers are BOUNDED: an epoch spanning many " +
+      "interleaved partition values rotates files past the cap and " +
+      "lands every row") {
+    spark.conf.set(TxStreamingWrite.maxOpenWritersKey, "2")
+    try {
+      val root = fresh("cap")
+      val tab = new TxTable(spark, root)
+      tab.create(
+        spark.range(0).select($"id".as("k"),
+          lit("b").as("bucket")),
+        partitionCols = Seq("bucket"))
+      val srcRoot = fresh("capsrc")
+      // 24 rows cycling through 6 bucket values in one source file →
+      // one task sees interleaved fragments, far past the cap of 2
+      val rows = spark.range(24).repartition(1).select($"id".as("k"),
+        concat(lit("b"), ($"id" % 6)).as("bucket"))
+      new TxTable(spark, srcRoot).create(rows)
+      val ckpt = Files.createTempDirectory("txsw_capck").toString
+      val q = spark.readStream.format("txlog")
+        .option("path", srcRoot).load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("txlog").option("path", root).start()
+      try q.processAllAvailable() finally q.stop()
+      // every row lands, correctly routed
+      val got = tab.read()
+      assert(got.count() === 24)
+      assert(got.where($"bucket" === "b3").select($"k").as[Long]
+        .collect().sorted.toSeq === Seq(3L, 9L, 15L, 21L))
+      // rotation happened: more landed files than distinct fragments
+      // (an unbounded writer map would land exactly one per fragment
+      // per task)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val snap = TxLog.snapshot(fs, new org.apache.hadoop.fs.Path(root))
+      assert(snap.adds.size > 6,
+        s"cap=2 over 6 interleaved fragments must rotate, " +
+          s"got ${snap.adds.size} files")
+      assert(snap.adds.map(_.partitionValues("bucket")).toSet.size === 6)
+    } finally spark.conf.unset(TxStreamingWrite.maxOpenWritersKey)
   }
 
   test("Complete output mode refuses (append-only sink)") {
