@@ -16,7 +16,7 @@ import org.apache.spark.sql.execution.datasources.{
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
 import TxLog.{Add, Meta}
@@ -57,14 +57,19 @@ case class TxVersionOffset(version: Long) extends Offset {
   * the schema is pinned at stream start and later additive evolution
   * null-fills (parquet's missing-column read), and renamed columns
   * stay coherent because files are addressed by PHYSICAL name.
-  * Change-feed mode stays on the V1 `txlog-stream` source: its mixed
-  * commits are a relational diff (`exceptAll`), not a file read.
+  * Change-feed mode (`readChangeFeed = true`) plans the feed as FILE
+  * reads too ([[planCdfPartitions]]): captured `_change_data` parquet
+  * carries `_change_type` as bytes, insert commits constant-fill it
+  * like a partition value, `_commit_version` is a per-file constant —
+  * only a row-changing commit from BEFORE feed enablement (nothing
+  * captured) refuses toward the V1 diff-based source.
   */
 final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
     required: StructType, pushed: Array[sources.Filter],
     startingVersion: Long, ignoreChanges: Boolean,
     maxVersionsPerTrigger: Option[Long],
-    defaultLimit: ReadLimit) extends MicroBatchStream
+    defaultLimit: ReadLimit,
+    readChangeFeed: Boolean = false) extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   maxVersionsPerTrigger.foreach(n =>
@@ -79,6 +84,15 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
     * names never change, so later renames don't shift the columns, and
     * later-added columns simply aren't requested. */
   private val pinned: Meta = TxLog.snapshot(fs, root).meta
+
+  // change-feed mode plans CAPTURED change data as FilePartitions —
+  // commit-time capture is what makes the feed a file read instead of
+  // a relational diff, so a table without CDF refuses at stream start
+  if (readChangeFeed) require(pinned.cdf,
+    s"txlog DSv2 change-feed stream at $rootStr: the table does not " +
+      "have change data feed enabled (txlog.enableChangeFeed = true) " +
+      "— enable it, or use the V1 source (format(\"txlog-stream\"), " +
+      "readChangeFeed = true), whose feed recomputes relational diffs")
 
   /** Committed floor for the per-trigger probe — keeps latestOffset
     * O(new commits), never O(history). */
@@ -114,9 +128,12 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
     * so the Hadoop conf build, its SparkContext broadcast, and the
     * parquet reader factory are built once per partition-layout keyset
     * — not once per slice per micro-batch (broadcast churn at a 1 s
-    * trigger cadence). */
-  private val sliceKitCache =
-    scala.collection.concurrent.TrieMap.empty[Set[String], TxSliceReaders]
+    * trigger cadence). Keyed (captured?, partition keyset): a
+    * change-feed batch may mix captured-feed slices (whose
+    * `_change_type` is file bytes) with insert-commit slices (whose
+    * `_change_type` is a constant). */
+  private val sliceKitCache = scala.collection.concurrent.TrieMap
+    .empty[(Boolean, Set[String]), TxSliceReaders]
 
   override def initialOffset(): Offset =
     TxVersionOffset(startingVersion - 1L)
@@ -178,10 +195,16 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
     var v = from + 1
     var full = false
     while (v <= hi && !full) {
-      val adds = commitEntriesCached(v).flatMap(_.add)
+      val entries = commitEntriesCached(v)
+      val adds = entries.flatMap(_.add)
       files += adds.size
       rows += adds.map(_.rows).sum
       bytes += adds.flatMap(_.bytes).sum
+      if (readChangeFeed) { // feed batches read captured files too
+        val cdfs = entries.flatMap(_.cdf)
+        files += cdfs.size
+        rows += cdfs.map(_.rows).sum
+      }
       val over = active.exists {
         case f: ReadMaxFiles => files > f.maxFiles
         case r: ReadMaxRows => rows > r.maxRows
@@ -202,57 +225,41 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
     val to = end.asInstanceOf[TxVersionOffset].version
     if (to >= lastSeen) lastSeen = math.max(lastSeen, to)
     if (from > to) return Array.empty
+    if (readChangeFeed) planCdfPartitions(from, to)
+    else planAppendPartitions(from, to)
+  }
 
-    // one slice per (partition-layout keyset) across the range: files
-    // from different layouts (partition evolution mid-stream) read
-    // under their OWN directory-value columns
-    val adds = (from to to).flatMap { v =>
-      val entries = commitEntriesCached(v)
-      val removed = entries.flatMap(_.remove)
-      val op = entries.flatMap(_.info).headOption.map(_.op).getOrElse("?")
-      val pureRewrite = TxStreamSource.pureRewriteOps(op)
-      if (removed.nonEmpty && !pureRewrite && !ignoreChanges)
-        sys.error(s"txlog stream at $root: commit $v ($op) rewrites " +
-          "or removes data files — a streaming read of a non-append " +
-          "table diverges silently. Use ignoreChanges=true to accept " +
-          "re-emitted rows (at-least-once for touched files), or " +
-          "stream the change feed (format(\"txlog-stream\"), " +
-          "readChangeFeed=true) instead.")
-      if (pureRewrite) Nil else entries.flatMap(_.add)
-    }
-    adds.find(_.hasDv).foreach(a => sys.error(
-      s"txlog stream at $root: ${a.path} carries a deletion vector — " +
-        "its physical rows are not all live. Stream the change feed " +
-        "(format(\"txlog-stream\"), readChangeFeed=true) instead."))
-    if (adds.isEmpty) return Array.empty
+  /** One slice's plan inputs: which files (root-relative path, size if
+    * the log knows it, constant partition-style values), read under
+    * which PHYSICAL data schema. `key` caches the executor kit
+    * (captured?, partition keyset); `readLogical` carries the data
+    * fields' logical names so the pinned `required` order restores
+    * positionally. */
+  private case class SliceFiles(
+      key: (Boolean, Set[String]),
+      readData: StructType, fileSchema: StructType,
+      readLogical: Seq[String], partFields: Seq[StructField],
+      filters: Array[sources.Filter],
+      files: Seq[(String, Option[Long], Map[String, String])])
 
+  private def buildSlices(slices: Seq[SliceFiles])
+      : Array[InputPartition] = {
     val sqlConf = spark.sessionState.conf
     val baseConf = spark.sessionState.newHadoopConf()
     val maxSplit = sqlConf.filesMaxPartitionBytes
-
-    val slices = adds.groupBy(_.partitionValues.keySet).toSeq
-      .sortBy(_._1.toSeq.sorted.mkString(","))
     val descs = Vector.newBuilder[TxSliceReaders]
     val partitions = Vector.newBuilder[InputPartition]
-    slices.zipWithIndex.foreach { case ((pset, sliceAdds), i) =>
-      val partFields = required.fields.filter(f => pset.contains(f.name))
-        .map(_.copy(nullable = true))
-      val kit = sliceKitCache.getOrElseUpdate(pset, {
-      val dataFields = required.fields.filterNot(f => pset.contains(f.name))
-        .map(f => f.copy(name = pinned.physicalOf(f.name), nullable = true))
-      val readDataSchema = StructType(dataFields)
-      val partitionSchema = StructType(partFields)
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      val kit = sliceKitCache.getOrElseUpdate(sl.key, {
+      val readDataSchema = sl.readData
+      val partitionSchema = StructType(sl.partFields.toArray)
       // reader output order is data-then-partition; restore the pinned
       // (required) order positionally
       val outOrder: Array[Int] = {
-        val dataNames = required.fields.filterNot(f => pset.contains(f.name))
-          .map(_.name)
-        val partNames = partFields.map(_.name)
-        val pos = (dataNames ++ partNames).zipWithIndex.toMap
+        val pos = (sl.readLogical ++ sl.partFields.map(_.name))
+          .zipWithIndex.toMap
         required.fields.map(f => pos(f.name))
       }
-      val physFilters = pushed.flatMap(
-        TxMicroBatchStream.renameFilter(_, n => pinned.physicalOf(n)))
       // the requested-schema keys ParquetScan bakes into its broadcast
       // conf — per LAYOUT (each layout reads its own projection),
       // cached for the stream's life via sliceKitCache above
@@ -288,13 +295,10 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
         spark.sparkContext.broadcast(new SerializableConfiguration(conf))
       val factory = ParquetPartitionReaderFactory(
         sqlConf, broadcastConf,
-        dataSchema = StructType(pinned.schema.fields
-          .filterNot(f => pset.contains(f.name))
-          .map(f => f.copy(name = pinned.physicalOf(f.name),
-            nullable = true))),
+        dataSchema = sl.fileSchema,
         readDataSchema = readDataSchema,
         partitionSchema = partitionSchema,
-        filters = physFilters,
+        filters = sl.filters,
         aggregation = None,
         options = new ParquetOptions(
           Map.empty[String, String], sqlConf))
@@ -303,12 +307,12 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
         outOrder)
       })
       descs += kit
-      val pfs = sliceAdds.flatMap { a =>
-        val abs = new Path(root, a.path)
+      val pfs = sl.files.flatMap { case (rel, bytesOpt, pv) =>
+        val abs = new Path(root, rel)
         val qualified = fs.makeQualified(abs)
-        val len = a.bytes.getOrElse(fs.getFileStatus(qualified).getLen)
+        val len = bytesOpt.getOrElse(fs.getFileStatus(qualified).getLen)
         val tuple = TxMicroBatchStream.partitionTuple(
-          spark, partFields.toIndexedSeq, a.partitionValues)
+          spark, sl.partFields.toIndexedSeq, pv)
         (0L until len by maxSplit).map { off =>
           new PartitionedFile(tuple,
             org.apache.spark.paths.SparkPath.fromPath(qualified),
@@ -323,6 +327,161 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
     }
     sliceReaders = descs.result().toArray
     partitions.result().toArray
+  }
+
+  private def planAppendPartitions(from: Long, to: Long)
+      : Array[InputPartition] = {
+    // one slice per (partition-layout keyset) across the range: files
+    // from different layouts (partition evolution mid-stream) read
+    // under their OWN directory-value columns
+    val adds = (from to to).flatMap { v =>
+      val entries = commitEntriesCached(v)
+      val removed = entries.flatMap(_.remove)
+      val op = entries.flatMap(_.info).headOption.map(_.op).getOrElse("?")
+      val pureRewrite = TxStreamSource.pureRewriteOps(op)
+      if (removed.nonEmpty && !pureRewrite && !ignoreChanges)
+        sys.error(s"txlog stream at $root: commit $v ($op) rewrites " +
+          "or removes data files — a streaming read of a non-append " +
+          "table diverges silently. Use ignoreChanges=true to accept " +
+          "re-emitted rows (at-least-once for touched files), or " +
+          "stream the change feed (option(\"readChangeFeed\", true)) " +
+          "instead.")
+      if (pureRewrite) Nil else entries.flatMap(_.add)
+    }
+    adds.find(_.hasDv).foreach(a => sys.error(
+      s"txlog stream at $root: ${a.path} carries a deletion vector — " +
+        "its physical rows are not all live. Stream the change feed " +
+        "(option(\"readChangeFeed\", true)) instead."))
+    if (adds.isEmpty) return Array.empty
+    val physFilters = pushed.flatMap(
+      TxMicroBatchStream.renameFilter(_, n => pinned.physicalOf(n)))
+    val slices = adds.groupBy(_.partitionValues.keySet).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (pset, sliceAdds) =>
+        SliceFiles(
+          key = (false, pset),
+          readData = StructType(required.fields
+            .filterNot(f => pset.contains(f.name))
+            .map(f => f.copy(name = pinned.physicalOf(f.name),
+              nullable = true))),
+          fileSchema = StructType(pinned.schema.fields
+            .filterNot(f => pset.contains(f.name))
+            .map(f => f.copy(name = pinned.physicalOf(f.name),
+              nullable = true))),
+          readLogical = required.fields.toSeq
+            .filterNot(f => pset.contains(f.name)).map(_.name),
+          partFields = required.fields.toSeq
+            .filter(f => pset.contains(f.name))
+            .map(_.copy(nullable = true)),
+          filters = physFilters,
+          files = sliceAdds.map(a =>
+            (a.path, a.bytes, a.partitionValues)))
+      }
+    buildSlices(slices)
+  }
+
+  /** Change-feed micro-batches as FILE reads (no relational diff, no
+    * driver row work): a CDF-enabled table CAPTURES its row-level
+    * changes at commit time, so each version in the batch is either
+    * captured `_change_data` parquet (whose `_change_type` column is
+    * file bytes), a plain insert-only commit (its Add files with
+    * `_change_type = 'insert'` filled like a partition value), or a
+    * pure rewrite (no logical change — skipped). `_commit_version` is
+    * a per-file partition-style constant in both shapes. A
+    * row-changing commit from BEFORE feed enablement has no captured
+    * data and refuses toward the V1 diff-based source. */
+  private def planCdfPartitions(from: Long, to: Long)
+      : Array[InputPartition] = {
+    val wantType = required.fieldNames.contains("_change_type")
+    val wantVer = required.fieldNames.contains("_commit_version")
+    val tableReq = required.fields.toSeq.filterNot(f =>
+      f.name == "_change_type" || f.name == "_commit_version")
+    val capturedFiles =
+      Vector.newBuilder[(String, Option[Long], Map[String, String])]
+    val insertAdds = Vector.newBuilder[(Add, Long)]
+    (from to to).foreach { v =>
+      val entries = commitEntriesCached(v)
+      val info = entries.flatMap(_.info).headOption
+      val op = info.map(_.op).getOrElse("?")
+      val captured = info.exists(_.cdfCaptured.contains(true))
+      val cdfs = entries.flatMap(_.cdf)
+      val adds = entries.flatMap(_.add)
+      val removes = entries.flatMap(_.remove)
+      if (captured) {
+        // marked with zero files = pure rewrite: no logical change
+        cdfs.foreach { c =>
+          require(fs.exists(new Path(root, c.path)),
+            s"change data of commit $v at $root was vacuumed")
+          capturedFiles += ((c.path, None,
+            Map("_commit_version" -> v.toString)))
+        }
+      } else if (TxStreamSource.pureRewriteOps(op)) ()
+      else if (removes.nonEmpty)
+        sys.error(s"txlog change-feed stream at $root: commit $v " +
+          s"($op) changed rows before the feed was enabled, so no " +
+          "change data was captured — start the stream at or after " +
+          "the enablement version, or use the V1 source (format(" +
+          "\"txlog-stream\"), readChangeFeed = true), whose feed " +
+          "recomputes relational diffs")
+      else adds.foreach(a => insertAdds += ((a, v)))
+    }
+    val feedConsts: Seq[StructField] =
+      (if (wantType) Seq(StructField("_change_type", StringType,
+        nullable = true)) else Nil) ++
+        (if (wantVer) Seq(StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = true))
+        else Nil)
+    val capturedList = capturedFiles.result()
+    val capturedSlice =
+      if (capturedList.isEmpty) Nil
+      else Seq(SliceFiles(
+        key = (true, Set.empty),
+        // captured files store EVERY column as data (physical names),
+        // partition columns included, plus _change_type
+        readData = StructType(tableReq
+          .map(f => f.copy(name = pinned.physicalOf(f.name),
+            nullable = true)) ++
+          (if (wantType) Seq(StructField("_change_type", StringType,
+            nullable = true)) else Nil)),
+        fileSchema = StructType(pinned.schema.fields
+          .map(f => f.copy(name = pinned.physicalOf(f.name),
+            nullable = true)) :+
+          StructField("_change_type", StringType, nullable = true)),
+        readLogical = tableReq.map(_.name) ++
+          (if (wantType) Seq("_change_type") else Nil),
+        partFields = if (wantVer)
+          Seq(StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = true))
+        else Nil,
+        filters = Array.empty,
+        files = capturedList))
+    val insertSlices = insertAdds.result()
+      .groupBy(_._1.partitionValues.keySet).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+      .map { case (pset, pairs) =>
+        SliceFiles(
+          key = (false, pset),
+          readData = StructType(tableReq
+            .filterNot(f => pset.contains(f.name))
+            .map(f => f.copy(name = pinned.physicalOf(f.name),
+              nullable = true))),
+          fileSchema = StructType(pinned.schema.fields
+            .filterNot(f => pset.contains(f.name))
+            .map(f => f.copy(name = pinned.physicalOf(f.name),
+              nullable = true))),
+          readLogical = tableReq
+            .filterNot(f => pset.contains(f.name)).map(_.name),
+          partFields = tableReq.filter(f => pset.contains(f.name))
+            .map(_.copy(nullable = true)) ++ feedConsts,
+          filters = Array.empty,
+          files = pairs.map { case (a, v) =>
+            (a.path, a.bytes, a.partitionValues +
+              ("_change_type" -> "insert") +
+              ("_commit_version" -> v.toString))
+          })
+      }
+    if (capturedSlice.isEmpty && insertSlices.isEmpty) Array.empty
+    else buildSlices(capturedSlice ++ insertSlices)
   }
 
   // handed to createReaderFactory right after planInputPartitions (the

@@ -211,7 +211,12 @@ class TxLogProvider extends RelationProvider
       : StructType = {
     val spark = SparkSession.active
     val path = pathFrom(options.get)
-    new TxTable(spark, path).read(asOfOf(options.get, path, spark)).schema
+    val base =
+      new TxTable(spark, path).read(asOfOf(options.get, path, spark)).schema
+    // a change-feed resolution carries the feed's tag columns
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      StructType(base.fields ++ graft.lake.catalog.TxLakeTable.cdfFields)
+    else base
   }
 
   override def inferPartitioning(
@@ -239,7 +244,9 @@ class TxLogProvider extends RelationProvider
     new graft.lake.catalog.TxLakeTable(path, asOf, s"txlog.`$path`",
       providedSchema = if (schema.isEmpty) None else Some(schema),
       providedPartitioning =
-        partitioning.map(graft.lake.catalog.TxCatalog.identityColumn).toSeq)
+        partitioning.map(graft.lake.catalog.TxCatalog.identityColumn).toSeq,
+      cdfRead =
+        Option(properties.get("readChangeFeed")).exists(_.toBoolean))
   }
 
   // ---- V1 face ----

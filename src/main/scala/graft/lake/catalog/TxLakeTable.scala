@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.write.{
   WriteBuilder}
 import org.apache.spark.sql.sources.{
   AlwaysTrue, BaseRelation, EqualTo, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.lake.{FilterSql, TxLog, TxRelation, TxTable}
@@ -49,7 +49,8 @@ import graft.lake.{FilterSql, TxLog, TxRelation, TxTable}
   */
 final class TxLakeTable(val path: String, val asOf: Option[Long],
     ident: String, providedSchema: Option[StructType] = None,
-    providedPartitioning: Seq[String] = Nil) extends Table
+    providedPartitioning: Seq[String] = Nil,
+    cdfRead: Boolean = false) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
@@ -79,10 +80,19 @@ final class TxLakeTable(val path: String, val asOf: Option[Long],
 
   override def name(): String = ident
 
-  override def schema(): StructType =
-    if (exists) snapMeta.schema
-    else providedSchema.getOrElse(
-      sys.error(s"no transaction log at $path and no declared schema"))
+  override def schema(): StructType = {
+    val base =
+      if (exists) snapMeta.schema
+      else providedSchema.getOrElse(
+        sys.error(s"no transaction log at $path and no declared schema"))
+    // a change-feed table resolution (option("readChangeFeed", true)
+    // on the format route) carries the feed columns so the stream's
+    // relation exposes them
+    if (cdfRead &&
+        !base.fieldNames.contains("_change_type"))
+      StructType(base.fields ++ TxLakeTable.cdfFields)
+    else base
+  }
 
   private def partitionColumnNames: Seq[String] =
     if (exists) snapMeta.partitionCols else providedPartitioning
@@ -108,8 +118,19 @@ final class TxLakeTable(val path: String, val asOf: Option[Long],
   // ---- read: ScanBuilder with exact pushdown → V1Scan fallback ----
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxScanBuilder(path, asOf, schema(), resolvedSnap, options)
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a change-feed read's relation carries the feed columns (the
+    // table-level cdfRead flag covers the format route; the option
+    // covers a scan over a plainly-resolved table); the STREAM plans
+    // captured change data as FilePartitions
+    // ([[graft.lake.TxMicroBatchStream]] CDF mode)
+    val base =
+      if (Option(options.get("readChangeFeed")).exists(_.toBoolean) &&
+          !schema().fieldNames.contains("_change_type"))
+        StructType(schema().fields ++ TxLakeTable.cdfFields)
+      else schema()
+    new TxScanBuilder(path, asOf, base, resolvedSnap, options)
+  }
 
   // ---- write: V1Write fallback over append/overwrite commits ----
 
@@ -187,20 +208,22 @@ private[catalog] final class TxScanBuilder(path: String,
       }
     }
     override def toV1TableScan[T <: BaseRelation with TableScan](
-        context: SQLContext): T =
+        context: SQLContext): T = {
+      require(
+        !Option(options.get("readChangeFeed")).exists(_.toBoolean),
+        s"batch change-feed reads of $path go through " +
+          "TxTable.readChanges / the CHANGES SQL surface — " +
+          "option(\"readChangeFeed\", true) on a batch read is not a " +
+          "table scan; for STREAMS it plans captured change data " +
+          "natively")
       new TxV1ScanRelation(context, path, required, pushed, snap)
         .asInstanceOf[T]
+    }
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
       require(asOf.isEmpty,
         s"cannot stream a time-travel read of $path — use " +
           "startingVersion to begin a stream at a past version")
-      require(!Option(options.get("readChangeFeed")).exists(_.toBoolean),
-        "change-feed streaming reads go through the V1 source: " +
-          "spark.readStream.format(\"txlog-stream\")" +
-          ".option(\"readChangeFeed\", true) with .option(\"path\", " +
-          "<root>) or .option(\"table\", <identifier>) — mixed " +
-          "commits are a relational diff, not a file read")
       val spark = SparkSession.active
       val startingVersion =
         (Option(options.get("startingVersion")),
@@ -236,7 +259,9 @@ private[catalog] final class TxScanBuilder(path: String,
           Option(options.get("ignoreChanges")).exists(_.toBoolean),
         maxVersionsPerTrigger =
           Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
-        defaultLimit = defaultLimit)
+        defaultLimit = defaultLimit,
+        readChangeFeed =
+          Option(options.get("readChangeFeed")).exists(_.toBoolean))
     }
     override def description(): String =
       s"txlog $path${asOf.map(v => s" @v$v").getOrElse("")}"
@@ -337,4 +362,14 @@ private[catalog] final class TxWriteBuilder(path: String,
         }
       }
   }
+}
+
+object TxLakeTable {
+  /** The change feed's tag columns — the exact pair
+    * [[graft.lake.TxTable.readChanges]] emits. */
+  val cdfFields: Array[StructField] = Array(
+    StructField("_change_type", org.apache.spark.sql.types.StringType,
+      nullable = true),
+    StructField("_commit_version", org.apache.spark.sql.types.LongType,
+      nullable = true))
 }

@@ -839,7 +839,7 @@ object LakeQueries {
       tab.create(orders.where($"o_orderkey" % 4 === 0))   // v0
       tab.enableChangeDataFeed()                          // v1
       val name = "stream_cdf_" + math.abs(dir.hashCode).toString
-      val q = s.readStream.format("graft.lake.TxLogStreamProvider")
+      val q = s.readStream.format("txlog")
         .option("path", rootDir)
         .option("readChangeFeed", "true").load()
         .writeStream.outputMode("append")
@@ -922,7 +922,7 @@ object LakeQueries {
           StructField("o_custkey", LongType),
           StructField("o_orderstatus", StringType),
           StructField("o_totalprice", DoubleType)))))
-      val q = s.readStream.format("graft.lake.TxLogStreamProvider")
+      val q = s.readStream.format("txlog")
         .option("path", upDir).option("readChangeFeed", "true").load()
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -2988,6 +2988,57 @@ object LakeQueries {
            |FROM lineitem, b WHERE l_partkey BETWEEN pklo AND pkhi
            |ORDER BY dim, l_orderkey, l_partkey, l_linenumber""".stripMargin))
 
+  /** CLUSTER BY over a STRING key ([[graft.ext.ZOrderLayout]]'s
+    * sortable-rank transform): string keys rank through the 7-byte
+    * big-endian slice after the min/max-derived SHARED PREFIX (a
+    * corpus of `Customer#000...`-style ids would otherwise rank
+    * constant and get no locality). REQUIREs pin file pruning on BOTH
+    * dimensions — a single-value l_returnflag box and a 1/8-range
+    * l_orderkey box each skip files — phrased scale-invariantly. The
+    * emitted rows are the string-box read-back; the oracle recomputes
+    * the same box relationally.
+    */
+  val extLakeClusterByString = Q(
+    "ext_lake_cluster_by_string",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey", $"l_linenumber",
+          $"l_returnflag", $"l_quantity")
+      val root = scratch("lake_cluster_str", dir)
+      val tab = new TxTable(s, root)
+      tab.create(li.where($"l_orderkey" % 2 === 0),
+        clusterBy = Seq("l_returnflag", "l_orderkey"))
+      tab.append(li.where($"l_orderkey" % 2 =!= 0))
+      tab.optimize()
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val snap = graft.lake.TxLog.snapshot(fs,
+        new org.apache.hadoop.fs.Path(root))
+      val loFlag = li.agg(min($"l_returnflag")).as[String].head()
+      require(tab.candidateFiles(snap, "l_returnflag", loFlag, loFlag)
+          .size < snap.adds.size,
+        "a single-value l_returnflag box must skip files on the " +
+          "string-clustered layout")
+      val ok = li.agg(min($"l_orderkey"), max($"l_orderkey"))
+        .as[(Long, Long)].head()
+      val (okLo, okHi) = (ok._1, ok._1 + (ok._2 - ok._1) / 8)
+      require(tab.candidateFiles(snap, "l_orderkey", okLo, okHi).size
+          < snap.adds.size,
+        "a narrow l_orderkey box must skip files — the string key " +
+          "must not monopolize the curve")
+      tab.readBetween("l_returnflag", loFlag, loFlag)
+        .select($"l_orderkey", $"l_partkey", $"l_linenumber",
+          $"l_returnflag", $"l_quantity")
+        .orderBy($"l_orderkey", $"l_partkey", $"l_linenumber")
+    },
+    Some("""WITH b AS (SELECT MIN(l_returnflag) AS lof FROM lineitem)
+           |SELECT l.l_orderkey, l.l_partkey, l.l_linenumber,
+           |       l.l_returnflag, l.l_quantity
+           |FROM lineitem l, b
+           |WHERE l.l_returnflag = b.lof
+           |ORDER BY l.l_orderkey, l.l_partkey, l.l_linenumber""".stripMargin))
+
   val all: Seq[Q] = Seq(extLakeReplayDepth, extLakeChangeFeed,
     extLakeCdfByTimestamp, extStreamLakeStartingTs,
     extLakeDeleteDv, extLakeCdfIncremental, extLakeIvmAgg,
@@ -3011,5 +3062,6 @@ object LakeQueries {
     extLakeOptimize,
     extLakeHistory, extLakeDetail, extLakeRowTracking, extLakeCdfRowIds,
     extLakeIdentityDefault, extLakeZorderScan, extLakeClusterBy,
-    extLakeClone, extLakeRestore, extLakeConstraint, extLakeUpdate)
+    extLakeClone, extLakeRestore, extLakeConstraint, extLakeUpdate,
+    extLakeClusterByString)
 }

@@ -252,6 +252,93 @@ class TxMicroBatchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDF streaming through the DSv2 source: captured change data " +
+      "plans as FilePartitions, insert commits constant-fill, the " +
+      "feed matches readChanges") {
+    val root = freshRoot("cdf")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(4)) // v0: pre-enablement insert (plannable)
+    tab.enableChangeDataFeed()
+    tab.append(docs(2, from = 10L)) // insert commit
+    tab.deleteWhere($"id" === 1L) // captured delete
+    val q = spark.readStream.format("txlog")
+      .option("path", root)
+      .option("readChangeFeed", "true").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txmb_cdf").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("txmb_cdf")
+      .select($"id", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    val want = tab.readChanges(0L, tab.version)
+      .select($"id", $"_change_type", $"_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === want,
+      s"the DSv2 feed must equal readChanges;\n got  $got\n want $want")
+    assert(got.exists(_._2 == "delete"), "captured deletes must arrive")
+    assert(got.count(_._2 == "insert") === 6)
+    // a NEW append continues the stream incrementally
+    val q2 = spark.readStream.format("txlog")
+      .option("path", root)
+      .option("readChangeFeed", "true").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txmb_cdf2").start()
+    try {
+      q2.processAllAvailable()
+      tab.append(docs(1, from = 50L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table("txmb_cdf2").where($"id" === 50L).count() === 1)
+  }
+
+  test("CDF streaming refusals: a non-CDF table refuses at start; a " +
+      "pre-enablement row-CHANGING commit refuses toward the V1 diff") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val plain = freshRoot("cdfplain")
+    new TxTable(spark, plain).create(docs(2))
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("txlog")
+        .option("path", plain)
+        .option("readChangeFeed", "true").load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("txmb_cdf_plain").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(msgs(e).exists(_.contains("change data feed")),
+      s"a non-CDF table must refuse at start: ${msgs(e).mkString(" | ")}")
+    // delete BEFORE enablement: nothing was captured for that commit
+    val root = freshRoot("cdfpre")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(4))
+    tab.deleteWhere($"id" === 0L) // uncaptured row change
+    tab.enableChangeDataFeed()
+    val enableV = tab.version
+    val e2 = intercept[Exception] {
+      val q = spark.readStream.format("txlog")
+        .option("path", root)
+        .option("readChangeFeed", "true").load()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("txmb_cdf_pre").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(msgs(e2).exists(_.contains("before the feed was enabled")),
+      s"uncaptured change must refuse: ${msgs(e2).mkString(" | ")}")
+    // startingVersion AT the enablement skips the uncaptured history
+    tab.append(docs(2, from = 20L))
+    val q3 = spark.readStream.format("txlog")
+      .option("path", root)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", enableV.toString).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("txmb_cdf_from").start()
+    try q3.processAllAvailable() finally q3.stop()
+    val got = spark.table("txmb_cdf_from")
+      .select($"id", $"_change_type").as[(Long, String)].collect().toSet
+    assert(got === Set((20L, "insert"), (21L, "insert")))
+  }
+
   test("non-identity layouts read COLUMNAR: a renamed column and a " +
       "mid-schema partition column go through the vectorized reader " +
       "(pointer-permuted batch), not the row fallback") {
