@@ -133,11 +133,54 @@ object ZOrderLayout {
       bits: Int, partitions: Int): DataFrame =
     zOrderedN(df, Seq(ca, cb), bits, partitions)
 
-  /** [[zOrdered]] over any number of numeric key columns (Delta's
-    * multi-column OPTIMIZE ZORDER / clustering keys): each column
+  /** The set of types [[zOrderedN]] can place on the curve. */
+  def clusterable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
+
+  /** A string's 56-bit big-endian rank over the 7 UTF-8 bytes after
+    * `skip` (zero-padded) — numeric order equals lexicographic UTF-8
+    * byte order beyond the skipped shared prefix, which is exactly the
+    * order Spark's string comparisons and parquet min/max stats use. */
+  private[graft] def stringRankOf(s: String, skip: Int): Long = {
+    val b = s.getBytes("UTF-8")
+    var v = 0L
+    var i = 0
+    while (i < 7) {
+      v = (v << 8) |
+        (if (skip + i < b.length) b(skip + i) & 0xffL else 0L)
+      i += 1
+    }
+    v
+  }
+
+  /** Length of the UTF-8 byte prefix `lo` and `hi` share — every value
+    * between them (lexicographically) shares it too, so the rank can
+    * skip it. Without this a corpus of `Customer#000...`-style keys
+    * would rank CONSTANT (all information past byte 7) and get no
+    * locality at all. */
+  private def sharedPrefixLen(lo: String, hi: String): Int = {
+    val a = lo.getBytes("UTF-8"); val b = hi.getBytes("UTF-8")
+    var i = 0
+    while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+    i
+  }
+
+  /** [[zOrdered]] over any number of key columns (Delta's multi-column
+    * OPTIMIZE ZORDER / clustering keys): each column's sortable LONG
+    * rank (numerics as-is, dates/timestamps as epoch counts, strings
+    * as the 7-byte big-endian slice after the corpus's shared prefix)
     * min-max scales onto the common [0, 2^bits) grid, the N-way Morton
     * code clusters them, and file-level min/max stats prune on EVERY
-    * dimension. Returns `df` unchanged if any key column is empty /
+    * dimension (string keys prune on their stored min/max strings —
+    * the byte rank preserves that order). Rank BOUNDS derive on the
+    * driver from the one min/max agg — strings never need a second
+    * scan. Returns `df` unchanged if any key column is empty /
     * all-null (no range to scale onto). */
   def zOrderedN(df: DataFrame, cs: Seq[String], bits: Int,
       partitions: Int): DataFrame = {
@@ -145,12 +188,55 @@ object ZOrderLayout {
     val aggs = cs.flatMap(c => Seq(min(col(c)), max(col(c))))
     val r = df.agg(aggs.head, aggs.tail: _*).first()
     if (cs.indices.exists(j => r.isNullAt(2 * j))) return df
-    def b(i: Int): Long = r.getAs[Number](i).longValue
-    def scaled(c: String, lo: Long, hi: Long): Column =
-      ((col(c) - lit(lo)).cast("long") * lit(1L << bits)
-        / lit(math.max(hi - lo + 1, 1L))).cast("long")
+    // (rank column, driver-known rank lo, rank hi) per key
+    val ranks: Seq[(Column, Long, Long)] = cs.zipWithIndex.map {
+      case (c, j) =>
+        df.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.NumericType =>
+            (col(c), r.getAs[Number](2 * j).longValue,
+              r.getAs[Number](2 * j + 1).longValue)
+          case org.apache.spark.sql.types.StringType =>
+            val (lo, hi) = (r.getString(2 * j), r.getString(2 * j + 1))
+            val skip = sharedPrefixLen(lo, hi)
+            val rk = expr(s"CAST(conv(hex(rpad(substring(" +
+              s"CAST(`$c` AS BINARY), ${skip + 1}, 7), 7, x'00')), " +
+              "16, 10) AS BIGINT)")
+            (rk, stringRankOf(lo, skip), stringRankOf(hi, skip))
+          case org.apache.spark.sql.types.DateType =>
+            (col(c).cast("int"),
+              r.getAs[java.sql.Date](2 * j).toLocalDate.toEpochDay,
+              r.getAs[java.sql.Date](2 * j + 1).toLocalDate.toEpochDay)
+          case org.apache.spark.sql.types.TimestampType =>
+            // cast(ts AS LONG) floors to SECONDS — bounds must match
+            (col(c).cast("long"),
+              math.floorDiv(
+                r.getAs[java.sql.Timestamp](2 * j).getTime, 1000L),
+              math.floorDiv(
+                r.getAs[java.sql.Timestamp](2 * j + 1).getTime, 1000L))
+          case other => throw new IllegalArgumentException(
+            s"ZORDER/CLUSTER BY: $c (${other.simpleString}) has no " +
+              "sortable rank — numeric, string, date, and timestamp " +
+              "columns cluster")
+        }
+    }
+    // multiply-first spreads a NARROW range across the whole grid (the
+    // interleave-balance point of scaling); a range wide enough for
+    // the multiply to overflow a long (56-bit string ranks, epoch
+    // micros) divides by a driver-computed bucket step instead
+    def scaled(rk: Column, lo: Long, hi: Long): Column = {
+      val span = math.max(hi - lo + 1, 1L)
+      val buckets = 1L << bits
+      if (span <= (Long.MaxValue >> (bits + 1)))
+        ((rk - lit(lo)).cast("long") * lit(buckets) / lit(span))
+          .cast("long")
+      else {
+        val step = math.max((span + buckets - 1) / buckets, 1L)
+        least((rk - lit(lo)).cast("long") / lit(step),
+          lit(buckets - 1)).cast("long")
+      }
+    }
     df.withColumn("__z", mortonCodeN(
-        cs.zipWithIndex.map { case (c, j) => scaled(c, b(2 * j), b(2 * j + 1)) },
+        ranks.map { case (rk, lo, hi) => scaled(rk, lo, hi) },
         bits))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions("__z")

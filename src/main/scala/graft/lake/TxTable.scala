@@ -106,9 +106,11 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       require(!partitionCols.contains(c),
         s"CLUSTER BY: $c is a partition column — its single value " +
           "prunes exactly already")
-      require(df.schema(c).dataType.isInstanceOf[NumericType],
-        s"CLUSTER BY: $c must be numeric (the Morton curve scales " +
-          "min-max ranges; use a partition or bloom index for strings)")
+      require(graft.ext.ZOrderLayout.clusterable(df.schema(c).dataType),
+        s"CLUSTER BY: $c (${df.schema(c).dataType.simpleString}) — " +
+          "numeric, string, date, and timestamp columns cluster (the " +
+          "Morton curve scales each key's sortable rank; strings map " +
+          "through their 7-byte big-endian prefix)")
     }
     require(clusterBy.size * 10 <= 62,
       s"CLUSTER BY: ${clusterBy.size} columns x 10 interleave bits " +
