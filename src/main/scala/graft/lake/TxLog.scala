@@ -41,7 +41,8 @@ object TxLog {
     * JSON stays schema-free: kind "l" (integral), "d" (floating), "s"
     * (string). Used for file skipping — see [[TxTable.candidateFiles]].
     */
-  final case class Stat(kind: String, min: String, max: String)
+  final case class Stat(kind: String, min: String, max: String,
+      nulls: Option[Long] = None)
 
   /** `constraints` are SQL CHECK expressions every written row must
     * satisfy (NULL passes, like SQL CHECK); absent in pre-constraint
@@ -298,9 +299,20 @@ object TxLog {
 
   /** One JSON line per action, exactly one field set — the Delta layout
     * (`{"add":{...}}` / `{"remove":{...}}` / `{"metaData":{...}}`). */
+  /** A V2-checkpoint SIDECAR reference (Delta PROTOCOL.md "V2
+    * Checkpoints"): the manifest checkpoint holds meta/txns plus these
+    * pointers; the live file set lives in immutable
+    * `_txlog/_sidecars/<uuid>.parquet` files folded in `gen` order
+    * (a later generation's add OVERRIDES, its remove TOMBSTONES), so
+    * an incremental checkpoint writes one tail-sized sidecar and
+    * re-references the rest — checkpoint WRITE bytes ∝ interval churn,
+    * not live-set size. */
+  final case class Sidecar(path: String, gen: Long)
+
   final case class LogEntry(meta: Option[Meta] = None, add: Option[Add] = None,
       remove: Option[Remove] = None, info: Option[Info] = None,
-      cdf: Option[Cdf] = None, txn: Option[Txn] = None)
+      cdf: Option[Cdf] = None, txn: Option[Txn] = None,
+      sidecar: Option[Sidecar] = None)
 
   /** `txns`: highest committed application-level version per writer
     * appId — the idempotence watermark, replayed (and checkpointed)
@@ -422,6 +434,46 @@ object TxLog {
     new Path(logDir(root), f"$v%020d.checkpoint.parquet")
   private def lastCheckpointFile(root: Path) =
     new Path(logDir(root), "_last_checkpoint")
+
+  /** V2 (sidecar) checkpoints for the large-table distributed path:
+    * the periodic full checkpoint becomes a MANIFEST (meta + txns +
+    * sidecar refs) plus one incremental sidecar holding the interval's
+    * net entries — write bytes ∝ churn. Every
+    * [[checkpointV2MaxSidecars]] generations (or under an explicit
+    * off) the writer folds back to a single fresh sidecar, bounding
+    * both replay overlap and the tombstone tail. */
+  val checkpointV2Key = "spark.graft.lake.checkpointV2"
+  private def checkpointV2Enabled: Boolean =
+    activeSession.flatMap(_.conf.getOption(checkpointV2Key))
+      .forall(_.toBoolean)
+  val checkpointV2MaxSidecarsDefault = 8L
+  val checkpointV2MaxSidecarsKey =
+    "spark.graft.lake.checkpointV2.maxSidecars"
+  private def checkpointV2MaxSidecars: Long =
+    activeSession.flatMap(_.conf.getOption(checkpointV2MaxSidecarsKey))
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .filter(_ >= 1L)
+      .getOrElse(checkpointV2MaxSidecarsDefault)
+  private def sidecarDir(root: Path) = new Path(logDir(root), "_sidecars")
+  private def sidecarFile(root: Path, name: String) =
+    new Path(sidecarDir(root), name)
+
+  /** A manifest checkpoint's sidecar refs in generation order (empty =
+    * a classic self-contained checkpoint). One small columnar job on
+    * the parquet manifest. */
+  private def sidecarRefs(fs: FileSystem, root: Path,
+      v: Long): Seq[Sidecar] = {
+    val pq = checkpointParquetDir(root, v)
+    if (!fs.exists(new Path(pq, "_SUCCESS"))) Nil
+    else activeSession.map { spark =>
+      import org.apache.spark.sql.functions.col
+      spark.read.schema(logEntryEncoder.schema).parquet(pq.toString)
+        .where(col("sidecar").isNotNull)
+        .select(col("sidecar.path"), col("sidecar.gen"))
+        .collect().map(r => Sidecar(r.getString(0), r.getLong(1)))
+        .sortBy(_.gen).toSeq
+    }.getOrElse(Nil)
+  }
 
   private def activeSession: Option[org.apache.spark.sql.SparkSession] =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -784,7 +836,11 @@ object TxLog {
         val app = r.getString(0)
         txns(app) = math.max(txns.getOrElse(app, Long.MinValue), r.getLong(1))
       }
-    val ckptAdds = entriesDF.where(col("add").isNotNull).select(col("add.*"))
+    val refs = sidecarRefs(fs, root, ckptV)
+    val ckptAdds =
+      if (refs.isEmpty)
+        entriesDF.where(col("add").isNotNull).select(col("add.*"))
+      else sidecarLiveAdds(spark, fs, root, refs)
     val excluded = (dead ++ tailLive.keys).toSeq
     val base =
       if (excluded.isEmpty) ckptAdds
@@ -797,6 +853,36 @@ object TxLog {
       else base.unionByName(
         spark.createDataset(tailLive.values.toSeq)(addEncoder).toDF())
     (live, meta, txns.toMap)
+  }
+
+  /** The live Add frame of a V2 sidecar chain, DISTRIBUTED: each
+    * sidecar reads under its generation, the newest entry per path
+    * wins (one keyed window — the read-side cost of incremental
+    * checkpoints, bounded by [[checkpointV2MaxSidecars]] generations
+    * of overlap), tombstoned paths drop. The single-generation case
+    * (right after a fold-back rewrite) skips the window entirely. */
+  private def sidecarLiveAdds(spark: org.apache.spark.sql.SparkSession,
+      fs: FileSystem, root: Path,
+      refs: Seq[Sidecar]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, row_number}
+    refs.foreach(ref => require(fs.exists(sidecarFile(root, ref.path)),
+      s"checkpoint references missing sidecar ${ref.path} at $root"))
+    def readOne(ref: Sidecar) =
+      spark.read.schema(logEntryEncoder.schema)
+        .parquet(sidecarFile(root, ref.path).toString)
+        .withColumn("__gen", lit(ref.gen))
+    if (refs.size == 1)
+      readOne(refs.head).where(col("add").isNotNull).select(col("add.*"))
+    else {
+      val all = refs.map(readOne).reduce(_ unionByName _)
+        .where(col("add").isNotNull || col("remove").isNotNull)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(coalesce(col("add.path"), col("remove.path")))
+        .orderBy(col("__gen").desc)
+      all.withColumn("__rn", row_number.over(w))
+        .where(col("__rn") === 1 && col("add").isNotNull)
+        .select(col("add.*"))
+    }
   }
 
   /** Canonical single-column fingerprint of a flattened [[Add]] row,
@@ -859,8 +945,11 @@ object TxLog {
     }
     val start = ckpt match {
       case Some(v) =>
+        // withRemoves = true: a classic checkpoint carries no removes
+        // (same fold), while a V2 sidecar chain carries TOMBSTONES a
+        // later generation uses to retract an earlier one's add
         readCheckpointEntries(fs, root, v)
-          .foreach(fold(_, withRemoves = false))
+          .foreach(fold(_, withRemoves = true))
         v + 1
       case None => 0L
     }
@@ -1070,8 +1159,24 @@ object TxLog {
         s"parquet checkpoint at $pq has no _SUCCESS marker (partial write)")
       val spark = activeSession.getOrElse(sys.error(
         s"parquet checkpoint at $pq needs an active SparkSession"))
-      spark.read.schema(logEntryEncoder.schema).parquet(pq.toString)
-        .as(logEntryEncoder).collect().toSeq
+      val manifest = spark.read.schema(logEntryEncoder.schema)
+        .parquet(pq.toString).as(logEntryEncoder).collect().toSeq
+      val refs = manifest.flatMap(_.sidecar).sortBy(_.gen)
+      if (refs.isEmpty) manifest
+      else {
+        // sidecar entries concatenate in GENERATION order; the
+        // caller's ordinary withRemoves fold applies later adds over
+        // earlier ones and drops tombstoned paths — exactly the
+        // commit-replay semantics
+        val sides = refs.flatMap { ref =>
+          val f = sidecarFile(root, ref.path)
+          require(fs.exists(f),
+            s"checkpoint v$v references missing sidecar ${ref.path}")
+          spark.read.schema(logEntryEncoder.schema).parquet(f.toString)
+            .as(logEntryEncoder).collect().toSeq
+        }
+        manifest.filter(_.sidecar.isEmpty) ++ sides
+      }
     }
   }
 
@@ -1134,29 +1239,104 @@ object TxLog {
           val head = LogEntry(meta = Some(meta)) +:
             txns.toSeq.sortBy(_._1).map { case (app, v) =>
               LogEntry(txn = Some(Txn(app, v))) }
-          val addEntries = live.as(addEncoder)
-            .map(a => LogEntry(add = Some(a)))(logEntryEncoder).toDF()
-          spark.createDataset(head)(logEntryEncoder).toDF()
-            .unionByName(addEntries)
-            .write.mode("overwrite").parquet(pq.toString)
-          val marker = new Path(pq, "_SUCCESS")
-          if (!fs.exists(marker)) writeString(fs, marker, "")
-          val agg = spark.read.schema(logEntryEncoder.schema)
-            .parquet(pq.toString).agg(
-              count(lit(1)).as("n"),
-              sum(when(col("add").isNotNull, 1L).otherwise(0L)).as("files"),
-              // coalesce like bytes: a stats-less legacy Add counts as
-              // 0 rows instead of nulling the whole sum
-              sum(when(col("add").isNotNull, coalesce(col("add.rows"),
-                lit(0L))).otherwise(0L)).as("rows"),
-              sum(when(col("add").isNotNull, coalesce(col("add.bytes"),
-                lit(0L))).otherwise(0L)).as("bytes")).head()
-          scala.util.Try(writeString(fs, crcFile(root, version),
-            Serialization.write(Crc(version, agg.getLong(1), agg.getLong(2),
-              agg.getLong(3)))))
-          writeString(fs, lastCheckpointFile(root), Serialization.write(
-            CkptPointer(version, Some(agg.getLong(0)))))
-          lastCheckpointWrite.set(("distributed", 0L))
+          // V2 (SIDECAR) SHAPE when enabled: the manifest at
+          // <v>.checkpoint.parquet holds meta/txns + sidecar refs; the
+          // live set lives in immutable _sidecars/ parquet. Incremental
+          // when the previous checkpoint already has a chain with room:
+          // ONE tail-sized sidecar (net adds + remove tombstones) is
+          // written and the rest re-referenced — checkpoint write
+          // bytes ∝ interval churn. Chain full or absent → fold back
+          // to a single fresh sidecar from the composed live frame.
+          val prevV = readLastCheckpoint(fs, root).map(_.version)
+          val prevRefs = prevV.filter(_ => checkpointV2Enabled)
+            .map(sidecarRefs(fs, root, _)).getOrElse(Nil)
+          val newRefs: Seq[Sidecar] =
+            if (!checkpointV2Enabled) Nil
+            else if (prevRefs.nonEmpty &&
+                prevRefs.size < checkpointV2MaxSidecars) {
+              // net tail entries, already folded by frameFromCheckpoint's
+              // own machinery? No — refold here from the tail commits
+              // (≤ interval × fullCheckpointMultiple, driver-bounded by
+              // the same contract the overlay fold rides)
+              val tailLive =
+                scala.collection.mutable.LinkedHashMap[String, Add]()
+              val dead = scala.collection.mutable.HashSet[String]()
+              tailBatches(fs, root, prevV.get + 1, version)
+                .foreach(_.foreach { e =>
+                  e.add.foreach { a =>
+                    tailLive(a.path) = a; dead -= a.path }
+                  e.remove.foreach { r =>
+                    tailLive.remove(r.path); dead += r.path }
+                })
+              val net = tailLive.values.toSeq
+                .map(a => LogEntry(add = Some(a))) ++
+                dead.toSeq.sorted.map(p =>
+                  LogEntry(remove = Some(Remove(p))))
+              val name = f"$version%020d-" +
+                java.util.UUID.randomUUID.toString.take(12) + ".parquet"
+              spark.createDataset(net)(logEntryEncoder).toDF()
+                .coalesce(1).write.mode("overwrite")
+                .parquet(sidecarFile(root, name).toString)
+              prevRefs :+ Sidecar(name, prevRefs.last.gen + 1L)
+            } else {
+              // fold-back (or first V2): the WHOLE live frame into one
+              // fresh sidecar — distributed write, zero Adds through
+              // the driver
+              val name = f"$version%020d-" +
+                java.util.UUID.randomUUID.toString.take(12) + ".parquet"
+              live.as(addEncoder)
+                .map(a => LogEntry(add = Some(a)))(logEntryEncoder).toDF()
+                .write.mode("overwrite")
+                .parquet(sidecarFile(root, name).toString)
+              Seq(Sidecar(name, 1L))
+            }
+          if (newRefs.nonEmpty) {
+            val manifest = head ++ newRefs.map(r =>
+              LogEntry(sidecar = Some(r)))
+            spark.createDataset(manifest)(logEntryEncoder).toDF()
+              .coalesce(1).write.mode("overwrite").parquet(pq.toString)
+            val marker = new Path(pq, "_SUCCESS")
+            if (!fs.exists(marker)) writeString(fs, marker, "")
+            // pointer count + checksum from ONE distributed fold over
+            // the published chain (read-only; the WRITE stayed ∝ tail)
+            val agg = sidecarLiveAdds(spark, fs, root, newRefs).agg(
+              count(lit(1)).as("files"),
+              sum(coalesce(col("rows"), lit(0L))).as("rows"),
+              sum(coalesce(col("bytes"), lit(0L))).as("bytes")).head()
+            scala.util.Try(writeString(fs, crcFile(root, version),
+              Serialization.write(Crc(version, agg.getLong(0),
+                agg.getLong(1), agg.getLong(2)))))
+            writeString(fs, lastCheckpointFile(root), Serialization.write(
+              CkptPointer(version,
+                Some(agg.getLong(0) + manifest.size.toLong))))
+            lastCheckpointWrite.set((
+              if (newRefs.size > 1) "v2-incremental" else "v2-full",
+              if (newRefs.size > 1) 0L else 0L))
+          } else {
+            val addEntries = live.as(addEncoder)
+              .map(a => LogEntry(add = Some(a)))(logEntryEncoder).toDF()
+            spark.createDataset(head)(logEntryEncoder).toDF()
+              .unionByName(addEntries)
+              .write.mode("overwrite").parquet(pq.toString)
+            val marker = new Path(pq, "_SUCCESS")
+            if (!fs.exists(marker)) writeString(fs, marker, "")
+            val agg = spark.read.schema(logEntryEncoder.schema)
+              .parquet(pq.toString).agg(
+                count(lit(1)).as("n"),
+                sum(when(col("add").isNotNull, 1L).otherwise(0L)).as("files"),
+                // coalesce like bytes: a stats-less legacy Add counts as
+                // 0 rows instead of nulling the whole sum
+                sum(when(col("add").isNotNull, coalesce(col("add.rows"),
+                  lit(0L))).otherwise(0L)).as("rows"),
+                sum(when(col("add").isNotNull, coalesce(col("add.bytes"),
+                  lit(0L))).otherwise(0L)).as("bytes")).head()
+            scala.util.Try(writeString(fs, crcFile(root, version),
+              Serialization.write(Crc(version, agg.getLong(1), agg.getLong(2),
+                agg.getLong(3)))))
+            writeString(fs, lastCheckpointFile(root), Serialization.write(
+              CkptPointer(version, Some(agg.getLong(0)))))
+            lastCheckpointWrite.set(("distributed", 0L))
+          }
         case None =>
           val snap = snapshot(fs, root, Some(version))
           val entries = (LogEntry(meta = Some(snap.meta)) +:
@@ -1250,6 +1430,25 @@ object TxLog {
       case None => Nil
       case Some(ckptV) =>
         val doomed = scala.collection.mutable.ArrayBuffer[String]()
+        // V2 sidecars: a sidecar referenced ONLY by manifests behind
+        // the floor is reclaimable with them; one referenced by any
+        // retained manifest must survive (manifests re-reference
+        // unchanged sidecars across generations). Unreferenced
+        // stragglers (a crashed writer's) are left alone — the age
+        // ambiguity is vacuum's problem, not log retention's.
+        val manifestVersions = fs.listStatus(logDir(root)).iterator
+          .map(_.getPath.getName)
+          .filter(_.matches("\\d{20}\\.checkpoint\\.parquet"))
+          .map(_.stripSuffix(".checkpoint.parquet").toLong).toSeq
+        val (goneV, keptV) = manifestVersions.partition(_ < ckptV)
+        val goneRefs = goneV.flatMap(sidecarRefs(fs, root, _))
+          .map(_.path).toSet
+        val keptRefs = keptV.flatMap(sidecarRefs(fs, root, _))
+          .map(_.path).toSet
+        (goneRefs -- keptRefs).toSeq.sorted.foreach { rel =>
+          if (fs.delete(sidecarFile(root, rel), true))
+            doomed += s"_sidecars/$rel"
+        }
         fs.listStatus(logDir(root)).foreach { st =>
           val n = st.getPath.getName
           val v: Option[Long] =

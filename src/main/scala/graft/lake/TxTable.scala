@@ -316,7 +316,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       first(col("_metadata.file_size")).as("__bytes") +:
       statCols.flatMap { case (p, _) =>
         Seq(min(col(p)).cast("string").as(s"__min_$p"),
-          max(col(p)).cast("string").as(s"__max_$p"))
+          max(col(p)).cast("string").as(s"__max_$p"),
+          sum(when(col(p).isNull, 1L).otherwise(0L)).as(s"__n_$p"))
       }
     val adds = df
       .groupBy(col("_metadata.file_path").as("__f"))
@@ -328,7 +329,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           val mn = r.getAs[String](s"__min_$p")
           val mx = r.getAs[String](s"__max_$p")
           if (mn == null || mx == null) None
-          else Some(p -> Stat(statKind(dt).get, mn, mx))
+          else Some(p -> Stat(statKind(dt).get, mn, mx,
+            nulls = Some(r.getAs[Long](s"__n_$p"))))
         }.toMap
         Add(rel, r.getAs[Long]("__rows"), partValues(rel), stats,
           bytes = Some(r.getAs[Long]("__bytes")))
@@ -3778,7 +3780,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       first(col("_metadata.file_size")).as("__bytes") +:
       statCols.flatMap { case (p, _) =>
         Seq(min(col(p)).cast("string").as(s"__min_$p"),
-          max(col(p)).cast("string").as(s"__max_$p"))
+          max(col(p)).cast("string").as(s"__max_$p"),
+          sum(when(col(p).isNull, 1L).otherwise(0L)).as(s"__n_$p"))
       }
     val baseAdds = staged
       .groupBy(col("_metadata.file_path").as("__f"))
@@ -3790,7 +3793,8 @@ final class TxTable(spark: SparkSession, rootStr: String) {
           val mn = r.getAs[String](s"__min_$p")
           val mx = r.getAs[String](s"__max_$p")
           if (mn == null || mx == null) None
-          else Some(p -> Stat(statKind(dt).get, mn, mx))
+          else Some(p -> Stat(statKind(dt).get, mn, mx,
+            nulls = Some(r.getAs[Long](s"__n_$p"))))
         }.toMap
         Add(rel, r.getAs[Long]("__rows"), partValues(rel), stats,
           bytes = Some(r.getAs[Long]("__bytes")))

@@ -181,6 +181,9 @@ class TxLogSpec extends SparkSpec {
     // v20 must be a FULL checkpoint for this test (the default cadence
     // writes a compacted range there instead — TxCompactionSpec's job)
     spark.conf.set(TxLog.fullCheckpointMultipleKey, "2")
+    // pin the CLASSIC self-contained distributed checkpoint: the V2
+    // sidecar shape (now the default) is TxCheckpointV2Spec's job
+    spark.conf.set(TxLog.checkpointV2Key, "false")
     try {
       tab.create(docs(20)) // v0
       (1 to 10).foreach(i => tab.append(docs(2).withColumn("id", $"id" + i * 100)))
@@ -200,6 +203,7 @@ class TxLogSpec extends SparkSpec {
     } finally {
       spark.conf.unset(TxLog.checkpointParquetMinEntriesKey)
       spark.conf.unset(TxLog.fullCheckpointMultipleKey)
+      spark.conf.unset(TxLog.checkpointV2Key)
     }
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootP = new Path(root)
@@ -403,11 +407,15 @@ class TxLogSpec extends SparkSpec {
     val tab = new TxTable(spark, root)
     val df = spark.range(0L, 1024L).select($"id",
       ($"id" * 7 % 1024).as("score"), concat(lit("d"), $"id").as("text"))
-    // refusals: unknown / non-numeric / partition-overlapping columns
+    // refusals: unknown / unrankable-type / partition-overlapping
+    // columns (strings/dates/timestamps now CLUSTER via their sortable
+    // rank — see ext_lake_cluster_by_string — so the type refusal is
+    // pinned on a genuinely curve-less ARRAY column)
     intercept[IllegalArgumentException](
       tab.create(df, clusterBy = Seq("nope")))
     intercept[IllegalArgumentException](
-      tab.create(df, clusterBy = Seq("text")))
+      tab.create(df.withColumn("arr", array(lit(1L))),
+        clusterBy = Seq("arr")))
     intercept[IllegalArgumentException](
       tab.create(df, partitionCols = Seq("id"), clusterBy = Seq("id")))
     tab.create(df, clusterBy = Seq("id", "score"))

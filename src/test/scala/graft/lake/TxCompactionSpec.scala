@@ -105,7 +105,10 @@ class TxCompactionSpec extends SparkSpec {
       assert(names.contains(f"${21L}%020d.${30L}%020d.compacted.json"))
       assert(!names.exists(_.startsWith(f"${30L}%020d.checkpoint")))
       // v40's distributed compose ran THROUGH the 21-30 compacted range
-      assert(TxLog.lastCheckpointWrite.get() === ("distributed", 0L))
+      // (V2 shape: the composed live frame folds into a fresh sidecar)
+      assert(TxLog.lastCheckpointWrite.get()._1 startsWith "v2-",
+        s"expected a V2 distributed checkpoint, got " +
+          s"${TxLog.lastCheckpointWrite.get()}")
       val expected = (0L until 20L) ++ (1 to 40).map(_ * 100L)
       assert(tab.read().as[(Long, String)].collect().map(_._1).sorted
         .toSeq === expected.sorted.toSeq)
