@@ -44,6 +44,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // Cost-based join reorder over LAKE relations: Spark's own "Join
+    // Reorder" batch runs AFTER "Early Filter and Projection
+    // Push-Down", where a V1-fallback scan has been wrapped in
+    // V1ScanWrapper — which drops SupportsReportStatistics, so the
+    // log-derived rowCount/column stats the catalog scan reports
+    // ([[graft.lake.catalog.TxLakeTable]]) are invisible to the
+    // built-in rule. The PRE-CBO batch runs while leaves are still
+    // stats-bearing DataSourceV2Relations, so running the same
+    // CostBasedJoinReorder there lets CBO reorder multi-join queries
+    // over named lake tables. The rule self-gates on
+    // spark.sql.cbo.enabled + spark.sql.cbo.joinReorder.enabled
+    // (both default false) and is idempotent if the built-in batch
+    // ever sees stats again.
+    ext.injectPreCBORule(_ =>
+      org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -91,6 +91,10 @@ object LakeSql {
   private val Vac =
     """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
   private val Hist = """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
+  private val Analyze =
+    """(?is)\s*ANALYZE\s+(?:TABLE\s+)?'([^']+)'(?:\s+COMPUTE\s+STATISTICS)?\s*""".r
+  private val ShowParts =
+    """(?is)\s*SHOW\s+PARTITIONS\s+'([^']+)'\s*""".r
   private val Rest =
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+(\d+))\s*""".r
   private val Reorg =
@@ -160,6 +164,7 @@ object LakeSql {
   private val IdentTarget = {
     val id = """(?:[A-Za-z_]\w*\.){0,2}[A-Za-z_]\w*"""
     ("""(?is)^(\s*(?:OPTIMIZE|VACUUM\s+LOG|VACUUM|DESCRIBE\s+HISTORY|""" +
+      """ANALYZE(?:\s+TABLE)?|SHOW\s+PARTITIONS|""" +
       """RESTORE|REORG(?:\s+TABLE)?|ALTER(?:\s+TABLE)?|DELETE\s+FROM|""" +
       """UPDATE|MERGE\s+INTO|CLONE)\s+)(""" + id + """)\b(.*)$""").r
   }
@@ -225,6 +230,8 @@ object LakeSql {
         minAgeMs = Option(hrs).map(_.toLong * 3600 * 1000).getOrElse(-1L),
         dryRun = dry != null))
     case Hist(p)       => Some(HistoryCommand(p))
+    case Analyze(p)    => Some(AnalyzeCommand(p))
+    case ShowParts(p)  => Some(ShowPartitionsCommand(p))
     case Rest(p, v, ts) => Some(RestoreCommand(p,
       Option(v).map(_.toLong), Option(ts).map(_.toLong)))
     case Reorg(p)      => Some(ReorgPurgeCommand(p))
@@ -775,6 +782,53 @@ object LakeSql {
         nullable = true))
     override def run(spark: SparkSession): Seq[Row] =
       new TxTable(spark, path).history().collect().toSeq
+  }
+
+  /** `ANALYZE [TABLE] <t> [COMPUTE STATISTICS]` — pure LOG arithmetic
+    * (zero data scan, zero filesystem listing): the log already
+    * maintains per-file rows/bytes/min-max, and the catalog scan
+    * reports them to CBO ([[org.apache.spark.sql.connector.read
+    * .SupportsReportStatistics]]), so ANALYZE is the operability
+    * surface that ANSWERS rather than recomputes — a migrating user's
+    * `ANALYZE TABLE t` returns instantly with the stats a 100 TB scan
+    * would have gathered. */
+  case class AnalyzeCommand(path: String) extends LeafRunnableCommand {
+    override val output: Seq[Attribute] = Seq(
+      attr("version", LongType), attr("num_files", LongType),
+      attr("rows", LongType), attr("bytes", LongType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val snap = TxLog.snapshot(fs, root)
+      Seq(Row(snap.version, snap.adds.size.toLong,
+        snap.adds.map(_.rows).sum, snap.adds.flatMap(_.bytes).sum))
+    }
+  }
+
+  /** `SHOW PARTITIONS <t>` — the live partition tuples straight from
+    * the log's Add entries (no directory listing), Hive-escaped in
+    * spec order like Spark's own output. Refuses on an unpartitioned
+    * table, Spark's rule. */
+  case class ShowPartitionsCommand(path: String)
+      extends LeafRunnableCommand {
+    override val output: Seq[Attribute] =
+      Seq(attr("partition", StringType))
+    override def run(spark: SparkSession): Seq[Row] = {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val snap = TxLog.snapshot(fs, root)
+      val cols = snap.meta.partitionCols
+      require(cols.nonEmpty,
+        s"SHOW PARTITIONS is not allowed on the unpartitioned table " +
+          s"at $path")
+      snap.adds.map(_.partitionValues).distinct
+        .map(pv => cols.map { c =>
+          val v = pv.get(c).map(TxStreamDataWriter.escape)
+            .getOrElse("__HIVE_DEFAULT_PARTITION__")
+          s"$c=$v"
+        }.mkString("/"))
+        .sorted.map(Row(_))
+    }
   }
 
   /** `RESTORE ... TO VERSION AS OF v` or `... TO TIMESTAMP AS OF ms`

@@ -51,7 +51,9 @@ final class TxLakeTable(val path: String, val asOf: Option[Long],
     ident: String, providedSchema: Option[StructType] = None,
     providedPartitioning: Seq[String] = Nil,
     cdfRead: Boolean = false) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog
+      .SupportsPartitionManagement {
 
   private def spark: SparkSession = SparkSession.active
   private def tx: TxTable = new TxTable(spark, path)
@@ -152,6 +154,64 @@ final class TxLakeTable(val path: String, val asOf: Option[Long],
     tx.deleteWhere(cond): Unit
   }
 
+  // ---- partition LISTING by identifier (SHOW PARTITIONS cat.ns.t):
+  // read-only SupportsPartitionManagement answered from LOG METADATA
+  // alone (the live Add entries' partition values — no directory
+  // listing). Partitions here DERIVE from data, so the mutation faces
+  // refuse: rows route partitions (INSERT/DELETE), never DDL. ----
+
+  override def partitionSchema(): StructType =
+    StructType(partitionColumnNames
+      .map(c => schema()(c).copy(nullable = true)).toArray)
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] =
+    resolvedSnap.fold(
+      Array.empty[org.apache.spark.sql.catalyst.InternalRow]) { snap =>
+      val pf = partitionSchema().fields.toIndexedSeq
+      val idxs = names.map(n =>
+        pf.indexWhere(_.name.equalsIgnoreCase(n)))
+      require(idxs.forall(_ >= 0),
+        s"unknown partition column(s) ${names.mkString(", ")} — " +
+          s"table partitions by ${pf.map(_.name).mkString(", ")}")
+      snap.adds.map(_.partitionValues).distinct
+        .map(pv => graft.lake.TxMicroBatchStream
+          .partitionTuple(spark, pf, pv))
+        .filter { row =>
+          idxs.zipWithIndex.forall { case (pi, i) =>
+            val dt = pf(pi).dataType
+            val a = row.get(pi, dt)
+            val b = ident0.get(i, dt)
+            (a == null && b == null) || (a != null && a == b)
+          }
+        }.toArray
+    }
+
+  override def createPartition(
+      ident0: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"txlog partitions derive from DATA — INSERT rows with the " +
+        "partition value instead of ADD PARTITION")
+
+  override def dropPartition(
+      ident0: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      s"txlog partitions derive from DATA — DELETE the partition's " +
+        "rows instead of DROP PARTITION")
+
+  override def replacePartitionMetadata(
+      ident0: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "txlog partitions carry no standalone metadata")
+
+  override def loadPartitionMetadata(
+      ident0: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] =
+    util.Collections.emptyMap[String, String]()
+
   override def toString: String = s"TxLakeTable($ident -> $path)"
 }
 
@@ -195,16 +255,100 @@ private[catalog] final class TxScanBuilder(path: String,
       * name-addressed scan reports the "infinite" default and a join
       * against a small catalog dimension sort-merges instead of
       * broadcasting: at scale, a full shuffle of the fact side paid
-      * for nothing. */
+      * for nothing.
+      *
+      * COLUMN stats ride along from the same log (Spark's
+      * `transformV2Stats` folds them into the relation's catalyst
+      * Statistics, which CBO's join reorder consumes): per-column
+      * min/max combine across the live files' stats, and integer-kind
+      * columns carry a DISTINCT-COUNT BOUND of min(rows, span) — the
+      * log can't know true NDV, but the span bound is exact for the
+      * dense surrogate keys joins actually use, and an upper bound
+      * only ever makes CBO conservative. Driver cost O(live files),
+      * the same walk `statsOf` already does. */
     override def estimateStatistics()
         : org.apache.spark.sql.connector.read.Statistics = {
       val (bytes, rows) =
         snap.fold((1L, 0L))(TxRelation.statsOf)
+      val colStats = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      snap.foreach { sn =>
+        required.fields.foreach { f =>
+          val phys = sn.meta.physicalOf(f.name)
+          val sts = sn.adds.flatMap(_.stats.get(phys))
+          if (sts.nonEmpty && sts.size == sn.adds.size) {
+            // CBO's join estimation requires BOTH ndv and nullCount on
+            // a key before it will cost a join order — files written
+            // before null counts landed in the log leave it absent
+            // (conservative: no estimate, no reorder)
+            val nullCnt: Option[Long] =
+              if (sts.forall(_.nulls.isDefined))
+                Some(sts.flatMap(_.nulls).sum)
+              else None
+            def mk(lo: Option[Any], hi: Option[Any], ndv: Option[Long])
+                : org.apache.spark.sql.connector.read.colstats
+                  .ColumnStatistics =
+              new org.apache.spark.sql.connector.read.colstats
+                  .ColumnStatistics {
+                override def min(): java.util.Optional[Object] =
+                  lo.map(_.asInstanceOf[Object]).fold(
+                    java.util.Optional.empty[Object]())(
+                    java.util.Optional.of[Object])
+                override def max(): java.util.Optional[Object] =
+                  hi.map(_.asInstanceOf[Object]).fold(
+                    java.util.Optional.empty[Object]())(
+                    java.util.Optional.of[Object])
+                override def distinctCount(): java.util.OptionalLong =
+                  ndv.fold(java.util.OptionalLong.empty())(
+                    java.util.OptionalLong.of)
+                override def nullCount(): java.util.OptionalLong =
+                  nullCnt.fold(java.util.OptionalLong.empty())(
+                    java.util.OptionalLong.of)
+              }
+            val ref = org.apache.spark.sql.connector.expressions
+              .Expressions.column(f.name)
+            // the min/max objects must carry the ATTRIBUTE's own type
+            // (CBO turns them back into literals of that type)
+            def boxL(v: Long): Any = f.dataType match {
+              case org.apache.spark.sql.types.ByteType => v.toByte
+              case org.apache.spark.sql.types.ShortType => v.toShort
+              case org.apache.spark.sql.types.IntegerType => v.toInt
+              case _ => v
+            }
+            def boxD(v: Double): Any = f.dataType match {
+              case org.apache.spark.sql.types.FloatType => v.toFloat
+              case _ => v
+            }
+            sts.head.kind match {
+              case "l" => scala.util.Try {
+                val lo = sts.map(_.min.toLong).min
+                val hi = sts.map(_.max.toLong).max
+                val ndv = math.min(rows,
+                  if (hi >= lo) hi - lo + 1 else rows)
+                colStats.put(ref,
+                  mk(Some(boxL(lo)), Some(boxL(hi)), Some(ndv)))
+              }: Unit
+              case "d" => scala.util.Try {
+                val lo = sts.map(_.min.toDouble).min
+                val hi = sts.map(_.max.toDouble).max
+                colStats.put(ref,
+                  mk(Some(boxD(lo)), Some(boxD(hi)), None))
+              }: Unit
+              case _ => () // string min/max: CBO gains little, skip
+            }
+          }
+        }
+      }
       new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes(): java.util.OptionalLong =
           java.util.OptionalLong.of(bytes)
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.of(rows)
+        override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics] = colStats
       }
     }
     override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -191,6 +191,36 @@ object CatalogQueries {
       val detailFiles = run(s"DESCRIBE DETAIL $cat.m.t")
         .select($"num_files").as[Long].head()
       require(detailFiles >= 1, "DESCRIBE DETAIL by name must see files")
+      // ANALYZE by identifier: pure log arithmetic, zero data scan —
+      // its row count must agree with the table's actual count
+      val analyzed = run(s"ANALYZE TABLE $cat.m.t COMPUTE STATISTICS")
+        .select($"rows", $"num_files", $"bytes")
+        .as[(Long, Long, Long)].head()
+      val actual = s.table(s"$cat.m.t").count()
+      require(analyzed._1 == actual,
+        s"ANALYZE rows (${analyzed._1}) must equal the table count " +
+          s"($actual) — the log's stats are the truth")
+      require(analyzed._2 == detailFiles && analyzed._3 > 0L,
+        "ANALYZE must report the live file count and bytes")
+      // SHOW PARTITIONS — both the vanilla Spark route (the DSv2
+      // SupportsPartitionManagement face) and the LakeSql statement —
+      // answered from log metadata alone
+      s.sql(s"CREATE TABLE $cat.m.pt (k BIGINT, bucket STRING) " +
+        "USING txlog PARTITIONED BY (bucket)")
+      s.sql(s"INSERT INTO $cat.m.pt VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+      val sparkParts = s.sql(s"SHOW PARTITIONS $cat.m.pt")
+        .as[String].collect().sorted.toSeq
+      require(sparkParts == Seq("bucket=a", "bucket=b"),
+        s"vanilla SHOW PARTITIONS by name: $sparkParts")
+      val lakeParts = run(s"SHOW PARTITIONS $cat.m.pt")
+        .as[String].collect().sorted.toSeq
+      require(lakeParts == sparkParts,
+        s"LakeSql SHOW PARTITIONS must agree: $lakeParts")
+      val unpartRefused =
+        try { run(s"SHOW PARTITIONS $cat.m.t").collect(); false }
+        catch { case _: Exception => true }
+      require(unpartRefused,
+        "SHOW PARTITIONS on an unpartitioned table must refuse")
       s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice FROM " +
         s"$cat.m.t ORDER BY o_orderkey")
     },

@@ -59,6 +59,96 @@ class TxStatsSpec extends SparkSpec {
     assert(bytes > 0L && bytes < 10L * 1024 * 1024)
   }
 
+  test("COLUMN stats reach CBO: attributeStats carry the log's " +
+      "min/max + NDV bound + null count, and join order FLIPS with " +
+      "stats on") {
+    // the pre-CBO reorder rule rides GraftExtensions (a session's
+    // rules are fixed at build time), so this runs on a FRESH
+    // extensions session over the same SparkContext
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.cbocat",
+      "graft.lake.catalog.TxCatalog")
+    val wh = Files.createTempDirectory("txstats_cbo").toString
+    s.conf.set("spark.sql.catalog.cbocat.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS cbocat.c")
+    s.sql("CREATE TABLE cbocat.c.big (k BIGINT, v BIGINT) " +
+      "USING txlog")
+    s.sql("INSERT INTO cbocat.c.big " +
+      "SELECT id % 2000, id FROM range(100000)")
+    s.sql("CREATE TABLE cbocat.c.mid (k BIGINT, m STRING) " +
+      "USING txlog")
+    s.sql("INSERT INTO cbocat.c.mid " +
+      "SELECT id, concat('m-', id) FROM range(2000)")
+    s.sql("CREATE TABLE cbocat.c.tiny (k BIGINT, t STRING) " +
+      "USING txlog")
+    s.sql("INSERT INTO cbocat.c.tiny " +
+      "SELECT id * 100, concat('t-', id) FROM range(20)")
+    // JOIN ORDER flips: written (big ⋈ mid) ⋈ tiny — with CBO reading
+    // the log's stats, the reorder joins the selective tiny side
+    // before the 2000-row mid, off it stays syntactic
+    val sql = "SELECT b.v, m.m, t.t FROM cbocat.c.big b " +
+      "JOIN cbocat.c.mid m ON b.k = m.k " +
+      "JOIN cbocat.c.tiny t ON b.k = t.k"
+    def leafOrder(): Seq[String] =
+      s.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+        .map(_.toString)
+        .map { t =>
+          Seq("big", "mid", "tiny").find(t.contains).getOrElse("?")
+        }
+    def withConf[T](on: Boolean)(f: => T): T = {
+      s.conf.set("spark.sql.cbo.enabled", on.toString)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", on.toString)
+      try f finally {
+        s.conf.unset("spark.sql.cbo.enabled")
+        s.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      }
+    }
+    // the catalyst stats of a lake relation carry column-level stats
+    // at the stage CBO's join reorder runs (the ANALYZED
+    // DataSourceV2Relation — the later V1ScanWrapper leaf reports
+    // defaults, but reorder has already happened by then)
+    withConf(true) {
+      val rel = s.table("cbocat.c.big").queryExecution.analyzed
+        .collectLeaves().collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2Relation => r
+        }.get
+      val stats = rel.computeStats()
+      assert(stats.rowCount.contains(BigInt(100000)))
+      val kStats = stats.attributeStats.find(_._1.name == "k").map(_._2)
+      assert(kStats.isDefined, s"column stats for k must flow to " +
+        s"catalyst, got ${stats.attributeStats}")
+      assert(kStats.get.min.contains(0L) &&
+        kStats.get.max.contains(1999L),
+        s"k min/max must combine across files, got ${kStats.get}")
+      assert(kStats.get.distinctCount.contains(BigInt(2000)),
+        s"dense-key NDV bound (span) expected, got ${kStats.get}")
+    }
+    val off = withConf(false)(leafOrder())
+    val on = withConf(true)(leafOrder())
+    assert(off === Seq("big", "mid", "tiny"),
+      s"CBO off must keep the written order, got $off")
+    assert(on !== off,
+      s"CBO on must REORDER the join from the log's column stats — " +
+        s"got $on both ways")
+    // and the reordered plan computes the same result: 20 tiny keys ×
+    // 50 big rows per key, each matching exactly one mid row
+    assert(withConf(true)(s.sql(sql).count()) === 1000L)
+    assert(s.sql(sql).count() === 1000L)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("time-travel reads report the VERSION'S size, not the head's") {
     val root = Files.createTempDirectory("txstats_tt")
       .resolve("t").toString
