@@ -418,6 +418,12 @@ final class TxStreamDataWriter(f: TxStreamWriterFactory,
     (org.apache.spark.sql.execution.datasources.OutputWriter, String)]()
   private val landed = mutable.ArrayBuffer[String]()
   private var fileSeq = 0
+  // consecutive rows overwhelmingly share a fragment (unpartitioned
+  // tables always; partitioned ones arrive run-length-clustered), so
+  // the hot path is a string compare, not an LRU map touch per row
+  private var lastFrag: String = null
+  private var lastWriter
+      : org.apache.spark.sql.execution.datasources.OutputWriter = null
 
   private def dirFragment(row: InternalRow): String = {
     if (f.partCols.isEmpty) return ""
@@ -477,6 +483,7 @@ final class TxStreamDataWriter(f: TxStreamWriterFactory,
       else joined(row0, appendProj(row0))
     validate(row)
     val frag = dirFragment(row)
+    if (frag == lastFrag) { lastWriter.write(dataProj(row)); return }
     val w = open.remove(frag) match {
       case Some(entry) => // touch: re-insert at the tail (most recent)
         open.put(frag, entry): Unit
@@ -488,6 +495,7 @@ final class TxStreamDataWriter(f: TxStreamWriterFactory,
           cw.close()
           landed += cAbs
           open.remove(coldFrag): Unit
+          if (coldFrag == lastFrag) { lastFrag = null; lastWriter = null }
         }
         val name = f"part-$partitionId%05d-$taskId-$fileSeq$ext"
         fileSeq += 1
@@ -497,6 +505,8 @@ final class TxStreamDataWriter(f: TxStreamWriterFactory,
         open.put(frag, (nw, abs)): Unit
         nw
     }
+    lastFrag = frag
+    lastWriter = w
     w.write(dataProj(row))
   }
 
