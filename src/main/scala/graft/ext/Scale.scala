@@ -231,8 +231,14 @@ object ZOrderLayout {
           .cast("long")
       else {
         val step = math.max((span + buckets - 1) / buckets, 1L)
-        least((rk - lit(lo)).cast("long") / lit(step),
-          lit(buckets - 1)).cast("long")
+        // least() IGNORES nulls, so an unguarded least(rank/step, max)
+        // would map a NULL key to the TOP grid cell instead of
+        // propagating NULL like the multiply-first branch does —
+        // inconsistent clustering for NULL-keyed rows (layout only;
+        // pruning stats come from real data either way)
+        when(rk.isNull, lit(null).cast("long"))
+          .otherwise(least((rk - lit(lo)).cast("long") / lit(step),
+            lit(buckets - 1)).cast("long"))
       }
     }
     df.withColumn("__z", mortonCodeN(

@@ -262,7 +262,8 @@ object TxLog {
     * 'update_preimage' | 'update_postimage'). These files are NOT part
     * of the live table state — only [[TxTable.readChanges]] reads
     * them. */
-  final case class Cdf(path: String, rows: Long)
+  final case class Cdf(path: String, rows: Long,
+      bytes: Option[Long] = None)
   /** Commit provenance: operation name + the snapshot version the writer
     * based its work on (−1 = blind append, conflicts impossible).
     * `cdfCaptured = Some(true)` marks a commit whose row-level changes
@@ -328,7 +329,8 @@ object TxLog {
     * [[Meta.readerFeatures]]. A future feature name stamped by a newer
     * writer makes every [[snapshot]] here fail loudly. */
   val supportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "typeWidening")
+    Set("deletionVectors", "columnMapping", "typeWidening",
+      "v2Checkpoints")
 
   /** Writer features THIS client implements — the refusal set every
     * [[TxTable]] mutating path checks before committing. Reads never
@@ -1291,7 +1293,18 @@ object TxLog {
               Seq(Sidecar(name, 1L))
             }
           if (newRefs.nonEmpty) {
-            val manifest = head ++ newRefs.map(r =>
+            // feature-gate the manifest shape (Delta's v2Checkpoints is
+            // a GATED reader feature): an older client pointed here by
+            // _last_checkpoint deserializes the manifest WITHOUT the
+            // sidecar field — meta/txns and zero adds — and would
+            // silently reconstruct a truncated table. Stamping the
+            // feature into the manifest's own meta makes its snapshot
+            // gate refuse loudly instead (readers that fold this
+            // checkpoint see the stamped meta; pre-checkpoint time
+            // travel replays unstamped JSON metas and stays open).
+            val v2Head = head.map(e => e.meta.fold(e)(m =>
+              e.copy(meta = Some(m.withReaderFeature("v2Checkpoints")))))
+            val manifest = v2Head ++ newRefs.map(r =>
               LogEntry(sidecar = Some(r)))
             spark.createDataset(manifest)(logEntryEncoder).toDF()
               .coalesce(1).write.mode("overwrite").parquet(pq.toString)

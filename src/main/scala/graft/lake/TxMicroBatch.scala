@@ -204,6 +204,7 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
         val cdfs = entries.flatMap(_.cdf)
         files += cdfs.size
         rows += cdfs.map(_.rows).sum
+        bytes += cdfs.flatMap(_.bytes).sum
       }
       val over = active.exists {
         case f: ReadMaxFiles => files > f.maxFiles
@@ -408,11 +409,14 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
       val adds = entries.flatMap(_.add)
       val removes = entries.flatMap(_.remove)
       if (captured) {
-        // marked with zero files = pure rewrite: no logical change
+        // marked with zero files = pure rewrite: no logical change.
+        // Size comes from the Cdf action (recorded at capture) — no
+        // per-file driver fs probe per micro-batch; a vacuumed file
+        // fails AT READ with the executor's file-missing error (legacy
+        // Cdf entries without bytes fall back to one getFileStatus in
+        // buildSlices, which throws the same way).
         cdfs.foreach { c =>
-          require(fs.exists(new Path(root, c.path)),
-            s"change data of commit $v at $root was vacuumed")
-          capturedFiles += ((c.path, None,
+          capturedFiles += ((c.path, c.bytes,
             Map("_commit_version" -> v.toString)))
         }
       } else if (TxStreamSource.pureRewriteOps(op)) ()
@@ -568,6 +572,21 @@ final case class TxStreamInputPartition(sliceIdx: Int,
 final class TxStreamReaderFactory(slices: Array[TxSliceReaders])
     extends PartitionReaderFactory {
 
+  /** A planned file that is gone by read time was vacuumed after the
+    * offset range was claimed (the planner works from log metadata
+    * alone — no per-file existence probe). Rethrow with the hint the
+    * old plan-time probe used to give. */
+  private def vacuumHint[A](p: TxStreamInputPartition)(body: => A): A =
+    try body
+    catch {
+      case e: java.io.FileNotFoundException =>
+        throw new java.io.FileNotFoundException(
+          s"${e.getMessage} — a file this micro-batch planned " +
+            "(from the log's own metadata) no longer exists: it was " +
+            "vacuumed after the offset range was claimed; restart " +
+            "the stream from a fresh (or later) starting version")
+    }
+
   /** COLUMNAR reads (the sf10 lesson: the row-based delegate read a
     * plain backlog 1.47× slower than the V1 path): hand Spark the
     * parquet factory's own vectorized ColumnarBatch reader and let
@@ -593,12 +612,19 @@ final class TxStreamReaderFactory(slices: Array[TxSliceReaders])
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[TxStreamInputPartition]
     val slice = slices(p.sliceIdx)
-    val inner = slice.factory.createColumnarReader(p.filePartition)
+    val inner = vacuumHint(p)(
+      slice.factory.createColumnarReader(p.filePartition))
     if (slice.outOrder.zipWithIndex.forall { case (o, i) => o == i })
-      inner
+      new PartitionReader[
+          org.apache.spark.sql.vectorized.ColumnarBatch] {
+        override def next(): Boolean = vacuumHint(p)(inner.next())
+        override def get()
+            : org.apache.spark.sql.vectorized.ColumnarBatch = inner.get()
+        override def close(): Unit = inner.close()
+      }
     else new PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] {
-      override def next(): Boolean = inner.next()
+      override def next(): Boolean = vacuumHint(p)(inner.next())
       override def get()
           : org.apache.spark.sql.vectorized.ColumnarBatch = {
         val b = inner.get()
@@ -619,7 +645,9 @@ final class TxStreamReaderFactory(slices: Array[TxSliceReaders])
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TxStreamInputPartition]
     val slice = slices(p.sliceIdx)
-    val inner = slice.factory.createReader(p.filePartition)
+    // the parquet footer is read at creation, so a vacuumed file
+    // surfaces HERE — the row-by-row next() stays unwrapped
+    val inner = vacuumHint(p)(slice.factory.createReader(p.filePartition))
     if (slice.outOrder.zipWithIndex.forall { case (o, i) => o == i })
       inner
     else new PartitionReader[InternalRow] {

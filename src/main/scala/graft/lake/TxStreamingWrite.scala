@@ -56,9 +56,12 @@ import TxLog.Txn
   * allocation the batch path uses — whose staged max then bumps the
   * watermark inside the same commit
   * ([[TxTable.commitStagedAppend]]'s identity bump, read from the
-  * files' own stats). Only ROW TRACKING still refuses toward the V1
-  * `txlog-stream` sink: its ids must land consistently with the
-  * change feed, a DataFrame-append concern.
+  * files' own stats). ROW TRACKING rides the same per-epoch
+  * allocation: `_row_id` is appended physically (never evolving into
+  * the logical schema), its staged max bumps `rowIdWatermark` in the
+  * same commit, and the change feed stays consistent because the
+  * sink's commits are insert-only — the inserted rows' ids live in
+  * the data files the feed reads. Nothing refuses toward V1 anymore.
   */
 final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
     streamSchema: StructType, queryId: String) extends StreamingWrite {
@@ -106,12 +109,10 @@ final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
         Some(TxLog.snapshot(fs, root).meta)
       } else None
     metaOpt.foreach { m =>
-      if (m.tracksRows) sys.error(
-        s"txlog DSv2 streaming write to $rootStr: the table has " +
-          "row tracking, whose ids must land consistently with the " +
-          "change feed — use the V1 sink (writeStream.format(" +
-          "\"txlog-stream\")) or foreachBatch, which route through " +
-          "the full DataFrame append path")
+      if (m.tracksRows)
+        require(!streamSchema.fieldNames.contains("_row_id"),
+          "the table tracks rows — `_row_id` is engine-allocated, " +
+            "the stream must not supply it")
       m.identities.keys.foreach(c =>
         require(!streamSchema.fieldNames.contains(c),
           s"identity column $c is GENERATED ALWAYS — the stream " +
@@ -143,7 +144,20 @@ final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
                 s"default for column ${f.name}"))))
             else None // plain absent column: ordinary null-fill
           }
-      }
+      } ++
+        // ROW TRACKING rides the identity-column pattern: `_row_id` is
+        // a per-epoch watermark allocation (None marker — the factory
+        // re-reads `nextRowId` each epoch), physically written like
+        // any column but NEVER part of the logical schema (commit()
+        // strips it from the evolve schema; stagedAdds still computes
+        // its stats so the watermark bump reads the staged max). The
+        // change feed stays consistent: the sink's commits are
+        // insert-only, and insert rows' ids live in the data files the
+        // diff-based feed reads.
+        metaOpt.filter(_.tracksRows).map(_ =>
+          ("_row_id", org.apache.spark.sql.types.LongType: DataType,
+            Option.empty[
+              org.apache.spark.sql.catalyst.expressions.Expression]))
     val augSchema = StructType(streamSchema.fields ++
       appended.map { case (n, dt, _) =>
         org.apache.spark.sql.types.StructField(n, dt, nullable = true) })
@@ -254,7 +268,10 @@ final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
         val root = new Path(rootStr)
         val fs = root.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        TxLog.snapshot(fs, root).meta.identities
+        val m = TxLog.snapshot(fs, root).meta
+        m.identities ++
+          (if (m.tracksRows) Map("_row_id" -> m.nextRowId)
+          else Map.empty[String, Long])
       } else Map.empty
     val appendExprs = appendedCols.map {
       case (_, _, Some(e)) => e
@@ -304,9 +321,14 @@ final class TxStreamingWrite(rootStr: String, partitionCols: Seq[String],
       else tx.stagedAdds(
         files.map(rel => new Path(root, rel).toString).toIndexedSeq,
         meta, augLogical.fieldNames.toSet)
+    // `_row_id` is physical-only: present in the staged files (and in
+    // the stats set above, so the watermark bump sees the staged max)
+    // but never in the schema the commit evolves against
+    val logical = StructType(
+      augLogical.fields.filterNot(_.name == "_row_id"))
     // empty batches still advance the watermark: a replay of this
     // epoch after a restart must no-op even if it held no rows
-    tx.commitStagedAppend(augLogical, adds,
+    tx.commitStagedAppend(logical, adds,
       Txn(s"dsv2:$queryId", epochId)): Unit
   }
 
@@ -490,6 +512,13 @@ final class TxStreamDataWriter(f: TxStreamWriterFactory,
         entry._1
       case None =>
         if (open.size >= f.maxOpenWriters) {
+          // the hot-path shortcut above skips the LRU touch, so a long
+          // run on one fragment can leave the HOTTEST fragment at the
+          // cold end — re-insert it at the tail before picking the
+          // victim, so the memoized writer is never the one rotated
+          // (rotating it costs an avoidable extra file)
+          if (lastFrag != null && open.size > 1)
+            open.remove(lastFrag).foreach(e => open.put(lastFrag, e): Unit)
           // rotate out the coldest fragment's writer; its file is done
           val (coldFrag, (cw, cAbs)) = open.head
           cw.close()

@@ -3831,11 +3831,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     * orphans of an abandoned attempt are vacuum's to reclaim.
     *
     * `stagedSchema` carries the staged data's LOGICAL names — additive
-    * columns evolve the schema exactly like a DataFrame append. The
-    * caller is responsible for having refused tables whose ingest
-    * gates need the row-level DataFrame path (constraints, generated /
-    * identity / default columns, row tracking) BEFORE any file was
-    * staged.
+    * columns evolve the schema exactly like a DataFrame append
+    * (`_row_id` must NOT appear in it: the sink strips it, the
+    * watermark bump reads it from the adds' stats instead). The
+    * caller enforces the row-level ingest gates (constraints,
+    * generated / identity / default / row-id allocation) in its own
+    * writer tasks BEFORE any file is staged.
     */
   private[lake] def commitStagedAppend(stagedSchema: StructType,
       adds: Vector[Add], txn: Txn): Long = {
@@ -3854,10 +3855,12 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               "re-add must not resurrect; use the txlog-stream V1 " +
               "sink, which re-stages per batch under a fresh mapping")
         }
-      // identity watermarks move past the staged max (from the files'
-      // own stats — the DSv2 sink allocates identity values in its
-      // writer tasks, and the NEXT epoch's factory reads this bump)
-      val merged = bumpIdentities(evolve(snap.meta, stagedSchema), adds)
+      // identity and row-id watermarks move past the staged max (from
+      // the files' own stats — the DSv2 sink allocates identity values
+      // and `_row_id`s in its writer tasks, and the NEXT epoch's
+      // factory reads this bump)
+      val merged = bumpWatermark(
+        bumpIdentities(evolve(snap.meta, stagedSchema), adds), adds)
       val metaEntry =
         if (merged != snap.meta) Seq(LogEntry(meta = Some(merged)))
         else Nil
@@ -3968,11 +3971,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       if (c == "_change_type") col(c)
       else col(c).as(meta.physicalOf(c))).toIndexedSeq: _*)
     phys.write.mode("overwrite").parquet(stagePath.toString)
+    // byte size recorded AT CAPTURE (like Add.bytes): the feed planner
+    // splits captured files from log metadata alone — no per-file
+    // driver fs round-trip per micro-batch
     spark.read.parquet(stagePath.toString)
       .groupBy(col("_metadata.file_path").as("__f"))
-      .agg(count(lit(1L)).as("__rows"))
+      .agg(count(lit(1L)).as("__rows"),
+        first(col("_metadata.file_size")).as("__bytes"))
       .collect()
-      .map(r => Cdf(relPath(r.getAs[String]("__f")), r.getAs[Long]("__rows")))
+      .map(r => Cdf(relPath(r.getAs[String]("__f")), r.getAs[Long]("__rows"),
+        bytes = Some(r.getAs[Long]("__bytes"))))
       .toVector
   }
 

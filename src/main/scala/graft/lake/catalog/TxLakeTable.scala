@@ -324,8 +324,16 @@ private[catalog] final class TxScanBuilder(path: String,
               case "l" => scala.util.Try {
                 val lo = sts.map(_.min.toLong).min
                 val hi = sts.map(_.max.toLong).max
-                val ndv = math.min(rows,
-                  if (hi >= lo) hi - lo + 1 else rows)
+                // span via exact arithmetic: a 64-bit key range can
+                // overflow (hi - lo + 1 silently negative) and a
+                // negative distinctCount would poison CBO costing —
+                // ArithmeticException falls back to rows via the Try
+                val span =
+                  if (hi < lo) rows
+                  else scala.util.Try(
+                    Math.addExact(Math.subtractExact(hi, lo), 1L))
+                    .getOrElse(rows)
+                val ndv = math.min(rows, if (span <= 0) rows else span)
                 colStats.put(ref,
                   mk(Some(boxL(lo)), Some(boxL(hi)), Some(ndv)))
               }: Unit

@@ -702,6 +702,83 @@ object LakeQueries {
            |       'NEW' AS status
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** ROW TRACKING on the DSv2 streaming sink
+    * ([[graft.lake.TxStreamingWrite]], round-13 verdict item 4 — the
+    * last feature that refused toward V1): `writeStream` onto a
+    * row-tracked table allocates `_row_id`s per EPOCH from the logged
+    * watermark (the identity-column pattern: the factory re-reads the
+    * watermark each epoch, the commit's staged stats bump it), the ids
+    * never enter the logical schema, and lineage holds — each streamed
+    * commit's change-feed slice carries exactly the ids the live table
+    * shows for its rows, keyed by `_commit_version`. Concrete id
+    * values are layout-dependent, so REQUIREs pin global uniqueness,
+    * seed-id stability, and the watermark bump; the hashed output
+    * carries each streamed row's epoch (from the feed's commit
+    * version) and its feed-vs-live id consistency.
+    */
+  val extStreamDsv2RowTracking = Q(
+    "ext_stream_dsv2_row_tracking",
+    (s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val dstRoot = scratch("dsv2_trk_dst", dir)
+      val dst = new TxTable(s, dstRoot)
+      dst.create(orders.where($"o_orderkey" % 7 === 0),
+        enableRowTracking = true)                            // v0 seed
+      val seedIds = dst.readWithRowIds().select($"_row_id")
+        .as[Long].collect().toSet
+      val srcRoot = scratch("dsv2_trk_src", dir)
+      val src = new TxTable(s, srcRoot)
+      src.create(orders.where($"o_orderkey" % 7 === 1))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_dsv2_trk_ckpt").toString
+      def drain(): Unit = {
+        val q = s.readStream.format("txlog")
+          .option("path", srcRoot).load()
+          .writeStream.format("txlog")
+          .option("path", dstRoot)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain()
+      val vEpoch1 = dst.version
+      src.append(orders.where($"o_orderkey" % 7 === 2))
+      drain() // second epoch: allocates past the bumped watermark
+      val vEpoch2 = dst.version
+      val live = dst.readWithRowIds()
+        .select($"o_orderkey", $"_row_id".as("live_id"))
+      val liveIds = live.select($"live_id").as[Long].collect()
+      require(liveIds.length == liveIds.distinct.length,
+        "row ids must stay unique across seed + streamed epochs")
+      require(seedIds.subsetOf(liveIds.toSet),
+        "streaming in must not disturb the seed rows' ids")
+      val fs = new org.apache.hadoop.fs.Path(dstRoot).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val meta = graft.lake.TxLog.snapshot(fs,
+        new org.apache.hadoop.fs.Path(dstRoot)).meta
+      require(meta.nextRowId > liveIds.max,
+        "each epoch's commit must bump the row-id watermark")
+      // commit-version lineage: the streamed commits' feed slices
+      // carry the same ids the live table shows, per commit
+      val feed = dst.readChanges(vEpoch1, vEpoch2, withRowIds = true)
+        .where($"_change_type" === "insert")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          $"_row_id".as("feed_id"), $"_commit_version")
+      feed.join(live, Seq("o_orderkey"))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          when($"_commit_version" === vEpoch1, 1)
+            .otherwise(2).as("epoch"),
+          ($"feed_id" === $"live_id").as("id_consistent"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+           |       CASE WHEN o_orderkey % 7 = 1 THEN 1 ELSE 2 END AS epoch,
+           |       TRUE AS id_consistent
+           |FROM orders WHERE o_orderkey % 7 IN (1, 2)
+           |ORDER BY o_orderkey""".stripMargin))
+
   /** The lake as a STREAMING SINK ([[graft.lake.TxStreamSink]] —
     * Delta's DeltaSink shape): a lake-to-lake copy wired PURELY
     * through formats (`readStream.format("txlog-stream")` →
@@ -3054,6 +3131,7 @@ object LakeQueries {
     extLakeSkippingScan, extLakeNativeScan, extStreamLakeSource,
     extStreamDsv2Source, extStreamDsv2Paced, extStreamDsv2Sink,
     extStreamDsv2Constraint, extStreamDsv2Rewrite,
+    extStreamDsv2RowTracking,
     extStreamWindowLakeSink, extLakeReplaceWhere,
     extStreamLakeSink,
     extStreamLakeToLake, extStreamCdf, extStreamCdfApply,

@@ -11,9 +11,10 @@ import graft.SparkSpec
   * item 2, write half): executor-staged parquet committed atomically
   * under the (queryId, epochId) writer transaction, `writeStream
   * .toTable` by catalog name, partitioned routing byte-compatible
-  * with DataFrame.write, restart exactly-once, and the row-feature
-  * refusal line (constraint/generated/tracked tables stay on the V1
-  * DataFrame sink).
+  * with DataFrame.write, restart exactly-once, and the full row-
+  * feature surface (constraints validate, generated/default/identity
+  * columns rewrite, row tracking allocates) executor-side — nothing
+  * refuses toward the V1 DataFrame sink anymore.
   */
 class TxStreamingWriteSpec extends SparkSpec {
   import spark.implicits._
@@ -97,27 +98,61 @@ class TxStreamingWriteSpec extends SparkSpec {
     assert(tab.read().count() === 8)
   }
 
-  test("ROW TRACKING still refuses at query start, pointing at the " +
-      "V1 sink") {
-    val root = fresh("refuse")
+  test("ROW TRACKING: per-epoch allocation from the logged watermark — " +
+      "unique ids across epochs and restarts, hidden from plain reads") {
+    val root = fresh("track")
     val tab = new TxTable(spark, root)
-    tab.create(feed(1), enableRowTracking = true)
-    val srcRoot = fresh("refsrc")
-    new TxTable(spark, srcRoot).create(feed(2))
-    val ckpt = Files.createTempDirectory("txsw_rck").toString
+    tab.create(feed(5), enableRowTracking = true)
+    val seeded = tab.readWithRowIds().select($"_row_id")
+      .as[Long].collect().toSet
+    val srcRoot = fresh("trksrc")
+    val src = new TxTable(spark, srcRoot)
+    src.create(feed(7, from = 100L))
+    val ckpt = Files.createTempDirectory("txsw_trk").toString
+    def launch() = spark.readStream.format("txlog")
+      .option("path", srcRoot).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("txlog").option("path", root).start()
+    val q1 = launch()
+    try q1.processAllAvailable() finally q1.stop()
+    // a SECOND epoch from a fresh query start: its factory must
+    // re-read the watermark the first commit bumped
+    src.append(feed(4, from = 200L))
+    val q2 = launch()
+    try q2.processAllAvailable() finally q2.stop()
+    val all = tab.readWithRowIds()
+      .select($"k", $"_row_id").as[(Long, Long)].collect()
+    assert(all.length === 16)
+    assert(all.map(_._2).toSet.size === 16,
+      "row ids must stay unique across seed + two streamed epochs")
+    assert(all.map(_._2).toSet.intersect(seeded) === seeded,
+      "seeded rows keep their ids")
+    // the streamed rows' ids allocated PAST the seed watermark
+    val streamedIds = all.filter(_._1 >= 100L).map(_._2)
+    assert(streamedIds.forall(id => !seeded.contains(id)))
+    // hidden from plain reads; watermark durably past every id
+    assert(!tab.read().columns.contains("_row_id"))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val meta = TxLog.snapshot(fs, new org.apache.hadoop.fs.Path(root)).meta
+    assert(meta.nextRowId > all.map(_._2).max)
+    // a stream SUPPLYING _row_id refuses at query start
+    val ckpt2 = Files.createTempDirectory("txsw_trk2").toString
     val e = intercept[Exception] {
       val q = spark.readStream.format("txlog")
         .option("path", srcRoot).load()
+        .withColumn("_row_id", lit(7L))
         .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
+        .option("checkpointLocation", ckpt2)
         .format("txlog").option("path", root).start()
       try q.processAllAvailable() finally q.stop()
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("txlog-stream")),
-      s"must point at the V1 sink, got: ${msgs(e).mkString(" | ")}")
+    assert(msgs(e).exists(_.contains("engine-allocated")),
+      s"supplying _row_id must refuse, got: ${msgs(e).mkString(" | ")}")
   }
 
   test("GENERATED / DEFAULT columns the stream omits are computed " +
