@@ -40,9 +40,14 @@ object TxLog {
   /** One typed column statistic, string-encoded with a kind tag so the
     * JSON stays schema-free: kind "l" (integral), "d" (floating), "s"
     * (string). Used for file skipping — see [[TxTable.candidateFiles]].
-    */
+    * `hll` (base64 compact DataSketches HLL, small lgK) rides on
+    * STRING columns only: per-file sketches UNION exactly, so
+    * [[graft.lake.catalog]]'s `estimateStatistics` can hand CBO a real
+    * distinct-count for string join keys — the span bound integer keys
+    * get has no string analogue. Absent on legacy adds (same evolution
+    * path as `nulls`: no sketch on every live file → no estimate). */
   final case class Stat(kind: String, min: String, max: String,
-      nulls: Option[Long] = None)
+      nulls: Option[Long] = None, hll: Option[String] = None)
 
   /** `constraints` are SQL CHECK expressions every written row must
     * satisfy (NULL passes, like SQL CHECK); absent in pre-constraint

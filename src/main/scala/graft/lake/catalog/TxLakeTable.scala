@@ -343,7 +343,24 @@ private[catalog] final class TxScanBuilder(path: String,
                 colStats.put(ref,
                   mk(Some(boxD(lo)), Some(boxD(hi)), None))
               }: Unit
-              case _ => () // string min/max: CBO gains little, skip
+              case "s" =>
+                // string join keys (the common dimension case): the
+                // per-file HLL sketches union EXACTLY, so the live
+                // set's NDV is one driver-side fold over stats already
+                // in hand — no span bound exists for strings, and
+                // without ndv CBO reorders on size alone. Min/max stay
+                // un-reported (string range literals gain CBO little).
+                if (sts.forall(_.hll.isDefined)) scala.util.Try {
+                  val u = new org.apache.datasketches.hll.Union(
+                    graft.lake.TxTable.statHllLgK)
+                  sts.foreach(st => u.update(
+                    org.apache.datasketches.hll.HllSketch.heapify(
+                      java.util.Base64.getDecoder.decode(st.hll.get))))
+                  val ndv = math.max(1L,
+                    math.min(rows, math.round(u.getEstimate)))
+                  colStats.put(ref, mk(None, None, Some(ndv)))
+                }: Unit
+              case _ => ()
             }
           }
         }

@@ -143,4 +143,94 @@ class TxCheckpointV2Spec extends SparkSpec {
       spark.conf.unset(TxLog.checkpointV2MaxSidecarsKey)
     }
   }
+
+  test("manifest checkpoints are feature-gated: the stamped meta " +
+      "refuses a reader without v2Checkpoints") {
+    val root = freshRoot("gate")
+    val tab = new TxTable(spark, root)
+    spark.conf.set(TxLog.checkpointParquetMinEntriesKey, "1")
+    spark.conf.set(TxLog.fullCheckpointMultipleKey, "1")
+    try {
+      tab.create(docs(20).repartition(4))
+      (1 to 20).foreach(i =>
+        tab.append(docs(1).withColumn("id", $"id" + i * 100L)))
+      assert(sidecarNames(root).nonEmpty, "a V2 chain must exist")
+      // the manifest's own meta carries the gate: an older client
+      // pointed here by _last_checkpoint deserializes the manifest
+      // WITHOUT the sidecar field (meta/txns, zero adds) and must
+      // refuse on the feature instead of silently reconstructing a
+      // truncated live set
+      val snap = TxLog.snapshot(fsOf(root), new Path(root))
+      assert(snap.meta.features.contains("v2Checkpoints"),
+        s"manifest meta must stamp the gate, got ${snap.meta.features}")
+      assert(TxLog.supportedReaderFeatures.contains("v2Checkpoints"))
+      assert(snap.adds.size === 24)
+      // pre-checkpoint time travel replays unstamped JSON metas: no
+      // gate, classic reads stay open to old clients
+      assert(!TxLog.snapshot(fsOf(root), new Path(root), Some(5L))
+        .meta.features.contains("v2Checkpoints"))
+    } finally {
+      spark.conf.unset(TxLog.checkpointParquetMinEntriesKey)
+      spark.conf.unset(TxLog.fullCheckpointMultipleKey)
+    }
+  }
+
+  test("fold-back at the cap racing 4 concurrent appenders: replay " +
+      "equality, no lost or resurrected rows") {
+    // the round-13 concern: checkpoint fold-back (the writer reading
+    // the PREVIOUS chain while claiming the next version) racing
+    // optimistic commits was spec'd only for classic parquet
+    val root = freshRoot("race")
+    val tab = new TxTable(spark, root)
+    spark.conf.set(TxLog.checkpointParquetMinEntriesKey, "1")
+    spark.conf.set(TxLog.fullCheckpointMultipleKey, "1")
+    spark.conf.set(TxLog.checkpointV2MaxSidecarsKey, "2")
+    try {
+      tab.create(docs(10).repartition(2))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        // 4 writers × 12 appends with maxSidecars=2 and interval 10:
+        // every 10th commit checkpoints (alternating incremental /
+        // fold-back), so several checkpoint writes race live commits
+        val writers = (0 until 4).map { w =>
+          scala.concurrent.Future {
+            val mine = new TxTable(spark, root)
+            (0 until 12).foreach { i =>
+              mine.append(docs(1)
+                .withColumn("id", $"id" + lit(1000L * (w + 1) + i)))
+            }
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(writers),
+          scala.concurrent.duration.Duration(300, "s"))
+      } finally pool.shutdown()
+      val expected = (0L until 10L) ++
+        (for (w <- 0 until 4; i <- 0 until 12)
+          yield 1000L * (w + 1) + i)
+      assert(tab.read().select($"id").as[Long].collect().sorted.toSeq
+        === expected.sorted,
+        "every racing append must land exactly once through the " +
+          "checkpointed fold")
+      // replay equality at every checkpointed floor: counts strictly
+      // grow by the interval's appends, and each snapshot resolves
+      val fs = fsOf(root)
+      val latest = tab.version
+      val counts = (0L to latest by 10L).map { v =>
+        TxLog.snapshot(fs, new Path(root), Some(v)).adds
+          .map(_.rows).sum
+      }
+      assert(counts === counts.sorted,
+        s"version-floor row counts must be monotonic, got $counts")
+      assert(counts.last <= expected.size.toLong)
+      assert(TxLog.snapshot(fs, new Path(root)).adds
+        .map(_.rows).sum === expected.size.toLong)
+    } finally {
+      spark.conf.unset(TxLog.checkpointParquetMinEntriesKey)
+      spark.conf.unset(TxLog.fullCheckpointMultipleKey)
+      spark.conf.unset(TxLog.checkpointV2MaxSidecarsKey)
+    }
+  }
 }

@@ -149,6 +149,88 @@ class TxStatsSpec extends SparkSpec {
     }
   }
 
+  test("STRING-key column stats reach CBO: per-file HLL sketches " +
+      "union to a real NDV, and join order FLIPS with stats on") {
+    // string join keys are the common dimension case; integer keys get
+    // a span bound but strings have none — without the sketch-backed
+    // NDV, CBO reorders on size alone (round-13 verdict item 6)
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+    s.conf.set("spark.sql.catalog.cbscat",
+      "graft.lake.catalog.TxCatalog")
+    val wh = Files.createTempDirectory("txstats_cbos").toString
+    s.conf.set("spark.sql.catalog.cbscat.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS cbscat.c")
+    s.sql("CREATE TABLE cbscat.c.big (k STRING, v BIGINT) " +
+      "USING txlog")
+    // two inserts → the NDV must union across FILES, not just within
+    s.sql("INSERT INTO cbscat.c.big SELECT concat('k-', id % 2000), " +
+      "id FROM range(50000)")
+    s.sql("INSERT INTO cbscat.c.big SELECT concat('k-', id % 2000), " +
+      "id FROM range(50000, 100000)")
+    s.sql("CREATE TABLE cbscat.c.mid (k STRING, m STRING) " +
+      "USING txlog")
+    s.sql("INSERT INTO cbscat.c.mid SELECT concat('k-', id), " +
+      "concat('m-', id) FROM range(2000)")
+    s.sql("CREATE TABLE cbscat.c.tiny (k STRING, t STRING) " +
+      "USING txlog")
+    s.sql("INSERT INTO cbscat.c.tiny SELECT concat('k-', id * 100), " +
+      "concat('t-', id) FROM range(20)")
+    val sql = "SELECT b.v, m.m, t.t FROM cbscat.c.big b " +
+      "JOIN cbscat.c.mid m ON b.k = m.k " +
+      "JOIN cbscat.c.tiny t ON b.k = t.k"
+    def leafOrder(): Seq[String] =
+      s.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+        .map(_.toString)
+        .map { t =>
+          Seq("big", "mid", "tiny").find(t.contains).getOrElse("?")
+        }
+    def withConf[T](on: Boolean)(f: => T): T = {
+      s.conf.set("spark.sql.cbo.enabled", on.toString)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", on.toString)
+      try f finally {
+        s.conf.unset("spark.sql.cbo.enabled")
+        s.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      }
+    }
+    withConf(true) {
+      val rel = s.table("cbscat.c.big").queryExecution.analyzed
+        .collectLeaves().collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2Relation => r
+        }.get
+      val kStats = rel.computeStats().attributeStats
+        .find(_._1.name == "k").map(_._2)
+      assert(kStats.isDefined,
+        "string column stats must flow to catalyst")
+      val ndv = kStats.get.distinctCount
+        .getOrElse(fail("string key must carry a distinctCount"))
+      // HLL at lgK=9 ≈ 3–4 % RSE; accept a generous band
+      assert(ndv >= BigInt(1800) && ndv <= BigInt(2200),
+        s"unioned HLL NDV must be ≈2000, got $ndv")
+      assert(kStats.get.nullCount.contains(BigInt(0)))
+    }
+    val off = withConf(false)(leafOrder())
+    val on = withConf(true)(leafOrder())
+    assert(off === Seq("big", "mid", "tiny"),
+      s"CBO off must keep the written order, got $off")
+    assert(on !== off,
+      s"CBO on must REORDER the join from the string key's " +
+        s"sketch-backed NDV — got $on both ways")
+    assert(withConf(true)(s.sql(sql).count()) === 1000L)
+    assert(s.sql(sql).count() === 1000L)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("time-travel reads report the VERSION'S size, not the head's") {
     val root = Files.createTempDirectory("txstats_tt")
       .resolve("t").toString

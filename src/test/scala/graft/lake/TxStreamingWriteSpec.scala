@@ -155,6 +155,52 @@ class TxStreamingWriteSpec extends SparkSpec {
       s"supplying _row_id must refuse, got: ${msgs(e).mkString(" | ")}")
   }
 
+  test("writer LRU under cap pressure: the memoized dominant fragment " +
+      "is never the rotation victim — one file, not many") {
+    // the hot-path shortcut skips the per-row LRU touch, so without
+    // the touch-on-rotation a long run on one fragment left it at the
+    // cold end and the cap evicted the HOTTEST writer (extra files,
+    // never wrongness) — round-13 verdict item 5
+    val root = fresh("lru")
+    val tab = new TxTable(spark, root)
+    tab.create(
+      spark.range(0).selectExpr("CAST('x' AS STRING) AS frag",
+        "id AS v"),
+      partitionCols = Seq("frag"))
+    val srcRoot = fresh("lrusrc")
+    // one source file read as one split → the sink task sees rows in
+    // file order: a dominated a b a c a b a c ... interleave
+    val pattern = (0 until 80).map { i =>
+      val frag = (i % 4: @unchecked) match {
+        case 0 | 2 => "a"
+        case 1 => "b"
+        case 3 => "c"
+      }
+      (frag, i.toLong)
+    }
+    new TxTable(spark, srcRoot).create(
+      spark.createDataFrame(pattern).toDF("frag", "v").coalesce(1))
+    val ckpt = Files.createTempDirectory("txsw_lru").toString
+    spark.conf.set(TxStreamingWrite.maxOpenWritersKey, "2")
+    try {
+      val q = spark.readStream.format("txlog")
+        .option("path", srcRoot).load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("txlog").option("path", root).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.unset(TxStreamingWrite.maxOpenWritersKey)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val adds = TxLog.snapshot(fs,
+      new org.apache.hadoop.fs.Path(root)).adds
+    val perFrag = adds.groupBy(_.partitionValues("frag"))
+      .view.mapValues(_.size).toMap
+    assert(perFrag("a") === 1,
+      s"the dominant fragment must keep ONE open writer, got $perFrag")
+    assert(tab.read().count() === 80)
+  }
+
   test("GENERATED / DEFAULT columns the stream omits are computed " +
       "executor-side — a generated column even routes PARTITIONS") {
     val root = fresh("gen")
