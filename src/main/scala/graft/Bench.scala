@@ -62,6 +62,9 @@ object Bench {
     // metrics sink parity (reference: spark/conf/metrics.properties →
     // Prometheus): run-level counters land in METRICS_REPORT.json at exit
     val metrics = graft.core.RunMetrics.install(spark)
+    // live scrape surface (opt-in, SPARK_GRAFT_METRICS_PORT): a scraper
+    // can poll the bench while it runs; one O(1) snapshot per scrape
+    val scrape = graft.core.MetricsHttp.fromEnv(spark, metrics)
     // warm the session (JIT, codegen, parquet footer caches) so the first
     // measured query is not charged ~3s of JVM startup
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -254,6 +257,7 @@ object Bench {
         "event_log_dir" -> eventDir.toString)): Unit
     catch { case e: Exception =>
       System.err.println(s"[bench] metrics report write failed: $e") }
+    scrape.foreach(_.stop())
     spark.stop()
   }
 }

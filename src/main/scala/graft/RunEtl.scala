@@ -42,6 +42,11 @@ object RunEtl {
     // metrics sink parity (reference: spark/conf/metrics.properties →
     // Prometheus): run-level counters land in METRICS_REPORT.json at exit
     val metrics = graft.core.RunMetrics.install(spark)
+    // live scrape surface (reference's PrometheusServlet mount), opt-in:
+    // SPARK_GRAFT_METRICS_PORT=9091 serves /metrics/prometheus for the
+    // run's lifetime; unset keeps the batch-artifact-only default
+    val scrape = graft.core.MetricsHttp.fromEnv(spark, metrics)
+    scrape.foreach(s => System.err.println(s"[run_etl] metrics at ${s.url}"))
 
     // the reference's runtime-loaded expectation suites: when the repo's
     // expectations/ dir is present, each node's DQ gate resolves
@@ -83,6 +88,7 @@ object RunEtl {
       graft.core.LineageRunReport.snapshot)
     catch { case e: Exception =>
       System.err.println(s"[run_etl] lineage report write failed: $e") }
+    scrape.foreach(_.stop())
     spark.stop()
   }
 }

@@ -430,7 +430,104 @@ object PipelineQueries {
            |WHERE s_acctbal >= 0
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The reference's checkpoint ORCHESTRATION layer on the driver gate
+    * (etl/utils/base_table.py:177-196: `context.run_checkpoint(
+    * checkpoint_name="data_quality_checkpoint", validations=[...])`):
+    * the YAML config under great_expectations/checkpoints/ drives which
+    * post-validation actions run (store result, store eval params,
+    * update data docs), and the run returns per-expectation results the
+    * caller gates on — it never throws on a failed expectation. Two
+    * runs in one query: the repo's shipped suites (all pass), then a
+    * steward-tightened suite at the reference's literal 100k bound
+    * (which TPC-H daily means exceed — the max check must come back
+    * success=false AS A RESULT, with the other actions still running).
+    * The oracle recomputes every success boolean from the raw parquet;
+    * REQUIREs pin the action side effects (stored JSONs, data docs).
+    */
+  val dqCheckpoint = Q(
+    "pipeline_dq_checkpoint",
+    (s, dir) => {
+      import java.nio.file.{Files, Paths}
+      import graft.checks.Checkpoint
+      val cfg = Checkpoint.load(
+        "great_expectations/checkpoints/data_quality_checkpoint.yml")
+      require(cfg.actions.map(_.name) == Seq("store_validation_result",
+        "store_evaluation_params", "update_data_docs"),
+        s"checkpoint action order must follow the config: ${cfg.actions}")
+      val root = Files.createTempDirectory("graft_ge_store")
+      // dry-run lineage: bronze orders + gold daily metrics, no writes
+      val rf = new Rainforest(EtlContext(
+        s, RainforestFromTpch(dir), basePath = "unused",
+        writeData = false, clock = FixedClock.default))
+      val orders = rf.ctx.registry.runOnce(rf.orders).data
+      val gold = rf.ctx.registry.runOnce(rf.dailyOrderMetrics).data
+      val harness = Checkpoint.run(cfg,
+        Seq(orders -> "orders", gold -> "daily_order_metrics"),
+        "expectations", root)
+      // steward tightens the bound to the reference's literal 100k in a
+      // side suite dir: the checkpoint REPORTS the failure (and still
+      // stores + publishes it), the caller decides
+      val tight = Files.createTempDirectory("graft_ge_tight")
+      Files.writeString(tight.resolve("daily_order_metrics.json"),
+        """{"expectation_suite_name": "daily_order_metrics",
+          | "expectations": [
+          |  {"expectation_type": "expect_column_max_to_be_between",
+          |   "kwargs": {"column": "total_price_mean",
+          |              "min_value": 0, "max_value": 100000,
+          |              "strict_max": "True"}}
+          |]}""".stripMargin)
+      val refBound = Checkpoint.run(cfg,
+        Seq(gold -> "daily_order_metrics"), tight.toString, root)
+      require(refBound.exists(!_.success),
+        "the reference's 100k bound must fail on TPC-H daily means")
+      // orchestration side effects, in the config's action order
+      Seq("validations/orders.json",
+        "validations/daily_order_metrics.json",
+        "evaluation_parameters/daily_order_metrics.json",
+        "data_docs/index.html", "data_docs/orders.html",
+        "data_docs/daily_order_metrics.html").foreach { p =>
+        require(Files.exists(root.resolve(p)), s"missing artifact $p")
+      }
+      val docs = Files.readString(
+        root.resolve("data_docs/daily_order_metrics.html"))
+      require(docs.contains("FAIL"),
+        "data docs must publish the failed expectation")
+      import s.implicits._
+      val rows =
+        harness.flatMap(r => r.results.map(e =>
+          ("harness", r.suite, e.description, e.success))) ++
+        refBound.flatMap(r => r.results.map(e =>
+          ("reference_bound", r.suite, e.description, e.success)))
+      rows.toDF("run_name", "suite_name", "expectation", "success")
+        .orderBy("run_name", "suite_name", "expectation")
+    },
+    Some("""WITH gold AS (
+           |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+           |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |           / COUNT(o_totalprice) AS total_price_mean
+           |  FROM orders JOIN supplier ON o_custkey = s_suppkey
+           |  WHERE s_acctbal >= 0 GROUP BY 1)
+           |SELECT * FROM (
+           |  SELECT 'harness' AS run_name,
+           |         'daily_order_metrics' AS suite_name,
+           |         'max(total_price_mean) in (0.0, 1000000.0)' AS expectation,
+           |         (MAX(total_price_mean) > 0.0
+           |          AND MAX(total_price_mean) < 1000000.0) AS success
+           |  FROM gold
+           |  UNION ALL
+           |  SELECT 'harness', 'daily_order_metrics', 'unique(order_date)',
+           |         (COUNT(*) = COUNT(DISTINCT order_date)) FROM gold
+           |  UNION ALL
+           |  SELECT 'harness', 'orders', 'unique(order_id)',
+           |         (COUNT(*) = COUNT(DISTINCT o_orderkey)) FROM orders
+           |  UNION ALL
+           |  SELECT 'reference_bound', 'daily_order_metrics',
+           |         'max(total_price_mean) in (0.0, 100000.0)',
+           |         (MAX(total_price_mean) > 0.0
+           |          AND MAX(total_price_mean) < 100000.0) FROM gold
+           |) ORDER BY run_name, suite_name, expectation""".stripMargin))
+
   val all: Seq[Q] = Seq(dailyOrderReport, dimBuyer, dimSeller, dimProduct,
     brgProductCategory, wideOrders, wideOrderItems, dailyCategoryReport,
-    pinnedPartitionRead, dryRunReport, dqSuiteGate)
+    pinnedPartitionRead, dryRunReport, dqSuiteGate, dqCheckpoint)
 }
