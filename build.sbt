@@ -32,4 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra JVM flags for forked runs (opt-in): the sandbox hypervisor
+  // backs FRESH anonymous pages ~30x slower than it serves touched ones
+  // (measured 0.33 vs 10.5 GiB/s), so a heap growing from default -Xms
+  // toward a large -Xmx faults pages mid-measurement — 3 s young GCs,
+  // 15x stream drains. Benchmark legs pass
+  // SPARK_GRAFT_JVM_EXTRA="-Xms48g -XX:+AlwaysPreTouch" to pay the
+  // page-backing cost ONCE at JVM startup, outside measured queries.
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

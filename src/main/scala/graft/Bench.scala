@@ -57,6 +57,14 @@ object Bench {
       .config("spark.eventLog.enabled", "true")
       .config("spark.eventLog.compress", "true")
       .config("spark.eventLog.dir", eventDir.toUri.toString)
+      // local-mode hardening: executor == driver JVM, so a heartbeat
+      // timeout during a VM-level stall (this sandbox visibly pauses
+      // for minutes under host contention — BASELINE.md host-drift
+      // notes) "removes" the only executor and strands the rest of the
+      // run with a dead context. Nothing is being detected that a
+      // single-JVM run could act on; give the loopback heartbeat the
+      // same tolerance as a long GC pause.
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // metrics sink parity (reference: spark/conf/metrics.properties →

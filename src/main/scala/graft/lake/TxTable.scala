@@ -1850,6 +1850,65 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     sys.error("unreachable")
   }
 
+  /** ALTER ... ALTER COLUMN ... TYPE (Delta's typeWidening feature as
+    * EXPLICIT DDL, not just write-time merge): METADATA-ONLY — routes
+    * through the same [[evolve]] widening path schema-merge writes use
+    * (the strictly-wider chain, the bloom-hash-family guard, the
+    * reader+writer `typeWidening` feature stamps), so the DDL and the
+    * merge path cannot drift. Zero data IO at any table size: parquet
+    * natively upcasts a narrower physical column into the wider
+    * declared type on read. Non-widening changes refuse with evolve's
+    * message; same-type is idempotent. */
+  def widenColumnType(colName: String, typeDdl: String): Long = {
+    val to = DataType.fromDDL(typeDdl)
+    var attempt = 0
+    while (true) {
+      val snap = metaSnapshot()._1
+      gateWriter(snap.meta)
+      val cur = snap.meta.schema
+      require(cur.fieldNames.contains(colName),
+        s"no column $colName in $root")
+      if (cur(colName).dataType == to) return snap.version
+      val incoming = StructType(cur.fields.map(f =>
+        if (f.name == colName) f.copy(dataType = to) else f))
+      val meta = evolve(snap.meta, incoming)
+      val entries = Seq(LogEntry(meta = Some(meta)),
+        LogEntry(info = Some(Info("WIDEN_COLUMN", snap.version))))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"widenColumnType on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
+  /** ALTER ... ALTER COLUMN ... COMMENT — metadata-only; the comment
+    * rides the schema field's metadata (where DESCRIBE reads it),
+    * preserving every other metadata key (column-mapping physical
+    * names, identity/generated specs). */
+  def setColumnComment(colName: String, comment: String): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = metaSnapshot()._1
+      gateWriter(snap.meta)
+      val cur = snap.meta.schema
+      require(cur.fieldNames.contains(colName),
+        s"no column $colName in $root")
+      val updated = StructType(cur.fields.map(f =>
+        if (f.name == colName) f.withComment(comment) else f))
+      val meta = snap.meta.copy(schemaJson = updated.json)
+      val entries = Seq(LogEntry(meta = Some(meta)),
+        LogEntry(info = Some(Info("COMMENT_COLUMN", snap.version))))
+      if (TxLog.tryCommit(fs, root, snap.version + 1, entries))
+        return snap.version + 1
+      attempt += 1
+      require(attempt < maxRetries,
+        s"setColumnComment on $root lost $maxRetries races")
+    }
+    sys.error("unreachable")
+  }
+
   /** NOT NULL constraint (Delta's column invariant): every future
     * write must carry the column, non-null in every row — the one
     * constraint CHECK cannot express (SQL's CHECK rule passes NULL).

@@ -326,6 +326,14 @@ object TxCatalog {
       case u: TableChange.UpdateColumnNullability =>
         if (u.nullable) tab.dropNotNull(u.fieldNames()(0))
         else tab.addNotNull(u.fieldNames()(0)): Unit
+      case t: TableChange.UpdateColumnType =>
+        require(t.fieldNames.length == 1,
+          "txlog ALTER supports top-level columns only")
+        tab.widenColumnType(t.fieldNames()(0), t.newDataType().sql): Unit
+      case c: TableChange.UpdateColumnComment =>
+        require(c.fieldNames.length == 1,
+          "txlog ALTER supports top-level columns only")
+        tab.setColumnComment(c.fieldNames()(0), c.newComment()): Unit
       case p: TableChange.SetProperty =>
         tab.setTblProperties(Map(p.property -> p.value)): Unit
       case p: TableChange.RemoveProperty =>

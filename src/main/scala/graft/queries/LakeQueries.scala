@@ -2337,16 +2337,17 @@ object LakeQueries {
            |WHERE o_totalprice >= 50000
            |ORDER BY o_orderkey""".stripMargin))
 
-  /** TYPE WIDENING (Delta's typeWidening): the table is created with
-    * INT keys and FLOAT prices; an append carrying LONG keys past the
-    * int range and DOUBLE prices widens both columns IN PLACE —
-    * in-query REQUIREs pin that not one old file was rewritten and
-    * that both protocol halves stamped the feature. The whole-table
-    * read then mixes physically-narrow old files (upcast natively by
-    * the parquet reader) with wide new ones; the oracle reconstructs
-    * the same values relationally — DuckDB's REAL→DOUBLE widening is
-    * the same IEEE-exact upcast, so a single drifted bit breaks the
-    * hash.
+  /** TYPE WIDENING (Delta's typeWidening), BOTH routes: the explicit
+    * DDL (`ALTER COLUMN ... TYPE`, smallint→int via
+    * [[TxTable.widenColumnType]] — idempotent, narrowing refuses) and
+    * write-time merge (an append carrying LONG keys past the int range
+    * and DOUBLE prices widens both columns IN PLACE). In-query
+    * REQUIREs pin that not one old file was rewritten and that both
+    * protocol halves stamped the feature. The whole-table read then
+    * mixes physically-narrow old files (upcast natively by the parquet
+    * reader) with wide new ones; the oracle reconstructs the same
+    * values relationally — DuckDB's REAL→DOUBLE widening is the same
+    * IEEE-exact upcast, so a single drifted bit breaks the hash.
     */
   val extLakeTypeWidening = Q(
     "ext_lake_type_widening",
@@ -2357,34 +2358,52 @@ object LakeQueries {
       val tab = new TxTable(s, scratch("lake_widen", dir))
       tab.create(orders.where($"o_orderkey" % 2 === 0)
         .select($"o_orderkey".cast("int").as("o_orderkey"),
-          $"o_totalprice".cast("float").as("price_f")))
+          $"o_totalprice".cast("float").as("price_f"),
+          ($"o_orderkey" % 100).cast("smallint").as("o_qty")))
       val fs = new org.apache.hadoop.fs.Path(scratch("lake_widen", dir))
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val rootP = new org.apache.hadoop.fs.Path(scratch("lake_widen", dir))
       val before = graft.lake.TxLog.snapshot(fs, rootP)
         .adds.map(_.path).toSet
+      // EXPLICIT DDL widening (ALTER COLUMN ... TYPE, not a merge):
+      // smallint → int before any int data exists; idempotent repeat
+      // commits nothing; a NARROWING attempt refuses
+      val vDdl = tab.widenColumnType("o_qty", "int")
+      require(tab.widenColumnType("o_qty", "int") == vDdl,
+        "same-type ALTER COLUMN TYPE must be idempotent (no new commit)")
+      val narrowRefused =
+        try { tab.widenColumnType("o_orderkey", "smallint"); false }
+        catch { case _: IllegalArgumentException => true }
+      require(narrowRefused, "a NARROWING ALTER COLUMN TYPE must refuse")
+      // merge-path widening in the same table: long keys + double
+      // prices arrive; o_qty rides along already-wide
       tab.append(orders.where($"o_orderkey" % 2 === 1)
         .select(($"o_orderkey" + 10000000000L).as("o_orderkey"),
-          $"o_totalprice".as("price_f")))
+          $"o_totalprice".as("price_f"),
+          ($"o_orderkey" % 100).cast("int").as("o_qty")))
       val snap = graft.lake.TxLog.snapshot(fs, rootP)
       require(before.subsetOf(snap.adds.map(_.path).toSet),
         "type widening must be metadata-only — no old file rewritten")
       require(snap.meta.schema("o_orderkey").dataType ==
         org.apache.spark.sql.types.LongType &&
         snap.meta.schema("price_f").dataType ==
-        org.apache.spark.sql.types.DoubleType,
-        "both columns must widen in place")
+        org.apache.spark.sql.types.DoubleType &&
+        snap.meta.schema("o_qty").dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        "all three columns must widen in place (two merge, one DDL)")
       require(snap.meta.features.contains("typeWidening") &&
         snap.meta.writerFeats.contains("typeWidening"),
         "typeWidening must stamp both protocol halves")
       tab.read().orderBy($"o_orderkey")
     },
     Some("""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
-           |       CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price_f
+           |       CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price_f,
+           |       CAST(o_orderkey % 100 AS INT) AS o_qty
            |FROM orders WHERE o_orderkey % 2 = 0
            |UNION ALL
            |SELECT o_orderkey + 10000000000,
-           |       o_totalprice
+           |       o_totalprice,
+           |       CAST(o_orderkey % 100 AS INT)
            |FROM orders WHERE o_orderkey % 2 = 1
            |ORDER BY o_orderkey""".stripMargin))
 

@@ -431,4 +431,52 @@ class TxCatalogSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("does not resolve"))
   }
+
+  test("ALTER COLUMN TYPE widens by identifier (metadata-only), " +
+      "narrowing refuses, and COMMENT lands where DESCRIBE reads it") {
+    import spark.implicits._
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.widen")
+    spark.sql("CREATE TABLE tcat.widen.t (k INT, v STRING) USING txlog")
+    spark.sql("INSERT INTO tcat.widen.t VALUES (1, 'a'), (2, 'b')")
+    val root = graft.lake.catalog.TxCatalog
+      .resolve(Seq("tcat", "widen", "t")).get
+    val filesBefore = spark.table("tcat.widen.t").inputFiles.toSet
+
+    spark.sql("ALTER TABLE tcat.widen.t ALTER COLUMN k TYPE BIGINT")
+    // metadata-only: same files, wider declared type, feature stamped
+    assert(spark.table("tcat.widen.t").inputFiles.toSet === filesBefore)
+    assert(spark.table("tcat.widen.t").schema("k").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val tab = new TxTable(spark, root)
+    val meta = TxLog.snapshot(
+      new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(root)).meta
+    assert(meta.features.contains("typeWidening") &&
+      meta.writerFeats.contains("typeWidening"))
+    // long rows past the int range now land; old narrow files upcast
+    spark.sql("INSERT INTO tcat.widen.t VALUES (10000000000, 'c')")
+    assert(spark.sql("SELECT sum(k) FROM tcat.widen.t").head.getLong(0)
+      === 10000000003L)
+
+    // narrowing refuses loudly through the same DDL
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE tcat.widen.t ALTER COLUMN k TYPE INT")
+    }
+    assert(err.getMessage.contains("WIDENING") ||
+      err.getMessage.toLowerCase.contains("widen"), err.getMessage)
+
+    // COMMENT rides the schema field metadata, preserving the
+    // column-mapping physical name DESCRIBE/read depend on
+    spark.sql("ALTER TABLE tcat.widen.t ALTER COLUMN v " +
+      "COMMENT 'free-text note'")
+    val desc = spark.sql("DESCRIBE TABLE tcat.widen.t")
+      .where($"col_name" === "v").select($"comment")
+      .as[String].collect()
+    assert(desc.toSeq === Seq("free-text note"))
+    assert(spark.sql("SELECT sum(k) FROM tcat.widen.t").head.getLong(0)
+      === 10000000003L, "reads must survive the comment commit")
+    assert(tab.history().count() >= 1)
+  }
 }
