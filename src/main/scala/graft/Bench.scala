@@ -108,6 +108,10 @@ object Bench {
     def measure(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (String, Double, Boolean) = {
+      // label every job this query submits (optimization guide §1.5) so
+      // the event log attributes jobs to queries — zero-cost metadata,
+      // same timed work
+      spark.sparkContext.setJobDescription(name)
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -118,6 +122,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
+      spark.sparkContext.setJobDescription(null)
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val qmap = SparkEntry.queries.filter(kv => selected(kv._1))
