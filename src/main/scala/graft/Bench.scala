@@ -48,7 +48,7 @@ object Bench {
     val eventDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir", "/tmp"), "graft_spark_events")
     java.nio.file.Files.createDirectories(eventDir)
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -16,8 +16,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet schema per (dir, table), inferred once per JVM: the driver
+    * data is immutable, so re-running footer inference — a Spark job per
+    * `spark.read.parquet` — for every one of the ~240 source loads a
+    * bench pass makes is pure fixed cost (measured: 12 s of jobs plus
+    * their planning gaps, round-14 event-log profile). Metadata only —
+    * no row ever lives here. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     // The driver has shipped events.ts under three parquet encodings across
     // rounds: TIMESTAMP(NANOS) (readable only as a long under
     // spark.sql.legacy.parquet.nanosAsLong, set in every session),

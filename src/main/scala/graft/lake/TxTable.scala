@@ -3192,17 +3192,23 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         else {
           cdfFiles.foreach(c => require(fs.exists(new Path(root, c.path)),
             s"change data of commit $v at $root was vacuumed"))
-          // change-data files store physical names directly
-          val df = spark.read.parquet(
+          // change-data files store physical names directly. The read
+          // schema is fully known from the head meta (physical names,
+          // all nullable): a file captured before a column existed
+          // reads null in it — exactly what the old per-file
+          // schema-inference + null-padding produced, minus the footer
+          // inference Spark job every feed read paid.
+          val cdfSchema = StructType(
+            head.meta.schema.fields.toSeq.map(f =>
+              f.copy(name = head.meta.physicalOf(f.name),
+                nullable = true)) ++
+            (if (withRowIds) Seq(StructField(RowIdCol, LongType)) else Nil)
+              :+ StructField("_change_type", StringType))
+          val df = spark.read.schema(cdfSchema).parquet(
             cdfFiles.map(c => new Path(root, c.path).toString): _*)
-          val idCol =
-            if (!withRowIds) Nil
-            else if (df.columns.contains(RowIdCol)) Seq(col(RowIdCol))
-            else Seq(lit(null).cast("long").as(RowIdCol))
+          val idCol = if (withRowIds) Seq(col(RowIdCol)) else Nil
           val aligned = df.select(head.meta.schema.fields.map { f =>
-            val p = head.meta.physicalOf(f.name)
-            if (df.columns.contains(p)) col(p).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
+            col(head.meta.physicalOf(f.name)).as(f.name)
           }.toIndexedSeq ++ idCol :+ col("_change_type"): _*)
           Some(stamp(aligned))
         }
@@ -3795,17 +3801,23 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     (if (meta.partitionCols.nonEmpty) w.partitionBy(meta.partitionCols: _*) else w)
       .parquet(stagePath.toString)
 
-    // A partitioned write of zero rows lands no part files at all; the
-    // stats read below would fail schema inference on the bare directory.
-    val anyFile = {
+    // One staging-dir walk collects the leaf files (a partitioned write
+    // of zero rows lands none at all); handing stagedAdds the explicit
+    // file list plus the known physical schema lets the stats pass skip
+    // BOTH footer schema inference (its own Spark job per commit —
+    // round-14 profile: mergeSchemasInParallel inside every stagedAdds)
+    // and partition-directory discovery.
+    val leaves = {
       val it = fs.listFiles(stagePath, true)
-      var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.endsWith(".parquet")
-      found
+      val buf = Vector.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet")) buf += p.toString
+      }
+      buf.result()
     }
-    if (!anyFile) return Vector.empty
-    stagedAdds(Seq(stagePath.toString), meta, df.schema.fieldNames.toSet)
+    if (leaves.isEmpty) return Vector.empty
+    stagedAdds(leaves, meta, df.schema.fieldNames.toSet)
   }
 
   /** Add actions for already-staged parquet (a staging DIRECTORY from
@@ -3831,10 +3843,21 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       .map(f => meta.physicalOf(f.name) -> f.dataType) ++
       (if (present.contains(RowIdCol))
         Seq(RowIdCol -> (LongType: DataType)) else Nil)
-    // Plain read of the staged dir/files: partition discovery is
-    // consistent within one staging root (and only data columns feed
-    // the stats anyway).
-    val staged = spark.read.parquet(paths: _*)
+    // Explicit-schema read of the staged leaf files: the stats pass
+    // needs no partition columns (their values come from the PATH via
+    // partValues) and the physical data schema is fully known from
+    // `meta` + `present`, so footer schema inference — a Spark job of
+    // its own per commit — is skipped. Absent columns are excluded by
+    // `present`; extra schema fields a file lacks read as null and feed
+    // no aggregate.
+    val readSchema = StructType(
+      meta.schema.fields.toSeq
+        .filterNot(f => meta.partitionCols.contains(f.name))
+        .filter(f => present.contains(f.name))
+        .map(f => f.copy(name = meta.physicalOf(f.name), nullable = true)) ++
+        (if (present.contains(RowIdCol))
+          Seq(StructField(RowIdCol, LongType)) else Nil))
+    val staged = spark.read.schema(readSchema).parquet(paths: _*)
     // STRING columns also carry a small per-file HLL sketch (lgK=9,
     // ~300 B base64): sketches UNION exactly across files, so the
     // catalog's estimateStatistics can report a real distinct-count
@@ -4045,8 +4068,9 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     phys.write.mode("overwrite").parquet(stagePath.toString)
     // byte size recorded AT CAPTURE (like Add.bytes): the feed planner
     // splits captured files from log metadata alone — no per-file
-    // driver fs round-trip per micro-batch
-    spark.read.parquet(stagePath.toString)
+    // driver fs round-trip per micro-batch. The schema is the frame
+    // just written — passing it skips the footer-inference Spark job.
+    spark.read.schema(phys.schema).parquet(stagePath.toString)
       .groupBy(col("_metadata.file_path").as("__f"))
       .agg(count(lit(1L)).as("__rows"),
         first(col("_metadata.file_size")).as("__bytes"))

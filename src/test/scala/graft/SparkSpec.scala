@@ -13,7 +13,10 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    // SessionTuning here too: every suite then exercises the NIO local
+    // filesystem the benched engine runs on (a regression in it fails
+    // the whole suite, not just the bench)
+    val s = SessionTuning(SparkSession.builder())
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
