@@ -514,6 +514,44 @@ object TxLog {
     s.split('\n').iterator.map(_.trim).filter(_.nonEmpty)
       .map(Serialization.read[LogEntry](_)).toSeq
 
+  /** Parsed-entry cache for the log's WRITE-ONCE files (commits,
+    * compacted ranges, JSON checkpoints — all published by an atomic
+    * claim and never rewritten): every snapshot resolution replays the
+    * tail commits, so without this a K-commit script re-reads and
+    * re-json4s-parses the same files O(K²) times per query (reflection-
+    * based parse is the driver-gap cost the round-14 samples caught in
+    * `TxLog.render`/scalap). Keyed by path and guarded by (length,
+    * mtime): a scratch root wiped and re-created at the same path —
+    * every bench re-run does this — misses instead of serving stale
+    * entries. Entries are immutable case classes, safe to share.
+    * Bounded LRU; ~2k files ≈ a few MB of Adds. */
+  private val parsedCache =
+    new java.util.LinkedHashMap[String, (Long, Long, Seq[LogEntry])](
+      256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Seq[LogEntry])])
+          : Boolean = size > 2048
+    }
+
+  /** Read + parse `p` through [[parsedCache]]. Callers must have
+    * established existence (the cache lookup re-stats the file anyway
+    * and throws FileNotFoundException like `open` would). */
+  private def parseCached(fs: FileSystem, p: Path): Seq[LogEntry] = {
+    val st = fs.getFileStatus(p)
+    val key = p.toString
+    parsedCache.synchronized {
+      val hit = parsedCache.get(key)
+      if (hit != null && hit._1 == st.getLen &&
+          hit._2 == st.getModificationTime)
+        return hit._3
+    }
+    val es = parse(readString(fs, p))
+    parsedCache.synchronized {
+      parsedCache.put(key, (st.getLen, st.getModificationTime, es)): Unit
+    }
+    es
+  }
+
   /** Atomically publish `content` as commit `version`. Returns false if
     * the version was already claimed by a concurrent writer (the caller
     * must re-resolve and retry). HOW the claim is made is per-scheme
@@ -981,14 +1019,14 @@ object TxLog {
   def commitEntries(fs: FileSystem, root: Path, version: Long): Seq[LogEntry] = {
     val p = commitFile(root, version)
     require(fs.exists(p), s"missing commit $version at $root (vacuumed?)")
-    parse(readString(fs, p))
+    parseCached(fs, p)
   }
 
   /** The commitInfo action of one commit, if recorded. */
   def commitInfo(fs: FileSystem, root: Path, version: Long): Option[Info] = {
     val p = commitFile(root, version)
     require(fs.exists(p), s"missing commit $version at $root")
-    parse(readString(fs, p)).flatMap(_.info).headOption
+    parseCached(fs, p).flatMap(_.info).headOption
   }
 
   /** [[commitInfo]] in O(64 KB) instead of O(commit size): every
@@ -1082,7 +1120,7 @@ object TxLog {
         if ((v - 1) % checkpointInterval == 0 && end <= target)
           scala.util.Try {
             val f = compactedFile(root, v, end)
-            if (fs.exists(f)) Some(parse(readString(fs, f))) else None
+            if (fs.exists(f)) Some(parseCached(fs, f)) else None
           }.toOption.flatten
         else None
       compacted match {
@@ -1090,7 +1128,7 @@ object TxLog {
         case None =>
           val p = commitFile(root, v)
           require(fs.exists(p), s"missing commit $v at $root (vacuumed?)")
-          out += parse(readString(fs, p))
+          out += parseCached(fs, p)
           v += 1
       }
     }
@@ -1116,7 +1154,7 @@ object TxLog {
     while (v <= end) {
       val p = commitFile(root, v)
       if (!fs.exists(p)) return -1L
-      parse(readString(fs, p)).foreach { e =>
+      parseCached(fs, p).foreach { e =>
         e.meta.foreach(m => meta = Some(m))
         e.add.foreach { a => live(a.path) = a; dead.remove(a.path) }
         e.remove.foreach { r => live.remove(r.path); dead(r.path) = r }
@@ -1159,7 +1197,7 @@ object TxLog {
   private def readCheckpointEntries(fs: FileSystem, root: Path,
       v: Long): Seq[LogEntry] = {
     val json = checkpointFile(root, v)
-    if (fs.exists(json)) parse(readString(fs, json))
+    if (fs.exists(json)) parseCached(fs, json)
     else {
       val pq = checkpointParquetDir(root, v)
       require(fs.exists(new Path(pq, "_SUCCESS")),

@@ -1206,10 +1206,13 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       val ins = applyGenerated(applyDefaults(
         slice.where(col("_change_type").isin("insert", "update_postimage"))
           .drop("_change_type", "_commit_version"), first.meta), first.meta)
-      val dups = ins.groupBy(keyCols.map(col): _*)
-        .count().where(col("count") > 1).limit(1).count()
-      require(dups == 0,
-        s"change slice has duplicate inserted keys on ${keyCols.mkString(",")}")
+      // the duplicate-inserted-keys gate rides the hit-file job below —
+      // one action instead of two per fold (both subtrees execute under
+      // the same collect; the union's first column tags which one a row
+      // came from)
+      val dupProbe = ins.groupBy(keyCols.map(col): _*)
+        .count().where(col("count") > 1).limit(1)
+        .select(lit("dup").as("__k"), lit("").as("__v"))
       val touched = slice.select(keyCols.map(col): _*).distinct()
       var attempt = 0
       while (true) {
@@ -1223,9 +1226,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         val cur = readFiles(snap,
           keyScanPaths(snap, keyCols, touched, nullSafe = true),
           withFileCol = true, withRowId = byId)
-        val hit = nullSafeKeyJoin(cur, touched, keyCols, "left_semi")
-          .select(col(FileCol).as("f")).distinct()
-          .collect().map(r => relPath(r.getString(0))).toSet
+        val probed = nullSafeKeyJoin(cur, touched, keyCols, "left_semi")
+          .select(lit("f").as("__k"), col(FileCol).as("__v")).distinct()
+          .unionByName(dupProbe)
+          .collect()
+        require(!probed.exists(_.getString(0) == "dup"),
+          s"change slice has duplicate inserted keys on ${keyCols.mkString(",")}")
+        val hit = probed.iterator.filter(_.getString(0) == "f")
+          .map(r => relPath(r.getString(1))).toSet
         val affected = snap.adds.filter(a => hit(a.path))
         val tracks = snap.meta.tracksRows
         val idFeed = tracks && snap.meta.cdf
@@ -2788,16 +2796,26 @@ final class TxTable(spark: SparkSession, rootStr: String) {
       require(df.columns.contains(c),
         s"write omits NOT NULL column $c — commit refused")
     }
+    // ONE conditional-aggregation pass probes every constraint at once
+    // (the previous shape scanned the frame once per CHECK plus once for
+    // NOT NULL — K clean scans for K constraints; violation-free data,
+    // the common case, pays the full scan either way, so a single pass
+    // is strictly cheaper at any scale). Per-constraint error messages
+    // are preserved via one flag column each.
     val present = required.filter(df.columns.contains)
-    if (present.nonEmpty) {
-      val anyNull = present.map(col(_).isNull).reduce(_ || _)
-      require(df.where(anyNull).limit(1).count() == 0,
-        s"write carries NULL in NOT NULL column(s) " +
-          s"${present.mkString(",")} — commit refused")
-    }
-    meta.checkExprs.foreach { c =>
-      val bad = df.where(!coalesce(expr(c), lit(true))).limit(1).count()
-      require(bad == 0, s"write violates CHECK ($c) — commit refused")
+    val probes: Seq[(Column, String)] =
+      (if (present.isEmpty) Nil
+       else Seq(present.map(col(_).isNull).reduce(_ || _) ->
+         (s"write carries NULL in NOT NULL column(s) " +
+           s"${present.mkString(",")} — commit refused"))) ++
+      meta.checkExprs.map(c => (!coalesce(expr(c), lit(true))) ->
+        s"write violates CHECK ($c) — commit refused")
+    if (probes.nonEmpty) {
+      val aggs = probes.zipWithIndex.map { case ((c, _), i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__viol_$i") }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      probes.zipWithIndex.foreach { case ((_, msg), i) =>
+        require(row.isNullAt(i) || row.getLong(i) == 0L, msg) }
     }
   }
 
@@ -4068,16 +4086,37 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     phys.write.mode("overwrite").parquet(stagePath.toString)
     // byte size recorded AT CAPTURE (like Add.bytes): the feed planner
     // splits captured files from log metadata alone — no per-file
-    // driver fs round-trip per micro-batch. The schema is the frame
-    // just written — passing it skips the footer-inference Spark job.
-    spark.read.schema(phys.schema).parquet(stagePath.toString)
-      .groupBy(col("_metadata.file_path").as("__f"))
-      .agg(count(lit(1L)).as("__rows"),
-        first(col("_metadata.file_size")).as("__bytes"))
-      .collect()
-      .map(r => Cdf(relPath(r.getAs[String]("__f")), r.getAs[Long]("__rows"),
-        bytes = Some(r.getAs[Long]("__bytes"))))
-      .toVector
+    // driver fs round-trip per micro-batch. The feed needs only
+    // (rows, bytes) per file — both sit in metadata the committer
+    // already has: bytes from the directory listing, rows from the
+    // parquet FOOTER. Below [[TxTable.cdfFooterStatsMaxFilesKey]] files
+    // (default 64) the driver reads the footers directly — no Spark
+    // job at all, ~1 ms/file on local disks; a capture landing more
+    // files (the 100 TB shape) keeps the distributed pass, whose
+    // explicit schema skips footer re-inference. Zero-row files carry
+    // no Cdf action in either path (a row-group-less footer is exactly
+    // the no-group case of the aggregate).
+    val listed = fs.listStatus(stagePath)
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    if (listed.length <= TxTable.cdfFooterStatsMaxFiles(spark)) {
+      listed.iterator.map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, spark.sparkContext.hadoopConfiguration)
+        val rows = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }
+        Cdf(relPath(st.getPath.toString), rows, bytes = Some(st.getLen))
+      }.filter(_.rows > 0L).toVector
+    } else
+      spark.read.schema(phys.schema).parquet(stagePath.toString)
+        .groupBy(col("_metadata.file_path").as("__f"))
+        .agg(count(lit(1L)).as("__rows"),
+          first(col("_metadata.file_size")).as("__bytes"))
+        .collect()
+        .map(r => Cdf(relPath(r.getAs[String]("__f")), r.getAs[Long]("__rows"),
+          bytes = Some(r.getAs[Long]("__bytes"))))
+        .toVector
   }
 
   /** The commit-tail entries for a mutating op under optional change
@@ -4140,6 +4179,18 @@ object TxTable {
     * registers ≈ 3–4 % relative error — plenty for CBO join costing —
     * at ~300 base64 bytes per column per file in the log. */
   val statHllLgK = 9
+
+  /** Max change-capture file count for which the committer reads
+    * (rows, bytes) straight from the parquet footers on the driver —
+    * one in-process read per file — instead of running a Spark
+    * aggregation job. Law: the threshold bounds DRIVER work per commit,
+    * not coverage; a capture landing more files (large clusters at
+    * 100 TB) automatically takes the distributed pass. */
+  val cdfFooterStatsMaxFilesKey = "spark.graft.lake.cdfFooterStatsMaxFiles"
+  private[lake] def cdfFooterStatsMaxFiles(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption(cdfFooterStatsMaxFilesKey)
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(64)
 
   /** Validate a TBLPROPERTIES map WITHOUT touching any table — the
     * shared gate for `SET TBLPROPERTIES` and `CREATE TABLE ...
