@@ -32,6 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pre-touch the whole heap at JVM start (untimed) instead of paying
+  // the hypervisor's slow fresh-page backing (~0.33 GiB/s measured,
+  // BASELINE.md) inside measured queries as the heap grows — the
+  // recording legs always passed this via SPARK_GRAFT_JVM_EXTRA; the
+  // driver's own runs get the same stability by default now. An
+  // explicit -Xms in SPARK_GRAFT_JVM_EXTRA still wins (appended later).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 ) ++
   // extra JVM flags for forked runs (opt-in): the sandbox hypervisor
   // backs FRESH anonymous pages ~30x slower than it serves touched ones

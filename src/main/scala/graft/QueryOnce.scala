@@ -14,7 +14,7 @@ object QueryOnce {
     val sfDir =
       if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = math.min(Runtime.getRuntime.availableProcessors, 32)
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

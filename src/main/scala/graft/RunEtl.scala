@@ -27,7 +27,7 @@ object RunEtl {
     val eventDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir", "/tmp"), "graft_spark_events")
     java.nio.file.Files.createDirectories(eventDir)
-    val spark = SparkSession.builder()
+    val spark = SessionTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName("graft-etl")
       .config("spark.sql.shuffle.partitions", cpus)
