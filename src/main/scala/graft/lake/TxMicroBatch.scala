@@ -247,10 +247,35 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
       : Array[InputPartition] = {
     val sqlConf = spark.sessionState.conf
     val baseConf = spark.sessionState.newHadoopConf()
-    val maxSplit = sqlConf.filesMaxPartitionBytes
+    // Split size follows FileSourceScanExec's law — min(maxPartitionBytes,
+    // max(openCostInBytes, totalBytes / parallelism)) — NOT a flat
+    // maxPartitionBytes: a flat 128 MB split planned a whole 100+ MB
+    // micro-batch as ONE task while the V1 source fanned the same files
+    // across every core, which is exactly the 1.8× dsv2-vs-V1 sf10 gap
+    // the round-14 pinned-order experiment settled (BASELINE.md). File
+    // lengths come from the log's Add/Cdf bytes; only legacy entries
+    // without them pay one fs stat.
+    val resolved: Seq[(SliceFiles, Seq[(Path, Long, Map[String, String])])] =
+      slices.map { sl =>
+        sl -> sl.files.map { case (rel, bytesOpt, pv) =>
+          val qualified = fs.makeQualified(new Path(root, rel))
+          (qualified,
+            bytesOpt.getOrElse(fs.getFileStatus(qualified).getLen), pv)
+        }
+      }
+    val openCost = sqlConf.filesOpenCostInBytes
+    val parallelism = sqlConf.filesMinPartitionNum.getOrElse(
+      sqlConf.getConf(org.apache.spark.sql.internal.SQLConf
+        .LEAF_NODE_DEFAULT_PARALLELISM)
+        .getOrElse(spark.sparkContext.defaultParallelism))
+    val totalBytes = resolved.iterator.flatMap(_._2)
+      .map(_._2 + openCost).sum
+    val bytesPerCore = totalBytes / math.max(1, parallelism)
+    val maxSplit = math.min(sqlConf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
     val descs = Vector.newBuilder[TxSliceReaders]
     val partitions = Vector.newBuilder[InputPartition]
-    slices.zipWithIndex.foreach { case (sl, i) =>
+    resolved.zipWithIndex.foreach { case ((sl, slFiles), i) =>
       val kit = sliceKitCache.getOrElseUpdate(sl.key, {
       val readDataSchema = sl.readData
       val partitionSchema = StructType(sl.partFields.toArray)
@@ -308,10 +333,7 @@ final class TxMicroBatchStream(spark: SparkSession, rootStr: String,
         outOrder)
       })
       descs += kit
-      val pfs = sl.files.flatMap { case (rel, bytesOpt, pv) =>
-        val abs = new Path(root, rel)
-        val qualified = fs.makeQualified(abs)
-        val len = bytesOpt.getOrElse(fs.getFileStatus(qualified).getLen)
+      val pfs = slFiles.flatMap { case (qualified, len, pv) =>
         val tuple = TxMicroBatchStream.partitionTuple(
           spark, sl.partFields.toIndexedSeq, pv)
         (0L until len by maxSplit).map { off =>

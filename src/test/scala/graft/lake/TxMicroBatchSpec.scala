@@ -379,4 +379,36 @@ class TxMicroBatchSpec extends SparkSpec {
           s"plan was:\n$exec")
     } finally q.stop()
   }
+
+  test("micro-batch split size is scale-adaptive (FileSourceScanExec's " +
+      "law), not a flat maxPartitionBytes") {
+    // A commit of k files must plan k tasks when the batch is small
+    // relative to openCost x parallelism — split = max(openCost,
+    // total/parallelism) makes each file its own partition, exactly
+    // what FileSourceScanExec plans for the same files. The pre-fix
+    // flat-128MB split packed the whole batch into ONE task — at sf10
+    // that read a 100+ MB micro-batch on one core while the V1 source
+    // used every core (the 1.8x dsv2-vs-V1 gap, BASELINE.md round 14).
+    val root = freshRoot("split")
+    val tab = new TxTable(spark, root)
+    tab.create(docs(50000).repartition(4)) // one commit, 4 data files
+    val nFiles = new TxTable(spark, root).read().inputFiles.length
+    assert(nFiles === 4)
+    val stream = new TxMicroBatchStream(spark, root,
+      required = tab.read().schema,
+      pushed = Array.empty,
+      startingVersion = 0L,
+      ignoreChanges = false,
+      maxVersionsPerTrigger = None,
+      defaultLimit = org.apache.spark.sql.connector.read.streaming
+        .ReadLimit.allAvailable())
+    val parts = stream.planInputPartitions(
+      TxVersionOffset(-1L), TxVersionOffset(0L))
+    // openCost (4 MB) dominates these small files, so the packing
+    // charges one openCost per file against a ~(file+openCost) split:
+    // one partition per file — parallelism tracks the file count
+    // instead of collapsing to 1
+    assert(parts.length === nFiles,
+      s"expected $nFiles scale-adaptive partitions, got ${parts.length}")
+  }
 }
