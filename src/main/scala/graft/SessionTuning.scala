@@ -21,6 +21,22 @@ import org.apache.spark.sql.SparkSession
   *     traffic costs ~10 % of every streaming query and protects
   *     against nothing the OS page cache doesn't. Production on object
   *     stores can re-enable it; results are identical either way.
+  *   - whole-stage-codegen class cache raised 100 → 4096 entries
+  *     (`spark.sql.codegen.cache.maxEntries`, static conf): the cache
+  *     is keyed by generated SOURCE, and this engine re-generates
+  *     identical source constantly — every commit's stats pass (same
+  *     table schema), every IVM fold (same fold plan per version),
+  *     every micro-batch (same streaming plan per trigger) — while a
+  *     driver running ~190 distinct queries holds far more than 100
+  *     distinct stages, so the default LRU thrashed and re-paid Janino
+  *     compilation (~10–50 ms/stage) on nearly every action. Measured
+  *     on the commit-heavy lake family, back-to-back same host:
+  *     57.7 s → 51.9 s (−10 %). Not a local-mode tune: any long-lived
+  *     driver — a streaming job re-planning each trigger, a 100 TB
+  *     batch DAG of repeated operator shapes — pays the same
+  *     recompilation; the cost is bounded driver metaspace
+  *     (~tens of KB per cached class). Generated-class caching cannot
+  *     change results, only compile counts.
   *
   * Scheme-specific: HDFS/S3A deployments never load the local-FS
   * classes, so nothing here changes the 100 TB posture — it removes
@@ -32,6 +48,7 @@ object SessionTuning {
     "spark.hadoop.fs.AbstractFileSystem.file.impl" ->
       "graft.hadoop.NioLocalFs",
     "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+    "spark.sql.codegen.cache.maxEntries" -> "4096",
   )
 
   def apply(b: SparkSession.Builder): SparkSession.Builder =

@@ -198,12 +198,14 @@ object Checkpoint {
           s"no expectation suite $suiteDir/$suite.json — the reference " +
             "builds checkpoint validations only for existing suites " +
             "(etl/utils/base_table.py:161-166)"))
-      val per = checks.map { c =>
-        Checks.evaluate(df, Seq(c)) match {
-          case Seq() => ExpectationResult(c.description, success = true, "")
-          case vs => ExpectationResult(c.description, success = false,
-            vs.map(_.detail).mkString("; "))
-        }
+      // ONE aggregation pass per (dataframe, suite) — per-expectation
+      // results come from the same pass (Checks.evaluateEach), not one
+      // Spark job per expectation
+      val per = checks.zip(Checks.evaluateEach(df, checks)).map {
+        case (c, None) =>
+          ExpectationResult(c.description, success = true, "")
+        case (c, Some(v)) =>
+          ExpectationResult(c.description, success = false, v.detail)
       }
       ValidationResult(suite, per)
     }

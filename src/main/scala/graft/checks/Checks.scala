@@ -60,59 +60,103 @@ final case class CheckViolation(check: Check, detail: String)
 
 object Checks {
 
-  /** Evaluate all checks; empty result = pass. Each check costs one
-    * aggregation job; uniqueness uses groupBy+count (map-side partial
-    * aggregation, no row materialization on the driver).
+  /** Evaluate all checks; empty result = pass. ONE conditional
+    * aggregation pass probes every check of the suite at once
+    * (optimization guide §1.2 / the same shape as TxTable's merged
+    * constraint gate: K checks previously cost K full scans of the
+    * gated table — on a violation-free load, the common case, every
+    * scan ran to completion, so a single pass is strictly cheaper at
+    * any scale). Per-check details (the measured max, the null ratio,
+    * the row count) come out of the same aggregated row, so the
+    * violation messages are byte-identical to the per-check passes'.
+    * Uniqueness aggregates `count_distinct(struct(cols))` against the
+    * row count — the same null semantics as a groupBy (a struct of
+    * nulls is one group) with map-side partial aggregation.
     */
   def evaluate(df: DataFrame, checks: Seq[Check]): Seq[CheckViolation] =
-    checks.flatMap {
-      case c @ Unique(cols) =>
-        val dup = df.groupBy(cols.map(col): _*).count()
-          .where(col("count") > 1).limit(1).count()
-        if (dup > 0) Some(CheckViolation(c, "duplicate key values present"))
-        else None
-      case c @ MaxInRange(column, lo, hi, strict) =>
-        val row = df.agg(max(col(column).cast("double"))).first()
-        // GE parity: expect_column_max_to_be_between FAILS when the
-        // column has no non-null values (max undefined ⇒ not "between")
-        // — an empty gold table slipping through the gate unnoticed is
-        // exactly what the bound exists to catch (ChecksSpec pins this)
-        if (row.isNullAt(0))
-          Some(CheckViolation(c, "no non-null values: max undefined"))
-        else {
-          val m = row.getDouble(0)
-          val ok = if (strict) m > lo && m < hi else m >= lo && m <= hi
-          if (ok) None else Some(CheckViolation(c, s"max = $m out of range"))
-        }
-      case c @ NotNull(cols) =>
-        val pred = cols.map(col(_).isNull).reduce(_ || _)
-        val bad = df.where(pred).limit(1).count()
-        if (bad > 0) Some(CheckViolation(c, "null values present"))
-        else None
-      case c @ NullRatioBelow(column, maxRatio) =>
-        val row = df.agg(count(lit(1)).as("n"),
-          count(col(column)).as("nn")).first()
-        val n = row.getLong(0)
-        // vacuously true on empty input: a null RATIO bound constrains
-        // composition, not presence — pair with RowCountInRange to catch
-        // empties (unlike MaxInRange, where an undefined max must fail)
-        if (n == 0) None
-        else {
-          val ratio = (n - row.getLong(1)).toDouble / n
-          if (ratio <= maxRatio) None
-          else Some(CheckViolation(c, f"null ratio = $ratio%.4f"))
-        }
-      case c @ RowCountInRange(lo, hi) =>
-        val n = df.count()
-        if (n >= lo && n <= hi) None
-        else Some(CheckViolation(c, s"row count = $n"))
-      case c @ ValuesInSet(column, allowed) =>
-        val bad = df.where(col(column).isNotNull
-          && !col(column).isin(allowed: _*)).limit(1).count()
-        if (bad > 0)
-          Some(CheckViolation(c, "values outside the allowed set"))
-        else None
+    evaluateEach(df, checks).flatten
+
+  /** Per-check results in `checks` order (None = pass) — the single
+    * aggregation pass behind [[evaluate]], exposed so a checkpoint
+    * harness can report every expectation individually without paying
+    * one Spark job per expectation.
+    */
+  def evaluateEach(df: DataFrame,
+      checks: Seq[Check]): Seq[Option[CheckViolation]] = {
+    if (checks.isEmpty) return Nil
+    val aggs = checks.zipWithIndex.flatMap { case (c, i) =>
+      c match {
+        case Unique(cols) => Seq(
+          count(lit(1)).as(s"__n_$i"),
+          count_distinct(struct(cols.map(col): _*)).as(s"__d_$i"))
+        case MaxInRange(column, _, _, _) =>
+          Seq(max(col(column).cast("double")).as(s"__m_$i"))
+        case NotNull(cols) => Seq(
+          sum(when(cols.map(col(_).isNull).reduce(_ || _), 1L)
+            .otherwise(0L)).as(s"__b_$i"))
+        case NullRatioBelow(column, _) => Seq(
+          count(lit(1)).as(s"__n_$i"), count(col(column)).as(s"__nn_$i"))
+        case RowCountInRange(_, _) =>
+          Seq(count(lit(1)).as(s"__n_$i"))
+        case ValuesInSet(column, allowed) => Seq(
+          sum(when(col(column).isNotNull
+            && !col(column).isin(allowed: _*), 1L).otherwise(0L))
+            .as(s"__b_$i"))
+      }
     }
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    def long(name: String): Long =
+      // sum() over zero rows is NULL; every NULL-able probe here means
+      // "no rows matched"
+      if (row.isNullAt(row.fieldIndex(name))) 0L
+      else row.getLong(row.fieldIndex(name))
+    checks.zipWithIndex.map { case (c, i) =>
+      c match {
+        case Unique(_) =>
+          if (long(s"__n_$i") > long(s"__d_$i"))
+            Some(CheckViolation(c, "duplicate key values present"))
+          else None
+        case MaxInRange(_, lo, hi, strict) =>
+          // GE parity: expect_column_max_to_be_between FAILS when the
+          // column has no non-null values (max undefined ⇒ not
+          // "between") — an empty gold table slipping through the gate
+          // unnoticed is exactly what the bound exists to catch
+          // (ChecksSpec pins this)
+          if (row.isNullAt(row.fieldIndex(s"__m_$i")))
+            Some(CheckViolation(c, "no non-null values: max undefined"))
+          else {
+            val m = row.getDouble(row.fieldIndex(s"__m_$i"))
+            val ok = if (strict) m > lo && m < hi else m >= lo && m <= hi
+            if (ok) None
+            else Some(CheckViolation(c, s"max = $m out of range"))
+          }
+        case NotNull(_) =>
+          if (long(s"__b_$i") > 0)
+            Some(CheckViolation(c, "null values present"))
+          else None
+        case NullRatioBelow(_, maxRatio) =>
+          val n = long(s"__n_$i")
+          // vacuously true on empty input: a null RATIO bound
+          // constrains composition, not presence — pair with
+          // RowCountInRange to catch empties (unlike MaxInRange, where
+          // an undefined max must fail)
+          if (n == 0) None
+          else {
+            val ratio = (n - long(s"__nn_$i")).toDouble / n
+            if (ratio <= maxRatio) None
+            else Some(CheckViolation(c, f"null ratio = $ratio%.4f"))
+          }
+        case RowCountInRange(lo, hi) =>
+          val n = long(s"__n_$i")
+          if (n >= lo && n <= hi) None
+          else Some(CheckViolation(c, s"row count = $n"))
+        case ValuesInSet(_, _) =>
+          if (long(s"__b_$i") > 0)
+            Some(CheckViolation(c, "values outside the allowed set"))
+          else None
+      }
+    }
+  }
 }
 
 /** One row-level quality rule: `name` lands in the violation list of any

@@ -810,9 +810,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
     val src = applyGenerated(applyDefaults(source, first.meta),
       first.meta).cache()
     try {
-      val dups = src.groupBy(keyCols.map(col): _*)
-        .count().where(col("count") > 1).limit(1).count()
-      require(dups == 0, s"merge source has duplicate keys on ${keyCols.mkString(",")}")
+      // the ambiguous-source gate (duplicate keys) rides the hit-file
+      // collect below — applyChanges' shape: one action instead of two
+      // per merge (and a streaming foreachBatch merges EVERY batch);
+      // both subtrees execute under the same collect, the union's first
+      // column tags which one a row came from
+      val dupProbe = src.groupBy(keyCols.map(col): _*)
+        .count().where(col("count") > 1).limit(1)
+        .select(lit("dup").as("__k"), lit("").as("__v"))
       var attempt = 0
       while (true) {
         val snap =
@@ -836,9 +841,14 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         val cur = readFiles(snap,
           keyScanPaths(snap, keyCols, keys, nullSafe = false),
           withFileCol = true)
-        val hit = cur.join(keys, keyCols, "left_semi")
-          .select(col(FileCol).as("f")).distinct()
-          .collect().map(r => relPath(r.getString(0))).toSet
+        val probed = cur.join(keys, keyCols, "left_semi")
+          .select(lit("f").as("__k"), col(FileCol).as("__v")).distinct()
+          .unionByName(dupProbe)
+          .collect()
+        require(!probed.exists(_.getString(0) == "dup"),
+          s"merge source has duplicate keys on ${keyCols.mkString(",")}")
+        val hit = probed.iterator.filter(_.getString(0) == "f")
+          .map(r => relPath(r.getString(1))).toSet
         val affected = snap.adds.filter(a => hit(a.path))
         if (affected.nonEmpty) gateAppendOnly(snap.meta, "MERGE")
         // survivors: rows of affected files whose key is NOT in source.
@@ -990,10 +1000,16 @@ final class TxTable(spark: SparkSession, rootStr: String) {
         insertCls.nonEmpty, "MERGE needs at least one clause")
       val src0 = source.cache()
       try {
-        val dups = src0.groupBy(keyCols.map(col): _*)
-          .count().where(col("count") > 1).limit(1).count()
-        require(dups == 0,
-          s"merge source has duplicate keys on ${keyCols.mkString(",")}")
+        // ambiguous-source gate: in the keyed shape it rides the
+        // hit-file collect (merge's one-action pattern); the by-source
+        // shape has no hit collect to ride — it pays its own action
+        val dupProbe = src0.groupBy(keyCols.map(col): _*)
+          .count().where(col("count") > 1).limit(1)
+          .select(lit("dup").as("__k"), lit("").as("__v"))
+        val dupMsg =
+          s"merge source has duplicate keys on ${keyCols.mkString(",")}"
+        if (bySourceCls.nonEmpty)
+          require(dupProbe.limit(1).count() == 0, dupMsg)
         var attempt = 0
         while (true) {
           // a by-source clause touches EVERY target row, so only the
@@ -1018,10 +1034,15 @@ final class TxTable(spark: SparkSession, rootStr: String) {
               val cur = readFiles(snap,
                 keyScanPaths(snap, keyCols, srcKeys, nullSafe = false),
                 withFileCol = true)
-              val hit = cur
+              val probed = cur
                 .join(srcKeys, keyCols, "left_semi")
-                .select(col(FileCol).as("f")).distinct()
-                .collect().map(r => relPath(r.getString(0))).toSet
+                .select(lit("f").as("__k"), col(FileCol).as("__v"))
+                .distinct()
+                .unionByName(dupProbe)
+                .collect()
+              require(!probed.exists(_.getString(0) == "dup"), dupMsg)
+              val hit = probed.iterator.filter(_.getString(0) == "f")
+                .map(r => relPath(r.getString(1))).toSet
               snap.adds.filter(a => hit(a.path))
             }
           if (affected.nonEmpty) gateAppendOnly(snap.meta, "MERGE INTO")

@@ -61,4 +61,40 @@ class ChecksSpec extends SparkSpec {
     assert(Checks
       .evaluate(df, Seq(ValuesInSet("v", Seq("a")))).nonEmpty)
   }
+
+  test("a mixed suite evaluates in ONE pass with per-check fidelity") {
+    // one check of every kind, some failing — results must come back in
+    // check order with the same details the per-check passes produced,
+    // and the whole suite must cost ONE Spark job (the optimization:
+    // K checks previously scanned the gated table K times)
+    val df = Seq((Some(1), "a", 10.0), (Some(1), "b", 99.0),
+      (None, "c", 50.0)).toDF("id", "v", "m")
+    val suite = Seq(
+      Unique(Seq("id")),              // fails: two id=1 (nulls are a group)
+      Unique(Seq("id", "v")),         // passes: pairs unique
+      MaxInRange("m", 0, 99),         // fails strictly: max == hi
+      NotNull(Seq("id")),             // fails: one null
+      NullRatioBelow("id", 0.5),      // passes: 1/3 <= 0.5
+      RowCountInRange(1, 10),         // passes
+      ValuesInSet("v", Seq("a", "b"))) // fails: "c" outside
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val per = Checks.evaluateEach(df, suite)
+      // listener events are posted asynchronously; a short settle is
+      // enough for a just-finished local job's JobStart to land
+      Thread.sleep(200)
+      assert(per.map(_.isDefined) ===
+        Seq(true, false, true, true, false, false, true))
+      assert(per(2).get.detail === "max = 99.0 out of range")
+      // AQE may split the aggregation into a couple of stage jobs, but
+      // the old shape was >= 7 jobs (one per check) — pin "one action"
+      assert(jobs <= 3, s"expected one aggregation action, saw $jobs jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
