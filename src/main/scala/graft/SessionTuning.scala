@@ -48,7 +48,11 @@ object SessionTuning {
     "spark.hadoop.fs.AbstractFileSystem.file.impl" ->
       "graft.hadoop.NioLocalFs",
     "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
-    "spark.sql.codegen.cache.maxEntries" -> "4096",
+    // overridable (static conf, so it must land before the first
+    // SparkContext): SPARK_GRAFT_CODEGEN_CACHE=100 reproduces the
+    // Spark default for A/B measurement
+    "spark.sql.codegen.cache.maxEntries" ->
+      sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
   )
 
   def apply(b: SparkSession.Builder): SparkSession.Builder =
