@@ -86,6 +86,69 @@ object Ivf {
     cents.toDF("cluster", "ce")
   }
 
+  /** Sub-keyed E-step — [[assign]] for a frame that carries a `sub`
+    * column (the PQ subspace id): nearest centroid of the SAME sub by
+    * squared Euclidean distance, ties to the smaller cluster id. The
+    * per-(sub, vec_id) window reproduces [[assign]]'s per-vec_id
+    * tie-break within each subspace exactly.
+    */
+  private[ext] def assignSub(base: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy($"sub", $"vec_id").orderBy($"dist", $"cluster")
+    base.join(broadcast(cents.select($"sub", $"cluster", $"ce")), Seq("sub"))
+      .withColumn("dist", expr(sqDistFold.format("e", "ce")))
+      .withColumn("rk", row_number().over(w))
+      .where($"rk" === 1)
+      .select(base.columns.toIndexedSeq.map(col) :+ $"cluster": _*)
+  }
+
+  /** `(sub, cluster, ce)` rows as a broadcastable literal frame. */
+  private[ext] def centsSubDf(spark: SparkSession,
+      cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("sub", "cluster", "ce")
+  }
+
+  /** All m PQ subspace fits as ONE sub-keyed Lloyd chain over a
+    * `(vec_id, sub, e)` frame. The m fits are independent, so they used
+    * to run as m concurrent driver-synced chains — m seed collects plus
+    * m·iters M-step collects, each a multi-stage Spark job; this runs
+    * the identical math batched: one seed job + `iters` M-step jobs do
+    * every subspace's work at once (measured round 14: the IVF-PQ query
+    * dropped from ~22 driver-synced actions to ~10). Per-(sub, …)
+    * grouping and windows keep each fit's formulation — k smallest-
+    * vec_id seeds, squared-distance tie-breaks, vec_id-ordered M-step
+    * folds — bit-identical to the sequential per-subspace fits and to
+    * the DuckDB oracle's per-subspace CTE chains.
+    */
+  private[ext] def fitSub(base: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    // seeds: the k smallest-vec_id vectors per sub; cluster id = rank-1
+    // (exactly [[fit]]'s orderBy(vec_id).limit(k).zipWithIndex per sub)
+    val wSeed = Window.partitionBy($"sub").orderBy($"vec_id")
+    var cents: Seq[(Int, Int, Seq[Double])] = base
+      .withColumn("rk", row_number().over(wSeed))
+      .where($"rk" <= k)
+      .select($"sub", ($"rk" - 1).as("cluster"), $"e")
+      .as[(Int, Int, Seq[Double])]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    for (_ <- 1 to iters)
+      cents = assignSub(base, centsSubDf(spark, cents))
+        .select($"sub", $"cluster", $"vec_id", posexplode($"e"))
+        .toDF("sub", "cluster", "vec_id", "pos", "v")
+        .groupBy($"sub", $"cluster", $"pos")
+        .agg((expr(orderedMean) / count(lit(1)).cast("double")).as("c"))
+        .groupBy($"sub", $"cluster")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+          .as("ce"))
+        .as[(Int, Int, Seq[Double])]
+        .collect().toSeq.sortBy(t => (t._1, t._2))
+    centsSubDf(spark, cents)
+  }
+
   /** `iters` deterministic Lloyd passes over a `(vec_id, e, …)` frame
     * from the k smallest-vec_id seeds; returns the final centroids.
     * Shared by the IVF index build and the per-subspace PQ codebook fit.

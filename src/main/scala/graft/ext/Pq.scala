@@ -38,50 +38,48 @@ object Pq {
       .select($"vec_id", expr("transform(e0, x -> x / nrm)").as("en")))
   }
 
-  private final case class Sub(sub: Int, sv: DataFrame, cents: DataFrame)
+  /** `sv`: one materialized `(vec_id, sub, e)` frame holding EVERY
+    * subspace slice; `cents`: `(sub, cluster, ce)` — all m codebooks.
+    */
+  private final case class Fitted(sv: DataFrame, cents: DataFrame)
 
-  /** Slice out each subspace and fit its codebook. The m fits are
-    * independent (disjoint codebooks, disjoint Lloyd state), so they run
-    * CONCURRENTLY — each fit is a chain of small driver-synced Spark
-    * jobs, and overlapping them fills the cluster instead of paying m
-    * sequential sync latencies. Results are collected in subspace order;
-    * per-fit determinism is unaffected.
+  /** Slice out the m subspaces into ONE sub-keyed frame and fit all m
+    * codebooks with a single batched Lloyd chain ([[Ivf.fitSub]]). The
+    * fits are independent (disjoint codebooks, disjoint Lloyd state);
+    * they used to run as m concurrent per-subspace chains, but each
+    * chain was its own sequence of driver-synced multi-stage jobs — the
+    * batched chain does every subspace's work in one seed job + `iters`
+    * M-step jobs (round-14 profile: the IVF-PQ query ran 129 Spark jobs,
+    * most of them PQ-fit fragments). Per-(sub, …) grouping keeps each
+    * fit bit-identical to the sequential formulation the oracle replays.
     */
   private def fitSubspaces(en: DataFrame, m: Int, subDim: Int, k: Int,
-      iters: Int): Seq[Sub] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
+      iters: Int): Fitted = {
     val spark = en.sparkSession
     import spark.implicits._
-    implicit val ec: scala.concurrent.ExecutionContext =
-      graft.core.RunRegistry.sharedExecutionContext
-    val fs = (0 until m).map { sub =>
-      Future {
-        val sv = graft.queries.Mat(en.select($"vec_id",
-          expr(s"slice(en, ${sub * subDim + 1}, $subDim)").as("e")))
-        Sub(sub, sv, Ivf.centroidsOf(spark, Ivf.fit(sv, k, iters)))
-      }
-    }
-    fs.map(Await.result(_, Duration.Inf))
+    val sv = graft.queries.Mat(en.select($"vec_id",
+      posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+        s"s -> slice(en, s * $subDim + 1, $subDim))")).as(Seq("sub", "e"))))
+    Fitted(sv, Ivf.fitSub(sv, k, iters))
   }
 
-  /** (vec_id, sub, code): each vector's m-code PQ encoding. */
-  private def codesOf(subs: Seq[Sub]): DataFrame =
-    subs.map { s =>
-      Ivf.assign(s.sv, s.cents)
-        .select(col("vec_id"), lit(s.sub).as("sub"),
-          col("cluster").as("code"))
-    }.reduce(_ unionByName _)
+  /** (vec_id, sub, code): each vector's m-code PQ encoding — one
+    * sub-keyed E-step over the batched frame (same rows as the former
+    * per-subspace assign+union: the window keys on (sub, vec_id)).
+    */
+  private def codesOf(f: Fitted): DataFrame =
+    Ivf.assignSub(f.sv, f.cents)
+      .select(col("vec_id"), col("sub"), col("cluster").as("code"))
 
-  /** (qid, sub, code, pdot): each query's ADC lookup table. */
-  private def lutOf(subs: Seq[Sub], maxQid: Int): DataFrame =
-    subs.map { s =>
-      s.sv.where(col("vec_id") < maxQid)
-        .crossJoin(broadcast(s.cents))
-        .select(col("vec_id").as("qid"), lit(s.sub).as("sub"),
-          col("cluster").as("code"),
-          expr(dotFold.format("e", "ce")).as("pdot"))
-    }.reduce(_ unionByName _)
+  /** (qid, sub, code, pdot): each query's ADC lookup table — the former
+    * per-subspace crossJoin+union as one sub-keyed broadcast join.
+    */
+  private def lutOf(f: Fitted, maxQid: Int): DataFrame =
+    f.sv.where(col("vec_id") < maxQid)
+      .join(broadcast(f.cents), Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"),
+        col("cluster").as("code"),
+        expr(dotFold.format("e", "ce")).as("pdot"))
 
   /** Sub-ordered strict fold of the m LUT entries per (query, candidate)
     * + top-k. `cand` must carry (qid, nid, sub, pdot).
