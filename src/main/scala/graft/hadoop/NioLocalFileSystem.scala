@@ -78,22 +78,17 @@ class NioLocalFileSystem extends RawLocalFileSystem {
     }
   }
 
-  /** `readlink`-free link status: regular files/dirs (the only thing the
-    * engine ever renames) resolve via one in-process `readAttributes`;
-    * true symlinks — which need the target string — keep the parent's
-    * shell path. */
-  override def getFileLinkStatus(f: Path): FileStatus = {
-    val nio = Paths.get(pathToFile(f).getPath)
-    val attrs =
-      try Files.readAttributes(nio, classOf[PosixFileAttributes],
-        LinkOption.NOFOLLOW_LINKS)
-      catch {
-        case _: java.nio.file.NoSuchFileException =>
-          throw new java.io.FileNotFoundException(s"File $f does not exist")
-        case _: UnsupportedOperationException =>
-          return super.getFileLinkStatus(f)
-      }
-    if (attrs.isSymbolicLink) return super.getFileLinkStatus(f)
+  /** EAGER FileStatus from one in-process `readAttributes` — permission,
+    * owner and group loaded up front. The parent's status objects
+    * (`DeprecatedRawLocalFileStatus`) load those fields LAZILY by
+    * forking `ls -ld` per file, and `LocatedFileStatus`'s copy
+    * constructor — which `FileSystem.listFiles`/`listLocatedStatus`
+    * build for EVERY listed file, i.e. Spark's file-index listing on
+    * every scan plus this engine's staging-dir walk on every commit —
+    * reads all three, forcing that fork per listed file (round-14
+    * session-4 stack samples: `forkAndExec` under
+    * `TxTable.stageWrite`'s `listFiles`). */
+  private def nioStatus(f: Path, attrs: PosixFileAttributes): FileStatus = {
     val bits = attrs.permissions()
     var mode = 0
     val order = Seq(
@@ -111,6 +106,76 @@ class NioLocalFileSystem extends RawLocalFileSystem {
       new FsPermission(mode.toShort), attrs.owner().getName,
       attrs.group().getName,
       f.makeQualified(getUri, getWorkingDirectory))
+  }
+
+  /** `readlink`-free link status: regular files/dirs (the only thing the
+    * engine ever renames) resolve via one in-process `readAttributes`;
+    * true symlinks — which need the target string — keep the parent's
+    * shell path. */
+  override def getFileLinkStatus(f: Path): FileStatus = {
+    val nio = Paths.get(pathToFile(f).getPath)
+    val attrs =
+      try Files.readAttributes(nio, classOf[PosixFileAttributes],
+        LinkOption.NOFOLLOW_LINKS)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new java.io.FileNotFoundException(s"File $f does not exist")
+        case _: UnsupportedOperationException =>
+          return super.getFileLinkStatus(f)
+      }
+    if (attrs.isSymbolicLink) return super.getFileLinkStatus(f)
+    nioStatus(f, attrs)
+  }
+
+  /** Fork-free stat: same contract as the parent (FileNotFoundException
+    * when missing; symlinks followed), but the returned status carries
+    * its permission/owner/group eagerly so no later field access can
+    * fork. The dangling-symlink corner (exists NOFOLLOW, target gone)
+    * keeps the parent's path. */
+  override def getFileStatus(f: Path): FileStatus = {
+    val nio = Paths.get(pathToFile(f).getPath)
+    val attrs =
+      try Files.readAttributes(nio, classOf[PosixFileAttributes])
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          if (Files.exists(nio, LinkOption.NOFOLLOW_LINKS))
+            return super.getFileStatus(f)
+          throw new java.io.FileNotFoundException(s"File $f does not exist")
+        case _: UnsupportedOperationException =>
+          return super.getFileStatus(f)
+      }
+    nioStatus(f, attrs)
+  }
+
+  /** Fork-free directory listing: one `readAttributes` per entry instead
+    * of a lazy status whose permission access forks `ls -ld`. Entries
+    * deleted between the directory read and their stat are skipped —
+    * the same tolerance Spark's own listing layers apply to racing
+    * writers. */
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val dir = Paths.get(pathToFile(f).getPath)
+    val attrs =
+      try Files.readAttributes(dir, classOf[PosixFileAttributes])
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new java.io.FileNotFoundException(s"File $f does not exist")
+        case _: UnsupportedOperationException =>
+          return super.listStatus(f)
+      }
+    if (!attrs.isDirectory) return Array(nioStatus(f, attrs))
+    val out = Array.newBuilder[FileStatus]
+    val stream = Files.newDirectoryStream(dir)
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val child = it.next()
+        val childPath = new Path(f, child.getFileName.toString)
+        try out += nioStatus(childPath,
+          Files.readAttributes(child, classOf[PosixFileAttributes]))
+        catch { case _: java.nio.file.NoSuchFileException => () }
+      }
+    } finally stream.close()
+    out.result()
   }
 }
 
