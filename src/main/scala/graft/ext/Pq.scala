@@ -28,16 +28,6 @@ object Pq {
   // the ONE fold formulation every oracle depends on lives in Ivf
   private val dotFold = Ivf.dotFold
 
-  /** (vec_id, en): L2-normalized double vectors, materialized once. */
-  private def normalized(emb: DataFrame): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    graft.queries.Mat(emb
-      .select($"vec_id", $"embedding".cast("array<double>").as("e0"))
-      .withColumn("nrm", expr(s"sqrt(${dotFold.format("e0", "e0")})"))
-      .select($"vec_id", expr("transform(e0, x -> x / nrm)").as("en")))
-  }
-
   /** `sv`: one materialized `(vec_id, sub, e)` frame holding EVERY
     * subspace slice; `cents`: `(sub, cluster, ce)` — all m codebooks.
     */
@@ -53,13 +43,22 @@ object Pq {
     * most of them PQ-fit fragments). Per-(sub, …) grouping keeps each
     * fit bit-identical to the sequential formulation the oracle replays.
     */
-  private def fitSubspaces(en: DataFrame, m: Int, subDim: Int, k: Int,
+  private def fitSubspaces(emb: DataFrame, m: Int, subDim: Int, k: Int,
       iters: Int): Fitted = {
-    val spark = en.sparkSession
+    val spark = emb.sparkSession
     import spark.implicits._
-    val sv = graft.queries.Mat(en.select($"vec_id",
-      posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
-        s"s -> slice(en, s * $subDim + 1, $subDim))")).as(Seq("sub", "e"))))
+    // L2-normalization composed INTO the one materialized subspace
+    // frame: the whole normalized vector `en` is never consumed — only
+    // its m slices are — so the former separate Mat(normalized) action
+    // (its own scan + localCheckpoint per PQ query) folds away; the
+    // doubles are the identical expressions, just composed.
+    val sv = graft.queries.Mat(emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("e0"))
+      .withColumn("nrm", expr(s"sqrt(${dotFold.format("e0", "e0")})"))
+      .select($"vec_id", expr("transform(e0, x -> x / nrm)").as("en"))
+      .select($"vec_id",
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+          s"s -> slice(en, s * $subDim + 1, $subDim))")).as(Seq("sub", "e"))))
     Fitted(sv, Ivf.fitSub(sv, k, iters))
   }
 
@@ -105,7 +104,7 @@ object Pq {
     */
   def searchAll(emb: DataFrame, m: Int, subDim: Int, k: Int, iters: Int,
       maxQid: Int, topK: Int): DataFrame = {
-    val subs = fitSubspaces(normalized(emb), m, subDim, k, iters)
+    val subs = fitSubspaces(emb, m, subDim, k, iters)
     adcTopK(
       codesOf(subs).join(lutOf(subs, maxQid), Seq("sub", "code"))
         .where(col("qid") =!= col("vec_id"))
@@ -133,7 +132,7 @@ object Pq {
     // the coarse index and the m codebooks are independent fits — build
     // them concurrently, like the subspaces themselves
     val indexF = Future { Ivf.build(emb, coarseK, iters) }
-    val subs = fitSubspaces(normalized(emb), m, subDim, k, iters)
+    val subs = fitSubspaces(emb, m, subDim, k, iters)
     val index = Await.result(indexF, Duration.Inf)
     // the nprobe nearest coarse clusters — Ivf's single probe stage
     val probes = Ivf
